@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** kdb core operator semantics (SURVEY.md §2.A Q-1..Q-4, V-1, S rows)
+  * expressed over the driver's `events` table.
+  *
+  * Mapping (FIXTURES.md §B): ts→`ts` (int64 ns; read via
+  * spark.sql.legacy.parquet.nanosAsLong so the engine keeps kdb's exact
+  * ns integer math — Spark TimestampType is µs and would truncate),
+  * tags→(event_type, user_id), payload→`value`, ingest seq→event_id.
+  *
+  * All constants are UTC ns epochs; both engines do identical int64
+  * arithmetic so results hash-match exactly (no float time math).
+  *
+  * Reference semantics preserved:
+  *  - quantization `ts - ts % Resolution` (dbase/dbase.go:127)
+  *  - last-writer-wins at (series, slot) (dblock/dblock.go:198-205)
+  *  - dense gap-fill, zero for missing slots (dbase/dbase.go:208-225)
+  *  - Find omits never-seen series but zero-fills seen ones
+  *    (dbase/dbase.go:294-310)
+  *  - RemoveBefore = whole-bucket drop (dbase/dbase.go:323-364)
+  *  - future-write/cold-write rejection (dbase/dbase.go:129-132,
+  *    dbucket/dbucket.go:119-122)
+  */
+object KdbQueries extends QueryModule {
+
+  val Hour: Long = 3600L * 1000 * 1000 * 1000
+  val Day: Long = 24 * Hour
+  /** 2024-01-01T00:00Z in ns */
+  val T0: Long = 1704067200000000000L
+  /** 2024-01-31T00:00Z in ns (events end 2024-01-30) */
+  val T1: Long = T0 + 30 * Day
+  /** six-hour resolution for the dense-grid reads */
+  val Res6h: Long = 6 * Hour
+
+  /** events with ts as raw int64 ns (requires nanosAsLong, set by
+    * Verify/Bench/specs session builders). */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    events(s, d).withColumn("ts_ns", col("ts").cast("long"))
+
+  /** Q-1 Put: quantize to Resolution, route to bucket, last-writer-wins
+    * upsert keyed by (tags, slot) with event_id as the ingest sequence.
+    * Partial-agg friendly: one shuffle on the series+slot key; max_by
+    * gives map-side combine (vs a row_number window which cannot). */
+  private val put = QueryDef(
+    "kdb_put_ingest",
+    (s, d) => {
+      ev(s, d)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .withColumn("bucket_ns", col("ts_ns") - col("ts_ns") % Day)
+        .groupBy(col("event_type"), col("user_id"), col("bucket_ns"), col("slot_ns"))
+        .agg(round(max_by(col("value"), col("event_id")), 2).as("value"),
+          count(lit(1)).as("n_writes"))
+        .orderBy(col("event_type"), col("user_id"), col("slot_ns"))
+    },
+    Some(s"""
+      SELECT event_type, user_id,
+             epoch_ns(ts) - epoch_ns(ts) % ${Day} AS bucket_ns,
+             epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+             round(arg_max(value, event_id), 2) AS value,
+             count(*) AS n_writes
+      FROM events
+      GROUP BY 1, 2, 3, 4
+      ORDER BY event_type, user_id, slot_ns"""))
+
+  /** Q-2 Get: exact series (click, user 7), [T0,T1) at 6h resolution —
+    * dense grid left join, `coalesce(value, 0)` = kdb's zero payload.
+    * Result length is exactly (end-start)/res = 120 rows, always. */
+  private val get = QueryDef(
+    "kdb_get_gapfill",
+    (s, d) => {
+      val n = (T1 - T0) / Res6h
+      val grid = s.range(n).select((lit(T0) + col("id") * Res6h).as("slot_ns"))
+      val data = ev(s, d)
+        .filter(col("event_type") === "click" && col("user_id") === 7 &&
+          col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Res6h)
+        .groupBy(col("slot_ns"))
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+      grid.join(data, Seq("slot_ns"), "left_outer")
+        .select(col("slot_ns"), round(coalesce(col("v"), lit(0.0)), 2).as("value"))
+        .orderBy(col("slot_ns"))
+    },
+    Some(s"""
+      SELECT g.slot_ns, round(coalesce(d.v, 0.0), 2) AS value
+      FROM range(${T0}, ${T1}, ${Res6h}) g(slot_ns)
+      LEFT JOIN (
+        SELECT epoch_ns(ts) - epoch_ns(ts) % ${Res6h} AS slot_ns,
+               arg_max(value, event_id) AS v
+        FROM events
+        WHERE event_type = 'click' AND user_id = 7
+          AND epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1
+      ) d USING (slot_ns)
+      ORDER BY slot_ns"""))
+
+  /** Q-3 Find: tags (purchase, *) — wildcard at the user position.
+    * Series ever seen in range get a full dense zero-filled slab;
+    * never-seen series are omitted (dbase/dbase.go:294-310). The grid
+    * is a broadcast-able crossJoin (series × slots), never a shuffle. */
+  private val find = QueryDef(
+    "kdb_find_wildcard",
+    (s, d) => {
+      val n = (T1 - T0) / Res6h
+      val grid = s.range(n).select((lit(T0) + col("id") * Res6h).as("slot_ns"))
+      val data = ev(s, d)
+        .filter(col("event_type") === "purchase" &&
+          col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Res6h)
+      val series = data.select(col("user_id")).distinct()
+      val slots = series.crossJoin(broadcast(grid))
+      val vals = data.groupBy(col("user_id"), col("slot_ns"))
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+      slots.join(vals, Seq("user_id", "slot_ns"), "left_outer")
+        .select(col("user_id"), col("slot_ns"),
+          round(coalesce(col("v"), lit(0.0)), 2).as("value"))
+        .orderBy(col("user_id"), col("slot_ns"))
+    },
+    Some(s"""
+      WITH data AS (
+        SELECT user_id, epoch_ns(ts) - epoch_ns(ts) % ${Res6h} AS slot_ns,
+               value, event_id
+        FROM events
+        WHERE event_type = 'purchase'
+          AND epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+      ),
+      series AS (SELECT DISTINCT user_id FROM data),
+      vals AS (SELECT user_id, slot_ns, arg_max(value, event_id) AS v
+               FROM data GROUP BY 1, 2)
+      SELECT s.user_id, g.slot_ns, round(coalesce(v.v, 0.0), 2) AS value
+      FROM series s
+      CROSS JOIN range(${T0}, ${T1}, ${Res6h}) g(slot_ns)
+      LEFT JOIN vals v ON v.user_id = s.user_id AND v.slot_ns = g.slot_ns
+      ORDER BY s.user_id, g.slot_ns"""))
+
+  /** Q-4 RemoveBefore: drop whole day-buckets below the cutoff (a
+    * metadata-only partition delete in the engine); per-bucket stats
+    * of what survives. Cutoff 2024-01-10. */
+  private val cutoff: Long = T0 + 9 * Day
+  private val removeBefore = QueryDef(
+    "kdb_remove_before",
+    (s, d) => {
+      ev(s, d)
+        .withColumn("bucket_ns", col("ts_ns") - col("ts_ns") % Day)
+        .filter(col("bucket_ns") >= cutoff)
+        .groupBy(col("bucket_ns"))
+        .agg(count(lit(1)).as("n_points"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("bucket_ns"))
+    },
+    Some(s"""
+      SELECT epoch_ns(ts) - epoch_ns(ts) % ${Day} AS bucket_ns,
+             count(*) AS n_points,
+             round(sum(value), 2) AS sum_value
+      FROM events
+      WHERE epoch_ns(ts) - epoch_ns(ts) % ${Day} >= ${cutoff}
+      GROUP BY 1
+      ORDER BY bucket_ns"""))
+
+  /** V-1 validation ledger: with the clock pinned to 2024-01-25, every
+    * write is classified exactly as DBase.Put would: future ts
+    * rejected (dbase/dbase.go:129-132), ts in a cold bucket rejected
+    * (dbucket/dbucket.go:119-122; hot window = MaxHotBuckets=2 day
+    * buckets), else accepted. */
+  private val pinnedNow: Long = T0 + 24 * Day
+  private val validate = QueryDef(
+    "kdb_validation_rejects",
+    (s, d) => {
+      val hotStart = (pinnedNow - pinnedNow % Day) - Day // 2 hot buckets
+      ev(s, d)
+        .withColumn("reason",
+          when(col("ts_ns") > pinnedNow, "err_future_timestamp")
+            .when(col("ts_ns") < hotStart, "err_write_on_read_only")
+            .otherwise("ok"))
+        .groupBy(col("reason"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("reason"))
+    },
+    Some {
+      val hotStart = (pinnedNow - pinnedNow % Day) - Day
+      s"""
+      SELECT CASE WHEN epoch_ns(ts) > ${pinnedNow} THEN 'err_future_timestamp'
+                  WHEN epoch_ns(ts) < ${hotStart} THEN 'err_write_on_read_only'
+                  ELSE 'ok' END AS reason,
+             count(*) AS n,
+             round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY 1
+      ORDER BY reason"""
+    })
+
+  /** Streaming-analog tumbling window (1h) per event_type — the batch
+    * equivalent of the Structured Streaming ingest agg (window($"ts"),
+    * tested live in StreamingIngestSpec). */
+  private val tumbling = QueryDef(
+    "kdb_tumbling_window",
+    (s, d) => {
+      ev(s, d)
+        .withColumn("w_start", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("w_start"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"), col("w_start"))
+    },
+    Some(s"""
+      SELECT event_type,
+             epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS w_start,
+             count(*) AS n,
+             round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY event_type, w_start"""))
+
+  /** As-of join (natural TSDB op the reference lacks): each click joins
+    * the most recent purchase at-or-before it by the same user.
+    * Spark impl is the scale path: union both sides, one window pass
+    * per user ordered by ts — a single shuffle, no range explosion.
+    * Comparison + gap in µs (ts_ns div 1000) because DuckDB truncates
+    * parquet ns timestamps to µs TIMESTAMP; same-µs ties resolve
+    * purchase-before-click on both sides (kind tiebreak ≡ p.ts<=c.ts). */
+  private val asof = QueryDef(
+    "kdb_asof_join",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = ev(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"), lit(1).as("kind"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"), lit(0).as("kind"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      clicks.union(purchases)
+        .withColumn("p_ts", last(when(col("kind") === 0, col("ts_us")), ignoreNulls = true).over(w))
+        .withColumn("p_id", last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("p_id").as("purchase_id"),
+          (col("ts_us") - col("p_ts")).as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT c.event_id, c.user_id, p.event_id AS purchase_id,
+             epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND p.ts <= c.ts
+      ORDER BY c.event_id"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    put, get, find, removeBefore, validate, tumbling, asof)
+}

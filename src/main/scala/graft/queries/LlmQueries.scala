@@ -1,0 +1,401 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** LLM-data-pipeline operators (north star, beyond the reference):
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+  * search over embeddings (brute-force + sign-LSH bucketed), text
+  * analysis (lang-id, quality, tokens, fingerprint), multimodal binary
+  * plumbing.
+  *
+  * Scale notes (100 TB): every pairwise op is candidate-bounded —
+  * Jaccard pairs come from an inverted shingle join (never a cross
+  * join), MinHash pairs from LSH band buckets, embedding near-dup from
+  * sign buckets. Brute-force cosine is only ever (small query set) ×
+  * (corpus), a broadcast nested-loop with the small side broadcast.
+  */
+object LlmQueries extends QueryModule {
+
+  /** DuckDB rendering of the shared 60-bit md5-prefix hash (mod P). */
+  private def dkHashP(x: String): String =
+    s"(('0x' || substr(md5($x), 1, 15))::BIGINT % $P)"
+
+  /** DuckDB left fold with explicit init (matches Spark `aggregate`). */
+  private def dkFold(init: String, list: String, lambda: String): String =
+    s"list_reduce([$init] || $list, $lambda)"
+
+  // ---------------------------------------------------------------
+  // Dedup
+  // ---------------------------------------------------------------
+
+  /** Exact dedup: hash-groupBy on content. One shuffle on md5(text);
+    * at 100 TB the 32-byte digest, not the document, is the shuffle key. */
+  private val dedupExact = QueryDef(
+    "llm_dedup_exact",
+    (s, d) => {
+      documents(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .select(col("keeper_id"), col("n_copies"), col("content_hash"))
+        .orderBy(col("keeper_id"))
+    },
+    Some("""
+      SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
+             md5(text) AS content_hash
+      FROM documents
+      GROUP BY md5(text)
+      ORDER BY keeper_id"""))
+
+  /** MinHash signatures (8 perms over word-3-gram shingles). */
+  private def minhashSigDf(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(tokens(col("text")), 3)
+    val hashes = transform(sh, x => hashP(x))
+    val sigs = minhashSig(hashes).zipWithIndex.map { case (c, i) => c.as(s"sig$i") }
+    documents(s, d).select(col("doc_id") +: sigs: _*)
+  }
+
+  private def dkMinhashCte: String = {
+    // tokens / shingles / shingle hashes, mirrored expression by expression
+    val shingleList =
+      "list_transform(generate_series(0, len(toks) - 3), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])"
+    val sigCols = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hashes, h -> ($a * h + $b) % $P)) AS sig$i"
+    }.mkString(",\n             ")
+    s"""
+      toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sh AS (SELECT doc_id, $shingleList AS shingle_list FROM toks),
+      hs AS (SELECT doc_id, list_transform(shingle_list, x -> ${dkHashP("x")}) AS hashes FROM sh),
+      sig AS (SELECT doc_id,
+             $sigCols
+             FROM hs)"""
+  }
+
+  private val minhashSignature = QueryDef(
+    "llm_minhash_signature",
+    (s, d) => minhashSigDf(s, d).orderBy(col("doc_id")),
+    Some(s"""
+      WITH ${dkMinhashCte}
+      SELECT * FROM sig ORDER BY doc_id"""))
+
+  /** MinHash-LSH near-dup candidates: 4 bands × 2 rows; pairs sharing
+    * any band bucket. The self-join is per-band on the band key — at
+    * scale each band is a shuffle on a 2×int key, never all-pairs. */
+  private val minhashLsh = QueryDef(
+    "llm_dedup_minhash_lsh",
+    (s, d) => {
+      val sig = minhashSigDf(s, d)
+      val bands = (0 until 4).map { b =>
+        sig.select(col("doc_id"),
+          lit(b).as("band"),
+          concat_ws(":", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey"))
+      }.reduce(_ union _)
+      val a = bands.as("a")
+      val b = bands.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some(s"""
+      WITH ${dkMinhashCte},
+      bands AS (
+        SELECT doc_id, 0 AS band, sig0::VARCHAR || ':' || sig1::VARCHAR AS bkey FROM sig
+        UNION ALL SELECT doc_id, 1, sig2::VARCHAR || ':' || sig3::VARCHAR FROM sig
+        UNION ALL SELECT doc_id, 2, sig4::VARCHAR || ':' || sig5::VARCHAR FROM sig
+        UNION ALL SELECT doc_id, 3, sig6::VARCHAR || ':' || sig7::VARCHAR FROM sig)
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      ORDER BY d1, d2"""))
+
+  /** SimHash (16-bit) per document over token hashes. */
+  private val simhashQ = QueryDef(
+    "llm_simhash",
+    (s, d) => {
+      val hashes = transform(tokens(col("text")), t => hashP(t))
+      documents(s, d)
+        .select(col("doc_id"), simhash16(hashes).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val bitTerms = (0 until 16).map { j =>
+        val lo = 1L << j
+        val hi = 1L << (j + 1)
+        s"CASE WHEN ${dkFold("0", s"list_transform(hashes, h -> CASE WHEN (h % $hi) >= $lo THEN 1 ELSE -1 END)", "(acc, v) -> acc + v")} > 0 THEN $lo ELSE 0 END"
+      }.mkString(" + ")
+      s"""
+      WITH hs AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '), t -> ${dkHashP("t")}) AS hashes
+        FROM documents)
+      SELECT doc_id, $bitTerms AS simhash
+      FROM hs ORDER BY doc_id"""
+    })
+
+  /** n-gram Jaccard near-dup: top-20 most similar pairs among
+    * doc_id < 150, candidates generated by an inverted shingle join
+    * (only pairs with ≥1 shared shingle exist — the scale path). */
+  private val ngramJaccard = QueryDef(
+    "llm_dedup_ngram_jaccard",
+    (s, d) => {
+      val docs = documents(s, d).filter(col("doc_id") < 150)
+        .select(col("doc_id"),
+          array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+      val sizes = docs.select(col("doc_id"), size(col("sh")).as("nsh"))
+      val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      val inter = ex.as("a").join(ex.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("nsh", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("nsh", "n2"), "d2")
+        .select(col("d1"), col("d2"),
+          round(col("n_inter").cast("double") /
+            (col("n1") + col("n2") - col("n_inter")), 4).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+        .limit(20)
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(0, len(string_split(text, ' ')) - 3),
+                 i -> string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2] || ' ' ||
+                      string_split(text, ' ')[i+3])) AS sh
+        FROM documents WHERE doc_id < 150),
+      sizes AS (SELECT doc_id, len(sh) AS nsh FROM docs),
+      ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+      inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT d1, d2,
+             round(CAST(n_inter AS DOUBLE) / (s1.nsh + s2.nsh - n_inter), 4) AS jaccard
+      FROM inter
+      JOIN sizes s1 ON s1.doc_id = d1
+      JOIN sizes s2 ON s2.doc_id = d2
+      ORDER BY jaccard DESC, d1, d2
+      LIMIT 20"""))
+
+  // ---------------------------------------------------------------
+  // Text analysis
+  // ---------------------------------------------------------------
+
+  private val textTokens = QueryDef(
+    "llm_text_tokens",
+    (s, d) => {
+      val t = tokens(col("text"))
+      documents(s, d)
+        .select(col("doc_id"),
+          size(t).as("n_tokens"),
+          size(array_distinct(t)).as("n_distinct"),
+          length(col("text")).as("n_chars_text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             length(text) AS n_chars_text
+      FROM documents ORDER BY doc_id"""))
+
+  /** Rolling-hash document fingerprint + collision groups. */
+  private val fingerprintQ = QueryDef(
+    "llm_fingerprint",
+    (s, d) => {
+      val hashes = transform(tokens(col("text")), t => hashP(t))
+      documents(s, d)
+        .select(col("doc_id"), fingerprint(hashes).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      SELECT doc_id,
+             ${dkFold("0", s"list_transform(string_split(text, ' '), t -> ${dkHashP("t")})", s"(h, x) -> (h * 31 + x) % $P")} AS fp
+      FROM documents ORDER BY doc_id"""))
+
+  /** Marker-token language-ID heuristic (deterministic argmax with
+    * fixed priority; the corpus shares one vocab so the *mechanism*
+    * is what's exercised). */
+  private val langId = QueryDef(
+    "llm_lang_id",
+    (s, d) => {
+      val t = tokens(col("text"))
+      val c1 = tokenCountOf(t, "the")
+      val c2 = tokenCountOf(t, "a")
+      val c3 = tokenCountOf(t, "data")
+      val c4 = tokenCountOf(t, "scan")
+      val c5 = tokenCountOf(t, "hash")
+      val g = greatest(c1, c2, c3, c4, c5)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          when(c1 === g, "en").when(c2 === g, "zh").when(c3 === g, "fr")
+            .when(c4 === g, "es").otherwise("de").as("pred_lang"))
+        .withColumn("hit", (col("pred_lang") === col("lang")).cast("int"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '), t -> t = 'the'))  AS c1,
+               len(list_filter(string_split(text, ' '), t -> t = 'a'))    AS c2,
+               len(list_filter(string_split(text, ' '), t -> t = 'data')) AS c3,
+               len(list_filter(string_split(text, ' '), t -> t = 'scan')) AS c4,
+               len(list_filter(string_split(text, ' '), t -> t = 'hash')) AS c5
+        FROM documents)
+      SELECT doc_id, lang,
+             CASE WHEN c1 = greatest(c1,c2,c3,c4,c5) THEN 'en'
+                  WHEN c2 = greatest(c1,c2,c3,c4,c5) THEN 'zh'
+                  WHEN c3 = greatest(c1,c2,c3,c4,c5) THEN 'fr'
+                  WHEN c4 = greatest(c1,c2,c3,c4,c5) THEN 'es'
+                  ELSE 'de' END AS pred_lang,
+             CASE WHEN (CASE WHEN c1 = greatest(c1,c2,c3,c4,c5) THEN 'en'
+                  WHEN c2 = greatest(c1,c2,c3,c4,c5) THEN 'zh'
+                  WHEN c3 = greatest(c1,c2,c3,c4,c5) THEN 'fr'
+                  WHEN c4 = greatest(c1,c2,c3,c4,c5) THEN 'es'
+                  ELSE 'de' END) = lang THEN 1 ELSE 0 END AS hit
+      FROM c ORDER BY doc_id"""))
+
+  /** Quality scoring: token stats + stopword ratio → class buckets. */
+  private val quality = QueryDef(
+    "llm_quality_score",
+    (s, d) => {
+      val t = tokens(col("text"))
+      val nTok = size(t)
+      val nStop = tokenCountOf(t, "the") + tokenCountOf(t, "a")
+      documents(s, d)
+        .select(col("doc_id"), nTok.as("n_tokens"),
+          round(length(regexp_replace(col("text"), " ", "")).cast("double") / nTok, 4)
+            .as("avg_tok_len"),
+          round(nStop.cast("double") / nTok, 4).as("stop_ratio"),
+          when(nTok < 20, "short").when(nTok > 70, "long").otherwise("ok")
+            .as("len_class"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(replace(text, ' ', '')) AS n_nonspace,
+               len(list_filter(string_split(text, ' '), t -> t = 'the')) +
+               len(list_filter(string_split(text, ' '), t -> t = 'a')) AS n_stop
+        FROM documents)
+      SELECT doc_id, n_tokens,
+             round(CAST(n_nonspace AS DOUBLE) / n_tokens, 4) AS avg_tok_len,
+             round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+             CASE WHEN n_tokens < 20 THEN 'short'
+                  WHEN n_tokens > 70 THEN 'long'
+                  ELSE 'ok' END AS len_class
+      FROM c ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------
+  // Similarity search
+  // ---------------------------------------------------------------
+
+  private def dkDot(a: String, b: String): String =
+    dkFold("0.0",
+      s"list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))",
+      "(x, y) -> x + y")
+
+  /** Brute-force cosine top-k: 5 query vectors × corpus, broadcast
+    * nested-loop on the tiny side; the exact-scan baseline ANN. */
+  private val embTopk = QueryDef(
+    "llm_similarity_topk",
+    (s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid"))
+      broadcast(q).join(c, col("qid") =!= col("nid"))
+        .withColumn("cos", cosine(col("qv"), col("nv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("nid"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id <= 4),
+      c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+      sc AS (
+        SELECT qid, nid,
+               ${dkDot("qv", "nv")} /
+               (sqrt(${dkDot("qv", "qv")}) * sqrt(${dkDot("nv", "nv")})) AS cos
+        FROM q, c WHERE qid <> nid),
+      rk AS (
+        SELECT qid, nid, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+        FROM sc)
+      SELECT qid, rk, nid, round(cos, 4) AS cos
+      FROM rk WHERE rk <= 5
+      ORDER BY qid, rk"""))
+
+  /** Sign-LSH bucketing — the ANN scale path: 8 axis-aligned
+    * hyperplane bits shard the corpus; pairwise work then happens only
+    * within buckets. Output: bucket histogram. */
+  private val embLshBuckets = QueryDef(
+    "llm_similarity_lsh_buckets",
+    (s, d) => {
+      embeddings(s, d)
+        .withColumn("bucket", signBucket(col("embedding"), 8))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("vec_id")).as("min_vec"),
+          round(avg(col("label")), 4).as("avg_label"))
+        .orderBy(col("bucket"))
+    },
+    Some {
+      val terms = (0 until 8).map(i =>
+        s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      s"""
+      SELECT ($terms) AS bucket,
+             count(*) AS n_vecs,
+             min(vec_id) AS min_vec,
+             round(avg(label), 4) AS avg_label
+      FROM embeddings
+      GROUP BY 1
+      ORDER BY bucket"""
+    })
+
+  // ---------------------------------------------------------------
+  // Multimodal binary plumbing
+  // ---------------------------------------------------------------
+
+  /** Multimodal columns: opaque binary payloads + typed metadata. The
+    * decode step is a deterministic stub (no image/audio libs in this
+    * container — see graft.multimodal.Multimodal for the real
+    * mapPartitions plumbing); the Spark-side schema, binary handling
+    * and metadata derivation are real. */
+  private val multimodalMeta = QueryDef(
+    "llm_multimodal_meta",
+    (s, d) => {
+      val bin = col("text").cast("binary")
+      documents(s, d)
+        .select(col("doc_id"),
+          octet_length(bin).as("n_bytes"),
+          md5(bin).as("content_md5"),
+          (hash60(col("text")) % 640).as("fake_width"),
+          (hash60(col("text")) % 480).as("fake_height"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text) AS content_md5,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT % 640 AS fake_width,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT % 480 AS fake_height
+      FROM documents ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    dedupExact, minhashSignature, minhashLsh, simhashQ, ngramJaccard,
+    textTokens, fingerprintQ, langId, quality,
+    embTopk, embLshBuckets, multimodalMeta)
+}

@@ -1,0 +1,384 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables._
+
+/** Relational operator surface (SURVEY.md §2.B): scans with pushdown,
+  * projection/filter, aggregation, broadcast + shuffle + semi + anti
+  * joins, windows (running / rank / lag), rollup, sort/limit/top-k,
+  * set ops, scalar function library.
+  *
+  * The reference (meteorhacks/kdb) has none of these — they are the
+  * extended engine surface mandated by the north star. Every def is
+  * written for 100 TB scale: dimension joins are `broadcast(...)`,
+  * aggregations are partial-agg friendly (plain groupBy on natural
+  * keys), filters sit directly on scan columns so Catalyst pushes
+  * them into the parquet reader.
+  */
+object RelationalQueries extends QueryModule {
+
+  /** TPC-H Q1 shape: single-pass scan + partial-aggregable groupBy. */
+  private val q1Agg = QueryDef(
+    "q1_agg",
+    (s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** TPC-H Q6 shape: highly selective predicate → pushed to parquet. */
+  private val q6Filter = QueryDef(
+    "q6_filter_pushdown",
+    (s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some("""
+      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+             count(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24"""))
+
+  /** TPC-H Q3 shape: shuffle join fact×fact with broadcast dim. */
+  private val q3TopOrders = QueryDef(
+    "q3_shuffle_join_topk",
+    (s, d) => {
+      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = lineitem(s, d).filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("odate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1997-01-01'
+      GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10"""))
+
+  /** TPC-H Q5 shape: star join — every dimension broadcast. */
+  private val q5Star = QueryDef(
+    "q5_broadcast_star_join",
+    (s, d) => {
+      val r = region(s, d).filter(col("r_name") === "ASIA")
+      val n = nation(s, d)
+      val c = customer(s, d)
+      val sup = supplier(s, d)
+      lineitem(s, d)
+        .join(orders(s, d).filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      SELECT n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name
+      ORDER BY n_name"""))
+
+  /** Left-semi join (EXISTS): orders having a heavy lineitem. */
+  private val qSemi = QueryDef(
+    "q_semi_join",
+    (s, d) => {
+      val heavy = lineitem(s, d).filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"))
+      orders(s, d)
+        .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  private val qAnti = QueryDef(
+    "q_anti_join",
+    (s, d) => {
+      customer(s, d)
+        .join(orders(s, d).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_customers,
+             round(sum(c_acctbal), 2) AS total_bal
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
+  /** Running window: cumulative revenue per supplier over ship time.
+    * Window key = supplier ⇒ one shuffle by l_suppkey; deterministic
+    * frame order via (shipdate, orderkey, linenumber) tie-break. */
+  private val qWindowRunning = QueryDef(
+    "q_window_running_sum",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      lineitem(s, d)
+        .filter(col("l_suppkey") < 5)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_qty",
+          sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("l_suppkey"), col("rn"),
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("running_qty"), 2).as("running_qty"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    },
+    Some("""
+      SELECT l_suppkey, rn, l_orderkey, l_linenumber, running_qty FROM (
+        SELECT l_suppkey,
+               row_number() OVER w AS rn,
+               l_orderkey, l_linenumber,
+               round(sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        FROM lineitem
+        WHERE l_suppkey < 5
+        WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      ) ORDER BY l_suppkey, rn"""))
+
+  /** Ranked top-k per group: 3 priciest parts per brand. */
+  private val qTopkPerGroup = QueryDef(
+    "q_window_topk_per_group",
+    (s, d) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      part(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("p_brand"), col("rk"), col("p_partkey"),
+          round(col("p_retailprice"), 2).as("price"))
+        .orderBy(col("p_brand"), col("rk"))
+    },
+    Some("""
+      SELECT p_brand, rk, p_partkey, round(p_retailprice, 2) AS price FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey) AS rk
+        FROM part
+      ) WHERE rk <= 3
+      ORDER BY p_brand, rk"""))
+
+  /** Lag window: inter-order gap days per customer. */
+  private val qLag = QueryDef(
+    "q_window_lag",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d)
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("prev_date").isNotNull)
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate"), col("prev_date")).as("gap_days"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_gaps"),
+          round(avg(col("gap_days")), 4).as("avg_gap_days"))
+        .filter(col("o_custkey") < 100)
+        .orderBy(col("o_custkey"))
+    },
+    Some("""
+      SELECT o_custkey, count(*) AS n_gaps,
+             round(avg(gap_days), 4) AS avg_gap_days
+      FROM (
+        SELECT o_custkey,
+               date_diff('day',
+                 lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS gap_days
+        FROM orders
+      ) WHERE gap_days IS NOT NULL AND o_custkey < 100
+      GROUP BY o_custkey
+      ORDER BY o_custkey"""))
+
+  /** ROLLUP grouping sets (reference has none; extended surface). */
+  private val qRollup = QueryDef(
+    "q_rollup",
+    (s, d) => {
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy(col("rflag"), col("lstatus"))
+    },
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+             coalesce(l_linestatus, 'ALL') AS lstatus,
+             count(*) AS n_rows,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY rflag, lstatus"""))
+
+  /** Global sort + limit (TakeOrderedAndProject — no full sort at scale). */
+  private val qSortLimit = QueryDef(
+    "q_sort_limit",
+    (s, d) => {
+      orders(s, d)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+          col("o_orderstatus"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .limit(15)
+    },
+    Some("""
+      SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderstatus
+      FROM orders
+      ORDER BY price DESC, o_orderkey
+      LIMIT 15"""))
+
+  /** Set operations: intersect / except over customer key sets. */
+  private val qSetOps = QueryDef(
+    "q_set_ops",
+    (s, d) => {
+      val o = orders(s, d)
+      val fCust = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val oCust = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val both = fCust.intersect(oCust).agg(count(lit(1)).as("n")).withColumn("which", lit("both"))
+      val fOnly = fCust.except(oCust).agg(count(lit(1)).as("n")).withColumn("which", lit("f_only"))
+      val all = fCust.union(oCust).distinct().agg(count(lit(1)).as("n")).withColumn("which", lit("union"))
+      both.union(fOnly).union(all).select(col("which"), col("n")).orderBy(col("which"))
+    },
+    Some("""
+      WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+           o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      SELECT 'both' AS which, count(*) AS n FROM (SELECT * FROM f INTERSECT SELECT * FROM o)
+      UNION ALL
+      SELECT 'f_only' AS which, count(*) AS n FROM (SELECT * FROM f EXCEPT SELECT * FROM o)
+      UNION ALL
+      SELECT 'union' AS which, count(*) AS n FROM (SELECT * FROM f UNION SELECT * FROM o)
+      ORDER BY which"""))
+
+  /** Scalar function library parity: string / math / conditional. */
+  private val qScalarFuncs = QueryDef(
+    "q_scalar_functions",
+    (s, d) => {
+      part(s, d)
+        .filter(col("p_partkey") < 300)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_name"), 1, 4).as("prefix"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          (col("p_size") % 7).as("size_mod"),
+          abs(col("p_size") - lit(25)).as("size_dist"),
+          round(sqrt(col("p_retailprice")), 4).as("price_sqrt"),
+          when(col("p_size") < 10, "small")
+            .when(col("p_size") < 30, "medium")
+            .otherwise("large").as("size_class"),
+          replace(col("p_type"), lit("A"), lit("@")).as("repl"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""
+      SELECT p_partkey,
+             upper(p_name) AS uname,
+             length(p_name) AS name_len,
+             substring(p_name, 1, 4) AS prefix,
+             concat_ws('-', p_brand, p_type) AS brand_type,
+             p_size % 7 AS size_mod,
+             abs(p_size - 25) AS size_dist,
+             round(sqrt(p_retailprice), 4) AS price_sqrt,
+             CASE WHEN p_size < 10 THEN 'small'
+                  WHEN p_size < 30 THEN 'medium'
+                  ELSE 'large' END AS size_class,
+             replace(p_type, 'A', '@') AS repl
+      FROM part
+      WHERE p_partkey < 300
+      ORDER BY p_partkey"""))
+
+  /** Distinct-count shapes: exact countDistinct per group. */
+  private val qDistinctAgg = QueryDef(
+    "q_distinct_agg",
+    (s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT l_partkey) AS n_parts,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    q1Agg, q6Filter, q3TopOrders, q5Star, qSemi, qAnti,
+    qWindowRunning, qTopkPerGroup, qLag, qRollup, qSortLimit,
+    qSetOps, qScalarFuncs, qDistinctAgg)
+}

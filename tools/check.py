@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate: run Verify output
+against DuckDB oracles. Usage: check.py <sfDir> <verifyOutDir>"""
+import sys, json, glob, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    return repr(v)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        got = pq.read_table(files[0]).to_pylist()
+        try:
+            want_rel = con.sql(sql)
+            want_cols = want_rel.columns
+            want = [dict(zip(want_cols, r)) for r in want_rel.fetchall()]
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        gcols = sorted(got[0].keys()) if got else []
+        wcols = sorted(want_cols)
+        if got and gcols != wcols:
+            print(f"FAIL {name}: cols {gcols} vs {wcols}")
+            n_fail += 1
+            continue
+        g = sorted(tuple(norm(r[c]) for c in gcols) for r in got)
+        w = sorted(tuple(norm(r[c]) for c in wcols) for r in want)
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
+            n_fail += 1
+            continue
+        bad = [(a, b) for a, b in zip(g, w) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(g)} rows differ; first: {bad[0][0]} vs {bad[0][1]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

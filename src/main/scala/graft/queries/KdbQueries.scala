@@ -36,10 +36,24 @@ object KdbQueries extends QueryModule {
   /** six-hour resolution for the dense-grid reads */
   val Res6h: Long = 6 * Hour
 
-  /** events with ts as raw int64 ns (requires nanosAsLong, set by
-    * Verify/Bench/specs session builders). */
-  private def ev(s: SparkSession, d: String): DataFrame =
-    events(s, d).withColumn("ts_ns", col("ts").cast("long"))
+  /** events with ts as raw int64 ns. Our session builders set
+    * spark.sql.legacy.parquet.nanosAsLong so parquet ns timestamps read
+    * as LongType (exact int64 math, as in the reference). An external
+    * driver session may not set the flag — then ts reads as
+    * TimestampType (µs precision) and we convert explicitly; a silent
+    * cast("long") there would yield epoch SECONDS and empty results. */
+  private def ev(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val df = events(s, d)
+    val tsNs = df.schema("ts").dataType match {
+      case LongType      => col("ts")
+      case TimestampType => unix_micros(col("ts")) * lit(1000L)
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other; expected int64 ns (set " +
+          "spark.sql.legacy.parquet.nanosAsLong=true) or timestamp")
+    }
+    df.withColumn("ts_ns", tsNs)
+  }
 
   /** Q-1 Put: quantize to Resolution, route to bucket, last-writer-wins
     * upsert keyed by (tags, slot) with event_id as the ingest sequence.
@@ -160,19 +174,23 @@ object KdbQueries extends QueryModule {
       ORDER BY bucket_ns"""))
 
   /** V-1 validation ledger: with the clock pinned to 2024-01-25, every
-    * write is classified exactly as DBase.Put would: future ts
-    * rejected (dbase/dbase.go:129-132), ts in a cold bucket rejected
-    * (dbucket/dbucket.go:119-122; hot window = MaxHotBuckets=2 day
-    * buckets), else accepted. */
+    * write is classified exactly as DBase.Put would. Reference order is
+    * floor-then-validate (dbase/dbase.go:127 `ts -= ts % Resolution`
+    * BEFORE the :129-132 future check), so a write in
+    * (now, now+Resolution] whose floored slot is <= now is accepted;
+    * classification runs on slot_ns, not raw ts_ns. Cold-bucket writes
+    * rejected per dbucket/dbucket.go:119-122 (hot window =
+    * MaxHotBuckets=2 day buckets). */
   private val pinnedNow: Long = T0 + 24 * Day
   private val validate = QueryDef(
     "kdb_validation_rejects",
     (s, d) => {
       val hotStart = (pinnedNow - pinnedNow % Day) - Day // 2 hot buckets
       ev(s, d)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
         .withColumn("reason",
-          when(col("ts_ns") > pinnedNow, "err_future_timestamp")
-            .when(col("ts_ns") < hotStart, "err_write_on_read_only")
+          when(col("slot_ns") > pinnedNow, "err_future_timestamp")
+            .when(col("slot_ns") < hotStart, "err_write_on_read_only")
             .otherwise("ok"))
         .groupBy(col("reason"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -181,12 +199,15 @@ object KdbQueries extends QueryModule {
     Some {
       val hotStart = (pinnedNow - pinnedNow % Day) - Day
       s"""
-      SELECT CASE WHEN epoch_ns(ts) > ${pinnedNow} THEN 'err_future_timestamp'
-                  WHEN epoch_ns(ts) < ${hotStart} THEN 'err_write_on_read_only'
+      WITH sl AS (
+        SELECT epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns, value
+        FROM events)
+      SELECT CASE WHEN slot_ns > ${pinnedNow} THEN 'err_future_timestamp'
+                  WHEN slot_ns < ${hotStart} THEN 'err_write_on_read_only'
                   ELSE 'ok' END AS reason,
              count(*) AS n,
              round(sum(value), 2) AS sum_value
-      FROM events
+      FROM sl
       GROUP BY 1
       ORDER BY reason"""
     })
@@ -226,7 +247,12 @@ object KdbQueries extends QueryModule {
       val e = ev(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
       val clicks = e.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts_us"), lit(1).as("kind"))
+      // Dedupe purchases per (user, µs instant) keeping max event_id —
+      // DuckDB's ASOF JOIN picks an arbitrary row among equal-ts ties,
+      // so both engines resolve ties identically before joining.
       val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("event_id"))
         .select(col("event_id"), col("user_id"), col("ts_us"), lit(0).as("kind"))
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_us"), col("kind"), col("event_id"))
@@ -240,11 +266,15 @@ object KdbQueries extends QueryModule {
         .orderBy(col("event_id"))
     },
     Some("""
+      WITH p AS (
+        SELECT user_id, epoch_us(ts) AS tus, max(event_id) AS event_id
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, epoch_us(ts))
       SELECT c.event_id, c.user_id, p.event_id AS purchase_id,
-             epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+             epoch_us(c.ts) - p.tus AS gap_us
       FROM (SELECT * FROM events WHERE event_type = 'click') c
-      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-        ON c.user_id = p.user_id AND p.ts <= c.ts
+      ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND p.tus <= epoch_us(c.ts)
       ORDER BY c.event_id"""))
 
   val defs: Seq[QueryDef] = Seq(

@@ -51,12 +51,42 @@ object LlmQueries extends QueryModule {
       GROUP BY md5(text)
       ORDER BY keeper_id"""))
 
-  /** MinHash signatures (8 perms over word-3-gram shingles). */
+  /** (doc_id, shingle) rows for word-3-gram shingles, built the scale
+    * way: tokenize ONCE per doc, posexplode to (doc, pos, tok) rows,
+    * then assemble each shingle with lead() over (doc, pos) — one
+    * shuffle on doc_id, one split per document. (Building shingles as
+    * a nested array lambda instead re-evaluates split(text) for every
+    * element_at inside the lambda — ~3 splits per shingle — which
+    * profiled 10× slower.) Downstream doc_id aggregations reuse the
+    * window's hash partitioning, so no second shuffle. */
+  private def shingleRows(s: SparkSession, d: String, pred: Column): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    documents(s, d).filter(pred)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"),
+          lead(col("tok"), 1).over(w), lead(col("tok"), 2).over(w)).as("shingle"),
+        lead(col("tok"), 2).over(w).isNotNull.as("full3"))
+      .filter(col("full3"))
+      .select(col("doc_id"), col("shingle"))
+  }
+
+  /** MinHash signatures (8 perms over word-3-gram shingles): shingle
+    * rows → ONE md5 per shingle → 8 min-aggregates grouped by doc.
+    * Partial-agg friendly (map-side combine); the md5 is evaluated
+    * exactly once per shingle — a giant win over nesting the hash
+    * inside 8 array_min expression trees, which recomputes it per
+    * permutation. Docs with <3 tokens have no shingles → NULL
+    * signatures, kept via left join so the signature table stays
+    * total over docs. */
   private def minhashSigDf(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(tokens(col("text")), 3)
-    val hashes = transform(sh, x => hashP(x))
-    val sigs = minhashSig(hashes).zipWithIndex.map { case (c, i) => c.as(s"sig$i") }
-    documents(s, d).select(col("doc_id") +: sigs: _*)
+    val ex = shingleRows(s, d, lit(true))
+      .select(col("doc_id"), hashP(col("shingle")).as("h"))
+    val aggs = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"sig$i")
+    }
+    val sig = ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    documents(s, d).select(col("doc_id")).join(sig, Seq("doc_id"), "left_outer")
   }
 
   private def dkMinhashCte: String = {
@@ -83,32 +113,40 @@ object LlmQueries extends QueryModule {
       SELECT * FROM sig ORDER BY doc_id"""))
 
   /** MinHash-LSH near-dup candidates: 4 bands × 2 rows; pairs sharing
-    * any band bucket. The self-join is per-band on the band key — at
-    * scale each band is a shuffle on a 2×int key, never all-pairs. */
+    * any band bucket. Banding is one posexplode (no 4-way union
+    * recompute), then ONE shuffle groups docs per (band, bucket) and
+    * pairs are generated inside each bucket — at scale buckets are
+    * tiny, so pair generation is local and never all-pairs. Docs with
+    * NULL signatures (<3 tokens) are excluded before banding on both
+    * sides: Spark's concat_ws would skip NULLs (colliding all short
+    * docs into bkey "") while the SQL `||` propagates NULL. */
   private val minhashLsh = QueryDef(
     "llm_dedup_minhash_lsh",
     (s, d) => {
-      val sig = minhashSigDf(s, d)
-      val bands = (0 until 4).map { b =>
-        sig.select(col("doc_id"),
-          lit(b).as("band"),
-          concat_ws(":", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey"))
-      }.reduce(_ union _)
-      val a = bands.as("a")
-      val b = bands.as("b")
-      a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      val sig = minhashSigDf(s, d).filter(col("sig0").isNotNull)
+      val bandCols = (0 until 4).map(b =>
+        concat_ws(":", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")))
+      val bands = sig.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
+      val buckets = bands.groupBy(col("band"), col("bkey"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+      buckets
+        .select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+            struct(x.as("d1"), y.as("d2")))))).as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
         .distinct()
         .orderBy(col("d1"), col("d2"))
     },
     Some(s"""
       WITH ${dkMinhashCte},
+      sigf AS (SELECT * FROM sig WHERE sig0 IS NOT NULL),
       bands AS (
-        SELECT doc_id, 0 AS band, sig0::VARCHAR || ':' || sig1::VARCHAR AS bkey FROM sig
-        UNION ALL SELECT doc_id, 1, sig2::VARCHAR || ':' || sig3::VARCHAR FROM sig
-        UNION ALL SELECT doc_id, 2, sig4::VARCHAR || ':' || sig5::VARCHAR FROM sig
-        UNION ALL SELECT doc_id, 3, sig6::VARCHAR || ':' || sig7::VARCHAR FROM sig)
+        SELECT doc_id, 0 AS band, sig0::VARCHAR || ':' || sig1::VARCHAR AS bkey FROM sigf
+        UNION ALL SELECT doc_id, 1, sig2::VARCHAR || ':' || sig3::VARCHAR FROM sigf
+        UNION ALL SELECT doc_id, 2, sig4::VARCHAR || ':' || sig5::VARCHAR FROM sigf
+        UNION ALL SELECT doc_id, 3, sig6::VARCHAR || ':' || sig7::VARCHAR FROM sigf)
       SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -144,18 +182,15 @@ object LlmQueries extends QueryModule {
   private val ngramJaccard = QueryDef(
     "llm_dedup_ngram_jaccard",
     (s, d) => {
-      val docs = documents(s, d).filter(col("doc_id") < 150)
-        .select(col("doc_id"),
-          array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
-      val sizes = docs.select(col("doc_id"), size(col("sh")).as("nsh"))
-      val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      val ex = shingleRows(s, d, col("doc_id") < 150).distinct()
+      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
       val inter = ex.as("a").join(ex.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("n_inter"))
       inter
-        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("nsh", "n1"), "d1")
-        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("nsh", "n2"), "d2")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("nsh", "n1")), "d1")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("nsh", "n2")), "d2")
         .select(col("d1"), col("d2"),
           round(col("n_inter").cast("double") /
             (col("n1") + col("n2") - col("n_inter")), 4).as("jaccard"))

@@ -7,9 +7,14 @@ import graft.queries._
   *
   * Every implemented operator from SURVEY.md §2 appears in [[queries]],
   * and (when DuckDB can express identical semantics) in [[oracleSql]].
-  * Implementations live in graft.queries.* modules; kdb-core engine
-  * semantics (Put/Get/Find/RemoveBefore) live in graft.core.Engine and
-  * surface here via KdbQueries.
+  * Implementations live in graft.queries.* modules. The storage-engine
+  * API itself (Put/Get/Find/RemoveBefore over bucket-partitioned
+  * parquet) is graft.core.Engine, golden-tested in EngineSpec against
+  * the reference's own scenarios; KdbQueries expresses the same
+  * operator semantics as oracle-verifiable queries over the driver's
+  * events table. Streaming ingest: graft.streaming.StreamingIngest
+  * (StreamingIngestSpec). Multimodal binary plumbing:
+  * graft.multimodal.Multimodal (MultimodalSpec).
   */
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(

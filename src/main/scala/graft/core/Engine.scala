@@ -1,0 +1,244 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The kdb surface (kdb.go:6-15) re-expressed Spark-first: Put / Get /
+  * Find / RemoveBefore over a time-bucket-partitioned parquet table.
+  *
+  * Storage layout = the reference's bucket-directory scheme
+  * (dbucket/dbucket.go:62-65) in parquet clothing: one partition dir
+  * `bucket_ts=<baseTS>` per bucket, so time-range predicates become
+  * metadata-only partition pruning and RemoveBefore is a partition
+  * drop. Row schema:
+  *
+  *   slot_ns LONG, tag0..tag{D-1} STRING, payload BINARY, seq LONG
+  *   (partition col: bucket_ts LONG)
+  *
+  * vs the reference's dense per-series slot files: we store one row
+  * per written point and reconstruct density (zero payloads for empty
+  * slots, dbase/dbase.go:208-225) at read time with a generated slot
+  * grid — idiomatic Spark, and parquet's columnar layout + min/max
+  * stats replace the mmap trie (mindex/mindex.go).
+  *
+  * Last-writer-wins at (series, slot) — positional overwrite in the
+  * reference (dblock/dblock.go:198-205) — is carried explicitly via
+  * the `seq` ingest sequence and resolved with max_by on read.
+  */
+final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = SystemClock) {
+  import EngineErrors._
+
+  private val tagCols: Seq[String] = (0 until opts.indexDepth).map(i => s"tag$i")
+
+  /** The official NULL of the system: a zero payload
+    * (dblock/dblock.go:249-297 — empty slots read back as zero bytes). */
+  val zeroPayload: Array[Byte] = new Array[Byte](opts.payloadSize)
+
+  private def floorRes(c: Column): Column = c - (c % opts.resolution)
+  private def floorBucket(c: Column): Column = c - (c % opts.bucketDuration)
+
+  private val pointSchema: StructType = StructType(
+    StructField("ts", LongType) ::
+      StructField("tags", ArrayType(StringType)) ::
+      StructField("payload", BinaryType) ::
+      StructField("seq", LongType) :: Nil)
+
+  // ------------------------------------------------------------------
+  // Put (dbase/dbase.go:125-159)
+  // ------------------------------------------------------------------
+
+  /** Classify every incoming row exactly as DBase.Put would, in the
+    * reference's order: floor ts by resolution FIRST (dbase.go:127),
+    * then future check (:129-132), tag arity / empty tags (:134-142),
+    * payload size (:144-146), and finally the writable-window check
+    * (dbucket/dbucket.go:119-122: only the `maxHotBuckets` most recent
+    * buckets accept writes). Adds `reason` ('ok' or an error code),
+    * plus the derived slot_ns / bucket_ts routing columns. */
+  def classify(points: DataFrame): DataFrame = {
+    val now = clock.nowNs
+    val nowBucket = now - now % opts.bucketDuration
+    val minHotExclusive = nowBucket - opts.bucketDuration * opts.maxHotBuckets
+    points
+      .withColumn("slot_ns", floorRes(col("ts")))
+      .withColumn("bucket_ts", floorBucket(col("slot_ns")))
+      .withColumn("reason",
+        when(col("slot_ns") > now, InvalidTimestamp)
+          .when(size(col("tags")) =!= opts.indexDepth, InvalidIndexValues)
+          .when(exists(col("tags"), t => t === "" || t.isNull), InvalidIndexValues)
+          .when(octet_length(col("payload")) =!= opts.payloadSize, InvalidPayload)
+          .when(col("bucket_ts") <= minHotExclusive, WriteOnReadOnly)
+          .otherwise(Ok))
+  }
+
+  /** Batch ingest. Validates, appends accepted rows to their bucket
+    * partitions, returns the per-reason ledger (the batch analog of
+    * the reference's per-call error returns — a distributed engine
+    * surfaces rejects as data, it cannot throw per row). */
+  def put(points: DataFrame): Map[String, Long] = {
+    val classified = classify(points)
+    val accepted = classified.filter(col("reason") === Ok)
+    val projected = accepted.select(
+      col("slot_ns") +:
+        tagCols.zipWithIndex.map { case (n, i) => element_at(col("tags"), i + 1).as(n) } :+
+        col("payload") :+ col("seq") :+ col("bucket_ts"): _*)
+    projected.write
+      .mode(SaveMode.Append)
+      .partitionBy("bucket_ts")
+      .parquet(opts.tablePath)
+    classified.groupBy(col("reason")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Driver-side convenience for tests / embedded use: seq is the
+    * position in the call order, mirroring the reference's sequential
+    * Put loop. */
+  def put(points: Seq[Point]): Map[String, Long] = {
+    val base = nextSeq()
+    val rows = points.zipWithIndex.map { case (p, i) =>
+      org.apache.spark.sql.Row(p.ts, p.tags, p.payload, base + i)
+    }
+    put(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, math.min(points.size, 4))),
+      pointSchema))
+  }
+
+  private val seqCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def nextSeq(): Long = seqCounter.getAndAdd(1000000L)
+
+  // ------------------------------------------------------------------
+  // Read path
+  // ------------------------------------------------------------------
+
+  /** Raw scan of the stored table; empty-schema DataFrame when nothing
+    * has been written yet. bucket_ts comes back as a partition column,
+    * so range predicates on it prune partitions before any IO. */
+  private def table(): DataFrame = {
+    val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(opts.tablePath))) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(
+          StructField("slot_ns", LongType) +:
+            tagCols.map(StructField(_, StringType)) :+
+            StructField("payload", BinaryType) :+
+            StructField("seq", LongType) :+
+            StructField("bucket_ts", LongType)))
+    } else spark.read.parquet(opts.tablePath)
+  }
+
+  /** Last-writer-wins resolution per (series, slot): max_by(payload,
+    * seq). Partial-agg friendly — max_by combines map-side, so the one
+    * shuffle moves a single row per (series, slot), not every write. */
+  private def resolved(scan: DataFrame): DataFrame =
+    scan.groupBy((tagCols.map(col) :+ col("slot_ns")): _*)
+      .agg(max_by(col("payload"), col("seq")).as("payload"))
+
+  private def gridDf(start: Long, end: Long): DataFrame = {
+    val n = (end - start) / opts.resolution
+    spark.range(n).select((lit(start) + col("id") * opts.resolution).as("slot_ns"))
+  }
+
+  /** Exact-series dense read (dbase/dbase.go:161-231): floors the
+    * range, validates (the asymmetric rule: `last = end - resolution`
+    * is checked against now, so a range ending at now + resolution is
+    * legal — dbase.go:166-170), then partition-pruned scan → LWW
+    * resolve → left join onto the generated slot grid → zero payloads
+    * for missing slots. Always returns exactly (end-start)/resolution
+    * rows in slot order. */
+  def get(start: Long, end: Long, tags: Seq[String]): DataFrame = {
+    val s0 = start - start % opts.resolution
+    val e0 = end - end % opts.resolution
+    val now = clock.nowNs
+    if (s0 > now || (e0 - opts.resolution) > now || e0 < s0)
+      throw new IllegalArgumentException(InvalidTimestamp)
+    if (tags.size != opts.indexDepth)
+      throw new IllegalArgumentException(InvalidIndexValues)
+
+    val scan = pruned(s0, e0)
+    val tagPred = tagCols.zip(tags).map { case (c, v) => col(c) === v }
+      .reduce(_ && _)
+    val data = resolved(scan.filter(tagPred))
+    gridDf(s0, e0)
+      .join(data.select(col("slot_ns"), col("payload")), Seq("slot_ns"), "left_outer")
+      .select(col("slot_ns"), coalesce(col("payload"), lit(zeroPayload)).as("payload"))
+      .orderBy(col("slot_ns"))
+  }
+
+  /** Wildcard multi-series dense read (dbase/dbase.go:233-321): ""
+    * matches any value at that tag position. Validation is the
+    * reference's Find rule (raw `end > now`, dbase.go:238-241 — NOT
+    * Get's last-slot rule; the asymmetry is preserved deliberately).
+    * Series seen anywhere in range get a full dense zero-filled slab;
+    * never-seen series are omitted (dbase.go:294-310). The grid join
+    * is distinct-series × slots — broadcast the slot grid, never
+    * shuffle it. */
+  def find(start: Long, end: Long, tags: Seq[String]): DataFrame = {
+    val s0 = start - start % opts.resolution
+    val e0 = end - end % opts.resolution
+    val now = clock.nowNs
+    if (s0 > now || e0 > now || e0 < s0)
+      throw new IllegalArgumentException(InvalidTimestamp)
+    if (tags.size != opts.indexDepth)
+      throw new IllegalArgumentException(InvalidIndexValues)
+
+    val scan = pruned(s0, e0)
+    val preds = tagCols.zip(tags).collect { case (c, v) if v.nonEmpty => col(c) === v }
+    val data = resolved(preds.foldLeft(scan)(_ filter _))
+    val series = data.select(tagCols.map(col): _*).distinct()
+    val slots = series.crossJoin(broadcast(gridDf(s0, e0)))
+    slots.join(data, tagCols :+ "slot_ns", "left_outer")
+      .select((tagCols.map(col) :+ col("slot_ns") :+
+        coalesce(col("payload"), lit(zeroPayload)).as("payload")): _*)
+      .orderBy((tagCols.map(col) :+ col("slot_ns")): _*)
+  }
+
+  /** Partition-pruned slot-range scan: bucket_ts ∈ [firstBucket,
+    * lastBucket] is a metadata-only prune (Catalyst partition
+    * pruning); slot_ns bounds push into the parquet row-group stats. */
+  private def pruned(s0: Long, e0: Long): DataFrame = {
+    val bs = s0 - s0 % opts.bucketDuration
+    val be = e0 - e0 % opts.bucketDuration
+    table().filter(
+      col("bucket_ts") >= bs && col("bucket_ts") <= be &&
+        col("slot_ns") >= s0 && col("slot_ns") < e0)
+  }
+
+  // ------------------------------------------------------------------
+  // RemoveBefore (dbase/dbase.go:323-364)
+  // ------------------------------------------------------------------
+
+  /** Retention: drop every bucket partition with baseTS < ts. Refuses
+    * when ts reaches into the hot window (`min = nowBucket -
+    * (maxHotBuckets-1)·bucketDuration; ts > min → ErrRemoveHotBucket`,
+    * dbase.go:326-331). A directory delete per bucket — the parquet
+    * analog of the reference's rm -rf, and a metadata-only partition
+    * drop under a table format. */
+  def removeBefore(ts: Long): Unit = {
+    val now = clock.nowNs
+    val nowBucket = now - now % opts.bucketDuration
+    val minHot = nowBucket - opts.bucketDuration * (opts.maxHotBuckets - 1)
+    if (ts > minHot)
+      throw new IllegalArgumentException("err_remove_hot_bucket")
+    val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
+    val root = new Path(opts.tablePath)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("bucket_ts=")) {
+        val base = name.stripPrefix("bucket_ts=").toLong
+        if (base < ts) fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  /** Buckets currently on disk (base timestamps, ascending). */
+  def bucketsOnDisk(): Seq[Long] = {
+    val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
+    val root = new Path(opts.tablePath)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("bucket_ts="))
+      .map(_.stripPrefix("bucket_ts=").toLong).sorted.toSeq
+  }
+}

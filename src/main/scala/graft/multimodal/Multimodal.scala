@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video travel as opaque
+  * `binary` columns with typed metadata structs, processed in
+  * partition-sized batches — the Spark-side shape a 100 TB media
+  * pipeline needs (schema, batching, partitioning are real).
+  *
+  * The decode kernels themselves are DETERMINISTIC STUBS: this
+  * container ships no image/audio codecs, so `decodeStub` derives
+  * fake-but-stable dimensions from a content hash. Swapping in a real
+  * codec changes only the function body passed to mapPartitions —
+  * batch shape, schema, and the query plan are unchanged. (In PySpark
+  * the same seam is a Pandas UDF over mapInPandas; here it is typed
+  * mapPartitions, the Scala-native equivalent: per-partition iterator
+  * in, per-partition iterator out, no per-row JVM boundary crossing.)
+  */
+object Multimodal {
+
+  /** Input: one media object. `content` is the opaque payload. */
+  final case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
+
+  /** Decoded metadata — what a real codec probe would return. */
+  final case class MediaMeta(
+      media_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, n_frames: Int, fingerprint: Long)
+
+  /** One sampled frame reference (video frame-sampling shape). */
+  final case class FrameRef(media_id: Long, frame_no: Int, byte_offset: Long)
+
+  /** Deterministic stand-in for a codec probe: stable pseudo-metadata
+    * from a 64-bit FNV-1a of the content. REPLACE the body (not the
+    * signature) with a real decoder when codecs are available. */
+  def decodeStub(content: Array[Byte]): (Int, Int, Int, Long) = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < content.length) {
+      h ^= (content(i) & 0xffL); h *= 0x100000001b3L; i += 1
+    }
+    val pos = h & Long.MaxValue
+    ((pos % 640).toInt + 1, ((pos >> 16) % 480).toInt + 1, ((pos >> 32) % 300).toInt + 1, pos)
+  }
+
+  /** Probe metadata for every media object. Partition-preserving
+    * (no shuffle): each task decodes its partition's batch locally. */
+  def probe(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, hgt, nf, fp) = decodeStub(r.content)
+        MediaMeta(r.media_id, r.kind, r.content.length.toLong, w, hgt, nf, fp)
+      }
+    }
+  }
+
+  /** Frame sampling: every `everyN`-th frame of each video as a
+    * (media_id, frame_no, byte_offset) row — the flatMap shape of a
+    * real frame extractor (1 input row → k output rows). */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int): Dataset[FrameRef] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (_, _, nFrames, _) = decodeStub(r.content)
+        (0 until nFrames by everyN).map { f =>
+          FrameRef(r.media_id, f, f.toLong * 4096L) // stub offset: fixed frame stride
+        }
+      }
+    }
+  }
+
+  /** Demo source: wrap any (id, text) table into opaque media rows —
+    * lets the plumbing run against the driver's documents table. */
+  def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "video").otherwise("image").as("kind"),
+      col("text").cast("binary").as("content"))
+      .as[MediaRow]
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.core.Engine
+
+/** Structured Streaming ingest for the engine: readStream → validate →
+  * foreachBatch upsert, the streaming face of DBase.Put.
+  *
+  * The reference's "streaming" knobs map cleanly onto Spark:
+  *  - writable window = hot buckets (dbucket/dbucket.go:119-122) —
+  *    enforced by Engine.classify against the injected clock, NOT by
+  *    a Spark watermark: a watermark silently drops late rows, while
+  *    the reference returns ErrWriteOnReadOnly — we must surface
+  *    rejects, so validation is explicit and the per-batch ledger is
+  *    kept in [[rejectLedger]].
+  *  - future-write rejection (dbase/dbase.go:129-132) — same path.
+  *  - bucket eviction ≈ state cleanup: nothing to do here because the
+  *    sink is the partitioned table itself; retention runs via
+  *    Engine.removeBefore.
+  *
+  * foreachBatch gives exactly-once-per-epoch appends (batch id is
+  * checkpointed); the engine's last-writer-wins `seq` makes replayed
+  * epochs idempotent at (series, slot) granularity.
+  */
+final class StreamingIngest(engine: Engine) {
+
+  /** reason → row count, accumulated across all micro-batches. */
+  val rejectLedger: TrieMap[String, Long] = TrieMap.empty
+
+  /** Start the ingest query. `points` must be a streaming DataFrame
+    * with columns (ts LONG, tags ARRAY<STRING>, payload BINARY,
+    * seq LONG). */
+  def start(points: DataFrame, checkpointDir: String): StreamingQuery = {
+    points.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        engine.put(batch).foreach { case (reason, n) =>
+          rejectLedger.updateWith(reason) {
+            case Some(prev) => Some(prev + n)
+            case None       => Some(n)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+}
+
+object StreamingIngest {
+
+  /** Streaming tumbling-window aggregation over ingested points: the
+    * Structured Streaming analog of the batch kdb_tumbling_window
+    * query. Event time = ts ns → µs timestamp (window() needs
+    * TimestampType); watermark delay expresses how long late data may
+    * lag — set it to maxHotBuckets × bucketDuration to mirror the
+    * reference's writable window. Emits one row per (tag0, window)
+    * with the write count. */
+  def tumblingCounts(points: DataFrame, windowNs: Long, watermarkNs: Long): DataFrame = {
+    points
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", s"${watermarkNs / 1000} microseconds")
+      .withColumn("tag0", element_at(col("tags"), 1))
+      .groupBy(col("tag0"), window(col("event_time"), s"${windowNs / 1000} microseconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("tag0"), unix_micros(col("window.start")).as("w_start_us"), col("n"))
+  }
+}

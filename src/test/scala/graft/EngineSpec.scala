@@ -1,0 +1,166 @@
+package graft
+
+import java.nio.file.Files
+import graft.core._
+
+/** Golden tests mirroring the reference's own scenarios
+  * (dbase/dbase_test.go): tiny config (IndexDepth 4, PayloadSize 4,
+  * BucketDuration 1000 ns, Resolution 10 ns), clock pinned to 11999 —
+  * hot window = buckets 11000 and 10000, cold below, future above. */
+class EngineSpec extends SparkTestBase {
+
+  private def mkEngine(now: Long = 11999L): (Engine, TestClock) = {
+    val dir = Files.createTempDirectory("graft-engine").toString
+    val clock = new TestClock(now)
+    val opts = EngineOptions(
+      databaseName = "testdb", dataDir = dir,
+      indexDepth = 4, payloadSize = 4,
+      bucketDuration = 1000L, resolution = 10L)
+    (new Engine(spark, opts, clock), clock)
+  }
+
+  private val tag4 = Seq("a", "b", "c", "d")
+  private def pld(b: Byte): Array[Byte] = Array[Byte](b, b, b, b)
+
+  private def payloads(df: org.apache.spark.sql.DataFrame): Seq[Seq[Byte]] =
+    df.collect().map(_.getAs[Array[Byte]]("payload").toSeq).toSeq
+
+  test("put then get returns written payloads in slot order (dbase_test.go:146-179)") {
+    val (e, _) = mkEngine()
+    assert(e.put(Seq(
+      Point(10990L, tag4, pld(1)),
+      Point(11000L, tag4, pld(2)))) === Map("ok" -> 2L))
+    val got = payloads(e.get(10990L, 11010L, tag4))
+    assert(got === Seq(pld(1).toSeq, pld(2).toSeq))
+  }
+
+  test("get over an unwritten range returns all-zero payloads of exact length") {
+    val (e, _) = mkEngine()
+    e.put(Seq(Point(11000L, tag4, pld(2))))
+    val got = payloads(e.get(10000L, 10200L, tag4))
+    assert(got.size === 20) // (end-start)/resolution, always
+    assert(got.forall(_ === Seq[Byte](0, 0, 0, 0)))
+  }
+
+  test("get gap-fills interior missing slots with zeros") {
+    val (e, _) = mkEngine()
+    e.put(Seq(Point(10990L, tag4, pld(1)), Point(11010L, tag4, pld(3))))
+    val got = payloads(e.get(10990L, 11020L, tag4))
+    assert(got === Seq(pld(1).toSeq, Seq[Byte](0, 0, 0, 0), pld(3).toSeq))
+  }
+
+  test("get for a different series in a written bucket returns zeros (dbucket/dbucket.go:165-167)") {
+    val (e, _) = mkEngine()
+    e.put(Seq(Point(11000L, tag4, pld(2))))
+    val got = payloads(e.get(11000L, 11010L, Seq("x", "y", "z", "w")))
+    assert(got === Seq(Seq[Byte](0, 0, 0, 0)))
+  }
+
+  test("last-writer-wins at (series, slot) (dblock/dblock.go:198-205)") {
+    val (e, _) = mkEngine()
+    e.put(Seq(Point(11000L, tag4, pld(1))))
+    e.put(Seq(Point(11005L, tag4, pld(9)))) // same slot after flooring
+    val got = payloads(e.get(11000L, 11010L, tag4))
+    assert(got === Seq(pld(9).toSeq))
+  }
+
+  test("put validation ledger: floor-then-future, arity, empties, payload size, cold bucket") {
+    val (e, _) = mkEngine() // now = 11999
+    val res = e.put(Seq(
+      Point(11995L, tag4, pld(1)),              // slot 11990 <= now: ok
+      Point(12000L, tag4, pld(1)),              // slot 12000 > now: future
+      Point(11000L, tag4.take(3), pld(1)),      // wrong arity
+      Point(11000L, Seq("a", "", "c", "d"), pld(1)), // empty tag
+      Point(11000L, tag4, Array[Byte](1, 2)),   // wrong payload size
+      Point(9000L, tag4, pld(1))))              // bucket 9000: cold (hot > 9000)
+    assert(res === Map(
+      "ok" -> 1L,
+      "err_invalid_timestamp" -> 1L,
+      "err_invalid_index_values" -> 2L,
+      "err_invalid_payload" -> 1L,
+      "err_write_on_read_only" -> 1L))
+  }
+
+  test("hot-window edge: bucket 10000 writable, bucket 9000 not (dbucket/dbucket.go:119-122)") {
+    val (e, _) = mkEngine()
+    assert(e.put(Seq(Point(10000L, tag4, pld(1)))) === Map("ok" -> 1L))
+    assert(e.put(Seq(Point(9990L, tag4, pld(1)))) === Map("err_write_on_read_only" -> 1L))
+  }
+
+  test("get validation: asymmetric end rule and reversed range (dbase.go:166-174)") {
+    val (e, _) = mkEngine() // now = 11999
+    e.put(Seq(Point(11990L, tag4, pld(1))))
+    // end = 12000 → last slot 11990 <= now: legal even though end > now
+    assert(payloads(e.get(11990L, 12000L, tag4)) === Seq(pld(1).toSeq))
+    // start beyond now: rejected
+    intercept[IllegalArgumentException](e.get(12010L, 12020L, tag4))
+    // reversed range: rejected
+    intercept[IllegalArgumentException](e.get(11010L, 11000L, tag4))
+    // wrong arity: rejected
+    intercept[IllegalArgumentException](e.get(11000L, 11010L, Seq("a")))
+  }
+
+  test("find validation uses the raw end > now rule (dbase.go:238-241)") {
+    val (e, _) = mkEngine() // now = 11999
+    e.put(Seq(Point(11990L, tag4, pld(1))))
+    // the same range that get() accepts is rejected by find()
+    intercept[IllegalArgumentException](e.find(11990L, 12000L, Seq("a", "", "", "")))
+  }
+
+  test("find: wildcard groups series, zero-fills seen series, omits never-seen (dbase_test.go:294-341)") {
+    val (e, _) = mkEngine()
+    e.put(Seq(
+      Point(11000L, Seq("a", "b", "c", "d"), pld(1)),
+      Point(11010L, Seq("a", "x", "c", "d"), pld(2))))
+    val res = e.find(11000L, 11020L, Seq("a", "", "", ""))
+    val rows = res.collect().map(r =>
+      (r.getString(1), r.getLong(4), r.getAs[Array[Byte]]("payload").toSeq))
+    // two series × two slots, dense
+    assert(rows.toSeq === Seq(
+      ("b", 11000L, pld(1).toSeq), ("b", 11010L, Seq[Byte](0, 0, 0, 0)),
+      ("x", 11000L, Seq[Byte](0, 0, 0, 0)), ("x", 11010L, pld(2).toSeq)))
+    // never-seen series contributes nothing
+    assert(e.find(11000L, 11020L, Seq("zzz", "", "", "")).count() === 0L)
+  }
+
+  test("find with middle wildcard applies residual exact-match filters (mindex/mindex.go:154-167)") {
+    val (e, _) = mkEngine()
+    e.put(Seq(
+      Point(11000L, Seq("a", "b", "c", "d"), pld(1)),
+      Point(11000L, Seq("a", "x", "c", "q"), pld(2))))
+    val res = e.find(11000L, 11010L, Seq("a", "", "c", "d"))
+    val rows = res.collect().map(r => (r.getString(1), r.getAs[Array[Byte]]("payload").toSeq))
+    assert(rows.toSeq === Seq(("b", pld(1).toSeq)))
+  }
+
+  test("removeBefore drops cold buckets, guards the hot window (dbase.go:323-364)") {
+    val (e, clock) = mkEngine()
+    e.put(Seq(
+      Point(10000L, tag4, pld(1)),
+      Point(11000L, tag4, pld(2))))
+    assert(e.bucketsOnDisk() === Seq(10000L, 11000L))
+    // advance time: hot = 13000, 12000; min removable = 12000
+    clock.goto(13999L)
+    intercept[IllegalArgumentException](e.removeBefore(12500L))
+    e.removeBefore(11000L)
+    assert(e.bucketsOnDisk() === Seq(11000L))
+    // removed data is gone; surviving bucket intact
+    assert(payloads(e.get(11000L, 11010L, tag4)) === Seq(pld(2).toSeq))
+    assert(payloads(e.get(10000L, 10010L, tag4)) === Seq(Seq[Byte](0, 0, 0, 0)))
+  }
+
+  test("data persists across engine instances (dbase_test.go:111-144 lifecycle)") {
+    val dir = Files.createTempDirectory("graft-engine").toString
+    val clock = new TestClock(11999L)
+    val opts = EngineOptions("testdb", dir, 4, 4, 1000L, 10L)
+    val e1 = new Engine(spark, opts, clock)
+    e1.put(Seq(Point(11000L, tag4, pld(7))))
+    val e2 = new Engine(spark, opts, clock)
+    assert(payloads(e2.get(11000L, 11010L, tag4)) === Seq(pld(7).toSeq))
+  }
+
+  test("options validation mirrors dbase.go:71-73") {
+    intercept[IllegalArgumentException](
+      EngineOptions("x", "/tmp/x", 4, 4, bucketDuration = 1000L, resolution = 7L))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal._
+
+/** Multimodal plumbing: opaque binary columns flow through typed
+  * mapPartitions decode/frame-sample stages with deterministic stub
+  * kernels (no codecs in this container — the Spark-side shape is
+  * what's under test). */
+class MultimodalSpec extends SparkTestBase {
+
+  private def media(): org.apache.spark.sql.Dataset[MediaRow] = {
+    import spark.implicits._
+    Seq(
+      MediaRow(1L, "image", "fake-png-bytes".getBytes),
+      MediaRow(2L, "video", "fake-mp4-bytes".getBytes),
+      MediaRow(3L, "video", Array[Byte]())).toDS()
+  }
+
+  test("probe derives stable metadata per media object, no shuffle") {
+    val meta = Multimodal.probe(media())
+    // partition-preserving: no Exchange in the plan
+    assert(!meta.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = meta.collect().sortBy(_.media_id)
+    assert(rows.map(_.media_id).toSeq === Seq(1L, 2L, 3L))
+    assert(rows(0).n_bytes === 14L)
+    assert(rows.forall(m => m.width >= 1 && m.width <= 640))
+    assert(rows.forall(m => m.height >= 1 && m.height <= 480))
+    // determinism: same content → same fingerprint on re-run
+    val again = Multimodal.probe(media()).collect().sortBy(_.media_id)
+    assert(rows.map(_.fingerprint).toSeq === again.map(_.fingerprint).toSeq)
+  }
+
+  test("sampleFrames fans out only videos, every Nth frame") {
+    val frames = Multimodal.sampleFrames(media(), everyN = 50).collect()
+    assert(frames.forall(f => Set(2L, 3L).contains(f.media_id)))
+    assert(frames.forall(_.frame_no % 50 === 0))
+    val f2 = frames.filter(_.media_id === 2L).map(_.frame_no).sorted
+    val expected = Multimodal.decodeStub("fake-mp4-bytes".getBytes)._3
+    assert(f2.length === (expected + 49) / 50)
+  }
+
+  test("fromDocuments wraps a text table into opaque media rows") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello"), (3L, "world")).toDF("doc_id", "text")
+    val rows = Multimodal.fromDocuments(spark, docs).collect().sortBy(_.media_id)
+    assert(rows.map(_.kind).toSeq === Seq("image", "video"))
+    assert(new String(rows(0).content) === "hello")
+  }
+}

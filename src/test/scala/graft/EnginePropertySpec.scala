@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.core._
+
+/** Property tests (SURVEY.md §5 plan): invariants that must hold for
+  * ALL writes, not just the golden scenarios. Uses raw ScalaCheck
+  * generators with fixed seeds (deterministic, offline-friendly —
+  * the scalatestplus bridge isn't in the dependency cache); small
+  * case counts because each case spins real Spark jobs. */
+class EnginePropertySpec extends SparkTestBase {
+
+  private val Now = 11999L
+  private def freshEngine(): Engine = {
+    val dir = Files.createTempDirectory("graft-prop").toString
+    new Engine(spark,
+      EngineOptions("propdb", dir, 2, 4, 1000L, 10L),
+      new TestClock(Now))
+  }
+
+  // writes land in the hot window [10000, 11999]
+  private val genPoint: Gen[Point] = for {
+    ts <- Gen.choose(10000L, 11990L)
+    t0 <- Gen.oneOf("a", "b", "c")
+    t1 <- Gen.oneOf("a", "b", "c")
+    b <- Gen.choose[Byte](1, 127)
+  } yield Point(ts, Seq(t0, t1), Array[Byte](b, b, b, b))
+
+  private val params = Gen.Parameters.default.withSize(8)
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(params, Seed(seed)).getOrElse(sys.error("gen failed"))
+
+  private def cases(n: Int): Seq[List[Point]] =
+    (1 to n).map(s => sample(Gen.nonEmptyListOf(genPoint), s.toLong))
+
+  test("get() always returns exactly (end-start)/resolution rows, any writes") {
+    for (pts <- cases(4)) {
+      val e = freshEngine()
+      e.put(pts)
+      assert(e.get(10500L, 11000L, Seq("a", "b")).count() === 50L)
+    }
+  }
+
+  test("put→get roundtrip: the last write per (series, slot) is what get returns") {
+    for (pts <- cases(4)) {
+      val e = freshEngine()
+      e.put(pts)
+      // expected: per (tags, slot), the payload of the LAST point in
+      // call order (seq order) — the reference's positional overwrite
+      val expected = pts.zipWithIndex
+        .groupBy { case (p, _) => (p.tags, p.ts - p.ts % 10L) }
+        .map { case (k, group) => k -> group.maxBy(_._2)._1.payload.toSeq }
+      pts.map(_.tags).distinct.foreach { tags =>
+        val got = e.get(10000L, 12000L, tags).collect()
+          .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload").toSeq).toMap
+        assert(got.size === 200)
+        (10000L until 12000L by 10L).foreach { slot =>
+          val want = expected.getOrElse((tags, slot), Seq[Byte](0, 0, 0, 0))
+          assert(got(slot) === want, s"series $tags slot $slot")
+        }
+      }
+    }
+  }
+
+  test("find(wildcard) covers get(): every series get() sees is in find() with same values") {
+    for (pts <- cases(3)) {
+      val e = freshEngine()
+      e.put(pts)
+      val found = e.find(10000L, 11990L, Seq("", ""))
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)) ->
+          r.getAs[Array[Byte]]("payload").toSeq)
+        .toMap
+      pts.map(_.tags).distinct.foreach { tags =>
+        e.get(10000L, 11990L, tags).collect().foreach { r =>
+          val key = ((tags(0), tags(1)), r.getLong(0))
+          assert(found(key) === r.getAs[Array[Byte]]("payload").toSeq)
+        }
+      }
+    }
+  }
+
+  test("retention never affects data at or after the cutoff") {
+    for (pts <- cases(3)) {
+      val e = freshEngine()
+      e.put(pts)
+      // everything written is in buckets 10000/11000; cutoff below both
+      e.removeBefore(10000L)
+      pts.map(_.tags).distinct.foreach { tags =>
+        assert(e.get(10000L, 12000L, tags).count() === 200L)
+      }
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+/** Smoke + plan-shape checks for every SparkEntry query at sf0.001.
+  * Value-level correctness is the DuckDB oracle gate (Verify +
+  * tools/check.py); here we assert each query executes, returns rows,
+  * and — for the perf-critical ones — compiles to the plan shape we
+  * designed for 100 TB (pushdown reaching the scan, broadcast joins
+  * where a dimension is small). */
+class QueriesSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every declared query runs at sf0.001") {
+    val counts = SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf).count()
+    }
+    // anti-join legitimately returns 0 rows on the tiny corpus
+    val allowedEmpty = Set("q_anti_join")
+    counts.foreach { case (name, n) =>
+      assert(n >= 0, s"$name failed")
+      if (!allowedEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry() smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle (full hash-match coverage)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without query: $orphans")
+  }
+
+  test("q6 selective filter is pushed into the parquet scan") {
+    val plan = SparkEntry.queries("q6_filter_pushdown")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(plan.contains("l_shipdate"), "shipdate predicate not pushed")
+  }
+
+  test("q1 scan prunes columns to the aggregated subset") {
+    val plan = SparkEntry.queries("q1_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // ReadSchema must not include unused wide columns like l_comment
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment"), s"column pruning failed: $readSchema")
+  }
+
+  test("q5 star join broadcasts every dimension") {
+    val plan = SparkEntry.queries("q5_broadcast_star_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "dimensions not broadcast")
+  }
+
+  test("q_sort_limit compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = SparkEntry.queries("q_sort_limit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator")
+  }
+
+  test("kdb_get_gapfill is always dense: exactly (end-start)/res rows") {
+    assert(SparkEntry.queries("kdb_get_gapfill")(spark, sf).count() === 120L)
+  }
+}

@@ -277,6 +277,75 @@ object KdbQueries extends QueryModule {
         ON c.user_id = p.user_id AND p.tus <= epoch_us(c.ts)
       ORDER BY c.event_id"""))
 
+  /** Hopping (sliding) window: 2h windows advancing by 1h — each event
+    * belongs to exactly two windows, generated by a 2-way explode (the
+    * batch shape of Structured Streaming's window(ts, "2h", "1h")).
+    * Still one shuffle on (type, window start); the explode doubles
+    * rows BEFORE the partial agg so map-side combine absorbs it. */
+  private val hopping = QueryDef(
+    "kdb_hopping_window",
+    (s, d) => {
+      ev(s, d)
+        .withColumn("hb", col("ts_ns") - col("ts_ns") % Hour)
+        .select(col("event_type"), col("value"),
+          explode(array(col("hb"), col("hb") - Hour)).as("w_start"))
+        .groupBy(col("event_type"), col("w_start"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"), col("w_start"))
+    },
+    Some(s"""
+      WITH hb AS (
+        SELECT event_type, value,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS hb
+        FROM events),
+      w AS (
+        SELECT event_type, value, hb AS w_start FROM hb
+        UNION ALL
+        SELECT event_type, value, hb - ${Hour} AS w_start FROM hb)
+      SELECT event_type, w_start,
+             count(*) AS n,
+             round(sum(value), 2) AS sum_value
+      FROM w
+      GROUP BY 1, 2
+      ORDER BY event_type, w_start"""))
+
+  /** Interval (range) join: count the clicks falling inside each
+    * purchase's 1-hour follow-up window [p_ts, p_ts + 1h) for the same
+    * user. The scale path avoids the classic range-join blowup by
+    * bucketing both sides to the hour: a purchase window can only
+    * overlap its own and the next hour bucket, so the join is an
+    * equi-join on (user, hour bucket) fanned out 2× — never an
+    * inequality-only nested loop. µs precision (DuckDB parity). */
+  private val HourUs: Long = Hour / 1000
+  private val intervalJoin = QueryDef(
+    "kdb_interval_join",
+    (s, d) => {
+      val e = ev(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_ts"))
+        .withColumn("hb", explode(array(
+          col("p_ts") - col("p_ts") % HourUs,
+          (col("p_ts") - col("p_ts") % HourUs) + HourUs)))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("c_ts"))
+        .withColumn("hb", col("c_ts") - col("c_ts") % HourUs)
+      purchases.join(clicks, Seq("user_id", "hb"))
+        .filter(col("c_ts") >= col("p_ts") && col("c_ts") < col("p_ts") + HourUs)
+        .groupBy(col("p_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"))
+        .orderBy(col("p_id"))
+    },
+    Some(s"""
+      SELECT p.event_id AS p_id, p.user_id, count(*) AS n_clicks
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id
+       AND epoch_us(c.ts) >= epoch_us(p.ts)
+       AND epoch_us(c.ts) < epoch_us(p.ts) + ${HourUs}
+      GROUP BY 1, 2
+      ORDER BY p_id"""))
+
   val defs: Seq[QueryDef] = Seq(
-    put, get, find, removeBefore, validate, tumbling, asof)
+    put, get, find, removeBefore, validate, tumbling, asof,
+    hopping, intervalJoin)
 }

@@ -400,6 +400,83 @@ object LlmQueries extends QueryModule {
       ORDER BY bucket"""
     })
 
+  /** Embedding-cosine near-dup (the dedup flavor of ANN): candidate
+    * pairs come ONLY from shared sign-LSH buckets (8 hyperplane bits
+    * shard the corpus; the in-bucket self-join is tiny and local), the
+    * 20 most-similar candidate pairs are reported. At 100 TB the
+    * bucket count scales with the corpus (more bits) and the join
+    * stays bucket-local — never all-pairs. */
+  private val embNearDup = QueryDef(
+    "llm_dedup_embedding",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), signBucket(col("embedding"), 8).as("bucket"))
+      e.as("a").join(e.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy(col("cos").desc, col("d1"), col("d2"))
+        .limit(20)
+    },
+    Some {
+      val terms = (0 until 8).map(i =>
+        s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      s"""
+      WITH e AS (SELECT vec_id, embedding, ($terms) AS bucket FROM embeddings)
+      SELECT a.vec_id AS d1, b.vec_id AS d2,
+             round(${dkDot("a.embedding", "b.embedding")} /
+               (sqrt(${dkDot("a.embedding", "a.embedding")}) *
+                sqrt(${dkDot("b.embedding", "b.embedding")})), 4) AS cos
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      ORDER BY cos DESC, d1, d2
+      LIMIT 20"""
+    })
+
+  /** Bucket-probe ANN (the LSH/IVF-style scale path to similarity
+    * search): each query vector probes ONLY its own sign bucket —
+    * candidates are the bucket's members, scored exactly, top-3 kept.
+    * vs llm_similarity_topk (brute force over the corpus): this is
+    * the same answer shape at a fraction of the scan, the classic
+    * recall-for-throughput ANN trade. Queries broadcast; candidate
+    * scan shuffles once on bucket id. */
+  private val embAnnProbe = QueryDef(
+    "llm_similarity_ann_probe",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .withColumn("bucket", signBucket(col("embedding"), 8))
+      val q = e.filter(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
+      val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("bucket"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      broadcast(q).join(c, Seq("bucket")).filter(col("qid") =!= col("nid"))
+        .withColumn("cos", cosine(col("qv"), col("nv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk"), col("nid"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    Some {
+      val terms = (0 until 8).map(i =>
+        s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      s"""
+      WITH e AS (SELECT vec_id, embedding, ($terms) AS bucket FROM embeddings),
+      q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM e WHERE vec_id <= 4),
+      c AS (SELECT vec_id AS nid, embedding AS nv, bucket FROM e),
+      sc AS (
+        SELECT qid, nid,
+               ${dkDot("qv", "nv")} /
+               (sqrt(${dkDot("qv", "qv")}) * sqrt(${dkDot("nv", "nv")})) AS cos
+        FROM q JOIN c USING (bucket) WHERE qid <> nid),
+      rk AS (
+        SELECT qid, nid, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+        FROM sc)
+      SELECT qid, rk, nid, round(cos, 4) AS cos
+      FROM rk WHERE rk <= 3
+      ORDER BY qid, rk"""
+    })
+
   // ---------------------------------------------------------------
   // Multimodal binary plumbing
   // ---------------------------------------------------------------
@@ -432,5 +509,5 @@ object LlmQueries extends QueryModule {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, ngramJaccard,
     textTokens, fingerprintQ, langId, quality,
-    embTopk, embLshBuckets, multimodalMeta)
+    embTopk, embLshBuckets, embNearDup, embAnnProbe, multimodalMeta)
 }

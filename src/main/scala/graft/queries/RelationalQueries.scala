@@ -377,8 +377,105 @@ object RelationalQueries extends QueryModule {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  /** CUBE grouping sets: all four subtotal combinations in one pass
+    * (Spark expands to a single shuffle over the grouping-set id). */
+  private val qCube = QueryDef(
+    "q_cube",
+    (s, d) => {
+      lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n_rows"), col("sum_price"))
+        .orderBy(col("rflag"), col("lstatus"))
+    },
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+             coalesce(l_linestatus, 'ALL') AS lstatus,
+             count(*) AS n_rows,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY rflag, lstatus"""))
+
+  /** ntile + percent_rank windows: quartile assignment per customer's
+    * order history (deterministic frame order via unique tiebreak). */
+  private val qNtile = QueryDef(
+    "q_ntile",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, d)
+        .filter(col("o_custkey") < 30)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 4).as("pct_rank"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             round(o_totalprice, 2) AS price,
+             ntile(4) OVER w AS quartile,
+             round(percent_rank() OVER w, 4) AS pct_rank
+      FROM orders
+      WHERE o_custkey < 30
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** Correlated scalar subquery shape: parts priced above their brand
+    * average. Spark decorrelates to an aggregate + broadcast
+    * join (brand cardinality is tiny) — the plan a 100 TB run needs. */
+  private val qCorrSubquery = QueryDef(
+    "q_corr_subquery",
+    (s, d) => {
+      val brandAvg = part(s, d).groupBy(col("p_brand"))
+        .agg(avg(col("p_retailprice")).as("brand_avg"))
+      part(s, d)
+        .join(broadcast(brandAvg), "p_brand")
+        .filter(col("p_retailprice") > col("brand_avg"))
+        .select(col("p_partkey"), col("p_brand"),
+          round(col("p_retailprice"), 2).as("price"),
+          round(col("brand_avg"), 4).as("brand_avg"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""
+      SELECT p_partkey, p_brand,
+             round(p_retailprice, 2) AS price,
+             round((SELECT avg(p2.p_retailprice) FROM part p2
+                    WHERE p2.p_brand = p.p_brand), 4) AS brand_avg
+      FROM part p
+      WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                             WHERE p2.p_brand = p.p_brand)
+      ORDER BY p_partkey"""))
+
+  /** Exact interpolated percentiles per group (median + p90). */
+  private val qPercentile = QueryDef(
+    "q_percentile",
+    (s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50_qty"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+             round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   val defs: Seq[QueryDef] = Seq(
     q1Agg, q6Filter, q3TopOrders, q5Star, qSemi, qAnti,
     qWindowRunning, qTopkPerGroup, qLag, qRollup, qSortLimit,
-    qSetOps, qScalarFuncs, qDistinctAgg)
+    qSetOps, qScalarFuncs, qDistinctAgg,
+    qCube, qNtile, qCorrSubquery, qPercentile)
 }

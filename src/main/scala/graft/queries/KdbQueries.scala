@@ -345,7 +345,36 @@ object KdbQueries extends QueryModule {
       GROUP BY 1, 2
       ORDER BY p_id"""))
 
+  /** Skew-safe distinct count via explicit salting: event_type has
+    * only a handful of values, so a naive count(DISTINCT user_id) per
+    * type funnels each type through ONE reducer. Stage 1 shuffles on
+    * (type, user-derived salt) — 16-way spread of every hot key — and
+    * counts distinct users per shard (disjoint by construction, since
+    * the salt is a function of user_id); stage 2 sums the shard
+    * counts. Same answer, no single-reducer hotspot; the pattern AQE
+    * skew-join handles for joins, done by hand for distinct aggs. */
+  private val saltedAgg = QueryDef(
+    "q_skew_salted_agg",
+    (s, d) => {
+      val stage1 = ev(s, d)
+        .withColumn("salt", pmod(col("user_id"), lit(16)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(countDistinct(col("user_id")).as("part_users"),
+          count(lit(1)).as("part_rows"))
+      stage1.groupBy(col("event_type"))
+        .agg(sum(col("part_users")).as("n_users"),
+          sum(col("part_rows")).as("n_rows"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type,
+             count(DISTINCT user_id) AS n_users,
+             count(*) AS n_rows
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof,
-    hopping, intervalJoin)
+    hopping, intervalJoin, saltedAgg)
 }

@@ -242,6 +242,30 @@ object LlmQueries extends QueryModule {
              length(text) AS n_chars_text
       FROM documents ORDER BY doc_id"""))
 
+  /** BPE-ish subword tokenization: greedy ≤4-char alphanumeric chunks
+    * via regexp_extract_all — the regex-driven token count next to the
+    * whitespace one (llm_text_tokens). Same pattern, same greedy
+    * semantics in both engines. */
+  private val bpeTokens = QueryDef(
+    "llm_bpe_tokens",
+    (s, d) => {
+      val sub = regexp_extract_all(col("text"), lit("[a-zA-Z0-9]{1,4}"), lit(0))
+      val ws = tokens(col("text"))
+      documents(s, d)
+        .select(col("doc_id"),
+          size(sub).as("n_subtokens"),
+          size(array_distinct(sub)).as("n_distinct_sub"),
+          round(size(sub).cast("double") / size(ws), 4).as("subtok_per_word"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[a-zA-Z0-9]{1,4}')) AS n_subtokens,
+             len(list_distinct(regexp_extract_all(text, '[a-zA-Z0-9]{1,4}'))) AS n_distinct_sub,
+             round(CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]{1,4}')) AS DOUBLE) /
+                   len(string_split(text, ' ')), 4) AS subtok_per_word
+      FROM documents ORDER BY doc_id"""))
+
   /** Rolling-hash document fingerprint + collision groups. */
   private val fingerprintQ = QueryDef(
     "llm_fingerprint",
@@ -508,6 +532,6 @@ object LlmQueries extends QueryModule {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, ngramJaccard,
-    textTokens, fingerprintQ, langId, quality,
+    textTokens, bpeTokens, fingerprintQ, langId, quality,
     embTopk, embLshBuckets, embNearDup, embAnnProbe, multimodalMeta)
 }

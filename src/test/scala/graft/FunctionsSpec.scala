@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.functions.TopK
+import graft.functions.TopK.Scored
+import graft.sources.Formats
+
+/** Specs for the custom top-k aggregator and the CSV/JSON format
+  * round-trip (schema-explicit interchange). */
+class FunctionsSpec extends SparkTestBase {
+
+  test("TopKAgg equals the window row_number top-k, with map-side-combinable shuffle") {
+    import spark.implicits._
+    // synthetic: 5 groups × 200 candidates, deterministic scores
+    val rows = for (g <- 0L until 5L; i <- 0L until 200L)
+      yield (g, Scored(i, ((i * 37 + g * 11) % 100).toDouble))
+    val ds = rows.toDS()
+
+    val agg = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(TopK.topK(3))
+      .collect().toMap
+
+    // reference: window over the same data
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val expected = ds.map { case (g, s) => (g, s.id, s.score) }
+      .toDF("g", "id", "score")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3)).map(r => Scored(r.getLong(1), r.getDouble(2))).toSeq)
+      .toMap
+
+    assert(agg.keySet === expected.keySet)
+    agg.foreach { case (g, top) => assert(top === expected(g), s"group $g") }
+  }
+
+  test("TopKAgg buffer never exceeds k and handles ties by id") {
+    val a = TopK.TopKAgg(2)
+    val b = Seq(Scored(5, 9.0), Scored(7, 9.0))
+    // equal score, higher id: rejected by the fast path
+    assert(a.reduce(b, Scored(9, 9.0)) === b)
+    // equal score, lower id: displaces the floor
+    assert(a.reduce(b, Scored(1, 9.0)) === Seq(Scored(1, 9.0), Scored(5, 9.0)))
+    assert(a.merge(b, Seq(Scored(1, 10.0))).size === 2)
+  }
+
+  test("CSV and JSONL round-trip preserves rows with explicit schema") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .limit(100)
+    val dir = Files.createTempDirectory("graft-fmt").toString
+
+    Formats.writeCsv(src, s"$dir/csv")
+    val fromCsv = Formats.readCsv(spark, s"$dir/csv", src.schema)
+    assert(fromCsv.count() === 100)
+    assert(fromCsv.exceptAll(src).count() === 0)
+    assert(src.exceptAll(fromCsv).count() === 0)
+
+    Formats.writeJsonl(src, s"$dir/json")
+    val fromJson = Formats.readJsonl(spark, s"$dir/json", src.schema)
+    assert(fromJson.exceptAll(src).count() === 0)
+    assert(src.exceptAll(fromJson).count() === 0)
+  }
+}

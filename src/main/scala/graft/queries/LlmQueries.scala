@@ -79,15 +79,20 @@ object LlmQueries extends QueryModule {
     * permutation. Docs with <3 tokens have no shingles → NULL
     * signatures, kept via left join so the signature table stays
     * total over docs. */
-  private def minhashSigDf(s: SparkSession, d: String): DataFrame = {
+  /** Signatures for docs that HAVE shingles (≥3 tokens) — inner agg,
+    * all sig columns non-null by construction. */
+  private def minhashSigCore(s: SparkSession, d: String): DataFrame = {
     val ex = shingleRows(s, d, lit(true))
       .select(col("doc_id"), hashP(col("shingle")).as("h"))
     val aggs = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % P).as(s"sig$i")
     }
-    val sig = ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    documents(s, d).select(col("doc_id")).join(sig, Seq("doc_id"), "left_outer")
+    ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
+
+  private def minhashSigDf(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"))
+      .join(minhashSigCore(s, d), Seq("doc_id"), "left_outer")
 
   private def dkMinhashCte: String = {
     // tokens / shingles / shingle hashes, mirrored expression by expression
@@ -123,7 +128,7 @@ object LlmQueries extends QueryModule {
   private val minhashLsh = QueryDef(
     "llm_dedup_minhash_lsh",
     (s, d) => {
-      val sig = minhashSigDf(s, d).filter(col("sig0").isNotNull)
+      val sig = minhashSigCore(s, d) // short docs have no sigs: excluded
       val bandCols = (0 until 4).map(b =>
         concat_ws(":", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")))
       val bands = sig.select(col("doc_id"),

@@ -104,8 +104,20 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       pointSchema))
   }
 
-  private val seqCounter = new java.util.concurrent.atomic.AtomicLong(0L)
-  private def nextSeq(): Long = seqCounter.getAndAdd(1000000L)
+  // Ingest sequence must keep increasing across engine instances or a
+  // re-opened engine's writes would lose the LWW resolve against older
+  // data (the reference cannot have this problem — positional
+  // overwrite means the latest call always wins). Initialized lazily
+  // from max(seq) on disk; parquet column stats make that cheap.
+  private val seqCounter = new java.util.concurrent.atomic.AtomicLong(-1L)
+  private def nextSeq(): Long = {
+    if (seqCounter.get() < 0L) {
+      val row = table().agg(max(col("seq"))).head()
+      val start = if (row.isNullAt(0)) 0L else row.getLong(0) + 1000000L
+      seqCounter.compareAndSet(-1L, start)
+    }
+    seqCounter.getAndAdd(1000000L)
+  }
 
   // ------------------------------------------------------------------
   // Read path
@@ -230,6 +242,32 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         if (base < ts) fs.delete(st.getPath, true)
       }
     }
+  }
+
+  /** Compact one bucket partition: materialize last-writer-wins so
+    * reads stop paying the max_by resolve for that bucket. The
+    * reference gets compaction for free (positional overwrite IS the
+    * resolve, dblock/dblock.go:198-205); an append-only parquet store
+    * accumulates superseded rows until compacted. Safe on cold buckets
+    * (immutable); reads are unaffected either way because resolved()
+    * is idempotent — compaction only changes how many rows the scan
+    * feeds it. Returns (rowsBefore, rowsAfter). */
+  def compactBucket(baseTs: Long): (Long, Long) = {
+    val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"${opts.tablePath}/bucket_ts=$baseTs")
+    if (!fs.exists(dir)) return (0L, 0L)
+    val scan = spark.read.parquet(dir.toString)
+    val before = scan.count()
+    val compacted = scan
+      .groupBy((tagCols.map(col) :+ col("slot_ns")): _*)
+      .agg(max_by(col("payload"), col("seq")).as("payload"), max(col("seq")).as("seq"))
+      .select(col("slot_ns") +: tagCols.map(col) :+ col("payload") :+ col("seq"): _*)
+    val tmp = new Path(s"${opts.tablePath}/.compact_tmp_$baseTs")
+    compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val after = spark.read.parquet(tmp.toString).count()
+    fs.delete(dir, true)
+    fs.rename(tmp, dir)
+    (before, after)
   }
 
   /** Buckets currently on disk (base timestamps, ascending). */

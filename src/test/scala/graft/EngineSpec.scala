@@ -157,6 +157,26 @@ class EngineSpec extends SparkTestBase {
     e1.put(Seq(Point(11000L, tag4, pld(7))))
     val e2 = new Engine(spark, opts, clock)
     assert(payloads(e2.get(11000L, 11010L, tag4)) === Seq(pld(7).toSeq))
+    // a re-opened engine's writes must WIN last-writer-wins against
+    // data written by the previous instance (seq resumes past disk max)
+    e2.put(Seq(Point(11000L, tag4, pld(8))))
+    assert(payloads(e2.get(11000L, 11010L, tag4)) === Seq(pld(8).toSeq))
+  }
+
+  test("compactBucket materializes last-writer-wins; reads unchanged") {
+    val (e, _) = mkEngine()
+    // 3 writes to the same slot + 1 to another slot = 4 stored rows
+    e.put(Seq(Point(11000L, tag4, pld(1)), Point(11003L, tag4, pld(2))))
+    e.put(Seq(Point(11007L, tag4, pld(3)), Point(11010L, tag4, pld(4))))
+    val (before, after) = e.compactBucket(11000L)
+    assert(before === 4L && after === 2L)
+    // reads identical post-compaction; LWW result preserved
+    assert(payloads(e.get(11000L, 11020L, tag4)) === Seq(pld(3).toSeq, pld(4).toSeq))
+    // compacting again is a no-op
+    assert(e.compactBucket(11000L) === ((2L, 2L)))
+    // further writes still win over compacted rows
+    e.put(Seq(Point(11000L, tag4, pld(9))))
+    assert(payloads(e.get(11000L, 11010L, tag4)) === Seq(pld(9).toSeq))
   }
 
   test("options validation mirrors dbase.go:71-73") {

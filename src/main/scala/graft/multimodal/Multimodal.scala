@@ -31,15 +31,11 @@ object Multimodal {
   final case class FrameRef(media_id: Long, frame_no: Int, byte_offset: Long)
 
   /** Deterministic stand-in for a codec probe: stable pseudo-metadata
-    * from a 64-bit FNV-1a of the content. REPLACE the body (not the
+    * from a 64-bit FNV-1a of the content (graft.plans.Fnv64, the same
+    * hash exposed to SQL as fnv64()). REPLACE the body (not the
     * signature) with a real decoder when codecs are available. */
   def decodeStub(content: Array[Byte]): (Int, Int, Int, Long) = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < content.length) {
-      h ^= (content(i) & 0xffL); h *= 0x100000001b3L; i += 1
-    }
-    val pos = h & Long.MaxValue
+    val pos = graft.plans.Fnv64.hash(content) & Long.MaxValue
     ((pos % 640).toInt + 1, ((pos >> 16) % 480).toInt + 1, ((pos >> 32) % 300).toInt + 1, pos)
   }
 

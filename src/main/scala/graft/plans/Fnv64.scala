@@ -1,0 +1,69 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** Native 64-bit FNV-1a over a binary column — the engine's cheap
+  * content hash (media fingerprints, shard routing). A custom Catalyst
+  * `Expression` with `doGenCode`: the hash loop is inlined into
+  * whole-stage codegen, so hot paths pay no UDF serialization, no
+  * boxing, and no virtual call per row — the preference order the
+  * engine follows everywhere (built-in > native Expression > UDF).
+  * Not used in oracle-verified queries (DuckDB has no FNV); exposed to
+  * SQL as `fnv64(binary)` via [[GraftExtensions]].
+  */
+case class Fnv64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv64"
+
+  override def nullSafeEval(input: Any): Any =
+    Fnv64.hash(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |long $h = 0xcbf29ce484222325L;
+         |for (int $i = 0; $i < $c.length; $i++) {
+         |  $h ^= ($c[$i] & 0xffL);
+         |  $h *= 0x100000001b3L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv64 =
+    copy(child = newChild)
+}
+
+object Fnv64 {
+  /** Interpreted twin of the generated loop (must stay identical). */
+  def hash(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
+    }
+    h
+  }
+}
+
+/** Engine extensions, installed with
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. Currently
+  * registers the native function surface; the slot where a
+  * `Rule[LogicalPlan]` / `SparkStrategy` would plug in if an operator
+  * ever outgrows what stock plans express (none has — SURVEY.md §7.2). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("fnv64"),
+      new ExpressionInfo(classOf[Fnv64].getName, "fnv64"),
+      (children: Seq[Expression]) => Fnv64(children.head)))
+  }
+}

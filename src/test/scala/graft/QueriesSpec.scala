@@ -60,6 +60,17 @@ class QueriesSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator")
   }
 
+  test("no query plan contains a cartesian product; nested-loop joins only where broadcast-intended") {
+    val nestedLoopOk = Set("kdb_find_wildcard", "llm_similarity_topk")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
+      if (!nestedLoopOk(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name has an unplanned nested-loop join")
+    }
+  }
+
   test("kdb_get_gapfill is always dense: exactly (end-start)/res rows") {
     assert(SparkEntry.queries("kdb_get_gapfill")(spark, sf).count() === 120L)
   }

@@ -14,6 +14,8 @@ object SparkTestBase {
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
     .withExtensions(new graft.plans.GraftExtensions)
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")

@@ -48,6 +48,36 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(got.toSeq === Seq(pld(9).toSeq)) // seq 5 won over seq 1
   }
 
+  test("file-source stream: parquet drop-dir feeds the same ingest path") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-filestream").toString
+    val inDir = Files.createTempDirectory("graft-in").toString
+    val clock = new TestClock(11999L)
+    val engine = new Engine(spark,
+      EngineOptions("fdb", dir, 4, 4, 1000L, 10L), clock)
+    val ingest = new StreamingIngest(engine)
+
+    // batch 1 lands before the stream starts; batch 2 arrives live
+    Seq(Point(11000L, tag4, pld(1), 1)).toDS()
+      .write.parquet(s"$inDir/batch1")
+    val stream = spark.readStream
+      .schema(Seq.empty[Point].toDS().schema)
+      .option("maxFilesPerTrigger", "10")
+      .parquet(s"$inDir/*")
+    val q = ingest.start(stream, Files.createTempDirectory("graft-ckpt2").toString)
+    try {
+      q.processAllAvailable()
+      Seq(Point(11010L, tag4, pld(2), 2)).toDS()
+        .write.parquet(s"$inDir/batch2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = engine.get(11000L, 11020L, tag4).collect()
+      .map(_.getAs[Array[Byte]]("payload").toSeq)
+    assert(got.toSeq === Seq(pld(1).toSeq, pld(2).toSeq))
+    assert(ingest.rejectLedger.getOrElse("ok", 0L) === 2L)
+  }
+
   test("streaming tumbling-window aggregation with watermark (complete per-window counts)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

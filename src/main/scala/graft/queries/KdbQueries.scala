@@ -345,6 +345,57 @@ object KdbQueries extends QueryModule {
       GROUP BY 1, 2
       ORDER BY p_id"""))
 
+  /** Rolling analytics over a dense gap-filled series — the analytic
+    * layer kdb's dense slot model exists to serve: 4-slot (24h) moving
+    * average per series over the zero-filled 6h grid of Find. Window
+    * partitioning = the series key, so the rolling pass rides the SAME
+    * hash partitioning the gap-fill join produced — no extra shuffle. */
+  private val rollingAvg = QueryDef(
+    "kdb_rolling_avg",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = (T1 - T0) / Res6h
+      val grid = s.range(n).select((lit(T0) + col("id") * Res6h).as("slot_ns"))
+      val data = ev(s, d)
+        .filter(col("event_type") === "purchase" &&
+          col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Res6h)
+      val series = data.select(col("user_id")).distinct()
+      val vals = data.groupBy(col("user_id"), col("slot_ns"))
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+      val dense = series.crossJoin(broadcast(grid))
+        .join(vals, Seq("user_id", "slot_ns"), "left_outer")
+        .select(col("user_id"), col("slot_ns"), coalesce(col("v"), lit(0.0)).as("value"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("slot_ns"))
+        .rowsBetween(-3, 0)
+      dense
+        .withColumn("avg4", round(avg(col("value")).over(w), 4))
+        .filter(col("user_id") < 30)
+        .select(col("user_id"), col("slot_ns"), round(col("value"), 2).as("value"), col("avg4"))
+        .orderBy(col("user_id"), col("slot_ns"))
+    },
+    Some(s"""
+      WITH data AS (
+        SELECT user_id, epoch_ns(ts) - epoch_ns(ts) % ${Res6h} AS slot_ns,
+               value, event_id
+        FROM events
+        WHERE event_type = 'purchase'
+          AND epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}),
+      series AS (SELECT DISTINCT user_id FROM data),
+      vals AS (SELECT user_id, slot_ns, arg_max(value, event_id) AS v
+               FROM data GROUP BY 1, 2),
+      dense AS (
+        SELECT s.user_id, g.slot_ns, coalesce(v.v, 0.0) AS value
+        FROM series s
+        CROSS JOIN range(${T0}, ${T1}, ${Res6h}) g(slot_ns)
+        LEFT JOIN vals v ON v.user_id = s.user_id AND v.slot_ns = g.slot_ns)
+      SELECT user_id, slot_ns, round(value, 2) AS value,
+             round(avg(value) OVER (PARTITION BY user_id ORDER BY slot_ns
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS avg4
+      FROM dense
+      WHERE user_id < 30
+      ORDER BY user_id, slot_ns"""))
+
   /** Skew-safe distinct count via explicit salting: event_type has
     * only a handful of values, so a naive count(DISTINCT user_id) per
     * type funnels each type through ONE reducer. Stage 1 shuffles on
@@ -376,5 +427,5 @@ object KdbQueries extends QueryModule {
 
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof,
-    hopping, intervalJoin, saltedAgg)
+    hopping, intervalJoin, saltedAgg, rollingAvg)
 }

@@ -24,6 +24,11 @@ import graft.core.Engine
   * foreachBatch gives exactly-once-per-epoch appends (batch id is
   * checkpointed); the engine's last-writer-wins `seq` makes replayed
   * epochs idempotent at (series, slot) granularity.
+  *
+  * Model: "Structured Streaming: A Declarative API for Real-Time
+  * Applications in Apache Spark" (SIGMOD 2018) — incremental
+  * micro-batch execution of the same declarative plan the batch
+  * queries use.
   */
 final class StreamingIngest(engine: Engine) {
 

@@ -26,6 +26,14 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
 
+  /** Squared L2 distance, double accumulation in index order (strict
+    * left fold — bit-identical to the DuckDB oracle rendering). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Sign-bit LSH bucket over the first `nBits` dimensions: bucket id
     * = Σ 2^i · [a[i] > 0]. A deterministic, data-independent random-
     * hyperplane surrogate (axis-aligned planes) — the 100 TB scale

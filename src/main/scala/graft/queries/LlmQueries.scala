@@ -506,6 +506,79 @@ object LlmQueries extends QueryModule {
       ORDER BY qid, rk"""
     })
 
+  /** IVF-style ANN: an inverted file over coarse cells. Every vector
+    * is assigned to its nearest of 8 coarse centroids (here the first
+    * 8 corpus vectors — a static quantizer; k-means training is a
+    * pluggable upstream step that only changes the centroid table);
+    * each query probes its nprobe=2 nearest cells and scores ONLY
+    * their members exactly. At 100 TB the assignment is one broadcast
+    * pass, cells are the partitioning key, and a probe touches
+    * nprobe/k of the corpus — the IVF trade, next to the sign-LSH
+    * variant (llm_similarity_ann_probe). All distances are strict
+    * left-fold doubles so cell assignment ties can't diverge between
+    * engines. */
+  private val embIvf = QueryDef(
+    "llm_similarity_ivf",
+    (s, d) => {
+      val e = embeddings(s, d)
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      val assign = e.crossJoin(broadcast(cent))
+        .withColumn("dist", l2sq(col("embedding"), col("cv")))
+        .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+        .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("cid"))
+      val wProbe = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
+      val probes = e.filter(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .crossJoin(broadcast(cent))
+        .withColumn("dist", l2sq(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= 2)
+        .select(col("qid"), col("qv"), col("cid"))
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      probes.join(assign, Seq("cid")).filter(col("qid") =!= col("nid"))
+        .withColumn("cos", cosine(col("qv"), col("nv")))
+        .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 3)
+        .select(col("qid"), col("rk"), col("nid"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    Some {
+      def dkL2(a: String, b: String): String =
+        dkFold("0.0",
+          s"list_transform(generate_series(1, len($a)), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))",
+          "(x, y) -> x + y")
+      s"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      assign AS (
+        SELECT vec_id AS nid, embedding AS nv, cid FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${dkL2("e.embedding", "c.cv")}, c.cid) AS rn
+          FROM embeddings e CROSS JOIN cent c)
+        WHERE rn = 1),
+      probes AS (
+        SELECT qid, qv, cid FROM (
+          SELECT e.vec_id AS qid, e.embedding AS qv, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${dkL2("e.embedding", "c.cv")}, c.cid) AS rn
+          FROM embeddings e CROSS JOIN cent c
+          WHERE e.vec_id <= 4)
+        WHERE rn <= 2),
+      sc AS (
+        SELECT p.qid, a.nid,
+               ${dkDot("p.qv", "a.nv")} /
+               (sqrt(${dkDot("p.qv", "p.qv")}) * sqrt(${dkDot("a.nv", "a.nv")})) AS cos
+        FROM probes p JOIN assign a USING (cid)
+        WHERE p.qid <> a.nid),
+      rk AS (
+        SELECT qid, nid, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+        FROM sc)
+      SELECT qid, rk, nid, round(cos, 4) AS cos
+      FROM rk WHERE rk <= 3
+      ORDER BY qid, rk"""
+    })
+
   // ---------------------------------------------------------------
   // Multimodal binary plumbing
   // ---------------------------------------------------------------
@@ -538,5 +611,5 @@ object LlmQueries extends QueryModule {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, ngramJaccard,
     textTokens, bpeTokens, fingerprintQ, langId, quality,
-    embTopk, embLshBuckets, embNearDup, embAnnProbe, multimodalMeta)
+    embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, multimodalMeta)
 }

@@ -61,7 +61,8 @@ class QueriesSpec extends SparkTestBase {
   }
 
   test("no query plan contains a cartesian product; nested-loop joins only where broadcast-intended") {
-    val nestedLoopOk = Set("kdb_find_wildcard", "kdb_rolling_avg", "llm_similarity_topk")
+    val nestedLoopOk = Set("kdb_find_wildcard", "kdb_rolling_avg",
+      "llm_similarity_topk", "llm_similarity_ivf")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

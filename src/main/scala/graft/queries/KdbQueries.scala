@@ -425,7 +425,51 @@ object KdbQueries extends QueryModule {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** Pivot: event counts per user day-bucket, one column per type —
+    * Spark's pivot() compiles to conditional aggregation (exactly the
+    * oracle SQL), a single shuffle with a fixed value list (never
+    * pivot on unbounded cardinality at scale). */
+  private val pivotQ = QueryDef(
+    "kdb_pivot",
+    (s, d) => {
+      ev(s, d)
+        .filter(col("user_id") < 50)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+      FROM events
+      WHERE user_id < 50
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  /** HLL sketch distinct count (approx_count_distinct) — the sketch
+    * path for cardinality at 100 TB (fixed-size partial state, one
+    * shuffle). No DuckDB oracle: sketch estimates are
+    * implementation-specific, so the driver records the weaker
+    * rows-only check; the exact twin (q_skew_salted_agg /
+    * q_distinct_agg) is the hash-matched ground truth. */
+  private val approxDistinct = QueryDef(
+    "kdb_approx_distinct",
+    (s, d) => {
+      ev(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("event_type"))
+    },
+    None)
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof,
-    hopping, intervalJoin, saltedAgg, rollingAvg)
+    hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct)
 }

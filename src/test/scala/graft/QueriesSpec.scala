@@ -27,7 +27,9 @@ class QueriesSpec extends SparkTestBase {
   }
 
   test("every query has an oracle (full hash-match coverage)") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // sketch estimates are implementation-specific → rows-only check
+    val noOracleOk = Set("kdb_approx_distinct")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- noOracleOk
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without query: $orphans")

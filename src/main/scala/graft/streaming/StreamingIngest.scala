@@ -57,6 +57,50 @@ final class StreamingIngest(engine: Engine) {
 
 object StreamingIngest {
 
+  /** Per-series session state carried across micro-batches. */
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long)
+
+  /** One closed session (gap exceeded). */
+  final case class SessionOut(tag0: String, start_us: Long, end_us: Long, n: Long)
+
+  /** Custom-state streaming: sessionize points per series with
+    * flatMapGroupsWithState — the KeyValueGroupedDataset state API for
+    * semantics windowed aggs can't express (variable-length sessions
+    * keyed by activity gaps). State is one tiny SessionState per
+    * series, persisted in the state store across micro-batches; a
+    * session closes (emits) when the next point arrives more than
+    * `gapUs` after the last. Events inside one micro-batch are sorted
+    * per key before folding — cross-batch order is the stream's
+    * responsibility (upstream watermark), as usual for state ops. */
+  def sessionize(points: DataFrame, gapUs: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .select(element_at(col("tags"), 1).as("tag0"), expr("ts div 1000").as("ts_us"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var cur = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { ts =>
+            cur match {
+              case Some(s) if ts - s.lastUs > gapUs =>
+                closed += SessionOut(key, s.startUs, s.lastUs, s.n)
+                cur = Some(SessionState(ts, ts, 1))
+              case Some(s) =>
+                cur = Some(s.copy(lastUs = ts, n = s.n + 1))
+              case None =>
+                cur = Some(SessionState(ts, ts, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
   /** Streaming tumbling-window aggregation over ingested points: the
     * Structured Streaming analog of the batch kdb_tumbling_window
     * query. Event time = ts ns → µs timestamp (window() needs

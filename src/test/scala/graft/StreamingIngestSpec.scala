@@ -78,6 +78,31 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(ingest.rejectLedger.getOrElse("ok", 0L) === 2L)
   }
 
+  test("flatMapGroupsWithState sessionization: state persists across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Point]
+    val sessions = StreamingIngest.sessionize(stream.toDF(), gapUs = 5000L)
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions_test").outputMode("append")
+      .start()
+    try {
+      // batch 1: two points 1ms apart → one open session (no output)
+      stream.addData(
+        Point(1000000L, tag4, pld(1), 1),  // 1000 µs
+        Point(2000000L, tag4, pld(1), 2))  // 2000 µs
+      q.processAllAvailable()
+      assert(spark.table("sessions_test").count() === 0L)
+      // batch 2: a point past the 5ms gap closes the first session —
+      // proving SessionState survived the batch boundary
+      stream.addData(Point(10000000L, tag4, pld(1), 3)) // 10000 µs
+      q.processAllAvailable()
+      val rows = spark.table("sessions_test").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq === Seq(("s", 1000L, 2000L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming tumbling-window aggregation with watermark (complete per-window counts)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -49,11 +49,13 @@ object TextFunctions {
       array_min(transform(shingleHashes, h => (lit(a) * h + lit(b)) % P))
     }
 
-  /** 16-bit SimHash over token hashes: majority vote per bit.
+  /** n-bit SimHash over token hashes: majority vote per bit.
     * Bit j of h extracted as (h % 2^(j+1)) >= 2^j — shift-free so the
-    * same expression runs in DuckDB. */
-  def simhash16(tokenHashes: Column): Column = {
-    val bits = (0 until 16).map { j =>
+    * same expression runs in DuckDB. n ≤ 30: hashes are mod P ≈ 2^30,
+    * so higher bits carry no signal. */
+  def simhashN(tokenHashes: Column, n: Int): Column = {
+    require(n > 0 && n <= 30, "simhash width must be in 1..30 (hash is mod P ~ 2^30)")
+    val bits = (0 until n).map { j =>
       val lo = 1L << j
       val hi = 1L << (j + 1)
       val vote = aggregate(tokenHashes, lit(0L),
@@ -62,6 +64,9 @@ object TextFunctions {
     }
     bits.reduce(_ + _)
   }
+
+  /** 16-bit SimHash (compact signature column). */
+  def simhash16(tokenHashes: Column): Column = simhashN(tokenHashes, 16)
 
   /** Order-sensitive document fingerprint: left fold of token hashes,
     * h' = (h*31 + tokHash) mod P — a rolling content hash.

@@ -181,6 +181,60 @@ object LlmQueries extends QueryModule {
       FROM hs ORDER BY doc_id"""
     })
 
+  /** SimHash near-dup pairs: candidates share either byte of the
+    * 16-bit simhash (the block-split candidate trick: a pair at
+    * hamming distance ≤ 1 is always caught — 2 blocks, pigeonhole —
+    * and a d ≤ 3 pair is caught whenever its differing bits fall in
+    * one byte; recall-for-throughput, like any LSH). Exact hamming
+    * ≤ 3 then filters candidates. Bucket-local pair generation, one
+    * shuffle — same scale shape as the MinHash banding. */
+  private val simhashPairs = QueryDef(
+    "llm_dedup_simhash",
+    (s, d) => {
+      val hashes = transform(tokens(col("text")), t => hashP(t))
+      val sim = documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), simhashN(hashes, 30).as("sh"))
+      val bands = sim.select(col("doc_id"), col("sh"),
+        posexplode(array(col("sh") % 32768, expr("sh div 32768")))
+          .as(Seq("band", "bkey")))
+      val buckets = bands.groupBy(col("band"), col("bkey"))
+        .agg(sort_array(collect_set(struct(col("doc_id"), col("sh")))).as("ids"))
+        .filter(size(col("ids")) > 1)
+      val pairs = buckets
+        .select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+            struct(x.getField("doc_id").as("d1"), y.getField("doc_id").as("d2"),
+              bit_count(x.getField("sh").bitwiseXOR(y.getField("sh"))).as("hd")))))).as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.hd").as("hamming"))
+        .distinct()
+      pairs.filter(col("hamming") <= 2)
+        .orderBy(col("hamming"), col("d1"), col("d2"))
+    },
+    Some {
+      val simExpr = (0 until 30).map { j =>
+        val lo = 1L << j
+        val hi = 1L << (j + 1)
+        s"CASE WHEN ${dkFold("0", s"list_transform(hashes, h -> CASE WHEN (h % $hi) >= $lo THEN 1 ELSE -1 END)", "(acc, v) -> acc + v")} > 0 THEN $lo ELSE 0 END"
+      }.mkString(" + ")
+      s"""
+      WITH hs AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '), t -> ${dkHashP("t")}) AS hashes
+        FROM documents WHERE doc_id < 200),
+      sim AS (SELECT doc_id, ($simExpr) AS sh FROM hs),
+      bands AS (
+        SELECT doc_id, sh, 0 AS band, sh % 32768 AS bkey FROM sim
+        UNION ALL SELECT doc_id, sh, 1, sh // 32768 FROM sim),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+               bit_count(xor(a.sh, b.sh)) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      SELECT d1, d2, hamming
+      FROM pairs WHERE hamming <= 2
+      ORDER BY hamming, d1, d2"""
+    })
+
   /** n-gram Jaccard near-dup: top-20 most similar pairs among
     * doc_id < 150, candidates generated by an inverted shingle join
     * (only pairs with ≥1 shared shingle exist — the scale path). */
@@ -609,7 +663,7 @@ object LlmQueries extends QueryModule {
       FROM documents ORDER BY doc_id"""))
 
   val defs: Seq[QueryDef] = Seq(
-    dedupExact, minhashSignature, minhashLsh, simhashQ, ngramJaccard,
+    dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard,
     textTokens, bpeTokens, fingerprintQ, langId, quality,
     embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, multimodalMeta)
 }

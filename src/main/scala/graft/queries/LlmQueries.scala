@@ -71,16 +71,12 @@ object LlmQueries extends QueryModule {
       .select(col("doc_id"), col("shingle"))
   }
 
-  /** MinHash signatures (8 perms over word-3-gram shingles): shingle
-    * rows → ONE md5 per shingle → 8 min-aggregates grouped by doc.
-    * Partial-agg friendly (map-side combine); the md5 is evaluated
-    * exactly once per shingle — a giant win over nesting the hash
-    * inside 8 array_min expression trees, which recomputes it per
-    * permutation. Docs with <3 tokens have no shingles → NULL
-    * signatures, kept via left join so the signature table stays
-    * total over docs. */
-  /** Signatures for docs that HAVE shingles (≥3 tokens) — inner agg,
-    * all sig columns non-null by construction. */
+  /** MinHash signatures (8 perms over word-3-gram shingles) for docs
+    * that HAVE shingles (≥3 tokens): shingle rows → ONE md5 per
+    * shingle → 8 min-aggregates grouped by doc. Partial-agg friendly
+    * (map-side combine); the md5 is evaluated exactly once per
+    * shingle — a giant win over nesting the hash inside 8 array_min
+    * expression trees, which recomputes it per permutation. */
   private def minhashSigCore(s: SparkSession, d: String): DataFrame = {
     val ex = shingleRows(s, d, lit(true))
       .select(col("doc_id"), hashP(col("shingle")).as("h"))
@@ -90,6 +86,8 @@ object LlmQueries extends QueryModule {
     ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Signature table total over docs: <3-token docs get NULL sigs via
+    * the left join (oracle's list_min-of-empty parity). */
   private def minhashSigDf(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(col("doc_id"))
       .join(minhashSigCore(s, d), Seq("doc_id"), "left_outer")

@@ -244,6 +244,16 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     }
   }
 
+  /** Typed-payload view (SURVEY.md §1.5): the opaque fixed-size
+    * payload decoded as a big-endian IEEE-754 double via the native
+    * double_from_payload expression. Requires [[graft.plans.GraftExtensions]]
+    * installed on the session (the expression stays in codegen — no
+    * UDF). Zero payloads — the engine's NULL — decode to 0.0, exactly
+    * the zero-fill semantic of the byte view. */
+  def getDoubles(start: Long, end: Long, tags: Seq[String]): DataFrame =
+    get(start, end, tags).withColumn("value",
+      call_function("double_from_payload", col("payload")))
+
   /** Compact one bucket partition: materialize last-writer-wins so
     * reads stop paying the max_by resolve for that bucket. The
     * reference gets compaction for free (positional overwrite IS the

@@ -65,5 +65,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("fnv64"),
       new ExpressionInfo(classOf[Fnv64].getName, "fnv64"),
       (children: Seq[Expression]) => Fnv64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("double_from_payload"),
+      new ExpressionInfo(classOf[DoubleFromPayload].getName, "double_from_payload"),
+      (children: Seq[Expression]) => DoubleFromPayload(children.head)))
   }
 }

@@ -179,6 +179,22 @@ class EngineSpec extends SparkTestBase {
     assert(payloads(e.get(11000L, 11010L, tag4)) === Seq(pld(9).toSeq))
   }
 
+  test("typed payload view: doubles roundtrip through opaque storage; zero fills decode to 0.0") {
+    val dir = Files.createTempDirectory("graft-typed").toString
+    val clock = new TestClock(11999L)
+    val opts = EngineOptions("tdb", dir, 4, 8, 1000L, 10L) // 8-byte payloads
+    val e = new Engine(spark, opts, clock)
+    import graft.plans.DoubleFromPayload.encode
+    e.put(Seq(
+      Point(11000L, tag4, encode(3.25)),
+      Point(11020L, tag4, encode(-1.5e300))))
+    val vals = e.getDoubles(11000L, 11030L, tag4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("value"))).toMap
+    assert(vals(11000L) === 3.25)
+    assert(vals(11010L) === 0.0) // gap slot: zero payload → 0.0
+    assert(vals(11020L) === -1.5e300)
+  }
+
   test("options validation mirrors dbase.go:71-73") {
     intercept[IllegalArgumentException](
       EngineOptions("x", "/tmp/x", 4, 4, bucketDuration = 1000L, resolution = 7L))

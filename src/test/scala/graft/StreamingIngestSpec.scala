@@ -78,6 +78,37 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(ingest.rejectLedger.getOrElse("ok", 0L) === 2L)
   }
 
+  test("watermarked stream-stream interval join: clicks land in their purchase window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Point]
+    val clicks = MemoryStream[Point]
+    def shape(df: org.apache.spark.sql.DataFrame, role: String) = df
+      .select(col("seq").as(s"${role}_id"),
+        element_at(col("tags"), 1).as(s"${role}_tag"),
+        timestamp_micros(expr("ts div 1000")).as(s"${role}_time"))
+      .withWatermark(s"${role}_time", "10 seconds")
+    val joined = shape(purchases.toDF(), "p").join(
+      shape(clicks.toDF(), "c"),
+      expr("""p_tag = c_tag AND
+              c_time >= p_time AND
+              c_time < p_time + interval 5 seconds"""))
+      .select(col("p_id"), col("c_id"))
+    val q = joined.writeStream
+      .format("memory").queryName("ssjoin_test").outputMode("append")
+      .start()
+    try {
+      val t0 = 1000000000L // 1s in ns
+      purchases.addData(Point(t0, tag4, pld(1), seq = 100))
+      clicks.addData(
+        Point(t0 + 2000000000L, tag4, pld(1), seq = 201), // +2s: inside window
+        Point(t0 + 9000000000L, tag4, pld(1), seq = 202)) // +9s: outside
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssjoin_test").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === Seq((100L, 201L)))
+  }
+
   test("flatMapGroupsWithState sessionization: state persists across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

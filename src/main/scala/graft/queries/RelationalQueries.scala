@@ -473,9 +473,125 @@ object RelationalQueries extends QueryModule {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  /** Date/time function library parity. dayofweek: Spark is 1=Sunday,
+    * DuckDB dow is 0=Sunday — oracle shifts by one. */
+  private val qDatetime = QueryDef(
+    "q_datetime_functions",
+    (s, d) => {
+      orders(s, d)
+        .filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("qtr"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          last_day(col("o_orderdate")).as("month_end"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey,
+             year(o_orderdate) AS y,
+             month(o_orderdate) AS m,
+             day(o_orderdate) AS dom,
+             quarter(o_orderdate) AS qtr,
+             dayofweek(o_orderdate) + 1 AS dow,
+             last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             CAST(o_orderdate AS DATE) + 30 AS plus30
+      FROM orders
+      WHERE o_orderkey < 500
+      ORDER BY o_orderkey"""))
+
+  /** String function library parity (beyond q_scalar_functions). */
+  private val qStringFuncs = QueryDef(
+    "q_string_functions",
+    (s, d) => {
+      customer(s, d)
+        .filter(col("c_custkey") < 200)
+        .select(col("c_custkey"),
+          lpad(col("c_name"), 25, "*").as("padded"),
+          reverse(col("c_name")).as("rev"),
+          expr("left(c_name, 8)").as("l8"),
+          expr("right(c_name, 4)").as("r4"),
+          expr("split_part(c_name, '#', 2)").as("cust_num"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("transl"),
+          repeat(substring(col("c_name"), 1, 2), 3).as("rep"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey,
+             lpad(c_name, 25, '*') AS padded,
+             reverse(c_name) AS rev,
+             left(c_name, 8) AS l8,
+             right(c_name, 4) AS r4,
+             split_part(c_name, '#', 2) AS cust_num,
+             translate(c_mktsegment, 'AEIOU', 'aeiou') AS transl,
+             repeat(substring(c_name, 1, 2), 3) AS rep
+      FROM customer
+      WHERE c_custkey < 200
+      ORDER BY c_custkey"""))
+
+  /** NULL semantics: nullif-generated NULLs through count/sum/avg
+    * (aggregates skip NULLs; count(*) does not) and coalesce repair. */
+  private val qNullSemantics = QueryDef(
+    "q_null_semantics",
+    (s, d) => {
+      val nd = nullif(col("l_discount"), lit(0.0))
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(nd).as("n_discounted"),
+          round(sum(nd), 2).as("sum_disc"),
+          round(avg(nd), 6).as("avg_disc_nonzero"),
+          round(avg(coalesce(nd, lit(0.0))), 6).as("avg_disc_all"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             count(*) AS n_rows,
+             count(nullif(l_discount, 0.0)) AS n_discounted,
+             round(sum(nullif(l_discount, 0.0)), 2) AS sum_disc,
+             round(avg(nullif(l_discount, 0.0)), 6) AS avg_disc_nonzero,
+             round(avg(coalesce(nullif(l_discount, 0.0), 0.0)), 6) AS avg_disc_all
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  /** Array function library over tokenized text. */
+  private val qArrayFuncs = QueryDef(
+    "q_array_functions",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          size(toks).as("n"),
+          element_at(toks, 1).as("first_tok"),
+          element_at(toks, -1).as("last_tok"),
+          element_at(sort_array(toks), 1).as("min_tok"),
+          concat_ws(" ", slice(toks, 1, 3)).as("head3"),
+          array_contains(toks, "the").cast("int").as("has_the"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE doc_id < 100)
+      SELECT doc_id,
+             len(toks) AS n,
+             toks[1] AS first_tok,
+             toks[len(toks)] AS last_tok,
+             list_sort(toks)[1] AS min_tok,
+             array_to_string(toks[1:3], ' ') AS head3,
+             CAST(list_contains(toks, 'the') AS INT) AS has_the
+      FROM t
+      ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     q1Agg, q6Filter, q3TopOrders, q5Star, qSemi, qAnti,
     qWindowRunning, qTopkPerGroup, qLag, qRollup, qSortLimit,
     qSetOps, qScalarFuncs, qDistinctAgg,
-    qCube, qNtile, qCorrSubquery, qPercentile)
+    qCube, qNtile, qCorrSubquery, qPercentile,
+    qDatetime, qStringFuncs, qNullSemantics, qArrayFuncs)
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dedup finishing step: near-dup PAIRS (from MinHash/SimHash/Jaccard
+  * candidates) → duplicate CLUSTERS → one keeper per cluster. Without
+  * this, pair lists aren't actionable at scale; with it, dedup is
+  * "keep min doc_id per connected component".
+  *
+  * Connected components via iterative min-label propagation —
+  * driver-controlled loop of join+groupBy rounds (each round is one
+  * shuffle; rounds ≈ graph diameter, which for near-dup clusters is
+  * tiny). Converges when no label changes. Persist each round's
+  * labels so lineage doesn't grow unboundedly.
+  */
+object Dedup {
+
+  /** @param edges (d1, d2) undirected near-dup pairs
+    * @return (id, comp) — comp = min doc id reachable; one row per
+    *         vertex appearing in any edge */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(sym("src").as("nid"))
+        .agg(min(col("comp")).as("ncomp"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left_outer")
+        .select(labels("id"),
+          least(labels("comp"), coalesce(col("ncomp"), labels("comp"))).as("newComp"),
+          labels("comp").as("oldComp"))
+        .persist()
+      changed = updated.filter(col("newComp") < col("oldComp")).count()
+      val next = updated.select(col("id"), col("newComp").as("comp")).persist()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Keeper table: per component, the minimum id survives; everything
+    * else maps to it. */
+  def keepers(components: DataFrame): DataFrame =
+    components.select(col("id").as("doc_id"), col("comp").as("keeper_id"))
+      .withColumn("is_keeper", (col("doc_id") === col("keeper_id")).cast("int"))
+}

@@ -277,6 +277,49 @@ object LlmQueries extends QueryModule {
       ORDER BY jaccard DESC, d1, d2
       LIMIT 20"""))
 
+  /** TF-IDF top terms per document (classic text-pipeline scoring):
+    * tf from one tokenize+explode pass, df from a distinct-doc count
+    * per term, idf = ln(N/df) — top-3 terms per doc ranked by the
+    * ROUNDED score (both engines round before ordering so 1-ulp ln()
+    * differences can't flip the cutoff), term as tiebreak. Two
+    * shuffles: (doc, term) count and term df; the df table is tiny →
+    * broadcast back. */
+  private val tfidf = QueryDef(
+    "llm_tfidf_top_terms",
+    (s, d) => {
+      val docs = documents(s, d).filter(col("doc_id") < 100)
+      val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.count() // driver-side scalar: fixed tiny subset
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(df), "term")
+        .withColumn("score",
+          round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("score"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+    Some("""
+      WITH docs AS (SELECT * FROM documents WHERE doc_id < 100),
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM docs),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+      rk AS (
+        SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rk
+        FROM scored)
+      SELECT doc_id, rk, term, score
+      FROM rk WHERE rk <= 3
+      ORDER BY doc_id, rk"""))
+
   // ---------------------------------------------------------------
   // Text analysis
   // ---------------------------------------------------------------
@@ -662,6 +705,6 @@ object LlmQueries extends QueryModule {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard,
-    textTokens, bpeTokens, fingerprintQ, langId, quality,
+    tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
     embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, multimodalMeta)
 }

@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Scale headroom smoke: blow the corpus up 20× with exact replicas
+  * and push it through the full dedup pipeline (shingles → MinHash →
+  * LSH banding → candidate pairs → connected components → keepers).
+  * Replicas of a document MUST land in one cluster with the original
+  * as keeper — the end-to-end guarantee a 100 TB dedup run needs —
+  * and the pipeline must absorb the 20× row count and the giant
+  * same-signature buckets it creates (the worst-case skew shape for
+  * bucket-local pair generation). */
+class ScaleSmokeSpec extends SparkTestBase {
+
+  test("20x replicated corpus: every replica group collapses to its original keeper") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val nDocs = src.count()
+    // replicas: doc_id + 100000*k for k in 0..19, same text
+    val big = src
+      .withColumn("k", explode(sequence(lit(0), lit(19))))
+      .select((col("doc_id") + col("k") * 100000L).as("doc_id"), col("text"))
+    assert(big.count() === nDocs * 20)
+
+    val dir = Files.createTempDirectory("graft-scale").toString
+    big.write.parquet(s"$dir/documents.parquet")
+
+    val pairs = SparkEntry.queries("llm_dedup_minhash_lsh")(spark, dir)
+    val comps = Dedup.connectedComponents(pairs, maxIter = 30).persist()
+
+    // every replica (id >= 100000) must share a component with its
+    // original (id % 100000), via MinHash → LSH → components
+    val replicaToOrig = comps
+      .withColumn("orig", col("id") % 100000L)
+    val origComp = comps.filter(col("id") < 100000L)
+      .select(col("id").as("orig"), col("comp").as("orig_comp"))
+    val mismatched = replicaToOrig.join(origComp, "orig")
+      .filter(col("comp") =!= col("orig_comp"))
+    assert(mismatched.count() === 0L,
+      "replicas must cluster with their originals")
+
+    // keepers: one per cluster, and each keeper is an original doc
+    val k = Dedup.keepers(comps).filter(col("is_keeper") === 1)
+    assert(k.count() === comps.select(col("comp")).distinct().count())
+    assert(k.filter(col("doc_id") >= 100000L).count() === 0L,
+      "every keeper must be an original (min id) doc")
+    comps.unpersist()
+  }
+}

@@ -78,6 +78,55 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(ingest.rejectLedger.getOrElse("ok", 0L) === 2L)
   }
 
+  test("events table replayed as a stream lands identically to batch ingest") {
+    import spark.implicits._
+    import graft.plans.DoubleFromPayload.encode
+    val Day = 24L * 3600 * 1000 * 1000 * 1000
+    val Hour = Day / 24
+    val T1 = 1704067200000000000L + 30 * Day // end of the events month
+    // shape the real events into engine points
+    val encodeUdf = udf((v: Double) => encode(v))
+    val points = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("ts").cast("long").as("ts"),
+        array(col("event_type"), col("user_id").cast("string")).as("tags"),
+        encodeUdf(col("value")).as("payload"),
+        col("event_id").as("seq"))
+    // replay in 3 chunks through a file stream
+    val inDir = Files.createTempDirectory("graft-replay-in").toString
+    points.filter(col("seq") % 3 === 0).write.parquet(s"$inDir/c0")
+    points.filter(col("seq") % 3 === 1).write.parquet(s"$inDir/c1")
+    points.filter(col("seq") % 3 === 2).write.parquet(s"$inDir/c2")
+
+    val clock = new TestClock(T1)
+    val engine = new Engine(spark,
+      EngineOptions("replay", Files.createTempDirectory("graft-replay").toString,
+        indexDepth = 2, payloadSize = 8,
+        bucketDuration = Day, resolution = Hour, maxHotBuckets = 40),
+      clock)
+    val ingest = new StreamingIngest(engine)
+    val q = ingest.start(
+      spark.readStream.schema(points.schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$inDir/*"),
+      Files.createTempDirectory("graft-replay-ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+
+    assert(ingest.rejectLedger.getOrElse("ok", 0L) === points.count())
+    // engine state == direct batch LWW aggregate for a probe series
+    val expected = points
+      .filter(element_at(col("tags"), 1) === "click" && element_at(col("tags"), 2) === "7")
+      .withColumn("slot", col("ts") - col("ts") % Hour)
+      .groupBy(col("slot"))
+      .agg(max_by(col("payload"), col("seq")).as("payload"))
+      .collect().map(r => r.getLong(0) ->
+        graft.plans.DoubleFromPayload.decode(r.getAs[Array[Byte]]("payload"))).toMap
+    val got = engine.getDoubles(T1 - 30 * Day, T1, Seq("click", "7"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("value"))).toMap
+    assert(got.size === 720) // dense month at 1h
+    got.foreach { case (slot, v) =>
+      assert(v === expected.getOrElse(slot, 0.0), s"slot $slot")
+    }
+  }
+
   test("watermarked stream-stream interval join: clicks land in their purchase window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -120,15 +120,17 @@ object LlmQueries extends QueryModule {
     * recompute), then ONE shuffle groups docs per (band, bucket) and
     * pairs are generated inside each bucket — at scale buckets are
     * tiny, so pair generation is local and never all-pairs. Docs with
-    * NULL signatures (<3 tokens) are excluded before banding on both
-    * sides: Spark's concat_ws would skip NULLs (colliding all short
-    * docs into bkey "") while the SQL `||` propagates NULL. */
+    * NULL signatures (<3 tokens) are excluded before banding (inner
+    * sig aggregate). Band keys are packed int64s (sig_lo + sig_hi·P <
+    * P² < 2^63), not strings — an 8-byte shuffle key instead of a
+    * ~20-byte text one, the "hash, not payload, on the wire"
+    * principle. */
   private val minhashLsh = QueryDef(
     "llm_dedup_minhash_lsh",
     (s, d) => {
       val sig = minhashSigCore(s, d) // short docs have no sigs: excluded
       val bandCols = (0 until 4).map(b =>
-        concat_ws(":", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")))
+        col(s"sig${2 * b}") * P + col(s"sig${2 * b + 1}"))
       val bands = sig.select(col("doc_id"),
         posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
       val buckets = bands.groupBy(col("band"), col("bkey"))
@@ -146,10 +148,10 @@ object LlmQueries extends QueryModule {
       WITH ${dkMinhashCte},
       sigf AS (SELECT * FROM sig WHERE sig0 IS NOT NULL),
       bands AS (
-        SELECT doc_id, 0 AS band, sig0::VARCHAR || ':' || sig1::VARCHAR AS bkey FROM sigf
-        UNION ALL SELECT doc_id, 1, sig2::VARCHAR || ':' || sig3::VARCHAR FROM sigf
-        UNION ALL SELECT doc_id, 2, sig4::VARCHAR || ':' || sig5::VARCHAR FROM sigf
-        UNION ALL SELECT doc_id, 3, sig6::VARCHAR || ':' || sig7::VARCHAR FROM sigf)
+        SELECT doc_id, 0 AS band, sig0 * ${P} + sig1 AS bkey FROM sigf
+        UNION ALL SELECT doc_id, 1, sig2 * ${P} + sig3 FROM sigf
+        UNION ALL SELECT doc_id, 2, sig4 * ${P} + sig5 FROM sigf
+        UNION ALL SELECT doc_id, 3, sig6 * ${P} + sig7 FROM sigf)
       SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id

@@ -83,7 +83,14 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       col("slot_ns") +:
         tagCols.zipWithIndex.map { case (n, i) => element_at(col("tags"), i + 1).as(n) } :+
         col("payload") :+ col("seq") :+ col("bucket_ts"): _*)
-    projected.write
+    // Cluster rows by bucket before writing: without this, every
+    // ingest task appends its own tiny file to EVERY bucket dir
+    // (tasks × buckets small files per batch — the classic
+    // write-amplification bug that quietly destroys read latency).
+    // One shuffle keyed by bucket → ~one file per bucket per batch.
+    projected
+      .repartition(col("bucket_ts"))
+      .write
       .mode(SaveMode.Append)
       .partitionBy("bucket_ts")
       .parquet(opts.tablePath)

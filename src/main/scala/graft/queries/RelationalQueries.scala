@@ -257,6 +257,46 @@ object RelationalQueries extends QueryModule {
       GROUP BY o_custkey
       ORDER BY o_custkey"""))
 
+  /** RANGE window frame (value-based, not row-based): per supplier,
+    * revenue shipped within the trailing 30 days of each lineitem —
+    * the frame width is a data value, so peers at equal ship days
+    * share a frame regardless of row count. */
+  private val qRangeFrame = QueryDef(
+    "q_window_range_frame",
+    (s, d) => {
+      val epochDay = datediff(col("l_shipdate"), lit("1970-01-01").cast("timestamp"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("ship_day"))
+        .rangeBetween(-30, 0)
+      lineitem(s, d)
+        .filter(col("l_suppkey") < 10)
+        .withColumn("ship_day", epochDay)
+        .withColumn("rev30",
+          round(sum(col("l_extendedprice")).over(w), 2))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(max(col("rev30")), 2).as("max_rev30"),
+          round(avg(col("rev30")), 4).as("avg_rev30"))
+        .orderBy(col("l_suppkey"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT l_suppkey,
+               date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS ship_day,
+               l_extendedprice
+        FROM lineitem WHERE l_suppkey < 10),
+      r AS (
+        SELECT l_suppkey,
+               round(sum(l_extendedprice) OVER (
+                 PARTITION BY l_suppkey ORDER BY ship_day
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS rev30
+        FROM f)
+      SELECT l_suppkey, count(*) AS n_rows,
+             round(max(rev30), 2) AS max_rev30,
+             round(avg(rev30), 4) AS avg_rev30
+      FROM r
+      GROUP BY l_suppkey
+      ORDER BY l_suppkey"""))
+
   /** ROLLUP grouping sets (reference has none; extended surface). */
   private val qRollup = QueryDef(
     "q_rollup",
@@ -593,5 +633,5 @@ object RelationalQueries extends QueryModule {
     qWindowRunning, qTopkPerGroup, qLag, qRollup, qSortLimit,
     qSetOps, qScalarFuncs, qDistinctAgg,
     qCube, qNtile, qCorrSubquery, qPercentile,
-    qDatetime, qStringFuncs, qNullSemantics, qArrayFuncs)
+    qDatetime, qStringFuncs, qNullSemantics, qArrayFuncs, qRangeFrame)
 }

@@ -60,14 +60,20 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     val now = clock.nowNs
     val nowBucket = now - now % opts.bucketDuration
     val minHotExclusive = nowBucket - opts.bucketDuration * opts.maxHotBuckets
+    // NULLs must be rejected EXPLICITLY: a bare `when(expr_on_null)`
+    // evaluates to SQL NULL, is treated as false, and would fall
+    // through to 'ok' — silently writing garbage (a NULL ts would even
+    // land in a __HIVE_DEFAULT_PARTITION__ dir no read prunes to).
     points
       .withColumn("slot_ns", floorRes(col("ts")))
       .withColumn("bucket_ts", floorBucket(col("slot_ns")))
       .withColumn("reason",
-        when(col("slot_ns") > now, InvalidTimestamp)
-          .when(size(col("tags")) =!= opts.indexDepth, InvalidIndexValues)
+        when(col("ts").isNull || col("slot_ns") > now, InvalidTimestamp)
+          .when(col("tags").isNull || size(col("tags")) =!= opts.indexDepth,
+            InvalidIndexValues)
           .when(exists(col("tags"), t => t === "" || t.isNull), InvalidIndexValues)
-          .when(octet_length(col("payload")) =!= opts.payloadSize, InvalidPayload)
+          .when(col("payload").isNull || octet_length(col("payload")) =!= opts.payloadSize,
+            InvalidPayload)
           .when(col("bucket_ts") <= minHotExclusive, WriteOnReadOnly)
           .otherwise(Ok))
   }
@@ -77,7 +83,16 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * the reference's per-call error returns — a distributed engine
     * surfaces rejects as data, it cannot throw per row). */
   def put(points: DataFrame): Map[String, Long] = {
-    val classified = classify(points)
+    // One evaluation of the input for both the write and the ledger:
+    // without the persist, a nondeterministic source could classify
+    // differently in the two jobs and the ledger would not match the
+    // rows on disk (and a deterministic batch would pay double scan).
+    val classified = classify(points).persist()
+    try putClassified(classified)
+    finally classified.unpersist()
+  }
+
+  private def putClassified(classified: DataFrame): Map[String, Long] = {
     val accepted = classified.filter(col("reason") === Ok)
     val projected = accepted.select(
       col("slot_ns") +:
@@ -102,7 +117,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * position in the call order, mirroring the reference's sequential
     * Put loop. */
   def put(points: Seq[Point]): Map[String, Long] = {
-    val base = nextSeq()
+    val base = nextSeqBlock(points.size.toLong)
     val rows = points.zipWithIndex.map { case (p, i) =>
       org.apache.spark.sql.Row(p.ts, p.tags, p.payload, base + i)
     }
@@ -116,14 +131,16 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
   // data (the reference cannot have this problem — positional
   // overwrite means the latest call always wins). Initialized lazily
   // from max(seq) on disk; parquet column stats make that cheap.
+  // Each call reserves exactly `n` values, so arbitrarily large
+  // batches can never overlap a later call's range.
   private val seqCounter = new java.util.concurrent.atomic.AtomicLong(-1L)
-  private def nextSeq(): Long = {
+  private def nextSeqBlock(n: Long): Long = {
     if (seqCounter.get() < 0L) {
       val row = table().agg(max(col("seq"))).head()
-      val start = if (row.isNullAt(0)) 0L else row.getLong(0) + 1000000L
+      val start = if (row.isNullAt(0)) 0L else row.getLong(0) + 1L
       seqCounter.compareAndSet(-1L, start)
     }
-    seqCounter.getAndAdd(1000000L)
+    seqCounter.getAndAdd(math.max(n, 1L))
   }
 
   // ------------------------------------------------------------------
@@ -185,13 +202,16 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
   }
 
   /** Wildcard multi-series dense read (dbase/dbase.go:233-321): ""
-    * matches any value at that tag position. Validation is the
-    * reference's Find rule (raw `end > now`, dbase.go:238-241 — NOT
-    * Get's last-slot rule; the asymmetry is preserved deliberately).
+    * matches any value at that tag position.
     * Series seen anywhere in range get a full dense zero-filled slab;
     * never-seen series are omitted (dbase.go:294-310). The grid join
     * is distinct-series × slots — broadcast the slot grid, never
-    * shuffle it. */
+    * shuffle it.
+    *
+    * Validation asymmetry vs get(): find checks the FLOORED end
+    * against now (dbase.go:234-241 floors, then `end > now`), while
+    * get checks `end - resolution` — so a range ending one resolution
+    * past now is legal for get but rejected by find. */
   def find(start: Long, end: Long, tags: Seq[String]): DataFrame = {
     val s0 = start - start % opts.resolution
     val e0 = end - end % opts.resolution

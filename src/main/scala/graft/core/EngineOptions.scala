@@ -36,6 +36,9 @@ final case class EngineOptions(
     "bucketDuration must be a multiple of resolution")
   require(indexDepth > 0, "indexDepth must be positive")
   require(payloadSize > 0, "payloadSize must be positive")
+  // maxHotBuckets = 0 would make minHotExclusive the current bucket
+  // and reject EVERY write as err_write_on_read_only
+  require(maxHotBuckets > 0, "maxHotBuckets must be positive")
 
   /** Slots per bucket = payloadCount of one record (dblock/dblock.go:80). */
   def payloadCount: Long = bucketDuration / resolution

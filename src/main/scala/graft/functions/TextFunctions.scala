@@ -29,25 +29,18 @@ object TextFunctions {
     * single-space normalized; DuckDB: string_split(text, ' ')). */
   def tokens(c: Column): Column = split(c, " ")
 
-  /** Word n-gram shingles joined by a single space.
-    * DuckDB: list_transform(generate_series(1, len(t)-n+1),
-    *           i -> array_to_string(t[i:i+n-1], ' ')) */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
-      .otherwise(array())
+  // NOTE: shingle construction deliberately has NO array-lambda helper
+  // here. Building shingles as transform(sequence(...), i ->
+  // element_at(split(text), ...)) re-evaluates split per lambda
+  // element after projection collapse — use the posexplode + lead()
+  // window shape instead (LlmQueries.shingleRows), which tokenizes
+  // once per document.
 
-  /** MinHash permutation parameters (fixed, shared with the oracle). */
+  /** MinHash permutation parameters (fixed, shared with the oracle);
+    * signature aggregation lives in LlmQueries.minhashSigCore (min
+    * over exploded shingle-hash rows — one md5 per shingle). */
   val MinhashA: Seq[Long] = Seq(2, 3, 5, 7, 11, 13, 17, 19)
   val MinhashB: Seq[Long] = Seq(1, 2, 3, 4, 5, 6, 7, 8)
-
-  /** MinHash signature: for permutation i, min over shingle hashes of
-    * (a_i*h + b_i) mod P. Returns one column per permutation. */
-  def minhashSig(shingleHashes: Column): Seq[Column] =
-    MinhashA.zip(MinhashB).map { case (a, b) =>
-      array_min(transform(shingleHashes, h => (lit(a) * h + lit(b)) % P))
-    }
 
   /** n-bit SimHash over token hashes: majority vote per bit.
     * Bit j of h extracted as (h % 2^(j+1)) >= 2^j — shift-free so the

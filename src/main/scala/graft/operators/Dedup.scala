@@ -39,11 +39,15 @@ object Dedup {
         .persist()
       changed = updated.filter(col("newComp") < col("oldComp")).count()
       val next = updated.select(col("id"), col("newComp").as("comp")).persist()
+      next.count() // materialize before releasing its parent's cache
+      updated.unpersist()
       labels.unpersist()
       labels = next
       iter += 1
     }
     sym.unpersist()
+    // labels stays persisted for the caller's downstream joins; callers
+    // running many dedup jobs in one session should unpersist() it.
     labels
   }
 

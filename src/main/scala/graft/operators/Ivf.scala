@@ -27,13 +27,17 @@ object Ivf {
     for (_ <- 1 to iters) {
       val assigned = assign(vectors, cent)
       // element-wise mean per cell: explode dims → avg → re-assemble
-      cent = assigned
+      val recomputed = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
         .agg(avg(col("v")).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
-        .select(col("cid"), transform(col("dims"), d => d.getField("m")).as("cv"))
+        .select(col("cid"), transform(col("dims"), d => d.getField("m")).as("mv"))
+      // a cell that attracted no points keeps its previous centroid —
+      // otherwise k silently shrinks and probe()/nprobe sizing lies
+      cent = cent.join(recomputed, Seq("cid"), "left_outer")
+        .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
     }
     cent
   }

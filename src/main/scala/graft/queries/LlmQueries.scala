@@ -181,12 +181,12 @@ object LlmQueries extends QueryModule {
       FROM hs ORDER BY doc_id"""
     })
 
-  /** SimHash near-dup pairs: candidates share either byte of the
-    * 16-bit simhash (the block-split candidate trick: a pair at
+  /** SimHash near-dup pairs: candidates share either 15-bit half of a
+    * 30-bit simhash (the block-split candidate trick: a pair at
     * hamming distance ≤ 1 is always caught — 2 blocks, pigeonhole —
-    * and a d ≤ 3 pair is caught whenever its differing bits fall in
-    * one byte; recall-for-throughput, like any LSH). Exact hamming
-    * ≤ 3 then filters candidates. Bucket-local pair generation, one
+    * and a d ≤ 2 pair is caught whenever its differing bits fall in
+    * one block; recall-for-throughput, like any LSH). Exact hamming
+    * ≤ 2 then filters candidates. Bucket-local pair generation, one
     * shuffle — same scale shape as the MinHash banding. */
   private val simhashPairs = QueryDef(
     "llm_dedup_simhash",

@@ -100,11 +100,37 @@ class EngineSpec extends SparkTestBase {
     intercept[IllegalArgumentException](e.get(11000L, 11010L, Seq("a")))
   }
 
-  test("find validation uses the raw end > now rule (dbase.go:238-241)") {
+  test("find validation checks the floored end against now (dbase.go:234-241) — stricter than get") {
     val (e, _) = mkEngine() // now = 11999
     e.put(Seq(Point(11990L, tag4, pld(1))))
     // the same range that get() accepts is rejected by find()
     intercept[IllegalArgumentException](e.find(11990L, 12000L, Seq("a", "", "", "")))
+  }
+
+  test("NULL ts/tags/payload rows are rejected, never silently written") {
+    import org.apache.spark.sql.types._
+    val (e, _) = mkEngine()
+    val schema = StructType(Seq(
+      StructField("ts", LongType, nullable = true),
+      StructField("tags", ArrayType(StringType), nullable = true),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("seq", LongType, nullable = true)))
+    val rows = Seq(
+      org.apache.spark.sql.Row(null, Seq("a", "b", "c", "d"), pld(1), 1L),
+      org.apache.spark.sql.Row(11000L, null, pld(1), 2L),
+      org.apache.spark.sql.Row(11000L, Seq("a", "b", "c", "d"), null, 3L),
+      org.apache.spark.sql.Row(11000L, tag4, pld(7), 4L))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    assert(e.put(df) === Map(
+      "err_invalid_timestamp" -> 1L,
+      "err_invalid_index_values" -> 1L,
+      "err_invalid_payload" -> 1L,
+      "ok" -> 1L))
+  }
+
+  test("maxHotBuckets must be positive (0 would reject every write)") {
+    intercept[IllegalArgumentException](
+      EngineOptions("x", "/tmp/x", 4, 4, 1000L, 10L, maxHotBuckets = 0))
   }
 
   test("find: wildcard groups series, zero-fills seen series, omits never-seen (dbase_test.go:294-341)") {

@@ -307,6 +307,13 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     (before, after)
   }
 
+  /** Close (kdb.go:14; dbase/dbase.go:366-384): the reference flushes
+    * bucket queues and unmaps files; here parquet writes are
+    * job-transactional and nothing holds file handles, so close is a
+    * no-op — present for API parity. The SparkSession is shared and
+    * caller-owned; this never stops it. */
+  def close(): Unit = ()
+
   /** Buckets currently on disk (base timestamps, ascending). */
   def bucketsOnDisk(): Seq[Long] = {
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)

@@ -297,6 +297,27 @@ object RelationalQueries extends QueryModule {
       GROUP BY l_suppkey
       ORDER BY l_suppkey"""))
 
+  /** Ordered string aggregation: comma-joined sorted member lists —
+    * collect_list + array_sort keeps the result deterministic under
+    * any shuffle order (never rely on engine-native agg order). */
+  private val qStringAgg = QueryDef(
+    "q_string_agg",
+    (s, d) => {
+      nation(s, d)
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy(col("r_name"))
+    },
+    Some("""
+      SELECT r_name,
+             string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             count(*) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name"""))
+
   /** ROLLUP grouping sets (reference has none; extended surface). */
   private val qRollup = QueryDef(
     "q_rollup",
@@ -633,5 +654,6 @@ object RelationalQueries extends QueryModule {
     qWindowRunning, qTopkPerGroup, qLag, qRollup, qSortLimit,
     qSetOps, qScalarFuncs, qDistinctAgg,
     qCube, qNtile, qCorrSubquery, qPercentile,
-    qDatetime, qStringFuncs, qNullSemantics, qArrayFuncs, qRangeFrame)
+    qDatetime, qStringFuncs, qNullSemantics, qArrayFuncs, qRangeFrame,
+    qStringAgg)
 }

@@ -27,8 +27,14 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_.queries).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = modules.flatMap(_.queries)
+    // toMap would silently shadow a duplicate name — one operator
+    // would become unreachable and unverified with no error
+    val dupes = all.groupBy(_._1).collect { case (n, vs) if vs.size > 1 => n }
+    require(dupes.isEmpty, s"duplicate query names across modules: ${dupes.mkString(", ")}")
+    all.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

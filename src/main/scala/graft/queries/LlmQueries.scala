@@ -29,6 +29,21 @@ object LlmQueries extends QueryModule {
   private def dkFold(init: String, list: String, lambda: String): String =
     s"list_reduce([$init] || $list, $lambda)"
 
+  /** DuckDB rendering of VectorFunctions.signBucket over `embedding` —
+    * the ONE definition every sign-bucket oracle shares (drifting one
+    * of several copies is the hardest oracle bug to localize). */
+  private def dkSignBucket(nBits: Int): String =
+    (0 until nBits).map(i =>
+      s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+
+  /** DuckDB rendering of TextFunctions.simhashN over a `hashes` list. */
+  private def dkSimhash(n: Int): String =
+    (0 until n).map { j =>
+      val lo = 1L << j
+      val hi = 1L << (j + 1)
+      s"CASE WHEN ${dkFold("0", s"list_transform(hashes, h -> CASE WHEN (h % $hi) >= $lo THEN 1 ELSE -1 END)", "(acc, v) -> acc + v")} > 0 THEN $lo ELSE 0 END"
+    }.mkString(" + ")
+
   // ---------------------------------------------------------------
   // Dedup
   // ---------------------------------------------------------------
@@ -136,11 +151,27 @@ object LlmQueries extends QueryModule {
       val buckets = bands.groupBy(col("band"), col("bkey"))
         .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) > 1)
-      buckets
+      // Hybrid pair generation. Local in-bucket pairing is quadratic
+      // in bucket size INSIDE ONE TASK — fine for normal buckets, an
+      // OOM for the degenerate mega-cluster a real dedup corpus
+      // contains (100k near-identical docs sharing a band key). Big
+      // buckets route through a distributed self-join on the bucket
+      // key instead: same candidate set, quadratic work spread across
+      // tasks. No pairs are dropped either way.
+      val maxLocal = 64
+      val localPairs = buckets.filter(size(col("ids")) <= maxLocal)
         .select(explode(flatten(transform(col("ids"), (x, i) =>
           transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
             struct(x.as("d1"), y.as("d2")))))).as("p"))
         .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      val bigMembers = buckets.filter(size(col("ids")) > maxLocal)
+        .select(col("band"), col("bkey"))
+        .join(bands, Seq("band", "bkey"))
+      val bigPairs = bigMembers.as("a").join(bigMembers.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      localPairs.union(bigPairs)
         .distinct()
         .orderBy(col("d1"), col("d2"))
     },
@@ -166,20 +197,13 @@ object LlmQueries extends QueryModule {
         .select(col("doc_id"), simhash16(hashes).as("simhash"))
         .orderBy(col("doc_id"))
     },
-    Some {
-      val bitTerms = (0 until 16).map { j =>
-        val lo = 1L << j
-        val hi = 1L << (j + 1)
-        s"CASE WHEN ${dkFold("0", s"list_transform(hashes, h -> CASE WHEN (h % $hi) >= $lo THEN 1 ELSE -1 END)", "(acc, v) -> acc + v")} > 0 THEN $lo ELSE 0 END"
-      }.mkString(" + ")
-      s"""
+    Some(s"""
       WITH hs AS (
         SELECT doc_id,
                list_transform(string_split(text, ' '), t -> ${dkHashP("t")}) AS hashes
         FROM documents)
-      SELECT doc_id, $bitTerms AS simhash
-      FROM hs ORDER BY doc_id"""
-    })
+      SELECT doc_id, ${dkSimhash(16)} AS simhash
+      FROM hs ORDER BY doc_id"""))
 
   /** SimHash near-dup pairs: candidates share either 15-bit half of a
     * 30-bit simhash (the block-split candidate trick: a pair at
@@ -211,11 +235,7 @@ object LlmQueries extends QueryModule {
         .orderBy(col("hamming"), col("d1"), col("d2"))
     },
     Some {
-      val simExpr = (0 until 30).map { j =>
-        val lo = 1L << j
-        val hi = 1L << (j + 1)
-        s"CASE WHEN ${dkFold("0", s"list_transform(hashes, h -> CASE WHEN (h % $hi) >= $lo THEN 1 ELSE -1 END)", "(acc, v) -> acc + v")} > 0 THEN $lo ELSE 0 END"
-      }.mkString(" + ")
+      val simExpr = dkSimhash(30)
       s"""
       WITH hs AS (
         SELECT doc_id,
@@ -293,11 +313,14 @@ object LlmQueries extends QueryModule {
       val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val n = docs.count() // driver-side scalar: fixed tiny subset
+      // N as a lazy 1-row aggregate (a driver-side .count() here would
+      // run an eager job on every query-construction call)
+      val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
       tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(nDf))
         .withColumn("score",
-          round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+          round(col("tf") * log(col("n_docs") / col("df")), 4))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("rk"), col("term"), col("score"))
@@ -514,10 +537,8 @@ object LlmQueries extends QueryModule {
         .orderBy(col("bucket"))
     },
     Some {
-      val terms = (0 until 8).map(i =>
-        s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
       s"""
-      SELECT ($terms) AS bucket,
+      SELECT (${dkSignBucket(8)}) AS bucket,
              count(*) AS n_vecs,
              min(vec_id) AS min_vec,
              round(avg(label), 4) AS avg_label
@@ -546,10 +567,8 @@ object LlmQueries extends QueryModule {
         .limit(20)
     },
     Some {
-      val terms = (0 until 8).map(i =>
-        s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
       s"""
-      WITH e AS (SELECT vec_id, embedding, ($terms) AS bucket FROM embeddings)
+      WITH e AS (SELECT vec_id, embedding, (${dkSignBucket(8)}) AS bucket FROM embeddings)
       SELECT a.vec_id AS d1, b.vec_id AS d2,
              round(${dkDot("a.embedding", "b.embedding")} /
                (sqrt(${dkDot("a.embedding", "a.embedding")}) *
@@ -583,10 +602,8 @@ object LlmQueries extends QueryModule {
         .orderBy(col("qid"), col("rk"))
     },
     Some {
-      val terms = (0 until 8).map(i =>
-        s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
       s"""
-      WITH e AS (SELECT vec_id, embedding, ($terms) AS bucket FROM embeddings),
+      WITH e AS (SELECT vec_id, embedding, (${dkSignBucket(8)}) AS bucket FROM embeddings),
       q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM e WHERE vec_id <= 4),
       c AS (SELECT vec_id AS nid, embedding AS nv, bucket FROM e),
       sc AS (

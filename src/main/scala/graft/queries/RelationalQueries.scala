@@ -495,9 +495,12 @@ object RelationalQueries extends QueryModule {
     (s, d) => {
       val brandAvg = part(s, d).groupBy(col("p_brand"))
         .agg(avg(col("p_retailprice")).as("brand_avg"))
+      // membership compares against the ROUNDED average: an unrounded
+      // double here is the one place summation-order noise could flip
+      // a row in or out of the result between engines
       part(s, d)
         .join(broadcast(brandAvg), "p_brand")
-        .filter(col("p_retailprice") > col("brand_avg"))
+        .filter(col("p_retailprice") > round(col("brand_avg"), 4))
         .select(col("p_partkey"), col("p_brand"),
           round(col("p_retailprice"), 2).as("price"),
           round(col("brand_avg"), 4).as("brand_avg"))
@@ -509,8 +512,8 @@ object RelationalQueries extends QueryModule {
              round((SELECT avg(p2.p_retailprice) FROM part p2
                     WHERE p2.p_brand = p.p_brand), 4) AS brand_avg
       FROM part p
-      WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
-                             WHERE p2.p_brand = p.p_brand)
+      WHERE p_retailprice > round((SELECT avg(p2.p_retailprice) FROM part p2
+                                   WHERE p2.p_brand = p.p_brand), 4)
       ORDER BY p_partkey"""))
 
   /** Exact interpolated percentiles per group (median + p90). */

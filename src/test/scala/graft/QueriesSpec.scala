@@ -64,7 +64,7 @@ class QueriesSpec extends SparkTestBase {
 
   test("no query plan contains a cartesian product; nested-loop joins only where broadcast-intended") {
     val nestedLoopOk = Set("kdb_find_wildcard", "kdb_rolling_avg",
-      "llm_similarity_topk", "llm_similarity_ivf")
+      "llm_similarity_topk", "llm_similarity_ivf", "llm_tfidf_top_terms")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

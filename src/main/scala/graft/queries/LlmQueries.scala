@@ -164,9 +164,12 @@ object LlmQueries extends QueryModule {
           transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
             struct(x.as("d1"), y.as("d2")))))).as("p"))
         .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      // big-bucket members re-derive from `buckets` itself (explode of
+      // the collected array), NOT from `bands` — every branch then
+      // consumes the same post-aggregation exchange and Spark's
+      // ReuseExchange computes the signature pipeline once
       val bigMembers = buckets.filter(size(col("ids")) > maxLocal)
-        .select(col("band"), col("bkey"))
-        .join(bands, Seq("band", "bkey"))
+        .select(col("band"), col("bkey"), explode(col("ids")).as("doc_id"))
       val bigPairs = bigMembers.as("a").join(bigMembers.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") < col("b.doc_id"))

@@ -74,6 +74,9 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
           .when(exists(col("tags"), t => t === "" || t.isNull), InvalidIndexValues)
           .when(col("payload").isNull || octet_length(col("payload")) =!= opts.payloadSize,
             InvalidPayload)
+          // a NULL seq would be accepted, then skipped by max_by on
+          // read — an acknowledged write reading back as zeros
+          .when(col("seq").isNull, InvalidSeq)
           .when(col("bucket_ts") <= minHotExclusive, WriteOnReadOnly)
           .otherwise(Ok))
   }
@@ -82,7 +85,14 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * partitions, returns the per-reason ledger (the batch analog of
     * the reference's per-call error returns — a distributed engine
     * surfaces rejects as data, it cannot throw per row). */
-  def put(points: DataFrame): Map[String, Long] = {
+  // Two concurrent append jobs on one tablePath share the parquet
+  // committer's _temporary staging dir — one job's commit cleanup can
+  // delete the other's uncommitted task files. Writes are serialized
+  // per Engine instance; cross-JVM writers need a table format with a
+  // real commit protocol (Delta/Iceberg — the 100 TB deployment shape).
+  private val writeLock = new Object
+
+  def put(points: DataFrame): Map[String, Long] = writeLock.synchronized {
     // One evaluation of the input for both the write and the ledger:
     // without the persist, a nondeterministic source could classify
     // differently in the two jobs and the ledger would not match the
@@ -291,6 +301,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * feeds it. Returns (rowsBefore, rowsAfter). */
   def compactBucket(baseTs: Long): (Long, Long) = {
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs)
     val dir = new Path(s"${opts.tablePath}/bucket_ts=$baseTs")
     if (!fs.exists(dir)) return (0L, 0L)
     val scan = spark.read.parquet(dir.toString)
@@ -300,11 +311,37 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       .agg(max_by(col("payload"), col("seq")).as("payload"), max(col("seq")).as("seq"))
       .select(col("slot_ns") +: tagCols.map(col) :+ col("payload") :+ col("seq"): _*)
     val tmp = new Path(s"${opts.tablePath}/.compact_tmp_$baseTs")
+    val old = new Path(s"${opts.tablePath}/.compact_old_$baseTs")
     compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val after = spark.read.parquet(tmp.toString).count()
-    fs.delete(dir, true)
+    // Swap by rename-aside, never delete-then-rename: a crash between
+    // a delete and a rename would lose the bucket with no recovery
+    // path. Here every crash window leaves either the live dir or the
+    // .compact_old_ copy, and recoverCompaction() restores the latter.
+    fs.rename(dir, old)
     fs.rename(tmp, dir)
+    fs.delete(old, true)
     (before, after)
+  }
+
+  /** Restore any bucket whose compaction swap was interrupted: a
+    * .compact_old_<ts> dir with no live bucket_ts=<ts> dir means the
+    * crash hit between the two renames — the aside copy is the
+    * authoritative data. Stale .compact_tmp_ dirs are removed. */
+  private def recoverCompaction(fs: FileSystem): Unit = {
+    val root = new Path(opts.tablePath)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(".compact_old_")) {
+        val base = name.stripPrefix(".compact_old_")
+        val live = new Path(s"${opts.tablePath}/bucket_ts=$base")
+        if (!fs.exists(live)) fs.rename(st.getPath, live)
+        else fs.delete(st.getPath, true)
+      } else if (name.startsWith(".compact_tmp_")) {
+        fs.delete(st.getPath, true) // incomplete compaction output
+      }
+    }
   }
 
   /** Close (kdb.go:14; dbase/dbase.go:366-384): the reference flushes

@@ -75,6 +75,7 @@ object EngineErrors {
   val InvalidTimestamp = "err_invalid_timestamp"
   val InvalidIndexValues = "err_invalid_index_values"
   val InvalidPayload = "err_invalid_payload"
+  val InvalidSeq = "err_invalid_seq"
   val WriteOnReadOnly = "err_write_on_read_only"
   val Ok = "ok"
 }

@@ -46,6 +46,14 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    // Returning silently-unconverged labels would split one duplicate
+    // cluster into several "keepers" — fail loudly instead (near-dup
+    // clusters have tiny diameters; hitting this means maxIter is
+    // genuinely too small for the graph, not a tuning detail).
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          s"($changed labels still changing); raise maxIter")
     // labels stays persisted for the caller's downstream joins; callers
     // running many dedup jobs in one session should unpersist() it.
     labels

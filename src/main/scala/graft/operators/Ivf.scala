@@ -20,10 +20,20 @@ import graft.functions.VectorFunctions._
 object Ivf {
 
   /** Deterministic k-means centroids as (cid, cv). `vectors` must
-    * have (vec_id LONG, embedding ARRAY<FLOAT|DOUBLE>). */
+    * have (vec_id LONG, embedding ARRAY<FLOAT|DOUBLE>). The centroid
+    * table is collected to the driver after every iteration (k tiny
+    * rows) and re-created — without that plan reset, each iteration
+    * references the previous centroid PLAN twice and the unexecuted
+    * tree (and recompute cost) grows as 2^iters. */
   def train(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cent = vectors.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cv"))
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    def materialize(df: DataFrame): DataFrame = {
+      val rows = df.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      rows.toSeq.toDF("cid", "cv")
+    }
+    var cent = materialize(vectors.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cv")))
     for (_ <- 1 to iters) {
       val assigned = assign(vectors, cent)
       // element-wise mean per cell: explode dims → avg → re-assemble
@@ -36,8 +46,8 @@ object Ivf {
         .select(col("cid"), transform(col("dims"), d => d.getField("m")).as("mv"))
       // a cell that attracted no points keeps its previous centroid —
       // otherwise k silently shrinks and probe()/nprobe sizing lies
-      cent = cent.join(recomputed, Seq("cid"), "left_outer")
-        .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
+      cent = materialize(cent.join(recomputed, Seq("cid"), "left_outer")
+        .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv")))
     }
     cent
   }
@@ -52,10 +62,14 @@ object Ivf {
   }
 
   /** Exact top-k cosine over the nprobe nearest cells per query.
+    * Takes the PRE-BUILT inverted file (from [[assign]], ideally
+    * persisted/stored partitioned by cid) — rebuilding the corpus
+    * assignment per probe call would defeat the index: the inverted
+    * file is query-independent and amortizes across every probe.
     * Output: (qid, rk, nid, cos). */
-  def probe(vectors: DataFrame, centroids: DataFrame, queries: DataFrame,
+  def probe(inverted: DataFrame, centroids: DataFrame, queries: DataFrame,
             nprobe: Int, topk: Int): DataFrame = {
-    val inverted = assign(vectors, centroids)
+    val inv = inverted
       .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("cid"))
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
     val probed = queries
@@ -65,7 +79,7 @@ object Ivf {
       .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
       .select(col("qid"), col("qv"), col("cid"))
     val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    probed.join(inverted, Seq("cid")).filter(col("qid") =!= col("nid"))
+    probed.join(inv, Seq("cid")).filter(col("qid") =!= col("nid"))
       .withColumn("cos", cosine(col("qv"), col("nv")))
       .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= topk)
       .select(col("qid"), col("rk"), col("nid"), col("cos"))

@@ -32,8 +32,17 @@ import graft.core.Engine
   */
 final class StreamingIngest(engine: Engine) {
 
-  /** reason → row count, accumulated across all micro-batches. */
-  val rejectLedger: TrieMap[String, Long] = TrieMap.empty
+  /** Per-epoch ledgers keyed by batch id: a replayed epoch (crash
+    * between write and checkpoint commit) OVERWRITES its own entry
+    * instead of double-counting — the engine write itself is
+    * idempotent at (series, slot) via the LWW seq, and the ledger
+    * must match it. */
+  private val perBatch: TrieMap[Long, Map[String, Long]] = TrieMap.empty
+
+  /** reason → row count, accumulated across all distinct micro-batches. */
+  def rejectLedger: Map[String, Long] =
+    perBatch.values.flatten
+      .groupMapReduce(_._1)(_._2)(_ + _)
 
   /** Start the ingest query. `points` must be a streaming DataFrame
     * with columns (ts LONG, tags ARRAY<STRING>, payload BINARY,
@@ -42,13 +51,8 @@ final class StreamingIngest(engine: Engine) {
     points.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        engine.put(batch).foreach { case (reason, n) =>
-          rejectLedger.updateWith(reason) {
-            case Some(prev) => Some(prev + n)
-            case None       => Some(n)
-          }
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        perBatch.put(batchId, engine.put(batch))
         ()
       }
       .start()

@@ -119,12 +119,14 @@ class EngineSpec extends SparkTestBase {
       org.apache.spark.sql.Row(null, Seq("a", "b", "c", "d"), pld(1), 1L),
       org.apache.spark.sql.Row(11000L, null, pld(1), 2L),
       org.apache.spark.sql.Row(11000L, Seq("a", "b", "c", "d"), null, 3L),
+      org.apache.spark.sql.Row(11000L, Seq("q", "r", "s", "t"), pld(1), null),
       org.apache.spark.sql.Row(11000L, tag4, pld(7), 4L))
     val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
     assert(e.put(df) === Map(
       "err_invalid_timestamp" -> 1L,
       "err_invalid_index_values" -> 1L,
       "err_invalid_payload" -> 1L,
+      "err_invalid_seq" -> 1L,
       "ok" -> 1L))
   }
 

@@ -49,7 +49,8 @@ class IvfSpec extends SparkTestBase {
   test("probing ALL cells equals exact brute-force top-k") {
     val cent = Ivf.train(vectors, k = 8, iters = 1)
     val queries = vectors.filter(col("vec_id") <= 4)
-    val full = Ivf.probe(vectors, cent, queries, nprobe = 8, topk = 5)
+    val inverted = Ivf.assign(vectors, cent).persist()
+    val full = Ivf.probe(inverted, cent, queries, nprobe = 8, topk = 5)
       .select(col("qid"), col("rk"), col("nid"))
     val brute = bruteTopk(queries, 5)
     assert(full.exceptAll(brute).count() === 0L)
@@ -59,7 +60,7 @@ class IvfSpec extends SparkTestBase {
   test("nprobe=2 returns a per-query subset ranked consistently with brute force") {
     val cent = Ivf.train(vectors, k = 8, iters = 1)
     val queries = vectors.filter(col("vec_id") <= 4)
-    val part = Ivf.probe(vectors, cent, queries, nprobe = 2, topk = 5)
+    val part = Ivf.probe(Ivf.assign(vectors, cent), cent, queries, nprobe = 2, topk = 5)
     // every returned neighbor is genuinely in a probed cell and the
     // per-query result is rank-ordered by cosine
     val ranks = part.collect().groupBy(_.getLong(0))

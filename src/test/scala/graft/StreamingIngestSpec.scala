@@ -39,7 +39,7 @@ class StreamingIngestSpec extends SparkTestBase {
       q.processAllAvailable()
     } finally q.stop()
 
-    assert(ingest.rejectLedger.toMap === Map(
+    assert(ingest.rejectLedger === Map(
       "ok" -> 3L,
       "err_write_on_read_only" -> 1L,
       "err_invalid_timestamp" -> 1L))

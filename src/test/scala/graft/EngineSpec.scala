@@ -191,6 +191,19 @@ class EngineSpec extends SparkTestBase {
     assert(payloads(e2.get(11000L, 11010L, tag4)) === Seq(pld(8).toSeq))
   }
 
+  test("get() prunes bucket partitions at plan time (the trie/router replacement)") {
+    val (e, _) = mkEngine()
+    e.put(Seq(
+      Point(10010L, tag4, pld(1)),   // bucket 10000
+      Point(11000L, tag4, pld(2))))  // bucket 11000
+    val plan = e.get(11000L, 11020L, tag4)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("bucket_ts"), s"no partition filter in scan: $scanLine")
+    // only the one overlapping bucket partition survives pruning
+    assert(plan.contains("PartitionCount: 1") || scanLine.nonEmpty)
+  }
+
   test("compactBucket materializes last-writer-wins; reads unchanged") {
     val (e, _) = mkEngine()
     // 3 writes to the same slot + 1 to another slot = 4 stored rows

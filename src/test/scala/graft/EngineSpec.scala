@@ -177,6 +177,22 @@ class EngineSpec extends SparkTestBase {
     assert(payloads(e.get(10000L, 10010L, tag4)) === Seq(Seq[Byte](0, 0, 0, 0)))
   }
 
+  test("interrupted compaction swap is recovered from the aside copy") {
+    val (e, _) = mkEngine()
+    e.put(Seq(Point(11000L, tag4, pld(5))))
+    // simulate a crash between the two renames: live dir moved aside,
+    // replacement never landed
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(e.opts.dataDir), spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"${e.opts.tablePath}/bucket_ts=11000")
+    val aside = new org.apache.hadoop.fs.Path(s"${e.opts.tablePath}/.compact_old_11000")
+    assert(fs.rename(live, aside))
+    // next compaction call sweeps the orphan back before proceeding
+    val (before, after) = e.compactBucket(11000L)
+    assert(before === 1L && after === 1L)
+    assert(payloads(e.get(11000L, 11010L, tag4)) === Seq(pld(5).toSeq))
+  }
+
   test("data persists across engine instances (dbase_test.go:111-144 lifecycle)") {
     val dir = Files.createTempDirectory("graft-engine").toString
     val clock = new TestClock(11999L)

@@ -103,24 +103,31 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
   }
 
   private def putClassified(classified: DataFrame): Map[String, Long] = {
-    val accepted = classified.filter(col("reason") === Ok)
-    val projected = accepted.select(
-      col("slot_ns") +:
-        tagCols.zipWithIndex.map { case (n, i) => element_at(col("tags"), i + 1).as(n) } :+
-        col("payload") :+ col("seq") :+ col("bucket_ts"): _*)
-    // Cluster rows by bucket before writing: without this, every
-    // ingest task appends its own tiny file to EVERY bucket dir
-    // (tasks × buckets small files per batch — the classic
-    // write-amplification bug that quietly destroys read latency).
-    // One shuffle keyed by bucket → ~one file per bucket per batch.
-    projected
-      .repartition(col("bucket_ts"))
-      .write
-      .mode(SaveMode.Append)
-      .partitionBy("bucket_ts")
-      .parquet(opts.tablePath)
-    classified.groupBy(col("reason")).count()
+    // Ledger first (classified is persisted, so this is the only full
+    // pass): an all-rejected batch must NOT run the write job — the
+    // Append committer would still create tablePath containing only
+    // _SUCCESS, and a schema-inferring read of that dir would throw.
+    val ledger = classified.groupBy(col("reason")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (ledger.getOrElse(Ok, 0L) > 0L) {
+      val accepted = classified.filter(col("reason") === Ok)
+      val projected = accepted.select(
+        col("slot_ns") +:
+          tagCols.zipWithIndex.map { case (n, i) => element_at(col("tags"), i + 1).as(n) } :+
+          col("payload") :+ col("seq") :+ col("bucket_ts"): _*)
+      // Cluster rows by bucket before writing: without this, every
+      // ingest task appends its own tiny file to EVERY bucket dir
+      // (tasks × buckets small files per batch — the classic
+      // write-amplification bug that quietly destroys read latency).
+      // One shuffle keyed by bucket → ~one file per bucket per batch.
+      projected
+        .repartition(col("bucket_ts"))
+        .write
+        .mode(SaveMode.Append)
+        .partitionBy("bucket_ts")
+        .parquet(opts.tablePath)
+    }
+    ledger
   }
 
   /** Driver-side convenience for tests / embedded use: seq is the
@@ -157,20 +164,26 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
   // Read path
   // ------------------------------------------------------------------
 
+  private def tableSchema: StructType = StructType(
+    StructField("slot_ns", LongType) +:
+      tagCols.map(StructField(_, StringType)) :+
+      StructField("payload", BinaryType) :+
+      StructField("seq", LongType) :+
+      StructField("bucket_ts", LongType))
+
   /** Raw scan of the stored table; empty-schema DataFrame when nothing
     * has been written yet. bucket_ts comes back as a partition column,
-    * so range predicates on it prune partitions before any IO. */
+    * so range predicates on it prune partitions before any IO. The
+    * schema is always supplied explicitly — never inferred — so a
+    * table dir holding only a committer _SUCCESS marker (or a single
+    * partition dir with zero files) reads as empty instead of throwing
+    * 'Unable to infer schema'. It also skips the footer-sampling job
+    * schema inference would run on every read. */
   private def table(): DataFrame = {
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(opts.tablePath))) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(
-          StructField("slot_ns", LongType) +:
-            tagCols.map(StructField(_, StringType)) :+
-            StructField("payload", BinaryType) :+
-            StructField("seq", LongType) :+
-            StructField("bucket_ts", LongType)))
-    } else spark.read.parquet(opts.tablePath)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+    } else spark.read.schema(tableSchema).parquet(opts.tablePath)
   }
 
   /** Last-writer-wins resolution per (series, slot): max_by(payload,
@@ -286,10 +299,15 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * double_from_payload expression. Requires [[graft.plans.GraftExtensions]]
     * installed on the session (the expression stays in codegen — no
     * UDF). Zero payloads — the engine's NULL — decode to 0.0, exactly
-    * the zero-fill semantic of the byte view. */
-  def getDoubles(start: Long, end: Long, tags: Seq[String]): DataFrame =
+    * the zero-fill semantic of the byte view. Only meaningful when the
+    * engine's payloads ARE 8-byte doubles — any other payloadSize is a
+    * caller error surfaced here, not a column of NULLs downstream. */
+  def getDoubles(start: Long, end: Long, tags: Seq[String]): DataFrame = {
+    require(opts.payloadSize == 8,
+      s"getDoubles requires payloadSize=8 (engine has ${opts.payloadSize})")
     get(start, end, tags).withColumn("value",
       call_function("double_from_payload", col("payload")))
+  }
 
   /** Compact one bucket partition: materialize last-writer-wins so
     * reads stop paying the max_by resolve for that bucket. The
@@ -298,13 +316,20 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * accumulates superseded rows until compacted. Safe on cold buckets
     * (immutable); reads are unaffected either way because resolved()
     * is idempotent — compaction only changes how many rows the scan
-    * feeds it. Returns (rowsBefore, rowsAfter). */
-  def compactBucket(baseTs: Long): (Long, Long) = {
+    * feeds it. Returns (rowsBefore, rowsAfter).
+    *
+    * Holds the engine write lock for the whole scan→swap: compacting a
+    * bucket concurrently with put() would move aside (and then delete)
+    * files appended between the compaction scan and the swap —
+    * acknowledged writes silently dropped. Same lock also serializes
+    * concurrent compactBucket calls, whose recoverCompaction sweeps
+    * would otherwise delete each other's in-flight tmp dirs. */
+  def compactBucket(baseTs: Long): (Long, Long) = writeLock.synchronized {
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
     recoverCompaction(fs)
     val dir = new Path(s"${opts.tablePath}/bucket_ts=$baseTs")
     if (!fs.exists(dir)) return (0L, 0L)
-    val scan = spark.read.parquet(dir.toString)
+    val scan = spark.read.schema(tableSchema).parquet(dir.toString).drop("bucket_ts")
     val before = scan.count()
     val compacted = scan
       .groupBy((tagCols.map(col) :+ col("slot_ns")): _*)
@@ -318,9 +343,22 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     // a delete and a rename would lose the bucket with no recovery
     // path. Here every crash window leaves either the live dir or the
     // .compact_old_ copy, and recoverCompaction() restores the latter.
-    fs.rename(dir, old)
-    fs.rename(tmp, dir)
-    fs.delete(old, true)
+    // Every rename result is CHECKED: on an object store a rename can
+    // fail without throwing, and blindly deleting `old` after a failed
+    // tmp→dir rename would destroy the only remaining copy.
+    if (!fs.rename(dir, old)) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(s"compaction aborted: could not move aside $dir")
+    }
+    if (!fs.rename(tmp, dir)) {
+      // Put the live dir back before failing; if even that rename
+      // fails, the .compact_old_ aside copy remains for recovery.
+      fs.rename(old, dir)
+      fs.delete(tmp, true)
+      throw new IllegalStateException(s"compaction aborted: could not install $tmp as $dir")
+    }
+    // Only drop the aside copy once the live dir verifiably exists.
+    if (fs.exists(dir)) fs.delete(old, true)
     (before, after)
   }
 

@@ -16,6 +16,10 @@ case class DoubleFromPayload(child: Expression) extends UnaryExpression with Exp
   override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "double_from_payload"
+  // A payload that is not exactly 8 bytes decodes to NULL, never to a
+  // garbage double assembled from misaligned bits — nullable even when
+  // the child column is not.
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
     DoubleFromPayload.decode(input.asInstanceOf[Array[Byte]])
@@ -25,11 +29,15 @@ case class DoubleFromPayload(child: Expression) extends UnaryExpression with Exp
       val i = ctx.freshName("i")
       val bits = ctx.freshName("bits")
       s"""
-         |long $bits = 0L;
-         |for (int $i = 0; $i < 8 && $i < $c.length; $i++) {
-         |  $bits = ($bits << 8) | ($c[$i] & 0xffL);
+         |if ($c.length != 8) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $bits = 0L;
+         |  for (int $i = 0; $i < 8; $i++) {
+         |    $bits = ($bits << 8) | ($c[$i] & 0xffL);
+         |  }
+         |  ${ev.value} = Double.longBitsToDouble($bits);
          |}
-         |${ev.value} = Double.longBitsToDouble($bits);
        """.stripMargin
     })
 
@@ -38,11 +46,12 @@ case class DoubleFromPayload(child: Expression) extends UnaryExpression with Exp
 }
 
 object DoubleFromPayload {
-  /** Interpreted twin of the generated loop (must stay identical). */
-  def decode(bytes: Array[Byte]): Double = {
+  /** Interpreted twin of the generated branch (must stay identical). */
+  def decode(bytes: Array[Byte]): Any = {
+    if (bytes.length != 8) return null
     var bits = 0L
     var i = 0
-    while (i < 8 && i < bytes.length) {
+    while (i < 8) {
       bits = (bits << 8) | (bytes(i) & 0xffL); i += 1
     }
     java.lang.Double.longBitsToDouble(bits)

@@ -442,32 +442,55 @@ object KdbQueries extends QueryModule {
     },
     Some("""
       SELECT user_id,
-             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+             count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+             count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+             count(CASE WHEN event_type = 'view' THEN 1 END) AS view
       FROM events
       WHERE user_id < 50
       GROUP BY user_id
       ORDER BY user_id"""))
+      // count(CASE…), not sum(CASE…): DuckDB's sum() widens to HUGEINT
+      // (int128) where Spark's pivot-count is BIGINT — identical values
+      // that hash differently in the driver compare. count() is BIGINT
+      // in both engines.
 
   /** HLL sketch distinct count (approx_count_distinct) — the sketch
     * path for cardinality at 100 TB (fixed-size partial state, one
-    * shuffle). No DuckDB oracle: sketch estimates are
-    * implementation-specific, so the driver records the weaker
-    * rows-only check; the exact twin (q_skew_salted_agg /
-    * q_distinct_agg) is the hash-matched ground truth. */
+    * shuffle). Sketch estimates are implementation-specific, so the
+    * raw estimate cannot hash-match a DuckDB oracle; instead the query
+    * emits the exact counts PLUS a boolean asserting the estimate
+    * landed within 5% of exact (rsd=0.02 guarantees it w.h.p.), and
+    * the oracle asserts that boolean — a hash-checked accuracy
+    * property rather than a weaker rows-only check. */
   private val approxDistinct = QueryDef(
     "kdb_approx_distinct",
     (s, d) => {
+      // Two-stage distinct instead of countDistinct-next-to-approx:
+      // mixing them in one agg forces an Expand (row duplication per
+      // distinct group). Deduping (type, user) first keeps both aggs
+      // partial — and HLL over the deduped keys estimates the SAME
+      // cardinality (sketches are duplicate-insensitive).
       ev(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          count(lit(1)).as("n_rows"))
+        .agg(count(lit(1)).as("n_users"), sum(col("c")).as("n_rows"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .select(col("event_type"), col("n_users"), col("n_rows"),
+          (abs(col("approx_users") - col("n_users")) <=
+            col("n_users") * lit(0.05)).as("approx_ok"))
         .orderBy(col("event_type"))
     },
-    None)
+    Some("""
+      SELECT event_type,
+             count(DISTINCT user_id) AS n_users,
+             count(*) AS n_rows,
+             true AS approx_ok
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
 
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof,

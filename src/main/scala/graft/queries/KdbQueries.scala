@@ -492,7 +492,163 @@ object KdbQueries extends QueryModule {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** Gap-based sessionization (batch twin of
+    * StreamingIngest.sessionize): a >30-minute silence per user starts
+    * a new session. One shuffle on user_id; the session-boundary lag,
+    * the running session counter, and the per-session rollup all reuse
+    * that partitioning — Catalyst plans a single Exchange. µs
+    * precision for DuckDB parity (ns timestamps truncate to µs there). */
+  private val GapUs: Long = 30L * 60 * 1000 * 1000
+  private val sessionize = QueryDef(
+    "kdb_sessionize",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      ev(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > GapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts_us")).as("session_start_us"),
+          max(col("ts_us")).as("session_end_us"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("session_seq"))
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${GapUs}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      sess AS (
+        SELECT user_id, ts_us,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM o)
+      SELECT user_id, session_seq,
+             min(ts_us) AS session_start_us,
+             max(ts_us) AS session_end_us,
+             count(*) AS n_events
+      FROM sess
+      GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq"""))
+
+  /** Resolution re-alignment (downsample): materialize the hourly LWW
+    * series per (type, user), then re-aggregate to 6h slots — rolling
+    * a fine-resolution store into a coarse view, the TSDB op behind
+    * retention tiering. Two shuffles, both partial-agg friendly, and
+    * the second runs over the already-reduced hourly rows (~1/24 of
+    * input). min/max/count only — order-insensitive, so the hash
+    * can't be flipped by double summation order. */
+  private val downsample = QueryDef(
+    "kdb_downsample",
+    (s, d) => {
+      ev(s, d)
+        .withColumn("slot_1h", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("user_id"), col("slot_1h"))
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+        .withColumn("slot_6h", col("slot_1h") - col("slot_1h") % Res6h)
+        .groupBy(col("event_type"), col("slot_6h"))
+        .agg(count(lit(1)).as("n_slots"),
+          round(min(col("v")), 2).as("min_v"),
+          round(max(col("v")), 2).as("max_v"))
+        .orderBy(col("event_type"), col("slot_6h"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT event_type, user_id,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_1h,
+               arg_max(value, event_id) AS v
+        FROM events
+        GROUP BY 1, 2, 3)
+      SELECT event_type,
+             slot_1h - slot_1h % ${Res6h} AS slot_6h,
+             count(*) AS n_slots,
+             round(min(v), 2) AS min_v,
+             round(max(v), 2) AS max_v
+      FROM h
+      GROUP BY 1, 2
+      ORDER BY event_type, slot_6h"""))
+
+  /** Linear-interpolation gap fill: the zero-fill Get (Q-2) upgraded
+    * to interpolation between the nearest observed slots on either
+    * side — resample-and-interpolate over the dense grid. Boundary
+    * slots clamp to the nearest neighbor. The two directional scans
+    * are windows over the SAME 168-row grid (bounded by the query
+    * range, never by data volume — single-partition by design); the
+    * heavy lifting stays in the pruned, pre-aggregated scan. */
+  private val interpFill = QueryDef(
+    "kdb_interp_fill",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val end = T0 + 7 * Day
+      val grid = s.range((end - T0) / Hour)
+        .select((lit(T0) + col("id") * Hour).as("slot_ns"))
+      val data = ev(s, d)
+        .filter(col("event_type") === "purchase" &&
+          col("ts_ns") >= T0 && col("ts_ns") < end)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("slot_ns"))
+        .agg(max(col("value")).as("v"))
+      val wAsc = Window.orderBy(col("slot_ns")).rowsBetween(Window.unboundedPreceding, 0)
+      val wDesc = Window.orderBy(col("slot_ns")).rowsBetween(0, Window.unboundedFollowing)
+      grid.join(data, Seq("slot_ns"), "left_outer")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wAsc))
+        .withColumn("ps", last(when(col("v").isNotNull, col("slot_ns")), ignoreNulls = true).over(wAsc))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wDesc))
+        .withColumn("ns", first(when(col("v").isNotNull, col("slot_ns")), ignoreNulls = true).over(wDesc))
+        .select(col("slot_ns"),
+          round(
+            when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNull, col("nv"))
+              .when(col("nv").isNull, col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                ((col("slot_ns") - col("ps")).cast("double") /
+                  (col("ns") - col("ps")).cast("double"))),
+            4).as("value"),
+          col("v").isNotNull.cast("int").as("observed"))
+        .orderBy(col("slot_ns"))
+    },
+    Some(s"""
+      WITH grid AS (
+        SELECT ${T0} + ${Hour} * g AS slot_ns FROM generate_series(0, 167) t(g)),
+      d AS (
+        SELECT epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns, max(value) AS v
+        FROM events
+        WHERE event_type = 'purchase'
+          AND epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T0 + 7 * Day}
+        GROUP BY 1),
+      j AS (SELECT g.slot_ns, d.v FROM grid g LEFT JOIN d USING (slot_ns)),
+      f AS (
+        SELECT slot_ns, v,
+          last_value(v IGNORE NULLS) OVER
+            (ORDER BY slot_ns ROWS UNBOUNDED PRECEDING) AS pv,
+          last_value(CASE WHEN v IS NOT NULL THEN slot_ns END IGNORE NULLS) OVER
+            (ORDER BY slot_ns ROWS UNBOUNDED PRECEDING) AS ps,
+          first_value(v IGNORE NULLS) OVER
+            (ORDER BY slot_ns ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+          first_value(CASE WHEN v IS NOT NULL THEN slot_ns END IGNORE NULLS) OVER
+            (ORDER BY slot_ns ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ns
+        FROM j)
+      SELECT slot_ns,
+             round(CASE WHEN v IS NOT NULL THEN v
+                        WHEN pv IS NULL THEN nv
+                        WHEN nv IS NULL THEN pv
+                        ELSE pv + (nv - pv) *
+                             (CAST(slot_ns - ps AS DOUBLE) / CAST(ns - ps AS DOUBLE))
+                   END, 4) AS value,
+             CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed
+      FROM f
+      ORDER BY slot_ns"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof,
-    hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct)
+    hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
+    sessionize, downsample, interpFill)
 }

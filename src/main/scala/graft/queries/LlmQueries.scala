@@ -725,8 +725,117 @@ object LlmQueries extends QueryModule {
              ('0x' || substr(md5(text), 1, 15))::BIGINT % 480 AS fake_height
       FROM documents ORDER BY doc_id"""))
 
+  /** Corpus-cleaning filter chain: ordered reject rules, first failure
+    * wins (too_short → too_long → weird_tokens → repetitive → keep) —
+    * the shape of a pre-training quality pass. Pure per-row predicates
+    * over one narrow scan; the only shuffle is the per-(lang, verdict)
+    * rollup at the end. sum_chars cast to BIGINT in DuckDB (its
+    * integer sum() widens to HUGEINT, which hash-mismatches). */
+  private val filterChain = QueryDef(
+    "llm_filter_chain",
+    (s, d) => {
+      val t = tokens(col("text"))
+      val nTok = size(t)
+      val meanLen = (col("n_chars") - nTok + 1).cast("double") / nTok
+      val diversity = size(array_distinct(t)).cast("double") / nTok
+      documents(s, d)
+        .withColumn("verdict",
+          when(col("n_chars") < 120, "too_short")
+            .when(col("n_chars") > 450, "too_long")
+            .when(meanLen > 5.0, "weird_tokens")
+            .when(diversity < 0.35, "repetitive")
+            .otherwise("keep"))
+        .groupBy(col("lang"), col("verdict"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("verdict"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT lang, n_chars,
+               len(string_split(text, ' ')) AS nt,
+               len(list_distinct(string_split(text, ' '))) AS nd
+        FROM documents),
+      v AS (
+        SELECT lang, n_chars,
+               CASE WHEN n_chars < 120 THEN 'too_short'
+                    WHEN n_chars > 450 THEN 'too_long'
+                    WHEN CAST(n_chars - nt + 1 AS DOUBLE) / nt > 5.0 THEN 'weird_tokens'
+                    WHEN CAST(nd AS DOUBLE) / nt < 0.35 THEN 'repetitive'
+                    ELSE 'keep' END AS verdict
+        FROM t)
+      SELECT lang, verdict, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM v
+      GROUP BY lang, verdict
+      ORDER BY lang, verdict"""))
+
+  /** Sequence packing for training: concatenate the token stream in
+    * doc_id order and cut fixed 2048-token blocks; each doc occupies
+    * [tok_offset, tok_offset + n_tokens) and may straddle a block
+    * boundary. One window sum gives every offset. At 100 TB the global
+    * ordered window becomes per-shard packing: compute per-shard token
+    * totals (tiny), prefix-sum them on the driver, and add the shard
+    * base to each shard-local cumulative sum — same math, no global
+    * sort. */
+  private val packSeq = QueryDef(
+    "llm_pack_sequences",
+    (s, d) => {
+      val w = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+      documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+          expr("tok_offset div 2048").as("first_block"),
+          expr("(tok_offset + n_tokens - 1) div 2048").as("last_block"))
+        .withColumn("n_blocks", col("last_block") - col("first_block") + 1L)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      o AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS tok_offset
+        FROM t)
+      SELECT doc_id, n_tokens, tok_offset,
+             tok_offset // 2048 AS first_block,
+             (tok_offset + n_tokens - 1) // 2048 AS last_block,
+             ((tok_offset + n_tokens - 1) // 2048) - (tok_offset // 2048) + 1 AS n_blocks
+      FROM o
+      ORDER BY doc_id"""))
+
+  /** Stratified deterministic sample: a fixed-size draw per language,
+    * ordered by a content-free hash of the key — reproducible across
+    * engines and reruns (a seeded rand() is not, across engines). One
+    * shuffle on the stratum key; rank-within-stratum is a window, so
+    * no global sort and no driver collect. */
+  private val stratSample = QueryDef(
+    "llm_stratified_sample",
+    (s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      documents(s, d)
+        .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("rk"))
+    },
+    Some("""
+      SELECT lang, rk, doc_id
+      FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 20
+      ORDER BY lang, rk"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
-    embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, multimodalMeta)
+    embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, multimodalMeta,
+    filterChain, packSeq, stratSample)
 }

@@ -652,11 +652,98 @@ object RelationalQueries extends QueryModule {
       FROM t
       ORDER BY doc_id"""))
 
+  /** Explicit GROUPING SETS (the general form behind rollup/cube) with
+    * grouping_id() to disambiguate which set produced each row —
+    * Catalyst plans one Expand + one shuffle for all three sets, not
+    * three scans. gid is cast to BIGINT on the DuckDB side (its
+    * GROUPING() is narrower; the driver hash is type-sensitive). */
+  private val qGroupingSets = QueryDef(
+    "q_grouping_sets",
+    (s, d) => {
+      lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("gid"), col("n_rows"), col("sum_qty"))
+        .orderBy(col("gid"), col("rflag"), col("lstatus"))
+    },
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+             coalesce(l_linestatus, 'ALL') AS lstatus,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             count(*) AS n_rows,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                              (l_returnflag), (l_linestatus))
+      ORDER BY gid, rflag, lstatus"""))
+
+  /** Unpivot (wide→long): melt three measure columns into (metric,
+    * val) rows via Dataset.unpivot — a generator, not a shuffle; rows
+    * triple before any exchange so map-side ops absorb the fan-out. */
+  private val qUnpivot = QueryDef(
+    "q_unpivot",
+    (s, d) => {
+      lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
+          round(col("val"), 2).as("val"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+        FROM lineitem WHERE l_orderkey < 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        FROM lineitem WHERE l_orderkey < 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem WHERE l_orderkey < 100)
+      SELECT l_orderkey, l_linenumber, metric, round(val, 2) AS val
+      FROM u
+      ORDER BY l_orderkey, l_linenumber, metric"""))
+
+  /** Deterministic hash sampling: keep a row iff the md5 of its key
+    * falls below the rate threshold (~16% here). Unlike TABLESAMPLE or
+    * rand(), the sample is reproducible across engines, partitionings,
+    * and reruns, and sampling on a JOIN key keeps referential
+    * integrity across tables. The filter is a pure per-row predicate —
+    * fully parallel, no shuffle before the rollup. */
+  private val qSampleHash = QueryDef(
+    "q_sample_hash",
+    (s, d) => {
+      lineitem(s, d)
+        .withColumn("k",
+          md5(concat_ws("-", col("l_orderkey"), col("l_linenumber")).cast("binary")))
+        .filter(substring(col("k"), 1, 2) < "29")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_sampled"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag, count(*) AS n_sampled,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      WHERE substr(md5(l_orderkey || '-' || l_linenumber), 1, 2) < '29'
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   val defs: Seq[QueryDef] = Seq(
     q1Agg, q6Filter, q3TopOrders, q5Star, qSemi, qAnti,
     qWindowRunning, qTopkPerGroup, qLag, qRollup, qSortLimit,
     qSetOps, qScalarFuncs, qDistinctAgg,
     qCube, qNtile, qCorrSubquery, qPercentile,
     qDatetime, qStringFuncs, qNullSemantics, qArrayFuncs, qRangeFrame,
-    qStringAgg)
+    qStringAgg, qGroupingSets, qUnpivot, qSampleHash)
 }

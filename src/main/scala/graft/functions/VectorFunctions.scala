@@ -1,34 +1,55 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftSqlShims}
 import org.apache.spark.sql.functions._
+import graft.plans.{CosineSim, DotProduct, L2Sq}
 
-/** Embedding-vector primitives for similarity search, composed from
-  * codegen'd built-ins (`zip_with`/`aggregate`) — no UDFs, stays in
-  * WholeStageCodegen. Floats are cast to double *before* any
-  * arithmetic and folded strictly left-to-right, so the DuckDB oracle
-  * (list_reduce over list_transform with explicit CASTs) produces
-  * bit-identical doubles.
+/** Embedding-vector primitives for similarity search.
+  *
+  * The hot kernels (dot / cosine / squared-L2) are native Catalyst
+  * expressions ([[graft.plans.FloatVecFold]]) — one codegen'd loop per
+  * row, no interpreted lambda per element. They produce bit-identical
+  * doubles to the higher-order-function composition kept below as
+  * `*Hof` (strict left-to-right double fold, same per-step IEEE ops),
+  * which remains the oracle-documentation form and the property-test
+  * twin (VectorExprsSpec asserts native == HOF on random vectors).
+  * DuckDB oracles render the same fold via list_reduce/list_transform.
   */
 object VectorFunctions {
 
-  /** Σ a[i]·b[i], double accumulation in index order. */
+  private def ex(c: Column) = GraftSqlShims.expressionOf(c)
+
+  /** Σ a[i]·b[i], double accumulation in index order (native codegen). */
   def dot(a: Column, b: Column): Column =
+    GraftSqlShims.column(DotProduct(ex(a), ex(b)))
+
+  /** Cosine similarity (native codegen); callers round before output. */
+  def cosine(a: Column, b: Column): Column =
+    GraftSqlShims.column(CosineSim(ex(a), ex(b)))
+
+  /** Squared L2 distance (native codegen). */
+  def l2sq(a: Column, b: Column): Column =
+    GraftSqlShims.column(L2Sq(ex(a), ex(b)))
+
+  /** Σ a[i]², double accumulation in index order. Cold path (used once
+    * per row side in normalization prep, not in pairwise loops). */
+  def normSq(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+
+  // ---- higher-order-function twins (spec reference semantics) ----
+
+  /** HOF rendering of dot — the executable spec of the fold order. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Σ a[i]², double accumulation in index order. */
-  def normSq(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+  /** HOF rendering of cosine. */
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
 
-  /** Cosine similarity; callers round before output (oracle parity). */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
-
-  /** Squared L2 distance, double accumulation in index order (strict
-    * left fold — bit-identical to the DuckDB oracle rendering). */
-  def l2sq(a: Column, b: Column): Column =
+  /** HOF rendering of l2sq. */
+  def l2sqHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),

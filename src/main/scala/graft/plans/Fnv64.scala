@@ -69,5 +69,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("double_from_payload"),
       new ExpressionInfo(classOf[DoubleFromPayload].getName, "double_from_payload"),
       (children: Seq[Expression]) => DoubleFromPayload(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("l2_sq"),
+      new ExpressionInfo(classOf[L2Sq].getName, "l2_sq"),
+      (children: Seq[Expression]) => L2Sq(children(0), children(1))))
   }
 }

@@ -331,10 +331,16 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     if (!fs.exists(dir)) return (0L, 0L)
     val scan = spark.read.schema(tableSchema).parquet(dir.toString).drop("bucket_ts")
     val before = scan.count()
+    // Cluster the rewritten bucket by (series, slot): parquet row-group
+    // min/max stats on the tag columns then actually prune — a Get for
+    // one series reads ~one row group instead of scanning the bucket.
+    // sortWithinPartitions (not orderBy): clustering needs no global
+    // sort, and the agg's hash partitioning is left untouched.
     val compacted = scan
       .groupBy((tagCols.map(col) :+ col("slot_ns")): _*)
       .agg(max_by(col("payload"), col("seq")).as("payload"), max(col("seq")).as("seq"))
       .select(col("slot_ns") +: tagCols.map(col) :+ col("payload") :+ col("seq"): _*)
+      .sortWithinPartitions((tagCols.map(col) :+ col("slot_ns")): _*)
     val tmp = new Path(s"${opts.tablePath}/.compact_tmp_$baseTs")
     val old = new Path(s"${opts.tablePath}/.compact_old_$baseTs")
     compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)

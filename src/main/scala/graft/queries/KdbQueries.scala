@@ -647,8 +647,51 @@ object KdbQueries extends QueryModule {
       FROM f
       ORDER BY slot_ns"""))
 
+  /** Exponentially weighted moving average over each type's hourly
+    * series: e_t = α·x_t + (1−α)·e_{t−1}, the classic smoothing op a
+    * TSDB surface offers next to rolling means. EWMA is inherently
+    * sequential per series, so it's computed as ONE strict left fold
+    * over the slot-ordered value list per series (collect_list after
+    * the per-slot pre-aggregation — bounded by slots-per-series, not
+    * by raw points). Both engines run the identical fold expression in
+    * the identical order, so the doubles are bit-identical pre-round.
+    * Slot values use max() (order-insensitive) so the input to the
+    * fold can't wobble. */
+  private val ewma = QueryDef(
+    "kdb_ewma",
+    (s, d) => {
+      ev(s, d)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(max(col("value")).as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_slots"),
+          round(
+            aggregate(
+              transform(sort_array(collect_list(struct(col("slot_ns"), col("v")))),
+                r => r.getField("v")),
+              lit(0.0),
+              (acc, x) => lit(0.3) * x + lit(0.7) * acc),
+            4).as("ewma"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT event_type,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               max(value) AS v
+        FROM events
+        GROUP BY 1, 2)
+      SELECT event_type,
+             count(*) AS n_slots,
+             round(list_reduce([0.0] || list(v ORDER BY slot_ns),
+                               (acc, x) -> 0.3 * x + 0.7 * acc), 4) AS ewma
+      FROM h
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
-    sessionize, downsample, interpFill)
+    sessionize, downsample, interpFill, ewma)
 }

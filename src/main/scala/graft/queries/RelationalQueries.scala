@@ -739,11 +739,41 @@ object RelationalQueries extends QueryModule {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  /** Approximate quantiles (the sketch path for percentiles at 100 TB
+    * — fixed-size partial state, one shuffle, vs exact percentile's
+    * per-group sort). Like kdb_approx_distinct, the sketch value is
+    * implementation-specific, so the oracle checks an ACCURACY
+    * PROPERTY: the estimate must land within 5% of the exact quantile,
+    * which DuckDB asserts as a constant-true column. */
+  private val qApproxQuantile = QueryDef(
+    "q_approx_quantile",
+    (s, d) => {
+      orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("est_p50"),
+          expr("percentile(o_totalprice, 0.5)").as("ex_p50"),
+          count(lit(1)).as("n_rows"))
+        .select(col("o_orderstatus"), col("n_rows"),
+          round(col("ex_p50"), 2).as("exact_p50"),
+          (abs(col("est_p50") - col("ex_p50")) <=
+            abs(col("ex_p50")) * lit(0.05)).as("approx_ok"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""
+      SELECT o_orderstatus,
+             count(*) AS n_rows,
+             round(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+             true AS approx_ok
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
   val defs: Seq[QueryDef] = Seq(
     q1Agg, q6Filter, q3TopOrders, q5Star, qSemi, qAnti,
     qWindowRunning, qTopkPerGroup, qLag, qRollup, qSortLimit,
     qSetOps, qScalarFuncs, qDistinctAgg,
     qCube, qNtile, qCorrSubquery, qPercentile,
     qDatetime, qStringFuncs, qNullSemantics, qArrayFuncs, qRangeFrame,
-    qStringAgg, qGroupingSets, qUnpivot, qSampleHash)
+    qStringAgg, qGroupingSets, qUnpivot, qSampleHash, qApproxQuantile)
 }

@@ -20,12 +20,23 @@ object Bench {
       "region", "events", "documents", "embeddings")
       .foreach(t => Tables.load(spark, sfDir, t).count())
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // the first noop save in a JVM pays writer/commit infra (~2.5s) —
+    // warm it here so the first timed query doesn't absorb it
+    spark.range(1000L).write.mode("overwrite").format("noop").save()
 
     // a failed query reports -1.0, never a fake timing
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val secs =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try {
+          // noop sink, NOT count(): count lets Catalyst drop the sorts,
+          // left joins, and projections the count doesn't need — the
+          // timing would flatter exactly the operators a user pays for.
+          // The noop writer executes the full physical plan and
+          // discards rows executor-side (no driver collect).
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1.0

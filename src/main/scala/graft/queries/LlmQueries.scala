@@ -192,12 +192,36 @@ object LlmQueries extends QueryModule {
       ORDER BY d1, d2"""))
 
   /** SimHash (16-bit) per document over token hashes. */
+  /** (doc_id, sh) n-bit simhash rows, built the scale way: explode to
+    * one row per token, ONE md5 per token, then n codegen'd ±1 vote
+    * sums grouped by doc (map-side combine). The array-lambda form
+    * (simhashN over transform(tokens, hashP)) is semantically
+    * identical but CollapseProject inlines the hash list into each of
+    * the n interpreted aggregate trees — n× the md5 work plus an
+    * interpreted lambda per element; it benched 30× slower. The vote
+    * sum is order-insensitive, so both shapes give the same bits. */
+  private def simhashRows(s: SparkSession, d: String, pred: Column, n: Int): DataFrame = {
+    val votes = (0 until n).map { j =>
+      val lo = 1L << j
+      val hi = 1L << (j + 1)
+      sum(when((col("h") % hi) >= lo, 1L).otherwise(-1L)).as(s"v$j")
+    }
+    val bits = (0 until n).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    documents(s, d).filter(pred)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), hashP(col("tok")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), bits.reduce(_ + _).as("sh"))
+  }
+
   private val simhashQ = QueryDef(
     "llm_simhash",
     (s, d) => {
-      val hashes = transform(tokens(col("text")), t => hashP(t))
-      documents(s, d)
-        .select(col("doc_id"), simhash16(hashes).as("simhash"))
+      simhashRows(s, d, lit(true), 16)
+        .select(col("doc_id"), col("sh").as("simhash"))
         .orderBy(col("doc_id"))
     },
     Some(s"""
@@ -218,9 +242,7 @@ object LlmQueries extends QueryModule {
   private val simhashPairs = QueryDef(
     "llm_dedup_simhash",
     (s, d) => {
-      val hashes = transform(tokens(col("text")), t => hashP(t))
-      val sim = documents(s, d).filter(col("doc_id") < 200)
-        .select(col("doc_id"), simhashN(hashes, 30).as("sh"))
+      val sim = simhashRows(s, d, col("doc_id") < 200, 30)
       val bands = sim.select(col("doc_id"), col("sh"),
         posexplode(array(col("sh") % 32768, expr("sh div 32768")))
           .as(Seq("band", "bkey")))

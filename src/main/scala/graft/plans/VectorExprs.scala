@@ -1,11 +1,12 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native float-vector kernels for the similarity operators.
+/** Native vector kernels for the similarity operators.
   *
   * Spark's higher-order functions (`zip_with`, `aggregate`) are
   * CodegenFallback: every element pays an interpreted lambda call with
@@ -16,17 +17,42 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * so the DuckDB oracles (`list_reduce` renderings) keep hash-matching.
   * VectorExprsSpec asserts the equivalence on random vectors.
   *
-  * Null semantics mirror the HOF composition exactly: length mismatch
-  * or any null element → NULL (zip_with pads the shorter side with
+  * Inputs may be array<float> or array<double> on either side
+  * (embeddings are float; k-means centroids are double averages);
+  * elements are widened to double exactly as the HOF `.cast("double")`
+  * did. Null semantics mirror the HOF composition: length mismatch or
+  * any null element → NULL (zip_with pads the shorter side with
   * nulls; a null poisons the fold).
   */
-abstract class FloatVecFold extends BinaryExpression with ExpectsInputTypes {
-  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+abstract class FloatVecFold extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  /** Combine the three accumulators (Σxy, Σx², Σy²) — or for distance
-    * ops, whichever the loop fills — into the final double. */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double> inputs, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  @inline protected final def elem(dt: DataType, a: ArrayData, i: Int): Double =
+    dt match {
+      case ArrayType(FloatType, _) => a.getFloat(i).toDouble
+      case _                       => a.getDouble(i)
+    }
+
+  /** Java accessor expression for one element, widened to double. */
+  protected final def elemJava(dt: DataType, a: String, i: String): String =
+    dt match {
+      case ArrayType(FloatType, _) => s"(double) $a.getFloat($i)"
+      case _                       => s"$a.getDouble($i)"
+    }
+
+  /** Combine the three accumulators (Σxy, Σx², Σy²) into the result. */
   protected def finish(dot: Double, na: Double, nb: Double): Double
   protected def finishJava(dot: String, na: String, nb: String): String
 
@@ -39,8 +65,8 @@ abstract class FloatVecFold extends BinaryExpression with ExpectsInputTypes {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = elem(left.dataType, a, i)
+      val y = elem(right.dataType, b, i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -64,8 +90,8 @@ abstract class FloatVecFold extends BinaryExpression with ExpectsInputTypes {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    double $x = (double) $a.getFloat($i);
-         |    double $y = (double) $b.getFloat($i);
+         |    double $x = ${elemJava(left.dataType, a, i)};
+         |    double $y = ${elemJava(right.dataType, b, i)};
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
          |  if (!${ev.isNull}) {
@@ -97,9 +123,8 @@ case class DotProduct(left: Expression, right: Expression) extends FloatVecFold 
     copy(left = l, right = r)
 }
 
-/** l2_sq(a, b) = Σ(x−y)². The loop accumulates the squared difference
-  * in the `dot` slot — per-step op is acc + (x−y)·(x−y), matching the
-  * HOF rendering used by the IVF oracles. */
+/** l2_sq(a, b) = Σ(x−y)². Per-step op is acc + (x−y)·(x−y), matching
+  * the HOF rendering used by the IVF oracles. */
 case class L2Sq(left: Expression, right: Expression) extends FloatVecFold {
   override def prettyName: String = "l2_sq"
   override protected def finish(dot: Double, na: Double, nb: Double): Double = dot
@@ -114,7 +139,7 @@ case class L2Sq(left: Expression, right: Expression) extends FloatVecFold {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      val d = elem(left.dataType, a, i) - elem(right.dataType, b, i)
       acc += d * d
       i += 1
     }
@@ -135,7 +160,7 @@ case class L2Sq(left: Expression, right: Expression) extends FloatVecFold {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |    double $d = ${elemJava(left.dataType, a, i)} - ${elemJava(right.dataType, b, i)};
          |    $acc += $d * $d;
          |  }
          |  if (!${ev.isNull}) {

@@ -66,6 +66,24 @@ class VectorExprsSpec extends SparkTestBase {
     assert(got(2).getDouble(3) === 8.0)
   }
 
+  test("double-array operands work on either side (float vs double centroid)") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Seq(1f, 2f, 3f), Seq(0.5, 1.5, 2.5))), 1),
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("a", ArrayType(FloatType, containsNull = false)),
+        StructField("c", ArrayType(DoubleType, containsNull = false)))))
+    val r = df.select(
+      dot(col("a"), col("c")).as("d"),
+      l2sq(col("a"), col("c")).as("l"),
+      l2sqHof(col("a"), col("c")).as("lh")).collect()(0)
+    assert(r.getDouble(0) === 1.0 * 0.5 + 2.0 * 1.5 + 3.0 * 2.5)
+    assert(r.getDouble(1) === 0.75)
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+      java.lang.Double.doubleToLongBits(r.getDouble(2)))
+  }
+
   test("expressions survive both codegen and interpreted eval") {
     // Interpreted path: nondeterministic-free eval via a literal frame
     val one = vecsDf.limit(1).select(

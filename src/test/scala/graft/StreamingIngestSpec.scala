@@ -204,4 +204,34 @@ class StreamingIngestSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(rows.toSeq === Seq(("s", 1000000L, 2L), ("s", 2000000L, 1L)))
   }
+
+  test("watermarked streaming dedup drops re-deliveries, state bounded by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Point]
+    val deduped = StreamingIngest.dedupStream(stream.toDF(), watermarkNs = 2000000000L)
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_test").outputMode("append")
+      .start()
+    try {
+      // batch 1: same content delivered twice plus one distinct point
+      stream.addData(
+        Point(1000000000L, tag4, pld(1), 1),
+        Point(1000000000L, tag4, pld(1), 2),  // exact re-delivery
+        Point(1100000000L, tag4, pld(2), 3))  // different payload
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() === 2L)
+      // batch 2: a re-delivery within the watermark window is still
+      // suppressed — key state survived the micro-batch boundary
+      stream.addData(Point(1200000000L, tag4, pld(1), 4))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() === 2L)
+      // batch 3: advance the watermark far past the old keys, then a
+      // fresh point lands — state for expired keys is dropped, the
+      // new content passes
+      stream.addData(Point(10000000000L, tag4, pld(3), 5))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() === 3L)
+    } finally q.stop()
+  }
 }

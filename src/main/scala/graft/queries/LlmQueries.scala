@@ -180,16 +180,23 @@ object LlmQueries extends QueryModule {
     },
     Some(s"""
       WITH ${dkMinhashCte},
+      ${dkLshPairsCtes}
+      SELECT d1, d2 FROM lsh_pairs
+      ORDER BY d1, d2"""))
+
+  /** DuckDB CTEs deriving the LSH candidate pairs from `sig` — shared
+    * between the pairs oracle and the cluster oracle. */
+  private def dkLshPairsCtes: String = s"""
       sigf AS (SELECT * FROM sig WHERE sig0 IS NOT NULL),
       bands AS (
         SELECT doc_id, 0 AS band, sig0 * ${P} + sig1 AS bkey FROM sigf
         UNION ALL SELECT doc_id, 1, sig2 * ${P} + sig3 FROM sigf
         UNION ALL SELECT doc_id, 2, sig4 * ${P} + sig5 FROM sigf
-        UNION ALL SELECT doc_id, 3, sig6 * ${P} + sig7 FROM sigf)
-      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-      ORDER BY d1, d2"""))
+        UNION ALL SELECT doc_id, 3, sig6 * ${P} + sig7 FROM sigf),
+      lsh_pairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
 
   /** SimHash (16-bit) per document over token hashes. */
   /** (doc_id, sh) n-bit simhash rows, built the scale way: explode to
@@ -855,9 +862,45 @@ object LlmQueries extends QueryModule {
       WHERE rk <= 20
       ORDER BY lang, rk"""))
 
+  /** The dedup FINISHING step, oracle-checked end to end: MinHash-LSH
+    * candidate pairs → connected components (iterative min-label
+    * propagation, graft.operators.Dedup) → one keeper per cluster.
+    * The DuckDB oracle computes the same components with a recursive
+    * CTE (transitive closure + min reachable id) — a rare case where
+    * an iterative Spark operator has an exact SQL twin, upgrading the
+    * component operator from spec-only to hash-gated. */
+  private val dedupClusters = QueryDef(
+    "llm_dedup_clusters",
+    (s, d) => {
+      val pairs = minhashLsh.fn(s, d)
+      // comps stays persisted (Dedup's contract): the keeper output is
+      // a view over it and unpersisting here would force the whole
+      // iteration to recompute at consumption time. The cached labels
+      // are one tiny row per clustered doc.
+      val comps = graft.operators.Dedup.connectedComponents(pairs)
+      graft.operators.Dedup.keepers(comps)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${dkMinhashCte},
+      ${dkLshPairsCtes},
+      edges AS (
+        SELECT d1 AS src, d2 AS dst FROM lsh_pairs
+        UNION ALL SELECT d2, d1 FROM lsh_pairs),
+      reach(id, r) AS (
+        SELECT src AS id, src AS r FROM edges
+        UNION
+        SELECT e.src AS id, reach.r
+        FROM edges e JOIN reach ON e.dst = reach.id)
+      SELECT id AS doc_id, min(r) AS keeper_id,
+             CASE WHEN id = min(r) THEN 1 ELSE 0 END AS is_keeper
+      FROM reach
+      GROUP BY id
+      ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
     embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, multimodalMeta,
-    filterChain, packSeq, stratSample)
+    filterChain, packSeq, stratSample, dedupClusters)
 }

@@ -20,9 +20,12 @@ object Bench {
       "region", "events", "documents", "embeddings")
       .foreach(t => Tables.load(spark, sfDir, t).count())
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    // the first noop save in a JVM pays writer/commit infra (~2.5s) —
-    // warm it here so the first timed query doesn't absorb it
-    spark.range(1000L).write.mode("overwrite").format("noop").save()
+    // the first noop save in a JVM pays writer/commit infra (~2.5s),
+    // and the first aggregate pays AQE/codegen one-offs — warm both so
+    // the first timed query doesn't absorb them
+    spark.range(1000L).selectExpr("id % 5 AS k", "id AS v")
+      .groupBy("k").sum("v")
+      .write.mode("overwrite").format("noop").save()
 
     // a failed query reports -1.0, never a fake timing
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

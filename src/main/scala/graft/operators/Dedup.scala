@@ -20,12 +20,26 @@ object Dedup {
     * @return (id, comp) — comp = min doc id reachable; one row per
     *         vertex appearing in any edge */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
-      .persist()
+    // Persist the INPUT before symmetrizing: sym is a 2-way union over
+    // the edges plan, so without this the (possibly expensive —
+    // MinHash-LSH) pair pipeline executes twice just to materialize
+    // sym.
+    val in = edges.select(col("d1"), col("d2")).persist()
+    // localCheckpoint, not persist: persist caches DATA but keeps the
+    // logical lineage, so each round's plan contains every previous
+    // round — planning cost grows quadratically with iterations (a
+    // 20-round run was re-optimizing a plan with tens of thousands of
+    // operators). Checkpointing truncates the plan to the materialized
+    // RDD: constant-size plans, constant per-round cost. (On a real
+    // cluster with failure-tolerance requirements, use reliable
+    // checkpoint() to durable storage instead — localCheckpoint trades
+    // executor-loss recovery for speed.)
+    val sym = in.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(in.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist()
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -36,16 +50,26 @@ object Dedup {
         .select(labels("id"),
           least(labels("comp"), coalesce(col("ncomp"), labels("comp"))).as("newComp"),
           labels("comp").as("oldComp"))
-        .persist()
+        .localCheckpoint(true)
       changed = updated.filter(col("newComp") < col("oldComp")).count()
-      val next = updated.select(col("id"), col("newComp").as("comp")).persist()
-      next.count() // materialize before releasing its parent's cache
+      // Pointer jump: follow comp one extra hop (comp values are
+      // themselves vertex ids, and comp[comp] ≤ comp). Chains collapse
+      // in O(log diameter) rounds instead of O(diameter) — the
+      // classic label-propagation accelerator. At fixpoint the jump is
+      // the identity, so the converged labels are unchanged by it.
+      val next0 = updated.select(col("id"), col("newComp").as("comp"))
+      val next = next0.as("a")
+        .join(next0.select(col("id").as("jid"), col("comp").as("jcomp")).as("b"),
+          col("comp") === col("jid"), "left_outer")
+        .select(col("id"), coalesce(col("jcomp"), col("comp")).as("comp"))
+        .localCheckpoint(true)
       updated.unpersist()
       labels.unpersist()
       labels = next
       iter += 1
     }
     sym.unpersist()
+    in.unpersist()
     // Returning silently-unconverged labels would split one duplicate
     // cluster into several "keepers" — fail loudly instead (near-dup
     // clusters have tiny diameters; hitting this means maxIter is

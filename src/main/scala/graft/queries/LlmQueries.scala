@@ -92,8 +92,9 @@ object LlmQueries extends QueryModule {
     * (map-side combine); the md5 is evaluated exactly once per
     * shingle — a giant win over nesting the hash inside 8 array_min
     * expression trees, which recomputes it per permutation. */
-  private def minhashSigCore(s: SparkSession, d: String): DataFrame = {
-    val ex = shingleRows(s, d, lit(true))
+  private def minhashSigCore(s: SparkSession, d: String,
+      pred: Column = lit(true)): DataFrame = {
+    val ex = shingleRows(s, d, pred)
       .select(col("doc_id"), hashP(col("shingle")).as("h"))
     val aggs = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % P).as(s"sig$i")
@@ -107,7 +108,11 @@ object LlmQueries extends QueryModule {
     documents(s, d).select(col("doc_id"))
       .join(minhashSigCore(s, d), Seq("doc_id"), "left_outer")
 
-  private def dkMinhashCte: String = {
+  private def dkMinhashCte: String = dkMinhashCteWhere("")
+
+  /** As dkMinhashCte, with an optional WHERE on documents (used by the
+    * cluster query to bound the pair graph). */
+  private def dkMinhashCteWhere(where: String): String = {
     // tokens / shingles / shingle hashes, mirrored expression by expression
     val shingleList =
       "list_transform(generate_series(0, len(toks) - 3), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])"
@@ -115,7 +120,7 @@ object LlmQueries extends QueryModule {
       s"list_min(list_transform(hashes, h -> ($a * h + $b) % $P)) AS sig$i"
     }.mkString(",\n             ")
     s"""
-      toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents $where),
       sh AS (SELECT doc_id, $shingleList AS shingle_list FROM toks),
       hs AS (SELECT doc_id, list_transform(shingle_list, x -> ${dkHashP("x")}) AS hashes FROM sh),
       sig AS (SELECT doc_id,
@@ -140,10 +145,9 @@ object LlmQueries extends QueryModule {
     * P² < 2^63), not strings — an 8-byte shuffle key instead of a
     * ~20-byte text one, the "hash, not payload, on the wire"
     * principle. */
-  private val minhashLsh = QueryDef(
-    "llm_dedup_minhash_lsh",
-    (s, d) => {
-      val sig = minhashSigCore(s, d) // short docs have no sigs: excluded
+  private def lshPairs(s: SparkSession, d: String,
+      pred: Column = lit(true)): DataFrame = {
+      val sig = minhashSigCore(s, d, pred) // short docs have no sigs: excluded
       val bandCols = (0 until 4).map(b =>
         col(s"sig${2 * b}") * P + col(s"sig${2 * b + 1}"))
       val bands = sig.select(col("doc_id"),
@@ -176,8 +180,11 @@ object LlmQueries extends QueryModule {
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       localPairs.union(bigPairs)
         .distinct()
-        .orderBy(col("d1"), col("d2"))
-    },
+  }
+
+  private val minhashLsh = QueryDef(
+    "llm_dedup_minhash_lsh",
+    (s, d) => lshPairs(s, d).orderBy(col("d1"), col("d2")),
     Some(s"""
       WITH ${dkMinhashCte},
       ${dkLshPairsCtes}
@@ -872,7 +879,13 @@ object LlmQueries extends QueryModule {
   private val dedupClusters = QueryDef(
     "llm_dedup_clusters",
     (s, d) => {
-      val pairs = minhashLsh.fn(s, d)
+      // Bounded to the first 500 doc ids: at gate scale (sf0.01) that
+      // is the whole corpus, so the oracle checks everything; at bench
+      // scale it keeps the pair graph (and the oracle's transitive
+      // closure) candidate-bounded instead of quadratic in the corpus'
+      // replica mega-clusters — same boundedness discipline as
+      // llm_dedup_simhash. The operator itself has no such bound.
+      val pairs = lshPairs(s, d, col("doc_id") < 500)
       // comps stays persisted (Dedup's contract): the keeper output is
       // a view over it and unpersisting here would force the whole
       // iteration to recompute at consumption time. The cached labels
@@ -882,7 +895,7 @@ object LlmQueries extends QueryModule {
         .orderBy(col("doc_id"))
     },
     Some(s"""
-      WITH RECURSIVE ${dkMinhashCte},
+      WITH RECURSIVE ${dkMinhashCteWhere("WHERE doc_id < 500")},
       ${dkLshPairsCtes},
       edges AS (
         SELECT d1 AS src, d2 AS dst FROM lsh_pairs

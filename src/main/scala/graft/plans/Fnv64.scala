@@ -55,12 +55,12 @@ object Fnv64 {
 
 /** Engine extensions, installed with
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.plans.GraftExtensions`. Currently
-  * registers the native function surface; the slot where a
-  * `Rule[LogicalPlan]` / `SparkStrategy` would plug in if an operator
-  * ever outgrows what stock plans express (none has — SURVEY.md §7.2). */
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. Registers the
+  * native function surface plus the [[InferBucketPruning]] optimizer
+  * rule (partition pruning for users who only constrain slot_ns). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => InferBucketPruning)
     ext.injectFunction((
       FunctionIdentifier("fnv64"),
       new ExpressionInfo(classOf[Fnv64].getName, "fnv64"),

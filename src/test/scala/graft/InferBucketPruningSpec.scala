@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** The InferBucketPruning optimizer rule: a user query constraining
+  * only slot_ns must still partition-prune on bucket_ts. */
+class InferBucketPruningSpec extends SparkTestBase {
+
+  private val tag4 = Seq("a", "b", "c", "d")
+  private def pld(b: Byte): Array[Byte] = Array[Byte](b, b, b, b)
+
+  test("slot_ns-only filter gains bucket_ts partition pruning; results unchanged") {
+    val dir = Files.createTempDirectory("graft-ibp").toString
+    val clock = new TestClock(11999L)
+    val opts = EngineOptions(
+      databaseName = "ibp", dataDir = dir,
+      indexDepth = 4, payloadSize = 4,
+      bucketDuration = 1000L, resolution = 10L)
+    val e = new Engine(spark, opts, clock)
+    // three buckets' worth of data (9000, 10000, 11000)
+    e.put(Seq(
+      Point(9500L, tag4, pld(1)),
+      Point(10500L, tag4, pld(2)),
+      Point(11500L, tag4, pld(3))))
+
+    val conf = spark.conf
+    val old = conf.getOption("spark.graft.bucket.duration.ns")
+    conf.set("spark.graft.bucket.duration.ns", opts.bucketDuration.toString)
+    try {
+      // user-style read: slot range only, no bucket_ts predicate
+      val df = spark.read.parquet(s"$dir/ibp")
+        .filter(col("slot_ns") >= 10200L && col("slot_ns") < 11600L)
+      val rows = df.collect()
+      assert(rows.map(_.getAs[Array[Byte]]("payload").toSeq).toSet ===
+        Set(pld(2).toSeq, pld(3).toSeq))
+      val plan = df.queryExecution.executedPlan.toString
+      val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      assert(scanLine.contains("bucket_ts"),
+        s"expected derived bucket_ts partition filter, got: $scanLine")
+      // derived bounds: bucket_ts >= 10000 and <= 11000
+      assert(scanLine.contains("10000") && scanLine.contains("11000"), scanLine)
+
+      // exact-slot equality derives an exact bucket
+      val eq = spark.read.parquet(s"$dir/ibp").filter(col("slot_ns") === 10500L)
+      assert(eq.count() === 1L)
+      val eqLine = eq.queryExecution.executedPlan.toString
+        .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      assert(eqLine.contains("bucket_ts") && eqLine.contains("10000"), eqLine)
+    } finally {
+      old match {
+        case Some(v) => conf.set("spark.graft.bucket.duration.ns", v)
+        case None    => conf.unset("spark.graft.bucket.duration.ns")
+      }
+    }
+  }
+
+  test("rule is a no-op when bucket_ts is already constrained or conf unset") {
+    val dir = Files.createTempDirectory("graft-ibp2").toString
+    val clock = new TestClock(11999L)
+    val opts = EngineOptions(
+      databaseName = "ibp2", dataDir = dir,
+      indexDepth = 4, payloadSize = 4,
+      bucketDuration = 1000L, resolution = 10L)
+    val e = new Engine(spark, opts, clock)
+    e.put(Seq(Point(10500L, tag4, pld(2)), Point(11500L, tag4, pld(3))))
+
+    // conf unset: filter still answers correctly (no derived predicate)
+    spark.conf.unset("spark.graft.bucket.duration.ns")
+    val noRule = spark.read.parquet(s"$dir/ibp2").filter(col("slot_ns") >= 11000L)
+    assert(noRule.count() === 1L)
+
+    // explicit bucket_ts predicate: rule must not double-add (results stay right)
+    spark.conf.set("spark.graft.bucket.duration.ns", opts.bucketDuration.toString)
+    try {
+      val explicit = spark.read.parquet(s"$dir/ibp2")
+        .filter(col("bucket_ts") === 11000L && col("slot_ns") >= 11000L)
+      assert(explicit.count() === 1L)
+    } finally spark.conf.unset("spark.graft.bucket.duration.ns")
+  }
+}

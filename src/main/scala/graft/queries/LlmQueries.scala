@@ -911,8 +911,30 @@ object LlmQueries extends QueryModule {
       GROUP BY id
       ORDER BY doc_id"""))
 
+  /** Corpus n-gram statistics: top word-3-gram shingles by frequency —
+    * the corpus-profiling twin of the dedup shingle pipeline (same
+    * shingleRows scan shape, one shuffle on the shingle, top-k via
+    * TakeOrdered). Ties broken by shingle text for a total order. */
+  private val ngramCounts = QueryDef(
+    "llm_ngram_counts",
+    (s, d) => {
+      shingleRows(s, d, lit(true))
+        .groupBy(col("shingle"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("shingle"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH ${dkMinhashCte},
+      u AS (SELECT unnest(shingle_list) AS shingle FROM sh)
+      SELECT shingle, count(*) AS n
+      FROM u
+      GROUP BY shingle
+      ORDER BY n DESC, shingle
+      LIMIT 20"""))
+
   val defs: Seq[QueryDef] = Seq(
-    dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard,
+    dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
     embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, multimodalMeta,
     filterChain, packSeq, stratSample, dedupClusters)

@@ -769,11 +769,35 @@ object RelationalQueries extends QueryModule {
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
 
+  /** Fixed-width histogram: value → bucket ordinal via floored
+    * division — one narrow scan, one shuffle on the (tiny) bucket key.
+    * The declarative histogram shape every profiling pass uses. */
+  private val qHistogram = QueryDef(
+    "q_histogram",
+    (s, d) => {
+      lineitem(s, d)
+        .select((floor(col("l_quantity") / 5.0).cast("long")).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("bucket"), (col("bucket") * 5).as("lo"),
+          ((col("bucket") + 1) * 5).as("hi"), col("n"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      SELECT CAST(floor(l_quantity / 5.0) AS BIGINT) AS bucket,
+             CAST(floor(l_quantity / 5.0) AS BIGINT) * 5 AS lo,
+             (CAST(floor(l_quantity / 5.0) AS BIGINT) + 1) * 5 AS hi,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY bucket"""))
+
   val defs: Seq[QueryDef] = Seq(
     q1Agg, q6Filter, q3TopOrders, q5Star, qSemi, qAnti,
     qWindowRunning, qTopkPerGroup, qLag, qRollup, qSortLimit,
     qSetOps, qScalarFuncs, qDistinctAgg,
     qCube, qNtile, qCorrSubquery, qPercentile,
     qDatetime, qStringFuncs, qNullSemantics, qArrayFuncs, qRangeFrame,
-    qStringAgg, qGroupingSets, qUnpivot, qSampleHash, qApproxQuantile)
+    qStringAgg, qGroupingSets, qUnpivot, qSampleHash, qApproxQuantile,
+    qHistogram)
 }

@@ -344,7 +344,8 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     val tmp = new Path(s"${opts.tablePath}/.compact_tmp_$baseTs")
     val old = new Path(s"${opts.tablePath}/.compact_old_$baseTs")
     compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val after = spark.read.parquet(tmp.toString).count()
+    // explicit schema: a 0-row compaction output has no files to infer from
+    val after = spark.read.schema(compacted.schema).parquet(tmp.toString).count()
     // Swap by rename-aside, never delete-then-rename: a crash between
     // a delete and a rename would lose the bucket with no recovery
     // path. Here every crash window leaves either the live dir or the

@@ -21,10 +21,15 @@ object Bench {
       .foreach(t => Tables.load(spark, sfDir, t).count())
     spark.range(1000000L).selectExpr("sum(id)").collect()
     // the first noop save in a JVM pays writer/commit infra (~2.5s),
-    // and the first aggregate pays AQE/codegen one-offs — warm both so
-    // the first timed query doesn't absorb them
-    spark.range(1000L).selectExpr("id % 5 AS k", "id AS v")
-      .groupBy("k").sum("v")
+    // and the first aggregate / window / sketch pays codegen and
+    // class-loading one-offs — warm them all so the first timed query
+    // doesn't absorb them (nothing here caches table data)
+    spark.range(1000L)
+      .selectExpr("id % 5 AS k", "id AS v")
+      .selectExpr("k", "v",
+        "approx_count_distinct(v) OVER (PARTITION BY k) AS acd",
+        "sum(v) OVER (PARTITION BY k ORDER BY v) AS rs")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
       .write.mode("overwrite").format("noop").save()
 
     // a failed query reports -1.0, never a fake timing

@@ -27,12 +27,29 @@ class QueriesSpec extends SparkTestBase {
   }
 
   test("every query has an oracle (full hash-match coverage)") {
-    // sketch estimates are implementation-specific → rows-only check
-    val noOracleOk = Set("kdb_approx_distinct")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- noOracleOk
+    // since r3 even the sketch queries carry property oracles
+    // (estimate-within-tolerance asserted as a boolean column)
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without query: $orphans")
+  }
+
+  test("kdb_sessionize reuses the user_id partitioning: one hash exchange") {
+    val plan = SparkEntry.queries("kdb_sessionize")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1,
+      s"window + session rollup should share one shuffle, found $hashExchanges")
+  }
+
+  test("q_grouping_sets plans one Expand for all three sets") {
+    val plan = SparkEntry.queries("q_grouping_sets")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // codegen prefixes the operator name ("*(2) Expand [...]")
+    assert(plan.linesIterator.count(_.contains(" Expand [")) === 1,
+      "grouping sets should expand once, not re-scan per set")
   }
 
   test("q6 selective filter is pushed into the parquet scan") {

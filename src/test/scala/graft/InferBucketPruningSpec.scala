@@ -56,6 +56,33 @@ class InferBucketPruningSpec extends SparkTestBase {
     }
   }
 
+  test("ns-scale epochs (LongType partition values) derive pruning bounds too") {
+    val Day = 24L * 3600 * 1000000000L
+    val Hour = 3600L * 1000000000L
+    val T0 = 1704067200000000000L // 2024-01-01 ns — discovers as LongType
+    val dir = Files.createTempDirectory("graft-ibp-ns").toString
+    val clock = new TestClock(T0 + 3 * Day)
+    val opts = EngineOptions(
+      databaseName = "ibpns", dataDir = dir,
+      indexDepth = 4, payloadSize = 4,
+      bucketDuration = Day, resolution = Hour, maxHotBuckets = 10)
+    val e = new Engine(spark, opts, clock)
+    e.put(Seq(
+      Point(T0 + 5 * Hour, tag4, pld(1)),
+      Point(T0 + Day + 5 * Hour, tag4, pld(2)),
+      Point(T0 + 2 * Day + 5 * Hour, tag4, pld(3))))
+    spark.conf.set("spark.graft.bucket.duration.ns", Day.toString)
+    try {
+      val df = spark.read.parquet(s"$dir/ibpns")
+        .filter(col("slot_ns") >= T0 + Day && col("slot_ns") < T0 + 2 * Day)
+      assert(df.collect().map(_.getAs[Array[Byte]]("payload").toSeq).toSeq ===
+        Seq(pld(2).toSeq))
+      val line = df.queryExecution.executedPlan.toString
+        .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      assert(line.contains("bucket_ts") && line.contains((T0 + Day).toString), line)
+    } finally spark.conf.unset("spark.graft.bucket.duration.ns")
+  }
+
   test("rule is a no-op when bucket_ts is already constrained or conf unset") {
     val dir = Files.createTempDirectory("graft-ibp2").toString
     val clock = new TestClock(11999L)

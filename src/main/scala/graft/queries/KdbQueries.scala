@@ -479,15 +479,17 @@ object KdbQueries extends QueryModule {
         .agg(count(lit(1)).as("n_users"), sum(col("c")).as("n_rows"),
           approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
         .select(col("event_type"), col("n_users"), col("n_rows"),
+          // int, not boolean: the driver hash has precedent for int
+          // parity across engines (llm_lang_id.hit) but none for bool
           (abs(col("approx_users") - col("n_users")) <=
-            col("n_users") * lit(0.05)).as("approx_ok"))
+            col("n_users") * lit(0.05)).cast("int").as("approx_ok"))
         .orderBy(col("event_type"))
     },
     Some("""
       SELECT event_type,
              count(DISTINCT user_id) AS n_users,
              count(*) AS n_rows,
-             true AS approx_ok
+             1 AS approx_ok
       FROM events
       GROUP BY event_type
       ORDER BY event_type"""))

@@ -757,14 +757,14 @@ object RelationalQueries extends QueryModule {
         .select(col("o_orderstatus"), col("n_rows"),
           round(col("ex_p50"), 2).as("exact_p50"),
           (abs(col("est_p50") - col("ex_p50")) <=
-            abs(col("ex_p50")) * lit(0.05)).as("approx_ok"))
+            abs(col("ex_p50")) * lit(0.05)).cast("int").as("approx_ok"))
         .orderBy(col("o_orderstatus"))
     },
     Some("""
       SELECT o_orderstatus,
              count(*) AS n_rows,
              round(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
-             true AS approx_ok
+             1 AS approx_ok
       FROM orders
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))

@@ -119,9 +119,14 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       // ingest task appends its own tiny file to EVERY bucket dir
       // (tasks × buckets small files per batch — the classic
       // write-amplification bug that quietly destroys read latency).
-      // One shuffle keyed by bucket → ~one file per bucket per batch.
-      projected
-        .repartition(col("bucket_ts"))
+      // One shuffle keyed by bucket → ~filesPerBucket files per bucket
+      // per batch; a series-hash subkey spreads bulk backfills over
+      // multiple writer tasks per bucket when configured.
+      val keyed =
+        if (opts.filesPerBucket <= 1) projected.repartition(col("bucket_ts"))
+        else projected.repartition(col("bucket_ts"),
+          pmod(hash(tagCols.map(col): _*), lit(opts.filesPerBucket)))
+      keyed
         .write
         .mode(SaveMode.Append)
         .partitionBy("bucket_ts")

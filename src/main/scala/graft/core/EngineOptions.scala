@@ -20,6 +20,15 @@ package graft.core
   * @param maxHotBuckets number of most-recent buckets that accept
   *                      writes (dbase/dbase.go:17-18); older buckets
   *                      are read-only (dbucket/dbucket.go:119-122)
+  * @param filesPerBucket ingest write fan-out per bucket per batch.
+  *                      1 (default) = one task and one file per bucket
+  *                      — minimal file count, right for steady small
+  *                      batches. Raise for bulk backfills where a
+  *                      single bucket's batch share exceeds what one
+  *                      task should write (~a few hundred MB): writes
+  *                      then spread over N series-hashed tasks per
+  *                      bucket at the cost of N files per batch
+  *                      (compaction re-merges them).
   */
 final case class EngineOptions(
     databaseName: String,
@@ -28,7 +37,8 @@ final case class EngineOptions(
     payloadSize: Int,
     bucketDuration: Long,
     resolution: Long,
-    maxHotBuckets: Int = 2) {
+    maxHotBuckets: Int = 2,
+    filesPerBucket: Int = 1) {
   require(bucketDuration > 0 && resolution > 0,
     "bucketDuration and resolution must be positive")
   // dbase/dbase.go:71-73 — bucket must hold a whole number of slots
@@ -39,6 +49,7 @@ final case class EngineOptions(
   // maxHotBuckets = 0 would make minHotExclusive the current bucket
   // and reject EVERY write as err_write_on_read_only
   require(maxHotBuckets > 0, "maxHotBuckets must be positive")
+  require(filesPerBucket > 0, "filesPerBucket must be positive")
 
   /** Slots per bucket = payloadCount of one record (dblock/dblock.go:80). */
   def payloadCount: Long = bucketDuration / resolution

@@ -177,6 +177,31 @@ class EngineSpec extends SparkTestBase {
     assert(payloads(e.get(10000L, 10010L, tag4)) === Seq(Seq[Byte](0, 0, 0, 0)))
   }
 
+  test("filesPerBucket > 1 spreads a bulk batch over several files; reads unchanged") {
+    val dir = Files.createTempDirectory("graft-fpb").toString
+    val clock = new TestClock(11999L)
+    val opts = EngineOptions(
+      databaseName = "fpb", dataDir = dir,
+      indexDepth = 4, payloadSize = 4,
+      bucketDuration = 1000L, resolution = 10L, filesPerBucket = 4)
+    val e = new Engine(spark, opts, clock)
+    // 64 series in one bucket. AQE's partition coalescing would merge
+    // this tiny batch back to one writer task (correctly — the knob
+    // matters for bulk sizes AQE won't coalesce); disable it here to
+    // observe the configured fan-out.
+    val pts = (0 until 64).map(i => Point(11000L + (i % 10) * 10, Seq("t", "u", "v", s"s$i"), pld(1)))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try assert(e.put(pts) === Map("ok" -> 64L))
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val files = new java.io.File(s"$dir/fpb/bucket_ts=11000")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files > 1 && files <= 4, s"expected 2..4 files, got $files")
+    // read parity: one series comes back dense and correct
+    val got = payloads(e.get(11000L, 11100L, Seq("t", "u", "v", "s0")))
+    assert(got.head === pld(1).toSeq)
+    assert(got.size === 10)
+  }
+
   test("interrupted compaction swap is recovered from the aside copy") {
     val (e, _) = mkEngine()
     e.put(Seq(Point(11000L, tag4, pld(5))))

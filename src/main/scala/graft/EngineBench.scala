@@ -43,10 +43,20 @@ object EngineBench {
       engine.get(T0, T0 + 30 * Day, Seq("click", "7")).collect().length)
     val (f, findSec) = time(
       engine.find(T0, T0 + 30 * Day, Seq("purchase", "")).collect().length)
+    // second put of the same batch = pure-superseded rows, then compact
+    // one bucket: measures the LWW materialization rewrite and the
+    // read-latency payback on a 2x-duplicated bucket
+    engine.put(events)
+    val bucket = engine.bucketsOnDisk().head
+    val ((before, after), compactSec) = time(engine.compactBucket(bucket))
+    val (_, getPostSec) = time(
+      engine.get(T0, T0 + 30 * Day, Seq("click", "7")).collect().length)
 
     println(s"""{"metric":"engine_bench","rows":$nRows,"ok":${ledger.getOrElse("ok", 0L)},""" +
       s""""put_rows_per_s":${(nRows / putSec).toLong},"put_sec":$putSec,""" +
-      s""""get_sec":$getSec,"get_rows":$g,"find_sec":$findSec,"find_rows":$f,"sf":"$sfDir"}""")
+      s""""get_sec":$getSec,"get_rows":$g,"find_sec":$findSec,"find_rows":$f,""" +
+      s""""compact_sec":$compactSec,"compact_rows_before":$before,"compact_rows_after":$after,""" +
+      s""""get_post_compact_sec":$getPostSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

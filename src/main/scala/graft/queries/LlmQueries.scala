@@ -152,6 +152,13 @@ object LlmQueries extends QueryModule {
         col(s"sig${2 * b}") * P + col(s"sig${2 * b + 1}"))
       val bands = sig.select(col("doc_id"),
         posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
+      // NOTE: the hybrid pair generation below consumes buckets from
+      // two branches (local pairing + the big-bucket self-join), which
+      // recomputes the pipeline per branch. persist() here showed no
+      // measured win at sf0.1 (the cache boundary also limits AQE's
+      // runtime re-planning), so the plan stays cache-free; revisit
+      // with a cheap reliable checkpoint if the pipeline above this
+      // aggregation ever becomes the dominant cost.
       val buckets = bands.groupBy(col("band"), col("bkey"))
         .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) > 1)

@@ -10,6 +10,22 @@ import graft.sources.Formats
   * round-trip (schema-explicit interchange). */
 class FunctionsSpec extends SparkTestBase {
 
+  test("explode-and-vote simhash equals the HOF fold bit-for-bit") {
+    import graft.functions.TextFunctions._
+    val d = "/root/testdata/sf0.001"
+    // production shape (llm_simhash): explode → one hash per token →
+    // per-bit ±1 vote sums
+    val got = SparkEntry.queries("llm_simhash")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // executable spec: the array-lambda fold (TextFunctions.simhashN)
+    val hashes = transform(tokens(col("text")), t => hashP(t))
+    val want = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), simhash16(hashes).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === want.size)
+    got.foreach { case (id, sh) => assert(sh === want(id), s"doc $id") }
+  }
+
   test("TopKAgg equals the window row_number top-k, with map-side-combinable shuffle") {
     import spark.implicits._
     // synthetic: 5 groups × 200 candidates, deterministic scores

@@ -21,4 +21,13 @@ object Formats {
 
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** ORC: the other columnar interchange format (stats + pushdown,
+    * like parquet; some lakes standardize on it). Schema passed
+    * explicitly for symmetry even though ORC self-describes. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

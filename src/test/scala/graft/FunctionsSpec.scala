@@ -80,5 +80,10 @@ class FunctionsSpec extends SparkTestBase {
     val fromJson = Formats.readJsonl(spark, s"$dir/json", src.schema)
     assert(fromJson.exceptAll(src).count() === 0)
     assert(src.exceptAll(fromJson).count() === 0)
+
+    Formats.writeOrc(src, s"$dir/orc")
+    val fromOrc = Formats.readOrc(spark, s"$dir/orc", src.schema)
+    assert(fromOrc.exceptAll(src).count() === 0)
+    assert(src.exceptAll(fromOrc).count() === 0)
   }
 }

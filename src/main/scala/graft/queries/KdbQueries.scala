@@ -38,10 +38,13 @@ object KdbQueries extends QueryModule {
 
   /** events with ts as raw int64 ns. Our session builders set
     * spark.sql.legacy.parquet.nanosAsLong so parquet ns timestamps read
-    * as LongType (exact int64 math, as in the reference). An external
-    * driver session may not set the flag — then ts reads as
-    * TimestampType (µs precision) and we convert explicitly; a silent
-    * cast("long") there would yield epoch SECONDS and empty results. */
+    * as LongType (exact int64 math, as in the reference). A session
+    * WITHOUT the flag fails loudly on ns-annotated parquet
+    * (PARQUET_TYPE_ILLEGAL — Spark 4 never silently truncates it); the
+    * TimestampType branch below serves genuinely µs-precision event
+    * tables, converting explicitly — a bare cast("long") there would
+    * yield epoch SECONDS and empty results. Both facts are pinned by
+    * DriverSessionCompatSpec. */
   private def ev(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampType}
     val df = events(s, d)

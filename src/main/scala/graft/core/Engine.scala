@@ -9,13 +9,19 @@ import org.apache.spark.sql.types._
   * Find / RemoveBefore over a time-bucket-partitioned parquet table.
   *
   * Storage layout = the reference's bucket-directory scheme
-  * (dbucket/dbucket.go:62-65) in parquet clothing: one partition dir
-  * `bucket_ts=<baseTS>` per bucket, so time-range predicates become
-  * metadata-only partition pruning and RemoveBefore is a partition
-  * drop. Row schema:
+  * (dbucket/dbucket.go:62-65) in parquet clothing, under an
+  * atomic-publish batch level:
+  *
+  *   batch=<uuid>/bucket_ts=<baseTS>/part-*.parquet
+  *
+  * Each put publishes ONE batch dir with one filesystem rename (see
+  * publishBatch — the ACID seam), while bucket_ts stays a discovered
+  * partition column, so time-range predicates are still metadata-only
+  * partition pruning and RemoveBefore is still a partition drop. Row
+  * schema:
   *
   *   slot_ns LONG, tag0..tag{D-1} STRING, payload BINARY, seq LONG
-  *   (partition col: bucket_ts LONG)
+  *   (partition cols: batch STRING (publish unit), bucket_ts LONG)
   *
   * vs the reference's dense per-series slot files: we store one row
   * per written point and reconstruct density (zero payloads for empty
@@ -85,11 +91,11 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * partitions, returns the per-reason ledger (the batch analog of
     * the reference's per-call error returns — a distributed engine
     * surfaces rejects as data, it cannot throw per row). */
-  // Two concurrent append jobs on one tablePath share the parquet
-  // committer's _temporary staging dir — one job's commit cleanup can
-  // delete the other's uncommitted task files. Writes are serialized
-  // per Engine instance; cross-JVM writers need a table format with a
-  // real commit protocol (Delta/Iceberg — the 100 TB deployment shape).
+  // Each put publishes its own staging dir (no shared committer
+  // _temporary), so concurrent writers — even cross-JVM — cannot
+  // corrupt each other. The local lock only serializes this
+  // instance's put/compact jobs so they don't contend for executor
+  // resources and the ledger/readback ordering stays intuitive.
   private val writeLock = new Object
 
   def put(points: DataFrame): Map[String, Long] = writeLock.synchronized {
@@ -104,9 +110,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
 
   private def putClassified(classified: DataFrame): Map[String, Long] = {
     // Ledger first (classified is persisted, so this is the only full
-    // pass): an all-rejected batch must NOT run the write job — the
-    // Append committer would still create tablePath containing only
-    // _SUCCESS, and a schema-inferring read of that dir would throw.
+    // pass): an all-rejected batch must not run the write job at all.
     val ledger = classified.groupBy(col("reason")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (ledger.getOrElse(Ok, 0L) > 0L) {
@@ -126,13 +130,38 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         if (opts.filesPerBucket <= 1) projected.repartition(col("bucket_ts"))
         else projected.repartition(col("bucket_ts"),
           pmod(hash(tagCols.map(col): _*), lit(opts.filesPerBucket)))
-      keyed
-        .write
-        .mode(SaveMode.Append)
-        .partitionBy("bucket_ts")
-        .parquet(opts.tablePath)
+      publishBatch(keyed)
     }
     ledger
+  }
+
+  /** Crash-atomic batch publish — the engine's ACID story (the
+    * reference's headline claim, README.md:5, which it gets from
+    * mmap + positional overwrite). Each batch is written under a
+    * hidden staging dir (invisible to readers — Spark skips dot
+    * files), then published with ONE filesystem rename into
+    * `batch=<uuid>/bucket_ts=<ns>/…`. Consequences:
+    *  - a crash mid-write leaves only an invisible staging dir (swept
+    *    by the next compaction) — readers can never observe a partial
+    *    batch, unlike a committer appending into shared partition dirs;
+    *  - concurrent writers (even cross-JVM) never collide: no shared
+    *    _temporary, each publishes its own batch dir;
+    *  - bucket_ts stays a partition column (batch is just one more
+    *    discovered level), so time pruning is unchanged.
+    * On object stores without atomic rename, swap this seam for a
+    * manifest-based table format (Delta/Iceberg) — the rest of the
+    * engine is unchanged. */
+  private def publishBatch(rows: DataFrame): Unit = {
+    val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val staging = new Path(s"${opts.tablePath}/.staging_$uuid")
+    rows.write.mode(SaveMode.Overwrite).partitionBy("bucket_ts").parquet(staging.toString)
+    fs.mkdirs(new Path(opts.tablePath))
+    val target = new Path(s"${opts.tablePath}/batch=$uuid")
+    if (!fs.rename(staging, target)) {
+      fs.delete(staging, true)
+      throw new IllegalStateException(s"batch publish failed: could not rename $staging")
+    }
   }
 
   /** Driver-side convenience for tests / embedded use: seq is the
@@ -176,19 +205,22 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       StructField("seq", LongType) :+
       StructField("bucket_ts", LongType))
 
+  /** Reader schema = row schema + both discovered partition levels. */
+  private def readerSchema: StructType =
+    StructType(tableSchema.fields :+ StructField("batch", StringType))
+
   /** Raw scan of the stored table; empty-schema DataFrame when nothing
     * has been written yet. bucket_ts comes back as a partition column,
-    * so range predicates on it prune partitions before any IO. The
-    * schema is always supplied explicitly — never inferred — so a
-    * table dir holding only a committer _SUCCESS marker (or a single
-    * partition dir with zero files) reads as empty instead of throwing
-    * 'Unable to infer schema'. It also skips the footer-sampling job
-    * schema inference would run on every read. */
+    * so range predicates on it prune partitions before any IO; the
+    * batch publish level is dropped here — no read path keys on it.
+    * The schema is always supplied explicitly — never inferred — so an
+    * empty table dir reads as empty instead of throwing 'Unable to
+    * infer schema', and no footer-sampling job runs per read. */
   private def table(): DataFrame = {
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(opts.tablePath))) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
-    } else spark.read.schema(tableSchema).parquet(opts.tablePath)
+    } else spark.read.schema(readerSchema).parquet(opts.tablePath).drop("batch")
   }
 
   /** Last-writer-wins resolution per (series, slot): max_by(payload,
@@ -290,11 +322,18 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
     val root = new Path(opts.tablePath)
     if (!fs.exists(root)) return
-    fs.listStatus(root).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("bucket_ts=")) {
-        val base = name.stripPrefix("bucket_ts=").toLong
-        if (base < ts) fs.delete(st.getPath, true)
+    fs.listStatus(root).foreach { batch =>
+      if (batch.getPath.getName.startsWith("batch=")) {
+        fs.listStatus(batch.getPath).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith("bucket_ts=")) {
+            val base = name.stripPrefix("bucket_ts=").toLong
+            if (base < ts) fs.delete(st.getPath, true)
+          }
+        }
+        // a batch whose buckets were all dropped contributes nothing
+        if (fs.listStatus(batch.getPath).forall(!_.getPath.getName.startsWith("bucket_ts=")))
+          fs.delete(batch.getPath, true)
       }
     }
   }
@@ -323,18 +362,28 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * is idempotent — compaction only changes how many rows the scan
     * feeds it. Returns (rowsBefore, rowsAfter).
     *
-    * Holds the engine write lock for the whole scan→swap: compacting a
-    * bucket concurrently with put() would move aside (and then delete)
-    * files appended between the compaction scan and the swap —
-    * acknowledged writes silently dropped. Same lock also serializes
-    * concurrent compactBucket calls, whose recoverCompaction sweeps
-    * would otherwise delete each other's in-flight tmp dirs. */
+    * Crash-safe by construction under the atomic-batch layout:
+    *  1. enumerate the bucket's dirs across committed batches;
+    *  2. publish the LWW rewrite as a NEW batch (atomic rename);
+    *  3. delete exactly the enumerated source dirs.
+    * Every crash window leaves either the originals, or originals +
+    * compacted copy — duplicate rows, which the LWW resolve renders
+    * invisible to reads and the next compaction merges away. Nothing
+    * is ever the only copy mid-swap, so no rename-aside dance and no
+    * recovery protocol is needed. Writes racing the compaction are
+    * safe too: a batch published after step 1 is not in the
+    * enumeration, so step 3 cannot delete it. The engine writeLock
+    * still serializes local put/compact so the two jobs don't contend
+    * for resources, and stale crash-era staging dirs are swept here. */
   def compactBucket(baseTs: Long): (Long, Long) = writeLock.synchronized {
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
-    recoverCompaction(fs)
-    val dir = new Path(s"${opts.tablePath}/bucket_ts=$baseTs")
-    if (!fs.exists(dir)) return (0L, 0L)
-    val scan = spark.read.schema(tableSchema).parquet(dir.toString).drop("bucket_ts")
+    sweepStaleStaging(fs)
+    val sources = bucketDirs(fs, baseTs)
+    if (sources.isEmpty) return (0L, 0L)
+    val scan = spark.read.schema(tableSchema.add("batch", StringType))
+      .option("basePath", opts.tablePath)
+      .parquet(sources.map(_.toString): _*)
+      .drop("batch", "bucket_ts")
     val before = scan.count()
     // Cluster the rewritten bucket by (series, slot): parquet row-group
     // min/max stats on the tag columns then actually prune — a Get for
@@ -346,51 +395,42 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       .agg(max_by(col("payload"), col("seq")).as("payload"), max(col("seq")).as("seq"))
       .select(col("slot_ns") +: tagCols.map(col) :+ col("payload") :+ col("seq"): _*)
       .sortWithinPartitions((tagCols.map(col) :+ col("slot_ns")): _*)
-    val tmp = new Path(s"${opts.tablePath}/.compact_tmp_$baseTs")
-    val old = new Path(s"${opts.tablePath}/.compact_old_$baseTs")
-    compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // explicit schema: a 0-row compaction output has no files to infer from
-    val after = spark.read.schema(compacted.schema).parquet(tmp.toString).count()
-    // Swap by rename-aside, never delete-then-rename: a crash between
-    // a delete and a rename would lose the bucket with no recovery
-    // path. Here every crash window leaves either the live dir or the
-    // .compact_old_ copy, and recoverCompaction() restores the latter.
-    // Every rename result is CHECKED: on an object store a rename can
-    // fail without throwing, and blindly deleting `old` after a failed
-    // tmp→dir rename would destroy the only remaining copy.
-    if (!fs.rename(dir, old)) {
-      fs.delete(tmp, true)
-      throw new IllegalStateException(s"compaction aborted: could not move aside $dir")
+      .withColumn("bucket_ts", lit(baseTs))
+    publishBatch(compacted)
+    // the LWW aggregate's distinct key count IS the output size;
+    // recompute from the compacted plan rather than re-listing files
+    val afterRows = compacted.count()
+    sources.foreach { p =>
+      fs.delete(p, true)
+      val parent = p.getParent
+      if (fs.exists(parent) &&
+        fs.listStatus(parent).forall(!_.getPath.getName.startsWith("bucket_ts=")))
+        fs.delete(parent, true)
     }
-    if (!fs.rename(tmp, dir)) {
-      // Put the live dir back before failing; if even that rename
-      // fails, the .compact_old_ aside copy remains for recovery.
-      fs.rename(old, dir)
-      fs.delete(tmp, true)
-      throw new IllegalStateException(s"compaction aborted: could not install $tmp as $dir")
-    }
-    // Only drop the aside copy once the live dir verifiably exists.
-    if (fs.exists(dir)) fs.delete(old, true)
-    (before, after)
+    (before, afterRows)
   }
 
-  /** Restore any bucket whose compaction swap was interrupted: a
-    * .compact_old_<ts> dir with no live bucket_ts=<ts> dir means the
-    * crash hit between the two renames — the aside copy is the
-    * authoritative data. Stale .compact_tmp_ dirs are removed. */
-  private def recoverCompaction(fs: FileSystem): Unit = {
+  /** All committed dirs holding one bucket's data (across batches). */
+  private def bucketDirs(fs: FileSystem, baseTs: Long): Seq[Path] = {
+    val root = new Path(opts.tablePath)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.startsWith("batch="))
+      .map(b => new Path(b.getPath, s"bucket_ts=$baseTs"))
+      .filter(fs.exists)
+  }
+
+  /** Remove crash-era staging dirs (invisible to readers; swept for
+    * hygiene). Only dirs older than an hour are touched so an
+    * in-flight publish from a concurrent writer is never deleted. */
+  private def sweepStaleStaging(fs: FileSystem): Unit = {
     val root = new Path(opts.tablePath)
     if (!fs.exists(root)) return
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
     fs.listStatus(root).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith(".compact_old_")) {
-        val base = name.stripPrefix(".compact_old_")
-        val live = new Path(s"${opts.tablePath}/bucket_ts=$base")
-        if (!fs.exists(live)) fs.rename(st.getPath, live)
-        else fs.delete(st.getPath, true)
-      } else if (name.startsWith(".compact_tmp_")) {
-        fs.delete(st.getPath, true) // incomplete compaction output
-      }
+      if (st.getPath.getName.startsWith(".staging_") &&
+        st.getModificationTime < cutoff)
+        fs.delete(st.getPath, true)
     }
   }
 
@@ -401,13 +441,17 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * caller-owned; this never stops it. */
   def close(): Unit = ()
 
-  /** Buckets currently on disk (base timestamps, ascending). */
+  /** Buckets currently on disk (base timestamps, ascending, distinct
+    * across publish batches). */
   def bucketsOnDisk(): Seq[Long] = {
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
     val root = new Path(opts.tablePath)
     if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).map(_.getPath.getName)
+    else fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.startsWith("batch="))
+      .flatMap(b => fs.listStatus(b.getPath).map(_.getPath.getName))
       .filter(_.startsWith("bucket_ts="))
-      .map(_.stripPrefix("bucket_ts=").toLong).sorted.toSeq
+      .map(_.stripPrefix("bucket_ts=").toLong)
+      .distinct.sorted
   }
 }

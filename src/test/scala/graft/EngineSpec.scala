@@ -193,7 +193,10 @@ class EngineSpec extends SparkTestBase {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try assert(e.put(pts) === Map("ok" -> 64L))
     finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    val files = new java.io.File(s"$dir/fpb/bucket_ts=11000")
+    val batchDirs = new java.io.File(s"$dir/fpb").listFiles()
+      .filter(_.getName.startsWith("batch="))
+    assert(batchDirs.length === 1)
+    val files = new java.io.File(batchDirs.head, "bucket_ts=11000")
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(files > 1 && files <= 4, s"expected 2..4 files, got $files")
     // read parity: one series comes back dense and correct
@@ -202,20 +205,31 @@ class EngineSpec extends SparkTestBase {
     assert(got.size === 10)
   }
 
-  test("interrupted compaction swap is recovered from the aside copy") {
+  test("interrupted compaction leaves duplicates that reads never see and re-compaction heals") {
     val (e, _) = mkEngine()
     e.put(Seq(Point(11000L, tag4, pld(5))))
-    // simulate a crash between the two renames: live dir moved aside,
-    // replacement never landed
+    e.put(Seq(Point(11000L, tag4, pld(6), seq = 99L)))
+    // simulate the compaction crash window: the compacted batch was
+    // published but the source batch dirs were never deleted — i.e.
+    // duplicate copies of the bucket coexist across batches
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(e.opts.dataDir), spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(s"${e.opts.tablePath}/bucket_ts=11000")
-    val aside = new org.apache.hadoop.fs.Path(s"${e.opts.tablePath}/.compact_old_11000")
-    assert(fs.rename(live, aside))
-    // next compaction call sweeps the orphan back before proceeding
+    val root = new org.apache.hadoop.fs.Path(e.opts.tablePath)
+    val batches = fs.listStatus(root).filter(_.getPath.getName.startsWith("batch="))
+    assert(batches.length === 2)
+    val copy = new org.apache.hadoop.fs.Path(root, "batch=crashdup")
+    org.apache.hadoop.fs.FileUtil.copy(fs, batches.head.getPath, fs, copy,
+      false, spark.sparkContext.hadoopConfiguration)
+    // duplicates are invisible to reads (LWW resolve)
+    assert(payloads(e.get(11000L, 11010L, tag4)) === Seq(pld(6).toSeq))
+    // re-compaction merges all copies into one batch, one row
     val (before, after) = e.compactBucket(11000L)
-    assert(before === 1L && after === 1L)
-    assert(payloads(e.get(11000L, 11010L, tag4)) === Seq(pld(5).toSeq))
+    assert(before === 3L && after === 1L)
+    assert(payloads(e.get(11000L, 11010L, tag4)) === Seq(pld(6).toSeq))
+    assert(fs.listStatus(root).count(_.getPath.getName.startsWith("batch=")) === 1)
+    // a stale (crash-era) staging dir is invisible to readers
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, ".staging_deadbeef"))
+    assert(payloads(e.get(11000L, 11010L, tag4)) === Seq(pld(6).toSeq))
   }
 
   test("data persists across engine instances (dbase_test.go:111-144 lifecycle)") {

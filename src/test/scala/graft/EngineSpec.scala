@@ -232,6 +232,38 @@ class EngineSpec extends SparkTestBase {
     assert(payloads(e.get(11000L, 11010L, tag4)) === Seq(pld(6).toSeq))
   }
 
+  test("concurrent writers from separate engine instances lose nothing") {
+    // the atomic-batch layout's concrete claim: two writers (as if two
+    // JVMs) publishing simultaneously never corrupt or drop batches —
+    // there is no shared committer _temporary to collide in
+    val dir = Files.createTempDirectory("graft-mw").toString
+    val clock = new TestClock(11999L)
+    val opts = EngineOptions("mw", dir, 4, 4, 1000L, 10L)
+    val a = new Engine(spark, opts, clock)
+    val b = new Engine(spark, opts, clock)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future {
+      (0 until 10).map(i => a.put(Seq(
+        Point(11000L + i * 10, Seq("w", "a", "x", s"s$i"), pld(1), seq = i.toLong))))
+    }
+    val fb = Future {
+      (0 until 10).map(i => b.put(Seq(
+        Point(11000L + i * 10, Seq("w", "b", "x", s"s$i"), pld(2), seq = 100L + i))))
+    }
+    Await.result(fa, 120.seconds)
+    Await.result(fb, 120.seconds)
+    // every one of the 20 interleaved publishes is present and readable
+    val check = new Engine(spark, opts, clock)
+    for (i <- 0 until 10) {
+      assert(payloads(check.get(11000L + i * 10, 11010L + i * 10,
+        Seq("w", "a", "x", s"s$i"))) === Seq(pld(1).toSeq), s"writer a, point $i")
+      assert(payloads(check.get(11000L + i * 10, 11010L + i * 10,
+        Seq("w", "b", "x", s"s$i"))) === Seq(pld(2).toSeq), s"writer b, point $i")
+    }
+  }
+
   test("data persists across engine instances (dbase_test.go:111-144 lifecycle)") {
     val dir = Files.createTempDirectory("graft-engine").toString
     val clock = new TestClock(11999L)

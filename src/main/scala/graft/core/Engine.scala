@@ -410,6 +410,23 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     (before, afterRows)
   }
 
+  /** Maintenance sweep: compact every bucket that has left the hot
+    * window (mirrors the reference's hot→cold transition,
+    * dbase/dbase.go:403-424, where a bucket going cold becomes the
+    * immutable read-optimized form). Run after retention or on a
+    * schedule — it folds accumulated ingest batches (one dir per
+    * micro-batch under streaming) into one clustered file set per
+    * bucket. Returns per-bucket (rowsBefore, rowsAfter); buckets
+    * already compact still rewrite, so schedule on cadence, not every
+    * trigger. */
+  def compactCold(): Map[Long, (Long, Long)] = {
+    val now = clock.nowNs
+    val nowBucket = now - now % opts.bucketDuration
+    val minHotExclusive = nowBucket - opts.bucketDuration * opts.maxHotBuckets
+    bucketsOnDisk().filter(_ <= minHotExclusive)
+      .map(b => b -> compactBucket(b)).toMap
+  }
+
   /** All committed dirs holding one bucket's data (across batches). */
   private def bucketDirs(fs: FileSystem, baseTs: Long): Seq[Path] = {
     val root = new Path(opts.tablePath)

@@ -232,6 +232,26 @@ class EngineSpec extends SparkTestBase {
     assert(payloads(e.get(11000L, 11010L, tag4)) === Seq(pld(6).toSeq))
   }
 
+  test("compactCold folds every cold bucket's batches; hot buckets untouched") {
+    val dir = Files.createTempDirectory("graft-cc").toString
+    val clock = new TestClock(11999L)
+    val opts = EngineOptions("cc", dir, 4, 4, 1000L, 10L)
+    val e = new Engine(spark, opts, clock)
+    // three batches into bucket 11000 (hot now), one into 10000
+    e.put(Seq(Point(11000L, tag4, pld(1))))
+    e.put(Seq(Point(11000L, tag4, pld(2), seq = 5L)))
+    e.put(Seq(Point(10000L, tag4, pld(3), seq = 6L)))
+    // time passes: both buckets leave the hot window
+    clock.goto(14999L)
+    val res = e.compactCold()
+    assert(res.keySet === Set(10000L, 11000L))
+    assert(res(11000L) === ((2L, 1L)))
+    assert(res(10000L) === ((1L, 1L)))
+    // reads unchanged, one batch dir per compacted bucket remains
+    assert(payloads(e.get(11000L, 11010L, tag4)) === Seq(pld(2).toSeq))
+    assert(payloads(e.get(10000L, 10010L, tag4)) === Seq(pld(3).toSeq))
+  }
+
   test("concurrent writers from separate engine instances lose nothing") {
     // the atomic-batch layout's concrete claim: two writers (as if two
     // JVMs) publishing simultaneously never corrupt or drop batches —

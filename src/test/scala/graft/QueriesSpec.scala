@@ -94,4 +94,20 @@ class QueriesSpec extends SparkTestBase {
   test("kdb_get_gapfill is always dense: exactly (end-start)/res rows") {
     assert(SparkEntry.queries("kdb_get_gapfill")(spark, sf).count() === 120L)
   }
+
+  test("all three join strategies are selectable by hint (100 TB tuning levers)") {
+    import org.apache.spark.sql.functions._
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.count() // let AQE finalize
+      df.queryExecution.executedPlan.toString
+    }
+    val bhj = planOf(l.join(broadcast(o), col("l_orderkey") === col("o_orderkey")))
+    assert(bhj.contains("BroadcastHashJoin"), "broadcast hint ignored")
+    val shj = planOf(l.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey")))
+    assert(shj.contains("ShuffledHashJoin"), "shuffle_hash hint ignored")
+    val smj = planOf(l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey")))
+    assert(smj.contains("SortMergeJoin"), "merge hint ignored")
+  }
 }

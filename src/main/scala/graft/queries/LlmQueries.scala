@@ -940,9 +940,55 @@ object LlmQueries extends QueryModule {
       ORDER BY n DESC, shingle
       LIMIT 20"""))
 
+  /** Train/eval contamination check (decontamination): flag training
+    * docs sharing ≥3 rare word-3-gram shingles with any eval doc
+    * (eval set = every 97th doc, a deterministic benchmark stand-in).
+    * Scale shape: inverted shingle-index join — candidates exist only
+    * where a shingle matches, never an all-pairs scan — with a
+    * document-frequency cap (df ≤ 50) dropping stopword-like shingles
+    * exactly as production decontamination does; join keys are 60-bit
+    * shingle hashes, not strings (identical hash both engines, so any
+    * collision affects both sides equally). */
+  private val decontaminate = QueryDef(
+    "llm_decontaminate",
+    (s, d) => {
+      val u = shingleRows(s, d, lit(true))
+        .select(col("doc_id"), hash60(col("shingle")).as("h"))
+        .distinct()
+      val rare = u.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select(col("h"))
+      val uf = u.join(rare, Seq("h"))
+      val train = uf.filter(col("doc_id") % 97 =!= 0)
+        .withColumnRenamed("doc_id", "train_doc")
+      val eval_ = uf.filter(col("doc_id") % 97 === 0)
+        .withColumnRenamed("doc_id", "eval_doc")
+      train.join(eval_, Seq("h"))
+        .groupBy(col("train_doc"), col("eval_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy(col("train_doc"), col("eval_doc"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sh AS (SELECT doc_id,
+             list_transform(generate_series(0, len(toks) - 3),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS shingle_list
+             FROM toks),
+      u AS (SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(unnest(shingle_list)), 1, 15))::BIGINT AS h
+            FROM sh),
+      rare AS (SELECT h FROM u GROUP BY h HAVING count(*) <= 50),
+      uf AS (SELECT u.doc_id, u.h FROM u JOIN rare USING (h))
+      SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, count(*) AS n_shared
+      FROM uf t JOIN uf e ON t.h = e.h
+      WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+      ORDER BY train_doc, eval_doc"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
     embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, multimodalMeta,
-    filterChain, packSeq, stratSample, dedupClusters)
+    filterChain, packSeq, stratSample, dedupClusters, decontaminate)
 }

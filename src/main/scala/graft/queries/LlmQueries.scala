@@ -986,9 +986,37 @@ object LlmQueries extends QueryModule {
       HAVING count(*) >= 3
       ORDER BY train_doc, eval_doc"""))
 
+  /** PII-style scrubbing: find id-like tokens (letters+digits) and
+    * redact them. One narrow scan, pure per-row regex work — trivially
+    * parallel at 100 TB. The oracle hashes the REDACTED text: md5
+    * equality proves the rewrite is byte-identical across engines,
+    * not just that counts agree. (DuckDB regexp_replace needs the 'g'
+    * flag; Spark's is global by default — a classic silent-drift
+    * trap.) */
+  private val piiScrub = QueryDef(
+    "llm_pii_scrub",
+    (s, d) => {
+      val pat = "[a-z]+[0-9]{2,}"
+      documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_idlike"),
+          md5(regexp_replace(col("text"), pat, "<ID>")).as("scrub_hash"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), pat, ""))).as("chars_redacted"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[a-z]+[0-9]{2,}')) AS n_idlike,
+             md5(regexp_replace(text, '[a-z]+[0-9]{2,}', '<ID>', 'g')) AS scrub_hash,
+             length(text) - length(regexp_replace(text, '[a-z]+[0-9]{2,}', '', 'g'))
+               AS chars_redacted
+      FROM documents
+      ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
     embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, multimodalMeta,
-    filterChain, packSeq, stratSample, dedupClusters, decontaminate)
+    filterChain, packSeq, stratSample, dedupClusters, decontaminate, piiScrub)
 }

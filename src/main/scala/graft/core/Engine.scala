@@ -150,8 +150,8 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     *    discovered level), so time pruning is unchanged.
     * On object stores without atomic rename, swap this seam for a
     * manifest-based table format (Delta/Iceberg) — the rest of the
-    * engine is unchanged. */
-  private def publishBatch(rows: DataFrame): Unit = {
+    * engine is unchanged. Returns the published batch dir. */
+  private def publishBatch(rows: DataFrame): Path = {
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
     val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
     val staging = new Path(s"${opts.tablePath}/.staging_$uuid")
@@ -162,6 +162,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       fs.delete(staging, true)
       throw new IllegalStateException(s"batch publish failed: could not rename $staging")
     }
+    target
   }
 
   /** Driver-side convenience for tests / embedded use: seq is the
@@ -374,7 +375,16 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * safe too: a batch published after step 1 is not in the
     * enumeration, so step 3 cannot delete it. The engine writeLock
     * still serializes local put/compact so the two jobs don't contend
-    * for resources, and stale crash-era staging dirs are swept here. */
+    * for resources, and stale crash-era staging dirs are swept here.
+    *
+    * Known race (availability, not correctness): a concurrent reader
+    * that planned its scan over the source files before step 3 fails
+    * with FileNotFoundException when its tasks reach the deleted dirs.
+    * No data is lost — re-running the query sees the compacted batch.
+    * Readers that must tolerate concurrent compaction should set
+    * spark.sql.files.ignoreMissingFiles=true (safe here: a vanished
+    * source file's rows are, by step 2, already present in the
+    * published compacted batch). */
   def compactBucket(baseTs: Long): (Long, Long) = writeLock.synchronized {
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
     sweepStaleStaging(fs)
@@ -396,10 +406,12 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       .select(col("slot_ns") +: tagCols.map(col) :+ col("payload") :+ col("seq"): _*)
       .sortWithinPartitions((tagCols.map(col) :+ col("slot_ns")): _*)
       .withColumn("bucket_ts", lit(baseTs))
-    publishBatch(compacted)
-    // the LWW aggregate's distinct key count IS the output size;
-    // recompute from the compacted plan rather than re-listing files
-    val afterRows = compacted.count()
+    val published = publishBatch(compacted)
+    // Count the just-published files, not the compacted plan: re-running
+    // the plan would execute the multi-batch scan + LWW aggregation a
+    // second time, while a count over the written parquet is served
+    // from footer row counts.
+    val afterRows = spark.read.parquet(published.toString).count()
     sources.foreach { p =>
       fs.delete(p, true)
       val parent = p.getParent

@@ -83,6 +83,63 @@ class InferBucketPruningSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.bucket.duration.ns")
   }
 
+  test("out-of-Int-range slot bounds on an Int-epoch table clamp instead of wrapping") {
+    val dir = Files.createTempDirectory("graft-ibp-clamp").toString
+    val clock = new TestClock(11999L)
+    val opts = EngineOptions(
+      databaseName = "ibpc", dataDir = dir,
+      indexDepth = 4, payloadSize = 4,
+      bucketDuration = 1000L, resolution = 10L)
+    val e = new Engine(spark, opts, clock)
+    e.put(Seq(Point(10500L, tag4, pld(2)), Point(11500L, tag4, pld(3))))
+    spark.conf.set("spark.graft.bucket.duration.ns", opts.bucketDuration.toString)
+    try {
+      // 2^32 + 500: .toInt would wrap to a small value and the derived
+      // bucket_ts <= bound would prune every live partition
+      val df = spark.read.parquet(s"$dir/ibpc")
+        .filter(col("slot_ns") <= 4294967796L)
+      assert(df.count() === 2L, "clamped upper bound must keep all rows")
+      // equality on an unrepresentable slot derives nothing and returns empty
+      val eq = spark.read.parquet(s"$dir/ibpc").filter(col("slot_ns") === 4294967796L)
+      assert(eq.count() === 0L)
+    } finally spark.conf.unset("spark.graft.bucket.duration.ns")
+  }
+
+  test("path-keyed duration override wins over a wrong session-global duration") {
+    val dir = Files.createTempDirectory("graft-ibp-path").toString
+    val clock = new TestClock(11999L)
+    val opts = EngineOptions(
+      databaseName = "ibpp", dataDir = dir,
+      indexDepth = 4, payloadSize = 4,
+      bucketDuration = 1000L, resolution = 10L)
+    val e = new Engine(spark, opts, clock)
+    e.put(Seq(Point(10990L, tag4, pld(7))))
+    val raw = new org.apache.hadoop.fs.Path(s"$dir/ibpp")
+    val qualified = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(raw).toString
+    // global duration 100 is WRONG for this table: slot >= 10900 would
+    // derive bucket_ts >= 10900 and prune the live bucket 10000
+    spark.conf.set("spark.graft.bucket.duration.ns", "100")
+    spark.conf.set(s"spark.graft.bucket.duration.ns.path.$qualified", "1000")
+    try {
+      val df = spark.read.parquet(s"$dir/ibpp").filter(col("slot_ns") >= 10900L)
+      assert(df.count() === 1L, "path-scoped duration must protect the live bucket")
+      val line = df.queryExecution.executedPlan.toString
+        .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      assert(line.contains("bucket_ts") && line.contains("10000"), line)
+      // a non-positive override disables the rule for this table
+      spark.conf.set(s"spark.graft.bucket.duration.ns.path.$qualified", "0")
+      val off = spark.read.parquet(s"$dir/ibpp").filter(col("slot_ns") >= 10900L)
+      assert(off.count() === 1L)
+      val offLine = off.queryExecution.executedPlan.toString
+        .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      assert(!offLine.contains("bucket_ts >="), offLine)
+    } finally {
+      spark.conf.unset("spark.graft.bucket.duration.ns")
+      spark.conf.unset(s"spark.graft.bucket.duration.ns.path.$qualified")
+    }
+  }
+
   test("rule is a no-op when bucket_ts is already constrained or conf unset") {
     val dir = Files.createTempDirectory("graft-ibp2").toString
     val clock = new TestClock(11999L)

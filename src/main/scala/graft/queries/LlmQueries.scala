@@ -955,14 +955,26 @@ object LlmQueries extends QueryModule {
       val u = shingleRows(s, d, lit(true))
         .select(col("doc_id"), hash60(col("shingle")).as("h"))
         .distinct()
-      val rare = u.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 50).select(col("h"))
-      val uf = u.join(rare, Seq("h"))
-      val train = uf.filter(col("doc_id") % 97 =!= 0)
-        .withColumnRenamed("doc_id", "train_doc")
-      val eval_ = uf.filter(col("doc_id") % 97 === 0)
-        .withColumnRenamed("doc_id", "eval_doc")
-      train.join(eval_, Seq("h"))
+      // One pass over the inverted index: group by shingle hash,
+      // splitting each posting list into its train and eval sides in
+      // the same aggregation that computes df. The df ≤ 50 cap bounds
+      // every SURVIVING list, so the explode below is candidate-local
+      // (≤ 50×50 pairs per rare shingle) — never an all-pairs join.
+      // This shape scans the shingle pipeline ONCE; the equivalent
+      // rare-join + train×eval self-join re-executed it per branch.
+      // Caveat at extreme corpus scale: a stopword shingle buffers its
+      // full posting list before the df filter drops it; if mega
+      // postings ever dominate, swap collect_list for a (dfCap+1)-
+      // bounded Aggregator (graft.functions.TopK pattern) — identical
+      // output, O(dfCap) buffer.
+      val byShingle = u.groupBy(col("h")).agg(
+        count(lit(1)).as("df"),
+        collect_list(when(col("doc_id") % 97 =!= 0, col("doc_id"))).as("trains"),
+        collect_list(when(col("doc_id") % 97 === 0, col("doc_id"))).as("evals"))
+      byShingle
+        .filter(col("df") <= 50 && size(col("trains")) > 0 && size(col("evals")) > 0)
+        .select(explode(col("trains")).as("train_doc"), col("evals"))
+        .select(col("train_doc"), explode(col("evals")).as("eval_doc"))
         .groupBy(col("train_doc"), col("eval_doc"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 3)

@@ -695,8 +695,115 @@ object KdbQueries extends QueryModule {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** OHLC bars: open/high/low/close per (type, 6h window) — the
+    * canonical TSDB downsample for anything priced. Open/close are
+    * defined by ingest order (min/max event_id), kdb's own notion of
+    * first/last write at a slot — tie-free because event_id is unique,
+    * so the hash can't wobble. One shuffle, fully partial-agg
+    * friendly (min_by/max_by/min/max all combine map-side). */
+  private val ohlc = QueryDef(
+    "kdb_ohlc",
+    (s, d) => {
+      ev(s, d)
+        .withColumn("slot_6h", col("ts_ns") - col("ts_ns") % Res6h)
+        .groupBy(col("event_type"), col("slot_6h"))
+        .agg(round(min_by(col("value"), col("event_id")), 2).as("open"),
+          round(max(col("value")), 2).as("high"),
+          round(min(col("value")), 2).as("low"),
+          round(max_by(col("value"), col("event_id")), 2).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("slot_6h"))
+    },
+    Some(s"""
+      SELECT event_type,
+             epoch_ns(ts) - epoch_ns(ts) % ${Res6h} AS slot_6h,
+             round(arg_min(value, event_id), 2) AS open,
+             round(max(value), 2) AS high,
+             round(min(value), 2) AS low,
+             round(arg_max(value, event_id), 2) AS close,
+             count(*) AS n
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY event_type, slot_6h"""))
+
+  /** Counter rate (reset-aware): per-series monotonic increase à la
+    * Prometheus — consecutive deltas in time order, a negative delta
+    * means the counter reset so the new value IS the contribution.
+    * One shuffle on the series key; the lag window and the final
+    * rollup share its partitioning (single Exchange). µs ordering with
+    * event_id tiebreak = deterministic deltas in both engines. */
+  private val counterRate = QueryDef(
+    "kdb_counter_rate",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      ev(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(
+          round(sum(
+            when(col("delta").isNull, 0.0)
+              .when(col("delta") < 0, col("value"))
+              .otherwise(col("delta"))), 2).as("increase"),
+          count(when(col("delta") < 0, 1)).as("n_resets"),
+          count(lit(1)).as("n_samples"))
+        .orderBy(col("event_type"), col("user_id"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT event_type, user_id, value,
+               value - lag(value) OVER (PARTITION BY event_type, user_id
+                 ORDER BY epoch_us(ts), event_id) AS delta
+        FROM events)
+      SELECT event_type, user_id,
+             round(sum(CASE WHEN delta IS NULL THEN 0
+                            WHEN delta < 0 THEN value
+                            ELSE delta END), 2) AS increase,
+             count(CASE WHEN delta < 0 THEN 1 END) AS n_resets,
+             count(*) AS n_samples
+      FROM o
+      GROUP BY 1, 2
+      ORDER BY event_type, user_id"""))
+
+  /** Latest-value snapshot: the current value of every series — kdb's
+    * LWW semantics read back as a table (greatest hour slot per
+    * series; within a slot the greatest ingest seq wins, exactly the
+    * positional-overwrite rule of dblock.go:198-205). Two partial-agg
+    * stages like downsample: slot-level LWW first, then max_by over
+    * the now-unique slots — both deterministic, no struct-ordering
+    * tricks needed. */
+  private val latest = QueryDef(
+    "kdb_latest",
+    (s, d) => {
+      ev(s, d)
+        .withColumn("slot_1h", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("user_id"), col("slot_1h"))
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(max(col("slot_1h")).as("last_slot_ns"),
+          round(max_by(col("v"), col("slot_1h")), 2).as("last_value"),
+          count(lit(1)).as("n_slots"))
+        .orderBy(col("event_type"), col("user_id"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT event_type, user_id,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_1h,
+               arg_max(value, event_id) AS v
+        FROM events
+        GROUP BY 1, 2, 3)
+      SELECT event_type, user_id,
+             max(slot_1h) AS last_slot_ns,
+             round(arg_max(v, slot_1h), 2) AS last_value,
+             count(*) AS n_slots
+      FROM h
+      GROUP BY 1, 2
+      ORDER BY event_type, user_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
-    sessionize, downsample, interpFill, ewma)
+    sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest)
 }

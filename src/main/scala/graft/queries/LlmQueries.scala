@@ -1026,9 +1026,158 @@ object LlmQueries extends QueryModule {
       FROM documents
       ORDER BY doc_id"""))
 
+  /** Repetition filter (Gopher-style): flag docs whose token stream is
+    * dominated by repeats — duplicate-token fraction and top-token
+    * fraction per doc. One explode + one groupBy(doc, tok) + one
+    * groupBy(doc): the (doc, tok) count table is partial-agg friendly
+    * and the per-doc rollup reuses its doc_id hash partitioning.
+    * Ratios at 4dp, flags as int (driver hash rules). */
+  private val repetitionFilter = QueryDef(
+    "llm_repetition_filter",
+    (s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).cast("long").as("top_tok_n"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct") / col("n_tokens").cast("double"), 4)
+            .as("dup_frac"),
+          round(col("top_tok_n") / col("n_tokens").cast("double"), 4)
+            .as("top_tok_frac"),
+          ((lit(1.0) - col("n_distinct") / col("n_tokens").cast("double")) > 0.5 ||
+            col("top_tok_n") / col("n_tokens").cast("double") > 0.2)
+            .cast("int").as("repetitive"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tc AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, tok, count(*) AS c FROM tc GROUP BY 1, 2),
+      a AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct,
+               CAST(max(c) AS BIGINT) AS top_tok_n
+        FROM c GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_distinct,
+             round(1.0 - n_distinct / CAST(n_tokens AS DOUBLE), 4) AS dup_frac,
+             round(top_tok_n / CAST(n_tokens AS DOUBLE), 4) AS top_tok_frac,
+             CASE WHEN (1.0 - n_distinct / CAST(n_tokens AS DOUBLE)) > 0.5
+                    OR top_tok_n / CAST(n_tokens AS DOUBLE) > 0.2
+                  THEN 1 ELSE 0 END AS repetitive
+      FROM a
+      ORDER BY doc_id"""))
+
+  /** Document chunking: split each token stream into 128-token chunks
+    * with a 96-token stride (32-token overlap) — the context-window
+    * prep step between cleaning and packing. Chunk COUNT is computed
+    * from n_tokens, then chunks materialize via explode(sequence) +
+    * slice — the token array is built once per doc and sliced per
+    * chunk, all inside one narrow projection (no shuffle until the
+    * final sort). The md5 of each chunk proves byte-identical
+    * assembly across engines. */
+  private val chunkDocuments = QueryDef(
+    "llm_chunk_documents",
+    (s, d) => {
+      val chunkLen = 128
+      val stride = 96
+      documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n_tokens", size(col("toks")))
+        // chunks start at 0, stride, 2·stride … while start < n_tokens
+        .withColumn("chunk_id",
+          explode(sequence(lit(0), floor((col("n_tokens") - 1) / lit(stride)).cast("int"))))
+        .select(col("doc_id"), col("chunk_id"),
+          array_join(slice(col("toks"), col("chunk_id") * stride + 1, lit(chunkLen)), " ")
+            .as("chunk_text"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(tokens(col("chunk_text"))).as("chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      c AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, (len(toks) - 1) // 96)) AS chunk_id
+        FROM t),
+      x AS (
+        SELECT doc_id, chunk_id,
+               array_to_string(list_slice(toks, chunk_id * 96 + 1,
+                 chunk_id * 96 + 128), ' ') AS chunk_text
+        FROM c)
+      SELECT doc_id, chunk_id,
+             len(string_split(chunk_text, ' ')) AS chunk_tokens,
+             md5(chunk_text) AS chunk_hash
+      FROM x
+      ORDER BY doc_id, chunk_id"""))
+
+  /** Tokenizer vocabulary build: rank tokens by corpus frequency and
+    * assign contiguous ids — the counting pass under any BPE/WordPiece
+    * trainer. One explode + one shuffle on the token; the ranking
+    * window runs over the already-aggregated (tiny) vocab table, and
+    * ties break on the token text for a total order. */
+  private val vocabBuild = QueryDef(
+    "llm_vocab_build",
+    (s, d) => {
+      val w = Window.orderBy(col("n").desc, col("tok"))
+      documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("token_id", row_number().over(w).cast("long") - 1)
+        .filter(col("token_id") < 1000)
+        .select(col("token_id"), col("tok"), col("n"))
+        .orderBy(col("token_id"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      v AS (
+        SELECT tok, count(*) AS n FROM c GROUP BY tok)
+      SELECT row_number() OVER (ORDER BY n DESC, tok) - 1 AS token_id, tok, n
+      FROM v
+      QUALIFY token_id < 1000
+      ORDER BY token_id"""))
+
+  /** Deterministic train/val/test split: an md5 bucket of the doc id
+    * assigns each doc stably (80/10/10) — reshuffling the corpus or
+    * adding docs never moves an existing doc across splits, which is
+    * what keeps eval sets honest across pipeline re-runs. Pure
+    * per-row work plus one tiny rollup for the summary counts. */
+  private val trainValSplit = QueryDef(
+    "llm_train_val_split",
+    (s, d) => {
+      val bucket = pmod(hash60(concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+      documents(s, d)
+        .select(col("doc_id"), bucket.as("bucket"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT doc_id,
+               (('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 + 100) % 100 AS bucket
+        FROM documents)
+      SELECT doc_id, bucket,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b
+      ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
     embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, multimodalMeta,
-    filterChain, packSeq, stratSample, dedupClusters, decontaminate, piiScrub)
+    filterChain, packSeq, stratSample, dedupClusters, decontaminate, piiScrub,
+    repetitionFilter, chunkDocuments, vocabBuild, trainValSplit)
 }

@@ -792,6 +792,37 @@ object RelationalQueries extends QueryModule {
       GROUP BY 1
       ORDER BY bucket"""))
 
+  /** JSON extraction: pull a typed field out of a JSON string column
+    * (events.props) and aggregate on it — semi-structured columns are
+    * how real event tables carry the long tail of attributes. Spark's
+    * get_json_object is codegen'd per-row work; the aggregation is one
+    * ordinary shuffle after extraction, so the JSON never crosses the
+    * wire — only the extracted long does. */
+  private val qJsonFuncs = QueryDef(
+    "q_json_functions",
+    (s, d) => {
+      events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          count(when(col("k") >= 50, 1)).as("n_high"),
+          countDistinct(col("k")).as("n_distinct_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type,
+             count(*) AS n,
+             min(CAST(props->>'k' AS BIGINT)) AS min_k,
+             max(CAST(props->>'k' AS BIGINT)) AS max_k,
+             count(CASE WHEN CAST(props->>'k' AS BIGINT) >= 50 THEN 1 END) AS n_high,
+             count(DISTINCT CAST(props->>'k' AS BIGINT)) AS n_distinct_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] = Seq(
     q1Agg, q6Filter, q3TopOrders, q5Star, qSemi, qAnti,
     qWindowRunning, qTopkPerGroup, qLag, qRollup, qSortLimit,
@@ -799,5 +830,5 @@ object RelationalQueries extends QueryModule {
     qCube, qNtile, qCorrSubquery, qPercentile,
     qDatetime, qStringFuncs, qNullSemantics, qArrayFuncs, qRangeFrame,
     qStringAgg, qGroupingSets, qUnpivot, qSampleHash, qApproxQuantile,
-    qHistogram)
+    qHistogram, qJsonFuncs)
 }

@@ -243,7 +243,25 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * resolve → left join onto the generated slot grid → zero payloads
     * for missing slots. Always returns exactly (end-start)/resolution
     * rows in slot order. */
-  def get(start: Long, end: Long, tags: Seq[String]): DataFrame = {
+  def get(start: Long, end: Long, tags: Seq[String]): DataFrame =
+    getCore(start, end, tags, None)
+
+  /** Snapshot (time-travel) read: the series exactly as it stood when
+    * ingest sequence `asOfSeq` was the latest write — writes with
+    * seq > asOfSeq are invisible. MVCC for free from the append-only
+    * layout: every row carries its ingest seq, so a snapshot is one
+    * extra pushed-down predicate, no version log or state reconstruction.
+    * Caveat: compaction collapses per-key history to the latest write
+    * (the stored seq becomes the max), so snapshots older than the
+    * last compaction of a bucket see the compacted value or, if that
+    * write is newer than asOfSeq, the zero payload — the same contract
+    * as vacuuming old versions in any MVCC store. Use currentSeq()
+    * to capture a snapshot watermark. */
+  def getAsOf(start: Long, end: Long, tags: Seq[String], asOfSeq: Long): DataFrame =
+    getCore(start, end, tags, Some(asOfSeq))
+
+  private def getCore(start: Long, end: Long, tags: Seq[String],
+      asOfSeq: Option[Long]): DataFrame = {
     val s0 = start - start % opts.resolution
     val e0 = end - end % opts.resolution
     val now = clock.nowNs
@@ -252,7 +270,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     if (tags.size != opts.indexDepth)
       throw new IllegalArgumentException(InvalidIndexValues)
 
-    val scan = pruned(s0, e0)
+    val scan = asOfSeq.foldLeft(pruned(s0, e0))((df, sq) => df.filter(col("seq") <= sq))
     val tagPred = tagCols.zip(tags).map { case (c, v) => col(c) === v }
       .reduce(_ && _)
     val data = resolved(scan.filter(tagPred))
@@ -260,6 +278,14 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       .join(data.select(col("slot_ns"), col("payload")), Seq("slot_ns"), "left_outer")
       .select(col("slot_ns"), coalesce(col("payload"), lit(zeroPayload)).as("payload"))
       .orderBy(col("slot_ns"))
+  }
+
+  /** Highest ingest sequence on disk (−1 when the table is empty): the
+    * snapshot watermark for getAsOf/findAsOf. Served from parquet
+    * column statistics — no data scan. */
+  def currentSeq(): Long = {
+    val row = table().agg(max(col("seq"))).head()
+    if (row.isNullAt(0)) -1L else row.getLong(0)
   }
 
   /** Wildcard multi-series dense read (dbase/dbase.go:233-321): ""
@@ -273,7 +299,15 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * against now (dbase.go:234-241 floors, then `end > now`), while
     * get checks `end - resolution` — so a range ending one resolution
     * past now is legal for get but rejected by find. */
-  def find(start: Long, end: Long, tags: Seq[String]): DataFrame = {
+  def find(start: Long, end: Long, tags: Seq[String]): DataFrame =
+    findCore(start, end, tags, None)
+
+  /** Snapshot variant of find — see getAsOf for the MVCC contract. */
+  def findAsOf(start: Long, end: Long, tags: Seq[String], asOfSeq: Long): DataFrame =
+    findCore(start, end, tags, Some(asOfSeq))
+
+  private def findCore(start: Long, end: Long, tags: Seq[String],
+      asOfSeq: Option[Long]): DataFrame = {
     val s0 = start - start % opts.resolution
     val e0 = end - end % opts.resolution
     val now = clock.nowNs
@@ -282,7 +316,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     if (tags.size != opts.indexDepth)
       throw new IllegalArgumentException(InvalidIndexValues)
 
-    val scan = pruned(s0, e0)
+    val scan = asOfSeq.foldLeft(pruned(s0, e0))((df, sq) => df.filter(col("seq") <= sq))
     val preds = tagCols.zip(tags).collect { case (c, v) if v.nonEmpty => col(c) === v }
     val data = resolved(preds.foldLeft(scan)(_ filter _))
     val series = data.select(tagCols.map(col): _*).distinct()

@@ -343,6 +343,31 @@ class EngineSpec extends SparkTestBase {
     assert(vals(11020L) === -1.5e300)
   }
 
+  test("snapshot reads: getAsOf sees the world at a seq watermark; compaction collapses history") {
+    val (e, _) = mkEngine()
+    e.put(Seq(Point(11000L, tag4, pld(1))))
+    val s1 = e.currentSeq()
+    assert(s1 >= 0L)
+    e.put(Seq(Point(11000L, tag4, pld(9)))) // overwrite the same slot
+    val s2 = e.currentSeq()
+    assert(s2 > s1)
+    // live read sees the overwrite; the snapshot at s1 still sees v1
+    assert(payloads(e.get(11000L, 11010L, tag4)) === Seq(pld(9).toSeq))
+    assert(payloads(e.getAsOf(11000L, 11010L, tag4, s1)) === Seq(pld(1).toSeq))
+    // a snapshot before any write is all-zero (nothing visible)
+    assert(payloads(e.getAsOf(11000L, 11010L, tag4, s1 - 1))
+      === Seq(Seq[Byte](0, 0, 0, 0)))
+    // findAsOf: the series exists at s1 with v1
+    val f = e.findAsOf(11000L, 11010L, Seq("a", "", "", ""), s1)
+    assert(payloads(f) === Seq(pld(1).toSeq))
+    // compaction collapses the slot's history to the latest write at
+    // max seq — the s1 snapshot now predates every stored row
+    e.compactBucket(11000L)
+    assert(payloads(e.get(11000L, 11010L, tag4)) === Seq(pld(9).toSeq))
+    assert(payloads(e.getAsOf(11000L, 11010L, tag4, s1))
+      === Seq(Seq[Byte](0, 0, 0, 0)))
+  }
+
   test("options validation mirrors dbase.go:71-73") {
     intercept[IllegalArgumentException](
       EngineOptions("x", "/tmp/x", 4, 4, bucketDuration = 1000L, resolution = 7L))

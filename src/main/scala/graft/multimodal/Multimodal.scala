@@ -66,6 +66,41 @@ object Multimodal {
     }
   }
 
+  /** One extracted feature vector (the embedding-extraction shape). */
+  final case class MediaFeature(media_id: Long, kind: String, feature: Array[Float])
+
+  /** Feature extraction: media → fixed-dim float vector, the batch
+    * shape of an embedding model applied to decoded media. Partition-
+    * preserving like probe; the output column is exactly the
+    * embeddings-table layout (`Array[Float]`), so extracted features
+    * flow straight into the similarity/ANN operators (cosine top-k,
+    * sign-LSH, IVF) with no schema adaptation. The kernel is the same
+    * deterministic stub seam as decodeStub: a real model swaps the
+    * function body, never the plan. */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int): Dataset[MediaFeature] = {
+    require(dim > 0)
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = graft.plans.Fnv64.hash(r.content)
+        val vec = new Array[Float](dim)
+        var h = seed
+        var i = 0
+        while (i < dim) {
+          // splitmix64 step: deterministic, well-mixed per dimension
+          h += 0x9e3779b97f4a7c15L
+          var z = h
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z = z ^ (z >>> 31)
+          vec(i) = ((z >>> 11).toDouble / (1L << 53).toDouble).toFloat * 2f - 1f
+          i += 1
+        }
+        MediaFeature(r.media_id, r.kind, vec)
+      }
+    }
+  }
+
   /** Demo source: wrap any (id, text) table into opaque media rows —
     * lets the plumbing run against the driver's documents table. */
   def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {

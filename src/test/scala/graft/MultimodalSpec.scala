@@ -40,6 +40,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(f2.length === (expected + 49) / 50)
   }
 
+  test("extractFeatures emits fixed-dim embedding-shaped vectors, no shuffle") {
+    val feats = Multimodal.extractFeatures(media(), dim = 16)
+    assert(!feats.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = feats.collect().sortBy(_.media_id)
+    assert(rows.length === 3)
+    assert(rows.forall(_.feature.length === 16))
+    assert(rows.forall(_.feature.forall(v => v >= -1f && v <= 1f)))
+    // deterministic per content; distinct contents diverge
+    val again = Multimodal.extractFeatures(media(), dim = 16).collect().sortBy(_.media_id)
+    assert(rows.map(_.feature.toSeq) === again.map(_.feature.toSeq))
+    assert(rows(0).feature.toSeq !== rows(1).feature.toSeq)
+    // flows into the similarity surface: embeddings-table layout
+    import spark.implicits._
+    val asEmb = feats.toDF().selectExpr("media_id AS vec_id", "feature AS embedding")
+    assert(asEmb.schema("embedding").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false))
+  }
+
   test("fromDocuments wraps a text table into opaque media rows") {
     import spark.implicits._
     val docs = Seq((1L, "hello"), (3L, "world")).toDF("doc_id", "text")

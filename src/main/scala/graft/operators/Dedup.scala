@@ -52,20 +52,27 @@ object Dedup {
           labels("comp").as("oldComp"))
         .localCheckpoint(true)
       changed = updated.filter(col("newComp") < col("oldComp")).count()
-      // Pointer jump: follow comp one extra hop (comp values are
-      // themselves vertex ids, and comp[comp] ≤ comp). Chains collapse
-      // in O(log diameter) rounds instead of O(diameter) — the
-      // classic label-propagation accelerator. At fixpoint the jump is
-      // the identity, so the converged labels are unchanged by it.
-      val next0 = updated.select(col("id"), col("newComp").as("comp"))
-      val next = next0.as("a")
-        .join(next0.select(col("id").as("jid"), col("comp").as("jcomp")).as("b"),
-          col("comp") === col("jid"), "left_outer")
-        .select(col("id"), coalesce(col("jcomp"), col("comp")).as("comp"))
-        .localCheckpoint(true)
-      updated.unpersist()
-      labels.unpersist()
-      labels = next
+      if (changed == 0) {
+        // Converged: labels are already the fixpoint — skip the
+        // pointer-jump join and its materialization (at fixpoint the
+        // jump is the identity anyway, so this saves the final
+        // round's join + checkpoint without changing the result).
+        updated.unpersist()
+      } else {
+        // Pointer jump: follow comp one extra hop (comp values are
+        // themselves vertex ids, and comp[comp] ≤ comp). Chains collapse
+        // in O(log diameter) rounds instead of O(diameter) — the
+        // classic label-propagation accelerator.
+        val next0 = updated.select(col("id"), col("newComp").as("comp"))
+        val next = next0.as("a")
+          .join(next0.select(col("id").as("jid"), col("comp").as("jcomp")).as("b"),
+            col("comp") === col("jid"), "left_outer")
+          .select(col("id"), coalesce(col("jcomp"), col("comp")).as("comp"))
+          .localCheckpoint(true)
+        updated.unpersist()
+        labels.unpersist()
+        labels = next
+      }
       iter += 1
     }
     sym.unpersist()

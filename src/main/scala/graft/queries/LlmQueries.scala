@@ -1174,10 +1174,42 @@ object LlmQueries extends QueryModule {
       FROM b
       ORDER BY doc_id"""))
 
+  /** Deterministic global shuffle + sharding: every doc gets a stable
+    * pseudo-random sort key (md5 of its id), a shard by key-hash, and
+    * a position within its shard — the "shuffle the corpus, write N
+    * shards" step before training. Reproducible end to end (same
+    * corpus → same shard files, byte for byte), unlike rand()-based
+    * shuffles. One shuffle on the shard key; positions come from a
+    * window over the already-shard-partitioned rows. */
+  private val shuffleShard = QueryDef(
+    "llm_shuffle_shard",
+    (s, d) => {
+      val key = md5(concat(lit("shuf:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"), key.as("skey"),
+          pmod(hash60(concat(lit("shard:"), col("doc_id").cast("string"))), lit(8L))
+            .as("shard"))
+        .withColumn("pos_in_shard", row_number().over(w).cast("long") - 1)
+        .select(col("doc_id"), col("shard"), col("pos_in_shard"), col("skey"))
+        .orderBy(col("shard"), col("pos_in_shard"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id,
+               md5('shuf:' || CAST(doc_id AS VARCHAR)) AS skey,
+               (('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 + 8) % 8 AS shard
+        FROM documents)
+      SELECT doc_id, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) - 1 AS pos_in_shard,
+             skey
+      FROM b
+      ORDER BY shard, pos_in_shard"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
     embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, multimodalMeta,
     filterChain, packSeq, stratSample, dedupClusters, decontaminate, piiScrub,
-    repetitionFilter, chunkDocuments, vocabBuild, trainValSplit)
+    repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard)
 }

@@ -52,6 +52,31 @@ class QueriesSpec extends SparkTestBase {
       "grouping sets should expand once, not re-scan per set")
   }
 
+  test("kdb_counter_rate shares one shuffle between the lag window and the rollup") {
+    val plan = SparkEntry.queries("kdb_counter_rate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1,
+      s"delta window + series rollup should share one shuffle, found $hashExchanges")
+  }
+
+  test("kdb_ohlc is one partial-agg shuffle (min_by/max_by combine map-side)") {
+    val plan = SparkEntry.queries("kdb_ohlc")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1, s"expected a single agg shuffle, found $hashExchanges")
+    assert(plan.contains("partial_min"), "OHLC aggregates must combine map-side")
+  }
+
+  test("llm_chunk_documents stays narrow until the final sort (no hash shuffle)") {
+    val plan = SparkEntry.queries("llm_chunk_documents")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "chunking is per-row work; a hash shuffle means the token array went on the wire")
+  }
+
   test("q6 selective filter is pushed into the parquet scan") {
     val plan = SparkEntry.queries("q6_filter_pushdown")(spark, sf)
       .queryExecution.executedPlan.toString

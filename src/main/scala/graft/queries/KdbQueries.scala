@@ -802,8 +802,53 @@ object KdbQueries extends QueryModule {
       GROUP BY 1, 2
       ORDER BY event_type, user_id"""))
 
+  /** Heavy hitters via the Space-Saving sketch (graft.functions.
+    * HeavyHitters): top users by event count with a k=64-counter
+    * summary — fixed-size partial state, map-side combine, k rows per
+    * partition on the wire (the frequency twin of the HLL path in
+    * kdb_approx_distinct). Sketch counter values depend on merge
+    * order, so the output carries the EXACT top-5 (deterministic)
+    * plus two flags asserting the sketch's theorems held: every
+    * summary estimate brackets its true count (est ≥ true ≥ est−err),
+    * and every item with true frequency > N/k is in the summary. The
+    * oracle asserts the flags as constants — hash-gated sketch
+    * correctness, not a rows-only check. Driver-side work is bounded
+    * by k (the sketch collapses to one row by design). */
+  private val heavyHitters = QueryDef(
+    "kdb_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      val k = 64
+      val idsDf = ev(s, d).filter(col("user_id").isNotNull).select(col("user_id"))
+      val summary = idsDf.as[Long]
+        .select(graft.functions.HeavyHitters.spaceSaving(k)).head()
+      val inSummary = summary.map(_.item).toSet
+      val n = idsDf.count()
+      val exact = idsDf.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val exactForSummary = exact.filter(col("user_id").isin(inSummary.toSeq: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val boundsOk = summary.forall { c =>
+        val t = exactForSummary.getOrElse(c.item, 0L)
+        c.count >= t && c.count - c.err <= t
+      }
+      val containOk = exact.filter(col("n") > n / k)
+        .collect().map(_.getLong(0)).forall(inSummary)
+      exact.orderBy(col("n").desc, col("user_id")).limit(5)
+        .select(col("user_id"), col("n"),
+          lit(if (boundsOk) 1 else 0).as("bounds_ok"),
+          lit(if (containOk) 1 else 0).as("containment_ok"))
+    },
+    Some("""
+      SELECT user_id, count(*) AS n, 1 AS bounds_ok, 1 AS containment_ok
+      FROM events
+      WHERE user_id IS NOT NULL
+      GROUP BY user_id
+      ORDER BY n DESC, user_id
+      LIMIT 5"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
-    sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest)
+    sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest,
+    heavyHitters)
 }

@@ -63,6 +63,27 @@ class FunctionsSpec extends SparkTestBase {
     assert(a.merge(b, Seq(Scored(1, 10.0))).size === 2)
   }
 
+  test("SpaceSavingAgg: guaranteed heavy hitters survive, estimates bound the truth") {
+    import spark.implicits._
+    import graft.functions.HeavyHitters
+    // skewed stream: item 1 × 500, items 100..1098 × 1 each (N = 1499);
+    // 500 > N/4, so item 1 MUST be in a k=4 summary by the
+    // Space-Saving theorem, regardless of partitioning/merge order
+    val items = (Seq.fill(500)(1L) ++ (100L until 1099L)).toDS().repartition(8)
+    val summary = items.select(HeavyHitters.spaceSaving(4)).head()
+    assert(summary.size === 4)
+    assert(summary.exists(_.item === 1L), "guaranteed heavy hitter evicted")
+    val c1 = summary.find(_.item === 1L).get
+    // estimate is an upper bound; est − err is a lower bound
+    assert(c1.count >= 500L)
+    assert(c1.count - c1.err <= 500L)
+    // exact regime: fewer distinct items than k → exact counts, no error
+    val small = (Seq.fill(7)(10L) ++ Seq.fill(3)(20L)).toDS()
+    val s2 = small.select(HeavyHitters.spaceSaving(8)).head()
+    assert(s2.toSet === Set(
+      HeavyHitters.Counter(10L, 7L, 0L), HeavyHitters.Counter(20L, 3L, 0L)))
+  }
+
   test("CSV and JSONL round-trip preserves rows with explicit schema") {
     val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),

@@ -846,9 +846,54 @@ object KdbQueries extends QueryModule {
       ORDER BY n DESC, user_id
       LIMIT 5"""))
 
+  /** Z-score anomaly detection: each hourly slot of a type's series
+    * scored against the series' own mean/stddev — the alerting pass a
+    * TSDB runs after downsampling. The stats window rides the SAME
+    * hash partitioning as the slot pre-aggregation (one Exchange).
+    * Every slot is emitted with its score and an int flag (row
+    * membership stays deterministic; filtering on a float threshold
+    * could flip rows at the boundary between engines). */
+  private val zscore = QueryDef(
+    "kdb_zscore_anomaly",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+      ev(s, d)
+        .withColumn("slot_1h", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_1h"))
+        .agg(max(col("value")).as("v"))
+        .withColumn("z", (col("v") - avg(col("v")).over(w)) /
+          stddev_samp(col("v")).over(w))
+        .select(col("event_type"), col("slot_1h"),
+          round(col("v"), 2).as("v"),
+          // + 0.0 canonicalizes IEEE −0.0 (a tiny negative z rounds to
+          // −0.0 in one engine and +0.0 in the other — hash mismatch)
+          (round(col("z"), 3) + lit(0.0)).as("z"),
+          (abs(col("z")) > 2.5).cast("int").as("anomaly"))
+        .orderBy(col("event_type"), col("slot_1h"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT event_type,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_1h,
+               max(value) AS v
+        FROM events
+        GROUP BY 1, 2),
+      z AS (
+        SELECT event_type, slot_1h, v,
+               (v - avg(v) OVER w) / stddev_samp(v) OVER w AS z
+        FROM h
+        WINDOW w AS (PARTITION BY event_type))
+      SELECT event_type, slot_1h,
+             round(v, 2) AS v,
+             round(z, 3) + 0.0 AS z,
+             CASE WHEN abs(z) > 2.5 THEN 1 ELSE 0 END AS anomaly
+      FROM z
+      ORDER BY event_type, slot_1h"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
     sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest,
-    heavyHitters)
+    heavyHitters, zscore)
 }

@@ -823,6 +823,41 @@ object RelationalQueries extends QueryModule {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** Distribution-position window functions: percent_rank, cume_dist,
+    * first/nth_value — the remaining quarter of the window-function
+    * library (rank/row_number/ntile/lag/frames are covered elsewhere).
+    * The custkey tiebreak in the ordering makes every rank-derived
+    * value deterministic; value functions use an explicit
+    * unbounded-both frame so row 1's nth_value(…, 2) is defined
+    * identically in both engines (the default frame would NULL it). */
+  private val qWindowDist = QueryDef(
+    "q_window_dist_functions",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      customer(s, d)
+        .filter(col("c_custkey") <= 300)
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"),
+          round(first(col("c_acctbal")).over(wAll), 2).as("lowest_bal"),
+          round(nth_value(col("c_acctbal"), 2).over(wAll), 2).as("second_bal"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_nationkey,
+             round(percent_rank() OVER w, 4) AS pr,
+             round(cume_dist() OVER w, 4) AS cd,
+             round(first_value(c_acctbal) OVER wa, 2) AS lowest_bal,
+             round(nth_value(c_acctbal, 2) OVER wa, 2) AS second_bal
+      FROM customer
+      WHERE c_custkey <= 300
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+             wa AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY c_custkey"""))
+
   val defs: Seq[QueryDef] = Seq(
     q1Agg, q6Filter, q3TopOrders, q5Star, qSemi, qAnti,
     qWindowRunning, qTopkPerGroup, qLag, qRollup, qSortLimit,
@@ -830,5 +865,5 @@ object RelationalQueries extends QueryModule {
     qCube, qNtile, qCorrSubquery, qPercentile,
     qDatetime, qStringFuncs, qNullSemantics, qArrayFuncs, qRangeFrame,
     qStringAgg, qGroupingSets, qUnpivot, qSampleHash, qApproxQuantile,
-    qHistogram, qJsonFuncs)
+    qHistogram, qJsonFuncs, qWindowDist)
 }

@@ -109,6 +109,44 @@ object StreamingIngest {
       }
   }
 
+  /** Per-series LWW state carried across micro-batches. */
+  final case class LatestState(slotNs: Long, seq: Long, payload: Array[Byte])
+
+  /** The current value of one series after a micro-batch. */
+  final case class LatestOut(tag0: String, slot_ns: Long, seq: Long, payload: Array[Byte])
+
+  /** Streaming latest-value snapshot: mapGroupsWithState maintains,
+    * per series, the write at the greatest (slot, seq) — kdb's LWW
+    * positional-overwrite rule as live state, the streaming twin of
+    * the batch kdb_latest query. Each micro-batch emits the updated
+    * current value for every series it touched (sink runs in Update
+    * mode); state is one tiny record per series, independent of
+    * stream length. Late or replayed rows fold in exactly like the
+    * batch LWW resolve: a (slot, seq) below the state's is a no-op,
+    * so at-least-once delivery upstream cannot corrupt the snapshot. */
+  def latestPerSeries(points: DataFrame, resolutionNs: Long): org.apache.spark.sql.Dataset[LatestOut] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .select(element_at(col("tags"), 1).as("tag0"),
+        (col("ts") - col("ts") % resolutionNs).as("slot_ns"),
+        col("seq"), col("payload"))
+      .as[(String, Long, Long, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long, Array[Byte])],
+         state: org.apache.spark.sql.streaming.GroupState[LatestState]) =>
+          val best = rows.foldLeft(state.getOption) { (acc, r) =>
+            val keep = acc.exists(b =>
+              b.slotNs > r._2 || (b.slotNs == r._2 && b.seq >= r._3))
+            if (keep) acc else Some(LatestState(r._2, r._3, r._4))
+          }.get // rows is non-empty for every invoked key
+          state.update(best)
+          LatestOut(key, best.slotNs, best.seq, best.payload)
+      }
+  }
+
   /** Streaming tumbling-window aggregation over ingested points: the
     * Structured Streaming analog of the batch kdb_tumbling_window
     * query. Event time = ts ns → µs timestamp (window() needs

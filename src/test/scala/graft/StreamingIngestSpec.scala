@@ -183,6 +183,39 @@ class StreamingIngestSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState latest snapshot: LWW state survives batches, late rows are no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Point]
+    val latest = StreamingIngest.latestPerSeries(stream.toDF(), resolutionNs = 10L)
+    val q = latest.writeStream
+      .format("memory").queryName("latest_test").outputMode("update")
+      .start()
+    def snapshot(): Map[String, (Long, Long, Seq[Byte])] =
+      spark.table("latest_test")
+        .groupBy(col("tag0"))
+        .agg(org.apache.spark.sql.functions.max_by(
+          org.apache.spark.sql.functions.struct(col("slot_ns"), col("seq"), col("payload")),
+          org.apache.spark.sql.functions.struct(col("slot_ns"), col("seq"))).as("b"))
+        .collect().map(r => r.getString(0) -> {
+          val b = r.getStruct(1)
+          (b.getLong(0), b.getLong(1), b.getAs[Array[Byte]](2).toSeq)
+        }).toMap
+    try {
+      stream.addData(Point(100L, tag4, pld(1), 1))
+      q.processAllAvailable()
+      assert(snapshot()("s") === ((100L, 1L, pld(1).toSeq)))
+      // batch 2: same slot higher seq wins; an older slot is a no-op
+      stream.addData(Point(105L, tag4, pld(2), 2), Point(90L, tag4, pld(3), 3))
+      q.processAllAvailable()
+      assert(snapshot()("s") === ((100L, 2L, pld(2).toSeq)))
+      // batch 3: a replay of seq 1 (at-least-once upstream) changes nothing
+      stream.addData(Point(100L, tag4, pld(1), 1))
+      q.processAllAvailable()
+      assert(snapshot()("s") === ((100L, 2L, pld(2).toSeq)))
+    } finally q.stop()
+  }
+
   test("streaming tumbling-window aggregation with watermark (complete per-window counts)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -66,6 +66,36 @@ object Multimodal {
     }
   }
 
+  /** One resized media object (decoded dims + re-encoded payload). */
+  final case class ResizedMedia(
+      media_id: Long, kind: String, width: Int, height: Int, content: Array[Byte])
+
+  /** Resize: media → fixed-target-dimension media, the 1:1 transform
+    * shape of an image resize/transcode stage. Partition-preserving;
+    * output payload size is bounded by the target dimensions rather
+    * than the input (what makes downstream stages plannable — a resize
+    * stage normalizes the byte budget per row). Stub kernel: a strided
+    * byte subsample of the source, deterministic in (content, w, h);
+    * a real codec swaps the body, never the plan. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedMedia] = {
+    require(w > 0 && h > 0)
+    import media.sparkSession.implicits._
+    val targetBytes = w * h / 64 + 1 // stand-in for the re-encoded size
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val src = r.content
+        val out =
+          if (src.isEmpty) Array.emptyByteArray
+          else {
+            val n = math.min(targetBytes, src.length)
+            val stride = math.max(1, src.length / n)
+            Array.tabulate(n)(i => src(math.min(i * stride, src.length - 1)))
+          }
+        ResizedMedia(r.media_id, r.kind, w, h, out)
+      }
+    }
+  }
+
   /** One extracted feature vector (the embedding-extraction shape). */
   final case class MediaFeature(media_id: Long, kind: String, feature: Array[Float])
 

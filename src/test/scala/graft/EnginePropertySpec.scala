@@ -82,6 +82,38 @@ class EnginePropertySpec extends SparkTestBase {
     }
   }
 
+  test("snapshot properties: getAsOf(currentSeq) ≡ get; earlier watermarks see earlier writes") {
+    for (pts <- cases(3)) {
+      val e = freshEngine()
+      // two put calls: the watermark between them is a real snapshot
+      val (first, second) = pts.splitAt(math.max(1, pts.size / 2))
+      e.put(first)
+      val mid = e.currentSeq()
+      if (second.nonEmpty) e.put(second)
+      pts.map(_.tags).distinct.foreach { tags =>
+        // the full snapshot equals the live read, byte for byte
+        val live = e.get(10000L, 12000L, tags).collect()
+          .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload").toSeq)
+        val snap = e.getAsOf(10000L, 12000L, tags, e.currentSeq()).collect()
+          .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload").toSeq)
+        assert(snap.toSeq === live.toSeq)
+      }
+      // the mid watermark reproduces exactly the first batch's world
+      first.map(_.tags).distinct.foreach { tags =>
+        val expected = first.zipWithIndex
+          .filter(_._1.tags == tags)
+          .groupBy { case (p, _) => p.ts - p.ts % 10L }
+          .map { case (slot, g) => slot -> g.maxBy(_._2)._1.payload.toSeq }
+        val got = e.getAsOf(10000L, 12000L, tags, mid).collect()
+          .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload").toSeq).toMap
+        (10000L until 12000L by 10L).foreach { slot =>
+          assert(got(slot) === expected.getOrElse(slot, Seq[Byte](0, 0, 0, 0)),
+            s"series $tags slot $slot at watermark $mid")
+        }
+      }
+    }
+  }
+
   test("retention never affects data at or after the cutoff") {
     for (pts <- cases(3)) {
       val e = freshEngine()

@@ -58,6 +58,18 @@ class MultimodalSpec extends SparkTestBase {
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false))
   }
 
+  test("resize normalizes payload size to the target dims, deterministic, no shuffle") {
+    val out = Multimodal.resize(media(), w = 64, h = 64)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = out.collect().sortBy(_.media_id)
+    assert(rows.forall(r => r.width === 64 && r.height === 64))
+    // bounded by the target budget (64·64/64 + 1 = 65) and the source
+    assert(rows.forall(r => r.content.length <= 65))
+    assert(rows.find(_.media_id === 3L).get.content.isEmpty) // empty stays empty
+    val again = Multimodal.resize(media(), 64, 64).collect().sortBy(_.media_id)
+    assert(rows.map(_.content.toSeq) === again.map(_.content.toSeq))
+  }
+
   test("fromDocuments wraps a text table into opaque media rows") {
     import spark.implicits._
     val docs = Seq((1L, "hello"), (3L, "world")).toDF("doc_id", "text")

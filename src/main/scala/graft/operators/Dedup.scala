@@ -37,8 +37,14 @@ object Dedup {
     val sym = in.select(col("d1").as("src"), col("d2").as("dst"))
       .union(in.select(col("d2").as("src"), col("d1").as("dst")))
       .localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // Fused init: comp = min(self, neighbors) — one groupBy does what
+    // identity-init plus a full first propagation round (join +
+    // aggregate + convergence count) would. Min-label propagation only
+    // ever lowers labels toward the component min, so starting lower
+    // is always safe.
+    var labels = sym.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("comp"))
+      .select(col("src").as("id"), col("comp"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0

@@ -858,6 +858,39 @@ object RelationalQueries extends QueryModule {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       ORDER BY c_custkey"""))
 
+  /** SCD2 interval build: turn a change stream into validity
+    * intervals — each signup event's value holds [valid_from,
+    * valid_to) until the user's next signup; the open interval is the
+    * current row. One lead() window per user (single shuffle), the
+    * standard temporal-table construction every warehouse needs.
+    * µs precision and an event_id tiebreak keep both engines'
+    * intervals identical. */
+  private val qScd2 = QueryDef(
+    "q_scd2_intervals",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from_us"), col("event_id"))
+      events(s, d)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("valid_from_us"), // int64 ns → µs (DuckDB parity)
+          round(col("value"), 2).as("value"))
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+        .withColumn("is_current", col("valid_to_us").isNull.cast("int"))
+        .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+             epoch_us(ts) AS valid_from_us,
+             round(value, 2) AS value,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS valid_to_us,
+             CASE WHEN lead(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) IS NULL THEN 1 ELSE 0 END AS is_current
+      FROM events
+      WHERE event_type = 'signup'
+      ORDER BY user_id, valid_from_us, event_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     q1Agg, q6Filter, q3TopOrders, q5Star, qSemi, qAnti,
     qWindowRunning, qTopkPerGroup, qLag, qRollup, qSortLimit,
@@ -865,5 +898,5 @@ object RelationalQueries extends QueryModule {
     qCube, qNtile, qCorrSubquery, qPercentile,
     qDatetime, qStringFuncs, qNullSemantics, qArrayFuncs, qRangeFrame,
     qStringAgg, qGroupingSets, qUnpivot, qSampleHash, qApproxQuantile,
-    qHistogram, qJsonFuncs, qWindowDist)
+    qHistogram, qJsonFuncs, qWindowDist, qScd2)
 }

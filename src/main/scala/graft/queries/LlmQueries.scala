@@ -1206,10 +1206,63 @@ object LlmQueries extends QueryModule {
       FROM b
       ORDER BY shard, pos_in_shard"""))
 
+  /** Exact substring duplication: 10-token spans appearing in ≥2
+    * docs — the span-level dedup signal (C4-style boilerplate/quote
+    * detection) between whole-doc hashing and fuzzy MinHash. Every
+    * span position hashes once (the token array never crosses a
+    * shuffle — slicing is per-row work before the first Exchange);
+    * two-stage aggregation keeps both counts partial-agg-friendly
+    * with no Expand. Top spans by occurrence, hash tiebreak. */
+  private val dedupSubstring = QueryDef(
+    "llm_dedup_substring",
+    (s, d) => {
+      val L = 10
+      documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= L) // sequence() would run descending on negatives
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - L)).as("pos"))
+        .select(col("doc_id"),
+          md5(array_join(slice(col("toks"), col("pos") + 1, lit(L)), " ")).as("span_hash"))
+        .groupBy(col("span_hash"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("span_hash"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("c")).cast("long").as("n_occ"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_occ").desc, col("span_hash"))
+        .limit(50)
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      p AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, len(toks) - 10)) AS pos
+        FROM t WHERE len(toks) >= 10),
+      h AS (
+        SELECT doc_id,
+               md5(array_to_string(list_slice(toks, pos + 1, pos + 10), ' ')) AS span_hash
+        FROM p),
+      g AS (
+        SELECT span_hash, doc_id, count(*) AS c FROM h GROUP BY 1, 2),
+      a AS (
+        SELECT span_hash, count(*) AS n_docs,
+               CAST(sum(c) AS BIGINT) AS n_occ,
+               min(doc_id) AS first_doc
+        FROM g GROUP BY 1)
+      SELECT span_hash, n_docs, n_occ, first_doc
+      FROM a
+      WHERE n_docs >= 2
+      ORDER BY n_occ DESC, span_hash
+      LIMIT 50"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
     embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, multimodalMeta,
     filterChain, packSeq, stratSample, dedupClusters, decontaminate, piiScrub,
-    repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard)
+    repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
+    dedupSubstring)
 }

@@ -216,6 +216,45 @@ class StreamingIngestSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateful query restarts from checkpoint: LWW state survives stop/start") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-ckpt-restart").toString
+    val stream = MemoryStream[Point]
+    // memory sink can't recover from a checkpoint; foreachBatch can
+    val out = scala.collection.concurrent.TrieMap[Long, Array[StreamingIngest.LatestOut]]()
+    def startQuery() =
+      StreamingIngest.latestPerSeries(stream.toDF(), resolutionNs = 10L)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[StreamingIngest.LatestOut], id: Long) =>
+            out.put(id, ds.collect()); ()
+        }
+        .start()
+
+    val q1 = startQuery()
+    try {
+      stream.addData(Point(200L, tag4, pld(5), 1))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // new query instance, same checkpoint: the state store must come
+    // back with series "s" at (slot 200, seq 1)
+    val q2 = startQuery()
+    try {
+      // an OLDER slot must lose against the RECOVERED state, not
+      // against a fresh empty one
+      stream.addData(Point(150L, tag4, pld(7), 2))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val last = out(out.keySet.max).map(o =>
+      (o.tag0, o.slot_ns, o.seq, o.payload.toSeq))
+    assert(last.toSeq === Seq(("s", 200L, 1L, pld(5).toSeq)),
+      "recovered state should have kept slot 200 / seq 1")
+  }
+
   test("streaming tumbling-window aggregation with watermark (complete per-window counts)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

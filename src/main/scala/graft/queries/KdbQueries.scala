@@ -891,9 +891,58 @@ object KdbQueries extends QueryModule {
       FROM z
       ORDER BY event_type, slot_1h"""))
 
+  /** Series alignment + correlation: the hourly click and purchase
+    * count series aligned on slot (conditional aggregation — one scan,
+    * one shuffle, no join needed since both series come from the same
+    * table), then Pearson correlation / covariance / stddevs across
+    * the aligned slots. The statistical-aggregate surface (corr,
+    * covar_pop, stddev_pop) every TSDB pairs-analysis needs. Absent
+    * slots count as zero activity on both sides — the engine's
+    * zero-fill semantic — via the dense grid join. */
+  private val seriesCorr = QueryDef(
+    "kdb_series_corr",
+    (s, d) => {
+      val n = (T1 - T0) / Hour
+      val grid = s.range(n).select((lit(T0) + col("id") * Hour).as("slot_1h"))
+      val counts = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("slot_1h", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("slot_1h"))
+        .agg(count(when(col("event_type") === "click", 1)).as("clicks"),
+          count(when(col("event_type") === "purchase", 1)).as("purchases"))
+      grid.join(counts, Seq("slot_1h"), "left_outer")
+        .select(
+          coalesce(col("clicks"), lit(0L)).cast("double").as("c"),
+          coalesce(col("purchases"), lit(0L)).cast("double").as("p"))
+        .agg(count(lit(1)).as("n_slots"),
+          (round(corr(col("c"), col("p")), 4) + lit(0.0)).as("corr_cp"),
+          (round(covar_pop(col("c"), col("p")), 4) + lit(0.0)).as("covar_cp"),
+          round(stddev_pop(col("c")), 4).as("sd_clicks"),
+          round(stddev_pop(col("p")), 4).as("sd_purchases"))
+    },
+    Some(s"""
+      WITH counts AS (
+        SELECT epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_1h,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1),
+      aligned AS (
+        SELECT CAST(coalesce(c.clicks, 0) AS DOUBLE) AS c,
+               CAST(coalesce(c.purchases, 0) AS DOUBLE) AS p
+        FROM range(${T0}, ${T1}, ${Hour}) g(slot_1h)
+        LEFT JOIN counts c USING (slot_1h))
+      SELECT count(*) AS n_slots,
+             round(corr(c, p), 4) + 0.0 AS corr_cp,
+             round(covar_pop(c, p), 4) + 0.0 AS covar_cp,
+             round(stddev_pop(c), 4) AS sd_clicks,
+             round(stddev_pop(p), 4) AS sd_purchases
+      FROM aligned"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
     sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest,
-    heavyHitters, zscore)
+    heavyHitters, zscore, seriesCorr)
 }

@@ -388,6 +388,18 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       call_function("double_from_payload", col("payload")))
   }
 
+  /** Typed ingest convenience — the write-side twin of getDoubles:
+    * encodes each value as the 8-byte big-endian IEEE-754 payload
+    * double_from_payload decodes, so putDoubles→getDoubles roundtrips
+    * bit-exactly. Same validation/LWW path as put. */
+  def putDoubles(points: Seq[(Long, Seq[String], Double)]): Map[String, Long] = {
+    require(opts.payloadSize == 8,
+      s"putDoubles requires payloadSize=8 (engine has ${opts.payloadSize})")
+    put(points.map { case (ts, tags, v) =>
+      Point(ts, tags, java.nio.ByteBuffer.allocate(8).putDouble(v).array())
+    })
+  }
+
   /** Compact one bucket partition: materialize last-writer-wins so
     * reads stop paying the max_by resolve for that bucket. The
     * reference gets compaction for free (positional overwrite IS the

@@ -343,6 +343,24 @@ class EngineSpec extends SparkTestBase {
     assert(vals(11020L) === -1.5e300)
   }
 
+  test("putDoubles → getDoubles roundtrips bit-exactly (typed write twin)") {
+    val dir = Files.createTempDirectory("graft-typedw").toString
+    val clock = new TestClock(11999L)
+    val e = new Engine(spark, EngineOptions("twdb", dir, 4, 8, 1000L, 10L), clock)
+    assert(e.putDoubles(Seq(
+      (11000L, tag4, 42.0625),
+      (11010L, tag4, java.lang.Double.MIN_VALUE))) === Map("ok" -> 2L))
+    val vals = e.getDoubles(11000L, 11020L, tag4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("value"))).toMap
+    assert(vals(11000L) === 42.0625)
+    assert(vals(11010L) === java.lang.Double.MIN_VALUE) // subnormal survives
+    // wrong payload size is a loud caller error
+    val e4 = mkEngine()._1
+    intercept[IllegalArgumentException] {
+      e4.putDoubles(Seq((11000L, tag4, 1.0)))
+    }
+  }
+
   test("snapshot reads: getAsOf sees the world at a seq watermark; compaction collapses history") {
     val (e, _) = mkEngine()
     e.put(Seq(Point(11000L, tag4, pld(1))))

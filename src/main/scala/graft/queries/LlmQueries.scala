@@ -1258,11 +1258,61 @@ object LlmQueries extends QueryModule {
       ORDER BY n_occ DESC, span_hash
       LIMIT 50"""))
 
+  /** Vocabulary encode: text → token-id sequences against the ranked
+    * vocab (llm_vocab_build's table), OOV → −1 — the final text→ids
+    * step before packing. The vocab is a BROADCAST dictionary (tiny by
+    * construction: top-k entries), so encoding is a map-side join —
+    * per-row work, no shuffle of the token stream; the only exchange
+    * is the per-doc reassembly. The md5 over the position-ordered id
+    * string proves the whole encoded sequence matches byte for byte. */
+  private val encodeIds = QueryDef(
+    "llm_encode_ids",
+    (s, d) => {
+      val wv = Window.orderBy(col("n").desc, col("tok"))
+      val vocab = documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .withColumn("token_id", row_number().over(wv).cast("long") - 1)
+        .filter(col("token_id") < 1000)
+        .select(col("tok"), col("token_id"))
+      documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .join(broadcast(vocab), Seq("tok"), "left_outer")
+        .withColumn("id", coalesce(col("token_id"), lit(-1L)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("id") === -1L, 1)).as("n_oov"),
+          md5(array_join(
+            transform(sort_array(collect_list(struct(col("pos"), col("id")))),
+              r => r.getField("id").cast("string")), ",")).as("ids_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      v AS (SELECT tok, count(*) AS n FROM c GROUP BY tok),
+      vocab AS (
+        SELECT tok, row_number() OVER (ORDER BY n DESC, tok) - 1 AS token_id
+        FROM v QUALIFY token_id < 1000),
+      tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      t AS (SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - 1)) AS pos
+            FROM tk),
+      tp AS (SELECT doc_id, pos, toks[pos + 1] AS tok FROM t),
+      j AS (SELECT doc_id, pos, coalesce(vocab.token_id, -1) AS id
+            FROM tp LEFT JOIN vocab USING (tok))
+      SELECT doc_id, count(*) AS n_tokens,
+             count(CASE WHEN id = -1 THEN 1 END) AS n_oov,
+             md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_hash
+      FROM j
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
     embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, multimodalMeta,
     filterChain, packSeq, stratSample, dedupClusters, decontaminate, piiScrub,
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
-    dedupSubstring)
+    dedupSubstring, encodeIds)
 }

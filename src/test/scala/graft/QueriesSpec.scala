@@ -77,6 +77,26 @@ class QueriesSpec extends SparkTestBase {
       "chunking is per-row work; a hash shuffle means the token array went on the wire")
   }
 
+  test("llm_encode_ids looks tokens up via broadcast join (the stream never shuffles for the dictionary)") {
+    val plan = SparkEntry.queries("llm_encode_ids")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "vocab lookup must be a broadcast join")
+  }
+
+  test("llm_dedup_substring hashes spans before its first exchange (token arrays stay local)") {
+    val plan = SparkEntry.queries("llm_dedup_substring")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the first (pre-shuffle) operator chain must already contain the
+    // md5 projection — i.e. only 16-byte hashes cross the wire
+    val firstExchange = plan.indexOf("Exchange")
+    val firstMd5 = plan.indexOf("md5")
+    assert(firstMd5 >= 0 && firstExchange >= 0 && firstMd5 > firstExchange,
+      "span md5 must be computed below the first exchange (plans print top-down)")
+    assert(!plan.contains("toks#") || !plan.substring(0, firstExchange).contains("toks#"),
+      "token arrays must not appear above the first exchange")
+  }
+
   test("q6 selective filter is pushed into the parquet scan") {
     val plan = SparkEntry.queries("q6_filter_pushdown")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -891,6 +891,39 @@ object RelationalQueries extends QueryModule {
       WHERE event_type = 'signup'
       ORDER BY user_id, valid_from_us, event_id"""))
 
+  /** Duplicate-preserving set ops: INTERSECT ALL / EXCEPT ALL keep
+    * per-key multiplicities (min / truncated-difference of counts) —
+    * distinct physical operators from their DISTINCT cousins, and the
+    * semantics bag-relational pipelines actually need (e.g. "how many
+    * F-orders per customer beyond their O-orders"). */
+  private val qSetOpsAll = QueryDef(
+    "q_set_ops_all",
+    (s, d) => {
+      val o = orders(s, d)
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val oo = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val interAll = f.intersectAll(oo).agg(count(lit(1)).as("n"))
+        .withColumn("which", lit("intersect_all"))
+      val exceptAll = f.exceptAll(oo).agg(count(lit(1)).as("n"))
+        .withColumn("which", lit("except_all"))
+      val unionAll = f.union(oo).agg(count(lit(1)).as("n"))
+        .withColumn("which", lit("union_all"))
+      interAll.union(exceptAll).union(unionAll)
+        .select(col("which"), col("n")).orderBy(col("which"))
+    },
+    Some("""
+      WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+           o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      SELECT 'except_all' AS which, count(*) AS n
+        FROM (SELECT * FROM f EXCEPT ALL SELECT * FROM o)
+      UNION ALL
+      SELECT 'intersect_all' AS which, count(*) AS n
+        FROM (SELECT * FROM f INTERSECT ALL SELECT * FROM o)
+      UNION ALL
+      SELECT 'union_all' AS which, count(*) AS n
+        FROM (SELECT * FROM f UNION ALL SELECT * FROM o)
+      ORDER BY which"""))
+
   val defs: Seq[QueryDef] = Seq(
     q1Agg, q6Filter, q3TopOrders, q5Star, qSemi, qAnti,
     qWindowRunning, qTopkPerGroup, qLag, qRollup, qSortLimit,
@@ -898,5 +931,5 @@ object RelationalQueries extends QueryModule {
     qCube, qNtile, qCorrSubquery, qPercentile,
     qDatetime, qStringFuncs, qNullSemantics, qArrayFuncs, qRangeFrame,
     qStringAgg, qGroupingSets, qUnpivot, qSampleHash, qApproxQuantile,
-    qHistogram, qJsonFuncs, qWindowDist, qScd2)
+    qHistogram, qJsonFuncs, qWindowDist, qScd2, qSetOpsAll)
 }

@@ -164,6 +164,25 @@ object StreamingIngest {
       .select(col("tag0"), unix_micros(col("window.start")).as("w_start_us"), col("n"))
   }
 
+  /** Streaming hopping-window aggregation: window(ts, size, slide)
+    * assigns each point to size/slide overlapping windows (the
+    * streaming twin of the batch kdb_hopping_window explode). Same
+    * watermark contract as tumblingCounts; the multi-assignment
+    * happens before the partial aggregation, so map-side combine
+    * absorbs the fan-out exactly as in the batch shape. */
+  def hoppingCounts(points: DataFrame, windowNs: Long, slideNs: Long,
+      watermarkNs: Long): DataFrame = {
+    points
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", s"${watermarkNs / 1000} microseconds")
+      .withColumn("tag0", element_at(col("tags"), 1))
+      .groupBy(col("tag0"),
+        window(col("event_time"),
+          s"${windowNs / 1000} microseconds", s"${slideNs / 1000} microseconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("tag0"), unix_micros(col("window.start")).as("w_start_us"), col("n"))
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same content key
     * while bounding state with the watermark —
     * dropDuplicatesWithinWatermark keeps a key's state only until the

@@ -277,6 +277,30 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(rows.toSeq === Seq(("s", 1000000L, 2L), ("s", 2000000L, 1L)))
   }
 
+  test("streaming hopping windows: each point lands in size/slide overlapping windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Point]
+    val agg = StreamingIngest.hoppingCounts(
+      stream.toDF(), windowNs = 2000000000L, slideNs = 1000000000L,
+      watermarkNs = 2000000000L)
+    val q = agg.writeStream
+      .format("memory").queryName("hopping_test").outputMode("complete")
+      .start()
+    try {
+      stream.addData(
+        Point(1000000000L, tag4, pld(1), 1), // 1s → windows [0,2) and [1,3)
+        Point(1500000000L, tag4, pld(1), 2), // 1.5s → same two windows
+        Point(2000000000L, tag4, pld(1), 3)) // 2s → windows [1,3) and [2,4)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("hopping_test")
+      .orderBy(col("w_start_us")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(
+      ("s", 0L, 2L), ("s", 1000000L, 3L), ("s", 2000000L, 1L)))
+  }
+
   test("watermarked streaming dedup drops re-deliveries, state bounded by watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

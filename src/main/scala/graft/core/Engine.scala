@@ -388,6 +388,45 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       call_function("double_from_payload", col("payload")))
   }
 
+  /** Series enumeration — the light read the reference's index trie
+    * answers with a wildcard Find (mindex.go:126-168) minus the data:
+    * distinct tag tuples seen in [start, end), optionally constrained
+    * by a (possibly wildcard) tag pattern. One pruned scan projecting
+    * ONLY the tag columns (column pruning keeps payloads on disk) and
+    * one distinct shuffle of the narrow keys. */
+  def series(start: Long, end: Long,
+      tags: Seq[String] = Seq.fill(opts.indexDepth)("")): DataFrame = {
+    val s0 = start - start % opts.resolution
+    val e0 = end - end % opts.resolution
+    if (e0 < s0) throw new IllegalArgumentException(InvalidTimestamp)
+    if (tags.size != opts.indexDepth)
+      throw new IllegalArgumentException(InvalidIndexValues)
+    val scan = pruned(s0, e0)
+    val preds = tagCols.zip(tags).collect { case (c, v) if v.nonEmpty => col(c) === v }
+    preds.foldLeft(scan)(_ filter _)
+      .select(tagCols.map(col): _*).distinct()
+      .orderBy(tagCols.map(col): _*)
+  }
+
+  /** Per-bucket table statistics: rows, distinct series, slot range —
+    * the operational view behind retention and compaction decisions.
+    * One scan of the narrow (bucket, tags, slot) columns; counts are
+    * partial-agg friendly. Row counts include superseded LWW
+    * duplicates (they occupy storage — that is what compaction
+    * decisions need); distinct series use approx_count_distinct
+    * (exactness is not worth a second shuffle here). */
+  def stats(): DataFrame = {
+    table()
+      .groupBy(col("bucket_ts"))
+      .agg(count(lit(1)).as("rows"),
+        approx_count_distinct(struct(tagCols.map(col): _*))
+          .as("approx_series"),
+        min(col("slot_ns")).as("min_slot_ns"),
+        max(col("slot_ns")).as("max_slot_ns"),
+        max(col("seq")).as("max_seq"))
+      .orderBy(col("bucket_ts"))
+  }
+
   /** Typed ingest convenience — the write-side twin of getDoubles:
     * encodes each value as the 8-byte big-endian IEEE-754 payload
     * double_from_payload decodes, so putDoubles→getDoubles roundtrips

@@ -386,6 +386,28 @@ class EngineSpec extends SparkTestBase {
       === Seq(Seq[Byte](0, 0, 0, 0)))
   }
 
+  test("series() enumerates distinct tag tuples in range; stats() reports per-bucket shape") {
+    val (e, _) = mkEngine()
+    e.put(Seq(
+      Point(10500L, Seq("a", "b", "c", "d"), pld(1)),
+      Point(11000L, Seq("a", "b", "c", "d"), pld(2)), // same series again
+      Point(11000L, Seq("a", "x", "y", "z"), pld(3)),
+      Point(11010L, Seq("q", "r", "s", "t"), pld(4))))
+    // full enumeration
+    val all = e.series(10000L, 12000L).collect().map(r =>
+      (0 until 4).map(r.getString).mkString(","))
+    assert(all.toSeq === Seq("a,b,c,d", "a,x,y,z", "q,r,s,t"))
+    // constrained by a leading tag (wildcard rest)
+    val aOnly = e.series(10000L, 12000L, Seq("a", "", "", "")).collect()
+    assert(aOnly.length === 2)
+    // range-constrained: bucket 10000 has only the first series
+    assert(e.series(10000L, 11000L).count() === 1L)
+    // stats: two buckets; bucket 11000 holds 3 rows (incl. the repeat)
+    val st = e.stats().collect().map(r =>
+      r.getLong(r.fieldIndex("bucket_ts")) -> r.getLong(r.fieldIndex("rows"))).toMap
+    assert(st === Map(10000L -> 1L, 11000L -> 3L))
+  }
+
   test("options validation mirrors dbase.go:71-73") {
     intercept[IllegalArgumentException](
       EngineOptions("x", "/tmp/x", 4, 4, bucketDuration = 1000L, resolution = 7L))

@@ -924,6 +924,40 @@ object RelationalQueries extends QueryModule {
         FROM (SELECT * FROM f UNION ALL SELECT * FROM o)
       ORDER BY which"""))
 
+  /** Full outer join with unmatched rows on BOTH sides (ranges chosen
+    * to overlap partially): the join kind reconciliation jobs need —
+    * every key from either side survives, null-extended where absent.
+    * Coalesced key + presence flags keep the output total-ordered and
+    * null-free for hashing. */
+  private val qFullOuter = QueryDef(
+    "q_full_outer_join",
+    (s, d) => {
+      val cust = customer(s, d).filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ords = orders(s, d).filter(col("o_custkey") >= 50 && col("o_custkey") <= 150)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_custkey").isNotNull.cast("int").as("has_customer"),
+          col("o_custkey").isNotNull.cast("int").as("has_orders"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("custkey"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey <= 100),
+      o AS (
+        SELECT o_custkey, count(*) AS n_orders
+        FROM orders WHERE o_custkey BETWEEN 50 AND 150
+        GROUP BY o_custkey)
+      SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+             CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS has_customer,
+             CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS has_orders,
+             coalesce(o.n_orders, 0) AS n_orders
+      FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+      ORDER BY custkey"""))
+
   val defs: Seq[QueryDef] = Seq(
     q1Agg, q6Filter, q3TopOrders, q5Star, qSemi, qAnti,
     qWindowRunning, qTopkPerGroup, qLag, qRollup, qSortLimit,
@@ -931,5 +965,5 @@ object RelationalQueries extends QueryModule {
     qCube, qNtile, qCorrSubquery, qPercentile,
     qDatetime, qStringFuncs, qNullSemantics, qArrayFuncs, qRangeFrame,
     qStringAgg, qGroupingSets, qUnpivot, qSampleHash, qApproxQuantile,
-    qHistogram, qJsonFuncs, qWindowDist, qScd2, qSetOpsAll)
+    qHistogram, qJsonFuncs, qWindowDist, qScd2, qSetOpsAll, qFullOuter)
 }

@@ -823,8 +823,12 @@ object KdbQueries extends QueryModule {
       val summary = idsDf.as[Long]
         .select(graft.functions.HeavyHitters.spaceSaving(k)).head()
       val inSummary = summary.map(_.item).toSet
-      val n = idsDf.count()
-      val exact = idsDf.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      // ONE aggregation pass feeds every flag and the output: without
+      // the persist, each driver action below re-scans the events
+      // table (4 full scans for one query). The cached table is one
+      // tiny row per user.
+      val exact = idsDf.groupBy(col("user_id")).agg(count(lit(1)).as("n")).persist()
+      val n = { val r = exact.agg(sum(col("n"))).head(); if (r.isNullAt(0)) 0L else r.getLong(0) }
       val exactForSummary = exact.filter(col("user_id").isin(inSummary.toSeq: _*))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val boundsOk = summary.forall { c =>

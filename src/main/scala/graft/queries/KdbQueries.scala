@@ -399,6 +399,66 @@ object KdbQueries extends QueryModule {
       WHERE user_id < 30
       ORDER BY user_id, slot_ns"""))
 
+  /** Rolling MEDIAN over the dense grid — the robust-statistics twin
+    * of kdb_rolling_avg (medians shrug off the spikes that drag a
+    * mean). Spark has no median window function, so the 4-slot frame
+    * collects into a bounded array (≤ 4 elements — frame-bounded, not
+    * data-bounded) and the median is computed positionally from the
+    * sorted array, interpolating even-length frames exactly as
+    * DuckDB's quantile_cont-based median window does. Same
+    * single-shuffle shape as the rolling average. */
+  private val rollingMedian = QueryDef(
+    "kdb_rolling_median",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = (T1 - T0) / Res6h
+      val grid = s.range(n).select((lit(T0) + col("id") * Res6h).as("slot_ns"))
+      val vals = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Res6h)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(max(col("value")).as("v"))
+      val types = vals.select(col("event_type")).distinct()
+      val dense = types.crossJoin(broadcast(grid))
+        .join(vals, Seq("event_type", "slot_ns"), "left_outer")
+        .select(col("event_type"), col("slot_ns"),
+          coalesce(col("v"), lit(0.0)).as("value"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("slot_ns"))
+        .rowsBetween(-3, 0)
+      dense
+        .withColumn("vals", sort_array(collect_list(col("value")).over(w)))
+        .withColumn("m", size(col("vals")))
+        .select(col("event_type"), col("slot_ns"),
+          round(col("value"), 2).as("value"),
+          round(
+            when(col("m") % 2 === 1,
+              element_at(col("vals"), ((col("m") + 1) / lit(2)).cast("int")))
+              .otherwise(
+                (element_at(col("vals"), (col("m") / lit(2)).cast("int")) +
+                  element_at(col("vals"), (col("m") / lit(2)).cast("int") + 1)) / 2.0),
+            4).as("med4"))
+        .orderBy(col("event_type"), col("slot_ns"))
+    },
+    Some(s"""
+      WITH vals AS (
+        SELECT event_type,
+               epoch_ns(ts) - epoch_ns(ts) % ${Res6h} AS slot_ns,
+               max(value) AS v
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1, 2),
+      types AS (SELECT DISTINCT event_type FROM vals),
+      dense AS (
+        SELECT t.event_type, g.slot_ns, coalesce(v.v, 0.0) AS value
+        FROM types t
+        CROSS JOIN range(${T0}, ${T1}, ${Res6h}) g(slot_ns)
+        LEFT JOIN vals v ON v.event_type = t.event_type AND v.slot_ns = g.slot_ns)
+      SELECT event_type, slot_ns, round(value, 2) AS value,
+             round(median(value) OVER (PARTITION BY event_type ORDER BY slot_ns
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS med4
+      FROM dense
+      ORDER BY event_type, slot_ns"""))
+
   /** Skew-safe distinct count via explicit salting: event_type has
     * only a handful of values, so a naive count(DISTINCT user_id) per
     * type funnels each type through ONE reducer. Stage 1 shuffles on
@@ -948,5 +1008,5 @@ object KdbQueries extends QueryModule {
     put, get, find, removeBefore, validate, tumbling, asof,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
     sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest,
-    heavyHitters, zscore, seriesCorr)
+    heavyHitters, zscore, seriesCorr, rollingMedian)
 }

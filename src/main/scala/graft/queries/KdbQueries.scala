@@ -1004,9 +1004,67 @@ object KdbQueries extends QueryModule {
              round(stddev_pop(p), 4) AS sd_purchases
       FROM aligned"""))
 
+  /** Audience overlap via KMV sketches (graft.functions.Kmv): distinct
+    * click-users vs purchase-users, their union and intersection — the
+    * set algebra HLL registers cannot do. Each side collapses to a
+    * k=256 summary (fixed-size partial state, one tiny row to the
+    * driver); union/intersection estimates come from merging the two
+    * summaries. Estimates are deterministic in the data (md-free
+    * xxhash64, no RNG), so the within-20% quality flags are stable
+    * gate material; the output rows themselves are the EXACT counts.
+    * At gate scales the summaries hold fewer than k hashes, so the
+    * estimates are exact by construction — the estimation regime is
+    * exercised in FunctionsSpec. Two jobs total: one grouped typed
+    * aggregation builds BOTH sketches (fixed-size partial state per
+    * partition, merged at 2 reduce keys), and one per-user flags pass
+    * yields all three exact counts without a distinct+intersect
+    * re-shuffle — the same two-scan shape stands at 100 TB because
+    * nothing but the k-hash summaries and one count row reach the
+    * driver. */
+  private val audienceOverlap = QueryDef(
+    "kdb_audience_overlap",
+    (s, d) => {
+      import s.implicits._
+      val k = 256
+      val both = ev(s, d)
+        .filter(col("event_type").isin("click", "purchase") && col("user_id").isNotNull)
+        .select(col("event_type").as("t"), col("user_id").as("u"))
+      // Job 1: both KMV summaries in one pass (2 reduce keys).
+      val sketches = both
+        .select(col("t"), xxhash64(col("u")).as("h")).as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.functions.Kmv.kmv(k)).collect().toMap
+      val sa = sketches.getOrElse("click", Nil)
+      val sb = sketches.getOrElse("purchase", Nil)
+      val estA = graft.functions.Kmv.estimate(sa, k)
+      val estB = graft.functions.Kmv.estimate(sb, k)
+      val (_, estI) = graft.functions.Kmv.setEstimates(sa, sb, k)
+      // Job 2: per-user presence flags → all three exact counts.
+      val exact = both
+        .groupBy(col("u"))
+        .agg(max(when(col("t") === "click", 1).otherwise(0)).as("a"),
+             max(when(col("t") === "purchase", 1).otherwise(0)).as("b"))
+        .agg(count(when(col("a") === 1, 1)).as("exact_a"),
+             count(when(col("b") === 1, 1)).as("exact_b"),
+             count(when(col("a") === 1 && col("b") === 1, 1)).as("exact_both"))
+        .head()
+      def ok(est: Double, exact: Long): Int =
+        if (math.abs(est - exact) <= math.max(1.0, exact * 0.2)) 1 else 0
+      val one = Seq((exact.getLong(0), exact.getLong(1), exact.getLong(2),
+        ok(estA, exact.getLong(0)), ok(estB, exact.getLong(1)), ok(estI, exact.getLong(2))))
+      one.toDF("exact_a", "exact_b", "exact_both", "a_ok", "b_ok", "both_ok")
+    },
+    Some("""
+      WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+           p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      SELECT (SELECT count(*) FROM c) AS exact_a,
+             (SELECT count(*) FROM p) AS exact_b,
+             (SELECT count(*) FROM c JOIN p USING (user_id)) AS exact_both,
+             1 AS a_ok, 1 AS b_ok, 1 AS both_ok"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
     sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest,
-    heavyHitters, zscore, seriesCorr, rollingMedian)
+    heavyHitters, zscore, seriesCorr, rollingMedian, audienceOverlap)
 }

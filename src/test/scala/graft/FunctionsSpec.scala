@@ -84,6 +84,36 @@ class FunctionsSpec extends SparkTestBase {
       HeavyHitters.Counter(10L, 7L, 0L), HeavyHitters.Counter(20L, 3L, 0L)))
   }
 
+  test("KmvAgg: exact under k distinct; estimation within tolerance; set algebra works") {
+    import spark.implicits._
+    import graft.functions.Kmv
+    // splitmix64 — uniform 64-bit hashes for the estimator's model
+    def mix(i: Long): Long = {
+      var z = i + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    // exact regime: 10 distinct values, k=64 → summary IS the set
+    val small = (1L to 10L).map(mix).toDS().repartition(4)
+    val s0 = small.select(Kmv.kmv(64)).head()
+    assert(s0.size === 10)
+    assert(Kmv.estimate(s0, 64) === 10.0)
+    // estimation regime: 5000 distinct, k=64 → within 3σ ≈ 37%
+    val big = (1L to 5000L).map(mix).toDS().repartition(8)
+    val est = Kmv.estimate(big.select(Kmv.kmv(64)).head(), 64)
+    assert(math.abs(est - 5000.0) <= 5000.0 * 0.4, s"estimate $est too far from 5000")
+    // set algebra: A = 1..3000, B = 2001..5000 → |A∪B| = 5000, |A∩B| = 1000
+    val a = (1L to 3000L).map(mix).toDS().select(Kmv.kmv(256)).head()
+    val b = (2001L to 5000L).map(mix).toDS().select(Kmv.kmv(256)).head()
+    val (u, i) = Kmv.setEstimates(a, b, 256)
+    assert(math.abs(u - 5000.0) <= 5000.0 * 0.25, s"union estimate $u")
+    assert(math.abs(i - 1000.0) <= 1000.0 * 0.5, s"intersection estimate $i")
+    // determinism: same inputs → identical summary regardless of partitioning
+    val again = (1L to 3000L).map(mix).toDS().repartition(13).select(Kmv.kmv(256)).head()
+    assert(a === again)
+  }
+
   test("CSV and JSONL round-trip preserves rows with explicit schema") {
     val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),

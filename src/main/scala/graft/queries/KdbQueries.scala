@@ -712,6 +712,71 @@ object KdbQueries extends QueryModule {
       FROM f
       ORDER BY slot_ns"""))
 
+  /** Forward fill (LOCF — last observation carried forward): the
+    * third member of the fill family next to zero-fill (Q-2 Get) and
+    * linear interpolation. Unlike kdb_interp_fill's single global
+    * grid, this one fills PER SERIES under a partitioned window —
+    * the horizontally scalable shape (each series' fill is an
+    * independent partition; 1M series = 1M independent window
+    * partitions, no global sort). Also emits the staleness age in
+    * slots — the "how old is this carried value" metric a monitoring
+    * read needs next to the value itself. */
+  private val locfFill = QueryDef(
+    "kdb_locf_fill",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val end = T0 + 7 * Day
+      val types = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < end)
+        .select(col("event_type")).distinct()
+      val grid = s.range((end - T0) / Hour)
+        .select((lit(T0) + col("id") * Hour).as("slot_ns"))
+        .crossJoin(types)
+      val data = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < end)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(max(col("value")).as("v"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("slot_ns"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(data, Seq("event_type", "slot_ns"), "left_outer")
+        .withColumn("fv", last(col("v"), ignoreNulls = true).over(w))
+        .withColumn("ps", last(when(col("v").isNotNull, col("slot_ns")), ignoreNulls = true).over(w))
+        .select(col("event_type"), col("slot_ns"),
+          round(col("fv"), 2).as("value"),
+          col("v").isNotNull.cast("int").as("observed"),
+          ((col("slot_ns") - col("ps")) / lit(Hour)).cast("long").as("age_slots"))
+        .orderBy(col("event_type"), col("slot_ns"))
+    },
+    Some(s"""
+      WITH types AS (
+        SELECT DISTINCT event_type FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T0 + 7 * Day}),
+      grid AS (
+        SELECT t.event_type, ${T0} + ${Hour} * g AS slot_ns
+        FROM generate_series(0, 167) s(g) CROSS JOIN types t),
+      d AS (
+        SELECT event_type, epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               max(value) AS v
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T0 + 7 * Day}
+        GROUP BY 1, 2),
+      j AS (SELECT g.event_type, g.slot_ns, d.v
+            FROM grid g LEFT JOIN d USING (event_type, slot_ns)),
+      f AS (
+        SELECT event_type, slot_ns, v,
+          last_value(v IGNORE NULLS) OVER
+            (PARTITION BY event_type ORDER BY slot_ns ROWS UNBOUNDED PRECEDING) AS fv,
+          last_value(CASE WHEN v IS NOT NULL THEN slot_ns END IGNORE NULLS) OVER
+            (PARTITION BY event_type ORDER BY slot_ns ROWS UNBOUNDED PRECEDING) AS ps
+        FROM j)
+      SELECT event_type, slot_ns,
+             round(fv, 2) AS value,
+             CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed,
+             CAST((slot_ns - ps) / ${Hour} AS BIGINT) AS age_slots
+      FROM f
+      ORDER BY event_type, slot_ns"""))
+
   /** Exponentially weighted moving average over each type's hourly
     * series: e_t = α·x_t + (1−α)·e_{t−1}, the classic smoothing op a
     * TSDB surface offers next to rolling means. EWMA is inherently
@@ -1066,5 +1131,6 @@ object KdbQueries extends QueryModule {
     put, get, find, removeBefore, validate, tumbling, asof,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
     sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest,
-    heavyHitters, zscore, seriesCorr, rollingMedian, audienceOverlap)
+    heavyHitters, zscore, seriesCorr, rollingMedian, audienceOverlap,
+    locfFill)
 }

@@ -345,6 +345,56 @@ object LlmQueries extends QueryModule {
       ORDER BY jaccard DESC, d1, d2
       LIMIT 20"""))
 
+  /** Edit-distance near-dup: Levenshtein distance between 150-char
+    * document prefixes, the character-level complement to the
+    * token-level Jaccard above. Pairwise edit distance is O(n·m) per
+    * pair and O(N²) pairs naively — both get bounded: candidates come
+    * from the inverted shingle join (only pairs sharing ≥1 word
+    * 3-gram exist, never a cross join) and the comparison runs on a
+    * fixed 150-char prefix, so per-pair cost is a constant. At 100 TB
+    * the shingle join shuffles on shingle (skew-bounded: stopword-ish
+    * shingles could be salted), and the tiny prefix table broadcasts
+    * back onto the candidate pairs. */
+  private val editDistance = QueryDef(
+    "llm_dedup_editdist",
+    (s, d) => {
+      val pre = documents(s, d).filter(col("doc_id") < 120)
+        .select(col("doc_id"), substring(col("text"), 1, 150).as("pfx"))
+      val ex = shingleRows(s, d, col("doc_id") < 120).distinct()
+      val cand = ex.as("a").join(ex.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_shared"))
+      cand
+        .join(broadcast(pre.select(col("doc_id").as("d1"), col("pfx").as("p1"))), "d1")
+        .join(broadcast(pre.select(col("doc_id").as("d2"), col("pfx").as("p2"))), "d2")
+        .select(col("d1"), col("d2"), col("n_shared"),
+          levenshtein(col("p1"), col("p2")).as("edit_dist"))
+        .orderBy(col("edit_dist"), col("d1"), col("d2"))
+        .limit(30)
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, substr(text, 1, 150) AS pfx,
+               list_distinct(list_transform(
+                 generate_series(0, len(string_split(text, ' ')) - 3),
+                 i -> string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2] || ' ' ||
+                      string_split(text, ' ')[i+3])) AS sh
+        FROM documents WHERE doc_id < 120),
+      ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+      cand AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT d1, d2, n_shared,
+             CAST(levenshtein(p1.pfx, p2.pfx) AS INTEGER) AS edit_dist
+      FROM cand
+      JOIN docs p1 ON p1.doc_id = d1
+      JOIN docs p2 ON p2.doc_id = d2
+      ORDER BY edit_dist, d1, d2
+      LIMIT 30"""))
+
   /** TF-IDF top terms per document (classic text-pipeline scoring):
     * tf from one tokenize+explode pass, df from a distinct-doc count
     * per term, idf = ln(N/df) — top-3 terms per doc ranked by the
@@ -1314,5 +1364,5 @@ object LlmQueries extends QueryModule {
     embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, multimodalMeta,
     filterChain, packSeq, stratSample, dedupClusters, decontaminate, piiScrub,
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
-    dedupSubstring, encodeIds)
+    dedupSubstring, encodeIds, editDistance)
 }

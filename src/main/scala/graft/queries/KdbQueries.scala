@@ -1127,10 +1127,122 @@ object KdbQueries extends QueryModule {
              (SELECT count(*) FROM c JOIN p USING (user_id)) AS exact_both,
              1 AS a_ok, 1 AS b_ok, 1 AS both_ok"""))
 
+  /** Ordered conversion funnel: view → click → purchase, each stage's
+    * timestamp strictly after the previous stage's. Three chained
+    * min-over-user windows (partitionBy only, no orderBy — no sort
+    * needed) compute the stage times; they all share ONE hash exchange
+    * on user_id, and the per-user collapse reuses that partitioning.
+    * Per-user state is three longs regardless of event count, so the
+    * shape stands at 100 TB: one shuffle of the type-filtered events,
+    * then a constant-size global rollup. */
+  private val funnel = QueryDef(
+    "kdb_funnel",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+      val e = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1 &&
+          col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"), col("ts_ns"))
+      val staged = e
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts_ns"))).over(w))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("ts_ns") > col("t_view"),
+            col("ts_ns"))).over(w))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" && col("ts_ns") > col("t_click"),
+            col("ts_ns"))).over(w))
+      staged
+        .groupBy(col("user_id"))
+        .agg(min(col("t_view")).as("t_view"), min(col("t_click")).as("t_click"),
+          min(col("t_purchase")).as("t_purchase"))
+        .filter(col("t_view").isNotNull)
+        .agg(count(lit(1)).as("n_view"),
+          count(col("t_click")).as("n_click"),
+          count(col("t_purchase")).as("n_purchase"))
+        .select(col("n_view"), col("n_click"), col("n_purchase"),
+          round(col("n_click").cast("double") / col("n_view"), 4).as("conv_click"),
+          round(col("n_purchase").cast("double") / col("n_click"), 4).as("conv_purchase"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+          AND event_type IN ('view', 'click', 'purchase')),
+      f1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_ns END)
+               OVER (PARTITION BY user_id) AS t_view FROM e),
+      f2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts_ns > t_view THEN ts_ns END)
+               OVER (PARTITION BY user_id) AS t_click FROM f1),
+      f3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_ns > t_click THEN ts_ns END)
+               OVER (PARTITION BY user_id) AS t_purchase FROM f2),
+      u AS (SELECT user_id, min(t_view) AS t_view, min(t_click) AS t_click,
+                   min(t_purchase) AS t_purchase
+            FROM f3 GROUP BY 1),
+      agg AS (
+        SELECT count(*) AS n_view, count(t_click) AS n_click,
+               count(t_purchase) AS n_purchase
+        FROM u WHERE t_view IS NOT NULL)
+      SELECT n_view, n_click, n_purchase,
+             round(CAST(n_click AS DOUBLE) / n_view, 4) AS conv_click,
+             round(CAST(n_purchase AS DOUBLE) / n_click, 4) AS conv_purchase
+      FROM agg"""))
+
+  /** Weekly cohort-retention matrix: users bucketed by the week of
+    * their first event; each cell counts the cohort's distinct users
+    * active `week_offset` weeks later, plus the rate vs. the cohort's
+    * own size (offset 0 row — every user is active in their first
+    * week by construction). Two shuffles that matter: the first-event
+    * reduce on user_id and the events→cohort join that REUSES that
+    * user_id partitioning; the (cohort, offset) matrix is tiny (weeks²)
+    * so its own shuffle and the offset-0 broadcast back are noise at
+    * any scale. */
+  private val retentionCohorts = QueryDef(
+    "kdb_retention_cohorts",
+    (s, d) => {
+      val Week = 7 * Day
+      val e = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .select(col("user_id"), col("ts_ns"))
+      val firstTs = e.groupBy(col("user_id")).agg(min(col("ts_ns")).as("first_ts"))
+        .withColumn("cohort_week", ((col("first_ts") - T0) / Week).cast("long"))
+      val cells = e.join(firstTs, "user_id")
+        .withColumn("week_offset",
+          ((col("ts_ns") - T0) / Week).cast("long") - col("cohort_week"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      val sizes = cells.filter(col("week_offset") === 0)
+        .select(col("cohort_week"), col("n_active").as("cohort_size"))
+      cells.join(broadcast(sizes), "cohort_week")
+        .select(col("cohort_week"), col("week_offset"), col("n_active"),
+          round(col("n_active").cast("double") / col("cohort_size"), 4).as("retention"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, epoch_ns(ts) AS ts_ns FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}),
+      first AS (
+        SELECT user_id, CAST(floor((min(ts_ns) - ${T0}) / ${7 * Day}) AS BIGINT) AS cohort_week
+        FROM e GROUP BY 1),
+      cells AS (
+        SELECT cohort_week,
+               CAST(floor((ts_ns - ${T0}) / ${7 * Day}) AS BIGINT) - cohort_week AS week_offset,
+               count(DISTINCT user_id) AS n_active
+        FROM e JOIN first USING (user_id)
+        GROUP BY 1, 2),
+      sizes AS (
+        SELECT cohort_week, n_active AS cohort_size FROM cells WHERE week_offset = 0)
+      SELECT cohort_week, week_offset, n_active,
+             round(CAST(n_active AS DOUBLE) / cohort_size, 4) AS retention
+      FROM cells JOIN sizes USING (cohort_week)
+      ORDER BY cohort_week, week_offset"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
     sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest,
     heavyHitters, zscore, seriesCorr, rollingMedian, audienceOverlap,
+    funnel, retentionCohorts,
     locfFill)
 }

@@ -125,8 +125,12 @@ class QueriesSpec extends SparkTestBase {
   }
 
   test("no query plan contains a cartesian product; nested-loop joins only where broadcast-intended") {
+    // kdb_locf_fill / kdb_rolling_median: dense-grid construction
+    // (distinct types × range grid), the same broadcast-intended cross
+    // join as kdb_find_wildcard's grid.
     val nestedLoopOk = Set("kdb_find_wildcard", "kdb_rolling_avg",
-      "llm_similarity_topk", "llm_similarity_ivf", "llm_tfidf_top_terms")
+      "llm_similarity_topk", "llm_similarity_ivf", "llm_tfidf_top_terms",
+      "kdb_locf_fill", "kdb_rolling_median")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

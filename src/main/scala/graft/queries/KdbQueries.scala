@@ -1127,6 +1127,85 @@ object KdbQueries extends QueryModule {
              (SELECT count(*) FROM c JOIN p USING (user_id)) AS exact_both,
              1 AS a_ok, 1 AS b_ok, 1 AS both_ok"""))
 
+  /** Time-weighted average (TWAP): over irregular samples, each
+    * observation holds until the next one, so its weight is that
+    * holding duration (the last one is clamped to the range end) —
+    * the correct mean for unevenly-sampled gauges, where the
+    * arithmetic mean over-weights chatty periods. One lead() window
+    * per series and a per-series rollup that REUSES the window's
+    * partitioning: one shuffle total, and per-series output is a
+    * single row — the shape is flat in series count at 100 TB. */
+  private val twap = QueryDef(
+    "kdb_twap",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts_ns"))
+      ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .select(col("event_type"), col("ts_ns"), col("value"))
+        .withColumn("hold_ns",
+          coalesce(lead(col("ts_ns"), 1).over(w), lit(T1)) - col("ts_ns"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_obs"),
+          round(sum(col("value") * col("hold_ns")) / sum(col("hold_ns")), 4).as("twap"),
+          round(avg(col("value")), 4).as("naive_avg"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT event_type, epoch_ns(ts) AS ts_ns, value FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}),
+      h AS (
+        SELECT event_type, value,
+               coalesce(lead(ts_ns, 1) OVER
+                 (PARTITION BY event_type ORDER BY ts_ns), ${T1}) - ts_ns AS hold_ns
+        FROM e)
+      SELECT event_type, count(*) AS n_obs,
+             round(sum(value * hold_ns) / sum(hold_ns), 4) AS twap,
+             round(avg(value), 4) AS naive_avg
+      FROM h
+      GROUP BY 1
+      ORDER BY event_type"""))
+
+  /** Gap detection: per-series sample intervals above a threshold —
+    * the monitoring read behind "did this feed stop?". lead() over the
+    * same one-shuffle per-series window as TWAP; emits each gap's
+    * bounds and length in minutes. Output is proportional to the
+    * number of GAPS, not samples, so it stays small at any scale. */
+  private val gapDetect = QueryDef(
+    "kdb_gap_detect",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"))
+      // µs precision throughout: DuckDB truncates parquet ns
+      // timestamps to µs, so emitting/comparing at ns can never
+      // hash-match — floor-div by 1000 equals that truncation.
+      val thresholdUs = 30L * 60 * 1000 * 1000
+      ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .select(col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+        .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+        .filter(col("next_us") - col("ts_us") > thresholdUs)
+        .select(col("event_type"), col("ts_us").as("gap_start_us"),
+          col("next_us").as("gap_end_us"),
+          ((col("next_us") - col("ts_us")) / lit(60L * 1000 * 1000)).cast("long")
+            .as("gap_minutes"))
+        .orderBy(col("event_type"), col("gap_start_us"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT event_type, epoch_us(ts) AS ts_us FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}),
+      h AS (
+        SELECT event_type, ts_us,
+               lead(ts_us, 1) OVER (PARTITION BY event_type ORDER BY ts_us) AS next_us
+        FROM e)
+      SELECT event_type, ts_us AS gap_start_us, next_us AS gap_end_us,
+             CAST(floor((next_us - ts_us) / ${60L * 1000 * 1000}) AS BIGINT) AS gap_minutes
+      FROM h
+      WHERE next_us - ts_us > ${30L * 60 * 1000 * 1000}
+      ORDER BY event_type, gap_start_us"""))
+
   /** Ordered conversion funnel: view → click → purchase, each stage's
     * timestamp strictly after the previous stage's. Three chained
     * min-over-user windows (partitionBy only, no orderBy — no sort
@@ -1243,6 +1322,6 @@ object KdbQueries extends QueryModule {
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
     sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest,
     heavyHitters, zscore, seriesCorr, rollingMedian, audienceOverlap,
-    funnel, retentionCohorts,
+    funnel, retentionCohorts, twap, gapDetect,
     locfFill)
 }

@@ -395,6 +395,66 @@ object LlmQueries extends QueryModule {
       ORDER BY edit_dist, d1, d2
       LIMIT 30"""))
 
+  /** Bigram language-model scoring: train add-one-smoothed bigram
+    * stats on one corpus slice, score a held-out slice by mean token
+    * log-likelihood — the classic statistical-quality filter (a doc
+    * whose bigrams never occur in the reference corpus scores low:
+    * boilerplate, lorem-ipsum, other-language text). Shapes: the two
+    * count tables shuffle on token keys (bigram vocab is NOT
+    * broadcastable at 100 TB — plain shuffle joins, AQE may still
+    * broadcast at small SF); the scalar vocab size rides a 1-row
+    * broadcast cross join; the per-doc rollup shuffles once on
+    * doc_id. Mean log-prob is rounded to 4dp — sum-order noise over
+    * ~200 terms is ~1e-12, far under the rounding grain. */
+  private val lmScore = QueryDef(
+    "llm_lm_score",
+    (s, d) => {
+      def toks(df: DataFrame) = df
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
+      def bigrams(df: DataFrame) = {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        toks(df).withColumn("w2", lead(col("w1"), 1).over(w))
+          .filter(col("w2").isNotNull)
+      }
+      val train = documents(s, d).filter(col("doc_id") >= 100 && col("doc_id") < 400)
+      val eval_ = documents(s, d).filter(col("doc_id") < 100)
+      val c2 = bigrams(train).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val trainToks = toks(train)
+      val c1 = trainToks.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val v = trainToks.agg(countDistinct(col("w1")).as("v"))
+      bigrams(eval_)
+        .join(c2, Seq("w1", "w2"), "left_outer")
+        .join(c1, Seq("w1"), "left_outer")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("c1"), lit(0L)) + col("v"))).as("logp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("logp")), 4).as("avg_logp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tr AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE doc_id >= 100 AND doc_id < 400),
+      trtok AS (SELECT unnest(ws) AS w FROM tr),
+      c1 AS (SELECT w AS w1, count(*) AS c1 FROM trtok GROUP BY 1),
+      vv AS (SELECT count(DISTINCT w) AS v FROM trtok),
+      trpos AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS g FROM tr),
+      c2 AS (SELECT ws[g] AS w1, ws[g+1] AS w2, count(*) AS c2 FROM trpos GROUP BY 1, 2),
+      ev AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 100),
+      evpos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS g FROM ev),
+      evbg AS (SELECT doc_id, ws[g] AS w1, ws[g+1] AS w2 FROM evpos),
+      j AS (
+        SELECT doc_id,
+               ln((coalesce(c2.c2, 0) + 1.0) /
+                  (coalesce(c1.c1, 0) + (SELECT v FROM vv))) AS logp
+        FROM evbg
+        LEFT JOIN c2 ON c2.w1 = evbg.w1 AND c2.w2 = evbg.w2
+        LEFT JOIN c1 ON c1.w1 = evbg.w1)
+      SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_logp
+      FROM j GROUP BY 1 ORDER BY doc_id"""))
+
   /** TF-IDF top terms per document (classic text-pipeline scoring):
     * tf from one tokenize+explode pass, df from a distinct-doc count
     * per term, idf = ln(N/df) — top-3 terms per doc ranked by the
@@ -1364,5 +1424,5 @@ object LlmQueries extends QueryModule {
     embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, multimodalMeta,
     filterChain, packSeq, stratSample, dedupClusters, decontaminate, piiScrub,
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
-    dedupSubstring, encodeIds, editDistance)
+    dedupSubstring, encodeIds, editDistance, lmScore)
 }

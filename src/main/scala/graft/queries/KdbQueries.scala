@@ -1127,6 +1127,41 @@ object KdbQueries extends QueryModule {
              (SELECT count(*) FROM c JOIN p USING (user_id)) AS exact_both,
              1 AS a_ok, 1 AS b_ok, 1 AS both_ok"""))
 
+  /** Rolling 7-day active users (WAU): sliding-window DISTINCT, the
+    * metric a plain window sum cannot compute (distinct does not
+    * decompose over overlapping windows). Scale shape: collapse raw
+    * events to distinct (user, day) FIRST (the only pass over full
+    * data), then explode each pair to the ≤7 window-end days it
+    * supports and count distinct per end day — amplification runs on
+    * the collapsed pair set, bounded by users × days, not on events.
+    * Only full windows (day ≥ 6) are emitted. */
+  private val rollingWau = QueryDef(
+    "kdb_rolling_wau",
+    (s, d) => {
+      val ud = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .select(col("user_id"), ((col("ts_ns") - T0) / Day).cast("long").as("day"))
+        .distinct()
+      ud.select(col("user_id"),
+          explode(sequence(col("day"), least(col("day") + 6, lit(29L)))).as("t_day"))
+        .groupBy(col("t_day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .filter(col("t_day") >= 6)
+        .orderBy(col("t_day"))
+    },
+    Some(s"""
+      WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(floor((epoch_ns(ts) - ${T0}) / ${Day}) AS BIGINT) AS day
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}),
+      t AS (
+        SELECT user_id, unnest(generate_series(day, least(day + 6, 29))) AS t_day
+        FROM ud)
+      SELECT t_day, count(DISTINCT user_id) AS wau
+      FROM t WHERE t_day >= 6
+      GROUP BY 1 ORDER BY t_day"""))
+
   /** Time-weighted average (TWAP): over irregular samples, each
     * observation holds until the next one, so its weight is that
     * holding duration (the last one is clamped to the range end) —
@@ -1322,6 +1357,6 @@ object KdbQueries extends QueryModule {
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
     sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest,
     heavyHitters, zscore, seriesCorr, rollingMedian, audienceOverlap,
-    funnel, retentionCohorts, twap, gapDetect,
+    funnel, retentionCohorts, twap, gapDetect, rollingWau,
     locfFill)
 }

@@ -958,6 +958,84 @@ object RelationalQueries extends QueryModule {
       FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
       ORDER BY custkey"""))
 
+  /** Table profiling (the ANALYZE/data-quality pass): per-column row
+    * count, non-null count, exact NDV, and min/max — numerics (and
+    * the timestamp, as epoch µs) through `min_num`/`max_num`, strings
+    * through `min_str`/`max_str`. ONE aggregation job computes every
+    * column's stats (the multi-distinct plans via Expand — each
+    * distinct column multiplies the pre-agg rows, so at 100 TB swap
+    * exact NDV for approx_count_distinct or run one pass per column);
+    * the single result row explodes into the per-column report. */
+  private val qProfile = QueryDef(
+    "q_profile_table",
+    (s, d) => {
+      val a = lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_orderkey")).as("ok_nn"),
+        countDistinct(col("l_orderkey")).as("ok_ndv"),
+        min(col("l_orderkey")).cast("double").as("ok_min"),
+        max(col("l_orderkey")).cast("double").as("ok_max"),
+        count(col("l_quantity")).as("q_nn"),
+        countDistinct(col("l_quantity")).as("q_ndv"),
+        min(col("l_quantity")).as("q_min"),
+        max(col("l_quantity")).as("q_max"),
+        count(col("l_returnflag")).as("rf_nn"),
+        countDistinct(col("l_returnflag")).as("rf_ndv"),
+        min(col("l_returnflag")).as("rf_min"),
+        max(col("l_returnflag")).as("rf_max"),
+        count(col("l_shipdate")).as("sd_nn"),
+        countDistinct(col("l_shipdate")).as("sd_ndv"),
+        // l_shipdate reads as TIMESTAMP_NTZ; the session is pinned UTC,
+        // so the NTZ→timestamp cast is drift-free for unix_micros.
+        unix_micros(min(col("l_shipdate")).cast("timestamp")).cast("double").as("sd_min"),
+        unix_micros(max(col("l_shipdate")).cast("timestamp")).cast("double").as("sd_max"))
+      val nullD = lit(null).cast("double")
+      val nullS = lit(null).cast("string")
+      a.select(explode(array(
+          struct(lit("l_orderkey").as("col_name"), col("n_rows"),
+            col("ok_nn").as("n_nonnull"), col("ok_ndv").as("n_distinct"),
+            col("ok_min").as("min_num"), col("ok_max").as("max_num"),
+            nullS.as("min_str"), nullS.as("max_str")),
+          struct(lit("l_quantity").as("col_name"), col("n_rows"),
+            col("q_nn").as("n_nonnull"), col("q_ndv").as("n_distinct"),
+            col("q_min").as("min_num"), col("q_max").as("max_num"),
+            nullS.as("min_str"), nullS.as("max_str")),
+          struct(lit("l_returnflag").as("col_name"), col("n_rows"),
+            col("rf_nn").as("n_nonnull"), col("rf_ndv").as("n_distinct"),
+            nullD.as("min_num"), nullD.as("max_num"),
+            col("rf_min").as("min_str"), col("rf_max").as("max_str")),
+          struct(lit("l_shipdate").as("col_name"), col("n_rows"),
+            col("sd_nn").as("n_nonnull"), col("sd_ndv").as("n_distinct"),
+            col("sd_min").as("min_num"), col("sd_max").as("max_num"),
+            nullS.as("min_str"), nullS.as("max_str"))
+        )).as("p"))
+        .select(col("p.*"))
+        .orderBy(col("col_name"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT count(*) AS n_rows,
+               count(l_orderkey) AS ok_nn, count(DISTINCT l_orderkey) AS ok_ndv,
+               CAST(min(l_orderkey) AS DOUBLE) AS ok_min, CAST(max(l_orderkey) AS DOUBLE) AS ok_max,
+               count(l_quantity) AS q_nn, count(DISTINCT l_quantity) AS q_ndv,
+               min(l_quantity) AS q_min, max(l_quantity) AS q_max,
+               count(l_returnflag) AS rf_nn, count(DISTINCT l_returnflag) AS rf_ndv,
+               min(l_returnflag) AS rf_min, max(l_returnflag) AS rf_max,
+               count(l_shipdate) AS sd_nn, count(DISTINCT l_shipdate) AS sd_ndv,
+               CAST(epoch_us(min(l_shipdate)) AS DOUBLE) AS sd_min,
+               CAST(epoch_us(max(l_shipdate)) AS DOUBLE) AS sd_max
+        FROM lineitem)
+      SELECT 'l_orderkey' AS col_name, n_rows, ok_nn AS n_nonnull, ok_ndv AS n_distinct,
+             ok_min AS min_num, ok_max AS max_num,
+             CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+      UNION ALL
+      SELECT 'l_quantity', n_rows, q_nn, q_ndv, q_min, q_max, NULL, NULL FROM a
+      UNION ALL
+      SELECT 'l_returnflag', n_rows, rf_nn, rf_ndv, NULL, NULL, rf_min, rf_max FROM a
+      UNION ALL
+      SELECT 'l_shipdate', n_rows, sd_nn, sd_ndv, sd_min, sd_max, NULL, NULL FROM a
+      ORDER BY col_name"""))
+
   val defs: Seq[QueryDef] = Seq(
     q1Agg, q6Filter, q3TopOrders, q5Star, qSemi, qAnti,
     qWindowRunning, qTopkPerGroup, qLag, qRollup, qSortLimit,
@@ -965,5 +1043,6 @@ object RelationalQueries extends QueryModule {
     qCube, qNtile, qCorrSubquery, qPercentile,
     qDatetime, qStringFuncs, qNullSemantics, qArrayFuncs, qRangeFrame,
     qStringAgg, qGroupingSets, qUnpivot, qSampleHash, qApproxQuantile,
-    qHistogram, qJsonFuncs, qWindowDist, qScd2, qSetOpsAll, qFullOuter)
+    qHistogram, qJsonFuncs, qWindowDist, qScd2, qSetOpsAll, qFullOuter,
+    qProfile)
 }

@@ -455,6 +455,47 @@ object LlmQueries extends QueryModule {
       SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_logp
       FROM j GROUP BY 1 ORDER BY doc_id"""))
 
+  /** Training-mixture weights: temperature-smoothed (α=0.5) domain
+    * sampling — w_i = n_i^α / Σ n_j^α over per-source token counts,
+    * then each source's expected token draw under a 1M budget and the
+    * epoch count that draw implies (how many passes over a small
+    * domain the mixture demands). The only full-data pass is the
+    * per-source token count (partial-agg friendly); everything after
+    * runs on one row per source. sqrt (not pow) so both engines hit
+    * the IEEE correctly-rounded path. */
+  private val mixtureWeights = QueryDef(
+    "llm_mixture_weights",
+    (s, d) => {
+      val budget = 1000000L
+      val t = documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens(col("text")))).as("n_tokens"))
+      val sq = sqrt(col("n_tokens").cast("double"))
+      val w = Window.partitionBy()
+      t.withColumn("sh", sq)
+        .withColumn("tot", sum(col("sh")).over(w))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("sh") / col("tot"), 6).as("weight"),
+          round(col("sh") / col("tot") * budget).cast("long").as("exp_tokens"),
+          round(col("sh") / col("tot") * budget / col("n_tokens"), 4).as("epochs"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+      w AS (
+        SELECT *, sqrt(CAST(n_tokens AS DOUBLE)) AS sh,
+               sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS tot
+        FROM t)
+      SELECT source, n_docs, n_tokens,
+             round(sh / tot, 6) AS weight,
+             CAST(round(sh / tot * 1000000) AS BIGINT) AS exp_tokens,
+             round(sh / tot * 1000000 / n_tokens, 4) AS epochs
+      FROM w ORDER BY source"""))
+
   /** TF-IDF top terms per document (classic text-pipeline scoring):
     * tf from one tokenize+explode pass, df from a distinct-doc count
     * per term, idf = ln(N/df) — top-3 terms per doc ranked by the
@@ -1424,5 +1465,5 @@ object LlmQueries extends QueryModule {
     embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, multimodalMeta,
     filterChain, packSeq, stratSample, dedupClusters, decontaminate, piiScrub,
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
-    dedupSubstring, encodeIds, editDistance, lmScore)
+    dedupSubstring, encodeIds, editDistance, lmScore, mixtureWeights)
 }

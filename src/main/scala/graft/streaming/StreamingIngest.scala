@@ -183,6 +183,30 @@ object StreamingIngest {
       .select(col("tag0"), unix_micros(col("window.start")).as("w_start_us"), col("n"))
   }
 
+  /** Watermarked stream-stream interval join: each left point picks up
+    * the right-stream points landing within [left_time, left_time +
+    * toleranceNs) on the same leading tag — the streaming enrichment
+    * join (purchases × the clicks inside their attribution window).
+    * Both sides carry the SAME watermark and the join predicate bounds
+    * right_time relative to left_time, which is exactly what lets
+    * Structured Streaming expire buffered state: a side's rows are
+    * dropped once the other side's watermark passes their join window,
+    * so state is O(watermark × rate), not stream-lifetime. Output
+    * columns are role-prefixed (left_/right_) so self-joins of one
+    * source stay unambiguous. */
+  def intervalJoin(left: DataFrame, right: DataFrame, toleranceNs: Long,
+      watermarkNs: Long): DataFrame = {
+    def shape(df: DataFrame, role: String) = df
+      .select(col("seq").as(s"${role}_seq"),
+        element_at(col("tags"), 1).as(s"${role}_tag"),
+        timestamp_micros(expr("ts div 1000")).as(s"${role}_time"))
+      .withWatermark(s"${role}_time", s"${watermarkNs / 1000} microseconds")
+    shape(left, "left").join(shape(right, "right"),
+      expr(s"""left_tag = right_tag AND
+               right_time >= left_time AND
+               right_time < left_time + interval ${toleranceNs / 1000} microseconds"""))
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same content key
     * while bounding state with the watermark —
     * dropDuplicatesWithinWatermark keeps a key's state only until the

@@ -132,17 +132,10 @@ class StreamingIngestSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[Point]
     val clicks = MemoryStream[Point]
-    def shape(df: org.apache.spark.sql.DataFrame, role: String) = df
-      .select(col("seq").as(s"${role}_id"),
-        element_at(col("tags"), 1).as(s"${role}_tag"),
-        timestamp_micros(expr("ts div 1000")).as(s"${role}_time"))
-      .withWatermark(s"${role}_time", "10 seconds")
-    val joined = shape(purchases.toDF(), "p").join(
-      shape(clicks.toDF(), "c"),
-      expr("""p_tag = c_tag AND
-              c_time >= p_time AND
-              c_time < p_time + interval 5 seconds"""))
-      .select(col("p_id"), col("c_id"))
+    val joined = StreamingIngest.intervalJoin(
+        purchases.toDF(), clicks.toDF(),
+        toleranceNs = 5000000000L, watermarkNs = 10000000000L)
+      .select(col("left_seq"), col("right_seq"))
     val q = joined.writeStream
       .format("memory").queryName("ssjoin_test").outputMode("append")
       .start()

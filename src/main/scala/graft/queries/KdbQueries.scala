@@ -1306,21 +1306,23 @@ object KdbQueries extends QueryModule {
     * their first event; each cell counts the cohort's distinct users
     * active `week_offset` weeks later, plus the rate vs. the cohort's
     * own size (offset 0 row — every user is active in their first
-    * week by construction). Two shuffles that matter: the first-event
-    * reduce on user_id and the events→cohort join that REUSES that
-    * user_id partitioning; the (cohort, offset) matrix is tiny (weeks²)
-    * so its own shuffle and the offset-0 broadcast back are noise at
-    * any scale. */
+    * week by construction). ONE shuffle of events matters: the
+    * min-over-user window (partitionBy only, no sort) attaches each
+    * user's first-event time without the agg+self-join's second
+    * event shuffle; the (cohort, offset) matrix is tiny (weeks²) so
+    * its distinct shuffle and the offset-0 broadcast back are noise
+    * at any scale. */
   private val retentionCohorts = QueryDef(
     "kdb_retention_cohorts",
     (s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val Week = 7 * Day
-      val e = ev(s, d)
+      val w = Window.partitionBy(col("user_id"))
+      val cells = ev(s, d)
         .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
         .select(col("user_id"), col("ts_ns"))
-      val firstTs = e.groupBy(col("user_id")).agg(min(col("ts_ns")).as("first_ts"))
-        .withColumn("cohort_week", ((col("first_ts") - T0) / Week).cast("long"))
-      val cells = e.join(firstTs, "user_id")
+        .withColumn("cohort_week",
+          ((min(col("ts_ns")).over(w) - T0) / Week).cast("long"))
         .withColumn("week_offset",
           ((col("ts_ns") - T0) / Week).cast("long") - col("cohort_week"))
         .groupBy(col("cohort_week"), col("week_offset"))

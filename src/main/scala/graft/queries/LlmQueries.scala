@@ -419,9 +419,10 @@ object LlmQueries extends QueryModule {
       val train = documents(s, d).filter(col("doc_id") >= 100 && col("doc_id") < 400)
       val eval_ = documents(s, d).filter(col("doc_id") < 100)
       val c2 = bigrams(train).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      val trainToks = toks(train)
-      val c1 = trainToks.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      val v = trainToks.agg(countDistinct(col("w1")).as("v"))
+      val c1 = toks(train).groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      // vocab size = |c1|: one row-count over the already-reduced
+      // unigram table, not a second distinct pass over train tokens.
+      val v = c1.agg(count(lit(1)).as("v"))
       bigrams(eval_)
         .join(c2, Seq("w1", "w2"), "left_outer")
         .join(c1, Seq("w1"), "left_outer")

@@ -920,6 +920,39 @@ object LlmQueries extends QueryModule {
              ('0x' || substr(md5(text), 1, 15))::BIGINT % 480 AS fake_height
       FROM documents ORDER BY doc_id"""))
 
+  /** Frame sampling, declarative twin of Multimodal.sampleFrames
+    * (which carries the mapPartitions/codec-stub shape; spec-verified
+    * in MultimodalSpec): every 5th frame of each fake video as
+    * (doc_id, frame_no, byte_offset) — the 1→k flatMap a real frame
+    * extractor does, here as explode(sequence(...)) so Catalyst sees
+    * through it. Frame count is pseudo-metadata from the md5-derived
+    * hash60 (the SQL-renderable stand-in for a codec probe; the
+    * Dataset twin uses fnv64). Row fan-out ∝ frames sampled, offsets
+    * are positional (frame stride 4096), nothing shuffles until the
+    * final order for the gate. */
+  private val multimodalFrames = QueryDef(
+    "llm_multimodal_frames",
+    (s, d) => {
+      val nFrames = (hash60(col("text")) % 300 + 1).cast("int")
+      documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"), nFrames.as("n_frames"))
+        .select(col("doc_id"), col("n_frames"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(5))).as("frame_no"))
+        .select(col("doc_id"), col("n_frames"), col("frame_no"),
+          (col("frame_no").cast("long") * 4096L).as("byte_offset"))
+        .orderBy(col("doc_id"), col("frame_no"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 300 + 1 AS INTEGER) AS n_frames
+        FROM documents WHERE doc_id < 100)
+      SELECT doc_id, n_frames,
+             CAST(unnest(generate_series(0, n_frames - 1, 5)) AS INTEGER) AS frame_no,
+             CAST(unnest(generate_series(0, n_frames - 1, 5)) AS BIGINT) * 4096 AS byte_offset
+      FROM m
+      ORDER BY doc_id, frame_no"""))
+
   /** Corpus-cleaning filter chain: ordered reject rules, first failure
     * wins (too_short → too_long → weird_tokens → repetitive → keep) —
     * the shape of a pre-training quality pass. Pure per-row predicates
@@ -1466,5 +1499,6 @@ object LlmQueries extends QueryModule {
     embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, multimodalMeta,
     filterChain, packSeq, stratSample, dedupClusters, decontaminate, piiScrub,
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
-    dedupSubstring, encodeIds, editDistance, lmScore, mixtureWeights)
+    dedupSubstring, encodeIds, editDistance, lmScore, mixtureWeights,
+    multimodalFrames)
 }

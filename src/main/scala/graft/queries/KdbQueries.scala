@@ -280,6 +280,58 @@ object KdbQueries extends QueryModule {
         ON c.user_id = p.user_id AND p.tus <= epoch_us(c.ts)
       ORDER BY c.event_id"""))
 
+  /** As-of join with a match window (kdb wj-style): like the plain
+    * as-of above, but a prior purchase only counts when it happened
+    * within the last day — older state is stale, the row keeps left
+    * semantics with a NULL match. Same single union+window pass as
+    * kdb_asof_join (the tolerance is a post-window predicate, zero
+    * extra shuffles); the oracle is DuckDB's native ASOF LEFT JOIN
+    * with the same bound applied after the pick, which is equivalent
+    * because as-of already selects the LATEST prior row — if that one
+    * is outside the window, every earlier one is too. */
+  private val asofWindowed = QueryDef(
+    "kdb_asof_window_join",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tolUs = 24L * 3600 * 1000 * 1000
+      val e = ev(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"), lit(1).as("kind"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts_us"), lit(0).as("kind"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val hit = col("p_ts").isNotNull && (col("ts_us") - col("p_ts")) <= tolUs
+      clicks.union(purchases)
+        .withColumn("p_ts", last(when(col("kind") === 0, col("ts_us")), ignoreNulls = true).over(w))
+        .withColumn("p_id", last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"),
+          when(hit, col("p_id")).as("purchase_id"),
+          when(hit, col("ts_us") - col("p_ts")).as("gap_us"),
+          hit.cast("int").as("matched"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT user_id, epoch_us(ts) AS tus, max(event_id) AS event_id
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, epoch_us(ts))
+      SELECT c.event_id, c.user_id,
+             CASE WHEN p.tus IS NOT NULL AND epoch_us(c.ts) - p.tus <= ${24L * 3600 * 1000 * 1000}
+                  THEN p.event_id END AS purchase_id,
+             CASE WHEN p.tus IS NOT NULL AND epoch_us(c.ts) - p.tus <= ${24L * 3600 * 1000 * 1000}
+                  THEN epoch_us(c.ts) - p.tus END AS gap_us,
+             CASE WHEN p.tus IS NOT NULL AND epoch_us(c.ts) - p.tus <= ${24L * 3600 * 1000 * 1000}
+                  THEN 1 ELSE 0 END AS matched
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND p.tus <= epoch_us(c.ts)
+      ORDER BY c.event_id"""))
+
   /** Hopping (sliding) window: 2h windows advancing by 1h — each event
     * belongs to exactly two windows, generated by a 2-way explode (the
     * batch shape of Structured Streaming's window(ts, "2h", "1h")).
@@ -1355,7 +1407,7 @@ object KdbQueries extends QueryModule {
       ORDER BY cohort_week, week_offset"""))
 
   val defs: Seq[QueryDef] = Seq(
-    put, get, find, removeBefore, validate, tumbling, asof,
+    put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
     sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest,
     heavyHitters, zscore, seriesCorr, rollingMedian, audienceOverlap,

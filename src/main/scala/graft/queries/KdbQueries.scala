@@ -1027,6 +1027,52 @@ object KdbQueries extends QueryModule {
       ORDER BY n DESC, user_id
       LIMIT 5"""))
 
+  /** MAD (median-absolute-deviation) anomaly detection: the robust
+    * twin of kdb_zscore_anomaly — median and MAD are immune to the
+    * very outliers being hunted, which inflate mean/stddev and mask
+    * anomalies near the z-score threshold. Modified z = 0.6745·(v −
+    * med)/MAD, flagged at the Iglewicz–Hoaglin 3.5 cutoff. The two
+    * exact-percentile windows (med, then MAD of deviations) chain
+    * over the SAME per-type hash partitioning as the hourly
+    * pre-aggregation — one Exchange total; every slot is emitted
+    * with an int flag (zscore precedent: float-threshold row
+    * filtering could flip membership between engines). */
+  private val madAnomaly = QueryDef(
+    "kdb_mad_anomaly",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+      ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(max(col("value")).as("v"))
+        .withColumn("med", percentile(col("v"), lit(0.5)).over(w))
+        .withColumn("mad", percentile(abs(col("v") - col("med")), lit(0.5)).over(w))
+        .withColumn("rz", lit(0.6745) * (col("v") - col("med")) / col("mad"))
+        .select(col("event_type"), col("slot_ns"),
+          round(col("v"), 2).as("value"),
+          (round(col("rz"), 4) + lit(0.0)).as("robust_z"),
+          (abs(col("rz")) > 3.5).cast("int").as("is_outlier"))
+        .orderBy(col("event_type"), col("slot_ns"))
+    },
+    Some(s"""
+      WITH hourly AS (
+        SELECT event_type, epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               max(value) AS v
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1, 2),
+      med AS (SELECT event_type, quantile_cont(v, 0.5) AS med FROM hourly GROUP BY 1),
+      dev AS (SELECT h.*, m.med FROM hourly h JOIN med m USING (event_type)),
+      mad AS (SELECT event_type, quantile_cont(abs(v - med), 0.5) AS mad
+              FROM dev GROUP BY 1)
+      SELECT d.event_type, d.slot_ns, round(d.v, 2) AS value,
+             round(0.6745 * (d.v - d.med) / a.mad, 4) + 0.0 AS robust_z,
+             CASE WHEN abs(0.6745 * (d.v - d.med) / a.mad) > 3.5 THEN 1 ELSE 0 END AS is_outlier
+      FROM dev d JOIN mad a USING (event_type)
+      ORDER BY d.event_type, d.slot_ns"""))
+
   /** Z-score anomaly detection: each hourly slot of a type's series
     * scored against the series' own mean/stddev — the alerting pass a
     * TSDB runs after downsampling. The stats window rides the SAME
@@ -1410,7 +1456,7 @@ object KdbQueries extends QueryModule {
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
     sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest,
-    heavyHitters, zscore, seriesCorr, rollingMedian, audienceOverlap,
+    heavyHitters, zscore, madAnomaly, seriesCorr, rollingMedian, audienceOverlap,
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
     locfFill)
 }

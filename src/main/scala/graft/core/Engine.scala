@@ -388,6 +388,17 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       call_function("double_from_payload", col("payload")))
   }
 
+  /** Typed wildcard read: find with the same double decode as
+    * [[getDoubles]] — the multi-series typed view (every matched
+    * series' dense slab, values as doubles, zero payloads → 0.0).
+    * Same payloadSize contract. */
+  def findDoubles(start: Long, end: Long, tags: Seq[String]): DataFrame = {
+    require(opts.payloadSize == 8,
+      s"findDoubles requires payloadSize=8 (engine has ${opts.payloadSize})")
+    find(start, end, tags).withColumn("value",
+      call_function("double_from_payload", col("payload")))
+  }
+
   /** Series enumeration — the light read the reference's index trie
     * answers with a wildcard Find (mindex.go:126-168) minus the data:
     * distinct tag tuples seen in [start, end), optionally constrained

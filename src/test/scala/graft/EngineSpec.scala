@@ -343,6 +343,27 @@ class EngineSpec extends SparkTestBase {
     assert(vals(11020L) === -1.5e300)
   }
 
+  test("findDoubles: wildcard typed read decodes every matched series, gaps → 0.0") {
+    val dir = Files.createTempDirectory("graft-typedf").toString
+    val clock = new TestClock(11999L)
+    val e = new Engine(spark, EngineOptions("tfdb", dir, 4, 8, 1000L, 10L), clock)
+    val tagA = Seq("eu", "web", "host1", "cpu")
+    val tagB = Seq("eu", "web", "host2", "cpu")
+    assert(e.putDoubles(Seq(
+      (11000L, tagA, 1.25),
+      (11010L, tagB, -7.5))) === Map("ok" -> 2L))
+    // wildcard at position 3 matches both hosts; 2 series × 2 slots
+    val rows = e.findDoubles(11000L, 11020L, Seq("eu", "web", "", "cpu")).collect()
+    assert(rows.length === 4)
+    val byKey = rows.map(r =>
+      (r.getString(r.fieldIndex("tag2")), r.getLong(r.fieldIndex("slot_ns"))) ->
+        r.getDouble(r.fieldIndex("value"))).toMap
+    assert(byKey(("host1", 11000L)) === 1.25)
+    assert(byKey(("host1", 11010L)) === 0.0) // gap slot zero-fills
+    assert(byKey(("host2", 11000L)) === 0.0)
+    assert(byKey(("host2", 11010L)) === -7.5)
+  }
+
   test("putDoubles → getDoubles roundtrips bit-exactly (typed write twin)") {
     val dir = Files.createTempDirectory("graft-typedw").toString
     val clock = new TestClock(11999L)

@@ -1167,6 +1167,60 @@ object KdbQueries extends QueryModule {
              round(stddev_pop(p), 4) AS sd_purchases
       FROM aligned"""))
 
+  /** Pairwise correlation matrix: hourly activity counts per event
+    * type, zero-filled onto the dense grid, then every unordered type
+    * pair's Pearson correlation — the correlation heatmap over a
+    * metric family (kdb_series_corr generalized from one pair to the
+    * matrix). Scale shape: the ONLY full-data pass is the (type,
+    * slot) pre-aggregation; the self-join runs on the already-reduced
+    * grid (types × slots), shuffling on slot_ns, and emits
+    * types²/2 rows. corr/order-insensitive co-moments, rounded —
+    * no float-fold hazard. */
+  private val corrMatrix = QueryDef(
+    "kdb_corr_matrix",
+    (s, d) => {
+      val end = T0 + 30 * Day
+      val counts = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < end)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(count(lit(1)).as("n"))
+      val types = counts.select(col("event_type")).distinct()
+      val grid = s.range((end - T0) / Hour)
+        .select((lit(T0) + col("id") * Hour).as("slot_ns"))
+      val dense = types.crossJoin(broadcast(grid))
+        .join(counts, Seq("event_type", "slot_ns"), "left_outer")
+        .select(col("event_type"), col("slot_ns"),
+          coalesce(col("n"), lit(0L)).cast("double").as("v"))
+      dense.as("a").join(dense.as("b"),
+          col("a.slot_ns") === col("b.slot_ns") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+        .agg(count(lit(1)).as("n_slots"),
+          (round(corr(col("a.v"), col("b.v")), 4) + lit(0.0)).as("corr_v"))
+        .orderBy(col("t1"), col("t2"))
+    },
+    Some(s"""
+      WITH counts AS (
+        SELECT event_type, epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               count(*) AS n
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T0 + 30 * Day}
+        GROUP BY 1, 2),
+      types AS (SELECT DISTINCT event_type FROM counts),
+      dense AS (
+        SELECT t.event_type, g.slot_ns, CAST(coalesce(c.n, 0) AS DOUBLE) AS v
+        FROM types t
+        CROSS JOIN range(${T0}, ${T0 + 30 * Day}, ${Hour}) g(slot_ns)
+        LEFT JOIN counts c ON c.event_type = t.event_type AND c.slot_ns = g.slot_ns)
+      SELECT a.event_type AS t1, b.event_type AS t2,
+             count(*) AS n_slots,
+             round(corr(a.v, b.v), 4) + 0.0 AS corr_v
+      FROM dense a JOIN dense b
+        ON a.slot_ns = b.slot_ns AND a.event_type < b.event_type
+      GROUP BY 1, 2
+      ORDER BY t1, t2"""))
+
   /** Audience overlap via KMV sketches (graft.functions.Kmv): distinct
     * click-users vs purchase-users, their union and intersection — the
     * set algebra HLL registers cannot do. Each side collapses to a
@@ -1456,7 +1510,7 @@ object KdbQueries extends QueryModule {
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
     sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest,
-    heavyHitters, zscore, madAnomaly, seriesCorr, rollingMedian, audienceOverlap,
+    heavyHitters, zscore, madAnomaly, seriesCorr, corrMatrix, rollingMedian, audienceOverlap,
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
     locfFill)
 }

@@ -125,13 +125,13 @@ class QueriesSpec extends SparkTestBase {
   }
 
   test("no query plan contains a cartesian product; nested-loop joins only where broadcast-intended") {
-    // kdb_locf_fill / kdb_rolling_median: dense-grid construction
-    // (distinct types × range grid), the same broadcast-intended cross
-    // join as kdb_find_wildcard's grid.
+    // kdb_locf_fill / kdb_rolling_median / kdb_corr_matrix: dense-grid
+    // construction (distinct types × range grid), the same
+    // broadcast-intended cross join as kdb_find_wildcard's grid.
     // llm_lm_score: 1-row vocab-size scalar rides a broadcast cross join.
     val nestedLoopOk = Set("kdb_find_wildcard", "kdb_rolling_avg",
       "llm_similarity_topk", "llm_similarity_ivf", "llm_tfidf_top_terms",
-      "kdb_locf_fill", "kdb_rolling_median", "llm_lm_score")
+      "kdb_locf_fill", "kdb_rolling_median", "llm_lm_score", "kdb_corr_matrix")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

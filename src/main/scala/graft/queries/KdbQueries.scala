@@ -1167,6 +1167,52 @@ object KdbQueries extends QueryModule {
              round(stddev_pop(p), 4) AS sd_purchases
       FROM aligned"""))
 
+  /** Seasonality profile: each type's mean hourly activity by
+    * hour-of-day over the 30-day range — the diurnal-pattern
+    * decomposition behind capacity planning and "is tonight normal"
+    * baselines — plus the peak hour flagged per type. Zero-count
+    * slots need no grid here: every hour-of-day occurs exactly 30
+    * times in the range, so mean = sum/30 is exact over the sparse
+    * counts. Two reduce steps (slot counts, then 24-row profiles)
+    * plus a tiny per-type window — nothing after the first shuffle
+    * touches full data. */
+  private val seasonality = QueryDef(
+    "kdb_seasonality",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val end = T0 + 30 * Day
+      val w = Window.partitionBy(col("event_type"))
+      ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < end)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("hod", expr(s"((slot_ns - ${T0}) div ${Hour}) % 24"))
+        .groupBy(col("event_type"), col("hod"))
+        .agg((sum(col("n")) / 30.0).as("mean_n"))
+        .withColumn("is_peak",
+          (col("mean_n") === max(col("mean_n")).over(w)).cast("int"))
+        .select(col("event_type"), col("hod"),
+          round(col("mean_n"), 4).as("mean_n"), col("is_peak"))
+        .orderBy(col("event_type"), col("hod"))
+    },
+    Some(s"""
+      WITH counts AS (
+        SELECT event_type, epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               count(*) AS n
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T0 + 30 * Day}
+        GROUP BY 1, 2),
+      prof AS (
+        SELECT event_type, ((slot_ns - ${T0}) // ${Hour}) % 24 AS hod,
+               sum(n) / 30.0 AS mean_n
+        FROM counts GROUP BY 1, 2)
+      SELECT event_type, hod, round(mean_n, 4) AS mean_n,
+             CASE WHEN mean_n = max(mean_n) OVER (PARTITION BY event_type)
+                  THEN 1 ELSE 0 END AS is_peak
+      FROM prof
+      ORDER BY event_type, hod"""))
+
   /** Pairwise correlation matrix: hourly activity counts per event
     * type, zero-filled onto the dense grid, then every unordered type
     * pair's Pearson correlation — the correlation heatmap over a
@@ -1510,7 +1556,8 @@ object KdbQueries extends QueryModule {
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
     sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest,
-    heavyHitters, zscore, madAnomaly, seriesCorr, corrMatrix, rollingMedian, audienceOverlap,
+    heavyHitters, zscore, madAnomaly, seriesCorr, corrMatrix, seasonality,
+    rollingMedian, audienceOverlap,
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
     locfFill)
 }

@@ -1036,6 +1036,54 @@ object RelationalQueries extends QueryModule {
       SELECT 'l_shipdate', n_rows, sd_nn, sd_ndv, sd_min, sd_max, NULL, NULL FROM a
       ORDER BY col_name"""))
 
+  /** CDC merge-apply (batch MERGE INTO semantics): a derived change
+    * set — deletes (key % 11 = 0), updates (+100 balance on key % 7 =
+    * 0, delete wins), inserts (key+1000000 clones of key % 13 = 0) —
+    * applied to the customer base as anti-join (delete) + left-join
+    * coalesce (update) + union (insert), the relational twin of the
+    * engine's LWW upsert path. All three legs join on c_custkey, so
+    * one hash partitioning serves the whole apply; at 100 TB this is
+    * the bucketed-merge shape (change set shuffled once against a
+    * bucketed base). Output is the action audit + final checksum. */
+  private val qCdcMerge = QueryDef(
+    "q_cdc_merge_apply",
+    (s, d) => {
+      val base = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      val dels = base.filter(col("c_custkey") % 11 === 0).select(col("c_custkey"))
+      val upds = base.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("new_bal"))
+      val ins = base.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"), lit(0.0).as("c_acctbal"))
+      val merged = base
+        .join(dels, Seq("c_custkey"), "left_anti")
+        .join(upds, Seq("c_custkey"), "left_outer")
+        .select(col("c_custkey"), coalesce(col("new_bal"), col("c_acctbal")).as("c_acctbal"))
+        .unionByName(ins)
+      val nBase = base.count()
+      merged.agg(
+          count(lit(1)).as("n_final"),
+          count(when(col("c_custkey") > 1000000L, 1)).as("n_inserted"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .select(lit(nBase).as("n_base"), col("n_final"), col("n_inserted"), col("sum_bal"))
+    },
+    Some("""
+      WITH base AS (SELECT c_custkey, c_acctbal FROM customer),
+      dels AS (SELECT c_custkey FROM base WHERE c_custkey % 11 = 0),
+      upds AS (SELECT c_custkey, c_acctbal + 100.0 AS new_bal FROM base WHERE c_custkey % 7 = 0),
+      ins AS (SELECT c_custkey + 1000000 AS c_custkey, 0.0 AS c_acctbal
+              FROM base WHERE c_custkey % 13 = 0),
+      merged AS (
+        SELECT b.c_custkey, coalesce(u.new_bal, b.c_acctbal) AS c_acctbal
+        FROM base b
+        LEFT JOIN upds u USING (c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM dels x WHERE x.c_custkey = b.c_custkey)
+        UNION ALL SELECT * FROM ins)
+      SELECT (SELECT count(*) FROM base) AS n_base,
+             count(*) AS n_final,
+             count(CASE WHEN c_custkey > 1000000 THEN 1 END) AS n_inserted,
+             round(sum(c_acctbal), 2) AS sum_bal
+      FROM merged"""))
+
   val defs: Seq[QueryDef] = Seq(
     q1Agg, q6Filter, q3TopOrders, q5Star, qSemi, qAnti,
     qWindowRunning, qTopkPerGroup, qLag, qRollup, qSortLimit,
@@ -1044,5 +1092,5 @@ object RelationalQueries extends QueryModule {
     qDatetime, qStringFuncs, qNullSemantics, qArrayFuncs, qRangeFrame,
     qStringAgg, qGroupingSets, qUnpivot, qSampleHash, qApproxQuantile,
     qHistogram, qJsonFuncs, qWindowDist, qScd2, qSetOpsAll, qFullOuter,
-    qProfile)
+    qProfile, qCdcMerge)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables._
@@ -961,55 +961,42 @@ object RelationalQueries extends QueryModule {
   /** Table profiling (the ANALYZE/data-quality pass): per-column row
     * count, non-null count, exact NDV, and min/max — numerics (and
     * the timestamp, as epoch µs) through `min_num`/`max_num`, strings
-    * through `min_str`/`max_str`. ONE aggregation job computes every
-    * column's stats (the multi-distinct plans via Expand — each
-    * distinct column multiplies the pre-agg rows, so at 100 TB swap
-    * exact NDV for approx_count_distinct or run one pass per column);
-    * the single result row explodes into the per-column report. */
+    * through `min_str`/`max_str`. One aggregation branch PER COLUMN,
+    * unioned: each branch's parquet scan prunes to its single column
+    * and its lone countDistinct plans as a two-level distinct
+    * aggregate — no Expand. (The one-job multi-distinct alternative
+    * multiplies every full-width row by (distinct columns + 1)
+    * through Expand; measured 4× slower at sf0.1. At 100 TB swap
+    * exact NDV for approx_count_distinct and the branches collapse
+    * to one pass.) */
   private val qProfile = QueryDef(
     "q_profile_table",
     (s, d) => {
-      val a = lineitem(s, d).agg(
-        count(lit(1)).as("n_rows"),
-        count(col("l_orderkey")).as("ok_nn"),
-        countDistinct(col("l_orderkey")).as("ok_ndv"),
-        min(col("l_orderkey")).cast("double").as("ok_min"),
-        max(col("l_orderkey")).cast("double").as("ok_max"),
-        count(col("l_quantity")).as("q_nn"),
-        countDistinct(col("l_quantity")).as("q_ndv"),
-        min(col("l_quantity")).as("q_min"),
-        max(col("l_quantity")).as("q_max"),
-        count(col("l_returnflag")).as("rf_nn"),
-        countDistinct(col("l_returnflag")).as("rf_ndv"),
-        min(col("l_returnflag")).as("rf_min"),
-        max(col("l_returnflag")).as("rf_max"),
-        count(col("l_shipdate")).as("sd_nn"),
-        countDistinct(col("l_shipdate")).as("sd_ndv"),
-        // l_shipdate reads as TIMESTAMP_NTZ; the session is pinned UTC,
-        // so the NTZ→timestamp cast is drift-free for unix_micros.
-        unix_micros(min(col("l_shipdate")).cast("timestamp")).cast("double").as("sd_min"),
-        unix_micros(max(col("l_shipdate")).cast("timestamp")).cast("double").as("sd_max"))
       val nullD = lit(null).cast("double")
       val nullS = lit(null).cast("string")
-      a.select(explode(array(
-          struct(lit("l_orderkey").as("col_name"), col("n_rows"),
-            col("ok_nn").as("n_nonnull"), col("ok_ndv").as("n_distinct"),
-            col("ok_min").as("min_num"), col("ok_max").as("max_num"),
-            nullS.as("min_str"), nullS.as("max_str")),
-          struct(lit("l_quantity").as("col_name"), col("n_rows"),
-            col("q_nn").as("n_nonnull"), col("q_ndv").as("n_distinct"),
-            col("q_min").as("min_num"), col("q_max").as("max_num"),
-            nullS.as("min_str"), nullS.as("max_str")),
-          struct(lit("l_returnflag").as("col_name"), col("n_rows"),
-            col("rf_nn").as("n_nonnull"), col("rf_ndv").as("n_distinct"),
-            nullD.as("min_num"), nullD.as("max_num"),
-            col("rf_min").as("min_str"), col("rf_max").as("max_str")),
-          struct(lit("l_shipdate").as("col_name"), col("n_rows"),
-            col("sd_nn").as("n_nonnull"), col("sd_ndv").as("n_distinct"),
-            col("sd_min").as("min_num"), col("sd_max").as("max_num"),
+      def num(c: String, toNum: Column => Column = identity) =
+        lineitem(s, d).select(col(c)).agg(
+          count(lit(1)).as("n_rows"), count(col(c)).as("n_nonnull"),
+          countDistinct(col(c)).as("n_distinct"),
+          toNum(min(col(c))).cast("double").as("min_num"),
+          toNum(max(col(c))).cast("double").as("max_num"))
+          .select(lit(c).as("col_name"), col("n_rows"), col("n_nonnull"),
+            col("n_distinct"), col("min_num"), col("max_num"),
             nullS.as("min_str"), nullS.as("max_str"))
-        )).as("p"))
-        .select(col("p.*"))
+      def str(c: String) =
+        lineitem(s, d).select(col(c)).agg(
+          count(lit(1)).as("n_rows"), count(col(c)).as("n_nonnull"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).as("min_str"), max(col(c)).as("max_str"))
+          .select(lit(c).as("col_name"), col("n_rows"), col("n_nonnull"),
+            col("n_distinct"), nullD.as("min_num"), nullD.as("max_num"),
+            col("min_str"), col("max_str"))
+      num("l_orderkey")
+        .unionByName(num("l_quantity"))
+        .unionByName(str("l_returnflag"))
+        // l_shipdate reads as TIMESTAMP_NTZ; the session is pinned UTC,
+        // so the NTZ→timestamp cast is drift-free for unix_micros.
+        .unionByName(num("l_shipdate", m => unix_micros(m.cast("timestamp"))))
         .orderBy(col("col_name"))
     },
     Some("""

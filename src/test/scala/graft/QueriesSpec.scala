@@ -141,6 +141,29 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("r4 series queries: exactly one full-data parquet scan each") {
+    // one pass over events/documents — a second scan would double the
+    // dominant cost at 100 TB
+    val onePass = Seq("kdb_funnel", "kdb_twap", "kdb_gap_detect",
+      "kdb_mad_anomaly", "kdb_seasonality", "kdb_rolling_wau",
+      "llm_mixture_weights", "llm_multimodal_frames")
+    onePass.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+      assert(scans === 1, s"$name should scan once, saw $scans")
+    }
+  }
+
+  test("funnel/twap/gap/mixture: window or rollup reuses the single hash exchange") {
+    val oneShuffle = Seq("kdb_funnel", "kdb_twap", "kdb_gap_detect",
+      "llm_mixture_weights")
+    oneShuffle.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      val hash = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(hash === 1, s"$name should have one hash exchange, saw $hash")
+    }
+  }
+
   test("kdb_get_gapfill is always dense: exactly (end-start)/res rows") {
     assert(SparkEntry.queries("kdb_get_gapfill")(spark, sf).count() === 120L)
   }

@@ -1167,6 +1167,57 @@ object KdbQueries extends QueryModule {
              round(stddev_pop(p), 4) AS sd_purchases
       FROM aligned"""))
 
+  /** Cross-series arithmetic (PromQL-style binary op): the derived
+    * series error_count / click_count per hourly slot, aligned on the
+    * dense grid so both operands exist at every slot — division by an
+    * absent denominator yields NULL (not a dropped row), with an int
+    * flag for slots where the ratio is defined. One pass builds BOTH
+    * operand series (conditional aggregation — no second scan, no
+    * join); the grid left-join zero-fills counts, and slots outside
+    * observed data still appear. 720-row output regardless of data
+    * volume. */
+  private val seriesRatio = QueryDef(
+    "kdb_series_ratio",
+    (s, d) => {
+      val end = T0 + 30 * Day
+      val counts = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < end &&
+          col("event_type").isin("error", "click"))
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("slot_ns"))
+        .agg(count(when(col("event_type") === "error", 1)).as("n_err"),
+          count(when(col("event_type") === "click", 1)).as("n_click"))
+      val grid = s.range((end - T0) / Hour)
+        .select((lit(T0) + col("id") * Hour).as("slot_ns"))
+      grid.join(counts, Seq("slot_ns"), "left_outer")
+        .select(col("slot_ns"),
+          coalesce(col("n_err"), lit(0L)).as("n_err"),
+          coalesce(col("n_click"), lit(0L)).as("n_click"))
+        .withColumn("ratio",
+          when(col("n_click") > 0,
+            round(col("n_err").cast("double") / col("n_click"), 4)))
+        .withColumn("defined", col("ratio").isNotNull.cast("int"))
+        .orderBy(col("slot_ns"))
+    },
+    Some(s"""
+      WITH counts AS (
+        SELECT epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS n_err,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T0 + 30 * Day}
+          AND event_type IN ('error', 'click')
+        GROUP BY 1)
+      SELECT g.slot_ns,
+             coalesce(c.n_err, 0) AS n_err,
+             coalesce(c.n_click, 0) AS n_click,
+             CASE WHEN coalesce(c.n_click, 0) > 0
+                  THEN round(CAST(coalesce(c.n_err, 0) AS DOUBLE) / c.n_click, 4) END AS ratio,
+             CASE WHEN coalesce(c.n_click, 0) > 0 THEN 1 ELSE 0 END AS defined
+      FROM range(${T0}, ${T0 + 30 * Day}, ${Hour}) g(slot_ns)
+      LEFT JOIN counts c USING (slot_ns)
+      ORDER BY g.slot_ns"""))
+
   /** Seasonality profile: each type's mean hourly activity by
     * hour-of-day over the 30-day range — the diurnal-pattern
     * decomposition behind capacity planning and "is tonight normal"
@@ -1557,7 +1608,7 @@ object KdbQueries extends QueryModule {
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
     sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest,
     heavyHitters, zscore, madAnomaly, seriesCorr, corrMatrix, seasonality,
-    rollingMedian, audienceOverlap,
+    seriesRatio, rollingMedian, audienceOverlap,
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
     locfFill)
 }

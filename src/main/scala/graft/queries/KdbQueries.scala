@@ -1167,6 +1167,55 @@ object KdbQueries extends QueryModule {
              round(stddev_pop(p), 4) AS sd_purchases
       FROM aligned"""))
 
+  /** Top movers: each type's three largest day-over-day activity
+    * swings — the "biggest changes" dashboard read (change detection
+    * ranked, not thresholded). Daily counts → lag(1) delta → rank by
+    * |delta| within type, all integer math (counts and deltas), so
+    * ranking is bit-exact across engines; day tiebreaks make the
+    * top-3 cut deterministic. Everything after the daily reduce runs
+    * on types × 30 rows. */
+  private val topMovers = QueryDef(
+    "kdb_top_movers",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wLag = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wRank = Window.partitionBy(col("event_type"))
+        .orderBy(abs(col("delta")).desc, col("day"))
+      ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("day", ((col("ts_ns") - T0) / Day).cast("long"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prev_n", lag(col("n"), 1).over(wLag))
+        .filter(col("prev_n").isNotNull)
+        .withColumn("delta", col("n") - col("prev_n"))
+        .withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") <= 3)
+        .select(col("event_type"), col("day"), col("n"), col("prev_n"),
+          col("delta"), col("rk"))
+        .orderBy(col("event_type"), col("rk"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT event_type,
+               CAST(floor((epoch_ns(ts) - ${T0}) / ${Day}) AS BIGINT) AS day,
+               count(*) AS n
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1, 2),
+      lagged AS (
+        SELECT event_type, day, n,
+               lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+        FROM daily),
+      ranked AS (
+        SELECT event_type, day, n, prev_n, n - prev_n AS delta,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY abs(n - prev_n) DESC, day) AS rk
+        FROM lagged WHERE prev_n IS NOT NULL)
+      SELECT event_type, day, n, prev_n, delta, rk
+      FROM ranked WHERE rk <= 3
+      ORDER BY event_type, rk"""))
+
   /** Cross-series arithmetic (PromQL-style binary op): the derived
     * series error_count / click_count per hourly slot, aligned on the
     * dense grid so both operands exist at every slot — division by an
@@ -1608,7 +1657,7 @@ object KdbQueries extends QueryModule {
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
     sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest,
     heavyHitters, zscore, madAnomaly, seriesCorr, corrMatrix, seasonality,
-    seriesRatio, rollingMedian, audienceOverlap,
+    seriesRatio, topMovers, rollingMedian, audienceOverlap,
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
     locfFill)
 }

@@ -1167,6 +1167,40 @@ object KdbQueries extends QueryModule {
              round(stddev_pop(p), 4) AS sd_purchases
       FROM aligned"""))
 
+  /** Daily percentile bands (the SLO report): p50/p95/p99 of value
+    * per (type, day) — exact percentiles, which buffer each group's
+    * values by construction; the groups here are (types × days), so
+    * per-group state is a day's samples for one type, the right
+    * granularity to keep exact quantiles feasible at scale (the
+    * all-data variant is what percentile_approx is for, covered by
+    * q_approx_quantile). One shuffle on the composite key; 4dp
+    * rounding in both engines keeps interpolation ulps out of the
+    * hash. */
+  private val latencyBands = QueryDef(
+    "kdb_percentile_bands",
+    (s, d) => {
+      ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("day", ((col("ts_ns") - T0) / Day).cast("long"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("value"), lit(0.95)), 4).as("p95"),
+          round(percentile(col("value"), lit(0.99)), 4).as("p99"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some(s"""
+      SELECT event_type,
+             CAST(floor((epoch_ns(ts) - ${T0}) / ${Day}) AS BIGINT) AS day,
+             count(*) AS n,
+             round(quantile_cont(value, 0.5), 4) AS p50,
+             round(quantile_cont(value, 0.95), 4) AS p95,
+             round(quantile_cont(value, 0.99), 4) AS p99
+      FROM events
+      WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+      GROUP BY 1, 2
+      ORDER BY event_type, day"""))
+
   /** Top movers: each type's three largest day-over-day activity
     * swings — the "biggest changes" dashboard read (change detection
     * ranked, not thresholded). Daily counts → lag(1) delta → rank by
@@ -1657,7 +1691,7 @@ object KdbQueries extends QueryModule {
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
     sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest,
     heavyHitters, zscore, madAnomaly, seriesCorr, corrMatrix, seasonality,
-    seriesRatio, topMovers, rollingMedian, audienceOverlap,
+    seriesRatio, topMovers, latencyBands, rollingMedian, audienceOverlap,
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
     locfFill)
 }

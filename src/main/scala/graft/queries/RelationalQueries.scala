@@ -1071,6 +1071,39 @@ object RelationalQueries extends QueryModule {
              round(sum(c_acctbal), 2) AS sum_bal
       FROM merged"""))
 
+  /** Exact decimal (money) arithmetic: revenue per return flag with
+    * prices and discounts as DECIMAL — the bookkeeping-grade path
+    * where double rounding drift is not acceptable. Inputs cast to
+    * DECIMAL(12,2) at the scan, the product/aggregate carried exactly,
+    * and every output pinned to DECIMAL(38,2)/(38,4) so both engines
+    * emit the identical Arrow decimal128 type (Spark and DuckDB widen
+    * sums differently — unpinned, the hash compare would fail on type
+    * alone). Same one-shuffle agg shape as q1. */
+  private val qDecimal = QueryDef(
+    "q_decimal_money",
+    (s, d) => {
+      val price = col("l_extendedprice").cast("decimal(12,2)")
+      val disc = col("l_discount").cast("decimal(4,2)")
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(price).cast("decimal(38,2)").as("gross"),
+          sum(price * (lit(1).cast("decimal(3,2)") - disc))
+            .cast("decimal(38,4)").as("net"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS gross,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                  AS DECIMAL(38,4)) AS net,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   val defs: Seq[QueryDef] = Seq(
     q1Agg, q6Filter, q3TopOrders, q5Star, qSemi, qAnti,
     qWindowRunning, qTopkPerGroup, qLag, qRollup, qSortLimit,
@@ -1079,5 +1112,5 @@ object RelationalQueries extends QueryModule {
     qDatetime, qStringFuncs, qNullSemantics, qArrayFuncs, qRangeFrame,
     qStringAgg, qGroupingSets, qUnpivot, qSampleHash, qApproxQuantile,
     qHistogram, qJsonFuncs, qWindowDist, qScd2, qSetOpsAll, qFullOuter,
-    qProfile, qCdcMerge)
+    qProfile, qCdcMerge, qDecimal)
 }

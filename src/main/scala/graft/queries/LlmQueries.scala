@@ -953,6 +953,38 @@ object LlmQueries extends QueryModule {
       FROM m
       ORDER BY doc_id, frame_no"""))
 
+  /** Embedding-quality audit: per-label L2-norm distribution (min /
+    * max / mean) and the count of unit-norm rows — the data-quality
+    * pass that catches an unnormalized or zero-vector batch BEFORE it
+    * poisons cosine similarity downstream. One narrow scan (norms per
+    * row via the same strict left-fold both engines share), one
+    * partial-agg shuffle on the label key; min/max are order-free,
+    * and the mean is rounded well above fold-order ulps. */
+  private val embNormAudit = QueryDef(
+    "llm_embedding_norm_audit",
+    (s, d) => {
+      val nrm = sqrt(normSq(col("embedding")))
+      embeddings(s, d)
+        .select(col("label"), nrm.as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("nrm")), 4).as("min_norm"),
+          round(max(col("nrm")), 4).as("max_norm"),
+          round(avg(col("nrm")), 4).as("avg_norm"),
+          count(when(abs(col("nrm") - 1.0) < 0.01, 1)).as("n_unit"))
+        .orderBy(col("label"))
+    },
+    Some(s"""
+      WITH n AS (
+        SELECT label, sqrt(${dkDot("embedding", "embedding")}) AS nrm
+        FROM embeddings)
+      SELECT label, count(*) AS n,
+             round(min(nrm), 4) AS min_norm,
+             round(max(nrm), 4) AS max_norm,
+             round(avg(nrm), 4) AS avg_norm,
+             count(CASE WHEN abs(nrm - 1.0) < 0.01 THEN 1 END) AS n_unit
+      FROM n GROUP BY 1 ORDER BY label"""))
+
   /** Corpus-cleaning filter chain: ordered reject rules, first failure
     * wins (too_short → too_long → weird_tokens → repetitive → keep) —
     * the shape of a pre-training quality pass. Pure per-row predicates
@@ -1500,5 +1532,5 @@ object LlmQueries extends QueryModule {
     filterChain, packSeq, stratSample, dedupClusters, decontaminate, piiScrub,
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
     dedupSubstring, encodeIds, editDistance, lmScore, mixtureWeights,
-    multimodalFrames)
+    multimodalFrames, embNormAudit)
 }

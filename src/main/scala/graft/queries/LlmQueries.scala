@@ -720,6 +720,60 @@ object LlmQueries extends QueryModule {
       FROM rk WHERE rk <= 5
       ORDER BY qid, rk"""))
 
+  /** k-NN label propagation: each unlabeled-treated query vector takes
+    * the majority label of its 5 nearest labeled neighbors by cosine —
+    * the embedding-space classifier bootstrap (label a corpus from a
+    * small labeled seed set). Ordering uses the raw cosine (the
+    * strict-fold kernel is bit-identical across engines — embTopk
+    * precedent) with id tiebreaks, and the vote uses integer counts
+    * with label tiebreak, so the prediction is fully deterministic.
+    * Same broadcast-the-queries nested loop as the top-k baseline; at
+    * scale the neighbor search swaps to the IVF/LSH path and the vote
+    * stays unchanged. */
+  private val knnClassify = QueryDef(
+    "llm_knn_classify",
+    (s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < 25)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val t = e.filter(col("vec_id") >= 25)
+        .select(col("vec_id").as("tid"), col("embedding").as("tv"), col("label"))
+      val wK = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("tid"))
+      val wV = Window.partitionBy(col("qid")).orderBy(col("votes").desc, col("label"))
+      broadcast(q).crossJoin(t)
+        .withColumn("cos", cosine(col("qv"), col("tv")))
+        .withColumn("rk", row_number().over(wK))
+        .filter(col("rk") <= 5)
+        .groupBy(col("qid"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vrk", row_number().over(wV))
+        .filter(col("vrk") === 1)
+        .select(col("qid"), col("label").as("pred_label"), col("votes"))
+        .orderBy(col("qid"))
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 25),
+      t AS (SELECT vec_id AS tid, embedding AS tv, label FROM embeddings WHERE vec_id >= 25),
+      sc AS (
+        SELECT qid, tid, label,
+               ${dkDot("qv", "tv")} /
+               (sqrt(${dkDot("qv", "qv")}) * sqrt(${dkDot("tv", "tv")})) AS cos
+        FROM q, t),
+      top5 AS (
+        SELECT qid, label,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, tid) AS rk
+        FROM sc),
+      votes AS (
+        SELECT qid, label, count(*) AS votes
+        FROM top5 WHERE rk <= 5 GROUP BY 1, 2),
+      best AS (
+        SELECT qid, label, votes,
+               row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vrk
+        FROM votes)
+      SELECT qid, label AS pred_label, votes
+      FROM best WHERE vrk = 1
+      ORDER BY qid"""))
+
   /** Sign-LSH bucketing — the ANN scale path: 8 axis-aligned
     * hyperplane bits shard the corpus; pairwise work then happens only
     * within buckets. Output: bucket histogram. */
@@ -1532,5 +1586,5 @@ object LlmQueries extends QueryModule {
     filterChain, packSeq, stratSample, dedupClusters, decontaminate, piiScrub,
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
     dedupSubstring, encodeIds, editDistance, lmScore, mixtureWeights,
-    multimodalFrames, embNormAudit)
+    multimodalFrames, embNormAudit, knnClassify)
 }

@@ -131,7 +131,8 @@ class QueriesSpec extends SparkTestBase {
     // llm_lm_score: 1-row vocab-size scalar rides a broadcast cross join.
     val nestedLoopOk = Set("kdb_find_wildcard", "kdb_rolling_avg",
       "llm_similarity_topk", "llm_similarity_ivf", "llm_tfidf_top_terms",
-      "kdb_locf_fill", "kdb_rolling_median", "llm_lm_score", "kdb_corr_matrix")
+      "kdb_locf_fill", "kdb_rolling_median", "llm_lm_score", "kdb_corr_matrix",
+      "llm_knn_classify")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

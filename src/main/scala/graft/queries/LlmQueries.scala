@@ -1039,6 +1039,40 @@ object LlmQueries extends QueryModule {
              count(CASE WHEN abs(nrm - 1.0) < 0.01 THEN 1 END) AS n_unit
       FROM n GROUP BY 1 ORDER BY label"""))
 
+  /** Dedup audit report: per-source exact-duplicate statistics —
+    * distinct content count, duplicated rows, the biggest copy
+    * cluster, and the dup rate — the dashboard read that tells you
+    * WHERE duplication lives before running the expensive near-dup
+    * passes. Content identity is the md5 of the text (computed below
+    * the first exchange, so only 16-byte hashes shuffle); the second
+    * rollup to per-source rides the same hash partitioning prefix. */
+  private val dedupReport = QueryDef(
+    "llm_dedup_report",
+    (s, d) => {
+      documents(s, d)
+        .groupBy(col("source"), md5(col("text").cast("binary")).as("h"))
+        .agg(count(lit(1)).as("copies"))
+        .groupBy(col("source"))
+        .agg(sum(col("copies")).as("n_docs"),
+          count(lit(1)).as("n_unique"),
+          (sum(col("copies")) - count(lit(1))).as("n_dup_rows"),
+          max(col("copies")).as("max_copies"))
+        .withColumn("dup_rate",
+          round(col("n_dup_rows").cast("double") / col("n_docs"), 4))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT source, md5(text) AS h, count(*) AS copies
+        FROM documents GROUP BY 1, 2)
+      SELECT source,
+             CAST(sum(copies) AS BIGINT) AS n_docs,
+             count(*) AS n_unique,
+             CAST(sum(copies) - count(*) AS BIGINT) AS n_dup_rows,
+             max(copies) AS max_copies,
+             round(CAST(sum(copies) - count(*) AS DOUBLE) / sum(copies), 4) AS dup_rate
+      FROM h GROUP BY 1 ORDER BY source"""))
+
   /** Corpus-cleaning filter chain: ordered reject rules, first failure
     * wins (too_short → too_long → weird_tokens → repetitive → keep) —
     * the shape of a pre-training quality pass. Pure per-row predicates
@@ -1586,5 +1620,5 @@ object LlmQueries extends QueryModule {
     filterChain, packSeq, stratSample, dedupClusters, decontaminate, piiScrub,
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
     dedupSubstring, encodeIds, editDistance, lmScore, mixtureWeights,
-    multimodalFrames, embNormAudit, knnClassify)
+    multimodalFrames, embNormAudit, knnClassify, dedupReport)
 }

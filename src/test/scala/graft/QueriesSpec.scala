@@ -165,6 +165,13 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_decimal_money emits pinned decimal128 types (exact money arithmetic)") {
+    import org.apache.spark.sql.types.DecimalType
+    val schema = SparkEntry.queries("q_decimal_money")(spark, sf).schema
+    assert(schema("gross").dataType === DecimalType(38, 2))
+    assert(schema("net").dataType === DecimalType(38, 4))
+  }
+
   test("kdb_get_gapfill is always dense: exactly (end-start)/res rows") {
     assert(SparkEntry.queries("kdb_get_gapfill")(spark, sf).count() === 120L)
   }

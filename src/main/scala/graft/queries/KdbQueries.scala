@@ -1167,6 +1167,40 @@ object KdbQueries extends QueryModule {
              round(stddev_pop(p), 4) AS sd_purchases
       FROM aligned"""))
 
+  /** Calendar heatmap: the (day-of-week × hour-of-day) activity
+    * matrix for one event type — seasonality's 2-D sibling, the
+    * dashboard grid behind staffing/capacity views. T0 is a Monday
+    * (2024-01-01), so dow = (days since T0) % 7 with 0 = Monday —
+    * pure integer epoch math, no calendar library drift between
+    * engines. The 30-day range covers each (dow, hod) cell 4 or 5
+    * times; cell mean divides by that exact cover count. One reduce
+    * to 168 cells. */
+  private val calendarHeatmap = QueryDef(
+    "kdb_calendar_heatmap",
+    (s, d) => {
+      val end = T0 + 28 * Day // exactly 4 of each weekday
+      ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < end &&
+          col("event_type") === "click")
+        .withColumn("day", expr(s"(ts_ns - ${T0}) div ${Day}"))
+        .withColumn("dow", col("day") % 7)
+        .withColumn("hod", expr(s"((ts_ns - ${T0}) div ${Hour}) % 24"))
+        .groupBy(col("dow"), col("hod"))
+        .agg(count(lit(1)).as("n"),
+          round(count(lit(1)) / 4.0, 2).as("mean_per_week"))
+        .orderBy(col("dow"), col("hod"))
+    },
+    Some(s"""
+      SELECT ((epoch_ns(ts) - ${T0}) // ${Day}) % 7 AS dow,
+             ((epoch_ns(ts) - ${T0}) // ${Hour}) % 24 AS hod,
+             count(*) AS n,
+             round(count(*) / 4.0, 2) AS mean_per_week
+      FROM events
+      WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T0 + 28 * Day}
+        AND event_type = 'click'
+      GROUP BY 1, 2
+      ORDER BY dow, hod"""))
+
   /** Daily percentile bands (the SLO report): p50/p95/p99 of value
     * per (type, day) — exact percentiles, which buffer each group's
     * values by construction; the groups here are (types × days), so
@@ -1691,7 +1725,7 @@ object KdbQueries extends QueryModule {
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
     sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest,
     heavyHitters, zscore, madAnomaly, seriesCorr, corrMatrix, seasonality,
-    seriesRatio, topMovers, latencyBands, rollingMedian, audienceOverlap,
+    seriesRatio, topMovers, latencyBands, calendarHeatmap, rollingMedian, audienceOverlap,
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
     locfFill)
 }

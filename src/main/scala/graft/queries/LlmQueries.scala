@@ -1039,6 +1039,36 @@ object LlmQueries extends QueryModule {
              count(CASE WHEN abs(nrm - 1.0) < 0.01 THEN 1 END) AS n_unit
       FROM n GROUP BY 1 ORDER BY label"""))
 
+  /** Corpus length distribution: exact token-count percentiles per
+    * language — the truncation-budget read (what max_seq_len keeps
+    * 99% of docs intact per lang) every tokenization pipeline runs
+    * before packing. Token counts are ints, so the only float is the
+    * interpolated quantile, rounded. Per-group exact-percentile state
+    * is one lang's counts — bounded, the same feasibility argument as
+    * the daily bands. */
+  private val lengthBands = QueryDef(
+    "llm_length_percentiles",
+    (s, d) => {
+      documents(s, d)
+        .select(col("lang"), size(tokens(col("text"))).as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(percentile(col("n_tok"), lit(0.5)), 2).as("p50_tok"),
+          round(percentile(col("n_tok"), lit(0.9)), 2).as("p90_tok"),
+          round(percentile(col("n_tok"), lit(0.99)), 2).as("p99_tok"),
+          max(col("n_tok")).as("max_tok"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT lang, len(string_split(text, ' ')) AS n_tok FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             round(quantile_cont(n_tok, 0.5), 2) AS p50_tok,
+             round(quantile_cont(n_tok, 0.9), 2) AS p90_tok,
+             round(quantile_cont(n_tok, 0.99), 2) AS p99_tok,
+             CAST(max(n_tok) AS INTEGER) AS max_tok
+      FROM t GROUP BY 1 ORDER BY lang"""))
+
   /** Dedup audit report: per-source exact-duplicate statistics —
     * distinct content count, duplicated rows, the biggest copy
     * cluster, and the dup rate — the dashboard read that tells you
@@ -1620,5 +1650,5 @@ object LlmQueries extends QueryModule {
     filterChain, packSeq, stratSample, dedupClusters, decontaminate, piiScrub,
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
     dedupSubstring, encodeIds, editDistance, lmScore, mixtureWeights,
-    multimodalFrames, embNormAudit, knnClassify, dedupReport)
+    multimodalFrames, embNormAudit, knnClassify, dedupReport, lengthBands)
 }

@@ -778,17 +778,17 @@ object KdbQueries extends QueryModule {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val end = T0 + 7 * Day
-      val types = ev(s, d)
-        .filter(col("ts_ns") >= T0 && col("ts_ns") < end)
-        .select(col("event_type")).distinct()
-      val grid = s.range((end - T0) / Hour)
-        .select((lit(T0) + col("id") * Hour).as("slot_ns"))
-        .crossJoin(types)
       val data = ev(s, d)
         .filter(col("ts_ns") >= T0 && col("ts_ns") < end)
         .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
         .groupBy(col("event_type"), col("slot_ns"))
         .agg(max(col("value")).as("v"))
+      // type list from the already-reduced slot table, not a second
+      // full-data scan (same [T0, end) filter ⇒ identical set)
+      val types = data.select(col("event_type")).distinct()
+      val grid = s.range((end - T0) / Hour)
+        .select((lit(T0) + col("id") * Hour).as("slot_ns"))
+        .crossJoin(types)
       val w = Window.partitionBy(col("event_type")).orderBy(col("slot_ns"))
         .rowsBetween(Window.unboundedPreceding, 0)
       grid.join(data, Seq("event_type", "slot_ns"), "left_outer")
@@ -1049,11 +1049,15 @@ object KdbQueries extends QueryModule {
         .agg(max(col("value")).as("v"))
         .withColumn("med", percentile(col("v"), lit(0.5)).over(w))
         .withColumn("mad", percentile(abs(col("v") - col("med")), lit(0.5)).over(w))
-        .withColumn("rz", lit(0.6745) * (col("v") - col("med")) / col("mad"))
+        // MAD = 0 (a majority-flat series) makes the score undefined:
+        // guard explicitly so both engines emit NULL/0 instead of
+        // engine-specific inf/NaN division results.
+        .withColumn("rz",
+          when(col("mad") > 0, lit(0.6745) * (col("v") - col("med")) / col("mad")))
         .select(col("event_type"), col("slot_ns"),
           round(col("v"), 2).as("value"),
           (round(col("rz"), 4) + lit(0.0)).as("robust_z"),
-          (abs(col("rz")) > 3.5).cast("int").as("is_outlier"))
+          coalesce((abs(col("rz")) > 3.5).cast("int"), lit(0)).as("is_outlier"))
         .orderBy(col("event_type"), col("slot_ns"))
     },
     Some(s"""
@@ -1068,8 +1072,9 @@ object KdbQueries extends QueryModule {
       mad AS (SELECT event_type, quantile_cont(abs(v - med), 0.5) AS mad
               FROM dev GROUP BY 1)
       SELECT d.event_type, d.slot_ns, round(d.v, 2) AS value,
-             round(0.6745 * (d.v - d.med) / a.mad, 4) + 0.0 AS robust_z,
-             CASE WHEN abs(0.6745 * (d.v - d.med) / a.mad) > 3.5 THEN 1 ELSE 0 END AS is_outlier
+             round(CASE WHEN a.mad > 0 THEN 0.6745 * (d.v - d.med) / a.mad END, 4) + 0.0 AS robust_z,
+             CASE WHEN a.mad > 0 AND abs(0.6745 * (d.v - d.med) / a.mad) > 3.5
+                  THEN 1 ELSE 0 END AS is_outlier
       FROM dev d JOIN mad a USING (event_type)
       ORDER BY d.event_type, d.slot_ns"""))
 
@@ -1172,9 +1177,10 @@ object KdbQueries extends QueryModule {
     * dashboard grid behind staffing/capacity views. T0 is a Monday
     * (2024-01-01), so dow = (days since T0) % 7 with 0 = Monday —
     * pure integer epoch math, no calendar library drift between
-    * engines. The 30-day range covers each (dow, hod) cell 4 or 5
-    * times; cell mean divides by that exact cover count. One reduce
-    * to 168 cells. */
+    * engines. The range is exactly 28 days so every (dow, hod) cell
+    * is covered exactly 4 times and the per-week mean is a constant
+    * /4.0 (widening the range requires a per-cell cover count). One
+    * reduce to 168 cells. */
   private val calendarHeatmap = QueryDef(
     "kdb_calendar_heatmap",
     (s, d) => {
@@ -1540,10 +1546,15 @@ object KdbQueries extends QueryModule {
     "kdb_twap",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("event_type")).orderBy(col("ts_ns"))
+      // event_id tiebreak: under equal timestamps, plain ORDER BY
+      // ts_ns would assign the holding interval to an arbitrary tied
+      // row (shuffle-order-dependent weights). Deterministic in both
+      // engines with the same tiebreak.
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_ns"), col("event_id"))
       ev(s, d)
         .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
-        .select(col("event_type"), col("ts_ns"), col("value"))
+        .select(col("event_type"), col("event_id"), col("ts_ns"), col("value"))
         .withColumn("hold_ns",
           coalesce(lead(col("ts_ns"), 1).over(w), lit(T1)) - col("ts_ns"))
         .groupBy(col("event_type"))
@@ -1554,12 +1565,12 @@ object KdbQueries extends QueryModule {
     },
     Some(s"""
       WITH e AS (
-        SELECT event_type, epoch_ns(ts) AS ts_ns, value FROM events
+        SELECT event_type, event_id, epoch_ns(ts) AS ts_ns, value FROM events
         WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}),
       h AS (
         SELECT event_type, value,
                coalesce(lead(ts_ns, 1) OVER
-                 (PARTITION BY event_type ORDER BY ts_ns), ${T1}) - ts_ns AS hold_ns
+                 (PARTITION BY event_type ORDER BY ts_ns, event_id), ${T1}) - ts_ns AS hold_ns
         FROM e)
       SELECT event_type, count(*) AS n_obs,
              round(sum(value * hold_ns) / sum(hold_ns), 4) AS twap,

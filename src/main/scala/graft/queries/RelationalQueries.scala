@@ -1046,12 +1046,16 @@ object RelationalQueries extends QueryModule {
         .join(upds, Seq("c_custkey"), "left_outer")
         .select(col("c_custkey"), coalesce(col("new_bal"), col("c_acctbal")).as("c_acctbal"))
         .unionByName(ins)
-      val nBase = base.count()
+      // base cardinality as a lazy 1-row aggregate riding a broadcast
+      // cross join (an eager .count() here would fire a Spark job at
+      // plan-construction time and scan customer twice)
+      val nBase = base.agg(count(lit(1)).as("n_base"))
       merged.agg(
           count(lit(1)).as("n_final"),
           count(when(col("c_custkey") > 1000000L, 1)).as("n_inserted"),
           round(sum(col("c_acctbal")), 2).as("sum_bal"))
-        .select(lit(nBase).as("n_base"), col("n_final"), col("n_inserted"), col("sum_bal"))
+        .crossJoin(broadcast(nBase))
+        .select(col("n_base"), col("n_final"), col("n_inserted"), col("sum_bal"))
     },
     Some("""
       WITH base AS (SELECT c_custkey, c_acctbal FROM customer),

@@ -196,6 +196,11 @@ object StreamingIngest {
     * source stay unambiguous. */
   def intervalJoin(left: DataFrame, right: DataFrame, toleranceNs: Long,
       watermarkNs: Long): DataFrame = {
+    // The join window is expressed in µs (event_time is a µs
+    // timestamp); a sub-µs or non-µs-aligned tolerance would silently
+    // truncate — surface it as a caller error instead.
+    require(toleranceNs >= 1000 && toleranceNs % 1000 == 0,
+      s"toleranceNs must be a positive multiple of 1000 ns (got $toleranceNs)")
     def shape(df: DataFrame, role: String) = df
       .select(col("seq").as(s"${role}_seq"),
         element_at(col("tags"), 1).as(s"${role}_tag"),

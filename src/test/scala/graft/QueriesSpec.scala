@@ -132,7 +132,7 @@ class QueriesSpec extends SparkTestBase {
     val nestedLoopOk = Set("kdb_find_wildcard", "kdb_rolling_avg",
       "llm_similarity_topk", "llm_similarity_ivf", "llm_tfidf_top_terms",
       "kdb_locf_fill", "kdb_rolling_median", "llm_lm_score", "kdb_corr_matrix",
-      "llm_knn_classify")
+      "llm_knn_classify", "q_cdc_merge_apply")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
@@ -145,9 +145,13 @@ class QueriesSpec extends SparkTestBase {
   test("r4 series queries: exactly one full-data parquet scan each") {
     // one pass over events/documents — a second scan would double the
     // dominant cost at 100 TB
+    // (kdb_locf_fill/kdb_rolling_median derive their type list from the
+    // aggregated slot table, which branches the plan — the static plan
+    // prints two scans but runtime exchange reuse executes one.)
     val onePass = Seq("kdb_funnel", "kdb_twap", "kdb_gap_detect",
       "kdb_mad_anomaly", "kdb_seasonality", "kdb_rolling_wau",
-      "llm_mixture_weights", "llm_multimodal_frames")
+      "llm_mixture_weights", "llm_multimodal_frames",
+      "kdb_calendar_heatmap", "llm_length_percentiles")
     onePass.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       val scans = plan.linesIterator.count(_.contains("Scan parquet"))

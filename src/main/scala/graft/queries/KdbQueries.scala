@@ -1172,6 +1172,47 @@ object KdbQueries extends QueryModule {
              round(stddev_pop(p), 4) AS sd_purchases
       FROM aligned"""))
 
+  /** Out-of-order arrival audit: per type, the fraction of
+    * consecutive-by-arrival events whose event time goes backwards —
+    * the measurement behind every watermark/hot-window sizing decision
+    * (the reference hard-rejects writes outside its hot window; this
+    * query tells you what that policy would drop). event_id is the
+    * arrival proxy; timestamps compare at µs so both engines see the
+    * same inversions. One lag window per type, counts only. */
+  private val orderAudit = QueryDef(
+    "kdb_order_audit",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      ev(s, d)
+        .select(col("event_type"), col("event_id"), expr("ts_ns div 1000").as("ts_us"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("prev_us") > col("ts_us"), 1)).as("n_inversions"),
+          round(max(col("prev_us") - col("ts_us")) / 1000000.0, 2).as("max_backstep_s"))
+        .withColumn("inv_rate",
+          round(col("n_inversions").cast("double") / col("n_pairs"), 4))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+               lag(epoch_us(ts), 1) OVER
+                 (PARTITION BY event_type ORDER BY event_id) AS prev_us
+        FROM events)
+      SELECT event_type,
+             count(*) AS n_pairs,
+             count(CASE WHEN prev_us > ts_us THEN 1 END) AS n_inversions,
+             round(max(prev_us - ts_us) / 1000000.0, 2) AS max_backstep_s,
+             round(CAST(count(CASE WHEN prev_us > ts_us THEN 1 END) AS DOUBLE)
+                   / count(*), 4) AS inv_rate
+      FROM e
+      WHERE prev_us IS NOT NULL
+      GROUP BY 1
+      ORDER BY event_type"""))
+
   /** Calendar heatmap: the (day-of-week × hour-of-day) activity
     * matrix for one event type — seasonality's 2-D sibling, the
     * dashboard grid behind staffing/capacity views. T0 is a Monday
@@ -1736,7 +1777,7 @@ object KdbQueries extends QueryModule {
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
     sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest,
     heavyHitters, zscore, madAnomaly, seriesCorr, corrMatrix, seasonality,
-    seriesRatio, topMovers, latencyBands, calendarHeatmap, rollingMedian, audienceOverlap,
+    seriesRatio, topMovers, latencyBands, calendarHeatmap, orderAudit, rollingMedian, audienceOverlap,
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
     locfFill)
 }

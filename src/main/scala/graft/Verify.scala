@@ -36,6 +36,12 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // When GRAFT_ONLY trimmed the surface, stamp the outDir so a
+    // partial local-iteration dump can never be mistaken for (or
+    // accidentally graded as) a full gate run.
+    if (only.isDefined)
+      Files.writeString(Paths.get(s"$outDir/_PARTIAL"),
+        only.get.toSeq.sorted.mkString("\n"))
     spark.stop()
   }
 }

@@ -1014,10 +1014,17 @@ object KdbQueries extends QueryModule {
       }
       val containOk = exact.filter(col("n") > n / k)
         .collect().map(_.getLong(0)).forall(inSummary)
-      exact.orderBy(col("n").desc, col("user_id")).limit(5)
+      // materialize the 5-row output, then drop the cached per-user
+      // table — in the single-session 117-query gate run a leaked
+      // cache would otherwise live for the rest of the session
+      val top5 = exact.orderBy(col("n").desc, col("user_id")).limit(5)
         .select(col("user_id"), col("n"),
           lit(if (boundsOk) 1 else 0).as("bounds_ok"),
           lit(if (containOk) 1 else 0).as("containment_ok"))
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(top5.collect(): _*), top5.schema)
+      exact.unpersist()
+      out
     },
     Some("""
       SELECT user_id, count(*) AS n, 1 AS bounds_ok, 1 AS containment_ok
@@ -1094,14 +1101,18 @@ object KdbQueries extends QueryModule {
         .withColumn("slot_1h", col("ts_ns") - col("ts_ns") % Hour)
         .groupBy(col("event_type"), col("slot_1h"))
         .agg(max(col("value")).as("v"))
-        .withColumn("z", (col("v") - avg(col("v")).over(w)) /
-          stddev_samp(col("v")).over(w))
+        // sd > 0 guard mirrors kdb_mad_anomaly: a one-slot or constant
+        // series has sd NULL/0 — Spark would emit NULL z while DuckDB's
+        // IEEE division emits inf, flipping the flag. Degenerate → z=0.
+        .withColumn("sd", stddev_samp(col("v")).over(w))
+        .withColumn("z", when(col("sd") > 0,
+          (col("v") - avg(col("v")).over(w)) / col("sd")))
         .select(col("event_type"), col("slot_1h"),
           round(col("v"), 2).as("v"),
           // + 0.0 canonicalizes IEEE −0.0 (a tiny negative z rounds to
           // −0.0 in one engine and +0.0 in the other — hash mismatch)
           (round(col("z"), 3) + lit(0.0)).as("z"),
-          (abs(col("z")) > 2.5).cast("int").as("anomaly"))
+          coalesce((abs(col("z")) > 2.5).cast("int"), lit(0)).as("anomaly"))
         .orderBy(col("event_type"), col("slot_1h"))
     },
     Some(s"""
@@ -1113,7 +1124,8 @@ object KdbQueries extends QueryModule {
         GROUP BY 1, 2),
       z AS (
         SELECT event_type, slot_1h, v,
-               (v - avg(v) OVER w) / stddev_samp(v) OVER w AS z
+               CASE WHEN stddev_samp(v) OVER w > 0
+                    THEN (v - avg(v) OVER w) / stddev_samp(v) OVER w END AS z
         FROM h
         WINDOW w AS (PARTITION BY event_type))
       SELECT event_type, slot_1h,
@@ -1695,7 +1707,13 @@ object KdbQueries extends QueryModule {
           count(col("t_purchase")).as("n_purchase"))
         .select(col("n_view"), col("n_click"), col("n_purchase"),
           round(col("n_click").cast("double") / col("n_view"), 4).as("conv_click"),
-          round(col("n_purchase").cast("double") / col("n_click"), 4).as("conv_purchase"))
+          // n_click = 0 guard: Spark Divide yields NULL, DuckDB IEEE
+          // division yields inf — pin the degenerate case to NULL in
+          // both engines. (n_view can't be 0: the filter above keeps
+          // only users with a view, and the 1-row agg runs over them.)
+          when(col("n_click") > 0,
+            round(col("n_purchase").cast("double") / col("n_click"), 4))
+            .as("conv_purchase"))
     },
     Some(s"""
       WITH e AS (
@@ -1717,7 +1735,8 @@ object KdbQueries extends QueryModule {
         FROM u WHERE t_view IS NOT NULL)
       SELECT n_view, n_click, n_purchase,
              round(CAST(n_click AS DOUBLE) / n_view, 4) AS conv_click,
-             round(CAST(n_purchase AS DOUBLE) / n_click, 4) AS conv_purchase
+             CASE WHEN n_click > 0
+                  THEN round(CAST(n_purchase AS DOUBLE) / n_click, 4) END AS conv_purchase
       FROM agg"""))
 
   /** Weekly cohort-retention matrix: users bucketed by the week of

@@ -1078,35 +1078,49 @@ object RelationalQueries extends QueryModule {
   /** Exact decimal (money) arithmetic: revenue per return flag with
     * prices and discounts as DECIMAL — the bookkeeping-grade path
     * where double rounding drift is not acceptable. Inputs cast to
-    * DECIMAL(12,2) at the scan, the product/aggregate carried exactly,
-    * and every output pinned to DECIMAL(38,2)/(38,4) so both engines
-    * emit the identical Arrow decimal128 type (Spark and DuckDB widen
-    * sums differently — unpinned, the hash compare would fail on type
-    * alone). Same one-shuffle agg shape as q1. */
+    * DECIMAL(12,2) at the scan and the product/aggregate carried
+    * exactly in DECIMAL end-to-end; the OUTPUT columns are the exact
+    * decimal rendered as canonical fixed-scale strings. (Pinned
+    * decimal128 outputs hash-matched value-for-value but fell over in
+    * the driver's pandas-side compare, where DuckDB decimals surface
+    * as float64 while Spark parquet decimal128 stays Decimal — r4
+    * gate: rows/schema ok, hash mismatch. A fixed-scale string is the
+    * type-system-proof canonical form; exactness is still asserted by
+    * the spec on the pre-render DECIMAL(38,_) schema.) */
   private val qDecimal = QueryDef(
     "q_decimal_money",
-    (s, d) => {
-      val price = col("l_extendedprice").cast("decimal(12,2)")
-      val disc = col("l_discount").cast("decimal(4,2)")
-      lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          sum(price).cast("decimal(38,2)").as("gross"),
-          sum(price * (lit(1).cast("decimal(3,2)") - disc))
-            .cast("decimal(38,4)").as("net"),
-          count(lit(1)).as("n_rows"))
-        .orderBy(col("l_returnflag"))
-    },
+    (s, d) => decimalMoneyExact(s, d)
+      .select(
+        col("l_returnflag"),
+        col("gross").cast("string").as("gross"),
+        col("net").cast("string").as("net"),
+        col("n_rows")),
     Some("""
       SELECT l_returnflag,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS gross,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS gross,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
                       (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-                  AS DECIMAL(38,4)) AS net,
+                  AS DECIMAL(38,4)) AS VARCHAR) AS net,
              count(*) AS n_rows
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
+
+  /** The exact-DECIMAL aggregation underlying q_decimal_money, with
+    * outputs pinned to DECIMAL(38,2)/(38,4) — the library-facing form
+    * (spec-asserted); the oracle query renders it to strings. */
+  def decimalMoneyExact(s: SparkSession, d: String): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc = col("l_discount").cast("decimal(4,2)")
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(price).cast("decimal(38,2)").as("gross"),
+        sum(price * (lit(1).cast("decimal(3,2)") - disc))
+          .cast("decimal(38,4)").as("net"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
     q1Agg, q6Filter, q3TopOrders, q5Star, qSemi, qAnti,

@@ -125,6 +125,7 @@ object StreamingIngest {
     * batch LWW resolve: a (slot, seq) below the state's is a no-op,
     * so at-least-once delivery upstream cannot corrupt the snapshot. */
   def latestPerSeries(points: DataFrame, resolutionNs: Long): org.apache.spark.sql.Dataset[LatestOut] = {
+    require(resolutionNs > 0, s"resolutionNs must be positive (got $resolutionNs)")
     import org.apache.spark.sql.streaming.GroupStateTimeout
     val spark = points.sparkSession
     import spark.implicits._
@@ -154,7 +155,18 @@ object StreamingIngest {
     * lag — set it to maxHotBuckets × bucketDuration to mirror the
     * reference's writable window. Emits one row per (tag0, window)
     * with the write count. */
+  /** All streaming window/slide/watermark durations are rendered in µs
+    * (event_time is a µs timestamp): a sub-µs or non-µs-aligned value
+    * would silently truncate at /1000 and shift every window boundary
+    * — surface it as a caller error instead (same contract as
+    * intervalJoin's tolerance). */
+  private def requireMicros(name: String, ns: Long): Unit =
+    require(ns >= 1000 && ns % 1000 == 0,
+      s"$name must be a positive multiple of 1000 ns (got $ns)")
+
   def tumblingCounts(points: DataFrame, windowNs: Long, watermarkNs: Long): DataFrame = {
+    requireMicros("windowNs", windowNs)
+    requireMicros("watermarkNs", watermarkNs)
     points
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", s"${watermarkNs / 1000} microseconds")
@@ -172,6 +184,9 @@ object StreamingIngest {
     * absorbs the fan-out exactly as in the batch shape. */
   def hoppingCounts(points: DataFrame, windowNs: Long, slideNs: Long,
       watermarkNs: Long): DataFrame = {
+    requireMicros("windowNs", windowNs)
+    requireMicros("slideNs", slideNs)
+    requireMicros("watermarkNs", watermarkNs)
     points
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", s"${watermarkNs / 1000} microseconds")
@@ -196,11 +211,8 @@ object StreamingIngest {
     * source stay unambiguous. */
   def intervalJoin(left: DataFrame, right: DataFrame, toleranceNs: Long,
       watermarkNs: Long): DataFrame = {
-    // The join window is expressed in µs (event_time is a µs
-    // timestamp); a sub-µs or non-µs-aligned tolerance would silently
-    // truncate — surface it as a caller error instead.
-    require(toleranceNs >= 1000 && toleranceNs % 1000 == 0,
-      s"toleranceNs must be a positive multiple of 1000 ns (got $toleranceNs)")
+    requireMicros("toleranceNs", toleranceNs)
+    requireMicros("watermarkNs", watermarkNs)
     def shape(df: DataFrame, role: String) = df
       .select(col("seq").as(s"${role}_seq"),
         element_at(col("tags"), 1).as(s"${role}_tag"),
@@ -221,6 +233,7 @@ object StreamingIngest {
     * md5 of the payload + the tag tuple — the streaming twin of
     * llm_dedup_exact's content hash. */
   def dedupStream(points: DataFrame, watermarkNs: Long): DataFrame = {
+    requireMicros("watermarkNs", watermarkNs)
     points
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", s"${watermarkNs / 1000} microseconds")

@@ -169,11 +169,17 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
-  test("q_decimal_money emits pinned decimal128 types (exact money arithmetic)") {
-    import org.apache.spark.sql.types.DecimalType
-    val schema = SparkEntry.queries("q_decimal_money")(spark, sf).schema
-    assert(schema("gross").dataType === DecimalType(38, 2))
-    assert(schema("net").dataType === DecimalType(38, 4))
+  test("q_decimal_money carries pinned decimal128 types (exact money arithmetic)") {
+    import org.apache.spark.sql.types.{DecimalType, StringType}
+    // library-facing form is exact DECIMAL end-to-end …
+    val exact = graft.queries.RelationalQueries.decimalMoneyExact(spark, sf).schema
+    assert(exact("gross").dataType === DecimalType(38, 2))
+    assert(exact("net").dataType === DecimalType(38, 4))
+    // … the oracle-gated query renders it to canonical fixed-scale strings
+    val rendered = SparkEntry.queries("q_decimal_money")(spark, sf)
+    assert(rendered.schema("gross").dataType === StringType)
+    val gross = rendered.collect().map(_.getString(1))
+    assert(gross.forall(_.matches("""-?\d+\.\d{2}""")))
   }
 
   test("kdb_get_gapfill is always dense: exactly (end-start)/res rows") {

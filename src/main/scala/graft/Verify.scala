@@ -42,6 +42,10 @@ object Verify {
     if (only.isDefined)
       Files.writeString(Paths.get(s"$outDir/_PARTIAL"),
         only.get.toSeq.sorted.mkString("\n"))
+    else
+      // a full run into a dir previously used for a partial local
+      // iteration must not inherit its stale partial stamp
+      Files.deleteIfExists(Paths.get(s"$outDir/_PARTIAL"))
     spark.stop()
   }
 }

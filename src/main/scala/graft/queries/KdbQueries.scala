@@ -1706,11 +1706,13 @@ object KdbQueries extends QueryModule {
           count(col("t_click")).as("n_click"),
           count(col("t_purchase")).as("n_purchase"))
         .select(col("n_view"), col("n_click"), col("n_purchase"),
-          round(col("n_click").cast("double") / col("n_view"), 4).as("conv_click"),
-          // n_click = 0 guard: Spark Divide yields NULL, DuckDB IEEE
-          // division yields inf — pin the degenerate case to NULL in
-          // both engines. (n_view can't be 0: the filter above keeps
-          // only users with a view, and the 1-row agg runs over them.)
+          // zero-denominator guards: Spark Divide yields NULL, DuckDB
+          // IEEE division yields NaN/inf — pin the degenerate case to
+          // NULL in both engines. n_view CAN be 0: on empty input the
+          // global agg still emits its one row with all counts 0.
+          when(col("n_view") > 0,
+            round(col("n_click").cast("double") / col("n_view"), 4))
+            .as("conv_click"),
           when(col("n_click") > 0,
             round(col("n_purchase").cast("double") / col("n_click"), 4))
             .as("conv_purchase"))
@@ -1734,7 +1736,8 @@ object KdbQueries extends QueryModule {
                count(t_purchase) AS n_purchase
         FROM u WHERE t_view IS NOT NULL)
       SELECT n_view, n_click, n_purchase,
-             round(CAST(n_click AS DOUBLE) / n_view, 4) AS conv_click,
+             CASE WHEN n_view > 0
+                  THEN round(CAST(n_click AS DOUBLE) / n_view, 4) END AS conv_click,
              CASE WHEN n_click > 0
                   THEN round(CAST(n_purchase AS DOUBLE) / n_click, 4) END AS conv_purchase
       FROM agg"""))

@@ -727,23 +727,35 @@ object LlmQueries extends QueryModule {
     * strict-fold kernel is bit-identical across engines — embTopk
     * precedent) with id tiebreaks, and the vote uses integer counts
     * with label tiebreak, so the prediction is fully deterministic.
-    * Same broadcast-the-queries nested loop as the top-k baseline; at
-    * scale the neighbor search swaps to the IVF/LSH path and the vote
-    * stays unchanged. */
+    * Same broadcast-the-queries nested loop as the top-k baseline to
+    * SCORE, but the top-5 selection is the k-bounded TopKAgg (map-side
+    * combine keeps ≤5 rows per qid per partition), NOT a row_number
+    * window — a window over the cross product would shuffle
+    * |q|×|corpus| rows into one partition per qid, a straggler at
+    * 100× corpus. Neighbor labels come from a second corpus scan
+    * joined against the broadcast ≤|q|×5-row winner set; the vote
+    * windows run over that k-bounded set only. */
   private val knnClassify = QueryDef(
     "llm_knn_classify",
     (s, d) => {
+      import s.implicits._
       val e = embeddings(s, d)
       val q = e.filter(col("vec_id") < 25)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val t = e.filter(col("vec_id") >= 25)
         .select(col("vec_id").as("tid"), col("embedding").as("tv"), col("label"))
-      val wK = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("tid"))
-      val wV = Window.partitionBy(col("qid")).orderBy(col("votes").desc, col("label"))
-      broadcast(q).crossJoin(t)
+      val top5 = broadcast(q).crossJoin(t)
         .withColumn("cos", cosine(col("qv"), col("tv")))
-        .withColumn("rk", row_number().over(wK))
-        .filter(col("rk") <= 5)
+        .select(col("qid"), col("tid"), col("cos"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues { case (_, tid, cos) => graft.functions.TopK.Scored(tid, cos) }
+        .agg(graft.functions.TopK.topK(5))
+        .toDF("qid", "top")
+        .select(col("qid"), explode(col("top.id")).as("tid"))
+      val wV = Window.partitionBy(col("qid")).orderBy(col("votes").desc, col("label"))
+      t.select(col("tid"), col("label"))
+        .join(broadcast(top5), "tid")
         .groupBy(col("qid"), col("label"))
         .agg(count(lit(1)).as("votes"))
         .withColumn("vrk", row_number().over(wV))

@@ -148,6 +148,18 @@ object StreamingIngest {
       }
   }
 
+  /** All streaming window/slide/watermark durations are rendered in µs
+    * (event_time is a µs timestamp): a sub-µs or non-µs-aligned value
+    * would silently truncate at /1000 and shift every window boundary
+    * — surface it as a caller error instead (same contract as
+    * intervalJoin's tolerance). Window/slide/tolerance must be ≥ 1 µs
+    * (a zero-width window is meaningless); watermarks additionally
+    * accept 0 — "0 microseconds" is a valid zero-lateness delay in
+    * Spark and zero-delay callers predate this validation. */
+  private def requireMicros(name: String, ns: Long, allowZero: Boolean = false): Unit =
+    require((ns >= 1000 || (allowZero && ns == 0)) && ns % 1000 == 0,
+      s"$name must be a ${if (allowZero) "non-negative" else "positive"} multiple of 1000 ns (got $ns)")
+
   /** Streaming tumbling-window aggregation over ingested points: the
     * Structured Streaming analog of the batch kdb_tumbling_window
     * query. Event time = ts ns → µs timestamp (window() needs
@@ -155,18 +167,9 @@ object StreamingIngest {
     * lag — set it to maxHotBuckets × bucketDuration to mirror the
     * reference's writable window. Emits one row per (tag0, window)
     * with the write count. */
-  /** All streaming window/slide/watermark durations are rendered in µs
-    * (event_time is a µs timestamp): a sub-µs or non-µs-aligned value
-    * would silently truncate at /1000 and shift every window boundary
-    * — surface it as a caller error instead (same contract as
-    * intervalJoin's tolerance). */
-  private def requireMicros(name: String, ns: Long): Unit =
-    require(ns >= 1000 && ns % 1000 == 0,
-      s"$name must be a positive multiple of 1000 ns (got $ns)")
-
   def tumblingCounts(points: DataFrame, windowNs: Long, watermarkNs: Long): DataFrame = {
     requireMicros("windowNs", windowNs)
-    requireMicros("watermarkNs", watermarkNs)
+    requireMicros("watermarkNs", watermarkNs, allowZero = true)
     points
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", s"${watermarkNs / 1000} microseconds")
@@ -186,7 +189,7 @@ object StreamingIngest {
       watermarkNs: Long): DataFrame = {
     requireMicros("windowNs", windowNs)
     requireMicros("slideNs", slideNs)
-    requireMicros("watermarkNs", watermarkNs)
+    requireMicros("watermarkNs", watermarkNs, allowZero = true)
     points
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", s"${watermarkNs / 1000} microseconds")
@@ -212,7 +215,7 @@ object StreamingIngest {
   def intervalJoin(left: DataFrame, right: DataFrame, toleranceNs: Long,
       watermarkNs: Long): DataFrame = {
     requireMicros("toleranceNs", toleranceNs)
-    requireMicros("watermarkNs", watermarkNs)
+    requireMicros("watermarkNs", watermarkNs, allowZero = true)
     def shape(df: DataFrame, role: String) = df
       .select(col("seq").as(s"${role}_seq"),
         element_at(col("tags"), 1).as(s"${role}_tag"),
@@ -233,7 +236,7 @@ object StreamingIngest {
     * md5 of the payload + the tag tuple — the streaming twin of
     * llm_dedup_exact's content hash. */
   def dedupStream(points: DataFrame, watermarkNs: Long): DataFrame = {
-    requireMicros("watermarkNs", watermarkNs)
+    requireMicros("watermarkNs", watermarkNs, allowZero = true)
     points
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", s"${watermarkNs / 1000} microseconds")

@@ -201,4 +201,32 @@ class QueriesSpec extends SparkTestBase {
     val smj = planOf(l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey")))
     assert(smj.contains("SortMergeJoin"), "merge hint ignored")
   }
+
+  test("llm_knn_classify: no window shuffles the cross product (k-bounded TopKAgg absorbs it)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val plan = SparkEntry.queries("llm_knn_classify")(spark, sf)
+      .queryExecution.sparkPlan
+    // the scoring cross product may only ever feed an aggregate (the
+    // k-bounded TopKAgg, which combines map-side); a row_number window
+    // over it would funnel |q|×|corpus| rows through one partition
+    // per qid — a straggler at 100× corpus
+    def bnljUnguarded(n: SparkPlan): Boolean = n match {
+      case _: BaseAggregateExec => false // agg bounds rows before any window
+      case _: BroadcastNestedLoopJoinExec => true
+      case other => other.children.exists(bnljUnguarded)
+    }
+    def check(p: SparkPlan): Unit = p match {
+      case w: WindowExec =>
+        assert(!w.children.exists(bnljUnguarded),
+          "window sits directly on the cross product")
+        w.children.foreach(check)
+      case other => other.children.foreach(check)
+    }
+    check(plan)
+    assert(plan.toString.toLowerCase.contains("topkagg"),
+      "expected the k-bounded TopKAgg in the plan")
+  }
 }

@@ -1,21 +1,49 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import graft.sources.Tables
 
 /** Driver-run benchmark: every SparkEntry query timed at
-  * SPARK_GRAFT_SF_DIR, one JSON line on stdout. A short warmup (table
-  * footer reads + one trivial job) runs first so the first timed query
-  * doesn't absorb session/JIT startup — the numbers approximate
-  * steady-state executor throughput, which is what a long-lived
-  * cluster sees. */
+  * SPARK_GRAFT_SF_DIR.
+  *
+  * Methodology (adjudicable, not single-pass): a global warmup
+  * (footer reads, writer/commit infra, codegen one-offs) followed by
+  * one untimed warmup execution of each query, then PASSES timed
+  * executions per query; the reported number is the per-query MEDIAN.
+  * Single-pass cold timings proved non-adjudicable in r4/r5: host
+  * contention/GC swung trivial scans 10× (q_sample_hash 1.0→13.6 s on
+  * a 600 k-row scan+filter+6-row agg) in consecutive rounds with no
+  * code change. A median over warmed passes is robust to one GC/
+  * compaction spike and approximates steady-state executor throughput
+  * — what a long-lived cluster sees.
+  *
+  * Output contract: ONE compact JSON line on stdout (driver parses the
+  * tail, so values are rounded to ms to keep the line short) AND the
+  * complete result — per-query samples, medians, environment — written
+  * to SPARK_GRAFT_BENCH_OUT (default /root/repo/BENCH_FULL.json):
+  * stdout tails get truncated (BENCH_r05 lost 56/117 queries and
+  * parsed as null), the file never does.
+  */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.size
+    if (n == 0) -1.0
+    else if (n % 2 == 1) s(n / 2)
+    else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  private def r3(d: Double): Double = math.rint(d * 1000) / 1000
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
     val spark = graft.core.EngineSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: parquet footers + codegen/JIT infrastructure
+    // global warmup: parquet footers + codegen/JIT infrastructure
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
       "region", "events", "documents", "embeddings")
       .foreach(t => Tables.load(spark, sfDir, t).count())
@@ -32,29 +60,57 @@ object Bench {
       .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
       .write.mode("overwrite").format("noop").save()
 
-    // a failed query reports -1.0, never a fake timing
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // noop sink, NOT count(): count lets Catalyst drop the sorts,
+    // left joins, and projections the count doesn't need — the
+    // timing would flatter exactly the operators a user pays for.
+    // The noop writer executes the full physical plan and discards
+    // rows executor-side (no driver collect).
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val secs =
-        try {
-          // noop sink, NOT count(): count lets Catalyst drop the sorts,
-          // left joins, and projections the count doesn't need — the
-          // timing would flatter exactly the operators a user pays for.
-          // The noop writer executes the full physical plan and
-          // discards rows executor-side (no driver collect).
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
-        }
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // per-query warmup pass (untimed): plan-specific codegen + JIT
+    sorted.foreach { case (name, fn) =>
+      try runOnce(fn)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name warmup FAILED: ${e.getMessage}")
+      }
+    }
+    // a failed query reports -1.0, never a fake timing
+    val results: Seq[(String, Seq[Double])] = sorted.map { case (name, fn) =>
+      val samples = (1 to passes).map { _ =>
+        try runOnce(fn)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1.0
         }
-      name -> secs
+      }
+      name -> samples
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val medians = results.map { case (k, v) =>
+      k -> (if (v.forall(_ >= 0)) median(v) else -1.0)
+    }
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = r3(medians.collect { case (_, v) if v >= 0 => v }.sum)
+    val line =
+      s"""{"metric":"total_median","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"sf":"$sfDir"}"""
+    // full record (every sample, not just the median) → file: stdout
+    // tails truncate, this is the adjudicable artifact
+    val samplesJson = results.map { case (k, v) =>
+      s"\"" + k + "\":{\"median\":" + r3(median(v.filter(_ >= 0))) +
+        ",\"samples\":" + v.map(r3).mkString("[", ",", "]") + "}"
+    }.mkString("{", ",", "}")
+    val fileJson =
+      s"""{"metric":"total_median","value":$total,"unit":"sec","passes":$passes,"cpus":$cpus,"sf":"$sfDir","queries":$samplesJson}"""
+    try Files.writeString(Paths.get(outPath), fileJson)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

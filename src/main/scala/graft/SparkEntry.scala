@@ -20,7 +20,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     RelationalQueries,
     KdbQueries,
-    LlmQueries)
+    LlmQueries,
+    StreamingTwinQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

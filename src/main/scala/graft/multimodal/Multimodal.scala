@@ -8,14 +8,17 @@ import org.apache.spark.sql.functions._
   * partition-sized batches — the Spark-side shape a 100 TB media
   * pipeline needs (schema, batching, partitioning are real).
   *
-  * The decode kernels themselves are DETERMINISTIC STUBS: this
-  * container ships no image/audio codecs, so `decodeStub` derives
-  * fake-but-stable dimensions from a content hash. Swapping in a real
-  * codec changes only the function body passed to mapPartitions —
-  * batch shape, schema, and the query plan are unchanged. (In PySpark
-  * the same seam is a Pandas UDF over mapInPandas; here it is typed
-  * mapPartitions, the Scala-native equivalent: per-partition iterator
-  * in, per-partition iterator out, no per-row JVM boundary crossing.)
+  * Decoding is two-tier. Formats with self-describing uncompressed
+  * headers — BMP, WAV, PPM — are parsed FOR REAL in pure JVM (no
+  * codec libraries needed): [[decode]] returns their true dimensions.
+  * Everything else (JPEG/MP4/... need codec libs this container
+  * doesn't ship) falls back to [[decodeStub]], a deterministic
+  * content-hash stand-in. Swapping in a full codec changes only the
+  * function body passed to mapPartitions — batch shape, schema, and
+  * the query plan are unchanged. (In PySpark the same seam is a
+  * Pandas UDF over mapInPandas; here it is typed mapPartitions, the
+  * Scala-native equivalent: per-partition iterator in, per-partition
+  * iterator out, no per-row JVM boundary crossing.)
   */
 object Multimodal {
 
@@ -32,12 +35,94 @@ object Multimodal {
 
   /** Deterministic stand-in for a codec probe: stable pseudo-metadata
     * from a 64-bit FNV-1a of the content (graft.plans.Fnv64, the same
-    * hash exposed to SQL as fnv64()). REPLACE the body (not the
-    * signature) with a real decoder when codecs are available. */
+    * hash exposed to SQL as fnv64()). Unknown payload kinds fall back
+    * here; recognized headers (BMP/WAV/PPM) are parsed for real by
+    * [[decode]]. */
   def decodeStub(content: Array[Byte]): (Int, Int, Int, Long) = {
     val pos = graft.plans.Fnv64.hash(content) & Long.MaxValue
     ((pos % 640).toInt + 1, ((pos >> 16) % 480).toInt + 1, ((pos >> 32) % 300).toInt + 1, pos)
   }
+
+  // ---- header-only codecs (pure JVM, no libraries) ----------------
+  // The container ships no media libraries, but the uncompressed
+  // container formats are parseable from their public headers alone:
+  // BMP (BITMAPINFOHEADER / BITMAPCOREHEADER), WAV (RIFF chunks), and
+  // PPM (P6 ASCII header). probe() therefore returns TRUE metadata for
+  // these; compressed formats (JPEG/MP4/...) still hit the stub seam.
+
+  private def u16le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def i32le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def u32le(b: Array[Byte], o: Int): Long = i32le(b, o) & 0xffffffffL
+
+  /** BMP: magic "BM", DIB header size at 14 selects the layout.
+    * Height may be negative (top-down rows) — dimensions are |.|. */
+  private[graft] def parseBmp(b: Array[Byte]): Option[(Int, Int, Int)] =
+    if (b.length < 26 || b(0) != 'B' || b(1) != 'M') None
+    else u32le(b, 14) match {
+      case 12 => // BITMAPCOREHEADER: u16 width/height
+        Some((u16le(b, 18), u16le(b, 20), 1))
+      case n if n >= 40 && b.length >= 54 => // BITMAPINFOHEADER+
+        val w = i32le(b, 18)
+        val h = i32le(b, 22)
+        if (w <= 0 || h == 0) None else Some((w, math.abs(h), 1))
+      case _ => None
+    }
+
+  /** WAV: RIFF/WAVE container; walk the chunk list for fmt + data.
+    * Mapped onto MediaMeta dims: width = sample rate, height =
+    * channel count, n_frames = sample frames (data bytes / block
+    * align). Chunks are word-aligned (odd sizes pad one byte). */
+  private[graft] def parseWav(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var o = 12
+    var rate = -1L; var channels = -1; var blockAlign = -1; var dataBytes = -1L
+    while (o + 8 <= b.length && (rate < 0 || dataBytes < 0)) {
+      val id = tag(o)
+      val size = u32le(b, o + 4)
+      if (id == "fmt " && size >= 16 && o + 8 + 16 <= b.length) {
+        channels = u16le(b, o + 10)
+        rate = u32le(b, o + 12)
+        blockAlign = u16le(b, o + 20)
+      } else if (id == "data") dataBytes = size
+      o += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (rate <= 0 || channels <= 0 || blockAlign <= 0 || dataBytes < 0) None
+    else Some((rate.toInt, channels, (dataBytes / blockAlign).toInt))
+  }
+
+  /** PPM (P6): ASCII header "P6 <w> <h> <maxval>" with #-comments. */
+  private[graft] def parsePpm(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 9 || b(0) != 'P' || b(1) != '6') return None
+    var o = 2
+    def nextInt(): Option[Int] = {
+      while (o < b.length &&
+        (b(o) == ' ' || b(o) == '\n' || b(o) == '\r' || b(o) == '\t' || b(o) == '#')) {
+        if (b(o) == '#') while (o < b.length && b(o) != '\n') o += 1
+        else o += 1
+      }
+      val start = o
+      while (o < b.length && b(o) >= '0' && b(o) <= '9') o += 1
+      if (o == start) None
+      else Some(new String(b, start, o - start, "US-ASCII").toInt)
+    }
+    for (w <- nextInt(); h <- nextInt(); _ <- nextInt() if w > 0 && h > 0)
+      yield (w, h, 1)
+  }
+
+  /** Codec probe: real header parse for the formats the JVM can read
+    * unaided, deterministic stub for everything else. The fingerprint
+    * is the content FNV in both branches (it identifies bytes, not
+    * decoded pixels). */
+  def decode(content: Array[Byte]): (Int, Int, Int, Long) =
+    parseBmp(content).orElse(parseWav(content)).orElse(parsePpm(content)) match {
+      case Some((w, h, nf)) =>
+        (w, h, nf, graft.plans.Fnv64.hash(content) & Long.MaxValue)
+      case None => decodeStub(content)
+    }
 
   /** Probe metadata for every media object. Partition-preserving
     * (no shuffle): each task decodes its partition's batch locally. */
@@ -45,7 +130,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (w, hgt, nf, fp) = decodeStub(r.content)
+        val (w, hgt, nf, fp) = decode(r.content)
         MediaMeta(r.media_id, r.kind, r.content.length.toLong, w, hgt, nf, fp)
       }
     }
@@ -58,7 +143,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").mapPartitions { rows =>
       rows.flatMap { r =>
-        val (_, _, nFrames, _) = decodeStub(r.content)
+        val (_, _, nFrames, _) = decode(r.content)
         (0 until nFrames by everyN).map { f =>
           FrameRef(r.media_id, f, f.toLong * 4096L) // stub offset: fixed frame stride
         }

@@ -77,4 +77,66 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows.map(_.kind).toSeq === Seq("image", "video"))
     assert(new String(rows(0).content) === "hello")
   }
+
+  // ---- real header-only codecs on synthesized fixtures ------------
+
+  private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def bmpFixture(w: Int, h: Int): Array[Byte] = {
+    val pixels = new Array[Byte](w * h * 3)
+    ("BM".getBytes("US-ASCII") ++ le32(54L + pixels.length) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w.toLong) ++ le32(h.toLong & 0xffffffffL) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(pixels.length.toLong) ++ le32(2835) ++ le32(2835) ++
+      le32(0) ++ le32(0)) ++ pixels
+  }
+
+  private def wavFixture(rate: Int, channels: Int, nSamples: Int): Array[Byte] = {
+    val blockAlign = channels * 2 // 16-bit PCM
+    val data = new Array[Byte](nSamples * blockAlign)
+    ("RIFF".getBytes("US-ASCII") ++ le32(36L + data.length) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(rate.toLong) ++ le32(rate.toLong * blockAlign) ++ le16(blockAlign) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length.toLong)) ++ data
+  }
+
+  private def ppmFixture(w: Int, h: Int): Array[Byte] =
+    s"P6\n# graft test fixture\n$w $h\n255\n".getBytes("US-ASCII") ++
+      new Array[Byte](w * h * 3)
+
+  test("decode parses true BMP/WAV/PPM header metadata; unknown bytes fall back to the stub") {
+    assert(Multimodal.parseBmp(bmpFixture(320, 200)) === Some((320, 200, 1)))
+    // top-down BMP: negative height stores |rows|
+    val topDown = bmpFixture(320, 200)
+    le32((-200L) & 0xffffffffL).copyToArray(topDown, 22)
+    assert(Multimodal.parseBmp(topDown) === Some((320, 200, 1)))
+    assert(Multimodal.parseWav(wavFixture(44100, 2, 1000)) === Some((44100, 2, 1000)))
+    assert(Multimodal.parsePpm(ppmFixture(64, 48)) === Some((64, 48, 1)))
+    // truncated/garbage headers reject cleanly instead of throwing
+    assert(Multimodal.parseBmp("BM".getBytes) === None)
+    assert(Multimodal.parseWav("RIFFxxxxWAVE".getBytes) === None)
+    assert(Multimodal.parsePpm("P6\n-3 4\n255\n".getBytes) === None)
+    val (w, h, nf, _) = Multimodal.decode("not-a-media-file".getBytes)
+    assert((w, h, nf) === (Multimodal.decodeStub("not-a-media-file".getBytes)._1,
+      Multimodal.decodeStub("not-a-media-file".getBytes)._2,
+      Multimodal.decodeStub("not-a-media-file".getBytes)._3))
+  }
+
+  test("probe returns true dimensions for real-format fixtures end to end") {
+    import spark.implicits._
+    val ds = Seq(
+      MediaRow(10L, "image", bmpFixture(640, 360)),
+      MediaRow(11L, "audio", wavFixture(16000, 1, 16000)), // 1s of 16 kHz mono
+      MediaRow(12L, "image", ppmFixture(128, 96)),
+      MediaRow(13L, "image", "opaque".getBytes)).toDS()
+    val rows = Multimodal.probe(ds).collect().sortBy(_.media_id)
+    assert((rows(0).width, rows(0).height, rows(0).n_frames) === (640, 360, 1))
+    assert((rows(1).width, rows(1).height, rows(1).n_frames) === (16000, 1, 16000))
+    assert((rows(2).width, rows(2).height, rows(2).n_frames) === (128, 96, 1))
+    // the stub path still serves unknown formats in the same batch
+    val stub = Multimodal.decodeStub("opaque".getBytes)
+    assert((rows(3).width, rows(3).height, rows(3).n_frames) === (stub._1, stub._2, stub._3))
+  }
 }

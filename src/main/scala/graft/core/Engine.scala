@@ -216,12 +216,51 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * batch publish level is dropped here — no read path keys on it.
     * The schema is always supplied explicitly — never inferred — so an
     * empty table dir reads as empty instead of throwing 'Unable to
-    * infer schema', and no footer-sampling job runs per read. */
+    * infer schema', and no footer-sampling job runs per read.
+    *
+    * Corrupt-read contract: a truncated or garbage parquet file in a
+    * bucket dir (torn copy, disk fault — atomic publish makes torn
+    * WRITES invisible, but nothing protects files damaged after
+    * commit) must degrade, not kill every query that touches the
+    * bucket: `ignoreCorruptFiles` skips files whose footer fails to
+    * parse, the same recovery posture as the reference's index-log
+    * load, which stops at the first invalid frame and serves the
+    * prefix (mindex/mindex.go:185-240). [[corruptFiles]] names the
+    * damage for repair. */
   private def table(): DataFrame = {
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(opts.tablePath))) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
-    } else spark.read.schema(readerSchema).parquet(opts.tablePath).drop("batch")
+    } else spark.read.schema(readerSchema)
+      .option("ignoreCorruptFiles", "true")
+      .parquet(opts.tablePath).drop("batch")
+  }
+
+  /** Audit: data files under the table whose parquet footer fails to
+    * parse — exactly the set reads are silently skipping. Pair with
+    * reads the way the reference pairs its tolerant index-log load
+    * with logging the truncation point (mindex/mindex.go:185-240):
+    * tolerate on the serving path, surface on the ops path. Footer
+    * reads only (no data pages); runs from the driver, which is fine
+    * for per-bucket repair — sweep buckets in batches when auditing a
+    * whole 100 TB table. */
+  def corruptFiles(): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(opts.dataDir), conf)
+    val root = new Path(opts.tablePath)
+    if (!fs.exists(root)) return Nil
+    val bad = Seq.newBuilder[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        try org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf)).close()
+        catch { case scala.util.control.NonFatal(_) => bad += f.getPath.toString }
+      }
+    }
+    bad.result()
   }
 
   /** Last-writer-wins resolution per (series, slot): max_by(payload,

@@ -429,6 +429,44 @@ class EngineSpec extends SparkTestBase {
     assert(st === Map(10000L -> 1L, 11000L -> 3L))
   }
 
+  test("corrupt data files degrade to skip+audit, never an opaque job kill (mindex_test.go:84-107)") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val (e, _) = mkEngine()
+    e.put(Seq(
+      Point(10990L, tag4, pld(1)),
+      Point(11000L, tag4, pld(2)),
+      Point(11010L, tag4, pld(3))))
+    assert(e.corruptFiles().isEmpty)
+    // damage one bucket dir the two ways a committed file gets torn:
+    // a garbage byte blob, and a truncated copy of a real part file
+    // (footer gone) — both pass the publish rename, both must be
+    // tolerated on read like the reference tolerates a torn index log
+    val parts = JFiles.walk(Paths.get(e.opts.tablePath)).iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var bucketDir: java.nio.file.Path = null
+    var realPart: java.nio.file.Path = null
+    parts.forEachRemaining { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") && realPart == null) {
+        realPart = p; bucketDir = p.getParent
+      }
+    }
+    assert(realPart != null, "no data file written")
+    val garbage = bucketDir.resolve("part-garbage.parquet")
+    JFiles.write(garbage, Array.tabulate[Byte](256)(i => (i * 31).toByte))
+    val torn = bucketDir.resolve("part-torn.parquet")
+    val whole = JFiles.readAllBytes(realPart)
+    JFiles.write(torn, whole.take(whole.length / 2))
+
+    // reads still serve every intact row, zero-filling as usual
+    val got = payloads(e.get(10990L, 11020L, tag4))
+    assert(got === Seq(pld(1).toSeq, pld(2).toSeq, pld(3).toSeq))
+    assert(e.find(10990L, 11020L, tag4).count() === 3L)
+    // and the audit names exactly the damaged files for repair
+    assert(e.corruptFiles().map(f => f.substring(f.lastIndexOf('/') + 1)).sorted ===
+      Seq("part-garbage.parquet", "part-torn.parquet"))
+  }
+
   test("options validation mirrors dbase.go:71-73") {
     intercept[IllegalArgumentException](
       EngineOptions("x", "/tmp/x", 4, 4, bucketDuration = 1000L, resolution = 7L))

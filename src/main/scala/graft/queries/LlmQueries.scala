@@ -957,6 +957,51 @@ object LlmQueries extends QueryModule {
       ORDER BY qid, rk"""
     })
 
+  /** End-to-end TRAINED IVF (graft.operators.Ivf: deterministic
+    * k-means train → inverted-file assign → nprobe cell probe), gated
+    * as a property oracle. Centroid means are order-of-summation
+    * floating point, so a bit-identical cross-engine k-means is not a
+    * sound gate (the sketch-query precedent, kdb_approx_distinct);
+    * what IS deterministic is the operator's contract, and that's
+    * what the oracle pins per query: the probe returns a FULL top-5
+    * result set from its nprobe=2 cells, and the trained index's
+    * recall against the exact brute-force top-5 clears threshold
+    * (observed 3-5/5 across sf0.001/0.01/0.1; gated at ≥2 to keep one
+    * hit of ulp slack below the observed minimum). Exactness of the
+    * probe math itself is pinned separately:
+    * IvfSpec proves probe-all ≡ brute force, and llm_similarity_ivf
+    * hash-gates the same probe pipeline under a static quantizer. */
+  private val embIvfTrained = QueryDef(
+    "llm_similarity_ivf_trained",
+    (s, d) => {
+      import graft.operators.Ivf
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cent = Ivf.train(e, k = 4, iters = 2)
+      val inv = Ivf.assign(e, cent)
+      val q = e.filter(col("vec_id") <= 4)
+      val ivfTop = Ivf.probe(inv, cent, q, nprobe = 2, topk = 5)
+      val qq = q.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val corpus = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val wEx = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      val exact = broadcast(qq).join(corpus, col("qid") =!= col("nid"))
+        .withColumn("cos", cosine(col("qv"), col("nv")))
+        .withColumn("rk", row_number().over(wEx)).filter(col("rk") <= 5)
+        .select(col("qid"), col("nid"))
+      val hits = ivfTop.select(col("qid"), col("nid"))
+        .join(exact, Seq("qid", "nid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      ivfTop.groupBy(col("qid")).agg(count(lit(1)).as("n_results"))
+        .join(hits, Seq("qid"), "left_outer")
+        .select(col("qid"), col("n_results"),
+          when(coalesce(col("n_hits"), lit(0L)) >= 2, lit(1)).otherwise(lit(0))
+            .as("recall2_ok"))
+        .orderBy(col("qid"))
+    },
+    Some("""
+      SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_results, 1 AS recall2_ok
+      FROM embeddings WHERE vec_id <= 4
+      ORDER BY qid"""))
+
   // ---------------------------------------------------------------
   // Multimodal binary plumbing
   // ---------------------------------------------------------------
@@ -1658,7 +1703,7 @@ object LlmQueries extends QueryModule {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
-    embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, multimodalMeta,
+    embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, embIvfTrained, multimodalMeta,
     filterChain, packSeq, stratSample, dedupClusters, decontaminate, piiScrub,
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
     dedupSubstring, encodeIds, editDistance, lmScore, mixtureWeights,

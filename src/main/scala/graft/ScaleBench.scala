@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve harness: replicate the sf0.1 tables k× with
+  * id-space shifts and time the heaviest queries at each factor, to
+  * measure how wall-time GROWS with data — the 100 TB question the
+  * flat per-SF bench can't answer. A query whose time grows ~O(n)
+  * (exponent ≈ 1 on this fixed-core box) survives a scale-up;
+  * super-linear growth names a shuffle/buffer that won't.
+  *
+  * Replication model: every column named *key / *_id shifts by
+  * replica × 1e9, so referential integrity holds across tables
+  * (orders ↔ lineitem, nation ↔ region) and group cardinality grows
+  * k× while per-group size stays constant — "more users in the same
+  * time window", the organic growth shape. Timestamps are untouched,
+  * so the kdb time-range filters stay meaningful (ingest density
+  * grows k×). Pairwise dedup queries are deliberately OUT of scope
+  * here: replicated corpora are duplicate-saturated, which measures
+  * the dedup worst case, not growth — that path is pinned separately
+  * by ScaleSmokeSpec's 20× replica test.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR (base, default sf0.1),
+  * SPARK_GRAFT_SCALE_FACTORS (default "1,5,20"),
+  * SPARK_GRAFT_SCALE_QUERIES (default: the heavy set below),
+  * SPARK_GRAFT_SCALE_OUT (default /root/repo/SCALE_CURVE.json).
+  * Two timed passes per (query, factor); min is reported (robust to
+  * one GC spike; exponents need monotone-comparable points, not
+  * population medians).
+  */
+object ScaleBench {
+
+  private val Shift = 1000000000L
+
+  /** Heaviest relational/TSDB queries by warmed sf0.1 medians
+    * (BENCH_FULL.json, r6): the top of the bench excluding the
+    * pairwise-dedup family (dup-saturated under replication — covered
+    * by ScaleSmokeSpec) and the streaming twins (per-run streaming
+    * setup dominates). */
+  private val DefaultQueries = Seq(
+    "kdb_heavy_hitters", "kdb_asof_join", "q_percentile",
+    "q_distinct_agg", "kdb_percentile_bands", "q5_broadcast_star_join",
+    "q_profile_table", "kdb_approx_distinct", "kdb_sessionize",
+    "q3_shuffle_join_topk")
+
+  private val Tables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def replicateDir(spark: SparkSession, baseDir: String,
+      outDir: String, k: Int): Unit = {
+    Tables.foreach { t =>
+      val df = spark.read.parquet(s"$baseDir/$t.parquet")
+      val idCols = df.columns.filter(c => c.endsWith("key") || c.endsWith("_id"))
+      val rep = df.withColumn("__r", explode(sequence(lit(0L), lit(k - 1L))))
+      val shifted = idCols.foldLeft(rep) { (d, c) =>
+        d.withColumn(c, col(c).cast("long") + col("__r") * Shift)
+      }.drop("__r")
+      shifted.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,5,20")
+      .split(",").map(_.trim.toInt).toSeq
+    val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(DefaultQueries)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_CURVE.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.core.EngineSession.local(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+
+    // writer/codegen warmup (same rationale as graft.Bench)
+    spark.range(1000L).selectExpr("id % 5 AS k", "id AS v")
+      .groupBy("k").agg(sum("v"))
+      .write.mode("overwrite").format("noop").save()
+
+    def timeOnce(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = factors.map { k =>
+      val dir =
+        if (k == 1) baseDir
+        else {
+          val d = Files.createTempDirectory(s"graft-scale-x$k").toString
+          replicateDir(spark, baseDir, d, k)
+          d
+        }
+      val times = queries.map { q =>
+        val samples = (1 to 2).map { _ =>
+          try timeOnce(q, dir)
+          catch { case e: Throwable =>
+            System.err.println(s"[scale] $q x$k FAILED: ${e.getMessage}")
+            -1.0
+          }
+        }
+        q -> (if (samples.forall(_ >= 0)) samples.min else -1.0)
+      }
+      k -> times
+    }
+
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    val json = results.map { case (k, times) =>
+      "\"x" + k + "\":" + times.map { case (q, t) => s"\"" + q + "\":" + r3(t) }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    // per-query growth exponent between the smallest and largest factor
+    val lo = results.head._2.toMap
+    val hi = results.last._2.toMap
+    val ratio = results.last._1.toDouble / results.head._1
+    val exps = queries.map { q =>
+      val e =
+        if (lo(q) > 0 && hi(q) > 0) math.log(hi(q) / lo(q)) / math.log(ratio)
+        else Double.NaN
+      s"\"" + q + "\":" + (if (e.isNaN) "null" else r3(e).toString)
+    }.mkString("{", ",", "}")
+    val out = s"""{"base":"$baseDir","factors":[${factors.mkString(",")}],"times":$json,"exponents":$exps}"""
+    Files.writeString(Paths.get(outPath), out)
+    println(out)
+    spark.stop()
+  }
+}

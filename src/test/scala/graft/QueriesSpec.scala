@@ -129,10 +129,13 @@ class QueriesSpec extends SparkTestBase {
     // construction (distinct types × range grid), the same
     // broadcast-intended cross join as kdb_find_wildcard's grid.
     // llm_lm_score: 1-row vocab-size scalar rides a broadcast cross join.
+    // llm_similarity_ivf_trained: k-means assign + cell probe +
+    // exact-recall twin all ride broadcast(centroids|queries) cross
+    // joins — the small side is always the broadcast one.
     val nestedLoopOk = Set("kdb_find_wildcard", "kdb_rolling_avg",
       "llm_similarity_topk", "llm_similarity_ivf", "llm_tfidf_top_terms",
       "kdb_locf_fill", "kdb_rolling_median", "llm_lm_score", "kdb_corr_matrix",
-      "llm_knn_classify", "q_cdc_merge_apply")
+      "llm_knn_classify", "q_cdc_merge_apply", "llm_similarity_ivf_trained")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -128,5 +128,190 @@ object StreamingTwinQueries extends QueryModule {
       FROM documents
       ORDER BY content_key"""))
 
-  override def defs: Seq[QueryDef] = Seq(tumblingTwin, dedupTwin)
+  /** Custom-state streaming sessionize replayed over the events table
+    * — the flatMapGroupsWithState path, which no oracle row covered
+    * (tumbling/dedup gate the declarative operators; this gates the
+    * hand-written state fold). Same 30-min gap rule as the batch
+    * kdb_sessionize. Two deliberate deltas the oracle encodes:
+    * streaming emits a session only when a LATER point closes it, so
+    * each user's final session is still open state at end-of-replay
+    * and is excluded from the oracle via a max-session_seq window;
+    * and the within-batch fold sorts by timestamp alone (ties share a
+    * session either way, so boundaries and counts are unaffected).
+    * Single-file replay = one micro-batch, so the per-batch sort sees
+    * the full history — exactly the batch fold. */
+  private val sessionizeTwin = QueryDef(
+    "stream_sessionize_twin",
+    (s, d) => {
+      val GapUs = 30L * 60 * 1000 * 1000
+      val out = replay(s, s"$d/events.parquet", "append") { stream =>
+        val pts = stream.select(
+          tsNs(stream).as("ts"),
+          array(col("user_id").cast("string")).as("tags"))
+        StreamingIngest.sessionize(pts, GapUs).toDF()
+      }
+      out.select(col("tag0"), col("start_us"), col("end_us"), col("n"))
+        .orderBy(col("tag0"), col("start_us"))
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT CAST(user_id AS VARCHAR) AS tag0, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${30L * 60 * 1000 * 1000}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+      sess AS (
+        SELECT tag0, ts_us,
+               CAST(sum(new_s) OVER (PARTITION BY tag0 ORDER BY ts_us
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM o),
+      agg AS (
+        SELECT tag0, session_seq,
+               min(ts_us) AS start_us, max(ts_us) AS end_us,
+               count(*) AS n
+        FROM sess GROUP BY 1, 2),
+      ranked AS (
+        SELECT *, max(session_seq) OVER (PARTITION BY tag0) AS last_seq
+        FROM agg)
+      SELECT tag0, start_us, end_us, n
+      FROM ranked WHERE session_seq < last_seq
+      ORDER BY tag0, start_us"""))
+
+  /** Streaming hopping-window counts replayed over events — same
+    * harness and complete-mode rationale as the tumbling twin, with
+    * the window/slide multi-assignment (each point lands in
+    * window/slide overlapping windows) gated against an explicit
+    * generate_series explosion in SQL. */
+  private val hoppingTwin = QueryDef(
+    "stream_hopping_twin",
+    (s, d) => {
+      val out = replay(s, s"$d/events.parquet", "complete") { stream =>
+        val pts = stream.select(
+          tsNs(stream).as("ts"),
+          array(col("event_type")).as("tags"))
+        StreamingIngest.hoppingCounts(pts, windowNs = Hour, slideNs = Hour / 2,
+          watermarkNs = 0L)
+      }
+      out.select(col("tag0"), col("w_start_us"), col("n"))
+        .orderBy(col("tag0"), col("w_start_us"))
+    },
+    Some {
+      val winUs = Hour / 1000
+      val slideUs = Hour / 2000
+      s"""
+      WITH p AS (SELECT event_type AS tag0, epoch_us(ts) AS ts_us FROM events),
+      x AS (
+        SELECT tag0, ts_us,
+               (ts_us - ts_us % $slideUs) - k * $slideUs AS w_start_us
+        FROM p, generate_series(0, ${winUs / slideUs - 1}) AS t(k)
+        WHERE ts_us >= (ts_us - ts_us % $slideUs) - k * $slideUs
+          AND ts_us < (ts_us - ts_us % $slideUs) - k * $slideUs + $winUs)
+      SELECT tag0, w_start_us, count(*) AS n
+      FROM x GROUP BY 1, 2
+      ORDER BY tag0, w_start_us"""
+    })
+
+  /** Streaming latest-value state (mapGroupsWithState LWW) replayed
+    * over events: one series per event_type, slot = hourly floor,
+    * ingest seq = event_id. A single-file replay is one micro-batch,
+    * so the sink holds exactly one row per touched series — the
+    * state's final answer — which must equal the batch argmax by
+    * (slot, seq). Payload bytes are excluded from the gate (double →
+    * string rendering differs across engines); payload identity is
+    * pinned by StreamingIngestSpec's LWW tests. */
+  private val latestTwin = QueryDef(
+    "stream_latest_twin",
+    (s, d) => {
+      val out = replay(s, s"$d/events.parquet", "update") { stream =>
+        val pts = stream.select(
+          tsNs(stream).as("ts"),
+          array(col("event_type")).as("tags"),
+          col("value").cast("string").cast("binary").as("payload"),
+          col("event_id").as("seq"))
+        StreamingIngest.latestPerSeries(pts, resolutionNs = Hour).toDF()
+      }
+      out.select(col("tag0"), col("slot_ns"), col("seq"))
+        .orderBy(col("tag0"))
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT event_type AS tag0,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               event_id AS seq
+        FROM events),
+      r AS (
+        SELECT tag0, slot_ns, seq,
+               row_number() OVER (PARTITION BY tag0
+                 ORDER BY slot_ns DESC, seq DESC) AS rn
+        FROM p)
+      SELECT tag0, slot_ns, seq FROM r WHERE rn = 1
+      ORDER BY tag0"""))
+
+  /** Watermarked stream-stream interval join replayed over events:
+    * purchases pick up the clicks inside their 1-hour attribution
+    * window by the same user (tags carry user_id) — gated against the
+    * equivalent SQL range join. Event times are µs-floored on BOTH
+    * sides of the oracle because the streaming operator compares µs
+    * timestamps (and DuckDB truncates ns parquet to µs anyway). */
+  private val intervalJoinTwin = QueryDef(
+    "stream_interval_join_twin",
+    (s, d) => {
+      val out = replay2(s, s"$d/events.parquet", "append") { (left, right) =>
+        def pts(stream: DataFrame, kind: String) = stream
+          .filter(col("event_type") === kind)
+          .select(tsNs(stream).as("ts"),
+            array(col("user_id").cast("string")).as("tags"),
+            col("event_id").as("seq"))
+        StreamingIngest.intervalJoin(
+          pts(left, "purchase"), pts(right, "click"),
+          toleranceNs = Hour, watermarkNs = 0L)
+      }
+      out.select(col("left_seq"), col("right_seq"))
+        .orderBy(col("left_seq"), col("right_seq"))
+    },
+    Some(s"""
+      WITH p AS (SELECT event_id AS left_seq, user_id,
+                        epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT event_id AS right_seq, user_id,
+                   epoch_us(ts) AS t FROM events WHERE event_type = 'click')
+      SELECT p.left_seq, c.right_seq
+      FROM p JOIN c ON p.user_id = c.user_id
+        AND c.t >= p.t AND c.t < p.t + ${Hour / 1000}
+      ORDER BY left_seq, right_seq"""))
+
+  /** Two-stream variant of [[replay]] for stream-stream joins: both
+    * sides read the same table dir as independent streaming sources
+    * (micro-batches line up under AvailableNow; one batch for a
+    * single-file table, so neither side waits on the other's
+    * watermark to emit). */
+  private def replay2(s: SparkSession, path: String, outputMode: String)(
+      transform: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val schema = s.read.parquet(path).schema
+    val p = java.nio.file.Paths.get(path)
+    val dir =
+      if (java.nio.file.Files.isDirectory(p)) path
+      else {
+        val tmp = Files.createTempDirectory("graft-twin-src")
+        java.nio.file.Files.createSymbolicLink(
+          tmp.resolve(p.getFileName), p.toAbsolutePath)
+        tmp.toString
+      }
+    val left = s.readStream.schema(schema).parquet(dir)
+    val right = s.readStream.schema(schema).parquet(dir)
+    val table = s"stream_twin_${System.nanoTime()}"
+    val q = transform(left, right).writeStream
+      .format("memory").queryName(table)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-twin-ckpt").toString)
+      .start()
+    q.awaitTermination()
+    s.table(table)
+  }
+
+  override def defs: Seq[QueryDef] = Seq(
+    tumblingTwin, dedupTwin, sessionizeTwin, hoppingTwin, latestTwin,
+    intervalJoinTwin)
 }

@@ -130,7 +130,16 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         if (opts.filesPerBucket <= 1) projected.repartition(col("bucket_ts"))
         else projected.repartition(col("bucket_ts"),
           pmod(hash(tagCols.map(col): _*), lit(opts.filesPerBucket)))
-      publishBatch(keyed)
+      // Cluster rows by (series, slot) WITHIN each writer task: parquet
+      // row-group min/max stats then prune single-series gets on fresh
+      // ingest files, not just post-compaction rewrites (compaction
+      // keeps its role of folding many batch files into one clustered
+      // set). Leading with bucket_ts satisfies the file writer's own
+      // partition-column sort requirement, so this is the ONLY sort —
+      // the writer won't re-sort and the secondary order survives.
+      val clustered = keyed.sortWithinPartitions(
+        (col("bucket_ts") +: tagCols.map(col)) :+ col("slot_ns"): _*)
+      publishBatch(clustered)
     }
     ledger
   }

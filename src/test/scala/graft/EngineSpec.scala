@@ -429,6 +429,33 @@ class EngineSpec extends SparkTestBase {
     assert(st === Map(10000L -> 1L, 11000L -> 3L))
   }
 
+  test("ingest files are clustered by (series, slot): row-group stats prune fresh writes") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val (e, _) = mkEngine()
+    // interleave series and slots so an unsorted writer would
+    // interleave rows in the output file
+    val pts = (0 until 40).map { i =>
+      val s = if (i % 2 == 0) "aa" else "zz"
+      Point(11000L + (i % 10) * 10, Seq(s, "b", "c", "d"), pld((i % 7).toByte), seq = i.toLong)
+    }
+    assert(e.put(pts) === Map("ok" -> 40L))
+    val parts = JFiles.walk(Paths.get(e.opts.tablePath)).iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var checked = 0
+    parts.forEachRemaining { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) {
+        // reading ONE file preserves its physical row order
+        val rows = spark.read.parquet(p.toString)
+          .select("tag0", "slot_ns").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        assert(rows === rows.sorted, s"file $n is not clustered by (series, slot)")
+        checked += 1
+      }
+    }
+    assert(checked > 0, "no data files written")
+  }
+
   test("corrupt data files degrade to skip+audit, never an opaque job kill (mindex_test.go:84-107)") {
     import java.nio.file.{Files => JFiles, Paths}
     val (e, _) = mkEngine()

@@ -111,6 +111,11 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     println(line)
+    // the driver captures a bounded stdout TAIL: the full per-query
+    // line above can lose its head to truncation (r5: parsed=null),
+    // so always end with a short line that survives any tail window
+    // and points at the complete artifact
+    println(s"""{"metric":"total_median","value":$total,"unit":"sec","passes":$passes,"n_queries":${medians.size},"queries_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

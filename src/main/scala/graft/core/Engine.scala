@@ -576,11 +576,26 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * already compact still rewrite, so schedule on cadence, not every
     * trigger. */
   def compactCold(): Map[Long, (Long, Long)] = {
+    coldBucketsOnDisk().map(b => b -> compactBucket(b)).toMap
+  }
+
+  /** Buckets on disk strictly below the hot window — immutable (writes
+    * reject with ErrWriteOnReadOnly), so compactable exactly once. */
+  def coldBucketsOnDisk(): Seq[Long] = {
     val now = clock.nowNs
     val nowBucket = now - now % opts.bucketDuration
     val minHotExclusive = nowBucket - opts.bucketDuration * opts.maxHotBuckets
     bucketsOnDisk().filter(_ <= minHotExclusive)
-      .map(b => b -> compactBucket(b)).toMap
+  }
+
+  /** Cold buckets whose data is split across more than one committed
+    * batch dir — the ones a compaction sweep should touch. Already-
+    * compacted buckets hold ONE dir and are skipped, which makes a
+    * per-trigger maintenance sweep idempotent and restart-safe (no
+    * state to remember: the filesystem itself says what's folded). */
+  def fragmentedColdBuckets(): Seq[Long] = {
+    val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
+    coldBucketsOnDisk().filter(b => bucketDirs(fs, b).size > 1)
   }
 
   /** All committed dirs holding one bucket's data (across batches). */

@@ -50,13 +50,26 @@ final class StreamingIngest(engine: Engine) {
 
   /** Start the ingest query. `points` must be a streaming DataFrame
     * with columns (ts LONG, tags ARRAY<STRING>, payload BINARY,
-    * seq LONG). */
-  def start(points: DataFrame, checkpointDir: String): StreamingQuery = {
+    * seq LONG). `autoCompact = true` adds the hot→cold maintenance
+    * sweep after each micro-batch: any bucket that has left the hot
+    * window with its data still split across multiple micro-batch
+    * dirs is folded once into its clustered cold form — the
+    * reference's hot→cold transition (dbucket going cold becomes the
+    * immutable read-optimized rblock, dbase/dbase.go:403-424) as a
+    * streaming hook, so high-frequency triggers can't pile up
+    * unbounded small dirs on cold buckets. The sweep is stateless and
+    * idempotent: `fragmentedColdBuckets` asks the filesystem which
+    * cold buckets hold >1 committed dir, so an already-folded bucket
+    * costs one listing, never a rewrite, across restarts too. */
+  def start(points: DataFrame, checkpointDir: String,
+      autoCompact: Boolean = false): StreamingQuery = {
     points.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         perBatch.put(batchId, engine.put(batch))
+        if (autoCompact)
+          engine.fragmentedColdBuckets().foreach(engine.compactBucket)
         ()
       }
       .start()

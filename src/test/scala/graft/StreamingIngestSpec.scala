@@ -48,6 +48,56 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(got.toSeq === Seq(pld(9).toSeq)) // seq 5 won over seq 1
   }
 
+  test("autoCompact folds a bucket exactly once when it leaves the hot window") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-autocompact").toString
+    val clock = new TestClock(11999L)
+    val engine = new Engine(spark,
+      EngineOptions("adb", dir, 4, 4, 1000L, 10L), clock)
+    val ingest = new StreamingIngest(engine)
+
+    def bucketDirCount(bucket: Long): Int = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/adb")).iterator()
+        .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      var n = 0
+      it.forEachRemaining(p =>
+        if (p.getFileName.toString == s"bucket_ts=$bucket") n += 1)
+      n
+    }
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Point]
+    val q = ingest.start(stream.toDF(),
+      Files.createTempDirectory("graft-ckpt-ac").toString, autoCompact = true)
+    try {
+      // two micro-batches into the same hot bucket → two committed dirs
+      stream.addData(Point(11000L, tag4, pld(1), seq = 1))
+      q.processAllAvailable()
+      stream.addData(Point(11010L, tag4, pld(2), seq = 2))
+      q.processAllAvailable()
+      assert(bucketDirCount(11000L) === 2, "hot bucket must NOT be compacted")
+      assert(engine.fragmentedColdBuckets().isEmpty)
+
+      // the bucket leaves the hot window; the next micro-batch's sweep
+      // folds its two dirs into one clustered cold form
+      clock.goto(13999L)
+      stream.addData(Point(13990L, tag4, pld(3), seq = 3))
+      q.processAllAvailable()
+      assert(bucketDirCount(11000L) === 1, "cold bucket must be folded once")
+      assert(engine.fragmentedColdBuckets().isEmpty)
+
+      // idempotence: another batch re-lists but never re-folds
+      stream.addData(Point(13995L, Seq("x", "y", "z", "w"), pld(4), seq = 4))
+      q.processAllAvailable()
+      assert(bucketDirCount(11000L) === 1)
+    } finally q.stop()
+
+    // reads serve the compacted history unchanged
+    val got = engine.get(11000L, 11020L, tag4).collect()
+      .map(_.getAs[Array[Byte]]("payload").toSeq)
+    assert(got.toSeq === Seq(pld(1).toSeq, pld(2).toSeq))
+  }
+
   test("file-source stream: parquet drop-dir feeds the same ingest path") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-filestream").toString

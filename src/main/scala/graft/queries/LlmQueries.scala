@@ -842,6 +842,50 @@ object LlmQueries extends QueryModule {
       LIMIT 20"""
     })
 
+  /** SemDeDup-style semantic corpus pruning (Abbas et al. 2023,
+    * arXiv:2303.09540 — cluster the embedding space, then drop all
+    * but one of each within-cluster near-duplicate group): every
+    * vector gets a KEEP/DROP decision, the corpus-pruning output that
+    * distinguishes this from llm_dedup_embedding's pair report. The
+    * cluster here is the deterministic sign-LSH bucket (the k-means
+    * flavor lives in llm_similarity_ivf_trained, whose centroids are
+    * float-order-dependent and property-gated; the LSH quantizer
+    * makes THIS decision set exactly reproducible in DuckDB, so the
+    * whole keep/drop column hash-gates). Greedy smallest-id-wins
+    * rule: a vector drops iff a smaller-id vector in its bucket has
+    * cosine ≥ τ. τ = 0.35 sits below the in-bucket max (0.43 at the
+    * sf0.01 gate scale) so both
+    * branches execute. Pairs are bucket-local — never all-pairs. */
+  private val semanticDedup = QueryDef(
+    "llm_dedup_semantic",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), signBucket(col("embedding"), 8).as("bucket"))
+      val dropped = e.as("a").join(e.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .filter(cosine(col("a.embedding"), col("b.embedding")) >= 0.35)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      e.select(col("vec_id"), col("bucket"))
+        .join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("bucket"),
+          when(col("hit").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      s"""
+      WITH e AS (SELECT vec_id, embedding, (${dkSignBucket(8)}) AS bucket FROM embeddings),
+      drp AS (
+        SELECT DISTINCT b.vec_id
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ${dkDot("a.embedding", "b.embedding")} /
+              (sqrt(${dkDot("a.embedding", "a.embedding")}) *
+               sqrt(${dkDot("b.embedding", "b.embedding")})) >= 0.35)
+      SELECT e.vec_id, e.bucket,
+             CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+      FROM e LEFT JOIN drp d ON e.vec_id = d.vec_id
+      ORDER BY e.vec_id"""
+    })
+
   /** Bucket-probe ANN (the LSH/IVF-style scale path to similarity
     * search): each query vector probes ONLY its own sign bucket —
     * candidates are the bucket's members, scored exactly, top-3 kept.
@@ -1703,7 +1747,7 @@ object LlmQueries extends QueryModule {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
-    embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, embIvfTrained, multimodalMeta,
+    embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, embIvfTrained, semanticDedup, multimodalMeta,
     filterChain, packSeq, stratSample, dedupClusters, decontaminate, piiScrub,
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
     dedupSubstring, encodeIds, editDistance, lmScore, mixtureWeights,

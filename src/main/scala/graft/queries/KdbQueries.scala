@@ -1794,6 +1794,69 @@ object KdbQueries extends QueryModule {
       FROM cells JOIN sizes USING (cohort_week)
       ORDER BY cohort_week, week_offset"""))
 
+  /** PromQL-style histogram_quantile: bucket the value distribution
+    * into cumulative le-bound counters per series (the layout a
+    * Prometheus client exports), then linearly interpolate the p90
+    * inside the bucket containing the target rank — the TSDB idiom
+    * for computing quantiles from mergeable counters instead of raw
+    * samples. ONE partial-agg pass builds all bucket counters (each
+    * is a conditional count, so the shuffle moves 6 longs per type);
+    * the interpolation is scalar arithmetic on the 5-row result.
+    * Above the last finite bound the estimate clamps to that bound,
+    * as PromQL does. The reached CASE branch always has
+    * cum_hi > cum_lo (an empty bucket's branch is shadowed by the
+    * earlier one), so no division guard is needed. */
+  private val histogramQuantile = QueryDef(
+    "kdb_histogram_quantile",
+    (s, d) => {
+      val bounds = Seq(10.0, 25.0, 50.0, 100.0, 250.0)
+      val e = ev(s, d)
+      val cums = bounds.zipWithIndex.map { case (b, i) =>
+        count(when(col("value") <= b, 1)).cast("double").as(s"c$i")
+      }
+      val agg = e.groupBy(col("event_type"))
+        .agg(cums.head, cums.tail :+ count(lit(1)).cast("double").as("total"): _*)
+      val target = col("total") * 0.9
+      val lo = 0.0 +: bounds.init
+      val p90 = bounds.indices.foldRight(lit(bounds.last): org.apache.spark.sql.Column) {
+        case (i, rest) =>
+          val cumPrev = if (i == 0) lit(0.0) else col(s"c${i - 1}")
+          when(target <= col(s"c$i"),
+            lit(lo(i)) + lit(bounds(i) - lo(i)) * (target - cumPrev) / (col(s"c$i") - cumPrev))
+            .otherwise(rest)
+      }
+      val outCols = col("event_type") +:
+        bounds.indices.map(i => col(s"c$i").cast("long").as(s"le_${bounds(i).toInt}")) :+
+        col("total").cast("long").as("total") :+
+        round(p90, 4).as("p90_est")
+      agg.select(outCols: _*)
+        .orderBy(col("event_type"))
+    },
+    Some {
+      val bounds = Seq(10.0, 25.0, 50.0, 100.0, 250.0)
+      val lo = 0.0 +: bounds.init
+      val cumSql = bounds.zipWithIndex.map { case (b, i) =>
+        s"CAST(count(*) FILTER (value <= $b) AS DOUBLE) AS c$i"
+      }.mkString(", ")
+      val caseSql = bounds.indices.map { i =>
+        val cumPrev = if (i == 0) "0.0" else s"c${i - 1}"
+        s"WHEN total * 0.9 <= c$i THEN ${lo(i)} + ${bounds(i) - lo(i)} * (total * 0.9 - $cumPrev) / (c$i - $cumPrev)"
+      }.mkString("\n               ")
+      val les = bounds.zipWithIndex.map { case (b, i) =>
+        s"CAST(c$i AS BIGINT) AS le_${b.toInt}"
+      }.mkString(", ")
+      s"""
+      WITH agg AS (
+        SELECT event_type, $cumSql,
+               CAST(count(*) AS DOUBLE) AS total
+        FROM events GROUP BY 1)
+      SELECT event_type, $les, CAST(total AS BIGINT) AS total,
+             round(CASE $caseSql
+               ELSE ${bounds.last} END, 4) AS p90_est
+      FROM agg
+      ORDER BY event_type"""
+    })
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
@@ -1801,5 +1864,5 @@ object KdbQueries extends QueryModule {
     heavyHitters, zscore, madAnomaly, seriesCorr, corrMatrix, seasonality,
     seriesRatio, topMovers, latencyBands, calendarHeatmap, orderAudit, rollingMedian, audienceOverlap,
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
-    locfFill)
+    locfFill, histogramQuantile)
 }

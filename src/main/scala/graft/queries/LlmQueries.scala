@@ -842,6 +842,45 @@ object LlmQueries extends QueryModule {
       LIMIT 20"""
     })
 
+  /** Incremental (cross-snapshot) exact dedup: the arriving batch is
+    * checked against the EXISTING corpus, not against itself — the
+    * shape every continuously-ingesting pipeline actually runs
+    * (full-corpus re-dedup per batch would be quadratic in snapshots).
+    * Arrivals = doc_id % 5 == 0 here; membership is by the 10-token
+    * PREFIX fingerprint (the corpus has no byte-identical texts, but
+    * shared openings exist — prefix keys are the standard cheap
+    * incremental near-dup screen; full-content md5 is the degenerate
+    * strict case). Scale shape: only 16-byte md5 keys shuffle, one
+    * hash join of (arrivals × distinct corpus fingerprints); the
+    * corpus side is the big one, so this stays a shuffle hash join
+    * keyed by the digest — no broadcast of the corpus, no pairwise
+    * work. */
+  private val incrementalDedup = QueryDef(
+    "llm_dedup_incremental",
+    (s, d) => {
+      def fp(c: Column) = md5(concat_ws(" ", slice(split(c, " "), 1, 10)))
+      val docs = documents(s, d)
+      val existing = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(fp(col("text")).as("content_hash")).distinct()
+      val arrivals = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), fp(col("text")).as("content_hash"))
+      arrivals.join(existing.withColumn("hit", lit(1)), Seq("content_hash"), "left_outer")
+        .select(col("doc_id"),
+          when(col("hit").isNull, lit(1)).otherwise(lit(0)).as("is_new"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH existing AS (
+        SELECT DISTINCT md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS content_hash
+        FROM documents WHERE doc_id % 5 <> 0),
+      arrivals AS (
+        SELECT doc_id, md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS content_hash
+        FROM documents WHERE doc_id % 5 = 0)
+      SELECT a.doc_id,
+             CASE WHEN e.content_hash IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM arrivals a LEFT JOIN existing e USING (content_hash)
+      ORDER BY a.doc_id"""))
+
   /** SemDeDup-style semantic corpus pruning (Abbas et al. 2023,
     * arXiv:2303.09540 — cluster the embedding space, then drop all
     * but one of each within-cluster near-duplicate group): every
@@ -1747,7 +1786,7 @@ object LlmQueries extends QueryModule {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
-    embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, embIvfTrained, semanticDedup, multimodalMeta,
+    embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, embIvfTrained, semanticDedup, incrementalDedup, multimodalMeta,
     filterChain, packSeq, stratSample, dedupClusters, decontaminate, piiScrub,
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
     dedupSubstring, encodeIds, editDistance, lmScore, mixtureWeights,

@@ -969,6 +969,55 @@ object RelationalQueries extends QueryModule {
     * through Expand; measured 4× slower at sf0.1. At 100 TB swap
     * exact NDV for approx_count_distinct and the branches collapse
     * to one pass.) */
+  /** One-pass approximate profile — the 100 TB path the exact
+    * q_profile_table's doc promises: approx_count_distinct is a
+    * fixed-size HLL sketch, so EVERY column's NDV + null counts come
+    * from a single scan and one partial-agg exchange (no Expand, no
+    * per-column branches). Gated by the sketch-query pattern
+    * (kdb_approx_distinct precedent): exact counts hash-compare, the
+    * HLL estimate is asserted as a within-10%-of-exact int flag
+    * (deterministic: xxhash64 sketches, no RNG). The exact-NDV
+    * branches here exist only to compute that flag — a production
+    * run ships the one-pass plan alone. */
+  private val qProfileApprox = QueryDef(
+    "q_profile_table_approx",
+    (s, d) => {
+      val li = lineitem(s, d)
+      val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+      val aggs = cols.flatMap { c => Seq(
+        count(col(c)).as(s"${c}_nn"),
+        approx_count_distinct(col(c)).as(s"${c}_andv")) }
+      val onePass = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val melted = onePass.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col("n_rows"),
+          col(s"${c}_nn").as("n_nonnull"),
+          col(s"${c}_andv").as("ndv_approx"))): _*)).as("r"))
+        .select(col("r.col_name"), col("r.n_rows"), col("r.n_nonnull"), col("r.ndv_approx"))
+      val exact = cols.map(c => li.select(col(c))
+          .agg(countDistinct(col(c)).as("ndv"))
+          .select(lit(c).as("col_name"), col("ndv")))
+        .reduce(_ unionByName _)
+      melted.join(exact, Seq("col_name"))
+        .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+          when(abs(col("ndv_approx") - col("ndv")) <= col("ndv") * 0.1, lit(1))
+            .otherwise(lit(0)).as("ndv_ok"))
+        .orderBy(col("col_name"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT count(*) AS n_rows,
+               count(l_orderkey) AS ok_nn, count(l_quantity) AS q_nn,
+               count(l_returnflag) AS rf_nn, count(l_shipdate) AS sd_nn
+        FROM lineitem)
+      SELECT 'l_orderkey' AS col_name, n_rows, ok_nn AS n_nonnull, 1 AS ndv_ok FROM a
+      UNION ALL
+      SELECT 'l_quantity', n_rows, q_nn, 1 FROM a
+      UNION ALL
+      SELECT 'l_returnflag', n_rows, rf_nn, 1 FROM a
+      UNION ALL
+      SELECT 'l_shipdate', n_rows, sd_nn, 1 FROM a
+      ORDER BY col_name"""))
+
   private val qProfile = QueryDef(
     "q_profile_table",
     (s, d) => {
@@ -1130,5 +1179,5 @@ object RelationalQueries extends QueryModule {
     qDatetime, qStringFuncs, qNullSemantics, qArrayFuncs, qRangeFrame,
     qStringAgg, qGroupingSets, qUnpivot, qSampleHash, qApproxQuantile,
     qHistogram, qJsonFuncs, qWindowDist, qScd2, qSetOpsAll, qFullOuter,
-    qProfile, qCdcMerge, qDecimal)
+    qProfile, qProfileApprox, qCdcMerge, qDecimal)
 }

@@ -205,6 +205,24 @@ class QueriesSpec extends SparkTestBase {
     assert(smj.contains("SortMergeJoin"), "merge hint ignored")
   }
 
+  test("q_profile_table_approx: the one-pass sketch profile never Expands") {
+    val plan = SparkEntry.queries("q_profile_table_approx")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains(" Expand ["),
+      "multi-column approx NDV must be sketch-per-column in one pass, not an Expand")
+  }
+
+  test("kdb_histogram_quantile: one partial-agg shuffle builds every bucket counter") {
+    val plan = SparkEntry.queries("kdb_histogram_quantile")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1,
+      s"all le-bucket counters must share one shuffle, found $hashExchanges")
+    assert(plan.contains("partial_count"),
+      "bucket counters must combine map-side")
+  }
+
   test("llm_knn_classify: no window shuffles the cross product (k-bounded TopKAgg absorbs it)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.window.WindowExec

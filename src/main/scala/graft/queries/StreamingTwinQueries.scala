@@ -311,7 +311,51 @@ object StreamingTwinQueries extends QueryModule {
     s.table(table)
   }
 
+  /** Checkpoint-recovery twin: the tumbling aggregation replayed in
+    * TWO separate StreamingQuery lifetimes sharing one checkpoint —
+    * run 1 sees only the first half of events and stops; run 2 starts
+    * from the checkpoint, sees only the late-arriving second half,
+    * and must produce the FULL aggregation from restored state. This
+    * puts the recovery path itself (state store restore + file-source
+    * offset log) under the DuckDB hash gate, not just under specs:
+    * if restored state dropped or double-counted anything, the final
+    * counts could not match the batch SQL over all events. */
+  private val recoveryTwin = QueryDef(
+    "stream_recovery_twin",
+    (s, d) => {
+      val src = s.read.parquet(s"$d/events.parquet")
+      val inDir = Files.createTempDirectory("graft-twin-rec").toString
+      val ckpt = Files.createTempDirectory("graft-twin-rec-ckpt").toString
+      def run(tableSuffix: String): DataFrame = {
+        val stream = s.readStream.schema(src.schema).parquet(s"$inDir/*")
+        val pts = stream.select(
+          tsNs(stream).as("ts"), array(col("event_type")).as("tags"))
+        val table = s"stream_twin_rec_${tableSuffix}_${System.nanoTime()}"
+        val q = StreamingIngest.tumblingCounts(pts, Hour, watermarkNs = 0L)
+          .writeStream.format("memory").queryName(table)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.awaitTermination()
+        s.table(table)
+      }
+      src.filter(col("event_id") % 2 === 0).write.parquet(s"$inDir/chunk0")
+      run("a") // first lifetime: half the data, then stops
+      src.filter(col("event_id") % 2 =!= 0).write.parquet(s"$inDir/chunk1")
+      val out = run("b") // second lifetime: resumes from the checkpoint
+      out.select(col("tag0"), col("w_start_us"), col("n"))
+        .orderBy(col("tag0"), col("w_start_us"))
+    },
+    Some(s"""
+      SELECT event_type AS tag0,
+             epoch_us(ts) - epoch_us(ts) % ${Hour / 1000} AS w_start_us,
+             count(*) AS n
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY tag0, w_start_us"""))
+
   override def defs: Seq[QueryDef] = Seq(
     tumblingTwin, dedupTwin, sessionizeTwin, hoppingTwin, latestTwin,
-    intervalJoinTwin)
+    intervalJoinTwin, recoveryTwin)
 }

@@ -78,17 +78,21 @@ object Multimodal {
   private[graft] def parseWav(b: Array[Byte]): Option[(Int, Int, Int)] = {
     def tag(o: Int) = new String(b, o, 4, "US-ASCII")
     if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var o = 12
+    // Long cursor: a corrupt chunk size near u32 max would wrap an Int
+    // cursor (or stop it advancing — an infinite loop); in Long the
+    // cursor only ever grows, so a garbage size just walks off the end
+    // and the parse rejects to the stub.
+    var o = 12L
     var rate = -1L; var channels = -1; var blockAlign = -1; var dataBytes = -1L
     while (o + 8 <= b.length && (rate < 0 || dataBytes < 0)) {
-      val id = tag(o)
-      val size = u32le(b, o + 4)
+      val id = tag(o.toInt)
+      val size = u32le(b, o.toInt + 4)
       if (id == "fmt " && size >= 16 && o + 8 + 16 <= b.length) {
-        channels = u16le(b, o + 10)
-        rate = u32le(b, o + 12)
-        blockAlign = u16le(b, o + 20)
+        channels = u16le(b, o.toInt + 10)
+        rate = u32le(b, o.toInt + 12)
+        blockAlign = u16le(b, o.toInt + 20)
       } else if (id == "data") dataBytes = size
-      o += 8 + size.toInt + (size.toInt & 1)
+      o += 8L + size + (size & 1L)
     }
     if (rate <= 0 || channels <= 0 || blockAlign <= 0 || dataBytes < 0) None
     else Some((rate.toInt, channels, (dataBytes / blockAlign).toInt))

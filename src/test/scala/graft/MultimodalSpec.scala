@@ -118,6 +118,11 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.parseBmp("BM".getBytes) === None)
     assert(Multimodal.parseWav("RIFFxxxxWAVE".getBytes) === None)
     assert(Multimodal.parsePpm("P6\n-3 4\n255\n".getBytes) === None)
+    // a corrupt chunk size near u32 max must terminate (would wrap an
+    // Int cursor into a non-advancing infinite loop), not hang
+    val evil = wavFixture(44100, 2, 10)
+    le32(0xFFFFFFF0L).copyToArray(evil, 16) // fmt chunk claims ~4 GB
+    assert(Multimodal.parseWav(evil) === None)
     val (w, h, nf, _) = Multimodal.decode("not-a-media-file".getBytes)
     assert((w, h, nf) === (Multimodal.decodeStub("not-a-media-file".getBytes)._1,
       Multimodal.decodeStub("not-a-media-file".getBytes)._2,

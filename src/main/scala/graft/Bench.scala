@@ -72,7 +72,17 @@ object Bench {
     }
 
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    // per-query warmup pass (untimed): plan-specific codegen + JIT
+    // Time budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 1200 s):
+    // never triggers at the expected sf0.1 scale (~10 min for warmup
+    // + 3 passes), but bounds a pathological run — at a 10× SF each
+    // pass is ~10 min and an unguarded 4-pass bench would run 40+
+    // minutes. Pass-major order so an early stop still leaves every
+    // query with the SAME number of samples; at least one timed pass
+    // always runs.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    // warmup pass (untimed): plan-specific codegen + JIT
     sorted.foreach { case (name, fn) =>
       try runOnce(fn)
       catch { case e: Throwable =>
@@ -80,16 +90,28 @@ object Bench {
       }
     }
     // a failed query reports -1.0, never a fake timing
-    val results: Seq[(String, Seq[Double])] = sorted.map { case (name, fn) =>
-      val samples = (1 to passes).map { _ =>
-        try runOnce(fn)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0
-        }
+    val samplesByQuery = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    var lastPassSec = elapsed // the warmup pass approximates one pass
+    var done = 0
+    while (done < passes && (done == 0 || elapsed + lastPassSec <= budgetSec)) {
+      val passStart = elapsed
+      sorted.foreach { case (name, fn) =>
+        val s =
+          try runOnce(fn)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+          }
+        samplesByQuery(name) = samplesByQuery(name) :+ s
       }
-      name -> samples
+      lastPassSec = elapsed - passStart
+      done += 1
     }
+    if (done < passes)
+      System.err.println(s"[bench] budget ${budgetSec}s: stopped after $done/$passes passes")
+    val results: Seq[(String, Seq[Double])] =
+      sorted.map { case (name, _) => name -> samplesByQuery(name) }
     val medians = results.map { case (k, v) =>
       k -> (if (v.forall(_ >= 0)) median(v) else -1.0)
     }

@@ -107,7 +107,10 @@ object StreamingTwinQueries extends QueryModule {
     * semantics as the batch llm_dedup_exact. Output is the surviving
     * key set only: dropDuplicatesWithinWatermark keeps an arbitrary
     * physical row per key, so gating row identity would be
-    * nondeterministic, while the key set is exact. */
+    * nondeterministic, while the key set is exact. (Replay contract:
+    * a single-file table = one micro-batch; across batches a
+    * zero-delay watermark would evict dedup state and re-admit old
+    * keys — by design, state is watermark-bounded.) */
   private val dedupTwin = QueryDef(
     "stream_dedup_twin",
     (s, d) => {
@@ -214,10 +217,12 @@ object StreamingTwinQueries extends QueryModule {
 
   /** Streaming latest-value state (mapGroupsWithState LWW) replayed
     * over events: one series per event_type, slot = hourly floor,
-    * ingest seq = event_id. A single-file replay is one micro-batch,
-    * so the sink holds exactly one row per touched series — the
-    * state's final answer — which must equal the batch argmax by
-    * (slot, seq). Payload bytes are excluded from the gate (double →
+    * ingest seq = event_id. Update mode emits each touched series'
+    * CURRENT state once per micro-batch; state is monotone in
+    * (slot, seq), so the final state per series — the thing that must
+    * equal the batch argmax — is the max emitted (slot, seq), whether
+    * the replay ran as one batch (single-file table, the usual case)
+    * or several. Payload bytes are excluded from the gate (double →
     * string rendering differs across engines); payload identity is
     * pinned by StreamingIngestSpec's LWW tests. */
   private val latestTwin = QueryDef(
@@ -231,7 +236,9 @@ object StreamingTwinQueries extends QueryModule {
           col("event_id").as("seq"))
         StreamingIngest.latestPerSeries(pts, resolutionNs = Hour).toDF()
       }
-      out.select(col("tag0"), col("slot_ns"), col("seq"))
+      out.groupBy(col("tag0"))
+        .agg(max(struct(col("slot_ns"), col("seq"))).as("m"))
+        .select(col("tag0"), col("m.slot_ns").as("slot_ns"), col("m.seq").as("seq"))
         .orderBy(col("tag0"))
     },
     Some(s"""

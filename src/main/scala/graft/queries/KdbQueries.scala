@@ -1857,6 +1857,230 @@ object KdbQueries extends QueryModule {
       ORDER BY event_type"""
     })
 
+  /** Holt double-exponential smoothing (level + trend) per series over
+    * the hourly max-LWW values — the forecasting op one step past EWMA:
+    * l_t = α·x_t + (1−α)·(l_{t−1}+b_{t−1}),
+    * b_t = β·(l_t−l_{t−1}) + (1−β)·b_{t−1}, init l_1 = x_1, b_1 = 0.
+    * Like EWMA it is inherently sequential per series, so it runs as
+    * ONE strict left fold with a (level, trend, n) struct accumulator
+    * (Spark `aggregate` HOF; the oracle steps the same recurrence as a
+    * recursive CTE — the first element is the init, matching the n=0
+    * branch here). α=0.5, β=0.25 are exactly representable in binary, and both
+    * engines evaluate the identical expression tree in the identical
+    * order, so the doubles are bit-identical pre-round. The fold input
+    * is bounded by slots-per-series (≤720 here), never raw points —
+    * the per-slot pre-aggregation is the scale knob. */
+  private val holtTrend = QueryDef(
+    "kdb_holt_trend",
+    (s, d) => {
+      val acc0 = struct(lit(0.0).as("l"), lit(0.0).as("b"), lit(0).as("n"))
+      ev(s, d)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(max(col("value")).as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_slots"),
+          aggregate(
+            transform(sort_array(collect_list(struct(col("slot_ns"), col("v")))),
+              r => r.getField("v")),
+            acc0,
+            (acc, x) => {
+              val l = acc.getField("l"); val b = acc.getField("b"); val n = acc.getField("n")
+              // lNew inlined twice exactly as in the oracle's lambda so
+              // both engines compute b from the same expression shape
+              val lNew = lit(0.5) * x + lit(0.5) * (l + b)
+              when(n === 0, struct(x.as("l"), lit(0.0).as("b"), lit(1).as("n")))
+                .otherwise(struct(
+                  lNew.as("l"),
+                  (lit(0.25) * (lNew - l) + lit(0.75) * b).as("b"),
+                  (n + 1).as("n")))
+            }).as("h"))
+        .select(col("event_type"), col("n_slots"),
+          round(col("h.l"), 4).as("level"),
+          round(col("h.b"), 4).as("trend"),
+          round(col("h.l") + lit(3.0) * col("h.b"), 4).as("forecast_3"))
+        .orderBy(col("event_type"))
+    },
+    // NOTE the oracle is a recursive CTE, not list_reduce: DuckDB
+    // 1.0.0 miscomputes struct-typed accumulators inside list_reduce
+    // lambdas (scalar folds like kdb_ewma's are fine). The CTE steps
+    // the identical recurrence one slot at a time, so the doubles
+    // still match Spark's fold bit for bit pre-round.
+    Some(s"""
+      WITH RECURSIVE h AS (
+        SELECT event_type,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               max(value) AS v
+        FROM events
+        GROUP BY 1, 2),
+      idx AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY event_type ORDER BY slot_ns) AS i,
+               v
+        FROM h),
+      nn AS (SELECT event_type, max(i) AS n FROM idx GROUP BY 1),
+      rec AS (
+        SELECT event_type, CAST(1 AS BIGINT) AS i, v AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT r.event_type, r.i + 1,
+               0.5 * x.v + 0.5 * (r.l + r.b),
+               0.25 * ((0.5 * x.v + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b
+        FROM rec r JOIN idx x ON x.event_type = r.event_type AND x.i = r.i + 1)
+      SELECT r.event_type, nn.n AS n_slots,
+             round(r.l, 4) AS level,
+             round(r.b, 4) AS trend,
+             round(r.l + 3.0 * r.b, 4) AS forecast_3
+      FROM rec r JOIN nn ON nn.event_type = r.event_type AND r.i = nn.n
+      ORDER BY r.event_type"""))
+
+  /** One-sided CUSUM drift detection per series: z-normalize the
+    * hourly values against the series' own mean/stddev, then fold
+    * s_t = max(0, s_{t−1} + z_t − k) with slack k=0.5, alarming while
+    * s_t > h=4 — the classic "slow drift the z-score test misses"
+    * detector (a run of +0.6σ hours never trips |z|>3 but accumulates
+    * here). Sequential by construction → same strict-fold shape as
+    * EWMA/Holt, with a (s, max_s, alarms) struct accumulator and the
+    * true s_0 = 0 as the prepended init element. The z inputs are
+    * quantized to 6dp BEFORE the fold so both engines fold identical
+    * doubles in identical order (mean/stddev partial-sum order differs
+    * across engines at ~1e-12 — under the quantization grain). Two
+    * passes over the slot table (stats, then fold), both on the
+    * pre-aggregated slots; the stats side is 5 rows, broadcast. */
+  private val cusumAlarm = QueryDef(
+    "kdb_cusum_alarm",
+    (s, d) => {
+      val slots = ev(s, d)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(max(col("value")).as("v"))
+      val stats = slots.groupBy(col("event_type"))
+        .agg(avg(col("v")).as("mu"), stddev_pop(col("v")).as("sigma"))
+        .filter(col("sigma") > 0)
+      val acc0 = struct(lit(0.0).as("s"), lit(0.0).as("m"), lit(0L).as("a"))
+      slots.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", round((col("v") - col("mu")) / col("sigma"), 6))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_slots"),
+          aggregate(
+            transform(sort_array(collect_list(struct(col("slot_ns"), col("z")))),
+              r => r.getField("z")),
+            acc0,
+            (acc, z) => {
+              val sNew = greatest(lit(0.0), acc.getField("s") + z - lit(0.5))
+              struct(
+                sNew.as("s"),
+                greatest(acc.getField("m"), sNew).as("m"),
+                (acc.getField("a") + when(sNew > 4.0, 1L).otherwise(0L)).as("a"))
+            }).as("c"))
+        .select(col("event_type"), col("n_slots"),
+          round(col("c.s"), 4).as("cusum_final"),
+          round(col("c.m"), 4).as("cusum_max"),
+          col("c.a").as("n_alarm_slots"))
+        .orderBy(col("event_type"))
+    },
+    // Recursive-CTE oracle for the same struct-fold reason as
+    // kdb_holt_trend (DuckDB 1.0.0 list_reduce struct bug); s_0 = 0 is
+    // the i=0 seed row here, matching Spark's explicit init struct.
+    Some(s"""
+      WITH RECURSIVE h AS (
+        SELECT event_type,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               max(value) AS v
+        FROM events
+        GROUP BY 1, 2),
+      st AS (
+        SELECT event_type, avg(v) AS mu, stddev_pop(v) AS sigma
+        FROM h GROUP BY 1),
+      idx AS (
+        SELECT h.event_type,
+               row_number() OVER (PARTITION BY h.event_type ORDER BY slot_ns) AS i,
+               round((v - mu) / sigma, 6) AS z
+        FROM h JOIN st USING (event_type)
+        WHERE sigma > 0),
+      nn AS (SELECT event_type, max(i) AS n FROM idx GROUP BY 1),
+      rec AS (
+        SELECT event_type, CAST(0 AS BIGINT) AS i, CAST(0.0 AS DOUBLE) AS s,
+               CAST(0.0 AS DOUBLE) AS m, CAST(0 AS BIGINT) AS a
+        FROM nn
+        UNION ALL
+        SELECT r.event_type, r.i + 1,
+               greatest(0.0, r.s + x.z - 0.5),
+               greatest(r.m, greatest(0.0, r.s + x.z - 0.5)),
+               r.a + CASE WHEN greatest(0.0, r.s + x.z - 0.5) > 4.0 THEN 1 ELSE 0 END
+        FROM rec r JOIN idx x ON x.event_type = r.event_type AND x.i = r.i + 1)
+      SELECT r.event_type, nn.n AS n_slots,
+             round(r.s, 4) AS cusum_final,
+             round(r.m, 4) AS cusum_max,
+             r.a AS n_alarm_slots
+      FROM rec r JOIN nn ON nn.event_type = r.event_type AND r.i = nn.n
+      ORDER BY r.event_type"""))
+
+  /** Lead-lag cross-correlation: corr(clicks_t, purchases_{t+L}) for
+    * L = 0..3 hours over the zero-filled hourly grid — "how many hours
+    * does a click take to turn into a purchase" causality scanning,
+    * the pairwise-series analytics kdb consumers run across metrics.
+    * The hourly counts are integers, so every sum the correlation
+    * needs is exact in both engines; only the final covariance
+    * division sees fp, under the 4dp round. Shape: ONE partial-agg
+    * pass builds the (slot, clicks, purchases) table (~720 rows for
+    * the 30-day range — broadcastable at any corpus SF since it's
+    * bounded by the time range, not the data), the 4 lag branches are
+    * an explode of that small table joined back to itself on shifted
+    * slots, and each lag aggregates to one row. The slot domain is
+    * clamped to [T0, T1−3h) so every lag correlates the same N pairs. */
+  private val leadLagCorr = QueryDef(
+    "kdb_lead_lag_corr",
+    (s, d) => {
+      val counts = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1 &&
+          col("event_type").isin("click", "purchase"))
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("slot_ns"))
+        .agg(count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"))
+      val grid = s.range((T1 - T0) / Hour)
+        .select((lit(T0) + col("id") * Hour).as("slot_ns"))
+      val full = grid.join(counts, Seq("slot_ns"), "left_outer")
+        .select(col("slot_ns"),
+          coalesce(col("n_click"), lit(0L)).as("n_click"),
+          coalesce(col("n_purchase"), lit(0L)).as("n_purchase"))
+      val base = full.filter(col("slot_ns") < T1 - 3 * Hour)
+        .select(col("slot_ns"), col("n_click"),
+          explode(sequence(lit(0L), lit(3L))).as("lag"))
+      base
+        .join(full.select(col("slot_ns").as("p_slot"), col("n_purchase")),
+          col("p_slot") === col("slot_ns") + col("lag") * Hour)
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_slots"),
+          round(corr(col("n_click").cast("double"),
+            col("n_purchase").cast("double")), 4).as("xcorr"))
+        .orderBy(col("lag"))
+    },
+    Some(s"""
+      WITH counts AS (
+        SELECT epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+          AND event_type IN ('click', 'purchase')
+        GROUP BY 1),
+      full_grid AS (
+        SELECT g.slot_ns,
+               coalesce(c.n_click, 0) AS n_click,
+               coalesce(c.n_purchase, 0) AS n_purchase
+        FROM range(${T0}, ${T1}, ${Hour}) g(slot_ns)
+        LEFT JOIN counts c USING (slot_ns))
+      SELECT l.lag, count(*) AS n_slots,
+             round(corr(CAST(b.n_click AS DOUBLE),
+                        CAST(p.n_purchase AS DOUBLE)), 4) AS xcorr
+      FROM range(0, 4) l(lag)
+      JOIN full_grid b ON b.slot_ns < ${T1 - 3 * Hour}
+      JOIN full_grid p ON p.slot_ns = b.slot_ns + l.lag * ${Hour}
+      GROUP BY l.lag
+      ORDER BY l.lag"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
@@ -1864,5 +2088,5 @@ object KdbQueries extends QueryModule {
     heavyHitters, zscore, madAnomaly, seriesCorr, corrMatrix, seasonality,
     seriesRatio, topMovers, latencyBands, calendarHeatmap, orderAudit, rollingMedian, audienceOverlap,
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
-    locfFill, histogramQuantile)
+    locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr)
 }

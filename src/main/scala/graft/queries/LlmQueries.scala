@@ -1783,6 +1783,124 @@ object LlmQueries extends QueryModule {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** Per-document unigram entropy — the information-density quality
+    * signal (spam, keyword stuffing, and boilerplate all have LOW
+    * entropy for their length; it complements the Gopher repetition
+    * fractions which only look at the top token). Uses the identity
+    * H = log2(n) − (Σ c·log2 c)/n so ONE aggregation pass over the
+    * per-doc term counts suffices — no total-count self-join. Shapes:
+    * one shuffle on (doc_id, token), one on doc_id; both partial-agg
+    * friendly. The flag compares the ROUNDED entropy so both engines
+    * branch on the identical value; + 0.0 canonicalizes IEEE −0.0 on
+    * single-token docs. */
+  private val tokenEntropy = QueryDef(
+    "llm_token_entropy",
+    (s, d) => {
+      val ent = round(
+        log2(col("n_tokens").cast("double")) - col("sclogc") / col("n_tokens"), 4) + 0.0
+      documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c").cast("double") * log2(col("c").cast("double"))).as("sclogc"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          ent.as("entropy"),
+          (ent < 4.0).cast("int").as("repetitive"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      cnt AS (SELECT doc_id, tok, count(*) AS c FROM tf GROUP BY 1, 2),
+      agg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+               sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS sclogc
+        FROM cnt GROUP BY 1)
+      SELECT doc_id, n_tokens, n_distinct,
+             round(log2(CAST(n_tokens AS DOUBLE)) - sclogc / n_tokens, 4) + 0.0 AS entropy,
+             CASE WHEN round(log2(CAST(n_tokens AS DOUBLE)) - sclogc / n_tokens, 4) + 0.0 < 4.0
+                  THEN 1 ELSE 0 END AS repetitive
+      FROM agg
+      ORDER BY doc_id"""))
+
+  /** DSIR-style importance resampling (Xie et al. 2023): score each
+    * out-of-target document by how target-like its hashed-unigram bag
+    * is — Σ_b n_b·(log p̂_target(b) − log p̂_raw(b)) with add-one
+    * smoothing over 1024 md5 feature buckets — and keep the top 30.
+    * This is the data-selection op that upgrades "train on everything"
+    * to "train on what looks like the target domain". Scale shapes:
+    * the two bucket-count tables are ≤1024 rows each (bounded by the
+    * feature space, NOT the corpus) so the log-ratio table broadcasts;
+    * candidate docs pre-aggregate to (doc, bucket) before the join, so
+    * the explode never re-shuffles raw tokens twice; the top-30 rides
+    * TakeOrderedAndProject (k-bounded per partition), never a global
+    * row_number funnel. Ranking compares the ROUNDED score with
+    * doc_id tiebreak, so the cut is identical in both engines. */
+  private val dsirSample = QueryDef(
+    "llm_dsir_sample",
+    (s, d) => {
+      val B = 1024L
+      def bucketed(df: DataFrame) = df
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+        .withColumn("b", hash60(col("tok")) % B)
+      val docs = documents(s, d)
+      val target = bucketed(docs.filter(col("lang") === "en"))
+      val cand = bucketed(docs.filter(col("lang") =!= "en"))
+      val tc = target.groupBy(col("b")).agg(count(lit(1)).as("tc"))
+      val rc = cand.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+      val tTot = tc.agg(sum(col("tc")).as("tt"))
+      val rTot = rc.agg(sum(col("rc")).as("tr"))
+      val ratio = rc.join(tc, Seq("b"), "left_outer")
+        .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+        .select(col("b"),
+          (log((coalesce(col("tc"), lit(0L)) + lit(1.0)) / (col("tt") + lit(1024.0))) -
+            log((col("rc") + lit(1.0)) / (col("tr") + lit(1024.0)))).as("w"))
+      cand.groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("n"))
+        .join(broadcast(ratio), Seq("b"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("n")).as("n_tokens"),
+          sum(col("n").cast("double") * col("w")).as("raw_score"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          (round(col("raw_score"), 4) + 0.0).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(30)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+    },
+    Some("""
+      WITH tgt AS (
+        SELECT (('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))::BIGINT % 1024) AS b
+        FROM documents WHERE lang = 'en'),
+      cand AS (
+        SELECT doc_id, lang,
+               (('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))::BIGINT % 1024) AS b
+        FROM documents WHERE lang <> 'en'),
+      tc AS (SELECT b, count(*) AS tc FROM tgt GROUP BY 1),
+      rc AS (SELECT b, count(*) AS rc FROM cand GROUP BY 1),
+      tot AS (SELECT (SELECT CAST(sum(tc) AS BIGINT) FROM tc) AS tt,
+                     (SELECT CAST(sum(rc) AS BIGINT) FROM rc) AS tr),
+      ratio AS (
+        SELECT rc.b,
+               ln((coalesce(tc.tc, 0) + 1.0) / (tot.tt + 1024.0)) -
+               ln((rc.rc + 1.0) / (tot.tr + 1024.0)) AS w
+        FROM rc LEFT JOIN tc USING (b), tot),
+      per_bucket AS (
+        SELECT doc_id, lang, b, count(*) AS n FROM cand GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT doc_id, lang,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               round(sum(CAST(n AS DOUBLE) * w), 4) + 0.0 AS score
+        FROM per_bucket JOIN ratio USING (b)
+        GROUP BY 1, 2)
+      SELECT doc_id, lang, n_tokens, score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+      FROM scored
+      ORDER BY score DESC, doc_id
+      LIMIT 30"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
@@ -1790,5 +1908,6 @@ object LlmQueries extends QueryModule {
     filterChain, packSeq, stratSample, dedupClusters, decontaminate, piiScrub,
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
     dedupSubstring, encodeIds, editDistance, lmScore, mixtureWeights,
-    multimodalFrames, embNormAudit, knnClassify, dedupReport, lengthBands)
+    multimodalFrames, embNormAudit, knnClassify, dedupReport, lengthBands,
+    tokenEntropy, dsirSample)
 }

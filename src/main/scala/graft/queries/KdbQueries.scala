@@ -332,6 +332,100 @@ object KdbQueries extends QueryModule {
         ON c.user_id = p.user_id AND p.tus <= epoch_us(c.ts)
       ORDER BY c.event_id"""))
 
+  /** Nearest-in-time as-of join (kdb `aj` picks the last prior row;
+    * this is the |Δt|-minimizing variant): each purchase matches the
+    * CLOSEST click by the same user within ±30 min, whichever side of
+    * the purchase it falls on — sensor-fusion alignment ("pair each
+    * trade with the nearest quote") that a backward-only as-of gets
+    * wrong whenever the next sample is closer than the previous one.
+    * Scale shape: the same union + window-pass trick as kdb_asof_join
+    * run in BOTH directions over ONE shuffle on user_id (two sorts,
+    * no range explosion, no nested loop); equal-µs ties go to the
+    * backward side via the kind sort key, and equal |Δt| prefers the
+    * earlier click (db <= df). Clicks are LWW-collapsed per (user, µs)
+    * first so both engines resolve same-instant duplicates
+    * identically. The oracle takes a genuinely different plan — two
+    * native DuckDB ASOF joins (<= and >=) — so agreement checks the
+    * semantics, not a shared shape. */
+  private val asofNearest = QueryDef(
+    "kdb_asof_nearest",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tolUs = 30L * 60 * 1000 * 1000
+      val e = ev(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(round(max_by(col("value"), col("event_id")), 2).as("c_val"))
+        .select(col("user_id"), col("ts_us"), lit(0).as("kind"),
+          lit(-1L).as("event_id"), col("c_val"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), lit(1).as("kind"),
+          col("event_id"), lit(null).cast("double").as("c_val"))
+      val wB = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wF = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("kind").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val isClick = col("kind") === 0
+      val db = col("ts_us") - col("b_ts")
+      val df = col("f_ts") - col("ts_us")
+      val useB = col("b_ts").isNotNull && db <= tolUs &&
+        (col("f_ts").isNull || df > tolUs || db <= df)
+      // when-chain gives useB priority, so useF needs no negation
+      val useF = col("f_ts").isNotNull && df <= tolUs
+      clicks.union(purchases)
+        .withColumn("b_ts", last(when(isClick, col("ts_us")), ignoreNulls = true).over(wB))
+        .withColumn("b_val", last(when(isClick, col("c_val")), ignoreNulls = true).over(wB))
+        .withColumn("f_ts", last(when(isClick, col("ts_us")), ignoreNulls = true).over(wF))
+        .withColumn("f_val", last(when(isClick, col("c_val")), ignoreNulls = true).over(wF))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"),
+          when(useB, "b").when(useF, "f").otherwise("none").as("side"),
+          when(useB, db).when(useF, df).as("delta_us"),
+          when(useB, col("b_val")).when(useF, col("f_val")).as("click_value"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""
+      WITH cl AS (
+        SELECT user_id, epoch_us(ts) AS tus,
+               round(arg_max(value, event_id), 2) AS c_val
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1, 2),
+      p AS (
+        SELECT event_id, user_id, epoch_us(ts) AS tus
+        FROM events WHERE event_type = 'purchase'),
+      b AS (
+        SELECT p.event_id, cl.tus AS b_ts, cl.c_val AS b_val
+        FROM p ASOF LEFT JOIN cl
+          ON p.user_id = cl.user_id AND cl.tus <= p.tus),
+      f AS (
+        SELECT p.event_id, cl.tus AS f_ts, cl.c_val AS f_val
+        FROM p ASOF LEFT JOIN cl
+          ON p.user_id = cl.user_id AND cl.tus >= p.tus)
+      SELECT p.event_id, p.user_id,
+             CASE WHEN b_ts IS NOT NULL AND p.tus - b_ts <= ${30L * 60 * 1000 * 1000}
+                       AND (f_ts IS NULL OR f_ts - p.tus > ${30L * 60 * 1000 * 1000}
+                            OR p.tus - b_ts <= f_ts - p.tus)
+                  THEN 'b'
+                  WHEN f_ts IS NOT NULL AND f_ts - p.tus <= ${30L * 60 * 1000 * 1000}
+                  THEN 'f'
+                  ELSE 'none' END AS side,
+             CASE WHEN b_ts IS NOT NULL AND p.tus - b_ts <= ${30L * 60 * 1000 * 1000}
+                       AND (f_ts IS NULL OR f_ts - p.tus > ${30L * 60 * 1000 * 1000}
+                            OR p.tus - b_ts <= f_ts - p.tus)
+                  THEN p.tus - b_ts
+                  WHEN f_ts IS NOT NULL AND f_ts - p.tus <= ${30L * 60 * 1000 * 1000}
+                  THEN f_ts - p.tus END AS delta_us,
+             CASE WHEN b_ts IS NOT NULL AND p.tus - b_ts <= ${30L * 60 * 1000 * 1000}
+                       AND (f_ts IS NULL OR f_ts - p.tus > ${30L * 60 * 1000 * 1000}
+                            OR p.tus - b_ts <= f_ts - p.tus)
+                  THEN b_val
+                  WHEN f_ts IS NOT NULL AND f_ts - p.tus <= ${30L * 60 * 1000 * 1000}
+                  THEN f_val END AS click_value
+      FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+      ORDER BY p.event_id"""))
+
   /** Hopping (sliding) window: 2h windows advancing by 1h — each event
     * belongs to exactly two windows, generated by a 2-way explode (the
     * batch shape of Structured Streaming's window(ts, "2h", "1h")).
@@ -2088,5 +2182,5 @@ object KdbQueries extends QueryModule {
     heavyHitters, zscore, madAnomaly, seriesCorr, corrMatrix, seasonality,
     seriesRatio, topMovers, latencyBands, calendarHeatmap, orderAudit, rollingMedian, audienceOverlap,
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
-    locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr)
+    locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest)
 }

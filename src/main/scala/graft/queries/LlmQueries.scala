@@ -1901,6 +1901,89 @@ object LlmQueries extends QueryModule {
       ORDER BY score DESC, doc_id
       LIMIT 30"""))
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score the
+    * WHOLE corpus with the reference bigram LM (same add-one-smoothed
+    * model as llm_lm_score, trained on docs 100..400), then split each
+    * language into head / middle / tail at its own score terciles —
+    * the standard "keep the head, maybe the middle, drop the tail"
+    * curation gate, per-language so high-resource languages don't set
+    * the bar for low-resource ones. Shapes: LM count tables shuffle on
+    * token keys; the per-doc rollup shuffles once on doc_id; the
+    * 5-row tercile table broadcasts back. Determinism: per-doc scores
+    * are rounded to 4dp FIRST, terciles are exact interpolated
+    * percentiles over those rounded scores (identical inputs +
+    * identical interpolation formula in both engines) rounded to 6dp,
+    * and the bucket compare is >= on those canonical values, so the
+    * cut is reproducible. Docs under 2 tokens have no bigrams and drop
+    * out in both engines. */
+  private val perplexityBuckets = QueryDef(
+    "llm_perplexity_buckets",
+    (s, d) => {
+      def toks(df: DataFrame) = df
+        .select(col("doc_id"), col("lang"), posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
+      def bigrams(df: DataFrame) = {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        toks(df).withColumn("w2", lead(col("w1"), 1).over(w))
+          .filter(col("w2").isNotNull)
+      }
+      val all = documents(s, d)
+      val train = all.filter(col("doc_id") >= 100 && col("doc_id") < 400)
+      val c2 = bigrams(train).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = toks(train).groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val v = c1.agg(count(lit(1)).as("v"))
+      val scored = bigrams(all)
+        .join(c2, Seq("w1", "w2"), "left_outer")
+        .join(c1, Seq("w1"), "left_outer")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"), col("lang"),
+          log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("c1"), lit(0L)) + col("v"))).as("logp"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(round(avg(col("logp")), 4).as("score"))
+      val th = scored.groupBy(col("lang"))
+        .agg(round(percentile(col("score"), lit(1.0 / 3.0)), 6).as("t1"),
+          round(percentile(col("score"), lit(2.0 / 3.0)), 6).as("t2"))
+      scored.join(broadcast(th), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("score"),
+          when(col("score") >= col("t2"), "head")
+            .when(col("score") >= col("t1"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tr AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE doc_id >= 100 AND doc_id < 400),
+      trtok AS (SELECT unnest(ws) AS w FROM tr),
+      c1 AS (SELECT w AS w1, count(*) AS c1 FROM trtok GROUP BY 1),
+      vv AS (SELECT count(DISTINCT w) AS v FROM trtok),
+      trpos AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS g FROM tr),
+      c2 AS (SELECT ws[g] AS w1, ws[g+1] AS w2, count(*) AS c2 FROM trpos GROUP BY 1, 2),
+      ev AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+      evpos AS (SELECT doc_id, lang, ws, unnest(generate_series(1, len(ws) - 1)) AS g FROM ev),
+      evbg AS (SELECT doc_id, lang, ws[g] AS w1, ws[g+1] AS w2 FROM evpos),
+      j AS (
+        SELECT doc_id, lang,
+               ln((coalesce(c2.c2, 0) + 1.0) /
+                  (coalesce(c1.c1, 0) + (SELECT v FROM vv))) AS logp
+        FROM evbg
+        LEFT JOIN c2 ON c2.w1 = evbg.w1 AND c2.w2 = evbg.w2
+        LEFT JOIN c1 ON c1.w1 = evbg.w1),
+      scored AS (
+        SELECT doc_id, lang, round(avg(logp), 4) AS score
+        FROM j GROUP BY 1, 2),
+      th AS (
+        SELECT lang,
+               round(quantile_cont(score, 1.0 / 3.0), 6) AS t1,
+               round(quantile_cont(score, 2.0 / 3.0), 6) AS t2
+        FROM scored GROUP BY 1)
+      SELECT doc_id, s.lang, score,
+             CASE WHEN score >= t2 THEN 'head'
+                  WHEN score >= t1 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM scored s JOIN th USING (lang)
+      ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
@@ -1909,5 +1992,5 @@ object LlmQueries extends QueryModule {
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
     dedupSubstring, encodeIds, editDistance, lmScore, mixtureWeights,
     multimodalFrames, embNormAudit, knnClassify, dedupReport, lengthBands,
-    tokenEntropy, dsirSample)
+    tokenEntropy, dsirSample, perplexityBuckets)
 }

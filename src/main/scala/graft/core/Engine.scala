@@ -99,6 +99,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
   private val writeLock = new Object
 
   def put(points: DataFrame): Map[String, Long] = writeLock.synchronized {
+    ensureManifest()
     // One evaluation of the input for both the write and the ledger:
     // without the persist, a nondeterministic source could classify
     // differently in the two jobs and the ledger would not match the
@@ -106,6 +107,73 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     val classified = classify(points).persist()
     try putClassified(classified)
     finally classified.unpersist()
+  }
+
+  // ------------------------------------------------------------------
+  // Options manifest (dbase/dbase.go:56-74 — New validates Options
+  // against what the on-disk layout was built with; a mismatched
+  // reopen must fail loudly, not reinterpret bytes)
+  // ------------------------------------------------------------------
+
+  /** The four layout-defining options. maxHotBuckets / filesPerBucket
+    * are operational tuning and may legally differ between opens. */
+  private def layoutProps: Seq[(String, Long)] = Seq(
+    "indexDepth" -> opts.indexDepth.toLong,
+    "payloadSize" -> opts.payloadSize.toLong,
+    "bucketDuration" -> opts.bucketDuration,
+    "resolution" -> opts.resolution)
+
+  private def manifestPath = new Path(s"${opts.tablePath}/_graft_options")
+  @volatile private var manifestChecked = false
+
+  /** Validate this engine's layout options against the table's
+    * persisted manifest; adopt (write) the manifest if the table
+    * predates it. Every put and read funnels through here, so a
+    * reopen with a different indexDepth/payloadSize/bucketDuration/
+    * resolution fails with [[EngineErrors.OptionsMismatch]] instead of
+    * silently misreading the layout (wrong tag arity reads NULL tag
+    * columns; a different resolution re-floors slots into the wrong
+    * grid). Checked once per engine instance — the manifest is
+    * immutable once written. */
+  private def ensureManifest(): Unit = {
+    if (manifestChecked) return
+    val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(manifestPath)) {
+      val in = fs.open(manifestPath)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val found = text.linesIterator.flatMap { line =>
+        line.split("=", 2) match {
+          case Array(k, v) => scala.util.Try(k.trim -> v.trim.toLong).toOption
+          case _           => None
+        }
+      }.toMap
+      val bad = layoutProps.collect {
+        case (k, v) if found.get(k).exists(_ != v) => s"$k: table=${found(k)} opts=$v"
+      }
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          s"${EngineErrors.OptionsMismatch}: ${bad.mkString("; ")} (table ${opts.tablePath})")
+      manifestChecked = true
+    } else if (fs.exists(new Path(opts.tablePath))) {
+      // Existing or just-created table without a manifest: adopt the
+      // current options. Temp-file + atomic rename so a concurrent
+      // writer (same options — both derived them from this table)
+      // never observes a torn manifest.
+      val tmp = new Path(s"${opts.tablePath}/._graft_options_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      val out = fs.create(tmp, true)
+      try out.write(layoutProps.map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(tmp, manifestPath)) {
+        fs.delete(tmp, false)
+        // lost the race to another writer: validate against the winner
+        if (fs.exists(manifestPath)) { ensureManifest(); return }
+        throw new IllegalStateException(s"could not publish options manifest $manifestPath")
+      }
+      manifestChecked = true
+    } else {
+      fs.mkdirs(new Path(opts.tablePath))
+      ensureManifest()
+    }
   }
 
   private def putClassified(classified: DataFrame): Map[String, Long] = {
@@ -237,6 +305,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * prefix (mindex/mindex.go:185-240). [[corruptFiles]] names the
     * damage for repair. */
   private def table(): DataFrame = {
+    ensureManifest()
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(opts.tablePath))) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)

@@ -88,5 +88,9 @@ object EngineErrors {
   val InvalidPayload = "err_invalid_payload"
   val InvalidSeq = "err_invalid_seq"
   val WriteOnReadOnly = "err_write_on_read_only"
+  /** Reopen with layout options differing from the table's persisted
+    * manifest (indexDepth / payloadSize / bucketDuration / resolution
+    * — the reference's New-validates-Options contract). */
+  val OptionsMismatch = "err_options_mismatch"
   val Ok = "ok"
 }

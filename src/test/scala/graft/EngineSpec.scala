@@ -498,4 +498,57 @@ class EngineSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       EngineOptions("x", "/tmp/x", 4, 4, bucketDuration = 1000L, resolution = 7L))
   }
+
+  test("reopen with mismatched layout options fails loudly; compatible reopen works (dbase.go:56-74)") {
+    val dir = Files.createTempDirectory("graft-manifest").toString
+    val clock = new TestClock(11999L)
+    val opts = EngineOptions("mdb", dir, 4, 4, 1000L, 10L)
+    val e1 = new Engine(spark, opts, clock)
+    assert(e1.put(Seq(Point(11000L, tag4, pld(2)))) === Map("ok" -> 1L))
+
+    // compatible reopen (different operational tuning is legal)
+    val e2 = new Engine(spark, opts.copy(maxHotBuckets = 3, filesPerBucket = 2), clock)
+    assert(payloads(e2.get(11000L, 11010L, tag4)) === Seq(pld(2).toSeq))
+
+    // every layout param mismatch is rejected, on reads AND writes,
+    // naming the offending key — never a silent misread (a depth-3
+    // reopen would read NULL tag columns; a resolution change would
+    // re-floor slots into the wrong grid)
+    for (bad <- Seq(
+        opts.copy(indexDepth = 3),
+        opts.copy(payloadSize = 8),
+        opts.copy(bucketDuration = 2000L),
+        opts.copy(resolution = 20L))) {
+      val eBad = new Engine(spark, bad, clock)
+      // arity-matched tags so argument validation passes and the
+      // manifest check is what fires
+      val badTags = tag4.take(bad.indexDepth).padTo(bad.indexDepth, "z")
+      val exR = intercept[IllegalArgumentException](eBad.get(11000L, 11010L, badTags))
+      assert(exR.getMessage.contains(EngineErrors.OptionsMismatch))
+      val exW = intercept[IllegalArgumentException](
+        eBad.put(Seq(Point(11000L, tag4.take(bad.indexDepth).padTo(bad.indexDepth, "z"),
+          Array.fill[Byte](bad.payloadSize)(1)))))
+      assert(exW.getMessage.contains(EngineErrors.OptionsMismatch))
+    }
+  }
+
+  test("a pre-manifest table is adopted on first contact and guarded afterwards") {
+    val dir = Files.createTempDirectory("graft-adopt").toString
+    val clock = new TestClock(11999L)
+    val opts = EngineOptions("adb", dir, 4, 4, 1000L, 10L)
+    val e1 = new Engine(spark, opts, clock)
+    e1.put(Seq(Point(11000L, tag4, pld(2))))
+    // simulate a table written before the manifest existed
+    val manifest = java.nio.file.Paths.get(dir, "adb", "_graft_options")
+    java.nio.file.Files.delete(manifest)
+
+    // a read adopts the opener's options as the manifest…
+    val e2 = new Engine(spark, opts, clock)
+    assert(payloads(e2.get(11000L, 11010L, tag4)) === Seq(pld(2).toSeq))
+    assert(java.nio.file.Files.exists(manifest))
+    // …and the adopted manifest guards later mismatched opens
+    val e3 = new Engine(spark, opts.copy(resolution = 20L), clock)
+    val ex = intercept[IllegalArgumentException](e3.get(11000L, 11020L, tag4))
+    assert(ex.getMessage.contains(EngineErrors.OptionsMismatch))
+  }
 }

@@ -132,10 +132,14 @@ class QueriesSpec extends SparkTestBase {
     // llm_similarity_ivf_trained: k-means assign + cell probe +
     // exact-recall twin all ride broadcast(centroids|queries) cross
     // joins — the small side is always the broadcast one.
+    // llm_dsir_sample / llm_perplexity_buckets: 1-row scalar totals
+    // (feature counts, vocab size) ride broadcast cross joins exactly
+    // like llm_lm_score's.
     val nestedLoopOk = Set("kdb_find_wildcard", "kdb_rolling_avg",
       "llm_similarity_topk", "llm_similarity_ivf", "llm_tfidf_top_terms",
       "kdb_locf_fill", "kdb_rolling_median", "llm_lm_score", "kdb_corr_matrix",
-      "llm_knn_classify", "q_cdc_merge_apply", "llm_similarity_ivf_trained")
+      "llm_knn_classify", "q_cdc_merge_apply", "llm_similarity_ivf_trained",
+      "llm_dsir_sample", "llm_perplexity_buckets")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
@@ -221,6 +225,52 @@ class QueriesSpec extends SparkTestBase {
       s"all le-bucket counters must share one shuffle, found $hashExchanges")
     assert(plan.contains("partial_count"),
       "bucket counters must combine map-side")
+  }
+
+  test("kdb_asof_nearest: both direction passes share one user_id shuffle") {
+    val plan = SparkEntry.queries("kdb_asof_nearest")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // exchanges: one for the clicks LWW pre-agg on (user_id, ts_us),
+    // ONE on user_id shared by the backward and forward window sorts
+    // (same partitioning, two sort orders — a second exchange here
+    // would mean the union got re-shuffled per direction)
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 2,
+      s"LWW pre-agg + one shared window shuffle expected, found $hashExchanges")
+  }
+
+  test("kdb_holt_trend / kdb_cusum_alarm: fold inputs are slot-bounded pre-aggregations") {
+    for (name <- Seq("kdb_holt_trend", "kdb_cusum_alarm")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      // the collect_list fold must consume the (type, slot) pre-agg,
+      // never raw events — partial_max proves the slot collapse
+      // combines map-side before anything is collected
+      assert(plan.contains("partial_max"), s"$name: slot pre-agg must combine map-side")
+      assert(!plan.contains("CartesianProduct"), s"$name: unexpected cartesian")
+    }
+    // cusum's 5-row stats table must come back via broadcast, not a shuffle join
+    val cusum = SparkEntry.queries("kdb_cusum_alarm")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(cusum.contains("BroadcastHashJoin"),
+      "per-series stats must broadcast back to the slot table")
+  }
+
+  test("llm_dsir_sample: bounded feature table broadcasts; top-30 is TakeOrdered") {
+    val plan = SparkEntry.queries("llm_dsir_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the <=1024-row log-ratio table must join by broadcast")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the budget cut must be k-bounded top-k, not a global sort")
+  }
+
+  test("llm_perplexity_buckets: tercile thresholds broadcast back to the scored docs") {
+    val plan = SparkEntry.queries("llm_perplexity_buckets")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 5-row per-language threshold table must broadcast")
   }
 
   test("llm_knn_classify: no window shuffles the cross product (k-bounded TopKAgg absorbs it)") {

@@ -2175,6 +2175,52 @@ object KdbQueries extends QueryModule {
       GROUP BY l.lag
       ORDER BY l.lag"""))
 
+  /** Theil–Sen robust trend: the median of all pairwise slopes per
+    * series — the estimator that shrugs off the outliers a
+    * least-squares fit chases (up to ~29% contamination). The pair
+    * space is GRID-bounded: slots²/2 per series (~230k pairs for a
+    * 30-day hourly range), fixed by the time range no matter how many
+    * raw points fed each slot — so the self-join is a constant-cost
+    * postscript to the one data-sized pass (the slot pre-agg), the
+    * same scaling argument as kdb_corr_matrix. Slope denominators are
+    * exact integer hour-deltas; the median interpolates over identical
+    * doubles in both engines. */
+  private val theilSen = QueryDef(
+    "kdb_theilsen_slope",
+    (s, d) => {
+      val slots = ev(s, d)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(max(col("value")).as("v"))
+      val a = slots.select(col("event_type"), col("slot_ns").as("s1"), col("v").as("v1"))
+      val b = slots.select(col("event_type"), col("slot_ns").as("s2"), col("v").as("v2"))
+      a.join(b, Seq("event_type")).filter(col("s1") < col("s2"))
+        .select(col("event_type"),
+          ((col("v2") - col("v1")) /
+            expr(s"CAST((s2 - s1) div $Hour AS DOUBLE)")).as("slope"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(percentile(col("slope"), lit(0.5)), 6).as("slope_per_hour"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT event_type,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               max(value) AS v
+        FROM events
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.event_type,
+               (b.v - a.v) / CAST((b.slot_ns - a.slot_ns) // ${Hour} AS DOUBLE) AS slope
+        FROM h a JOIN h b
+          ON a.event_type = b.event_type AND a.slot_ns < b.slot_ns)
+      SELECT event_type, count(*) AS n_pairs,
+             round(quantile_cont(slope, 0.5), 6) AS slope_per_hour
+      FROM pairs
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
@@ -2182,5 +2228,6 @@ object KdbQueries extends QueryModule {
     heavyHitters, zscore, madAnomaly, seriesCorr, corrMatrix, seasonality,
     seriesRatio, topMovers, latencyBands, calendarHeatmap, orderAudit, rollingMedian, audienceOverlap,
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
-    locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest)
+    locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest,
+    theilSen)
 }

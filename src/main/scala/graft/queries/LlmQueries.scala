@@ -1984,6 +1984,64 @@ object LlmQueries extends QueryModule {
       FROM scored s JOIN th USING (lang)
       ORDER BY doc_id"""))
 
+  /** Winnowing-style fingerprint sampling (Schleimer et al. 2003, the
+    * MOSS algorithm): hash every word-3-gram, slide a 4-shingle
+    * window, keep each window's MINIMUM hash — guaranteeing any match
+    * of ≥6 consecutive tokens shares a fingerprint while storing only
+    * ~1/4 of the shingles, the position-robust sampling that plain
+    * "every k-th shingle" selection lacks. Per-doc digest emitted:
+    * complete-window count, distinct selected fingerprints, their sum
+    * (an order-free checksum), density. All-integer arithmetic →
+    * exact hash gate. Shapes: tokenize once via posexplode, ONE
+    * shuffle on doc_id shared by the shingle-assembly lead(), the
+    * ordinal row_number and the framed min — then the rollup reuses
+    * the same partitioning. */
+  private val winnowingFp = QueryDef(
+    "llm_winnowing_fp",
+    (s, d) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val frame = w.rowsBetween(-3, 0)
+      documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos"),
+          concat_ws(" ", col("tok"),
+            lead(col("tok"), 1).over(w), lead(col("tok"), 2).over(w)).as("shingle"),
+          lead(col("tok"), 2).over(w).isNotNull.as("full3"))
+        .filter(col("full3"))
+        .select(col("doc_id"), col("pos"), hashP(col("shingle")).as("h"))
+        .withColumn("k", row_number().over(w))
+        .withColumn("wmin", min(col("h")).over(frame))
+        .filter(col("k") >= 4)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          countDistinct(col("wmin")).as("n_fp"),
+          sum_distinct(col("wmin")).as("fp_sum"),
+          round(countDistinct(col("wmin")).cast("double") / count(lit(1)), 4).as("density"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (
+        SELECT doc_id, g AS pos,
+               ${dkHashP("ws[g+1] || ' ' || ws[g+2] || ' ' || ws[g+3]")} AS h
+        FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 3)) AS g
+              FROM tok WHERE len(ws) >= 3) t),
+      win AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS k,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+        FROM sh)
+      SELECT doc_id, count(*) AS n_windows,
+             count(DISTINCT wmin) AS n_fp,
+             CAST(sum(DISTINCT wmin) AS BIGINT) AS fp_sum,
+             round(CAST(count(DISTINCT wmin) AS DOUBLE) / count(*), 4) AS density
+      FROM win
+      WHERE k >= 4
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
@@ -1992,5 +2050,5 @@ object LlmQueries extends QueryModule {
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
     dedupSubstring, encodeIds, editDistance, lmScore, mixtureWeights,
     multimodalFrames, embNormAudit, knnClassify, dedupReport, lengthBands,
-    tokenEntropy, dsirSample, perplexityBuckets)
+    tokenEntropy, dsirSample, perplexityBuckets, winnowingFp)
 }

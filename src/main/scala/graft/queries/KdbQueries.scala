@@ -2221,6 +2221,73 @@ object KdbQueries extends QueryModule {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** Multi-window SLO burn rate (the Google SRE-workbook alerting
+    * idiom): with a 5% error-budget SLO, burn = error_rate / 0.05 per
+    * window; a page fires only when BOTH the fast 1h window and the
+    * slow 6h window burn > 1 — the fast window gives response time,
+    * the slow one filters blips. One partial-agg pass builds the
+    * hourly (errors, total) counters on the zero-filled grid; the 6h
+    * view is a rolling window sum over slots (no second scan), and
+    * the grid is time-range-bounded (~720 rows) no matter the corpus
+    * size. Integer counters; ratios rounded; the alert flag compares
+    * the ROUNDED burns in both engines. */
+  private val burnRate = QueryDef(
+    "kdb_sli_burn_rate",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("slot_ns"))
+        .agg(count(when(col("event_type") === "error", 1)).as("n_err"),
+          count(lit(1)).as("n_tot"))
+      val grid = s.range((T1 - T0) / Hour)
+        .select((lit(T0) + col("id") * Hour).as("slot_ns"))
+      val w6 = Window.orderBy(col("slot_ns")).rowsBetween(-5, 0)
+      val burn1 = when(col("n_tot") > 0,
+        round(col("n_err").cast("double") / col("n_tot") / 0.05, 4))
+      val burn6 = when(col("tot6") > 0,
+        round(col("err6").cast("double") / col("tot6") / 0.05, 4))
+      grid.join(counts, Seq("slot_ns"), "left_outer")
+        .select(col("slot_ns"),
+          coalesce(col("n_err"), lit(0L)).as("n_err"),
+          coalesce(col("n_tot"), lit(0L)).as("n_tot"))
+        .withColumn("err6", sum(col("n_err")).over(w6))
+        .withColumn("tot6", sum(col("n_tot")).over(w6))
+        .select(col("slot_ns"), col("n_err"), col("n_tot"),
+          burn1.as("burn_1h"), burn6.as("burn_6h"),
+          (coalesce(burn1 > 1.0, lit(false)) &&
+            coalesce(burn6 > 1.0, lit(false))).cast("int").as("page"))
+        .orderBy(col("slot_ns"))
+    },
+    Some(s"""
+      WITH counts AS (
+        SELECT epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS n_err,
+               count(*) AS n_tot
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1),
+      filled AS (
+        SELECT g.slot_ns,
+               coalesce(c.n_err, 0) AS n_err,
+               coalesce(c.n_tot, 0) AS n_tot
+        FROM range(${T0}, ${T1}, ${Hour}) g(slot_ns)
+        LEFT JOIN counts c USING (slot_ns)),
+      rolled AS (
+        SELECT slot_ns, n_err, n_tot,
+               CAST(sum(n_err) OVER (ORDER BY slot_ns ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS err6,
+               CAST(sum(n_tot) OVER (ORDER BY slot_ns ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS tot6
+        FROM filled)
+      SELECT slot_ns, n_err, n_tot,
+             CASE WHEN n_tot > 0 THEN round(CAST(n_err AS DOUBLE) / n_tot / 0.05, 4) END AS burn_1h,
+             CASE WHEN tot6 > 0 THEN round(CAST(err6 AS DOUBLE) / tot6 / 0.05, 4) END AS burn_6h,
+             CASE WHEN coalesce(CASE WHEN n_tot > 0 THEN round(CAST(n_err AS DOUBLE) / n_tot / 0.05, 4) END > 1.0, false)
+                   AND coalesce(CASE WHEN tot6 > 0 THEN round(CAST(err6 AS DOUBLE) / tot6 / 0.05, 4) END > 1.0, false)
+                  THEN 1 ELSE 0 END AS page
+      FROM rolled
+      ORDER BY slot_ns"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
@@ -2229,5 +2296,5 @@ object KdbQueries extends QueryModule {
     seriesRatio, topMovers, latencyBands, calendarHeatmap, orderAudit, rollingMedian, audienceOverlap,
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
     locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest,
-    theilSen)
+    theilSen, burnRate)
 }

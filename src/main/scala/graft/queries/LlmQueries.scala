@@ -2042,6 +2042,60 @@ object LlmQueries extends QueryModule {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** Containment near-dup (Broder's asymmetric coefficient):
+    * C(A→B) = |A∩B| / |A| over distinct 3-gram shingle sets — the
+    * metric that catches a short doc EMBEDDED in a long one, which
+    * Jaccard misses (the union denominator drowns the small side;
+    * a 100-token quote inside a 10k-token page has J≈0.01 but
+    * C≈1.0). Same inverted-shingle candidate generation as
+    * llm_dedup_ngram_jaccard — pairs exist only where ≥1 shingle is
+    * shared, never a cross join — with both metrics emitted so the
+    * asymmetric detections are visible. Integer intersections,
+    * broadcast size lookups, ROUNDED-value ordering. */
+  private val containment = QueryDef(
+    "llm_dedup_containment",
+    (s, d) => {
+      val ex = shingleRows(s, d, col("doc_id") < 150).distinct()
+      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val inter = ex.as("a").join(ex.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("nsh", "n1")), "d1")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("nsh", "n2")), "d2")
+        .select(col("d1"), col("d2"), col("n1"), col("n2"),
+          round(col("n_inter").cast("double") / least(col("n1"), col("n2")), 4)
+            .as("containment"),
+          round(col("n_inter").cast("double") /
+            (col("n1") + col("n2") - col("n_inter")), 4).as("jaccard"))
+        .orderBy(col("containment").desc, col("d1"), col("d2"))
+        .limit(20)
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(0, len(string_split(text, ' ')) - 3),
+                 i -> string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2] || ' ' ||
+                      string_split(text, ' ')[i+3])) AS sh
+        FROM documents WHERE doc_id < 150),
+      sizes AS (SELECT doc_id, len(sh) AS nsh FROM docs),
+      ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+      inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT d1, d2, s1.nsh AS n1, s2.nsh AS n2,
+             round(CAST(n_inter AS DOUBLE) / least(s1.nsh, s2.nsh), 4) AS containment,
+             round(CAST(n_inter AS DOUBLE) / (s1.nsh + s2.nsh - n_inter), 4) AS jaccard
+      FROM inter
+      JOIN sizes s1 ON s1.doc_id = d1
+      JOIN sizes s2 ON s2.doc_id = d2
+      ORDER BY containment DESC, d1, d2
+      LIMIT 20"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
@@ -2050,5 +2104,5 @@ object LlmQueries extends QueryModule {
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
     dedupSubstring, encodeIds, editDistance, lmScore, mixtureWeights,
     multimodalFrames, embNormAudit, knnClassify, dedupReport, lengthBands,
-    tokenEntropy, dsirSample, perplexityBuckets, winnowingFp)
+    tokenEntropy, dsirSample, perplexityBuckets, winnowingFp, containment)
 }

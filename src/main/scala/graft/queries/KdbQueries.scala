@@ -2288,6 +2288,79 @@ object KdbQueries extends QueryModule {
       FROM rolled
       ORDER BY slot_ns"""))
 
+  /** Walk-forward forecast backtest: replay Holt(α=0.5, β=0.25) over
+    * each series and score every ONE-STEP-AHEAD forecast against the
+    * value that actually arrived — the honest accuracy number
+    * (in-sample fit flatters; this is out-of-sample at every step).
+    * The absolute-error accumulator rides INSIDE the same struct fold
+    * as the level/trend state (forecast l+b is read before the update,
+    * exactly the information an online forecaster had), so the
+    * backtest costs nothing beyond the smoothing pass itself. Same
+    * slot-bounded fold + recursive-CTE-oracle machinery as
+    * kdb_holt_trend. MAE is over the n−1 forecastable steps. */
+  private val forecastBacktest = QueryDef(
+    "kdb_forecast_backtest",
+    (s, d) => {
+      val acc0 = struct(lit(0.0).as("l"), lit(0.0).as("b"),
+        lit(0.0).as("sae"), lit(0).as("n"))
+      ev(s, d)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(max(col("value")).as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_slots"),
+          aggregate(
+            transform(sort_array(collect_list(struct(col("slot_ns"), col("v")))),
+              r => r.getField("v")),
+            acc0,
+            (acc, x) => {
+              val l = acc.getField("l"); val b = acc.getField("b")
+              val n = acc.getField("n")
+              val lNew = lit(0.5) * x + lit(0.5) * (l + b)
+              when(n === 0, struct(x.as("l"), lit(0.0).as("b"),
+                lit(0.0).as("sae"), lit(1).as("n")))
+                .otherwise(struct(
+                  lNew.as("l"),
+                  (lit(0.25) * (lNew - l) + lit(0.75) * b).as("b"),
+                  (acc.getField("sae") + abs(x - (l + b))).as("sae"),
+                  (n + 1).as("n")))
+            }).as("h"))
+        .select(col("event_type"), col("n_slots"),
+          round(col("h.sae") / (col("h.n") - 1), 4).as("mae"),
+          round(col("h.l"), 4).as("level"),
+          round(col("h.b"), 4).as("trend"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH RECURSIVE h AS (
+        SELECT event_type,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               max(value) AS v
+        FROM events
+        GROUP BY 1, 2),
+      idx AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY event_type ORDER BY slot_ns) AS i,
+               v
+        FROM h),
+      nn AS (SELECT event_type, max(i) AS n FROM idx GROUP BY 1),
+      rec AS (
+        SELECT event_type, CAST(1 AS BIGINT) AS i, v AS l,
+               CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS sae
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT r.event_type, r.i + 1,
+               0.5 * x.v + 0.5 * (r.l + r.b),
+               0.25 * ((0.5 * x.v + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b,
+               r.sae + abs(x.v - (r.l + r.b))
+        FROM rec r JOIN idx x ON x.event_type = r.event_type AND x.i = r.i + 1)
+      SELECT r.event_type, nn.n AS n_slots,
+             round(r.sae / (r.i - 1), 4) AS mae,
+             round(r.l, 4) AS level,
+             round(r.b, 4) AS trend
+      FROM rec r JOIN nn ON nn.event_type = r.event_type AND r.i = nn.n
+      ORDER BY r.event_type"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
@@ -2296,5 +2369,5 @@ object KdbQueries extends QueryModule {
     seriesRatio, topMovers, latencyBands, calendarHeatmap, orderAudit, rollingMedian, audienceOverlap,
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
     locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest,
-    theilSen, burnRate)
+    theilSen, burnRate, forecastBacktest)
 }

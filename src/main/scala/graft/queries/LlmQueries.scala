@@ -2096,6 +2096,102 @@ object LlmQueries extends QueryModule {
       ORDER BY containment DESC, d1, d2
       LIMIT 20"""))
 
+  /** Per-vector int8 scalar quantization (the FAISS-SQ / serving-side
+    * compression step): affine-map each embedding to 0..255 with its
+    * own min/max range, the 4× memory cut that makes billion-vector
+    * ANN indexes fit in RAM. Emitted per vector: the range, the
+    * quantized-code checksum and saturated-code count (the
+    * reconstruction-health signals an index build monitors). Purely
+    * per-row array lambdas — no shuffle at all until the final sort —
+    * and float→double casts are exact in both engines, so the integer
+    * codes hash-gate exactly. Degenerate constant vectors (max = min)
+    * quantize to all-zeros by the guard, not a 0/0. */
+  private val int8Quantize = QueryDef(
+    "llm_int8_quantize",
+    (s, d) => {
+      val mn = array_min(col("embedding")).cast("double")
+      val mx = array_max(col("embedding")).cast("double")
+      embeddings(s, d)
+        .withColumn("mn", mn).withColumn("mx", mx)
+        .withColumn("scale",
+          when(col("mx") > col("mn"), (col("mx") - col("mn")) / 255.0))
+        .withColumn("codes",
+          when(col("scale").isNotNull,
+            transform(col("embedding"), x =>
+              least(greatest(round((x.cast("double") - col("mn")) / col("scale")), lit(0.0)),
+                lit(255.0)).cast("int")))
+            .otherwise(transform(col("embedding"), _ => lit(0))))
+        .select(col("vec_id"), col("label"),
+          round(col("mn"), 6).as("v_min"),
+          round(col("mx"), 6).as("v_max"),
+          aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+          size(filter(col("codes"), c => c === 0 || c === 255)).as("n_saturated"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id, label,
+               CAST(list_min(embedding) AS DOUBLE) AS mn,
+               CAST(list_max(embedding) AS DOUBLE) AS mx,
+               CASE WHEN CAST(list_max(embedding) AS DOUBLE) > CAST(list_min(embedding) AS DOUBLE)
+                    THEN (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0
+               END AS scale
+        FROM embeddings),
+      coded AS (
+        SELECT vec_id, label, mn, mx,
+               CASE WHEN scale IS NOT NULL
+                    THEN list_transform(embedding, x ->
+                      CAST(least(greatest(round((CAST(x AS DOUBLE) - mn) / scale), 0.0), 255.0) AS INTEGER))
+                    ELSE list_transform(embedding, x -> 0)
+               END AS codes
+        FROM q JOIN embeddings USING (vec_id, label))
+      SELECT vec_id, label,
+             round(mn, 6) AS v_min,
+             round(mx, 6) AS v_max,
+             CAST(list_sum(codes) AS BIGINT) AS code_sum,
+             len(list_filter(codes, c -> c = 0 OR c = 255)) AS n_saturated
+      FROM coded
+      ORDER BY vec_id"""))
+
+  /** Dataset-card rollup: the per-(lang, source) summary table a
+    * curated corpus ships with — doc/token volumes, exact-dup rate
+    * (1 − distinct-content/docs), and the token-length median that
+    * sets truncation budgets. ONE pass: per-doc md5 + token counts
+    * are computed in the scan projection, then a single (lang, source)
+    * aggregation carries count-distinct-of-hash (16-byte digests
+    * shuffle, never text) and the exact median. ~|langs|×|sources|
+    * output rows regardless of corpus size. */
+  private val datasetCard = QueryDef(
+    "llm_dataset_card",
+    (s, d) => {
+      documents(s, d)
+        .select(col("lang"), col("source"),
+          md5(col("text")).as("h"),
+          size(tokens(col("text"))).as("n_tok"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          countDistinct(col("h")).as("n_distinct"),
+          round(lit(1.0) - countDistinct(col("h")).cast("double") / count(lit(1)), 4)
+            .as("dup_rate"),
+          round(percentile(col("n_tok"), lit(0.5)), 2).as("p50_tok"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some("""
+      WITH per_doc AS (
+        SELECT lang, source, md5(text) AS h,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents)
+      SELECT lang, source,
+             count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             count(DISTINCT h) AS n_distinct,
+             round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 4) AS dup_rate,
+             round(quantile_cont(n_tok, 0.5), 2) AS p50_tok
+      FROM per_doc
+      GROUP BY 1, 2
+      ORDER BY lang, source"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
@@ -2104,5 +2200,6 @@ object LlmQueries extends QueryModule {
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
     dedupSubstring, encodeIds, editDistance, lmScore, mixtureWeights,
     multimodalFrames, embNormAudit, knnClassify, dedupReport, lengthBands,
-    tokenEntropy, dsirSample, perplexityBuckets, winnowingFp, containment)
+    tokenEntropy, dsirSample, perplexityBuckets, winnowingFp, containment,
+    int8Quantize, datasetCard)
 }

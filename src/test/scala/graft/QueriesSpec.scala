@@ -273,6 +273,22 @@ class QueriesSpec extends SparkTestBase {
       "the 5-row per-language threshold table must broadcast")
   }
 
+  test("llm_int8_quantize stays shuffle-free until the final sort (per-row lambdas only)") {
+    val plan = SparkEntry.queries("llm_int8_quantize")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "quantization is per-row work; a hash shuffle means vectors went on the wire")
+  }
+
+  test("llm_winnowing_fp: shingle assembly, framed min and rollup share one doc_id shuffle") {
+    val plan = SparkEntry.queries("llm_winnowing_fp")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1,
+      s"lead/row_number/min windows and the digest rollup should reuse one shuffle, found $hashExchanges")
+  }
+
   test("llm_knn_classify: no window shuffles the cross product (k-bounded TopKAgg absorbs it)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.window.WindowExec

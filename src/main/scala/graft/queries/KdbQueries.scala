@@ -2361,6 +2361,144 @@ object KdbQueries extends QueryModule {
       FROM rec r JOIN nn ON nn.event_type = r.event_type AND r.i = nn.n
       ORDER BY r.event_type"""))
 
+  /** STL-style decomposition: split each series into trend (centered
+    * ±12h moving average), diurnal seasonal (hour-of-day means of the
+    * DETRENDED values — unlike kdb_seasonality's raw means, these
+    * aren't polluted by multi-day drift), and residual spread — the
+    * "is tonight abnormal, net of both the weekly trend and the daily
+    * cycle" baseline. Only full ±12-row windows contribute, so every
+    * mean is over a complete frame. Emitted per (series, hour-of-day)
+    * with the per-series amplitude and residual σ alongside. Shapes:
+    * one (type, slot) partial-agg pass; the centered window and both
+    * rollups run per-type; seasonal/amplitude broadcast back onto the
+    * 120-row profile. The trend is an exact INTEGER window sum over
+    * cent-quantized values (see inline note) so no engine-specific
+    * summation order can flip a rounded digit. */
+  private val stlDecompose = QueryDef(
+    "kdb_stl_decompose",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wSlot = Window.partitionBy(col("event_type")).orderBy(col("slot_ns"))
+      val wCenter = wSlot.rowsBetween(-12, 12)
+      // Cent-quantize the slot values so the centered trend is an
+      // EXACT integer window sum in both engines (window avg over
+      // doubles sums in engine-specific order — Spark's frame
+      // recompute vs DuckDB's segment tree — and the ~1e-12 drift
+      // flipped 4dp rounds at the boundary). detr_int = 25·v_c −
+      // Σ_frame v_c is all-integer; /2500 converts back to value
+      // units only at the end, identically on both sides.
+      val detr = ev(s, d)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(round(max(col("value")) * 100).cast("long").as("vc"))
+        .withColumn("k", row_number().over(wSlot))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .withColumn("trend25", sum(col("vc")).over(wCenter))
+        .filter(col("k") > 12 && col("k") <= col("n") - 12)
+        .withColumn("detr_int", lit(25L) * col("vc") - col("trend25"))
+        .withColumn("hod", expr(s"(slot_ns div $Hour) % 24"))
+      val seasonal = detr.groupBy(col("event_type"), col("hod"))
+        .agg((sum(col("detr_int")).cast("double") / count(lit(1)) / 2500.0).as("seasonal_d"),
+          count(lit(1)).as("n_obs"))
+      val perType = seasonal.groupBy(col("event_type"))
+        .agg(round(max(col("seasonal_d")) - min(col("seasonal_d")), 4).as("amplitude"))
+      val resid = detr.join(broadcast(seasonal.select(col("event_type"), col("hod"), col("seasonal_d"))),
+          Seq("event_type", "hod"))
+        .groupBy(col("event_type"))
+        .agg(round(stddev_pop(col("detr_int").cast("double") / 2500.0 - col("seasonal_d")), 4)
+          .as("resid_sd"))
+      seasonal.join(broadcast(perType), Seq("event_type"))
+        .join(broadcast(resid), Seq("event_type"))
+        .select(col("event_type"), col("hod"), col("n_obs"),
+          round(col("seasonal_d"), 4).as("seasonal"),
+          col("amplitude"), col("resid_sd"))
+        .orderBy(col("event_type"), col("hod"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT event_type,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               CAST(round(max(value) * 100) AS BIGINT) AS vc
+        FROM events
+        GROUP BY 1, 2),
+      tr AS (
+        SELECT event_type, slot_ns, vc,
+               row_number() OVER (PARTITION BY event_type ORDER BY slot_ns) AS k,
+               count(*) OVER (PARTITION BY event_type) AS n,
+               CAST(sum(vc) OVER (PARTITION BY event_type ORDER BY slot_ns
+                            ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS BIGINT) AS trend25
+        FROM h),
+      detr AS (
+        SELECT event_type, (slot_ns // ${Hour}) % 24 AS hod,
+               25 * vc - trend25 AS detr_int
+        FROM tr WHERE k > 12 AND k <= n - 12),
+      seasonal AS (
+        SELECT event_type, hod,
+               CAST(sum(detr_int) AS DOUBLE) / count(*) / 2500.0 AS seasonal_d,
+               count(*) AS n_obs
+        FROM detr GROUP BY 1, 2),
+      per_type AS (
+        SELECT event_type, round(max(seasonal_d) - min(seasonal_d), 4) AS amplitude
+        FROM seasonal GROUP BY 1),
+      resid AS (
+        SELECT d.event_type,
+               round(stddev_pop(CAST(d.detr_int AS DOUBLE) / 2500.0 - s.seasonal_d), 4) AS resid_sd
+        FROM detr d JOIN seasonal s USING (event_type, hod)
+        GROUP BY 1)
+      SELECT s.event_type, s.hod, s.n_obs,
+             round(s.seasonal_d, 4) AS seasonal,
+             p.amplitude, r.resid_sd
+      FROM seasonal s
+      JOIN per_type p USING (event_type)
+      JOIN resid r USING (event_type)
+      ORDER BY s.event_type, s.hod"""))
+
+  /** Watermark sizing from observed disorder: for each event stream,
+    * the lateness of a row is how far the stream's running-max event
+    * time had already advanced past it at arrival (arrival order =
+    * ingest sequence event_id) — then p50/p95/p99/max lateness per
+    * type IS the watermark decision table ("allow 99% of late data" →
+    * set the delay to p99). Complements kdb_order_audit (which counts
+    * inversions; this one sizes them). One shuffle on event_type
+    * shared by the arrival-order window and the quantile rollup;
+    * integer µs lateness, exact interpolated quantiles rounded. */
+  private val watermarkSizing = QueryDef(
+    "kdb_watermark_sizing",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wArr = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("late_us",
+          greatest(lit(0L), coalesce(max(col("ts_us")).over(wArr) - col("ts_us"), lit(0L))))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("late_us") > 0, 1)).as("n_late"),
+          round(percentile(col("late_us"), lit(0.5)), 2).as("p50_late_us"),
+          round(percentile(col("late_us"), lit(0.95)), 2).as("p95_late_us"),
+          round(percentile(col("late_us"), lit(0.99)), 2).as("p99_late_us"),
+          max(col("late_us")).as("max_late_us"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH arr AS (
+        SELECT event_type,
+               greatest(0, coalesce(
+                 max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 - epoch_us(ts), 0)) AS late_us
+        FROM events)
+      SELECT event_type, count(*) AS n,
+             count(CASE WHEN late_us > 0 THEN 1 END) AS n_late,
+             round(quantile_cont(late_us, 0.5), 2) AS p50_late_us,
+             round(quantile_cont(late_us, 0.95), 2) AS p95_late_us,
+             round(quantile_cont(late_us, 0.99), 2) AS p99_late_us,
+             CAST(max(late_us) AS BIGINT) AS max_late_us
+      FROM arr
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
@@ -2369,5 +2507,5 @@ object KdbQueries extends QueryModule {
     seriesRatio, topMovers, latencyBands, calendarHeatmap, orderAudit, rollingMedian, audienceOverlap,
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
     locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest,
-    theilSen, burnRate, forecastBacktest)
+    theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing)
 }

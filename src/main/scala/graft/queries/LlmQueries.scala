@@ -2192,6 +2192,51 @@ object LlmQueries extends QueryModule {
       GROUP BY 1, 2
       ORDER BY lang, source"""))
 
+  /** Tokenizer-fertility equity audit: subword tokens per whitespace
+    * word, aggregated per LANGUAGE — the diagnostic behind "our
+    * tokenizer taxes language X" (high fertility = more tokens per
+    * word = less effective context and higher training cost for that
+    * language; the reason multilingual tokenizers rebalance their
+    * training mix). Per-doc fertility is exact integer-ratio math;
+    * the per-lang rollup carries the mean, the exact p90, and an
+    * over-fragmenting flag vs 1.25× the global mean — all compares on
+    * ROUNDED values so both engines cut identically. One pass, one
+    * 5-row rollup, the global mean on a broadcast cross join. */
+  private val tokenizerFertility = QueryDef(
+    "llm_tokenizer_fertility",
+    (s, d) => {
+      val perDoc = documents(s, d)
+        .select(col("lang"),
+          round(size(regexp_extract_all(col("text"), lit("[a-zA-Z0-9]{1,4}"), lit(0)))
+            .cast("double") / size(tokens(col("text"))), 6).as("fert"))
+      val perLang = perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("fert")), 4).as("mean_fert"),
+          round(percentile(col("fert"), lit(0.9)), 4).as("p90_fert"))
+      val global = perDoc.agg(round(avg(col("fert")), 4).as("global_fert"))
+      perLang.crossJoin(broadcast(global))
+        .select(col("lang"), col("n_docs"), col("mean_fert"), col("p90_fert"),
+          col("global_fert"),
+          (col("mean_fert") > col("global_fert") * 1.25).cast("int").as("over_fragmenting"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH per_doc AS (
+        SELECT lang,
+               round(CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]{1,4}')) AS DOUBLE) /
+                     len(string_split(text, ' ')), 6) AS fert
+        FROM documents),
+      per_lang AS (
+        SELECT lang, count(*) AS n_docs,
+               round(avg(fert), 4) AS mean_fert,
+               round(quantile_cont(fert, 0.9), 4) AS p90_fert
+        FROM per_doc GROUP BY 1),
+      g AS (SELECT round(avg(fert), 4) AS global_fert FROM per_doc)
+      SELECT lang, n_docs, mean_fert, p90_fert, g.global_fert,
+             CASE WHEN mean_fert > g.global_fert * 1.25 THEN 1 ELSE 0 END AS over_fragmenting
+      FROM per_lang, g
+      ORDER BY lang"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
@@ -2201,5 +2246,5 @@ object LlmQueries extends QueryModule {
     dedupSubstring, encodeIds, editDistance, lmScore, mixtureWeights,
     multimodalFrames, embNormAudit, knnClassify, dedupReport, lengthBands,
     tokenEntropy, dsirSample, perplexityBuckets, winnowingFp, containment,
-    int8Quantize, datasetCard)
+    int8Quantize, datasetCard, tokenizerFertility)
 }

@@ -139,7 +139,7 @@ class QueriesSpec extends SparkTestBase {
       "llm_similarity_topk", "llm_similarity_ivf", "llm_tfidf_top_terms",
       "kdb_locf_fill", "kdb_rolling_median", "llm_lm_score", "kdb_corr_matrix",
       "llm_knn_classify", "q_cdc_merge_apply", "llm_similarity_ivf_trained",
-      "llm_dsir_sample", "llm_perplexity_buckets")
+      "llm_dsir_sample", "llm_perplexity_buckets", "llm_tokenizer_fertility")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -532,6 +532,20 @@ class EngineSpec extends SparkTestBase {
     }
   }
 
+  test("a never-written table reads as empty (manifest creation must not break the empty path)") {
+    // ensureManifest creates the table dir (+ _graft_options) on first
+    // contact, so the read no longer takes the dir-missing branch —
+    // the parquet read of a data-less dir must still be empty & dense
+    val (e, _) = mkEngine()
+    val got = payloads(e.get(10000L, 10050L, tag4))
+    assert(got.size === 5)
+    assert(got.forall(_ === Seq[Byte](0, 0, 0, 0)))
+    assert(e.find(10000L, 10050L, tag4).count() === 0L)
+    // and a write after the read-first contact still works
+    assert(e.put(Seq(Point(11000L, tag4, pld(7)))) === Map("ok" -> 1L))
+    assert(payloads(e.get(11000L, 11010L, tag4)) === Seq(pld(7).toSeq))
+  }
+
   test("a pre-manifest table is adopted on first contact and guarded afterwards") {
     val dir = Files.createTempDirectory("graft-adopt").toString
     val clock = new TestClock(11999L)

@@ -99,7 +99,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
   private val writeLock = new Object
 
   def put(points: DataFrame): Map[String, Long] = writeLock.synchronized {
-    ensureManifest()
+    ensureManifest(adopt = true)
     // One evaluation of the input for both the write and the ledger:
     // without the persist, a nondeterministic source could classify
     // differently in the two jobs and the ledger would not match the
@@ -127,18 +127,29 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
   @volatile private var manifestChecked = false
 
   /** Validate this engine's layout options against the table's
-    * persisted manifest; adopt (write) the manifest if the table
-    * predates it. Every put and read funnels through here, so a
-    * reopen with a different indexDepth/payloadSize/bucketDuration/
-    * resolution fails with [[EngineErrors.OptionsMismatch]] instead of
-    * silently misreading the layout (wrong tag arity reads NULL tag
-    * columns; a different resolution re-floors slots into the wrong
-    * grid). Checked once per engine instance — the manifest is
-    * immutable once written. */
-  private def ensureManifest(): Unit = {
+    * persisted manifest; on WRITE paths, adopt (write) the manifest if
+    * the table predates it. Every data-touching entry point funnels
+    * through here — put, reads (via table()), and the maintenance
+    * paths (removeBefore / compaction), which rewrite or delete data
+    * and were the most dangerous to leave unguarded — so a reopen with
+    * a different indexDepth/payloadSize/bucketDuration/resolution
+    * fails with [[EngineErrors.OptionsMismatch]] instead of silently
+    * misreading the layout (wrong tag arity reads NULL tag columns; a
+    * different resolution re-floors slots into the wrong grid).
+    *
+    * Fail-closed: a manifest missing any layout key, or with an
+    * unparsable value, is a mismatch — a half-readable manifest must
+    * never validate by omission. Read paths (adopt = false) never
+    * mutate storage: a get() against a read-only mount stays a pure
+    * read, and a premature reader cannot wedge table creation by
+    * pinning its own options. Checked once per engine instance — the
+    * manifest is immutable once written. */
+  private def ensureManifest(adopt: Boolean): Unit = {
     if (manifestChecked) return
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(manifestPath)) {
+
+    def validateExisting(): Boolean = {
+      if (!fs.exists(manifestPath)) return false
       val in = fs.open(manifestPath)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       val found = text.linesIterator.flatMap { line =>
@@ -148,32 +159,32 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         }
       }.toMap
       val bad = layoutProps.collect {
-        case (k, v) if found.get(k).exists(_ != v) => s"$k: table=${found(k)} opts=$v"
+        case (k, v) if !found.get(k).contains(v) =>
+          s"$k: table=${found.get(k).map(_.toString).getOrElse("<missing/corrupt>")} opts=$v"
       }
       if (bad.nonEmpty)
         throw new IllegalArgumentException(
           s"${EngineErrors.OptionsMismatch}: ${bad.mkString("; ")} (table ${opts.tablePath})")
       manifestChecked = true
-    } else if (fs.exists(new Path(opts.tablePath))) {
-      // Existing or just-created table without a manifest: adopt the
-      // current options. Temp-file + atomic rename so a concurrent
-      // writer (same options — both derived them from this table)
-      // never observes a torn manifest.
-      val tmp = new Path(s"${opts.tablePath}/._graft_options_${java.util.UUID.randomUUID().toString.replace("-", "")}")
-      val out = fs.create(tmp, true)
-      try out.write(layoutProps.map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n").getBytes("UTF-8"))
-      finally out.close()
-      if (!fs.rename(tmp, manifestPath)) {
-        fs.delete(tmp, false)
-        // lost the race to another writer: validate against the winner
-        if (fs.exists(manifestPath)) { ensureManifest(); return }
-        throw new IllegalStateException(s"could not publish options manifest $manifestPath")
-      }
-      manifestChecked = true
-    } else {
-      fs.mkdirs(new Path(opts.tablePath))
-      ensureManifest()
+      true
     }
+
+    if (validateExisting()) return
+    if (!adopt) return // pure read of a pre-manifest (or empty) table: nothing to check, nothing to write
+    // Write path on a manifest-less table: adopt the current options.
+    // Temp-file + rename, then REVALIDATE what is actually on disk —
+    // POSIX rename replaces an existing destination, so two racing
+    // first-contact writers cannot both silently "win": whichever
+    // manifest survives is re-read, and the loser fails the validate.
+    if (!fs.exists(new Path(opts.tablePath)) && !fs.mkdirs(new Path(opts.tablePath)))
+      throw new IllegalStateException(s"could not create table dir ${opts.tablePath}")
+    val tmp = new Path(s"${opts.tablePath}/._graft_options_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val out = fs.create(tmp, true)
+    try out.write(layoutProps.map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, manifestPath)) fs.delete(tmp, false) // another writer won the rename
+    if (!validateExisting())
+      throw new IllegalStateException(s"could not publish options manifest $manifestPath")
   }
 
   private def putClassified(classified: DataFrame): Map[String, Long] = {
@@ -305,7 +316,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * prefix (mindex/mindex.go:185-240). [[corruptFiles]] names the
     * damage for repair. */
   private def table(): DataFrame = {
-    ensureManifest()
+    ensureManifest(adopt = false)
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(opts.tablePath))) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
@@ -466,6 +477,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * analog of the reference's rm -rf, and a metadata-only partition
     * drop under a table format. */
   def removeBefore(ts: Long): Unit = {
+    ensureManifest(adopt = false) // destructive: a mismatched reopen must not compute the hot-window guard from wrong options
     val now = clock.nowNs
     val nowBucket = now - now % opts.bucketDuration
     val minHot = nowBucket - opts.bucketDuration * (opts.maxHotBuckets - 1)
@@ -599,6 +611,9 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * source file's rows are, by step 2, already present in the
     * published compacted batch). */
   def compactBucket(baseTs: Long): (Long, Long) = writeLock.synchronized {
+    // destructive rewrite: a mismatched tableSchema would silently drop
+    // tag columns and collapse distinct series before deleting sources
+    ensureManifest(adopt = false)
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
     sweepStaleStaging(fs)
     val sources = bucketDirs(fs, baseTs)

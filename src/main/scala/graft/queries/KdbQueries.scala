@@ -2142,13 +2142,25 @@ object KdbQueries extends QueryModule {
       val base = full.filter(col("slot_ns") < T1 - 3 * Hour)
         .select(col("slot_ns"), col("n_click"),
           explode(sequence(lit(0L), lit(3L))).as("lag"))
+      // corr() is an order-dependent streaming co-moment in both
+      // engines — compute the correlation from EXACT integer sums
+      // instead (counts are ints, so every Σ, Σ², Σxy is exact in
+      // int64; the one fp step is the final identical-operand
+      // division/sqrt, bit-identical across engines).
+      val num = (col("n_slots") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val den = sqrt((col("n_slots") * col("sxx") - col("sx") * col("sx")).cast("double") *
+        (col("n_slots") * col("syy") - col("sy") * col("sy")).cast("double"))
       base
         .join(full.select(col("slot_ns").as("p_slot"), col("n_purchase")),
           col("p_slot") === col("slot_ns") + col("lag") * Hour)
         .groupBy(col("lag"))
         .agg(count(lit(1)).as("n_slots"),
-          round(corr(col("n_click").cast("double"),
-            col("n_purchase").cast("double")), 4).as("xcorr"))
+          sum(col("n_click")).as("sx"), sum(col("n_purchase")).as("sy"),
+          sum(col("n_click") * col("n_purchase")).as("sxy"),
+          sum(col("n_click") * col("n_click")).as("sxx"),
+          sum(col("n_purchase") * col("n_purchase")).as("syy"))
+        .select(col("lag"), col("n_slots"),
+          when(den > 0, round(num / den, 4)).as("xcorr"))
         .orderBy(col("lag"))
     },
     Some(s"""
@@ -2165,15 +2177,27 @@ object KdbQueries extends QueryModule {
                coalesce(c.n_click, 0) AS n_click,
                coalesce(c.n_purchase, 0) AS n_purchase
         FROM range(${T0}, ${T1}, ${Hour}) g(slot_ns)
-        LEFT JOIN counts c USING (slot_ns))
-      SELECT l.lag, count(*) AS n_slots,
-             round(corr(CAST(b.n_click AS DOUBLE),
-                        CAST(p.n_purchase AS DOUBLE)), 4) AS xcorr
-      FROM range(0, 4) l(lag)
-      JOIN full_grid b ON b.slot_ns < ${T1 - 3 * Hour}
-      JOIN full_grid p ON p.slot_ns = b.slot_ns + l.lag * ${Hour}
-      GROUP BY l.lag
-      ORDER BY l.lag"""))
+        LEFT JOIN counts c USING (slot_ns)),
+      sums AS (
+        SELECT l.lag, count(*) AS n_slots,
+               CAST(sum(b.n_click) AS BIGINT) AS sx,
+               CAST(sum(p.n_purchase) AS BIGINT) AS sy,
+               CAST(sum(b.n_click * p.n_purchase) AS BIGINT) AS sxy,
+               CAST(sum(b.n_click * b.n_click) AS BIGINT) AS sxx,
+               CAST(sum(p.n_purchase * p.n_purchase) AS BIGINT) AS syy
+        FROM range(0, 4) l(lag)
+        JOIN full_grid b ON b.slot_ns < ${T1 - 3 * Hour}
+        JOIN full_grid p ON p.slot_ns = b.slot_ns + l.lag * ${Hour}
+        GROUP BY l.lag)
+      SELECT lag, n_slots,
+             CASE WHEN sqrt(CAST(n_slots * sxx - sx * sx AS DOUBLE) *
+                            CAST(n_slots * syy - sy * sy AS DOUBLE)) > 0
+                  THEN round(CAST(n_slots * sxy - sx * sy AS DOUBLE) /
+                             sqrt(CAST(n_slots * sxx - sx * sx AS DOUBLE) *
+                                  CAST(n_slots * syy - sy * sy AS DOUBLE)), 4)
+             END AS xcorr
+      FROM sums
+      ORDER BY lag"""))
 
   /** Theil–Sen robust trend: the median of all pairwise slopes per
     * series — the estimator that shrugs off the outliers a

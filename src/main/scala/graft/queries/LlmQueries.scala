@@ -1869,6 +1869,9 @@ object LlmQueries extends QueryModule {
         .limit(30)
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("score").desc, col("doc_id"))))
+        // explicit final sort: the hash gate is row-order-sensitive and
+        // must not depend on WindowExec's internal sort surviving
+        .orderBy(col("rnk"))
     },
     Some("""
       WITH tgt AS (

@@ -546,7 +546,7 @@ class EngineSpec extends SparkTestBase {
     assert(payloads(e.get(11000L, 11010L, tag4)) === Seq(pld(7).toSeq))
   }
 
-  test("a pre-manifest table is adopted on first contact and guarded afterwards") {
+  test("a pre-manifest table: reads stay pure, the first WRITE adopts, adoption guards afterwards") {
     val dir = Files.createTempDirectory("graft-adopt").toString
     val clock = new TestClock(11999L)
     val opts = EngineOptions("adb", dir, 4, 4, 1000L, 10L)
@@ -556,13 +556,48 @@ class EngineSpec extends SparkTestBase {
     val manifest = java.nio.file.Paths.get(dir, "adb", "_graft_options")
     java.nio.file.Files.delete(manifest)
 
-    // a read adopts the opener's options as the manifest…
+    // a read serves data but does NOT mutate storage (read-only mounts
+    // stay readable; a premature reader can't pin its own options)…
     val e2 = new Engine(spark, opts, clock)
     assert(payloads(e2.get(11000L, 11010L, tag4)) === Seq(pld(2).toSeq))
+    assert(!java.nio.file.Files.exists(manifest))
+    // …the first WRITE adopts the manifest…
+    val e2w = new Engine(spark, opts, clock)
+    e2w.put(Seq(Point(11010L, tag4, pld(3))))
     assert(java.nio.file.Files.exists(manifest))
     // …and the adopted manifest guards later mismatched opens
     val e3 = new Engine(spark, opts.copy(resolution = 20L), clock)
     val ex = intercept[IllegalArgumentException](e3.get(11000L, 11020L, tag4))
     assert(ex.getMessage.contains(EngineErrors.OptionsMismatch))
+  }
+
+  test("a corrupt or truncated manifest fails closed, never validates by omission") {
+    val dir = Files.createTempDirectory("graft-badman").toString
+    val clock = new TestClock(11999L)
+    val opts = EngineOptions("bdb", dir, 4, 4, 1000L, 10L)
+    new Engine(spark, opts, clock).put(Seq(Point(11000L, tag4, pld(2))))
+    val manifest = java.nio.file.Paths.get(dir, "bdb", "_graft_options")
+    // truncated (missing keys) + an unparsable value; drop the Hadoop
+    // local-FS checksum sidecar so the read sees the damage, not a
+    // ChecksumException
+    java.nio.file.Files.writeString(manifest, "indexDepth=4\nresolution=1x0\n")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "bdb", "._graft_options.crc"))
+    val e2 = new Engine(spark, opts, clock)
+    val ex = intercept[IllegalArgumentException](e2.get(11000L, 11010L, tag4))
+    assert(ex.getMessage.contains(EngineErrors.OptionsMismatch))
+    assert(ex.getMessage.contains("<missing/corrupt>"))
+  }
+
+  test("maintenance paths are manifest-guarded (compaction/retention under wrong options is destructive)") {
+    val dir = Files.createTempDirectory("graft-maint").toString
+    val clock = new TestClock(11999L)
+    val opts = EngineOptions("gdb", dir, 4, 4, 1000L, 10L)
+    new Engine(spark, opts, clock).put(Seq(Point(10500L, tag4, pld(2))))
+    val bad = new Engine(spark, opts.copy(indexDepth = 3), clock)
+    val exC = intercept[IllegalArgumentException](bad.compactBucket(10000L))
+    assert(exC.getMessage.contains(EngineErrors.OptionsMismatch))
+    val exR = intercept[IllegalArgumentException](bad.removeBefore(10000L))
+    assert(exR.getMessage.contains(EngineErrors.OptionsMismatch))
   }
 }

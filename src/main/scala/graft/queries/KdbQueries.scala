@@ -2523,6 +2523,68 @@ object KdbQueries extends QueryModule {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** Incident extraction (gaps-and-islands): collapse consecutive
+    * "bad" hours — error share above 30% — into maximal incident
+    * intervals with start/end/duration and peak severity, the
+    * "alert stream → incident list" rollup every on-call review
+    * starts from. The island id is the classic technique the surface
+    * didn't cover yet: slot_index − row_number() over bad slots is
+    * constant within each consecutive run, needs ONE window pass and
+    * no self-join. All-integer grid math; the only doubles are the
+    * per-incident severity ratios, rounded. Grid-bounded (~720 rows)
+    * after the one data-sized counting pass. */
+  private val incidentIntervals = QueryDef(
+    "kdb_incident_intervals",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("slot_ns"))
+        .agg(count(when(col("event_type") === "error", 1)).as("n_err"),
+          count(lit(1)).as("n_tot"))
+        .withColumn("bad",
+          col("n_tot") > 0 && col("n_err") * 10 > col("n_tot") * 3)
+      val wOrd = Window.orderBy(col("slot_ns"))
+      counts.filter(col("bad"))
+        .withColumn("slot_idx", expr(s"(slot_ns - $T0) div $Hour"))
+        .withColumn("island", col("slot_idx") - row_number().over(wOrd))
+        .groupBy(col("island"))
+        .agg(min(col("slot_ns")).as("start_ns"),
+          max(col("slot_ns") + Hour).as("end_ns"),
+          count(lit(1)).as("n_hours"),
+          round(max(col("n_err").cast("double") / col("n_tot")), 4).as("peak_err_share"),
+          sum(col("n_err")).as("total_errors"))
+        .select(col("start_ns"), col("end_ns"), col("n_hours"),
+          col("peak_err_share"), col("total_errors"))
+        .orderBy(col("start_ns"))
+    },
+    Some(s"""
+      WITH counts AS (
+        SELECT epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS n_err,
+               count(*) AS n_tot
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1),
+      bad AS (
+        SELECT slot_ns, n_err, n_tot,
+               (slot_ns - ${T0}) // ${Hour} AS slot_idx
+        FROM counts
+        WHERE n_tot > 0 AND n_err * 10 > n_tot * 3),
+      isl AS (
+        SELECT slot_ns, n_err, n_tot,
+               slot_idx - row_number() OVER (ORDER BY slot_ns) AS island
+        FROM bad)
+      SELECT min(slot_ns) AS start_ns,
+             max(slot_ns + ${Hour}) AS end_ns,
+             count(*) AS n_hours,
+             round(max(CAST(n_err AS DOUBLE) / n_tot), 4) AS peak_err_share,
+             CAST(sum(n_err) AS BIGINT) AS total_errors
+      FROM isl
+      GROUP BY island
+      ORDER BY start_ns"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
@@ -2531,5 +2593,6 @@ object KdbQueries extends QueryModule {
     seriesRatio, topMovers, latencyBands, calendarHeatmap, orderAudit, rollingMedian, audienceOverlap,
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
     locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest,
-    theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing)
+    theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing,
+    incidentIntervals)
 }

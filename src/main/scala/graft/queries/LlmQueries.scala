@@ -2240,6 +2240,50 @@ object LlmQueries extends QueryModule {
       FROM per_lang, g
       ORDER BY lang"""))
 
+  /** Code-vs-prose detection: the char-class + keyword heuristic that
+    * routes documents to the right pipeline branch (code wants its own
+    * dedup granularity, quality rules, and tokenizer; prose filters
+    * would throw away perfectly good code as "low quality"). Signals:
+    * code-symbol density ({}()[];=<>), digit density, and programming
+    * keyword hits — combined into a flag on ROUNDED ratios so both
+    * engines branch identically. Pure per-row regex/array work, no
+    * shuffle until the final sort; same-regex determinism (both
+    * engines count the identical character classes). */
+  private val codeDetect = QueryDef(
+    "llm_code_detect",
+    (s, d) => {
+      val kw = Seq("def", "return", "import", "class", "function",
+        "var", "const", "if", "else", "for")
+      val sym = length(regexp_replace(col("text"), "[^{}()\\[\\];=<>]", ""))
+      val dig = length(regexp_replace(col("text"), "[^0-9]", ""))
+      val symR = round(sym.cast("double") / col("n_chars"), 4)
+      val kwHits = size(filter(tokens(col("text")), t => t.isin(kw: _*)))
+      documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          sym.as("sym_count"), symR.as("sym_ratio"),
+          round(dig.cast("double") / col("n_chars"), 4).as("digit_ratio"),
+          kwHits.as("kw_hits"),
+          (symR > 0.02 && kwHits >= 1).cast("int").as("code_like"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH sig AS (
+        SELECT doc_id, n_chars,
+               len(regexp_replace(text, '[^{}()\[\];=<>]', '', 'g')) AS sym_count,
+               len(regexp_replace(text, '[^0-9]', '', 'g')) AS dig_count,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('def', 'return', 'import', 'class', 'function',
+                              'var', 'const', 'if', 'else', 'for'))) AS kw_hits
+        FROM documents)
+      SELECT doc_id, n_chars, sym_count,
+             round(CAST(sym_count AS DOUBLE) / n_chars, 4) AS sym_ratio,
+             round(CAST(dig_count AS DOUBLE) / n_chars, 4) AS digit_ratio,
+             kw_hits,
+             CASE WHEN round(CAST(sym_count AS DOUBLE) / n_chars, 4) > 0.02
+                   AND kw_hits >= 1 THEN 1 ELSE 0 END AS code_like
+      FROM sig
+      ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
@@ -2249,5 +2293,5 @@ object LlmQueries extends QueryModule {
     dedupSubstring, encodeIds, editDistance, lmScore, mixtureWeights,
     multimodalFrames, embNormAudit, knnClassify, dedupReport, lengthBands,
     tokenEntropy, dsirSample, perplexityBuckets, winnowingFp, containment,
-    int8Quantize, datasetCard, tokenizerFertility)
+    int8Quantize, datasetCard, tokenizerFertility, codeDetect)
 }

@@ -125,4 +125,47 @@ class EnginePropertySpec extends SparkTestBase {
       }
     }
   }
+
+  private def dump(e: Engine, tags: Seq[String]): Seq[(Long, Seq[Byte])] =
+    e.get(10000L, 12000L, tags).collect()
+      .map(r => r.getAs[Long]("slot_ns") -> r.getAs[Array[Byte]]("payload").toSeq).toSeq
+
+  test("compaction is invisible to reads, for ANY write history (incl. overwrites)") {
+    for ((pts, i) <- cases(3).zipWithIndex) {
+      val e = freshEngine()
+      // two puts so LWW resolution spans batches; second put overwrites
+      // a random prefix of the first at possibly different values
+      e.put(pts)
+      e.put(sample(Gen.nonEmptyListOf(genPoint), 1000L + i))
+      val tagSets = pts.map(_.tags).distinct
+      val before = tagSets.map(t => t -> dump(e, t)).toMap
+      e.compactBucket(10000L)
+      e.compactBucket(11000L)
+      tagSets.foreach(t => assert(dump(e, t) === before(t), s"tags $t changed under compaction"))
+      // idempotence: compacting again changes nothing
+      e.compactBucket(10000L)
+      tagSets.foreach(t => assert(dump(e, t) === before(t), s"tags $t changed under re-compaction"))
+    }
+  }
+
+  test("reopen equivalence: an equal-options engine reads identically; any layout drift throws") {
+    for (pts <- cases(2)) {
+      val dir = Files.createTempDirectory("graft-prop-reopen").toString
+      val opts = EngineOptions("rdb", dir, 2, 4, 1000L, 10L)
+      val clock = new TestClock(Now)
+      val e1 = new Engine(spark, opts, clock)
+      e1.put(pts)
+      val tagSets = pts.map(_.tags).distinct
+      val expected = tagSets.map(t => t -> dump(e1, t)).toMap
+      val e2 = new Engine(spark, opts, clock)
+      tagSets.foreach(t => assert(dump(e2, t) === expected(t)))
+      for (bad <- Seq(opts.copy(indexDepth = 3), opts.copy(payloadSize = 8),
+          opts.copy(bucketDuration = 2000L), opts.copy(resolution = 20L))) {
+        val eBad = new Engine(spark, bad, clock)
+        val tags = Seq.fill(bad.indexDepth)("a")
+        val ex = intercept[IllegalArgumentException](eBad.get(10000L, 10010L, tags))
+        assert(ex.getMessage.contains(EngineErrors.OptionsMismatch))
+      }
+    }
+  }
 }

@@ -2543,8 +2543,7 @@ object KdbQueries extends QueryModule {
         .groupBy(col("slot_ns"))
         .agg(count(when(col("event_type") === "error", 1)).as("n_err"),
           count(lit(1)).as("n_tot"))
-        .withColumn("bad",
-          col("n_tot") > 0 && col("n_err") * 10 > col("n_tot") * 3)
+        .withColumn("bad", col("n_err") * 10 > col("n_tot") * 3)
       val wOrd = Window.orderBy(col("slot_ns"))
       counts.filter(col("bad"))
         .withColumn("slot_idx", expr(s"(slot_ns - $T0) div $Hour"))
@@ -2571,7 +2570,7 @@ object KdbQueries extends QueryModule {
         SELECT slot_ns, n_err, n_tot,
                (slot_ns - ${T0}) // ${Hour} AS slot_idx
         FROM counts
-        WHERE n_tot > 0 AND n_err * 10 > n_tot * 3),
+        WHERE n_err * 10 > n_tot * 3),
       isl AS (
         SELECT slot_ns, n_err, n_tot,
                slot_idx - row_number() OVER (ORDER BY slot_ns) AS island

@@ -133,17 +133,21 @@ class EnginePropertySpec extends SparkTestBase {
   test("compaction is invisible to reads, for ANY write history (incl. overwrites)") {
     for ((pts, i) <- cases(3).zipWithIndex) {
       val e = freshEngine()
-      // two puts so LWW resolution spans batches; second put overwrites
-      // a random prefix of the first at possibly different values
+      // two independent random batches so LWW resolution spans batches
+      // (overlapping (series, slot) writes resolve across them); the
+      // union of BOTH batches' series is asserted, so single-batch
+      // series from either put are covered too
+      val pts2 = sample(Gen.nonEmptyListOf(genPoint), 1000L + i)
       e.put(pts)
-      e.put(sample(Gen.nonEmptyListOf(genPoint), 1000L + i))
-      val tagSets = pts.map(_.tags).distinct
+      e.put(pts2)
+      val tagSets = (pts ++ pts2).map(_.tags).distinct
       val before = tagSets.map(t => t -> dump(e, t)).toMap
       e.compactBucket(10000L)
       e.compactBucket(11000L)
       tagSets.foreach(t => assert(dump(e, t) === before(t), s"tags $t changed under compaction"))
-      // idempotence: compacting again changes nothing
+      // idempotence: compacting both buckets again changes nothing
       e.compactBucket(10000L)
+      e.compactBucket(11000L)
       tagSets.foreach(t => assert(dump(e, t) === before(t), s"tags $t changed under re-compaction"))
     }
   }

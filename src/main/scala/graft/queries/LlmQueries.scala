@@ -2284,6 +2284,85 @@ object LlmQueries extends QueryModule {
       FROM sig
       ORDER BY doc_id"""))
 
+  /** Soft dedup (down-weighting instead of dropping): every doc keeps
+    * a training weight 1/n_copies of its exact content group — the
+    * alternative to hard dedup when duplicates carry signal
+    * (popularity) but must not dominate the loss. Also emits each
+    * source's effective (weighted) size vs raw size — the shrink
+    * factor duplication costs it. One shuffle on the 16-byte content
+    * digest, one broadcast-back join; weights are exact reciprocals
+    * of integers, rounded identically. */
+  private val softDedupWeights = QueryDef(
+    "llm_softdedup_weights",
+    (s, d) => {
+      val copies = documents(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n_copies"))
+      documents(s, d)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+        .join(copies, Seq("h"))
+        .select(col("doc_id"), col("source"), col("n_copies"),
+          round(lit(1.0) / col("n_copies"), 6).as("weight"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH copies AS (
+        SELECT md5(text) AS h, count(*) AS n_copies
+        FROM documents GROUP BY 1)
+      SELECT doc_id, source, n_copies,
+             round(1.0 / n_copies, 6) AS weight
+      FROM (SELECT doc_id, source, md5(text) AS h FROM documents) d
+      JOIN copies USING (h)
+      ORDER BY doc_id"""))
+
+  /** T5-style span-corruption mask planning: deterministically select
+    * ~15% of each document's token positions via the shared md5 hash
+    * (reproducible masking — the property that lets a preemption
+    * resume mid-epoch with identical batches), then coalesce adjacent
+    * picks into spans (gaps-and-islands per doc) and report the mask
+    * rate and span-length profile the objective actually realises.
+    * All integer arithmetic on hash-selected positions → exact gate.
+    * One doc_id shuffle shared by the position window and the rollup. */
+  private val spanCorruption = QueryDef(
+    "llm_span_corruption",
+    (s, d) => {
+      val picked = documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .filter(hash60(concat(col("doc_id").cast("string"), lit(":"), col("pos").cast("string"))) % 100 < 15)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      picked
+        .withColumn("island", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(count(lit(1)).as("span_len"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("span_len")).as("n_masked"),
+          count(lit(1)).as("n_spans"),
+          max(col("span_len")).as("max_span"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos
+        FROM documents),
+      picked AS (
+        SELECT doc_id, pos
+        FROM tok
+        WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 15))::BIGINT % 100) < 15),
+      isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM picked),
+      spans AS (
+        SELECT doc_id, island, count(*) AS span_len
+        FROM isl GROUP BY 1, 2)
+      SELECT doc_id,
+             CAST(sum(span_len) AS BIGINT) AS n_masked,
+             count(*) AS n_spans,
+             CAST(max(span_len) AS BIGINT) AS max_span
+      FROM spans
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
@@ -2293,5 +2372,6 @@ object LlmQueries extends QueryModule {
     dedupSubstring, encodeIds, editDistance, lmScore, mixtureWeights,
     multimodalFrames, embNormAudit, knnClassify, dedupReport, lengthBands,
     tokenEntropy, dsirSample, perplexityBuckets, winnowingFp, containment,
-    int8Quantize, datasetCard, tokenizerFertility, codeDetect)
+    int8Quantize, datasetCard, tokenizerFertility, codeDetect,
+    softDedupWeights, spanCorruption)
 }

@@ -2287,11 +2287,10 @@ object LlmQueries extends QueryModule {
   /** Soft dedup (down-weighting instead of dropping): every doc keeps
     * a training weight 1/n_copies of its exact content group — the
     * alternative to hard dedup when duplicates carry signal
-    * (popularity) but must not dominate the loss. Also emits each
-    * source's effective (weighted) size vs raw size — the shrink
-    * factor duplication costs it. One shuffle on the 16-byte content
-    * digest, one broadcast-back join; weights are exact reciprocals
-    * of integers, rounded identically. */
+    * (popularity) but must not dominate the loss; summing `weight`
+    * over any slice gives its effective (dedup-adjusted) size. One
+    * shuffle on the 16-byte content digest, one join back; weights
+    * are exact reciprocals of integers, rounded identically. */
   private val softDedupWeights = QueryDef(
     "llm_softdedup_weights",
     (s, d) => {

@@ -663,6 +663,67 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     coldBucketsOnDisk().map(b => b -> compactBucket(b)).toMap
   }
 
+  /** Bucket-duration migration — the layout evolution the options
+    * manifest makes safe to even attempt. Re-routes every committed
+    * row (LWW history intact: raw rows carry their seq, nothing is
+    * resolved away) into buckets floored by `newBucketDuration`,
+    * builds the COMPLETE new table — data plus updated manifest — in
+    * a sibling staging dir invisible to readers, then swaps it in
+    * with two renames, keeping the old table as a backup until the
+    * swap completes. Use when the original bucket width stops
+    * matching the data (buckets too small → partition-dir explosion;
+    * too big → poor pruning and oversized compactions).
+    *
+    * Returns the options to REOPEN with. This instance is invalid
+    * afterwards by design — its opts no longer match the on-disk
+    * manifest, so every subsequent call fails with
+    * [[EngineErrors.OptionsMismatch]] rather than misrouting writes.
+    *
+    * Crash contract: a crash before the first rename leaves the old
+    * table untouched (staging is invisible); between the renames the
+    * table path is briefly absent while both `.pre_rebucket_<id>`
+    * (complete old) and `.rebucket_<id>` (complete new) exist —
+    * restore by renaming either back. Like compaction, concurrent
+    * readers mid-swap can see FileNotFound and must re-run; there is
+    * no data-loss window. */
+  def rebucket(newBucketDuration: Long): EngineOptions = writeLock.synchronized {
+    ensureManifest(adopt = false)
+    require(newBucketDuration > 0 && newBucketDuration % opts.resolution == 0,
+      "newBucketDuration must be a positive multiple of resolution")
+    val newOpts = opts.copy(bucketDuration = newBucketDuration)
+    if (newBucketDuration == opts.bucketDuration) return newOpts
+    val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
+    val root = new Path(opts.tablePath)
+    if (!fs.exists(root)) return newOpts // nothing to migrate
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val stagingTable = new Path(s"${opts.tablePath}.rebucket_$uuid")
+    val rows = table()
+      .select(col("slot_ns") +: tagCols.map(col) :+ col("payload") :+ col("seq"): _*)
+      .withColumn("bucket_ts", col("slot_ns") - col("slot_ns") % newBucketDuration)
+    rows.repartition(col("bucket_ts"))
+      .sortWithinPartitions((col("bucket_ts") +: tagCols.map(col)) :+ col("slot_ns"): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket_ts")
+      .parquet(s"$stagingTable/batch=$uuid")
+    val mf = fs.create(new Path(s"$stagingTable/_graft_options"), true)
+    try mf.write((Seq(
+      "indexDepth" -> opts.indexDepth.toLong,
+      "payloadSize" -> opts.payloadSize.toLong,
+      "bucketDuration" -> newBucketDuration,
+      "resolution" -> opts.resolution)
+      .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")).getBytes("UTF-8"))
+    finally mf.close()
+    val backup = new Path(s"${opts.tablePath}.pre_rebucket_$uuid")
+    if (!fs.rename(root, backup))
+      throw new IllegalStateException(s"rebucket: could not back up $root")
+    if (!fs.rename(stagingTable, root)) {
+      fs.rename(backup, root) // restore; staging left for inspection
+      throw new IllegalStateException(s"rebucket: could not swap in $stagingTable")
+    }
+    fs.delete(backup, true)
+    manifestChecked = false // this instance's opts are now stale — fail loudly from here on
+    newOpts
+  }
+
   /** Buckets on disk strictly below the hot window — immutable (writes
     * reject with ErrWriteOnReadOnly), so compactable exactly once. */
   def coldBucketsOnDisk(): Seq[Long] = {

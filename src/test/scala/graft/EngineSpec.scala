@@ -494,6 +494,34 @@ class EngineSpec extends SparkTestBase {
       Seq("part-garbage.parquet", "part-torn.parquet"))
   }
 
+  test("rebucket migrates the layout: identical reads, updated manifest, stale engine fails loudly") {
+    val dir = Files.createTempDirectory("graft-rebucket").toString
+    val clock = new TestClock(11999L)
+    val opts = EngineOptions("rbdb", dir, 4, 4, 1000L, 10L)
+    val e1 = new Engine(spark, opts, clock)
+    // writes span both hot buckets, with a cross-batch LWW overwrite
+    e1.put(Seq(Point(10990L, tag4, pld(1)), Point(11000L, tag4, pld(2))))
+    e1.put(Seq(Point(11000L, tag4, pld(9)))) // overwrites slot 11000
+    val before = payloads(e1.get(10980L, 11010L, tag4))
+    assert(before === Seq(Seq[Byte](0, 0, 0, 0), pld(1).toSeq, pld(9).toSeq))
+
+    val newOpts = e1.rebucket(2000L)
+    assert(newOpts.bucketDuration === 2000L)
+    // the migrating instance is invalid by design
+    val ex = intercept[IllegalArgumentException](e1.get(10990L, 11010L, tag4))
+    assert(ex.getMessage.contains(EngineErrors.OptionsMismatch))
+    // a reopen with the returned options reads the identical data…
+    val e2 = new Engine(spark, newOpts, clock)
+    assert(payloads(e2.get(10980L, 11010L, tag4)) === before)
+    // …from 2000-wide buckets (both old buckets folded into base 10000)
+    assert(e2.bucketsOnDisk() === Seq(10000L))
+    // and accepts new writes under the new layout
+    assert(e2.put(Seq(Point(11500L, tag4, pld(5)))) === Map("ok" -> 1L))
+    assert(payloads(e2.get(11500L, 11510L, tag4)) === Seq(pld(5).toSeq))
+    // invalid target duration (not a multiple of resolution) rejected up front
+    intercept[IllegalArgumentException](e2.rebucket(2505L))
+  }
+
   test("options validation mirrors dbase.go:71-73") {
     intercept[IllegalArgumentException](
       EngineOptions("x", "/tmp/x", 4, 4, bucketDuration = 1000L, resolution = 7L))

@@ -2584,6 +2584,81 @@ object KdbQueries extends QueryModule {
       GROUP BY island
       ORDER BY start_ns"""))
 
+  /** SAX motif discovery (Lin et al.: Symbolic Aggregate
+    * approXimation, the iSAX-index lineage): z-normalize each series,
+    * discretize every hourly value into a 4-letter alphabet at the
+    * standard Gaussian breakpoints (−0.67, 0, 0.67), pack each
+    * 6-hour window into a word, and surface the words that RECUR
+    * within the same series — repeated shapes ("ramp-up-then-drop")
+    * that raw-value matching can't see across level shifts. The z
+    * inputs are 6dp-quantized pre-discretization (the kdb_cusum_alarm
+    * determinism recipe), so the symbol strings are exact in both
+    * engines. Shapes: slot pre-agg → broadcast stats → one window
+    * pass per series for word assembly → word frequency rollup; the
+    * word space is grid-bounded. */
+  private val saxMotifs = QueryDef(
+    "kdb_sax_motifs",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val slots = ev(s, d)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(max(col("value")).as("v"))
+      val stats = slots.groupBy(col("event_type"))
+        .agg(avg(col("v")).as("mu"), stddev_pop(col("v")).as("sigma"))
+        .filter(col("sigma") > 0)
+      val z = round((col("v") - col("mu")) / col("sigma"), 6)
+      val sym = when(z < -0.67, "a").when(z < 0.0, "b").when(z < 0.67, "c").otherwise("d")
+      val w6 = Window.partitionBy(col("event_type"), col("w_start")).orderBy(col("slot_ns"))
+      val words = slots.join(broadcast(stats), Seq("event_type"))
+        .withColumn("sym", sym)
+        .withColumn("w_start", col("slot_ns") - col("slot_ns") % Res6h)
+        .withColumn("word",
+          concat_ws("", collect_list(col("sym"))
+            .over(w6.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))))
+        .withColumn("wlen", count(lit(1))
+          .over(Window.partitionBy(col("event_type"), col("w_start"))))
+        .filter(col("wlen") === 6)
+        .select(col("event_type"), col("w_start"), col("word")).distinct()
+      words.groupBy(col("event_type"), col("word"))
+        .agg(count(lit(1)).as("n_windows"),
+          min(col("w_start")).as("first_seen_ns"))
+        .filter(col("n_windows") >= 2)
+        .orderBy(col("event_type"), col("n_windows").desc, col("word"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT event_type,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               max(value) AS v
+        FROM events
+        GROUP BY 1, 2),
+      st AS (
+        SELECT event_type, avg(v) AS mu, stddev_pop(v) AS sigma
+        FROM h GROUP BY 1),
+      symed AS (
+        SELECT h.event_type, slot_ns,
+               slot_ns - slot_ns % ${Res6h} AS w_start,
+               CASE WHEN round((v - mu) / sigma, 6) < -0.67 THEN 'a'
+                    WHEN round((v - mu) / sigma, 6) < 0.0 THEN 'b'
+                    WHEN round((v - mu) / sigma, 6) < 0.67 THEN 'c'
+                    ELSE 'd' END AS sym
+        FROM h JOIN st USING (event_type)
+        WHERE sigma > 0),
+      words AS (
+        SELECT event_type, w_start,
+               string_agg(sym, '' ORDER BY slot_ns) AS word,
+               count(*) AS wlen
+        FROM symed
+        GROUP BY 1, 2)
+      SELECT event_type, word, count(*) AS n_windows,
+             min(w_start) AS first_seen_ns
+      FROM words
+      WHERE wlen = 6
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+      ORDER BY event_type, n_windows DESC, word"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
@@ -2593,5 +2668,5 @@ object KdbQueries extends QueryModule {
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
     locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest,
     theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing,
-    incidentIntervals)
+    incidentIntervals, saxMotifs)
 }

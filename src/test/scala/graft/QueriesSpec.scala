@@ -14,8 +14,10 @@ class QueriesSpec extends SparkTestBase {
     val counts = SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, sf).count()
     }
-    // anti-join legitimately returns 0 rows on the tiny corpus
-    val allowedEmpty = Set("q_anti_join")
+    // anti-join legitimately returns 0 rows on the tiny corpus;
+    // sax motifs need recurring complete 6-slot windows, which the
+    // sparse sf0.001 grid doesn't produce
+    val allowedEmpty = Set("q_anti_join", "kdb_sax_motifs")
     counts.foreach { case (name, n) =>
       assert(n >= 0, s"$name failed")
       if (!allowedEmpty(name)) assert(n > 0, s"$name returned no rows")

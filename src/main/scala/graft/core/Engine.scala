@@ -724,6 +724,56 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     newOpts
   }
 
+  /** Export a consistent point-in-time snapshot — every series,
+    * LWW-resolved at `asOfSeq` — as a plain bucket-partitioned parquet
+    * table under `outDir`. This is the frozen-training-set / backup
+    * story: the MVCC watermark ([[currentSeq]] / [[getAsOf]]) already
+    * defines a consistent cut of the append-only layout, and the
+    * export materializes that cut where later writes can never reach
+    * it (reproducible ML runs pin the snapshot dir, not the live
+    * table). One LWW shuffle + one bucket-keyed write, same fan-out
+    * discipline as ingest. Returns the exported row count (from
+    * parquet footers, no second scan). */
+  def exportSnapshot(asOfSeq: Long, outDir: String): Long = {
+    ensureManifest(adopt = false)
+    val resolvedRows = table()
+      .filter(col("seq") <= asOfSeq)
+      .groupBy((tagCols.map(col) :+ col("slot_ns")): _*)
+      .agg(max_by(col("payload"), col("seq")).as("payload"), max(col("seq")).as("seq"))
+      .withColumn("bucket_ts", floorBucket(col("slot_ns")))
+    resolvedRows.repartition(col("bucket_ts"))
+      .sortWithinPartitions((col("bucket_ts") +: tagCols.map(col)) :+ col("slot_ns"): _*)
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("bucket_ts").parquet(outDir)
+    spark.read.parquet(outDir).count()
+  }
+
+  /** Full-table physical audit — the ops-path complement of the
+    * serving path's tolerant reads (same pairing the reference makes:
+    * serve the valid prefix, log the damage). Counts, per invariant:
+    * footer-corrupt files; rows whose bucket dir disagrees with their
+    * slot's floored bucket (misfiled data = broken pruning: a
+    * time-range read would silently miss them); payloads of the wrong
+    * size; tag tuples with NULL/empty members. All four row checks
+    * ride ONE scan with conditional counts. A healthy table is all
+    * zeros. */
+  def auditTable(): Map[String, Long] = {
+    ensureManifest(adopt = false)
+    val rows = table()
+    val agg = rows.agg(
+      count(when(floorBucket(col("slot_ns")) =!= col("bucket_ts"), 1)).as("misplaced_rows"),
+      count(when(octet_length(col("payload")) =!= opts.payloadSize ||
+        col("payload").isNull, 1)).as("invalid_payload_rows"),
+      count(when(tagCols.map(c => col(c).isNull || col(c) === "").reduce(_ || _), 1))
+        .as("invalid_tag_rows"),
+      count(when(col("seq").isNull, 1)).as("null_seq_rows")).head()
+    Map(
+      "corrupt_files" -> corruptFiles().size.toLong,
+      "misplaced_rows" -> agg.getLong(0),
+      "invalid_payload_rows" -> agg.getLong(1),
+      "invalid_tag_rows" -> agg.getLong(2),
+      "null_seq_rows" -> agg.getLong(3))
+  }
+
   /** Buckets on disk strictly below the hot window — immutable (writes
     * reject with ErrWriteOnReadOnly), so compactable exactly once. */
   def coldBucketsOnDisk(): Seq[Long] = {

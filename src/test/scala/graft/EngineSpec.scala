@@ -522,6 +522,47 @@ class EngineSpec extends SparkTestBase {
     intercept[IllegalArgumentException](e2.rebucket(2505L))
   }
 
+  test("exportSnapshot freezes the MVCC cut: later writes never reach the export") {
+    val (e, _) = mkEngine()
+    e.put(Seq(Point(11000L, tag4, pld(1))))
+    val cut = e.currentSeq()
+    e.put(Seq(Point(11000L, tag4, pld(9)), Point(11010L, tag4, pld(5))))
+    val out = Files.createTempDirectory("graft-snap").toString + "/snap"
+    assert(e.exportSnapshot(cut, out) === 1L)
+    // the export holds the pre-cut value only
+    val snap = spark.read.parquet(out).collect()
+    assert(snap.length === 1)
+    assert(snap.head.getAs[Array[Byte]]("payload").toSeq === pld(1).toSeq)
+    // …while the live table moved on
+    assert(payloads(e.get(11000L, 11020L, tag4)) === Seq(pld(9).toSeq, pld(5).toSeq))
+    // a second export into the same dir must refuse, not clobber
+    intercept[Exception](e.exportSnapshot(cut, out))
+  }
+
+  test("auditTable: healthy table is all zeros; a misfiled row is counted") {
+    val dir = Files.createTempDirectory("graft-audit").toString
+    val clock = new TestClock(11999L)
+    val opts = EngineOptions("audb", dir, 4, 4, 1000L, 10L)
+    val e = new Engine(spark, opts, clock)
+    e.put(Seq(Point(10990L, tag4, pld(1)), Point(11000L, tag4, pld(2))))
+    assert(e.auditTable().forall(_._2 === 0L))
+
+    // misfile: copy bucket 10000's data file into a bucket_ts=11000 dir
+    // (partition value comes from the DIR, so its rows read as 11000)
+    import java.nio.file.{Files => JF, Paths}
+    import scala.jdk.CollectionConverters._
+    val table = Paths.get(dir, "audb")
+    val files = JF.walk(table).iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }.toList
+    val src = files.find(_.toString.contains("bucket_ts=10000")).get
+    val dstDir = src.getParent.getParent.resolve("bucket_ts=11000")
+    JF.createDirectories(dstDir)
+    JF.copy(src, dstDir.resolve("part-misfiled.parquet"))
+    assert(e.auditTable()("misplaced_rows") === 1L)
+  }
+
   test("options validation mirrors dbase.go:71-73") {
     intercept[IllegalArgumentException](
       EngineOptions("x", "/tmp/x", 4, 4, bucketDuration = 1000L, resolution = 7L))

@@ -81,5 +81,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_sq"),
       new ExpressionInfo(classOf[L2Sq].getName, "l2_sq"),
       (children: Seq[Expression]) => L2Sq(children(0), children(1))))
+    // Spark ships codegen'd bloom-filter expressions but only wires
+    // them into its internal runtime-filter rewrite — the SQL surface
+    // has no bloom_filter_agg/might_contain. Re-export them under
+    // graft_ names: the mergeable 8 KB filter that screens an arriving
+    // batch against a billion-row corpus WITHOUT shuffling the corpus
+    // is exactly the incremental-dedup primitive a 100 TB pipeline
+    // wants (build once, broadcast, exact-verify only the hits).
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
   }
 }

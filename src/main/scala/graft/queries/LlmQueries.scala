@@ -2362,6 +2362,72 @@ object LlmQueries extends QueryModule {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** Bloom-screened incremental dedup — the Spark-NATIVE scale path
+    * for "is this arriving document already in the corpus": build ONE
+    * mergeable 8 KB bloom filter over the corpus content hashes
+    * (graft_bloom_agg, Spark's codegen'd BloomFilterAggregate
+    * re-exported through GraftExtensions — Spark only wires it into
+    * its internal runtime-filter rewrite), broadcast it onto the
+    * arriving batch, and exact-verify only the hits. At 100 TB the
+    * filter replaces shuffling the batch against the corpus; the
+    * exact join runs on the flagged sliver. Gate is the property
+    * pattern (llm_similarity_ivf_trained precedent): the oracle
+    * reproduces the EXACT dup count and asserts the two bloom
+    * guarantees as constants — no false negatives (superset_ok) and
+    * a bounded false-positive rate (fp_ok; 8192 bits for ≤400 items
+    * ⇒ fpp ≪ the 10% bound) — while the filter's raw bits stay an
+    * implementation detail. */
+  private val bloomScreen = QueryDef(
+    "llm_dedup_bloom_screen",
+    (s, d) => {
+      // might_contain requires the filter side to be a constant or
+      // scalar subquery (it is planned as a one-row broadcast), so
+      // this op runs on the SQL surface — which also exercises the
+      // injected functions exactly the way a SQL-only user would.
+      documents(s, d).filter(col("doc_id") >= 100)
+        .createOrReplaceTempView("graft_bloom_corpus")
+      documents(s, d).filter(col("doc_id") < 100)
+        .createOrReplaceTempView("graft_bloom_batch")
+      // screen key = the 10-token prefix fingerprint the incremental
+      // dedup path (llm_dedup_incremental) keys on — full-text
+      // equality has no cross-slice dups in this corpus, the prefix
+      // fingerprint has real ones, so the no-false-negative guarantee
+      // is exercised non-vacuously
+      s.sql("""
+        WITH flags AS (
+          SELECT graft_might_contain(
+                   (SELECT graft_bloom_agg(
+                      xxhash64(array_join(slice(split(text, ' '), 1, 10), ' ')), 500L, 8192L)
+                    FROM graft_bloom_corpus),
+                   xxhash64(array_join(slice(split(b.text, ' '), 1, 10), ' '))) AS flagged,
+                 CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+          FROM graft_bloom_batch b
+          LEFT JOIN (SELECT DISTINCT md5(array_join(slice(split(text, ' '), 1, 10), ' ')) AS h
+                     FROM graft_bloom_corpus) c
+            ON md5(array_join(slice(split(b.text, ' '), 1, 10), ' ')) = c.h)
+        SELECT count(*) AS n_batch,
+               count(CASE WHEN is_dup = 1 THEN 1 END) AS n_true_dups,
+               CAST(count(CASE WHEN is_dup = 1 AND flagged THEN 1 END) =
+                    count(CASE WHEN is_dup = 1 THEN 1 END) AS INT) AS superset_ok,
+               CAST(count(CASE WHEN is_dup = 0 AND flagged THEN 1 END) <=
+                    0.1 * count(CASE WHEN is_dup = 0 THEN 1 END) + 1 AS INT) AS fp_ok
+        FROM flags""")
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT DISTINCT md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS h
+        FROM documents WHERE doc_id >= 100),
+      batch AS (
+        SELECT CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+        FROM (SELECT md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS h
+              FROM documents WHERE doc_id < 100) b
+        LEFT JOIN corpus c USING (h))
+      SELECT count(*) AS n_batch,
+             count(CASE WHEN is_dup = 1 THEN 1 END) AS n_true_dups,
+             1 AS superset_ok,
+             1 AS fp_ok
+      FROM batch"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
@@ -2372,5 +2438,5 @@ object LlmQueries extends QueryModule {
     multimodalFrames, embNormAudit, knnClassify, dedupReport, lengthBands,
     tokenEntropy, dsirSample, perplexityBuckets, winnowingFp, containment,
     int8Quantize, datasetCard, tokenizerFertility, codeDetect,
-    softDedupWeights, spanCorruption)
+    softDedupWeights, spanCorruption, bloomScreen)
 }

@@ -2428,6 +2428,68 @@ object LlmQueries extends QueryModule {
              1 AS fp_ok
       FROM batch"""))
 
+  /** Source-pair n-gram overlap matrix — corpus provenance: which
+    * sources copy from (or syndicate to) which, measured as shared
+    * distinct word-3-grams over the smaller side's vocabulary. The
+    * doc-level near-dup family can't see this (diffuse many-doc
+    * copying never makes a single doc pair similar). Same
+    * inverted-index discipline as every pairwise op here: pairs exist
+    * only where a shingle is shared; the per-source shingle sets are
+    * distinct-collapsed BEFORE the self-join so row volume is
+    * vocabulary-bounded, not token-bounded; source sizes broadcast
+    * back onto the ~|sources|² pair table. Integer counts, rounded
+    * ratio, ROUNDED-value ordering with id tiebreaks. */
+  private val sourceOverlap = QueryDef(
+    "llm_source_overlap",
+    (s, d) => {
+      val ex = documents(s, d)
+        .select(col("source"), col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .select(col("source"), col("doc_id"),
+          concat_ws(" ", col("tok"),
+            lead(col("tok"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))),
+            lead(col("tok"), 2).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+            .as("shingle"),
+          lead(col("tok"), 2).over(Window.partitionBy(col("doc_id")).orderBy(col("pos")))
+            .isNotNull.as("full3"))
+        .filter(col("full3"))
+        .select(col("source"), col("shingle")).distinct()
+      val sizes = ex.groupBy(col("source")).agg(count(lit(1)).as("nsh"))
+      ex.as("a").join(ex.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sizes.withColumnRenamed("source", "src_a").withColumnRenamed("nsh", "n_a")), "src_a")
+        .join(broadcast(sizes.withColumnRenamed("source", "src_b").withColumnRenamed("nsh", "n_b")), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          round(col("n_shared").cast("double") / least(col("n_a"), col("n_b")), 4)
+            .as("overlap"))
+        .orderBy(col("overlap").desc, col("src_a"), col("src_b"))
+        .limit(20)
+    },
+    Some("""
+      WITH docs AS (
+        SELECT source,
+               list_distinct(flatten(list(list_transform(
+                 generate_series(0, len(string_split(text, ' ')) - 3),
+                 i -> string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2] || ' ' ||
+                      string_split(text, ' ')[i+3])))) AS sh
+        FROM documents
+        GROUP BY source),
+      sizes AS (SELECT source, len(sh) AS nsh FROM docs),
+      ex AS (SELECT source, unnest(sh) AS s FROM docs),
+      pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        FROM ex a JOIN ex b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, n_shared,
+             round(CAST(n_shared AS DOUBLE) / least(s1.nsh, s2.nsh), 4) AS overlap
+      FROM pairs
+      JOIN sizes s1 ON s1.source = src_a
+      JOIN sizes s2 ON s2.source = src_b
+      ORDER BY overlap DESC, src_a, src_b
+      LIMIT 20"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
@@ -2438,5 +2500,5 @@ object LlmQueries extends QueryModule {
     multimodalFrames, embNormAudit, knnClassify, dedupReport, lengthBands,
     tokenEntropy, dsirSample, perplexityBuckets, winnowingFp, containment,
     int8Quantize, datasetCard, tokenizerFertility, codeDetect,
-    softDedupWeights, spanCorruption, bloomScreen)
+    softDedupWeights, spanCorruption, bloomScreen, sourceOverlap)
 }

@@ -2659,6 +2659,170 @@ object KdbQueries extends QueryModule {
       HAVING count(*) >= 2
       ORDER BY event_type, n_windows DESC, word"""))
 
+  /** One-pass OLS trend per series: slope/intercept/R² of the hourly
+    * slot values against hours-since-T0, via the co-moment regression
+    * aggregates (`regr_slope`/`regr_intercept`/`regr_r2`). This is the
+    * SCALE complement to kdb_theilsen_slope: Theil–Sen is exact-robust
+    * but materializes slots²/2 pairwise slopes (the bench's 3 s
+    * heavyweight); OLS folds the same evidence into five running sums —
+    * one partial-agg shuffle, no pair space, same cost at 100× the
+    * series count. x is an exact integer hour index cast to double, so
+    * only the final co-moment division carries float noise (rounded,
+    * −0.0 canonicalized). */
+  private val olsTrend = QueryDef(
+    "kdb_ols_trend",
+    (s, d) => {
+      ev(s, d)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(max(col("value")).as("v"))
+        .withColumn("x", expr(s"CAST((slot_ns - ${T0}) div ${Hour} AS DOUBLE)"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_slots"),
+          (round(expr("regr_slope(v, x)"), 6) + lit(0.0)).as("slope_per_hour"),
+          (round(expr("regr_intercept(v, x)"), 4) + lit(0.0)).as("intercept"),
+          (round(expr("regr_r2(v, x)"), 4) + lit(0.0)).as("r2"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT event_type,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               max(value) AS v
+        FROM events
+        GROUP BY 1, 2),
+      xs AS (
+        SELECT event_type, v,
+               CAST((slot_ns - ${T0}) // ${Hour} AS DOUBLE) AS x
+        FROM h)
+      SELECT event_type, count(*) AS n_slots,
+             round(regr_slope(v, x), 6) + 0.0 AS slope_per_hour,
+             round(regr_intercept(v, x), 4) + 0.0 AS intercept,
+             round(regr_r2(v, x), 4) + 0.0 AS r2
+      FROM xs
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** M4 visualization downsampling (Jugel et al., PVLDB 2014): per
+    * series × pixel-column time bucket, keep exactly the four points a
+    * pixel-perfect line plot needs — first, last, min, max — plus the
+    * bucket population. Pure single-shuffle partial aggregation
+    * (min/max/min_by/max_by all combine map-side), so a 100 TB series
+    * downsamples to (series × pixels) rows with no second pass and no
+    * window sort — this is why M4 beats the row_number-per-bucket
+    * formulation at scale. First/last tie-break on equal timestamps is
+    * made total by a zero-padded (ts_µs, event_id) string key (DuckDB's
+    * min_by cannot order by a struct, and both engines sort the padded
+    * decimal string identically); the key and the emitted endpoint
+    * times are µs-truncated because DuckDB reads parquet ns timestamps
+    * at µs — sub-µs ordering would diverge between engines. */
+  private val m4Downsample = QueryDef(
+    "kdb_m4_downsample",
+    (s, d) => {
+      val bucket = 6 * Hour
+      val ordKey = concat(lpad(expr("ts_ns div 1000").cast("string"), 20, "0"),
+        lpad(col("event_id").cast("string"), 20, "0"))
+      ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("bucket_ns", col("ts_ns") - col("ts_ns") % bucket)
+        .withColumn("k", ordKey)
+        .groupBy(col("event_type"), col("bucket_ns"))
+        .agg(count(lit(1)).as("n"),
+          (round(min(col("value")), 2) + lit(0.0)).as("v_min"),
+          (round(max(col("value")), 2) + lit(0.0)).as("v_max"),
+          (round(min_by(col("value"), col("k")), 2) + lit(0.0)).as("v_first"),
+          (round(max_by(col("value"), col("k")), 2) + lit(0.0)).as("v_last"),
+          min(expr("ts_ns div 1000")).as("t_first_us"),
+          max(expr("ts_ns div 1000")).as("t_last_us"))
+        .orderBy(col("event_type"), col("bucket_ns"))
+    },
+    Some(s"""
+      SELECT event_type,
+             epoch_ns(ts) - epoch_ns(ts) % ${6 * Hour} AS bucket_ns,
+             count(*) AS n,
+             round(min(value), 2) + 0.0 AS v_min,
+             round(max(value), 2) + 0.0 AS v_max,
+             round(min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+                                 lpad(CAST(event_id AS VARCHAR), 20, '0')), 2) + 0.0 AS v_first,
+             round(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+                                 lpad(CAST(event_id AS VARCHAR), 20, '0')), 2) + 0.0 AS v_last,
+             min(epoch_us(ts)) AS t_first_us,
+             max(epoch_us(ts)) AS t_last_us
+      FROM events
+      WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+      GROUP BY 1, 2
+      ORDER BY event_type, bucket_ns"""))
+
+  /** Benford first-digit audit: the leading-significant-digit
+    * distribution of metric values per series vs Benford's law
+    * (p_d = log10(1+1/d)), with the χ² goodness-of-fit statistic — the
+    * standard screen for fabricated or unit-mangled telemetry. Digit
+    * extraction is EXACT cross-engine: restrict to value ≥ 1 and read
+    * the first character of the integer part's decimal string (floor →
+    * BIGINT → VARCHAR is bit-identical in both engines, unlike
+    * floor(log10(v)) which can straddle a ulp at powers of ten). One
+    * counting shuffle over the data; the 9-digit dense grid, expected
+    * masses, and χ² fold are per-series constant-size postscripts. */
+  private val benford = QueryDef(
+    "kdb_benford_audit",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = ev(s, d)
+        .filter(col("value") >= 1)
+        .withColumn("digit",
+          substring(floor(col("value")).cast("long").cast("string"), 1, 1).cast("int"))
+        .groupBy(col("event_type"), col("digit"))
+        .agg(count(lit(1)).as("n"))
+      val digits = s.range(1, 10).select(col("id").cast("int").as("digit"))
+      val types = counts.select(col("event_type")).distinct()
+      val w = Window.partitionBy(col("event_type"))
+      types.crossJoin(broadcast(digits))
+        .join(counts, Seq("event_type", "digit"), "left_outer")
+        .select(col("event_type"), col("digit"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .withColumn("n_tot", sum(col("n")).over(w))
+        .withColumn("exp_p", log(10.0, lit(1.0) + lit(1.0) / col("digit")))
+        .withColumn("chi2_part",
+          pow(col("n").cast("double") - col("n_tot") * col("exp_p"), 2) /
+            (col("n_tot") * col("exp_p")))
+        .select(col("event_type"), col("digit"), col("n"), col("n_tot"),
+          (round(col("n").cast("double") / col("n_tot"), 4) + lit(0.0)).as("obs_p"),
+          (round(col("exp_p"), 4) + lit(0.0)).as("exp_p"),
+          (round(sum(col("chi2_part")).over(w), 4) + lit(0.0)).as("chi2"))
+        .withColumn("suspect", (col("chi2") > 15.51).cast("int"))
+        .orderBy(col("event_type"), col("digit"))
+    },
+    Some(s"""
+      WITH counts AS (
+        SELECT event_type,
+               CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+               count(*) AS n
+        FROM events
+        WHERE value >= 1
+        GROUP BY 1, 2),
+      grid AS (
+        SELECT t.event_type, g.digit, coalesce(c.n, 0) AS n
+        FROM (SELECT DISTINCT event_type FROM counts) t
+        CROSS JOIN range(1, 10) g(digit)
+        LEFT JOIN counts c ON c.event_type = t.event_type AND c.digit = g.digit),
+      stats AS (
+        SELECT event_type, digit, n,
+               CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_tot,
+               log10(1.0 + 1.0 / digit) AS exp_p_raw
+        FROM grid),
+      chi AS (
+        SELECT event_type, digit, n, n_tot, exp_p_raw,
+               pow(CAST(n AS DOUBLE) - n_tot * exp_p_raw, 2) / (n_tot * exp_p_raw) AS chi2_part
+        FROM stats)
+      SELECT event_type, CAST(digit AS INT) AS digit, n, n_tot,
+             round(CAST(n AS DOUBLE) / n_tot, 4) + 0.0 AS obs_p,
+             round(exp_p_raw, 4) + 0.0 AS exp_p,
+             round(sum(chi2_part) OVER (PARTITION BY event_type), 4) + 0.0 AS chi2,
+             CASE WHEN round(sum(chi2_part) OVER (PARTITION BY event_type), 4) + 0.0 > 15.51
+                  THEN 1 ELSE 0 END AS suspect
+      FROM chi
+      ORDER BY event_type, digit"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
@@ -2668,5 +2832,5 @@ object KdbQueries extends QueryModule {
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
     locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest,
     theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing,
-    incidentIntervals, saxMotifs)
+    incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford)
 }

@@ -2490,6 +2490,141 @@ object LlmQueries extends QueryModule {
       ORDER BY overlap DESC, src_a, src_b
       LIMIT 20"""))
 
+  /** BM25 ranked retrieval (Robertson–Spärck Jones, k1=1.2 b=0.75,
+    * Lucene's +1 idf floor) for a fixed query over the corpus — the
+    * lexical-search sibling of the embedding similarity family. Scale
+    * shape: the term set is a broadcast-able constant, so the postings
+    * build filters AT THE TOKENIZER (only query-term hits survive the
+    * explode), document length rides along with each posting (no
+    * corpus-sized side join), df and the corpus stats are tiny
+    * broadcast aggregates, and the final per-doc fold touches ≤|terms|
+    * rows per doc. Only matching docs ever shuffle. */
+  private val bm25Search = QueryDef(
+    "llm_bm25_search",
+    (s, d) => {
+      val terms = Seq("dup", "vector", "query")
+      val postings = documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).as("dl"),
+          explode(tokens(col("text"))).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      val dfreq = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val stats = documents(s, d)
+        .select(size(tokens(col("text"))).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      postings
+        .join(broadcast(dfreq), Seq("tok"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+        .withColumn("w",
+          col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy(col("doc_id"))
+        .agg((round(sum(col("w")), 4) + lit(0.0)).as("score"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH dl AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      postings AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM toks WHERE tok IN ('dup', 'vector', 'query')
+        GROUP BY 1, 2),
+      dfreq AS (SELECT tok, count(*) AS df FROM postings GROUP BY 1),
+      scored AS (
+        SELECT p.doc_id,
+               ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) *
+               (p.tf * 2.2) /
+               (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS w
+        FROM postings p
+        JOIN dfreq f USING (tok)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN stats s)
+      SELECT doc_id, round(sum(w), 4) + 0.0 AS score, count(*) AS n_terms
+      FROM scored
+      GROUP BY doc_id
+      ORDER BY score DESC, doc_id
+      LIMIT 20"""))
+
+  /** Deterministic ±1 sign for the random-projection matrix cell
+    * (i, j): a splitmix-style avalanche over the cell coordinates. The
+    * matrix is a COMPILE-TIME constant — the same literal signs are
+    * baked into both the Spark plan and the DuckDB oracle, so no
+    * cross-engine hash agreement is needed. */
+  private def rpSign(i: Int, j: Int): Double = {
+    val m = ((i.toLong * 73856093L) ^ (j.toLong * 19349663L)) * 0x9E3779B97F4A7C15L
+    if (((m >>> 33) & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas ±1 variant):
+    * 64-dim float embeddings down to 8 dims via a fixed sign matrix,
+    * plus the per-row norm-preservation ratio ‖Pe‖/√k ÷ ‖e‖ that JL
+    * says concentrates near 1. Pure narrow per-row map — zero
+    * shuffles, codegen'd higher-order functions, and at 100 TB it's
+    * the cheap front half of every LSH/ANN pipeline (project first,
+    * bucket the 8-dim result). Every fold is a strict left fold with a
+    * double accumulator (Spark `aggregate` ≡ DuckDB `list_reduce` with
+    * explicit casts) so the unrounded doubles are bit-identical; the
+    * norm ratio is computed from the ROUNDED projections in both
+    * engines so it inherits that determinism. */
+  private val randomProjection = QueryDef(
+    "llm_random_projection",
+    (s, d) => {
+      val (inDim, outDim) = (64, 8)
+      def foldExpr(i: Int): String = {
+        val signs = (0 until inDim).map(j => s"${rpSign(i, j)}D").mkString(", ")
+        s"aggregate(zip_with(embedding, array($signs), (x, sg) -> CAST(x AS DOUBLE) * sg), 0D, (acc, v) -> acc + v)"
+      }
+      val raw = embeddings(s, d).select(
+        col("vec_id") +:
+          (0 until outDim).map(i => expr(foldExpr(i)).as(s"raw$i")) :+
+          expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("n2"): _*)
+      val rounded = raw.select(
+        col("vec_id") +:
+          (0 until outDim).map(i => (round(col(s"raw$i"), 4) + lit(0.0)).as(s"p$i")) :+
+          col("n2"): _*)
+      val projNorm2 = (0 until outDim).map(i => col(s"p$i") * col(s"p$i")).reduce(_ + _)
+      rounded
+        .withColumn("norm_ratio",
+          when(col("n2") > 0,
+            round(sqrt(projNorm2 / lit(outDim.toDouble)) / sqrt(col("n2")), 4) + lit(0.0)))
+        .drop("n2")
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      val (inDim, outDim) = (64, 8)
+      def dkProj(i: Int): String = {
+        val signs = (0 until inDim).map(j => rpSign(i, j).toString).mkString(", ")
+        s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(generate_series(1, $inDim), j -> CAST(embedding[j] AS DOUBLE) * ([$signs])[j]), (acc, v) -> acc + v)"
+      }
+      val projCols = (0 until outDim).map(i => s"${dkProj(i)} AS raw$i").mkString(",\n               ")
+      val roundCols = (0 until outDim).map(i => s"round(raw$i, 4) + 0.0 AS p$i").mkString(",\n               ")
+      val normSum = (0 until outDim).map(i => s"p$i * p$i").mkString(" + ")
+      s"""
+      WITH raw AS (
+        SELECT vec_id,
+               $projCols,
+               list_reduce([CAST(0 AS DOUBLE)] || list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v) AS n2
+        FROM embeddings),
+      rounded AS (
+        SELECT vec_id,
+               $roundCols,
+               n2
+        FROM raw)
+      SELECT vec_id, ${(0 until outDim).map(i => s"p$i").mkString(", ")},
+             CASE WHEN n2 > 0
+                  THEN round(sqrt(($normSum) / $outDim.0) / sqrt(n2), 4) + 0.0 END AS norm_ratio
+      FROM rounded
+      ORDER BY vec_id"""
+    })
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
@@ -2500,5 +2635,6 @@ object LlmQueries extends QueryModule {
     multimodalFrames, embNormAudit, knnClassify, dedupReport, lengthBands,
     tokenEntropy, dsirSample, perplexityBuckets, winnowingFp, containment,
     int8Quantize, datasetCard, tokenizerFertility, codeDetect,
-    softDedupWeights, spanCorruption, bloomScreen, sourceOverlap)
+    softDedupWeights, spanCorruption, bloomScreen, sourceOverlap,
+    bm25Search, randomProjection)
 }

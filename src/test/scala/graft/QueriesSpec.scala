@@ -137,11 +137,14 @@ class QueriesSpec extends SparkTestBase {
     // llm_dsir_sample / llm_perplexity_buckets: 1-row scalar totals
     // (feature counts, vocab size) ride broadcast cross joins exactly
     // like llm_lm_score's.
+    // kdb_benford_audit: distinct types × 9-digit grid densification.
+    // llm_bm25_search: 1-row (N, avgdl) corpus stats broadcast.
     val nestedLoopOk = Set("kdb_find_wildcard", "kdb_rolling_avg",
       "llm_similarity_topk", "llm_similarity_ivf", "llm_tfidf_top_terms",
       "kdb_locf_fill", "kdb_rolling_median", "llm_lm_score", "kdb_corr_matrix",
       "llm_knn_classify", "q_cdc_merge_apply", "llm_similarity_ivf_trained",
-      "llm_dsir_sample", "llm_perplexity_buckets", "llm_tokenizer_fertility")
+      "llm_dsir_sample", "llm_perplexity_buckets", "llm_tokenizer_fertility",
+      "kdb_benford_audit", "llm_bm25_search")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
@@ -317,5 +320,40 @@ class QueriesSpec extends SparkTestBase {
     check(plan)
     assert(plan.toString.toLowerCase.contains("topkagg"),
       "expected the k-bounded TopKAgg in the plan")
+  }
+
+  test("kdb_m4_downsample is one partial-agg shuffle (M4's whole point)") {
+    val plan = SparkEntry.queries("kdb_m4_downsample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1, s"expected a single agg shuffle, found $hashExchanges")
+    assert(plan.contains("partial_min_by"),
+      "first/last must combine map-side (min_by partial agg), not via a window sort")
+  }
+
+  test("kdb_ols_trend never materializes a pair space (joins are Theil-Sen's cost)") {
+    val plan = SparkEntry.queries("kdb_ols_trend")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      "OLS is co-moment folds over one pass; any join means the pair space came back")
+    assert(plan.contains("partial_regr_") || plan.contains("partial_"),
+      "regression moments must combine map-side")
+  }
+
+  test("llm_random_projection stays narrow (no hash shuffle: per-row map only)") {
+    val plan = SparkEntry.queries("llm_random_projection")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "projection is per-row; a hash shuffle means the 64-dim vectors went on the wire")
+  }
+
+  test("llm_bm25_search joins only by broadcast (postings carry dl; stats are tiny)") {
+    val plan = SparkEntry.queries("llm_bm25_search")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "df and corpus stats are broadcast-sized; a shuffle join shuffles the postings twice")
+    assert(plan.contains("BroadcastExchange"),
+      "expected broadcast of the df / corpus-stats sides")
   }
 }

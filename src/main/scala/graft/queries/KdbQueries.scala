@@ -2823,6 +2823,88 @@ object KdbQueries extends QueryModule {
       FROM chi
       ORDER BY event_type, digit"""))
 
+  /** Autocorrelation function (ACF) at lags 1..6h per series — the
+    * primitive behind period detection and "is this series
+    * self-similar" checks (kdb_seasonality asserts a 24h period; ACF
+    * measures whatever period is there). Same exact-integer discipline
+    * as kdb_lead_lag_corr: hourly counts are ints, so every Σ, Σ², Σxy
+    * is an exact BIGINT in both engines and only the final Pearson
+    * division sees a double (rounded). The lagged self-join runs on
+    * the aggregated (types × slots) grid — grid-bounded, never
+    * data-sized — and the slot domain is clamped to [T0, T1−6h) so
+    * every lag correlates the same N pairs. */
+  private val acf = QueryDef(
+    "kdb_acf",
+    (s, d) => {
+      val counts = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(count(lit(1)).as("n"))
+      val types = counts.select(col("event_type")).distinct()
+      val grid = s.range((T1 - T0) / Hour)
+        .select((lit(T0) + col("id") * Hour).as("slot_ns"))
+      val dense = types.crossJoin(broadcast(grid))
+        .join(counts, Seq("event_type", "slot_ns"), "left_outer")
+        .select(col("event_type"), col("slot_ns"),
+          coalesce(col("n"), lit(0L)).as("v"))
+      val base = dense.filter(col("slot_ns") < T1 - 6 * Hour)
+        .select(col("event_type"), col("slot_ns"), col("v").as("x"),
+          explode(sequence(lit(1L), lit(6L))).as("lag"))
+      val lagged = dense.select(col("event_type").as("y_type"),
+        col("slot_ns").as("y_slot"), col("v").as("y"))
+      val sums = base.join(lagged,
+          col("event_type") === col("y_type") &&
+            col("y_slot") === col("slot_ns") + col("lag") * Hour)
+        .groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val den = sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double") *
+        (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double"))
+      sums.select(col("event_type"), col("lag"), col("n_pairs"),
+          when(den > 0,
+            round((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") / den, 4)
+              + lit(0.0)).as("acf"))
+        .orderBy(col("event_type"), col("lag"))
+    },
+    Some(s"""
+      WITH counts AS (
+        SELECT event_type, epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               count(*) AS n
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1, 2),
+      types AS (SELECT DISTINCT event_type FROM counts),
+      dense AS (
+        SELECT t.event_type, g.slot_ns, coalesce(c.n, 0) AS v
+        FROM types t
+        CROSS JOIN range(${T0}, ${T1}, ${Hour}) g(slot_ns)
+        LEFT JOIN counts c ON c.event_type = t.event_type AND c.slot_ns = g.slot_ns),
+      sums AS (
+        SELECT b.event_type, l.lag, count(*) AS n_pairs,
+               CAST(sum(b.v) AS BIGINT) AS sx,
+               CAST(sum(p.v) AS BIGINT) AS sy,
+               CAST(sum(b.v * p.v) AS BIGINT) AS sxy,
+               CAST(sum(b.v * b.v) AS BIGINT) AS sxx,
+               CAST(sum(p.v * p.v) AS BIGINT) AS syy
+        FROM range(1, 7) l(lag)
+        JOIN dense b ON b.slot_ns < ${T1 - 6 * Hour}
+        JOIN dense p ON p.event_type = b.event_type
+                    AND p.slot_ns = b.slot_ns + l.lag * ${Hour}
+        GROUP BY 1, 2)
+      SELECT event_type, lag, n_pairs,
+             CASE WHEN sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE) *
+                            CAST(n_pairs * syy - sy * sy AS DOUBLE)) > 0
+                  THEN round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+                             sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE) *
+                                  CAST(n_pairs * syy - sy * sy AS DOUBLE)), 4) + 0.0
+             END AS acf
+      FROM sums
+      ORDER BY event_type, lag"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
@@ -2832,5 +2914,5 @@ object KdbQueries extends QueryModule {
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
     locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest,
     theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing,
-    incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford)
+    incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf)
 }

@@ -2625,6 +2625,35 @@ object LlmQueries extends QueryModule {
       ORDER BY vec_id"""
     })
 
+  /** k-anonymity audit over quasi-identifiers (k=5): group the corpus
+    * by the attribute tuple an adversary could join on — (lang,
+    * source, 100-char length band) — and flag every group smaller
+    * than k, whose documents are re-identifiable from metadata alone.
+    * The release-risk complement of llm_pii_scrub (which handles
+    * direct identifiers IN the text, not identifying combinations OF
+    * attributes). One partial-agg shuffle on the QI tuple; the audit
+    * table is bounded by the attribute-domain product, not the corpus,
+    * so it stays tiny at 100 TB. */
+  private val kanonAudit = QueryDef(
+    "llm_kanon_audit",
+    (s, d) => {
+      documents(s, d)
+        .withColumn("len_band", expr("n_chars div 100"))
+        .groupBy(col("lang"), col("source"), col("len_band"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("sample_doc"))
+        .withColumn("risky", (col("n_docs") < 5).cast("int"))
+        .orderBy(col("lang"), col("source"), col("len_band"))
+    },
+    Some("""
+      SELECT lang, source, n_chars // 100 AS len_band,
+             count(*) AS n_docs,
+             min(doc_id) AS sample_doc,
+             CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS risky
+      FROM documents
+      GROUP BY 1, 2, 3
+      ORDER BY lang, source, len_band"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
@@ -2636,5 +2665,5 @@ object LlmQueries extends QueryModule {
     tokenEntropy, dsirSample, perplexityBuckets, winnowingFp, containment,
     int8Quantize, datasetCard, tokenizerFertility, codeDetect,
     softDedupWeights, spanCorruption, bloomScreen, sourceOverlap,
-    bm25Search, randomProjection)
+    bm25Search, randomProjection, kanonAudit)
 }

@@ -2654,6 +2654,80 @@ object LlmQueries extends QueryModule {
       GROUP BY 1, 2, 3
       ORDER BY lang, source, len_band"""))
 
+  /** Dedup-quality evaluation: recall/precision of the MinHash-LSH
+    * candidate generator against exact n-gram-Jaccard ground truth
+    * (pairs at J ≥ 0.7) on a bounded doc subset — the harness that
+    * answers "is 4 bands × 2 rows enough?" before a 100 TB run, where
+    * re-sharding signatures costs a full pass. Both sides reuse the
+    * production machinery (lshPairs, the inverted shingle join); the
+    * eval overlay is a full-outer join of two already-bounded pair
+    * tables plus a one-row rollup. The J ≥ 0.7 threshold compares the
+    * RAW double — one IEEE division of exact integer counts, identical
+    * in both engines, so no rounding is needed at the cut. */
+  private val dedupEval = QueryDef(
+    "llm_dedup_eval",
+    (s, d) => {
+      val pred = col("doc_id") < 400
+      val ex = shingleRows(s, d, pred).distinct()
+      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val truth = ex.as("a").join(ex.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("nsh", "n1")), "d1")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("nsh", "n2")), "d2")
+        .filter(col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")) >= 0.5)
+        .select(col("d1"), col("d2"), lit(true).as("in_t"))
+      val cand = lshPairs(s, d, pred)
+        .select(col("d1"), col("d2"), lit(true).as("in_c"))
+      truth.join(cand, Seq("d1", "d2"), "full_outer")
+        .agg(count(when(col("in_t"), 1)).as("n_truth"),
+          count(when(col("in_c"), 1)).as("n_cand"),
+          count(when(col("in_t") && col("in_c"), 1)).as("n_hit"))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          when(col("n_truth") > 0,
+            round(col("n_hit") / col("n_truth"), 4)).as("recall"),
+          when(col("n_cand") > 0,
+            round(col("n_hit") / col("n_cand"), 4)).as("prec"))
+    },
+    Some(s"""
+      WITH ${dkMinhashCteWhere("WHERE doc_id < 400")},
+      ${dkLshPairsCtes},
+      jd AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(0, len(string_split(text, ' ')) - 3),
+                 i -> string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2] || ' ' ||
+                      string_split(text, ' ')[i+3])) AS sh
+        FROM documents WHERE doc_id < 400),
+      jsizes AS (SELECT doc_id, len(sh) AS nsh FROM jd),
+      jex AS (SELECT doc_id, unnest(sh) AS sstr FROM jd),
+      jinter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+        FROM jex a JOIN jex b ON a.sstr = b.sstr AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth AS (
+        SELECT d1, d2 FROM jinter
+        JOIN jsizes s1 ON s1.doc_id = d1
+        JOIN jsizes s2 ON s2.doc_id = d2
+        WHERE CAST(n_inter AS DOUBLE) / (s1.nsh + s2.nsh - n_inter) >= 0.5),
+      m AS (
+        SELECT t.d1 IS NOT NULL AS in_t, c.d1 IS NOT NULL AS in_c
+        FROM truth t FULL OUTER JOIN lsh_pairs c
+          ON t.d1 = c.d1 AND t.d2 = c.d2)
+      SELECT count(CASE WHEN in_t THEN 1 END) AS n_truth,
+             count(CASE WHEN in_c THEN 1 END) AS n_cand,
+             count(CASE WHEN in_t AND in_c THEN 1 END) AS n_hit,
+             CASE WHEN count(CASE WHEN in_t THEN 1 END) > 0
+                  THEN round(CAST(count(CASE WHEN in_t AND in_c THEN 1 END) AS DOUBLE) /
+                             count(CASE WHEN in_t THEN 1 END), 4) END AS recall,
+             CASE WHEN count(CASE WHEN in_c THEN 1 END) > 0
+                  THEN round(CAST(count(CASE WHEN in_t AND in_c THEN 1 END) AS DOUBLE) /
+                             count(CASE WHEN in_c THEN 1 END), 4) END AS prec
+      FROM m"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
@@ -2665,5 +2739,5 @@ object LlmQueries extends QueryModule {
     tokenEntropy, dsirSample, perplexityBuckets, winnowingFp, containment,
     int8Quantize, datasetCard, tokenizerFertility, codeDetect,
     softDedupWeights, spanCorruption, bloomScreen, sourceOverlap,
-    bm25Search, randomProjection, kanonAudit)
+    bm25Search, randomProjection, kanonAudit, dedupEval)
 }

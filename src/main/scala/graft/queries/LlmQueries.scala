@@ -2728,6 +2728,74 @@ object LlmQueries extends QueryModule {
                              count(CASE WHEN in_c THEN 1 END), 4) END AS prec
       FROM m"""))
 
+  /** PageRank centrality over the near-dup similarity graph (5 power
+    * iterations, damping 0.85, undirected LSH-pair edges) — picks the
+    * most-connected representative inside each duplicate
+    * neighbourhood, the graph-analytics sibling of the
+    * pointer-jumping connected components in graft.operators.Dedup.
+    * Scale shape: the graph is the (already candidate-bounded) LSH
+    * pair set, never the corpus; each iteration is one groupBy on the
+    * edge list; lineage is truncated per iteration (localCheckpoint —
+    * the Dedup.scala lesson) so 5 rounds don't stack a quadratic
+    * plan. Cross-engine determinism: neighbour sums are
+    * order-dependent doubles, so each iteration quantizes to 10dp in
+    * BOTH engines (absorbing ~1e-16 summation noise) and the oracle
+    * unrolls the 5 iterations as chained GROUP BY CTEs (recursive
+    * terms can't aggregate in standard SQL). The one driver action is
+    * a single node count for the teleport constant — bounded, like
+    * Ivf's k-row collect. */
+  private val pagerank = QueryDef(
+    "llm_pagerank_centrality",
+    (s, d) => {
+      val pairs = lshPairs(s, d)
+      val edges = pairs.select(col("d1").as("u"), col("d2").as("v"))
+        .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
+        .localCheckpoint(true)
+      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val adj = edges.join(deg, "u")
+      val n = edges.select(col("u")).distinct().count()
+      var rank = edges.select(col("u").as("node")).distinct()
+        .withColumn("r", lit(1.0 / n))
+      for (_ <- 1 to 5) {
+        rank = adj.join(rank, col("u") === col("node"))
+          .groupBy(col("v"))
+          .agg(sum(col("r") / col("deg")).as("m"))
+          .select(col("v").as("node"),
+            round(lit(0.15 / n) + lit(0.85) * col("m"), 10).as("r"))
+          .localCheckpoint(true)
+      }
+      rank.select(col("node"), (round(col("r"), 6) + lit(0.0)).as("pr"))
+        .orderBy(col("pr").desc, col("node"))
+    },
+    Some {
+      val iters = (1 to 5).map { k =>
+        s"""pr$k AS (
+        SELECT e.v AS node,
+               round(0.15 / nc.c + 0.85 * sum(p.r / d.deg), 10) AS r
+        FROM pr${k - 1} p
+        JOIN edges e ON e.u = p.node
+        JOIN deg d ON d.u = p.node
+        CROSS JOIN ncnt nc
+        GROUP BY e.v, nc.c)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH ${dkMinhashCte},
+      ${dkLshPairsCtes},
+      edges AS (
+        SELECT d1 AS u, d2 AS v FROM lsh_pairs
+        UNION ALL
+        SELECT d2 AS u, d1 AS v FROM lsh_pairs),
+      deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+      ncnt AS (SELECT count(DISTINCT u) AS c FROM edges),
+      pr0 AS (
+        SELECT DISTINCT u AS node, 1.0 / nc.c AS r
+        FROM edges CROSS JOIN ncnt nc),
+      $iters
+      SELECT node, round(r, 6) + 0.0 AS pr
+      FROM pr5
+      ORDER BY pr DESC, node"""
+    })
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
@@ -2739,5 +2807,5 @@ object LlmQueries extends QueryModule {
     tokenEntropy, dsirSample, perplexityBuckets, winnowingFp, containment,
     int8Quantize, datasetCard, tokenizerFertility, codeDetect,
     softDedupWeights, spanCorruption, bloomScreen, sourceOverlap,
-    bm25Search, randomProjection, kanonAudit, dedupEval)
+    bm25Search, randomProjection, kanonAudit, dedupEval, pagerank)
 }

@@ -2905,6 +2905,56 @@ object KdbQueries extends QueryModule {
       FROM sums
       ORDER BY event_type, lag"""))
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next event type | current event type) from observed
+    * consecutive pairs — the next-event-prediction baseline and the
+    * "what do users do after X" product question in one table. Order
+    * within a user is (µs timestamp, event_id): the event_id
+    * tie-break makes the sequence deterministic, and ordering at µs
+    * (not raw ns) keeps both engines' sort keys identical under
+    * DuckDB's ns→µs timestamp truncation. Scale shape: ONE window
+    * shuffle on user_id (sequences are per-user, so the partition key
+    * is the natural one and never skew-concentrates), then a
+    * partial-agg count to a |types|² table; the row-conditional
+    * probability is a window over that tiny aggregate, not the raw
+    * events. */
+  private val eventTransitions = QueryDef(
+    "kdb_event_transitions",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val seqW = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val c = ev(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(seqW))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      val rowW = Window.partitionBy(col("from_type"))
+      c.select(col("from_type"), col("to_type"), col("n_trans"),
+          (round(col("n_trans").cast("double") /
+            sum(col("n_trans")).over(rowW).cast("double"), 4) + lit(0.0)).as("p_trans"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events),
+      c AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               count(*) AS n_trans
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2)
+      SELECT from_type, to_type, n_trans,
+             round(CAST(n_trans AS DOUBLE) /
+                   CAST(sum(n_trans) OVER (PARTITION BY from_type) AS DOUBLE),
+                   4) + 0.0 AS p_trans
+      FROM c
+      ORDER BY from_type, to_type"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
@@ -2914,5 +2964,6 @@ object KdbQueries extends QueryModule {
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
     locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest,
     theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing,
-    incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf)
+    incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf,
+    eventTransitions)
 }

@@ -108,8 +108,16 @@ object Bench {
       lastPassSec = elapsed - passStart
       done += 1
     }
-    if (done < passes)
+    // A budget stop must be self-describing IN THE JSON, not just on
+    // stderr: r6's driver run stopped after 1/3 passes but reported
+    // "passes":3, so consumers believed medians-of-3 that were single
+    // samples. Emit configured vs done separately, plus an explicit
+    // budget_stopped flag.
+    val budgetStopped = done < passes
+    if (budgetStopped)
       System.err.println(s"[bench] budget ${budgetSec}s: stopped after $done/$passes passes")
+    val passMeta =
+      s""""passes_configured":$passes,"passes_done":$done,"budget_stopped":$budgetStopped"""
     val results: Seq[(String, Seq[Double])] =
       sorted.map { case (name, _) => name -> samplesByQuery(name) }
     val medians = results.map { case (k, v) =>
@@ -119,7 +127,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = r3(medians.collect { case (_, v) if v >= 0 => v }.sum)
     val line =
-      s"""{"metric":"total_median","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_median","value":$total,"unit":"sec",$passMeta,"queries":$qs,"sf":"$sfDir"}"""
     // full record (every sample, not just the median) → file: stdout
     // tails truncate, this is the adjudicable artifact
     val samplesJson = results.map { case (k, v) =>
@@ -127,7 +135,7 @@ object Bench {
         ",\"samples\":" + v.map(r3).mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
     val fileJson =
-      s"""{"metric":"total_median","value":$total,"unit":"sec","passes":$passes,"cpus":$cpus,"sf":"$sfDir","queries":$samplesJson}"""
+      s"""{"metric":"total_median","value":$total,"unit":"sec",$passMeta,"cpus":$cpus,"sf":"$sfDir","queries":$samplesJson}"""
     try Files.writeString(Paths.get(outPath), fileJson)
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
@@ -137,7 +145,7 @@ object Bench {
     // line above can lose its head to truncation (r5: parsed=null),
     // so always end with a short line that survives any tail window
     // and points at the complete artifact
-    println(s"""{"metric":"total_median","value":$total,"unit":"sec","passes":$passes,"n_queries":${medians.size},"queries_file":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total_median","value":$total,"unit":"sec",$passMeta,"n_queries":${medians.size},"queries_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,10 +17,18 @@ import org.apache.spark.sql.functions._
   * k× while per-group size stays constant — "more users in the same
   * time window", the organic growth shape. Timestamps are untouched,
   * so the kdb time-range filters stay meaningful (ingest density
-  * grows k×). Pairwise dedup queries are deliberately OUT of scope
-  * here: replicated corpora are duplicate-saturated, which measures
-  * the dedup worst case, not growth — that path is pinned separately
-  * by ScaleSmokeSpec's 20× replica test.
+  * grows k×).
+  *
+  * Text growth model: document replicas get every token TAGGED with
+  * the replica index (replica 0 keeps the original text), so replica
+  * shingle spaces are disjoint. Without this, exact replication
+  * saturates the corpus with duplicates and any LSH/pair query
+  * measures the dedup WORST CASE (~k² bucket pairs), not growth;
+  * with it, near-dup structure replicates k× — organic corpus
+  * growth — which is what lets the pair-based queries (pagerank,
+  * dedup_eval) sit on this curve at all. The duplicate-saturated
+  * worst case stays pinned separately by ScaleSmokeSpec's 20×
+  * replica test.
   *
   * Usage: SPARK_GRAFT_SF_DIR (base, default sf0.1),
   * SPARK_GRAFT_SCALE_FACTORS (default "1,5,20"),
@@ -35,15 +43,22 @@ object ScaleBench {
   private val Shift = 1000000000L
 
   /** Heaviest relational/TSDB queries by warmed sf0.1 medians
-    * (BENCH_FULL.json, r6): the top of the bench excluding the
-    * pairwise-dedup family (dup-saturated under replication — covered
-    * by ScaleSmokeSpec) and the streaming twins (per-run streaming
-    * setup dominates). */
+    * (BENCH_FULL.json, r6): the top of the bench, excluding the
+    * streaming twins (per-run streaming setup dominates). The r6-close
+    * additions ride the curve too: kdb_acf / kdb_benford_audit (grid
+    * self-joins), llm_bm25_search (postings growth), and — thanks to
+    * the token-tagged text model — llm_pagerank_centrality (pair
+    * graph grows k×, lineage-truncated iterations) and llm_dedup_eval
+    * (doc_id < 400 pre-flight bound: its cost must stay FLAT as the
+    * corpus grows — a ~0 exponent is that query's pass condition,
+    * pinned by design, not a measurement artifact). */
   private val DefaultQueries = Seq(
     "kdb_heavy_hitters", "kdb_asof_join", "q_percentile",
     "q_distinct_agg", "kdb_percentile_bands", "q5_broadcast_star_join",
     "q_profile_table", "kdb_approx_distinct", "kdb_sessionize",
-    "q3_shuffle_join_topk")
+    "q3_shuffle_join_topk",
+    "kdb_acf", "kdb_benford_audit", "llm_pagerank_centrality",
+    "llm_dedup_eval", "llm_bm25_search")
 
   private val Tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -56,8 +71,17 @@ object ScaleBench {
       val rep = df.withColumn("__r", explode(sequence(lit(0L), lit(k - 1L))))
       val shifted = idCols.foldLeft(rep) { (d, c) =>
         d.withColumn(c, col(c).cast("long") + col("__r") * Shift)
-      }.drop("__r")
-      shifted.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      }
+      // disjoint shingle spaces per replica (see text growth model)
+      val perturbed =
+        if (t == "documents")
+          shifted.withColumn("text",
+            when(col("__r") === 0, col("text"))
+              .otherwise(array_join(
+                transform(split(col("text"), " "),
+                  x => concat(x, lit("_"), col("__r"))), " ")))
+        else shifted
+      perturbed.drop("__r").write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
   }
 

@@ -56,6 +56,11 @@ object Multimodal {
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
       ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
   private def u32le(b: Array[Byte], o: Int): Long = i32le(b, o) & 0xffffffffL
+  private def u16be(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def u32be(b: Array[Byte], o: Int): Long =
+    (((b(o) & 0xff).toLong << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)) & 0xffffffffL
 
   /** BMP: magic "BM", DIB header size at 14 selects the layout.
     * Height may be negative (top-down rows) — dimensions are |.|. */
@@ -117,12 +122,65 @@ object Multimodal {
       yield (w, h, 1)
   }
 
+  /** PNG: 8-byte signature, then the mandatory first chunk is IHDR
+    * (13-byte payload): width/height u32 big-endian at 16/20. A
+    * signature without a well-formed IHDR rejects to the stub —
+    * truncated files never half-parse. */
+  private[graft] def parsePng(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    val sig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    if (b.length < 33) return None
+    var i = 0
+    while (i < 8) { if ((b(i) & 0xff) != sig(i)) return None; i += 1 }
+    if (u32be(b, 8) != 13L || new String(b, 12, 4, "US-ASCII") != "IHDR") return None
+    val w = u32be(b, 16)
+    val h = u32be(b, 20)
+    // PNG caps dims at 2^31-1; 0 is invalid per spec
+    if (w < 1 || h < 1 || w > Int.MaxValue || h > Int.MaxValue) None
+    else Some((w.toInt, h.toInt, 1))
+  }
+
+  /** JPEG: SOI marker then a marker-segment walk to the first SOF
+    * (start-of-frame: baseline C0, extended C1, progressive C2, and
+    * the other SOFn values except DHT C4 / JPG C8 / DAC CC). The SOF
+    * payload carries precision(1) height(2) width(2) big-endian.
+    * Stand-alone markers (RSTn/SOI/EOI/TEM) have no length field; a
+    * zero/short segment length or a walk past the end rejects to the
+    * stub rather than looping. */
+  private[graft] def parseJpeg(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var o = 2
+    while (o + 3 < b.length) {
+      if ((b(o) & 0xff) != 0xff) return None // lost marker sync
+      var m = b(o + 1) & 0xff
+      while (m == 0xff && o + 2 < b.length) { o += 1; m = b(o + 1) & 0xff } // fill bytes
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { o += 2 } // no payload
+      else if (m == 0xd9) return None // EOI before any SOF
+      else {
+        if (o + 4 > b.length) return None
+        val len = u16be(b, o + 2)
+        if (len < 2) return None
+        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (len < 7 || o + 9 > b.length) return None
+          val h = u16be(b, o + 5)
+          val w = u16be(b, o + 7)
+          return if (w > 0 && h > 0) Some((w, h, 1)) else None
+        }
+        o += 2 + len
+      }
+    }
+    None
+  }
+
   /** Codec probe: real header parse for the formats the JVM can read
-    * unaided, deterministic stub for everything else. The fingerprint
-    * is the content FNV in both branches (it identifies bytes, not
-    * decoded pixels). */
+    * unaided (BMP/WAV/PPM payloads plus PNG/JPEG dimension headers —
+    * compressed PIXELS need a codec, but the public container headers
+    * don't), deterministic stub for everything else (MP4/...). The
+    * fingerprint is the content FNV in both branches (it identifies
+    * bytes, not decoded pixels). */
   def decode(content: Array[Byte]): (Int, Int, Int, Long) =
-    parseBmp(content).orElse(parseWav(content)).orElse(parsePpm(content)) match {
+    parseBmp(content).orElse(parseWav(content)).orElse(parsePpm(content))
+      .orElse(parsePng(content)).orElse(parseJpeg(content)) match {
       case Some((w, h, nf)) =>
         (w, h, nf, graft.plans.Fnv64.hash(content) & Long.MaxValue)
       case None => decodeStub(content)
@@ -188,35 +246,61 @@ object Multimodal {
   /** One extracted feature vector (the embedding-extraction shape). */
   final case class MediaFeature(media_id: Long, kind: String, feature: Array[Float])
 
+  /** REAL pure-JVM feature kernel (not a hash stub): a (dim-4)-bin
+    * byte-value histogram (normalized to probabilities) plus four
+    * scaled moments — mean, stddev, normalized byte entropy, and
+    * log-scaled length. Deterministic in the bytes, independently
+    * computable by any engine (the fixture test recomputes it in
+    * plain Scala), and it actually DISCRIMINATES content: text,
+    * random, and constant payloads land far apart, so the vectors are
+    * meaningful inputs to the cosine/ANN operators downstream. A
+    * model-backed embedding would replace this body only. */
+  private[graft] def featureKernel(content: Array[Byte], dim: Int): Array[Float] = {
+    val bins = dim - 4
+    val vec = new Array[Float](dim)
+    val n = content.length
+    if (n == 0) return vec
+    val counts = new Array[Long](bins)
+    var sum = 0.0
+    var sumSq = 0.0
+    var i = 0
+    while (i < n) {
+      val v = content(i) & 0xff
+      counts(v * bins / 256) += 1
+      sum += v
+      sumSq += v.toDouble * v
+      i += 1
+    }
+    var entropy = 0.0
+    var b = 0
+    while (b < bins) {
+      val p = counts(b).toDouble / n
+      vec(b) = p.toFloat
+      if (p > 0) entropy -= p * math.log(p)
+      b += 1
+    }
+    val mean = sum / n
+    val variance = math.max(0.0, sumSq / n - mean * mean)
+    vec(bins) = (mean / 255.0).toFloat
+    vec(bins + 1) = (math.sqrt(variance) / 255.0).toFloat
+    vec(bins + 2) = (entropy / math.log(math.max(bins, 2).toDouble)).toFloat
+    vec(bins + 3) = (math.log1p(n.toDouble) / 32.0).toFloat
+    vec
+  }
+
   /** Feature extraction: media → fixed-dim float vector, the batch
     * shape of an embedding model applied to decoded media. Partition-
     * preserving like probe; the output column is exactly the
     * embeddings-table layout (`Array[Float]`), so extracted features
     * flow straight into the similarity/ANN operators (cosine top-k,
-    * sign-LSH, IVF) with no schema adaptation. The kernel is the same
-    * deterministic stub seam as decodeStub: a real model swaps the
-    * function body, never the plan. */
+    * sign-LSH, IVF) with no schema adaptation. The kernel is
+    * [[featureKernel]] — a real byte-statistics feature; only a
+    * model-backed embedding remains out of scope for this container. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int): Dataset[MediaFeature] = {
-    require(dim > 0)
+    require(dim >= 5, "dim must cover >=1 histogram bin + 4 moment slots")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.map { r =>
-        val seed = graft.plans.Fnv64.hash(r.content)
-        val vec = new Array[Float](dim)
-        var h = seed
-        var i = 0
-        while (i < dim) {
-          // splitmix64 step: deterministic, well-mixed per dimension
-          h += 0x9e3779b97f4a7c15L
-          var z = h
-          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-          z = z ^ (z >>> 31)
-          vec(i) = ((z >>> 11).toDouble / (1L << 53).toDouble).toFloat * 2f - 1f
-          i += 1
-        }
-        MediaFeature(r.media_id, r.kind, vec)
-      }
+      rows.map(r => MediaFeature(r.media_id, r.kind, featureKernel(r.content, dim)))
     }
   }
 

@@ -1437,15 +1437,19 @@ object LlmQueries extends QueryModule {
       // (≤ 50×50 pairs per rare shingle) — never an all-pairs join.
       // This shape scans the shingle pipeline ONCE; the equivalent
       // rare-join + train×eval self-join re-executed it per branch.
-      // Caveat at extreme corpus scale: a stopword shingle buffers its
-      // full posting list before the df filter drops it; if mega
-      // postings ever dominate, swap collect_list for a (dfCap+1)-
-      // bounded Aggregator (graft.functions.TopK pattern) — identical
-      // output, O(dfCap) buffer.
-      val byShingle = u.groupBy(col("h")).agg(
-        count(lit(1)).as("df"),
-        collect_list(when(col("doc_id") % 97 =!= 0, col("doc_id"))).as("trains"),
-        collect_list(when(col("doc_id") % 97 === 0, col("doc_id"))).as("evals"))
+      // The aggregation buffer is BOUNDED (graft.functions.Postings):
+      // exact df alongside posting lists capped at dfCap+1, so a
+      // stopword-like shingle costs O(dfCap) memory instead of
+      // materializing its full posting list before the filter drops
+      // it — at 100 TB that difference is an OOM. Lists are exact
+      // whenever df ≤ 50 (the only rows that survive), so the output
+      // is identical to an unbounded collect_list.
+      val bounded = udaf(graft.functions.Postings.BoundedPostings(50))
+      val byShingle = u
+        .groupBy(col("h"))
+        .agg(bounded(col("doc_id"), col("doc_id") % 97 === 0).as("p"))
+        .select(col("h"), col("p.df").as("df"),
+          col("p.trains").as("trains"), col("p.evals").as("evals"))
       byShingle
         .filter(col("df") <= 50 && size(col("trains")) > 0 && size(col("evals")) > 0)
         .select(explode(col("trains")).as("train_doc"), col("evals"))
@@ -2656,12 +2660,12 @@ object LlmQueries extends QueryModule {
 
   /** Dedup-quality evaluation: recall/precision of the MinHash-LSH
     * candidate generator against exact n-gram-Jaccard ground truth
-    * (pairs at J ≥ 0.7) on a bounded doc subset — the harness that
+    * (pairs at J ≥ 0.5) on a bounded doc subset — the harness that
     * answers "is 4 bands × 2 rows enough?" before a 100 TB run, where
     * re-sharding signatures costs a full pass. Both sides reuse the
     * production machinery (lshPairs, the inverted shingle join); the
     * eval overlay is a full-outer join of two already-bounded pair
-    * tables plus a one-row rollup. The J ≥ 0.7 threshold compares the
+    * tables plus a one-row rollup. The J ≥ 0.5 threshold compares the
     * RAW double — one IEEE division of exact integer counts, identical
     * in both engines, so no rounding is needed at the cut. */
   private val dedupEval = QueryDef(

@@ -144,4 +144,82 @@ class MultimodalSpec extends SparkTestBase {
     val stub = Multimodal.decodeStub("opaque".getBytes)
     assert((rows(3).width, rows(3).height, rows(3).n_frames) === (stub._1, stub._2, stub._3))
   }
+
+  // ---- PNG / JPEG dimension headers (compressed pixels, public
+  //      container headers — parseable without a codec) --------------
+
+  private def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def pngFixture(w: Int, h: Int): Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(w.toLong) ++ be32(h.toLong) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ be32(0) // bit depth 8, RGBA; CRC not checked
+
+  private def jpegFixture(w: Int, h: Int): Array[Byte] =
+    Array(0xff, 0xd8).map(_.toByte) ++                          // SOI
+      Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++             // APP0/JFIF
+      "JFIF ".getBytes("US-ASCII") ++ new Array[Byte](9) ++
+      Array(0xff, 0xdb).map(_.toByte) ++ be16(4) ++ new Array[Byte](2) ++ // DQT stub
+      Array(0xff, 0xc0).map(_.toByte) ++ be16(11) ++             // SOF0
+      Array[Byte](8) ++ be16(h) ++ be16(w) ++ Array[Byte](1, 0x11.toByte, 0)
+
+  test("decode parses true PNG/JPEG dimensions; truncation rejects to the stub") {
+    assert(Multimodal.parsePng(pngFixture(800, 600)) === Some((800, 600, 1)))
+    assert(Multimodal.parseJpeg(jpegFixture(1024, 768)) === Some((1024, 768, 1)))
+    // progressive JPEG: SOF2 carries dimensions the same way
+    val prog = jpegFixture(320, 240)
+    prog(prog.length - 11) = 0xc2.toByte // SOF marker byte: len(2)+payload(9) behind it
+    assert(Multimodal.parseJpeg(prog) === Some((320, 240, 1)))
+    // truncated signature / header-less payloads reject, never throw
+    assert(Multimodal.parsePng(pngFixture(800, 600).take(20)) === None)
+    assert(Multimodal.parseJpeg(jpegFixture(1024, 768).take(6)) === None)
+    assert(Multimodal.parsePng("PNGnope".getBytes) === None)
+    // EOI before any SOF (a JPEG with its frame stripped) rejects
+    assert(Multimodal.parseJpeg(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) === None)
+    // zero dimensions are invalid per both specs
+    assert(Multimodal.parsePng(pngFixture(0, 600)) === None)
+    assert(Multimodal.parseJpeg(jpegFixture(0, 768)) === None)
+    // end to end through probe
+    import spark.implicits._
+    val ds = Seq(
+      MediaRow(20L, "image", pngFixture(800, 600)),
+      MediaRow(21L, "image", jpegFixture(1024, 768))).toDS()
+    val rows = Multimodal.probe(ds).collect().sortBy(_.media_id)
+    assert((rows(0).width, rows(0).height) === (800, 600))
+    assert((rows(1).width, rows(1).height) === (1024, 768))
+  }
+
+  test("featureKernel matches an independently computed byte-statistics fixture") {
+    // all 256 byte values once: uniform histogram, known moments
+    val content = Array.tabulate(256)(_.toByte)
+    val dim = 8 // 4 bins + 4 moments
+    val got = Multimodal.featureKernel(content, dim)
+    // independent recomputation (collections code, not the while loop)
+    val vals = content.map(_ & 0xff)
+    val n = vals.length.toDouble
+    val ps = (0 until 4).map(b => vals.count(v => v * 4 / 256 == b) / n)
+    val mean = vals.sum / n
+    val variance = vals.map(v => v.toDouble * v).sum / n - mean * mean
+    val entropy = -ps.filter(_ > 0).map(p => p * math.log(p)).sum
+    val expected = ps.map(_.toFloat) ++ Seq(
+      (mean / 255.0).toFloat,
+      (math.sqrt(variance) / 255.0).toFloat,
+      (entropy / math.log(4.0)).toFloat,
+      (math.log1p(n) / 32.0).toFloat)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-6f, s"got ${got.toSeq}, expected $expected")
+    }
+    // uniform bytes: each bin 0.25, entropy ratio exactly 1
+    assert(got.take(4).forall(p => math.abs(p - 0.25f) < 1e-6f))
+    assert(math.abs(got(6) - 1f) < 1e-6f)
+    // discrimination: constant payload has zero variance and entropy
+    val const = Multimodal.featureKernel(Array.fill(100)(65.toByte), dim)
+    assert(const(5) === 0f && const(6) === 0f)
+    assert(const(0) === 0f && const(1) === 1f) // all bytes in bin 1 (65*4/256)
+    // empty payload → zero vector, no division by zero
+    assert(Multimodal.featureKernel(Array.emptyByteArray, dim).forall(_ === 0f))
+  }
 }

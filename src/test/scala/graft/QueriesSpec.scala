@@ -139,12 +139,14 @@ class QueriesSpec extends SparkTestBase {
     // like llm_lm_score's.
     // kdb_benford_audit: distinct types × 9-digit grid densification.
     // llm_bm25_search: 1-row (N, avgdl) corpus stats broadcast.
+    // kdb_acf: distinct types × hourly-grid broadcast densification —
+    // same intended grid crossJoin as kdb_benford_audit/kdb_locf_fill.
     val nestedLoopOk = Set("kdb_find_wildcard", "kdb_rolling_avg",
       "llm_similarity_topk", "llm_similarity_ivf", "llm_tfidf_top_terms",
       "kdb_locf_fill", "kdb_rolling_median", "llm_lm_score", "kdb_corr_matrix",
       "llm_knn_classify", "q_cdc_merge_apply", "llm_similarity_ivf_trained",
       "llm_dsir_sample", "llm_perplexity_buckets", "llm_tokenizer_fertility",
-      "kdb_benford_audit", "llm_bm25_search")
+      "kdb_benford_audit", "llm_bm25_search", "kdb_acf")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
@@ -355,5 +357,67 @@ class QueriesSpec extends SparkTestBase {
       "df and corpus stats are broadcast-sized; a shuffle join shuffles the postings twice")
     assert(plan.contains("BroadcastExchange"),
       "expected broadcast of the df / corpus-stats sides")
+  }
+
+  test("kdb_acf: the dense grid rides IdentityBroadcastMode (why it's NLJ-allowlisted)") {
+    val plan = SparkEntry.queries("kdb_acf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the only nested-loop joins are the distinct-types × hourly-grid
+    // densification with the GRID side broadcast — a cheap replicated
+    // constant, never a data×data cross product
+    assert(plan.contains("BroadcastExchange IdentityBroadcastMode"),
+      "grid densification must broadcast the grid side")
+    assert(!plan.contains("CartesianProduct"), "unexpected cartesian")
+    // the lagged self-join happens on the slot-bounded dense table,
+    // sharing the (type) partitioning — broadcast or hash, never sort
+    // -merging raw events against themselves
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) <= 4,
+      "ACF must derive every branch from the slot pre-agg, not re-scan events per lag")
+  }
+
+  test("llm_pagerank_centrality truncates lineage: iterations end at a checkpoint boundary") {
+    val qe = SparkEntry.queries("llm_pagerank_centrality")(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    // after 5 power iterations the final plan must start from the
+    // localCheckpoint RDD, not replay the LSH pair pipeline per
+    // iteration: no parquet scan and an ExistingRDD boundary
+    assert(plan.contains("ExistingRDD"),
+      "expected the localCheckpoint boundary (Scan ExistingRDD) in the final plan")
+    assert(!plan.contains("Scan parquet"),
+      "a parquet scan in the final iteration means lineage was NOT truncated")
+    assert(!plan.contains("CartesianProduct"), "unexpected cartesian")
+  }
+
+  test("llm_dedup_eval: the bounded-subset predicate reaches every parquet scan") {
+    val qe = SparkEntry.queries("llm_dedup_eval")(spark, sf).queryExecution
+    val scans = qe.executedPlan.toString.linesIterator
+      .filter(_.contains("Scan parquet")).toSeq
+    assert(scans.nonEmpty)
+    // the eval harness is only affordable because doc_id < 400 prunes
+    // at the scan; a scan without the pushed filter reads the corpus
+    val pushed = qe.executedPlan.toString.contains("LessThan(doc_id,400)")
+    assert(pushed, "doc_id < 400 must appear in PushedFilters")
+  }
+
+  test("llm_kanon_audit is one scan + one partial-agg shuffle") {
+    val plan = SparkEntry.queries("llm_kanon_audit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      "quasi-identifier audit is a single pass over documents")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      "one group-by shuffle; the risk flag is computed in the same aggregation")
+    assert(plan.contains("partial_count"), "group sizes must combine map-side")
+  }
+
+  test("kdb_event_transitions: matrix + row normalization share the sequence shuffles") {
+    val plan = SparkEntry.queries("kdb_event_transitions")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      "transition matrix is one pass over events")
+    // user_id sequence window → (from,to) count → from_type row-sum
+    // window: three partitionings, each exchanged at most once
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 3,
+      "lead window, count agg, and row-normalize window must not re-shuffle")
+    assert(!plan.contains("CartesianProduct"), "unexpected cartesian")
   }
 }

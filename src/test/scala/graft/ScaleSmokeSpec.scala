@@ -51,4 +51,46 @@ class ScaleSmokeSpec extends SparkTestBase {
       "every keeper must be an original (min id) doc")
     comps.unpersist()
   }
+
+  test("stopword bomb: BoundedPostings keeps O(dfCap) buffers under a 100k-doc shingle") {
+    import graft.functions.Postings
+    // unit-level proof of the bound: reduce 100k postings of ONE
+    // shingle into a single buffer — the exact shape that OOMs an
+    // unbounded collect_list at corpus scale — and confirm the
+    // buffer never exceeds dfCap+1 per side while df stays exact
+    val agg = Postings.BoundedPostings(50)
+    var buf = agg.zero
+    var i = 0L
+    while (i < 100000L) { buf = agg.reduce(buf, Postings.PostIn(i, i % 97 == 0)); i += 1 }
+    assert(buf.df === 100000L)
+    assert(buf.trains.size <= 51 && buf.evals.size <= 51)
+    val merged = agg.merge(buf, buf) // shuffle-side combine keeps the bound
+    assert(merged.df === 200000L)
+    assert(merged.trains.size <= 51 && merged.evals.size <= 51)
+
+    // end-to-end: a corpus where one shingle hash appears in 100k
+    // docs (df ≫ cap → dropped) alongside rare train/eval-shared
+    // shingles — the bounded aggregation must produce exactly what
+    // unbounded collect_list semantics would: only rare shingles
+    // survive, with complete posting lists
+    import spark.implicits._
+    val bomb = spark.range(100000L).select(col("id").as("doc_id"), lit(0L).as("h"))
+    val rare = Seq((97L, 1L), (1L, 1L), (2L, 1L), (194L, 2L), (3L, 2L))
+      .toDF("doc_id", "h")
+    val u = bomb.union(rare)
+    val bounded = udaf(Postings.BoundedPostings(50))
+    val out = u.groupBy(col("h"))
+      .agg(bounded(col("doc_id"), col("doc_id") % 97 === 0).as("p"))
+      .select(col("h"), col("p.df").as("df"),
+        col("p.trains").as("trains"), col("p.evals").as("evals"))
+      .filter(col("df") <= 50 &&
+        size(col("trains")) > 0 && size(col("evals")) > 0)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet === Set(1L, 2L),
+      "only rare shingles survive the df cap")
+    val h1 = out.find(_.getLong(0) == 1L).get
+    assert(h1.getSeq[Long](2).sorted === Seq(1L, 2L) &&
+      h1.getSeq[Long](3) === Seq(97L),
+      "surviving posting lists are exact, not truncated")
+  }
 }

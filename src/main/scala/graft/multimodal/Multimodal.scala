@@ -172,15 +172,92 @@ object Multimodal {
     None
   }
 
+  /** GIF: "GIF87a"/"GIF89a" signature then the logical-screen
+    * descriptor: width/height u16 little-endian at 6/8. */
+  private[graft] def parseGif(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 10) return None
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val w = u16le(b, 6)
+    val h = u16le(b, 8)
+    if (w > 0 && h > 0) Some((w, h, 1)) else None
+  }
+
+  /** MP4 / ISO-BMFF: a top-level box walk (each box: u32be size +
+    * 4cc type) to moov, then a nested walk to mvhd (movie header:
+    * timescale + duration → frame count at a nominal 1 tick = 1
+    * sample) and trak/tkhd (track header: 16.16 fixed-point
+    * width/height — zero for audio tracks, so the first non-zero
+    * pair wins). size==1 means 64-bit extended size (u64be follows);
+    * size==0 means "to end of file". A malformed size stops the walk
+    * and rejects to the stub — same discipline as the WAV cursor. */
+  private[graft] def parseMp4(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 12 || new String(b, 4, 4, "US-ASCII") != "ftyp") return None
+    def u64be(o: Int): Long =
+      (u32be(b, o) << 32) | u32be(b, o + 4)
+    // walk boxes in [from, until); returns offset+size of `name` box
+    // payload. A box whose declared size overruns the buffer (a lying
+    // or truncated header) clamps the walk at the real end — reads
+    // can never leave the array.
+    def findBox(name: String, from: Long, rawUntil: Long): Option[(Long, Long)] = {
+      val until = math.min(rawUntil, b.length.toLong)
+      var o = from
+      while (o + 8 <= until) {
+        val size0 = u32be(b, o.toInt)
+        val typ = new String(b, o.toInt + 4, 4, "US-ASCII")
+        val (hdr, size) =
+          if (size0 == 1L) {
+            if (o + 16 > until) return None
+            (16L, u64be(o.toInt + 8))
+          } else if (size0 == 0L) (8L, until - o)
+          else (8L, size0)
+        if (size < hdr) return None // malformed: would not advance
+        if (typ == name) return Some((o + hdr, o + size))
+        o += size
+      }
+      None
+    }
+    for {
+      (moovStart, moovEnd) <- findBox("moov", 0L, b.length.toLong)
+      (mvhdStart, _) <- findBox("mvhd", moovStart, moovEnd)
+      if mvhdStart + 1 <= b.length
+      version = b(mvhdStart.toInt) & 0xff
+      // v0: timescale u32 at +12, duration u32 at +16; v1 widens the
+      // creation/modification stamps to u64, shifting them to +20/+24
+      if mvhdStart + (if (version == 0) 20 else 32) <= b.length
+      timescale = if (version == 0) u32be(b, mvhdStart.toInt + 12)
+                  else u32be(b, mvhdStart.toInt + 20)
+      duration = if (version == 0) u32be(b, mvhdStart.toInt + 16)
+                 else u64be(mvhdStart.toInt + 24)
+      if timescale > 0 && duration >= 0
+    } yield {
+      // width/height from the first visual track's tkhd (16.16 fixed)
+      val dims = for {
+        (trakStart, trakEnd) <- findBox("trak", moovStart, moovEnd)
+        (tkhdStart, tkhdEnd) <- findBox("tkhd", trakStart, trakEnd)
+        if tkhdEnd - 8 >= tkhdStart && tkhdEnd.toInt <= b.length
+        w = (u32be(b, tkhdEnd.toInt - 8) >> 16).toInt
+        h = (u32be(b, tkhdEnd.toInt - 4) >> 16).toInt
+        if w > 0 && h > 0
+      } yield (w, h)
+      val (w, h) = dims.getOrElse((0, 0))
+      // frames ≈ seconds at a nominal 30 fps grid, floor + 1 so even a
+      // sub-second clip samples one frame
+      val nf = (duration * 30L / timescale).toInt + 1
+      (if (w > 0) w else 1, if (h > 0) h else 1, nf)
+    }
+  }
+
   /** Codec probe: real header parse for the formats the JVM can read
-    * unaided (BMP/WAV/PPM payloads plus PNG/JPEG dimension headers —
-    * compressed PIXELS need a codec, but the public container headers
-    * don't), deterministic stub for everything else (MP4/...). The
-    * fingerprint is the content FNV in both branches (it identifies
-    * bytes, not decoded pixels). */
+    * unaided (BMP/WAV/PPM payloads plus PNG/JPEG/GIF/MP4 container
+    * headers — compressed PIXELS need a codec, but the public headers
+    * don't), deterministic stub for everything else. The fingerprint
+    * is the content FNV in both branches (it identifies bytes, not
+    * decoded pixels). */
   def decode(content: Array[Byte]): (Int, Int, Int, Long) =
     parseBmp(content).orElse(parseWav(content)).orElse(parsePpm(content))
-      .orElse(parsePng(content)).orElse(parseJpeg(content)) match {
+      .orElse(parsePng(content)).orElse(parseJpeg(content))
+      .orElse(parseGif(content)).orElse(parseMp4(content)) match {
       case Some((w, h, nf)) =>
         (w, h, nf, graft.plans.Fnv64.hash(content) & Long.MaxValue)
       case None => decodeStub(content)

@@ -1147,6 +1147,96 @@ object LlmQueries extends QueryModule {
       FROM m
       ORDER BY doc_id, frame_no"""))
 
+  /** Multimodal feature extraction, oracle-gated end to end: runs the
+    * REAL byte-statistics kernel (Multimodal.featureKernel via the
+    * typed mapPartitions path — 4-bin byte histogram + mean/std/
+    * entropy/log-length, dim 8) over document payload bytes, and
+    * gates it two ways: (1) a declarative double-precision twin of
+    * the same statistics built from exact integer Σ/Σ²/bin-count
+    * folds (the kdb_lead_lag_corr precedent — int sums then one
+    * double expression, identical across engines), hash-gated at
+    * 6dp; (2) a kernel_close property flag asserting the float32
+    * kernel agrees with the double twin within 1e-4 on every
+    * component. Scale shape: both branches are per-row lambdas over
+    * one scan each, joined on doc_id (broadcast-sized at gate scale;
+    * co-partitioned by the scan at 100 TB); nothing shuffles until
+    * the final order. Texts are ASCII (driver corpus), so DuckDB's
+    * per-char unicode() equals the UTF-8 byte the kernel sees. */
+  private val multimodalFeatures = QueryDef(
+    "llm_multimodal_features",
+    (s, d) => {
+      val docs = documents(s, d).filter(length(col("text")) > 0)
+      val kern = graft.multimodal.Multimodal
+        .extractFeatures(graft.multimodal.Multimodal.fromDocuments(s, docs), 8)
+        .toDF().select(col("media_id").as("doc_id"), col("feature"))
+      val twin = docs
+        .withColumn("bs", expr("transform(split(text, ''), c -> ascii(c))"))
+        .withColumn("n", size(col("bs")))
+        .withColumn("c0", expr("size(filter(bs, x -> x div 64 = 0))"))
+        .withColumn("c1", expr("size(filter(bs, x -> x div 64 = 1))"))
+        .withColumn("c2", expr("size(filter(bs, x -> x div 64 = 2))"))
+        .withColumn("c3", expr("size(filter(bs, x -> x div 64 = 3))"))
+        .withColumn("sb", expr("aggregate(bs, 0L, (a, x) -> a + x)"))
+        .withColumn("sb2", expr("aggregate(bs, 0L, (a, x) -> a + x * x)"))
+        .withColumn("f0", col("c0").cast("double") / col("n"))
+        .withColumn("f1", col("c1").cast("double") / col("n"))
+        .withColumn("f2", col("c2").cast("double") / col("n"))
+        .withColumn("f3", col("c3").cast("double") / col("n"))
+        .withColumn("mean_b", col("sb").cast("double") / col("n"))
+        .withColumn("f4", col("mean_b") / 255.0)
+        .withColumn("f5",
+          sqrt(greatest(col("sb2").cast("double") / col("n") -
+            col("mean_b") * col("mean_b"), lit(0.0))) / 255.0)
+        .withColumn("f6",
+          -(Seq("f0", "f1", "f2", "f3").map(f =>
+            when(col(f) > 0, col(f) * log(col(f))).otherwise(lit(0.0)))
+            .reduce(_ + _)) / math.log(4.0))
+        .withColumn("f7", log(col("n").cast("double") + 1.0) / 32.0)
+      val diffs = (0 until 8).map(i =>
+        abs(element_at(col("feature"), i + 1).cast("double") - col(s"f$i")))
+      twin.join(kern, "doc_id")
+        .select(col("doc_id") +: col("n").as("n_bytes") +:
+          (0 until 8).map(i => (round(col(s"f$i"), 6) + lit(0.0)).as(s"feat$i")) :+
+          when(diffs.reduce(greatest(_, _)) < 1e-4, 1).otherwise(0)
+            .as("kernel_close"): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ''), c -> unicode(c)) AS bs,
+               length(text) AS n
+        FROM documents WHERE length(text) > 0),
+      f AS (
+        SELECT doc_id, n,
+               len(list_filter(bs, x -> x // 64 = 0)) AS c0,
+               len(list_filter(bs, x -> x // 64 = 1)) AS c1,
+               len(list_filter(bs, x -> x // 64 = 2)) AS c2,
+               len(list_filter(bs, x -> x // 64 = 3)) AS c3,
+               CAST(list_aggregate(bs, 'sum') AS BIGINT) AS sb,
+               CAST(list_aggregate(list_transform(bs, x -> x * x), 'sum') AS BIGINT) AS sb2
+        FROM b),
+      g AS (
+        SELECT doc_id, n,
+               CAST(c0 AS DOUBLE) / n AS f0, CAST(c1 AS DOUBLE) / n AS f1,
+               CAST(c2 AS DOUBLE) / n AS f2, CAST(c3 AS DOUBLE) / n AS f3,
+               CAST(sb AS DOUBLE) / n AS mean_b,
+               CAST(sb2 AS DOUBLE) / n AS m2
+        FROM f)
+      SELECT doc_id, CAST(n AS INTEGER) AS n_bytes,
+             round(f0, 6) + 0.0 AS feat0, round(f1, 6) + 0.0 AS feat1,
+             round(f2, 6) + 0.0 AS feat2, round(f3, 6) + 0.0 AS feat3,
+             round(mean_b / 255.0, 6) + 0.0 AS feat4,
+             round(sqrt(greatest(m2 - mean_b * mean_b, 0.0)) / 255.0, 6) + 0.0 AS feat5,
+             round(-(CASE WHEN f0 > 0 THEN f0 * ln(f0) ELSE 0.0 END +
+                     CASE WHEN f1 > 0 THEN f1 * ln(f1) ELSE 0.0 END +
+                     CASE WHEN f2 > 0 THEN f2 * ln(f2) ELSE 0.0 END +
+                     CASE WHEN f3 > 0 THEN f3 * ln(f3) ELSE 0.0 END) / ln(4.0), 6)
+               + 0.0 AS feat6,
+             round(ln(CAST(n AS DOUBLE) + 1.0) / 32.0, 6) + 0.0 AS feat7,
+             1 AS kernel_close
+      FROM g ORDER BY doc_id"""))
+
   /** Embedding-quality audit: per-label L2-norm distribution (min /
     * max / mean) and the count of unit-norm rows — the data-quality
     * pass that catches an unnormalized or zero-vector batch BEFORE it
@@ -2811,5 +2901,6 @@ object LlmQueries extends QueryModule {
     tokenEntropy, dsirSample, perplexityBuckets, winnowingFp, containment,
     int8Quantize, datasetCard, tokenizerFertility, codeDetect,
     softDedupWeights, spanCorruption, bloomScreen, sourceOverlap,
-    bm25Search, randomProjection, kanonAudit, dedupEval, pagerank)
+    bm25Search, randomProjection, kanonAudit, dedupEval, pagerank,
+    multimodalFeatures)
 }

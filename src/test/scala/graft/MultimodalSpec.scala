@@ -192,6 +192,45 @@ class MultimodalSpec extends SparkTestBase {
     assert((rows(1).width, rows(1).height) === (1024, 768))
   }
 
+  private def gifFixture(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes("US-ASCII") ++ le16(w) ++ le16(h) ++ Array[Byte](0, 0, 0)
+
+  /** Minimal ISO-BMFF: ftyp box, then moov{mvhd v0, trak{tkhd v0}}. */
+  private def mp4Fixture(w: Int, h: Int, timescale: Int, duration: Int): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    val mvhd = box("mvhd",
+      new Array[Byte](12) ++ be32(timescale.toLong) ++ be32(duration.toLong) ++
+        new Array[Byte](80))
+    // tkhd v0: 84-byte payload, width/height 16.16 fixed in the last 8
+    val tkhd = box("tkhd",
+      new Array[Byte](76) ++ be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    box("ftyp", "isom".getBytes("US-ASCII") ++ new Array[Byte](8)) ++
+      box("moov", mvhd ++ box("trak", tkhd))
+  }
+
+  test("decode parses GIF and MP4 container headers; malformed boxes reject") {
+    assert(Multimodal.parseGif(gifFixture(480, 320)) === Some((480, 320, 1)))
+    assert(Multimodal.parseGif("GIF89a".getBytes) === None) // truncated descriptor
+    assert(Multimodal.parseGif(gifFixture(0, 320)) === None)
+    // 2s at timescale 1000 → 30fps grid → 61 sampled frame slots
+    assert(Multimodal.parseMp4(mp4Fixture(640, 480, 1000, 2000)) === Some((640, 480, 61)))
+    // audio-only (zero tkhd dims) still yields duration-derived frames
+    assert(Multimodal.parseMp4(mp4Fixture(0, 0, 1000, 1000)) === Some((1, 1, 31)))
+    // a moov box whose declared size overruns the buffer must clamp,
+    // not read out of bounds; losing mvhd entirely rejects
+    val evil = mp4Fixture(640, 480, 1000, 2000)
+    be32(0x7fffffffL).copyToArray(evil, 20) // moov size field claims 2 GB
+    assert(Multimodal.parseMp4(evil).isDefined || Multimodal.parseMp4(evil).isEmpty) // no throw
+    assert(Multimodal.parseMp4("ftypnope".getBytes) === None)
+    // end to end: a video MP4 row through sampleFrames uses the TRUE
+    // frame count now, not the stub's
+    import spark.implicits._
+    val ds = Seq(MediaRow(30L, "video", mp4Fixture(640, 480, 1000, 2000))).toDS()
+    val frames = Multimodal.sampleFrames(ds, everyN = 10).collect()
+    assert(frames.length === 7) // ceil(61/10)
+  }
+
   test("featureKernel matches an independently computed byte-statistics fixture") {
     // all 256 byte values once: uniform histogram, known moments
     val content = Array.tabulate(256)(_.toByte)

@@ -1147,6 +1147,56 @@ object LlmQueries extends QueryModule {
       FROM m
       ORDER BY doc_id, frame_no"""))
 
+  /** Product-quantization ANN, the memory-scale path: 8 subspaces ×
+    * 16-entry k-means codebooks compress each 64-float embedding to 8
+    * codes (32× smaller — what makes a 100 TB embedding corpus
+    * scannable), ADC top-50 shortlists per query from code lookups
+    * alone, and an exact cosine re-rank of the shortlist yields the
+    * final top-5 — the standard shortlist+rerank production shape.
+    * Property oracle (the ivf_trained precedent: k-means means are
+    * float-order sensitive, so hashes can't cross engines): each
+    * query must recover ≥2 of its exact brute-force top-5 (measured
+    * ≥3 at both gate SFs — margin 1). Scale shape: training collects
+    * only m·k centroid rows per iteration; search never touches a
+    * corpus vector — the |q|·m·k distance table broadcasts and ADC
+    * sums partial-aggregate map-side; only the 50-row-per-query
+    * shortlist joins back to real vectors for the re-rank. */
+  private val similarityPq = QueryDef(
+    "llm_similarity_pq",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val books = graft.operators.Pq.train(emb, 8, 64, 16, 2)
+      val enc = graft.operators.Pq.encode(emb, books, 8, 64)
+      val qs = emb.filter(col("vec_id") <= 4)
+      val short = graft.operators.Pq.search(enc, books, qs, 8, 64, 50)
+      val wRe = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      val reranked = short.select(col("qid"), col("nid"))
+        .join(broadcast(qs.select(col("vec_id").as("qid"), col("embedding").as("qv"))), Seq("qid"))
+        .join(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")), Seq("nid"))
+        .withColumn("cos", cosine(col("qv"), col("nv")))
+        .withColumn("rk", row_number().over(wRe)).filter(col("rk") <= 5)
+      val wEx = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      val exact = broadcast(qs.select(col("vec_id").as("qid"), col("embedding").as("qv")))
+        .crossJoin(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("cos", cosine(col("qv"), col("nv")))
+        .withColumn("rk", row_number().over(wEx)).filter(col("rk") <= 5)
+        .select(col("qid"), col("nid"))
+      val hits = reranked.select(col("qid"), col("nid"))
+        .join(exact, Seq("qid", "nid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      reranked.groupBy(col("qid")).agg(count(lit(1)).as("n_results"))
+        .join(hits, Seq("qid"), "left_outer")
+        .select(col("qid"), col("n_results"),
+          when(coalesce(col("n_hits"), lit(0L)) >= 2, lit(1)).otherwise(lit(0))
+            .as("recall2_ok"))
+        .orderBy(col("qid"))
+    },
+    Some("""
+      SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_results, 1 AS recall2_ok
+      FROM embeddings WHERE vec_id <= 4
+      ORDER BY qid"""))
+
   /** Multimodal feature extraction, oracle-gated end to end: runs the
     * REAL byte-statistics kernel (Multimodal.featureKernel via the
     * typed mapPartitions path — 4-bin byte histogram + mean/std/
@@ -1451,13 +1501,14 @@ object LlmQueries extends QueryModule {
   private val dedupClusters = QueryDef(
     "llm_dedup_clusters",
     (s, d) => {
-      // Bounded to the first 500 doc ids: at gate scale (sf0.01) that
-      // is the whole corpus, so the oracle checks everything; at bench
-      // scale it keeps the pair graph (and the oracle's transitive
-      // closure) candidate-bounded instead of quadratic in the corpus'
-      // replica mega-clusters — same boundedness discipline as
-      // llm_dedup_simhash. The operator itself has no such bound.
-      val pairs = lshPairs(s, d, col("doc_id") < 500)
+      // Unbounded (r7; was doc_id < 500): the LSH pair graph is
+      // candidate-bounded by construction (band buckets, big-bucket
+      // distributed path), so the full corpus clusters fine at bench
+      // scale — llm_pagerank_centrality already rides the same
+      // unbounded pairs. At gate scale (sf0.01) the corpus is exactly
+      // doc_ids 0-499, so the oracle's transitive closure is
+      // unchanged by the bound's removal.
+      val pairs = lshPairs(s, d, lit(true))
       // comps stays persisted (Dedup's contract): the keeper output is
       // a view over it and unpersisting here would force the whole
       // iteration to recompute at consumption time. The cached labels
@@ -1467,7 +1518,7 @@ object LlmQueries extends QueryModule {
         .orderBy(col("doc_id"))
     },
     Some(s"""
-      WITH RECURSIVE ${dkMinhashCteWhere("WHERE doc_id < 500")},
+      WITH RECURSIVE ${dkMinhashCte},
       ${dkLshPairsCtes},
       edges AS (
         SELECT d1 AS src, d2 AS dst FROM lsh_pairs
@@ -2902,5 +2953,5 @@ object LlmQueries extends QueryModule {
     int8Quantize, datasetCard, tokenizerFertility, codeDetect,
     softDedupWeights, spanCorruption, bloomScreen, sourceOverlap,
     bm25Search, randomProjection, kanonAudit, dedupEval, pagerank,
-    multimodalFeatures)
+    multimodalFeatures, similarityPq)
 }

@@ -141,12 +141,14 @@ class QueriesSpec extends SparkTestBase {
     // llm_bm25_search: 1-row (N, avgdl) corpus stats broadcast.
     // kdb_acf: distinct types × hourly-grid broadcast densification —
     // same intended grid crossJoin as kdb_benford_audit/kdb_locf_fill.
+    // llm_similarity_pq: the exact-recall twin and k-means assign ride
+    // broadcast(queries|codebooks) cross joins, same as ivf_trained.
     val nestedLoopOk = Set("kdb_find_wildcard", "kdb_rolling_avg",
       "llm_similarity_topk", "llm_similarity_ivf", "llm_tfidf_top_terms",
       "kdb_locf_fill", "kdb_rolling_median", "llm_lm_score", "kdb_corr_matrix",
       "llm_knn_classify", "q_cdc_merge_apply", "llm_similarity_ivf_trained",
       "llm_dsir_sample", "llm_perplexity_buckets", "llm_tokenizer_fertility",
-      "kdb_benford_audit", "llm_bm25_search", "kdb_acf")
+      "kdb_benford_audit", "llm_bm25_search", "kdb_acf", "llm_similarity_pq")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -2028,6 +2028,188 @@ object KdbQueries extends QueryModule {
       FROM rec r JOIN nn ON nn.event_type = r.event_type AND r.i = nn.n
       ORDER BY r.event_type"""))
 
+  /** Holt-Winters ADDITIVE-SEASONAL smoothing (level + trend + a
+    * 24-slot circular seasonal state) per series — the full triple-
+    * exponential forecaster over the hourly max-LWW values:
+    *   l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β) b_{t−1}
+    *   s_t = γ(x_t − l_t)   + (1−γ) s_{t−m},   m = 24, init l₁=x₁,
+    * b₁=0, seasonal state all-zero (the first day runs as plain Holt
+    * while the seasonal buffer fills — the naive-init convention).
+    * Same strict-fold discipline as kdb_holt_trend, with the seasonal
+    * buffer as an ARRAY field in the struct accumulator, updated by
+    * position (pmod(n, 24)); the oracle steps the identical
+    * recurrence in a recursive CTE carrying the same 24-list (DuckDB
+    * list_reduce cannot hold struct state — the Holt precedent).
+    * α=0.5, β=γ=0.25 are binary-exact; x inputs come from max() (no
+    * sum ordering), so the doubles match bit for bit pre-round. The
+    * fold input stays slot-bounded (≤720 values/series) — raw events
+    * never reach the fold. */
+  private val holtWinters = QueryDef(
+    "kdb_holtwinters",
+    (s, d) => {
+      val m = 24
+      val acc0 = struct(lit(0.0).as("l"), lit(0.0).as("b"), lit(0).as("n"),
+        array_repeat(lit(0.0), m).as("sv"))
+      ev(s, d)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(max(col("value")).as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_slots"),
+          aggregate(
+            transform(sort_array(collect_list(struct(col("slot_ns"), col("v")))),
+              r => r.getField("v")),
+            acc0,
+            (acc, x) => {
+              val l = acc.getField("l"); val b = acc.getField("b")
+              val n = acc.getField("n"); val sv = acc.getField("sv")
+              val idx = pmod(n, lit(m)) + 1
+              val sOld = element_at(sv, idx)
+              val lNew = lit(0.5) * (x - sOld) + lit(0.5) * (l + b)
+              val sNew = lit(0.25) * (x - lNew) + lit(0.75) * sOld
+              val svNew = concat(slice(sv, lit(1), idx - 1), array(sNew),
+                slice(sv, idx + 1, lit(m) - idx))
+              when(n === 0,
+                struct(x.as("l"), lit(0.0).as("b"), lit(1).as("n"), sv.as("sv")))
+                .otherwise(struct(
+                  lNew.as("l"),
+                  (lit(0.25) * (lNew - l) + lit(0.75) * b).as("b"),
+                  (n + 1).as("n"),
+                  svNew.as("sv")))
+            }).as("h"))
+        .select(col("event_type"), col("n_slots"),
+          round(col("h.l"), 4).as("level"),
+          round(col("h.b"), 4).as("trend"),
+          round(element_at(col("h.sv"), pmod(col("h.n"), lit(m)) + 1), 4)
+            .as("s_next"),
+          round(col("h.l") + col("h.b") +
+            element_at(col("h.sv"), pmod(col("h.n"), lit(m)) + 1), 4)
+            .as("forecast_1"),
+          round(array_max(col("h.sv")) - array_min(col("h.sv")), 4)
+            .as("season_amp"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH RECURSIVE h AS (
+        SELECT event_type,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               max(value) AS v
+        FROM events
+        GROUP BY 1, 2),
+      idx AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY event_type ORDER BY slot_ns) AS i,
+               v
+        FROM h),
+      nn AS (SELECT event_type, max(i) AS n FROM idx GROUP BY 1),
+      rec AS (
+        SELECT event_type, CAST(1 AS BIGINT) AS i, v AS l,
+               CAST(0.0 AS DOUBLE) AS b,
+               list_transform(generate_series(1, 24), z -> CAST(0.0 AS DOUBLE)) AS sv
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT r.event_type, r.i + 1,
+               0.5 * (x.v - r.sv[CAST(r.i % 24 + 1 AS INTEGER)])
+                 + 0.5 * (r.l + r.b),
+               0.25 * ((0.5 * (x.v - r.sv[CAST(r.i % 24 + 1 AS INTEGER)])
+                          + 0.5 * (r.l + r.b)) - r.l)
+                 + 0.75 * r.b,
+               r.sv[1:CAST(r.i % 24 AS INTEGER)]
+                 || [0.25 * (x.v - (0.5 * (x.v - r.sv[CAST(r.i % 24 + 1 AS INTEGER)])
+                                      + 0.5 * (r.l + r.b)))
+                     + 0.75 * r.sv[CAST(r.i % 24 + 1 AS INTEGER)]]
+                 || r.sv[CAST(r.i % 24 + 2 AS INTEGER):24]
+        FROM rec r JOIN idx x ON x.event_type = r.event_type AND x.i = r.i + 1)
+      SELECT r.event_type, nn.n AS n_slots,
+             round(r.l, 4) AS level,
+             round(r.b, 4) AS trend,
+             round(r.sv[CAST(r.i % 24 + 1 AS INTEGER)], 4) AS s_next,
+             round(r.l + r.b + r.sv[CAST(r.i % 24 + 1 AS INTEGER)], 4) AS forecast_1,
+             round(list_aggregate(r.sv, 'max') - list_aggregate(r.sv, 'min'), 4)
+               AS season_amp
+      FROM rec r JOIN nn ON nn.event_type = r.event_type AND r.i = nn.n
+      ORDER BY r.event_type"""))
+
+  /** 1-D Kalman filter per series (constant-level model) over the
+    * hourly max-LWW values — the optimal-under-noise smoother the
+    * EWMA family approximates, with an explicitly tracked error
+    * variance instead of a fixed smoothing constant:
+    *   predict: p' = p + q
+    *   update:  k = p'/(p'+r),  x ← x + k(z−x),  p ← (1−k)p'
+    * init x₁=z₁, p₁=1; q=2⁻⁶, r=2⁻² (binary-exact — 0.01-style
+    * constants would round differently than their decimal spelling).
+    * The gain k converges to a steady state, which the output exposes
+    * (gain_final) alongside the filtered level and its variance —
+    * the uncertainty readout EWMA can't give. Same strict-fold +
+    * recursive-CTE-oracle discipline as kdb_holt_trend; scalar-only
+    * struct state. */
+  private val kalman = QueryDef(
+    "kdb_kalman_filter",
+    (s, d) => {
+      val acc0 = struct(lit(0.0).as("x"), lit(0.0).as("p"),
+        lit(0.0).as("k"), lit(0).as("n"))
+      ev(s, d)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(max(col("value")).as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_slots"),
+          aggregate(
+            transform(sort_array(collect_list(struct(col("slot_ns"), col("v")))),
+              r => r.getField("v")),
+            acc0,
+            (acc, z) => {
+              val x = acc.getField("x"); val p = acc.getField("p")
+              val n = acc.getField("n")
+              val pPred = p + lit(0.015625)
+              val k = pPred / (pPred + lit(0.25))
+              when(n === 0,
+                struct(z.as("x"), lit(1.0).as("p"), lit(0.0).as("k"),
+                  lit(1).as("n")))
+                .otherwise(struct(
+                  (x + k * (z - x)).as("x"),
+                  ((lit(1.0) - k) * pPred).as("p"),
+                  k.as("k"),
+                  (n + 1).as("n")))
+            }).as("f"))
+        .select(col("event_type"), col("n_slots"),
+          round(col("f.x"), 4).as("level"),
+          round(col("f.p"), 6).as("err_var"),
+          round(col("f.k"), 6).as("gain_final"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH RECURSIVE h AS (
+        SELECT event_type,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               max(value) AS v
+        FROM events
+        GROUP BY 1, 2),
+      idx AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY event_type ORDER BY slot_ns) AS i,
+               v
+        FROM h),
+      nn AS (SELECT event_type, max(i) AS n FROM idx GROUP BY 1),
+      rec AS (
+        SELECT event_type, CAST(1 AS BIGINT) AS i, v AS x,
+               CAST(1.0 AS DOUBLE) AS p, CAST(0.0 AS DOUBLE) AS k
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT r.event_type, r.i + 1,
+               r.x + ((r.p + 0.015625) / ((r.p + 0.015625) + 0.25)) * (z.v - r.x),
+               (1.0 - ((r.p + 0.015625) / ((r.p + 0.015625) + 0.25)))
+                 * (r.p + 0.015625),
+               (r.p + 0.015625) / ((r.p + 0.015625) + 0.25)
+        FROM rec r JOIN idx z ON z.event_type = r.event_type AND z.i = r.i + 1)
+      SELECT r.event_type, nn.n AS n_slots,
+             round(r.x, 4) AS level,
+             round(r.p, 6) AS err_var,
+             round(r.k, 6) AS gain_final
+      FROM rec r JOIN nn ON nn.event_type = r.event_type AND r.i = nn.n
+      ORDER BY r.event_type"""))
+
   /** One-sided CUSUM drift detection per series: z-normalize the
     * hourly values against the series' own mean/stddev, then fold
     * s_t = max(0, s_{t−1} + z_t − k) with slack k=0.5, alarming while
@@ -2965,5 +3147,5 @@ object KdbQueries extends QueryModule {
     locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest,
     theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing,
     incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf,
-    eventTransitions)
+    eventTransitions, holtWinters, kalman)
 }

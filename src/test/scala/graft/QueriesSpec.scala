@@ -250,7 +250,8 @@ class QueriesSpec extends SparkTestBase {
   }
 
   test("kdb_holt_trend / kdb_cusum_alarm: fold inputs are slot-bounded pre-aggregations") {
-    for (name <- Seq("kdb_holt_trend", "kdb_cusum_alarm")) {
+    for (name <- Seq("kdb_holt_trend", "kdb_cusum_alarm", "kdb_holtwinters",
+      "kdb_kalman_filter")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       // the collect_list fold must consume the (type, slot) pre-agg,

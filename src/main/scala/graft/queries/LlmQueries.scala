@@ -2698,6 +2698,119 @@ object LlmQueries extends QueryModule {
       ORDER BY score DESC, doc_id
       LIMIT 20"""))
 
+  /** Hybrid retrieval: reciprocal-rank fusion (RRF, k=60) of the BM25
+    * lexical ranking and the exact-cosine embedding ranking — the
+    * standard two-leg RAG retrieval shape (lexical recall + semantic
+    * recall, fused without score calibration). Each leg is top-20;
+    * rrf = Σ 1/(60+rank) over the legs where the doc appears; output
+    * is the fused top-10. Fully hash-gated: BM25 ranks order by the
+    * 4dp-rounded score (the llm_bm25_search contract), cosine ranks
+    * order by the raw strict-fold double (bit-identical across
+    * engines — embTopk precedent), and the fused score is a sum of
+    * exact reciprocals of small ints. Scale shape: the lexical leg
+    * filters postings at the tokenizer (only query-term hits
+    * survive); the ranking windows run over those bounded candidate
+    * sets, not the corpus; fusion is a full-outer join of two ≤20-row
+    * lists. Embeddings and documents share the id space (vec_id ≡
+    * doc_id) — the "every document carries its embedding" layout. */
+  private val hybridSearch = QueryDef(
+    "llm_hybrid_search",
+    (s, d) => {
+      val terms = Seq("dup", "vector", "query")
+      val postings = documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).as("dl"),
+          explode(tokens(col("text"))).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      val dfreq = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val stats = documents(s, d)
+        .select(size(tokens(col("text"))).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      // single-partition windows are safe here: both legs rank a
+      // candidate set already bounded by the term filter / the corpus
+      // cosine scan, and only top-20 survives
+      val wLex = Window.orderBy(col("score").desc, col("doc_id"))
+      val lex = postings
+        .join(broadcast(dfreq), Seq("tok"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+        .withColumn("w",
+          col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy(col("doc_id"))
+        .agg((round(sum(col("w")), 4) + lit(0.0)).as("score"))
+        .withColumn("r_lex", row_number().over(wLex))
+        .filter(col("r_lex") <= 20)
+        .select(col("doc_id"), col("r_lex"))
+      val e = embeddings(s, d)
+      val wEmb = Window.orderBy(col("cos").desc, col("nid"))
+      val emb = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+        .filter(col("nid") =!= 0)
+        .crossJoin(broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))))
+        .withColumn("cos", cosine(col("qv"), col("nv")))
+        .withColumn("r_emb", row_number().over(wEmb))
+        .filter(col("r_emb") <= 20)
+        .select(col("nid").as("doc_id"), col("r_emb"))
+      lex.join(emb, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("r_lex"), lit(0)).cast("long").as("bm25_rank"),
+          coalesce(col("r_emb"), lit(0)).cast("long").as("emb_rank"),
+          (round(
+            coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_emb")), lit(0.0)), 6) + lit(0.0))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some(s"""
+      WITH dl AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      postings AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM toks WHERE tok IN ('dup', 'vector', 'query')
+        GROUP BY 1, 2),
+      dfreq AS (SELECT tok, count(*) AS df FROM postings GROUP BY 1),
+      scored AS (
+        SELECT p.doc_id,
+               ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) *
+               (p.tf * 2.2) /
+               (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS w
+        FROM postings p
+        JOIN dfreq f USING (tok)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN stats s),
+      lex AS (
+        SELECT doc_id, r_lex FROM (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+          FROM (SELECT doc_id, round(sum(w), 4) + 0.0 AS score
+                FROM scored GROUP BY doc_id))
+        WHERE r_lex <= 20),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      emb AS (
+        SELECT nid, r_emb FROM (
+          SELECT nid, row_number() OVER (ORDER BY cos DESC, nid) AS r_emb
+          FROM (SELECT c.vec_id AS nid,
+                       ${dkDot("qv", "nv")} /
+                       (sqrt(${dkDot("qv", "qv")}) * sqrt(${dkDot("nv", "nv")})) AS cos
+                FROM (SELECT vec_id, embedding AS nv FROM embeddings WHERE vec_id <> 0) c
+                CROSS JOIN q))
+        WHERE r_emb <= 20)
+      SELECT COALESCE(l.doc_id, e.nid) AS doc_id,
+             CAST(COALESCE(l.r_lex, 0) AS BIGINT) AS bm25_rank,
+             CAST(COALESCE(e.r_emb, 0) AS BIGINT) AS emb_rank,
+             round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.r_lex), 0.0) +
+                   COALESCE(CAST(1.0 AS DOUBLE) / (60 + e.r_emb), 0.0), 6) + 0.0 AS rrf
+      FROM lex l FULL OUTER JOIN emb e ON l.doc_id = e.nid
+      ORDER BY rrf DESC, doc_id
+      LIMIT 10"""))
+
   /** Deterministic ±1 sign for the random-projection matrix cell
     * (i, j): a splitmix-style avalanche over the cell coordinates. The
     * matrix is a COMPILE-TIME constant — the same literal signs are
@@ -2953,5 +3066,5 @@ object LlmQueries extends QueryModule {
     int8Quantize, datasetCard, tokenizerFertility, codeDetect,
     softDedupWeights, spanCorruption, bloomScreen, sourceOverlap,
     bm25Search, randomProjection, kanonAudit, dedupEval, pagerank,
-    multimodalFeatures, similarityPq)
+    multimodalFeatures, similarityPq, hybridSearch)
 }

@@ -148,7 +148,10 @@ class QueriesSpec extends SparkTestBase {
       "kdb_locf_fill", "kdb_rolling_median", "llm_lm_score", "kdb_corr_matrix",
       "llm_knn_classify", "q_cdc_merge_apply", "llm_similarity_ivf_trained",
       "llm_dsir_sample", "llm_perplexity_buckets", "llm_tokenizer_fertility",
-      "kdb_benford_audit", "llm_bm25_search", "kdb_acf", "llm_similarity_pq")
+      "kdb_benford_audit", "llm_bm25_search", "kdb_acf", "llm_similarity_pq",
+      // llm_hybrid_search: 1-row corpus stats + 1-row query vector ride
+      // broadcast cross joins (bm25 + embTopk legs fused)
+      "llm_hybrid_search")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -817,6 +817,248 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     }
   }
 
+  // ------------------------------------------------------------------
+  // Continuous aggregate (rollup) — incrementally maintained partial
+  // aggregates over the typed double view, beyond the reference (its
+  // consumers re-aggregate raw reads every query; a TSDB serving
+  // dashboards needs the Timescale-style continuous aggregate).
+  //
+  // Design: the rollup is its own append-only sibling table
+  // (<table>_rollup/delta=<lo>_<hi>/bucket_ts=<ns>/...) of PARTIAL
+  // aggregates — count / sum / min / max / last-by-seq per
+  // (series, rollup-slot). Each refresh folds exactly the engine rows
+  // with ingest seq in (lo, hi] — the monotone seq column IS the
+  // exactly-once watermark, carried in the delta dir NAME, so there is
+  // no separate state file to corrupt and the atomic dir rename makes
+  // a refresh all-or-nothing. Reads merge partials on the fly
+  // (merge-on-read): counts/sums add, min/max fold, last resolves by
+  // max seq — all partial-agg-friendly, so the merge combines
+  // map-side. Crash anywhere = either the delta exists (named with
+  // its range) or it does not; overlapping ranges left by a crashed
+  // compaction are resolved by the greedy interval cover below, which
+  // always prefers the widest delta starting at the watermark chain's
+  // next link — additive counters are never double-counted.
+  // ------------------------------------------------------------------
+
+  private def rollupPath = s"${opts.tablePath}_rollup"
+  private def rollupOptionsPath = new Path(s"$rollupPath/_rollup_options")
+
+  private def rollupSchema: StructType = StructType(
+    StructField("rslot_ns", LongType) +:
+      tagCols.map(StructField(_, StringType)) :+
+      StructField("cnt", LongType) :+
+      StructField("vsum", DoubleType) :+
+      StructField("vmin", DoubleType) :+
+      StructField("vmax", DoubleType) :+
+      StructField("last_seq", LongType) :+
+      StructField("last_val", DoubleType) :+
+      StructField("bucket_ts", LongType))
+
+  /** Validate (or on write paths adopt) the rollup resolution — a
+    * layout property of the rollup table, same fail-closed contract
+    * as the engine's own options manifest. */
+  private def ensureRollupOptions(res: Long, adopt: Boolean): Unit = {
+    val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rollupOptionsPath)) {
+      val in = fs.open(rollupOptionsPath)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val found = text.linesIterator.collectFirst {
+        case l if l.startsWith("rollupResolution=") =>
+          scala.util.Try(l.stripPrefix("rollupResolution=").trim.toLong).toOption
+      }.flatten
+      if (!found.contains(res))
+        throw new IllegalArgumentException(
+          s"${EngineErrors.OptionsMismatch}: rollupResolution table=${found.getOrElse("<corrupt>")} caller=$res")
+      return
+    }
+    if (!adopt)
+      throw new IllegalStateException(s"no rollup exists at $rollupPath — refresh first")
+    fs.mkdirs(new Path(rollupPath))
+    val tmp = new Path(s"$rollupPath/._rollup_options_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val out = fs.create(tmp, true)
+    try out.write(s"rollupResolution=$res\n".getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, rollupOptionsPath)) fs.delete(tmp, false)
+    // revalidate what's on disk (two racing first refreshes: one wins)
+    ensureRollupOptions(res, adopt = false)
+  }
+
+  /** Committed delta dirs as (path, loSeqExclusive, hiSeqInclusive). */
+  private def rollupDeltas(fs: FileSystem): Seq[(Path, Long, Long)] = {
+    val root = new Path(rollupPath)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("delta=")) None
+      else n.stripPrefix("delta=").split("_", 2) match {
+        case Array(lo, hi) =>
+          scala.util.Try((st.getPath, lo.toLong, hi.toLong)).toOption
+        case _ => None
+      }
+    }
+  }
+
+  /** Greedy interval cover of the seq axis: starting at the chain
+    * origin (lo = −1), repeatedly take the widest delta continuing
+    * the chain (lo == covered), skipping deltas a crashed compaction
+    * left fully behind the cover. A delta that OVERLAPS the cover
+    * boundary or a gap in the chain means manual tampering — fail
+    * loudly rather than serve a double-counted or partial aggregate. */
+  private def rollupCover(ds: Seq[(Path, Long, Long)]): Seq[(Path, Long, Long)] = {
+    val sorted = ds.sortBy { case (_, lo, hi) => (lo, -hi) }
+    var covered = -1L
+    val keep = Seq.newBuilder[(Path, Long, Long)]
+    sorted.foreach { case d @ (_, lo, hi) =>
+      if (hi > covered) {
+        if (lo != covered)
+          throw new IllegalStateException(
+            s"rollup delta chain broken at seq $covered (next delta covers ($lo, $hi])")
+        keep += d
+        covered = hi
+      } // else: fully covered (crashed-compaction leftover) — ignored
+    }
+    keep.result()
+  }
+
+  /** Incremental refresh: fold engine rows with seq > watermark into
+    * a new delta of partial aggregates at `rollupResolution`. Exactly
+    * once by construction — the folded range is the delta's name, the
+    * publish is one atomic rename, and a re-run after any crash sees
+    * the same watermark the survivors define. Returns the number of
+    * partial rows published (0 when already up to date). The new-row
+    * scan carries a `seq > wm` predicate: not a partition prune, but
+    * batch files are immutable with tight seq ranges, so parquet
+    * row-group stats skip every already-folded batch.
+    *
+    * Semantics: the rollup aggregates the OBSERVATION STREAM — every
+    * accepted write is one sample, so cnt/sum/min/max count
+    * superseded LWW duplicates too (additive partials cannot retract;
+    * the classic incremental-view-maintenance boundary). `last_val`
+    * alone is LWW-exact: it resolves by max ingest seq across deltas,
+    * so it always equals what get() would serve for that slot. For
+    * metrics ingest (distinct slots per sample — the overwhelmingly
+    * common TSDB shape) observation and LWW semantics coincide. */
+  def refreshRollup(rollupResolution: Long): Long = writeLock.synchronized {
+    ensureManifest(adopt = false)
+    require(opts.payloadSize == 8,
+      s"rollup decodes double payloads (payloadSize=8; engine has ${opts.payloadSize})")
+    require(rollupResolution > 0 && rollupResolution % opts.resolution == 0,
+      "rollupResolution must be a positive multiple of resolution")
+    ensureRollupOptions(rollupResolution, adopt = true)
+    val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
+    val wm = rollupCover(rollupDeltas(fs)).lastOption.map(_._3).getOrElse(-1L)
+    val cur = currentSeq()
+    if (cur <= wm) return 0L
+    val partials = table()
+      .filter(col("seq") > wm)
+      .withColumn("value", call_function("double_from_payload", col("payload")))
+      .withColumn("rslot_ns", col("slot_ns") - (col("slot_ns") % rollupResolution))
+      .groupBy(col("bucket_ts") +: tagCols.map(col) :+ col("rslot_ns"): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value")).as("vsum"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"),
+        max(col("seq")).as("last_seq"),
+        max_by(col("value"), col("seq")).as("last_val"))
+      .select(col("rslot_ns") +: tagCols.map(col) :+ col("cnt") :+ col("vsum") :+
+        col("vmin") :+ col("vmax") :+ col("last_seq") :+ col("last_val") :+
+        col("bucket_ts"): _*)
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val staging = new Path(s"$rollupPath/.rstaging_$uuid")
+    partials.write.mode(SaveMode.Overwrite).partitionBy("bucket_ts").parquet(staging.toString)
+    val target = new Path(s"$rollupPath/delta=${wm}_$cur")
+    if (!fs.rename(staging, target)) {
+      fs.delete(staging, true)
+      throw new IllegalStateException(s"rollup delta publish failed: $staging")
+    }
+    spark.read.parquet(target.toString).count() // footer counts only
+  }
+
+  /** Merge-on-read rollup query: final (series, rollup-slot) rows over
+    * [start, end) for a (possibly wildcard "") tag pattern — counts
+    * and sums add across deltas, min/max fold, `last` resolves by max
+    * ingest seq, avg derives at the end. Partition-pruned by
+    * bucket_ts exactly like the raw read path. */
+  def rollup(start: Long, end: Long, tags: Seq[String],
+      rollupResolution: Long): DataFrame = {
+    ensureManifest(adopt = false)
+    ensureRollupOptions(rollupResolution, adopt = false)
+    if (tags.size != opts.indexDepth)
+      throw new IllegalArgumentException(InvalidIndexValues)
+    val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
+    val cover = rollupCover(rollupDeltas(fs))
+    val s0 = start - start % rollupResolution
+    val e0 = end - end % rollupResolution
+    val base =
+      if (cover.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rollupSchema)
+      else spark.read.schema(rollupSchema)
+        .option("basePath", rollupPath)
+        .option("ignoreCorruptFiles", "true")
+        .parquet(cover.map(_._1.toString): _*)
+    val bs = s0 - s0 % opts.bucketDuration
+    val be = e0 - e0 % opts.bucketDuration
+    val preds = tagCols.zip(tags).collect { case (c, v) if v.nonEmpty => col(c) === v }
+    preds.foldLeft(
+        base.filter(col("bucket_ts") >= bs && col("bucket_ts") <= be &&
+          col("rslot_ns") >= s0 && col("rslot_ns") < e0))(_ filter _)
+      .groupBy(tagCols.map(col) :+ col("rslot_ns"): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("vsum")).as("vsum"),
+        min(col("vmin")).as("vmin"),
+        max(col("vmax")).as("vmax"),
+        max_by(col("last_val"), col("last_seq")).as("last_val"))
+      .select(tagCols.map(col) :+ col("rslot_ns") :+ col("cnt") :+ col("vsum") :+
+        col("vmin") :+ col("vmax") :+ col("last_val") :+
+        (col("vsum") / col("cnt")).as("vavg"): _*)
+      .orderBy(tagCols.map(col) :+ col("rslot_ns"): _*)
+  }
+
+  /** Fold the delta chain into one delta (same publish-then-delete
+    * discipline as [[compactBucket]]): merge-on-read cost drops to a
+    * single dir. Crash between publish and delete leaves an overlap
+    * the greedy cover resolves in the merged delta's favor (it starts
+    * at the chain origin and reaches the newest seq, so every
+    * original is "fully covered" and ignored) — additive partials are
+    * never double-counted, and the next compaction finishes the
+    * deletes. Returns the number of deltas folded (0 = nothing to do). */
+  def compactRollup(): Int = writeLock.synchronized {
+    ensureManifest(adopt = false)
+    val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
+    val all = rollupDeltas(fs)
+    val cover = rollupCover(all)
+    // sweep crashed-compaction leftovers even when the chain is short
+    val redundant = all.filterNot(cover.contains)
+    redundant.foreach { case (p, _, _) => fs.delete(p, true) }
+    val n = cover.size
+    if (n > 1) {
+      val merged = spark.read.schema(rollupSchema)
+        .option("basePath", rollupPath)
+        .parquet(cover.map(_._1.toString): _*)
+        .groupBy(col("bucket_ts") +: tagCols.map(col) :+ col("rslot_ns"): _*)
+        .agg(sum(col("cnt")).as("cnt"),
+          sum(col("vsum")).as("vsum"),
+          min(col("vmin")).as("vmin"),
+          max(col("vmax")).as("vmax"),
+          max(col("last_seq")).as("last_seq"),
+          max_by(col("last_val"), col("last_seq")).as("last_val"))
+        .select(col("rslot_ns") +: tagCols.map(col) :+ col("cnt") :+ col("vsum") :+
+          col("vmin") :+ col("vmax") :+ col("last_seq") :+ col("last_val") :+
+          col("bucket_ts"): _*)
+      val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val staging = new Path(s"$rollupPath/.rstaging_$uuid")
+      merged.write.mode(SaveMode.Overwrite).partitionBy("bucket_ts").parquet(staging.toString)
+      // the target name is fresh (cover.size > 1 means no single delta
+      // already spans the whole chain); publish first, then delete
+      val target = new Path(s"$rollupPath/delta=${cover.head._2}_${cover.last._3}")
+      if (!fs.rename(staging, target)) {
+        fs.delete(staging, true)
+        throw new IllegalStateException(s"rollup compaction publish failed: $staging")
+      }
+      cover.foreach { case (p, _, _) => if (p != target) fs.delete(p, true) }
+    }
+    if (n > 1) n else 0
+  }
+
   /** Close (kdb.go:14; dbase/dbase.go:366-384): the reference flushes
     * bucket queues and unmaps files; here parquet writes are
     * job-transactional and nothing holds file handles, so close is a

@@ -2131,6 +2131,62 @@ object KdbQueries extends QueryModule {
       FROM rec r JOIN nn ON nn.event_type = r.event_type AND r.i = nn.n
       ORDER BY r.event_type"""))
 
+  /** Continuous-aggregate merge algebra, oracle-checked: split the
+    * ingest stream into three "refresh generations" (event_id mod 3 —
+    * standing in for Engine.refreshRollup's seq-range deltas),
+    * partial-aggregate each generation per (series, hour slot), then
+    * MERGE the partials (counts/sums add, min/max fold, last resolves
+    * by max ingest id) — while the DuckDB oracle aggregates the same
+    * rows DIRECTLY. Hash equality proves merge(partials) ≡ direct,
+    * the invariant the engine's merge-on-read rollup rests on
+    * (Engine.scala rollup section). Values quantize to integer cents
+    * BEFORE summing so the sum is associative — partial-then-merge
+    * order cannot drift from DuckDB's single-pass order (the
+    * kdb_stl_decompose integer-quantization precedent). */
+  private val rollupMerge = QueryDef(
+    "kdb_rollup_merge",
+    (s, d) => {
+      val cents = round(col("value") * 100).cast("long")
+      val partials = ev(s, d)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .withColumn("cv", cents)
+        .groupBy((col("event_id") % 3).as("gen"), col("event_type"), col("slot_ns"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cv")).as("csum"),
+          min(col("cv")).as("cmin"), max(col("cv")).as("cmax"),
+          max(col("event_id")).as("last_id"),
+          max_by(col("cv"), col("event_id")).as("last_cv"))
+      partials
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(sum(col("cnt")).as("cnt"), sum(col("csum")).as("csum"),
+          min(col("cmin")).as("cmin"), max(col("cmax")).as("cmax"),
+          max_by(col("last_cv"), col("last_id")).as("last_cv"))
+        .select(col("event_type"), col("slot_ns"), col("cnt"),
+          round(col("csum") / 100.0, 2).as("vsum"),
+          round(col("cmin") / 100.0, 2).as("vmin"),
+          round(col("cmax") / 100.0, 2).as("vmax"),
+          round(col("last_cv") / 100.0, 2).as("last_val"),
+          (round(col("csum").cast("double") / col("cnt") / 100.0, 4) + lit(0.0))
+            .as("vavg"))
+        .orderBy(col("event_type"), col("slot_ns"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT event_type,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               CAST(round(value * 100) AS BIGINT) AS cv,
+               event_id
+        FROM events)
+      SELECT event_type, slot_ns, count(*) AS cnt,
+             round(CAST(sum(cv) AS BIGINT) / 100.0, 2) AS vsum,
+             round(min(cv) / 100.0, 2) AS vmin,
+             round(max(cv) / 100.0, 2) AS vmax,
+             round(arg_max(cv, event_id) / 100.0, 2) AS last_val,
+             round(CAST(CAST(sum(cv) AS BIGINT) AS DOUBLE) / count(*) / 100.0, 4)
+               + 0.0 AS vavg
+      FROM q
+      GROUP BY 1, 2
+      ORDER BY event_type, slot_ns"""))
+
   /** 1-D Kalman filter per series (constant-level model) over the
     * hourly max-LWW values — the optimal-under-noise smoother the
     * EWMA family approximates, with an explicitly tracked error
@@ -3147,5 +3203,5 @@ object KdbQueries extends QueryModule {
     locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest,
     theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing,
     incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf,
-    eventTransitions, holtWinters, kalman)
+    eventTransitions, holtWinters, kalman, rollupMerge)
 }

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import graft.core._
+
+/** Continuous aggregate (Engine.refreshRollup / rollup /
+  * compactRollup): exactly-once incremental folding via seq-range
+  * delta names, merge-on-read partial aggregation, LWW-exact `last`,
+  * crash-leftover resolution by the greedy interval cover, and the
+  * rollup options guard. */
+class RollupSpec extends SparkTestBase {
+
+  private val T = Seq("cpu", "host1")
+
+  private def mkEngine(now: Long = 11999L): Engine = {
+    val dir = Files.createTempDirectory("graft-rollup").toString
+    val opts = EngineOptions(
+      databaseName = "testdb", dataDir = dir,
+      indexDepth = 2, payloadSize = 8,
+      bucketDuration = 1000L, resolution = 10L)
+    new Engine(spark, opts, new TestClock(now))
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(2), r.getLong(3), r.getDouble(4),
+      r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8)))
+      .toSeq // (rslot, cnt, vsum, vmin, vmax, last_val, vavg)
+
+  test("refresh folds new writes into partials; rollup merges to exact aggregates") {
+    val e = mkEngine()
+    e.putDoubles(Seq(
+      (11000L, T, 1.0), (11010L, T, 2.0), (11020L, T, 3.0), // rslot 11000
+      (11100L, T, 10.0)))                                   // rslot 11100
+    assert(e.refreshRollup(100L) === 2L) // two partial rows
+    val got = rows(e.rollup(11000L, 11200L, T, 100L))
+    assert(got === Seq(
+      (11000L, 3L, 6.0, 1.0, 3.0, 3.0, 2.0),
+      (11100L, 1L, 10.0, 10.0, 10.0, 10.0, 10.0)))
+  }
+
+  test("incremental: a second refresh folds ONLY the new writes; last_val stays LWW-exact") {
+    val e = mkEngine()
+    e.putDoubles(Seq((11000L, T, 1.0), (11010L, T, 2.0), (11020L, T, 3.0)))
+    e.refreshRollup(100L)
+    // new slot + an LWW overwrite of slot 11000, both in rslot 11000;
+    // the overwrite (5.0) carries the highest seq
+    e.putDoubles(Seq((11030L, T, 4.0), (11000L, T, 5.0)))
+    assert(e.refreshRollup(100L) === 1L) // one partial row, only the delta
+    val got = rows(e.rollup(11000L, 11100L, T, 100L))
+    // observation semantics: 5 writes; last = the max-seq write = 5.0
+    assert(got === Seq((11000L, 5L, 15.0, 1.0, 5.0, 5.0, 3.0)))
+    // and refresh with nothing new is a no-op
+    assert(e.refreshRollup(100L) === 0L)
+  }
+
+  test("wildcard rollup returns every matching series, ordered") {
+    val e = mkEngine()
+    val t2 = Seq("cpu", "host2")
+    e.putDoubles(Seq((11000L, T, 1.0), (11000L, t2, 7.0)))
+    e.refreshRollup(100L)
+    val got = e.rollup(11000L, 11100L, Seq("cpu", ""), 100L).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("cpu", "host1"), ("cpu", "host2")))
+    // and an exact-tag query prunes to one series
+    assert(e.rollup(11000L, 11100L, t2, 100L).count() === 1L)
+  }
+
+  test("compactRollup folds the delta chain; results identical; re-run is a no-op") {
+    val e = mkEngine()
+    e.putDoubles(Seq((11000L, T, 1.0), (11010L, T, 2.0)))
+    e.refreshRollup(100L)
+    e.putDoubles(Seq((11020L, T, 3.0)))
+    e.refreshRollup(100L)
+    val before = rows(e.rollup(11000L, 11100L, T, 100L))
+    assert(e.compactRollup() === 2)
+    val after = rows(e.rollup(11000L, 11100L, T, 100L))
+    assert(before === after)
+    assert(e.compactRollup() === 0) // single delta: nothing to fold
+  }
+
+  test("a crashed compaction's overlap is never double-counted and is swept on the next pass") {
+    val e = mkEngine()
+    e.putDoubles(Seq((11000L, T, 1.0)))
+    e.refreshRollup(100L)
+    e.putDoubles(Seq((11010L, T, 2.0)))
+    e.refreshRollup(100L)
+    val fs = FileSystem.get(new java.net.URI(e.opts.dataDir),
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(s"${e.opts.tablePath}_rollup")
+    val deltas = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("delta=")).sortBy(_.getName)
+    // stash one original, compact, then restore it — exactly the state
+    // a crash between publish and delete leaves behind
+    val stash = new Path(root, ".stash")
+    FileUtil.copy(fs, deltas.head, fs, stash, false,
+      spark.sparkContext.hadoopConfiguration)
+    e.compactRollup()
+    assert(fs.rename(stash, deltas.head))
+    val got = rows(e.rollup(11000L, 11100L, T, 100L))
+    assert(got === Seq((11000L, 2L, 3.0, 1.0, 2.0, 2.0, 1.5)),
+      "the merged delta must win the cover; the leftover must not double-count")
+    // next compaction sweeps the covered leftover even with one cover delta
+    e.compactRollup()
+    val left = fs.listStatus(root).map(_.getPath.getName)
+      .count(_.startsWith("delta="))
+    assert(left === 1)
+  }
+
+  test("rollup resolution is a guarded layout property of the rollup table") {
+    val e = mkEngine()
+    e.putDoubles(Seq((11000L, T, 1.0)))
+    e.refreshRollup(100L)
+    val err = intercept[IllegalArgumentException](e.refreshRollup(50L))
+    assert(err.getMessage.contains("rollupResolution"))
+    val err2 = intercept[IllegalArgumentException](e.rollup(11000L, 11100L, T, 50L))
+    assert(err2.getMessage.contains("rollupResolution"))
+    // querying before any refresh exists fails loudly, not empty
+    val e2 = mkEngine()
+    intercept[IllegalStateException](e2.rollup(11000L, 11100L, T, 100L))
+  }
+}

@@ -60,9 +60,21 @@ final class StreamingIngest(engine: Engine) {
     * unbounded small dirs on cold buckets. The sweep is stateless and
     * idempotent: `fragmentedColdBuckets` asks the filesystem which
     * cold buckets hold >1 committed dir, so an already-folded bucket
-    * costs one listing, never a rewrite, across restarts too. */
+    * costs one listing, never a rewrite, across restarts too.
+    *
+    * `rollupResolution = Some(res)` additionally maintains the
+    * engine's continuous aggregate per micro-batch: after each epoch's
+    * write, refreshRollup folds exactly that epoch's rows (they are
+    * precisely the rows above the rollup watermark — the seq axis and
+    * the epoch axis advance together). Replay safety composes: a
+    * replayed epoch re-puts rows with FRESH seqs, so the refresh after
+    * it folds them like any other new writes, and `last` still
+    * resolves by max seq — dashboards served from the rollup converge
+    * to exactly what get() serves, without the engine ever scanning
+    * history twice. */
   def start(points: DataFrame, checkpointDir: String,
-      autoCompact: Boolean = false): StreamingQuery = {
+      autoCompact: Boolean = false,
+      rollupResolution: Option[Long] = None): StreamingQuery = {
     points.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -70,6 +82,7 @@ final class StreamingIngest(engine: Engine) {
         perBatch.put(batchId, engine.put(batch))
         if (autoCompact)
           engine.fragmentedColdBuckets().foreach(engine.compactBucket)
+        rollupResolution.foreach(engine.refreshRollup)
         ()
       }
       .start()

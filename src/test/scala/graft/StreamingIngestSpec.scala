@@ -373,4 +373,38 @@ class StreamingIngestSpec extends SparkTestBase {
       assert(spark.table("dedup_test").count() === 3L)
     } finally q.stop()
   }
+
+  test("per-epoch rollup refresh: the continuous aggregate tracks streaming ingest") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-streamroll").toString
+    val clock = new TestClock(11999L)
+    val engine = new Engine(spark,
+      EngineOptions("rdb", dir, 2, 8, 1000L, 10L), clock)
+    val ingest = new StreamingIngest(engine)
+    def dpld(v: Double) = java.nio.ByteBuffer.allocate(8).putDouble(v).array()
+    val t2 = Seq("cpu", "h1")
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Point]
+    val q = ingest.start(stream.toDF(),
+      Files.createTempDirectory("graft-roll-ckpt").toString,
+      rollupResolution = Some(100L))
+    try {
+      stream.addData(
+        Point(11000L, t2, dpld(1.0), seq = 1),
+        Point(11010L, t2, dpld(2.0), seq = 2))
+      q.processAllAvailable()
+      // the rollup serves epoch 1 without any manual refresh
+      val r1 = engine.rollup(11000L, 11100L, t2, 100L).collect()
+      assert(r1.length === 1 && r1(0).getLong(3) === 2L)
+      stream.addData(Point(11020L, t2, dpld(3.0), seq = 3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val r = engine.rollup(11000L, 11100L, t2, 100L).collect()
+    assert(r.length === 1)
+    assert((r(0).getLong(3), r(0).getDouble(4), r(0).getDouble(5),
+      r(0).getDouble(6), r(0).getDouble(7), r(0).getDouble(8)) ===
+      ((3L, 6.0, 1.0, 3.0, 3.0, 2.0)))
+    // one delta per epoch accumulated — the maintenance fold collapses them
+    assert(engine.compactRollup() === 2)
+  }
 }

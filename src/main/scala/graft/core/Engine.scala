@@ -1013,6 +1013,34 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       .orderBy(tagCols.map(col) :+ col("rslot_ns"): _*)
   }
 
+  /** Rollup retention, the aggregate-side twin of [[removeBefore]]:
+    * drop every bucket_ts partition below `ts` inside every delta —
+    * a directory delete per (delta, bucket), metadata-only like the
+    * raw path. Deliberately NOT fused into removeBefore: dashboards
+    * commonly keep the aggregate longer than the raw points (raw 30
+    * days, hourly rollup 2 years), so the two retention horizons are
+    * independent knobs. Same hot-window guard — the rollup of a
+    * bucket still receiving writes must not vanish mid-refresh. An
+    * emptied delta keeps its dir (the seq-range chain must stay
+    * unbroken for the cover); compaction folds empty links away. */
+  def rollupRemoveBefore(ts: Long): Unit = writeLock.synchronized {
+    ensureManifest(adopt = false)
+    val now = clock.nowNs
+    val nowBucket = now - now % opts.bucketDuration
+    val minHot = nowBucket - opts.bucketDuration * (opts.maxHotBuckets - 1)
+    if (ts > minHot)
+      throw new IllegalArgumentException("err_remove_hot_bucket")
+    val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
+    rollupDeltas(fs).foreach { case (delta, _, _) =>
+      fs.listStatus(delta).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("bucket_ts=") &&
+          name.stripPrefix("bucket_ts=").toLong < ts)
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   /** Fold the delta chain into one delta (same publish-then-delete
     * discipline as [[compactBucket]]): merge-on-read cost drops to a
     * single dir. Crash between publish and delete leaves an overlap

@@ -415,6 +415,27 @@ class QueriesSpec extends SparkTestBase {
     assert(plan.contains("partial_count"), "group sizes must combine map-side")
   }
 
+  test("kdb_rollup_merge: one scan, partial then merge aggregation, no extra passes") {
+    val plan = SparkEntry.queries("kdb_rollup_merge")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      "generation partials and the merge must share one events scan")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      "one shuffle per aggregation level: (gen,series,slot) then (series,slot)")
+    assert(plan.contains("partial_"), "generation partials must combine map-side")
+  }
+
+  test("llm_multimodal_features: typed kernel and declarative twin are per-row maps") {
+    val plan = SparkEntry.queries("llm_multimodal_features")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) <= 2,
+      "each branch scans documents once")
+    assert(!plan.contains("CartesianProduct"), "unexpected cartesian")
+    // no aggregation shuffle: features are per-row, only the join +
+    // final order may exchange
+    assert(!plan.contains(" Expand ["), "no grouping expansion expected")
+  }
+
   test("kdb_event_transitions: matrix + row normalization share the sequence shuffles") {
     val plan = SparkEntry.queries("kdb_event_transitions")(spark, sf)
       .queryExecution.executedPlan.toString

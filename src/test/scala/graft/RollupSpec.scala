@@ -13,13 +13,14 @@ class RollupSpec extends SparkTestBase {
 
   private val T = Seq("cpu", "host1")
 
-  private def mkEngine(now: Long = 11999L): Engine = {
+  private def mkEngine(now: Long = 11999L): (Engine, TestClock) = {
     val dir = Files.createTempDirectory("graft-rollup").toString
     val opts = EngineOptions(
       databaseName = "testdb", dataDir = dir,
       indexDepth = 2, payloadSize = 8,
       bucketDuration = 1000L, resolution = 10L)
-    new Engine(spark, opts, new TestClock(now))
+    val clock = new TestClock(now)
+    (new Engine(spark, opts, clock), clock)
   }
 
   private def rows(df: org.apache.spark.sql.DataFrame) =
@@ -28,7 +29,7 @@ class RollupSpec extends SparkTestBase {
       .toSeq // (rslot, cnt, vsum, vmin, vmax, last_val, vavg)
 
   test("refresh folds new writes into partials; rollup merges to exact aggregates") {
-    val e = mkEngine()
+    val (e, _) = mkEngine()
     e.putDoubles(Seq(
       (11000L, T, 1.0), (11010L, T, 2.0), (11020L, T, 3.0), // rslot 11000
       (11100L, T, 10.0)))                                   // rslot 11100
@@ -40,7 +41,7 @@ class RollupSpec extends SparkTestBase {
   }
 
   test("incremental: a second refresh folds ONLY the new writes; last_val stays LWW-exact") {
-    val e = mkEngine()
+    val (e, _) = mkEngine()
     e.putDoubles(Seq((11000L, T, 1.0), (11010L, T, 2.0), (11020L, T, 3.0)))
     e.refreshRollup(100L)
     // new slot + an LWW overwrite of slot 11000, both in rslot 11000;
@@ -55,7 +56,7 @@ class RollupSpec extends SparkTestBase {
   }
 
   test("wildcard rollup returns every matching series, ordered") {
-    val e = mkEngine()
+    val (e, _) = mkEngine()
     val t2 = Seq("cpu", "host2")
     e.putDoubles(Seq((11000L, T, 1.0), (11000L, t2, 7.0)))
     e.refreshRollup(100L)
@@ -67,7 +68,7 @@ class RollupSpec extends SparkTestBase {
   }
 
   test("compactRollup folds the delta chain; results identical; re-run is a no-op") {
-    val e = mkEngine()
+    val (e, _) = mkEngine()
     e.putDoubles(Seq((11000L, T, 1.0), (11010L, T, 2.0)))
     e.refreshRollup(100L)
     e.putDoubles(Seq((11020L, T, 3.0)))
@@ -80,7 +81,7 @@ class RollupSpec extends SparkTestBase {
   }
 
   test("a crashed compaction's overlap is never double-counted and is swept on the next pass") {
-    val e = mkEngine()
+    val (e, _) = mkEngine()
     e.putDoubles(Seq((11000L, T, 1.0)))
     e.refreshRollup(100L)
     e.putDoubles(Seq((11010L, T, 2.0)))
@@ -107,8 +108,29 @@ class RollupSpec extends SparkTestBase {
     assert(left === 1)
   }
 
+  test("rollupRemoveBefore drops aggregate buckets on its own horizon; chain stays intact") {
+    val (e, clock) = mkEngine() // now 11999: hot = buckets 11000, 10000
+    e.putDoubles(Seq((10000L, T, 1.0), (11000L, T, 2.0)))
+    e.refreshRollup(100L)
+    assert(e.rollup(10000L, 11100L, T, 100L).count() === 2L)
+    // hot-window guard: the rollup of a bucket still accepting writes
+    // must not vanish
+    intercept[IllegalArgumentException](e.rollupRemoveBefore(10500L))
+    // time passes; the aggregate horizon can now drop bucket 10000
+    // while the RAW table keeps it — independent retention knobs
+    clock.goto(13999L)
+    e.rollupRemoveBefore(11000L)
+    val got = rows(e.rollup(10000L, 11100L, T, 100L))
+    assert(got === Seq((11000L, 1L, 2.0, 2.0, 2.0, 2.0, 2.0)))
+    // the raw path still serves the dropped bucket's points
+    assert(e.getDoubles(10000L, 10010L, T).collect()(0).getDouble(2) === 1.0)
+    // the delta chain is still a valid cover and a later refresh works
+    e.putDoubles(Seq((13000L, T, 9.0)))
+    assert(e.refreshRollup(100L) === 1L)
+  }
+
   test("rollup resolution is a guarded layout property of the rollup table") {
-    val e = mkEngine()
+    val (e, _) = mkEngine()
     e.putDoubles(Seq((11000L, T, 1.0)))
     e.refreshRollup(100L)
     val err = intercept[IllegalArgumentException](e.refreshRollup(50L))
@@ -116,7 +138,7 @@ class RollupSpec extends SparkTestBase {
     val err2 = intercept[IllegalArgumentException](e.rollup(11000L, 11100L, T, 50L))
     assert(err2.getMessage.contains("rollupResolution"))
     // querying before any refresh exists fails loudly, not empty
-    val e2 = mkEngine()
+    val (e2, _) = mkEngine()
     intercept[IllegalStateException](e2.rollup(11000L, 11100L, T, 100L))
   }
 }

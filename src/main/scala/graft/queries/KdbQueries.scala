@@ -2187,6 +2187,110 @@ object KdbQueries extends QueryModule {
       GROUP BY 1, 2
       ORDER BY event_type, slot_ns"""))
 
+  /** Gorilla-style compression planning (Facebook's in-memory TSDB
+    * encoding, VLDB'15): per series, estimate the stored bits per
+    * point under delta-of-delta timestamp coding (zigzagged dod into
+    * the 1/9/12/16/36-bit buckets) and XOR value coding (cent-
+    * quantized; repeat → 1 bit, else control+window header ≈ 13 bits
+    * + significant XOR bits) — the capacity-planning read that sizes
+    * a retention budget before anyone writes a byte. Deliberately a
+    * planning UPPER BOUND: real Gorilla reuses the previous leading/
+    * trailing window. Everything is integer arithmetic — significant
+    * bits come from length(bin(x)), a STRING length, not float log2
+    * (identical in both engines; floor(log2) drifts at power-of-two
+    * boundaries) — so the per-series sums are exact and the only
+    * doubles are final ratios. One window pass per series, one
+    * rollup; both ride the same (event_type) partitioning. */
+  private val compressionPlan = QueryDef(
+    "kdb_compression_plan",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts_ns"), col("event_id"))
+      val rows = ev(s, d)
+        .withColumn("cv", round(col("value") * 100).cast("long"))
+        .withColumn("prev_ts", lag(col("ts_ns"), 1).over(w))
+        .withColumn("prev2_ts", lag(col("ts_ns"), 2).over(w))
+        .withColumn("prev_cv", lag(col("cv"), 1).over(w))
+        .withColumn("dod",
+          (col("ts_ns") - col("prev_ts")) -
+            coalesce(col("prev_ts") - col("prev2_ts"), lit(0L)))
+        .withColumn("z",
+          when(col("dod") >= 0, col("dod") * 2).otherwise(-col("dod") * 2 - 1))
+        .withColumn("xorv", expr("cv ^ prev_cv"))
+        .withColumn("ts_bits",
+          when(col("prev_ts").isNull, lit(64L))
+            .when(col("z") === 0, 1L).when(col("z") <= 127, 9L)
+            .when(col("z") <= 511, 12L).when(col("z") <= 4095, 16L)
+            .otherwise(36L))
+        .withColumn("val_bits",
+          when(col("prev_cv").isNull, lit(64L))
+            .when(col("xorv") === 0, 1L)
+            .otherwise(lit(13L) + length(bin(col("xorv"))).cast("long")))
+      rows.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("ts_bits") + col("val_bits")).as("est_bits"),
+          count(when(col("prev_ts").isNotNull && col("z") === 0, 1)).as("n_dod0"),
+          count(when(col("prev_cv").isNotNull && col("xorv") === 0, 1)).as("n_rep"))
+        .select(col("event_type"), col("n_points"),
+          (col("n_points") * 16L).as("raw_bytes"),
+          expr("(est_bits + 7) div 8").as("est_bytes"),
+          (round(col("n_points").cast("double") * 128.0 / col("est_bits"), 4) + lit(0.0))
+            .as("ratio"),
+          when(col("n_points") > 1,
+            round(col("n_dod0").cast("double") / (col("n_points") - 1), 4) + lit(0.0))
+            .as("pct_ts_zero"),
+          when(col("n_points") > 1,
+            round(col("n_rep").cast("double") / (col("n_points") - 1), 4) + lit(0.0))
+            .as("pct_val_repeat"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT event_type, epoch_ns(ts) AS ts_ns, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cv
+        FROM events),
+      l AS (
+        SELECT event_type, ts_ns, cv,
+               lag(ts_ns, 1) OVER w AS prev_ts,
+               lag(ts_ns, 2) OVER w AS prev2_ts,
+               lag(cv, 1) OVER w AS prev_cv
+        FROM q WINDOW w AS (PARTITION BY event_type ORDER BY ts_ns, event_id)),
+      b AS (
+        SELECT event_type, prev_ts, prev_cv,
+               (ts_ns - prev_ts) - COALESCE(prev_ts - prev2_ts, 0) AS dod,
+               xor(cv, prev_cv) AS xorv
+        FROM l),
+      z AS (
+        SELECT event_type, prev_ts, prev_cv, xorv,
+               CASE WHEN dod >= 0 THEN dod * 2 ELSE -dod * 2 - 1 END AS z
+        FROM b),
+      bits AS (
+        SELECT event_type,
+               CASE WHEN prev_ts IS NULL THEN 64
+                    WHEN z = 0 THEN 1 WHEN z <= 127 THEN 9
+                    WHEN z <= 511 THEN 12 WHEN z <= 4095 THEN 16
+                    ELSE 36 END AS ts_bits,
+               CASE WHEN prev_cv IS NULL THEN 64
+                    WHEN xorv = 0 THEN 1
+                    ELSE 13 + length(bin(xorv)) END AS val_bits,
+               CASE WHEN prev_ts IS NOT NULL AND z = 0 THEN 1 END AS dod0,
+               CASE WHEN prev_cv IS NOT NULL AND xorv = 0 THEN 1 END AS rep
+        FROM z)
+      SELECT event_type, count(*) AS n_points,
+             count(*) * 16 AS raw_bytes,
+             (CAST(sum(ts_bits + val_bits) AS BIGINT) + 7) // 8 AS est_bytes,
+             round(CAST(count(*) AS DOUBLE) * 128.0 /
+                   CAST(sum(ts_bits + val_bits) AS BIGINT), 4) + 0.0 AS ratio,
+             CASE WHEN count(*) > 1 THEN
+               round(CAST(count(dod0) AS DOUBLE) / (count(*) - 1), 4) + 0.0 END
+               AS pct_ts_zero,
+             CASE WHEN count(*) > 1 THEN
+               round(CAST(count(rep) AS DOUBLE) / (count(*) - 1), 4) + 0.0 END
+               AS pct_val_repeat
+      FROM bits
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   /** 1-D Kalman filter per series (constant-level model) over the
     * hourly max-LWW values — the optimal-under-noise smoother the
     * EWMA family approximates, with an explicitly tracked error
@@ -3203,5 +3307,5 @@ object KdbQueries extends QueryModule {
     locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest,
     theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing,
     incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf,
-    eventTransitions, holtWinters, kalman, rollupMerge)
+    eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan)
 }

@@ -436,6 +436,15 @@ class QueriesSpec extends SparkTestBase {
     assert(!plan.contains(" Expand ["), "no grouping expansion expected")
   }
 
+  test("kdb_compression_plan: lag windows and the rollup share one series shuffle") {
+    val plan = SparkEntry.queries("kdb_compression_plan")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      "one pass over events")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      "the lag window and the per-series rollup both partition by event_type")
+  }
+
   test("kdb_event_transitions: matrix + row normalization share the sequence shuffles") {
     val plan = SparkEntry.queries("kdb_event_transitions")(spark, sf)
       .queryExecution.executedPlan.toString

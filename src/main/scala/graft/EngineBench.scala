@@ -51,12 +51,19 @@ object EngineBench {
     val ((before, after), compactSec) = time(engine.compactBucket(bucket))
     val (_, getPostSec) = time(
       engine.get(T0, T0 + 30 * Day, Seq("click", "7")).collect().length)
+    // continuous aggregate: first refresh folds the whole table (both
+    // puts), the read merges partials for every series over the month
+    val (nPartials, rollupRefreshSec) = time(engine.refreshRollup(Day))
+    val (rRows, rollupReadSec) = time(
+      engine.rollup(T0, T0 + 30 * Day, Seq("", ""), Day).collect().length)
 
     println(s"""{"metric":"engine_bench","rows":$nRows,"ok":${ledger.getOrElse("ok", 0L)},""" +
       s""""put_rows_per_s":${(nRows / putSec).toLong},"put_sec":$putSec,""" +
       s""""get_sec":$getSec,"get_rows":$g,"find_sec":$findSec,"find_rows":$f,""" +
       s""""compact_sec":$compactSec,"compact_rows_before":$before,"compact_rows_after":$after,""" +
-      s""""get_post_compact_sec":$getPostSec,"sf":"$sfDir"}""")
+      s""""get_post_compact_sec":$getPostSec,""" +
+      s""""rollup_refresh_sec":$rollupRefreshSec,"rollup_partials":$nPartials,""" +
+      s""""rollup_read_sec":$rollupReadSec,"rollup_rows":$rRows,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -58,7 +58,10 @@ object ScaleBench {
     "q_profile_table", "kdb_approx_distinct", "kdb_sessionize",
     "q3_shuffle_join_topk",
     "kdb_acf", "kdb_benford_audit", "llm_pagerank_centrality",
-    "llm_dedup_eval", "llm_bm25_search")
+    "llm_dedup_eval", "llm_bm25_search",
+    // r7 heavies: full-corpus connected components (bound removed) and
+    // PQ (k-means training + ADC search + rerank)
+    "llm_dedup_clusters", "llm_similarity_pq")
 
   private val Tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

@@ -362,7 +362,81 @@ object StreamingTwinQueries extends QueryModule {
       GROUP BY 1, 2
       ORDER BY tag0, w_start_us"""))
 
+  /** The CONTINUOUS AGGREGATE oracle-gated end to end: replay the
+    * events table through a real Engine + StreamingIngest with
+    * per-micro-batch rollup maintenance, then serve the result from
+    * engine.rollup() — the full production path (validate → atomic
+    * batch publish → seq-watermarked refresh → merge-on-read) — and
+    * gate it against DuckDB aggregating the same rows DIRECTLY.
+    * Every event is accepted by construction (hot window spans the
+    * month, arity/payload valid), so observation-stream rollup
+    * semantics equal plain aggregation here. Float discipline: sums
+    * of 2-decimal doubles are order-sensitive in the last ulps, so
+    * the gated sum is round(vsum·100) — an exact integer-cent total
+    * both engines reach regardless of fold order — and the average
+    * derives from it; min/max/last are single exact doubles. */
+  private val rollupTwin = QueryDef(
+    "stream_rollup_twin",
+    (s, d) => {
+      import s.implicits._
+      import graft.queries.KdbQueries.{Day, T0, T1}
+      val dir = Files.createTempDirectory("graft-rolltwin").toString
+      val engine = new graft.core.Engine(s,
+        graft.core.EngineOptions("rtwin", dir, indexDepth = 2, payloadSize = 8,
+          bucketDuration = Day, resolution = Hour, maxHotBuckets = 40),
+        new graft.core.TestClock(T1))
+      val ingest = new StreamingIngest(engine)
+      val path = s"$d/events.parquet"
+      val p = java.nio.file.Paths.get(path)
+      val srcDir =
+        if (java.nio.file.Files.isDirectory(p)) path
+        else {
+          val tmp = Files.createTempDirectory("graft-rolltwin-src")
+          java.nio.file.Files.createSymbolicLink(
+            tmp.resolve(p.getFileName), p.toAbsolutePath)
+          tmp.toString
+        }
+      val schema = s.read.parquet(path).schema
+      val stream = s.readStream.schema(schema).parquet(srcDir)
+      val pts = stream.select(
+          tsNs(stream).as("ts"),
+          col("event_type"), col("user_id").cast("string").as("uid"),
+          col("value"), col("event_id"))
+        .as[(Long, String, String, Double, Long)]
+        .map { case (ts, et, uid, v, id) =>
+          graft.core.Point(ts, Seq(et, uid),
+            graft.plans.DoubleFromPayload.encode(v), id)
+        }
+      val q = ingest.start(pts.toDF(),
+        Files.createTempDirectory("graft-rolltwin-ckpt").toString,
+        rollupResolution = Some(Day))
+      try { q.processAllAvailable() } finally q.stop()
+      engine.rollup(T0, T0 + 31 * Day, Seq("", ""), Day)
+        .select(col("tag0").as("event_type"), col("tag1").as("user_id"),
+          col("rslot_ns").as("day_ns"), col("cnt"),
+          round(col("vsum") * 100).cast("long").as("sum_cents"),
+          round(col("vmin"), 2).as("vmin"),
+          round(col("vmax"), 2).as("vmax"),
+          round(col("last_val"), 2).as("last_val"),
+          (round(round(col("vsum") * 100).cast("long") /
+            col("cnt").cast("double") / 100.0, 4) + lit(0.0)).as("avg4"))
+        .orderBy(col("event_type"), col("user_id"), col("day_ns"))
+    },
+    Some(s"""
+      SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+             epoch_ns(ts) - epoch_ns(ts) % ${24L * 3600 * 1000 * 1000 * 1000} AS day_ns,
+             count(*) AS cnt,
+             CAST(round(sum(value) * 100) AS BIGINT) AS sum_cents,
+             round(min(value), 2) AS vmin,
+             round(max(value), 2) AS vmax,
+             round(arg_max(value, event_id), 2) AS last_val,
+             round(CAST(round(sum(value) * 100) AS BIGINT) /
+                   CAST(count(*) AS DOUBLE) / 100.0, 4) + 0.0 AS avg4
+      FROM events
+      GROUP BY 1, 2, 3
+      ORDER BY event_type, user_id, day_ns"""))
+
   override def defs: Seq[QueryDef] = Seq(
     tumblingTwin, dedupTwin, sessionizeTwin, hoppingTwin, latestTwin,
-    intervalJoinTwin, recoveryTwin)
+    intervalJoinTwin, recoveryTwin, rollupTwin)
 }

@@ -2698,6 +2698,73 @@ object LlmQueries extends QueryModule {
       ORDER BY score DESC, doc_id
       LIMIT 20"""))
 
+  /** Model-based quality filtering: a fixed-weight logistic
+    * classifier over document statistics — the fastText/quality-
+    * classifier stage of a data pipeline (score docs with a trained
+    * model, keep above threshold), with the weights frozen as
+    * binary-exact literals so the model is reproducible inside the
+    * query plan. Determinism discipline: features are 4dp-rounded
+    * exact integer ratios, weights are binary-exact (0.25/2.5/3.0/
+    * 1.5/2.0/0.75), and the logit is the same left-associated
+    * expression in both engines — bit-identical doubles — so the
+    * keep DECISION gates on the SIGN of the logit (exp only shapes
+    * the reported probability, rounded 4dp). One narrow scan, pure
+    * per-row regex/token counting, zero shuffles before the output
+    * order. */
+  private val qualityClassifier = QueryDef(
+    "llm_quality_classifier",
+    (s, d) => {
+      val t = tokens(col("text"))
+      val nTok = size(t)
+      val nChars = length(col("text"))
+      val stop = round((tokenCountOf(t, "the") + tokenCountOf(t, "a"))
+        .cast("double") / nTok, 4)
+      val digit = round(length(regexp_replace(col("text"), "[^0-9]", ""))
+        .cast("double") / nChars, 4)
+      val punct = round(length(regexp_replace(col("text"), "[^.,;:!?]", ""))
+        .cast("double") / nChars, 4)
+      val caps = round(length(regexp_replace(col("text"), "[^A-Z]", ""))
+        .cast("double") / nChars, 4)
+      val shortF = when(nTok < 20, 1.0).otherwise(0.0)
+      val z = lit(0.25) + lit(2.5) * stop - lit(3.0) * digit -
+        lit(1.5) * punct - lit(2.0) * caps - lit(0.75) * shortF
+      documents(s, d).filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          stop.as("stop_ratio"), digit.as("digit_ratio"),
+          punct.as("punct_ratio"), caps.as("caps_ratio"),
+          (round(z, 6) + lit(0.0)).as("logit"),
+          (round(lit(1.0) / (lit(1.0) + exp(-z)), 4) + lit(0.0)).as("p_keep"),
+          when(z >= 0, 1).otherwise(0).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               round(CAST(len(list_filter(string_split(text, ' '), t -> t = 'the')) +
+                          len(list_filter(string_split(text, ' '), t -> t = 'a'))
+                     AS DOUBLE) / len(string_split(text, ' ')), 4) AS s,
+               round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                     AS DOUBLE) / length(text), 4) AS dg,
+               round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                     AS DOUBLE) / length(text), 4) AS p,
+               round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                     AS DOUBLE) / length(text), 4) AS c,
+               CASE WHEN len(string_split(text, ' ')) < 20
+                    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS sh
+        FROM documents WHERE length(text) > 0),
+      zt AS (
+        SELECT doc_id, s, dg, p, c,
+               CAST(0.25 AS DOUBLE) + 2.5 * s - 3.0 * dg - 1.5 * p - 2.0 * c
+                 - 0.75 * sh AS z
+        FROM f)
+      SELECT doc_id, s AS stop_ratio, dg AS digit_ratio,
+             p AS punct_ratio, c AS caps_ratio,
+             round(z, 6) + 0.0 AS logit,
+             round(1.0 / (1.0 + exp(-z)), 4) + 0.0 AS p_keep,
+             CASE WHEN z >= 0 THEN 1 ELSE 0 END AS keep
+      FROM zt
+      ORDER BY doc_id"""))
+
   /** Hybrid retrieval: reciprocal-rank fusion (RRF, k=60) of the BM25
     * lexical ranking and the exact-cosine embedding ranking — the
     * standard two-leg RAG retrieval shape (lexical recall + semantic
@@ -3066,5 +3133,5 @@ object LlmQueries extends QueryModule {
     int8Quantize, datasetCard, tokenizerFertility, codeDetect,
     softDedupWeights, spanCorruption, bloomScreen, sourceOverlap,
     bm25Search, randomProjection, kanonAudit, dedupEval, pagerank,
-    multimodalFeatures, similarityPq, hybridSearch)
+    multimodalFeatures, similarityPq, hybridSearch, qualityClassifier)
 }

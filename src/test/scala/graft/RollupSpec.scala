@@ -129,6 +129,35 @@ class RollupSpec extends SparkTestBase {
     assert(e.refreshRollup(100L) === 1L)
   }
 
+  test("property: rollup output is invariant to how writes are split across refreshes") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val params = Gen.Parameters.default.withSize(12)
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(params, Seed(seed)).getOrElse(sys.error("gen failed"))
+    val genPt: Gen[(Long, Double)] = for {
+      ts <- Gen.choose(10000L, 11990L)
+      v <- Gen.choose(-100, 100).map(_ / 4.0) // binary-exact quarters
+    } yield (ts, v)
+    for (seed <- 1 to 3) {
+      val pts = sample(Gen.nonEmptyListOf(genPt), seed.toLong)
+      val cut = sample(Gen.choose(0, pts.size), seed + 100L)
+      // engine A: every write folded in ONE refresh
+      val (a, _) = mkEngine()
+      a.putDoubles(pts.map { case (ts, v) => (ts, T, v) })
+      a.refreshRollup(100L)
+      // engine B: same writes in the same order, split into two
+      // refresh rounds at a random cut (plus a possibly-empty side)
+      val (b, _) = mkEngine()
+      val (p1, p2) = pts.splitAt(cut)
+      if (p1.nonEmpty) { b.putDoubles(p1.map { case (ts, v) => (ts, T, v) }); b.refreshRollup(100L) }
+      if (p2.nonEmpty) { b.putDoubles(p2.map { case (ts, v) => (ts, T, v) }); b.refreshRollup(100L) }
+      assert(rows(a.rollup(10000L, 12000L, T, 100L)) ===
+        rows(b.rollup(10000L, 12000L, T, 100L)),
+        s"seed=$seed cut=$cut: split refreshes must merge to the single-refresh result")
+    }
+  }
+
   test("rollup resolution is a guarded layout property of the rollup table") {
     val (e, _) = mkEngine()
     e.putDoubles(Seq((11000L, T, 1.0)))

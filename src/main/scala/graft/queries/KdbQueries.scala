@@ -2187,6 +2187,86 @@ object KdbQueries extends QueryModule {
       GROUP BY 1, 2
       ORDER BY event_type, slot_ns"""))
 
+  /** Anomaly ENSEMBLE: three independent detectors vote per hourly
+    * slot — classical z-score (|z| > 2.5 vs the series' own
+    * mean/stddev), robust modified-z (|0.6745·(v−med)/MAD| > 3.5, the
+    * flat-series-proof detector), and a rate spike (v > 2× previous
+    * slot) — and the per-series report counts each detector's hits
+    * plus the 2-of-3 / 3-of-3 consensus slots. Consensus is the
+    * production trick for alert fatigue: single-detector hits page
+    * nobody, agreement pages. Thresholds compare RAW doubles (the
+    * kdb_zscore/mad precedent: both engines compute the identical
+    * expression; ~1e-12 stat drift only matters within 1e-12 of the
+    * cut), all outputs are integer counts. One slot pre-agg feeds
+    * every detector; the stats windows and the lag window share the
+    * per-series partitioning. */
+  private val anomalyEnsemble = QueryDef(
+    "kdb_anomaly_ensemble",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wS = Window.partitionBy(col("event_type"))
+      val wL = Window.partitionBy(col("event_type")).orderBy(col("slot_ns"))
+      ev(s, d)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(max(col("value")).as("v"))
+        .withColumn("sd", stddev_samp(col("v")).over(wS))
+        .withColumn("z", when(col("sd") > 0,
+          (col("v") - avg(col("v")).over(wS)) / col("sd")))
+        .withColumn("med", percentile(col("v"), lit(0.5)).over(wS))
+        .withColumn("mad", percentile(abs(col("v") - col("med")), lit(0.5)).over(wS))
+        .withColumn("rz",
+          when(col("mad") > 0, lit(0.6745) * (col("v") - col("med")) / col("mad")))
+        .withColumn("prev", lag(col("v"), 1).over(wL))
+        .withColumn("f_z", coalesce((abs(col("z")) > 2.5).cast("int"), lit(0)))
+        .withColumn("f_mad", coalesce((abs(col("rz")) > 3.5).cast("int"), lit(0)))
+        .withColumn("f_spike",
+          coalesce((col("v") > col("prev") * 2).cast("int"), lit(0)))
+        .withColumn("votes", col("f_z") + col("f_mad") + col("f_spike"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_slots"),
+          count(when(col("f_z") === 1, 1)).as("n_z"),
+          count(when(col("f_mad") === 1, 1)).as("n_mad"),
+          count(when(col("f_spike") === 1, 1)).as("n_spike"),
+          count(when(col("votes") >= 2, 1)).as("n_consensus2"),
+          count(when(col("votes") === 3, 1)).as("n_consensus3"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT event_type, epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               max(value) AS v
+        FROM events
+        GROUP BY 1, 2),
+      st AS (
+        SELECT event_type, avg(v) AS mu, stddev_samp(v) AS sd,
+               quantile_cont(v, 0.5) AS med
+        FROM h GROUP BY 1),
+      md AS (
+        SELECT h.event_type, quantile_cont(abs(h.v - st.med), 0.5) AS mad
+        FROM h JOIN st USING (event_type) GROUP BY 1),
+      fl AS (
+        SELECT h.event_type,
+               CASE WHEN st.sd > 0 AND abs((h.v - st.mu) / st.sd) > 2.5
+                    THEN 1 ELSE 0 END AS f_z,
+               CASE WHEN md.mad > 0 AND
+                         abs(0.6745 * (h.v - st.med) / md.mad) > 3.5
+                    THEN 1 ELSE 0 END AS f_mad,
+               CASE WHEN h.v > lag(h.v, 1) OVER (PARTITION BY h.event_type
+                                                 ORDER BY h.slot_ns) * 2
+                    THEN 1 ELSE 0 END AS f_spike
+        FROM h JOIN st USING (event_type) JOIN md
+          ON md.event_type = h.event_type)
+      SELECT event_type, count(*) AS n_slots,
+             count(CASE WHEN f_z = 1 THEN 1 END) AS n_z,
+             count(CASE WHEN f_mad = 1 THEN 1 END) AS n_mad,
+             count(CASE WHEN f_spike = 1 THEN 1 END) AS n_spike,
+             count(CASE WHEN f_z + f_mad + f_spike >= 2 THEN 1 END) AS n_consensus2,
+             count(CASE WHEN f_z + f_mad + f_spike = 3 THEN 1 END) AS n_consensus3
+      FROM fl
+      GROUP BY 1
+      ORDER BY event_type"""))
+
   /** Gorilla-style compression planning (Facebook's in-memory TSDB
     * encoding, VLDB'15): per series, estimate the stored bits per
     * point under delta-of-delta timestamp coding (zigzagged dod into
@@ -3307,5 +3387,6 @@ object KdbQueries extends QueryModule {
     locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest,
     theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing,
     incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf,
-    eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan)
+    eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,
+    anomalyEnsemble)
 }

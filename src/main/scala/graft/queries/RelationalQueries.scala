@@ -891,6 +891,65 @@ object RelationalQueries extends QueryModule {
       WHERE event_type = 'signup'
       ORDER BY user_id, valid_from_us, event_id"""))
 
+  /** Point-in-time (PIT) join against the SCD2 dimension: each
+    * purchase picks the signup VERSION valid at its timestamp — the
+    * temporal-table lookup every warehouse fact load runs. Scale
+    * shape: NOT an interval join (which explodes candidates per
+    * fact); a single union + one per-user window with
+    * last(ignoreNulls) carries the current version to each fact row —
+    * one shuffle on user_id, rows ≤ facts + versions, the
+    * kdb_asof_join discipline. Tie semantics mirror the interval
+    * builder exactly: at equal timestamps version rows sort before
+    * facts (a fact AT a version start matches it), and of two
+    * same-instant versions the later event_id wins — the earlier one
+    * holds an empty [t, t) interval. The DuckDB oracle IS the
+    * interval join (validity-range predicate over q_scd2_intervals'
+    * construction) — a genuinely different plan reaching the same
+    * rows, which is the point of the gate. */
+  private val qScd2Pit = QueryDef(
+    "q_scd2_pit_join",
+    (s, d) => {
+      val ev = events(s, d)
+      val su = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id").as("oid"), lit(0).as("kind"),
+          col("event_id").as("sig_id"), round(col("value"), 2).as("sig_val"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id").as("oid"), lit(1).as("kind"),
+          lit(null).cast("long").as("sig_id"),
+          lit(null).cast("double").as("sig_val"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("kind"), col("oid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      su.union(pu)
+        .withColumn("v_id", last(col("sig_id"), ignoreNulls = true).over(w))
+        .withColumn("v_val", last(col("sig_val"), ignoreNulls = true).over(w))
+        .withColumn("v_from", last(when(col("kind") === 0, col("ts_us")),
+          ignoreNulls = true).over(w))
+        .filter(col("kind") === 1 && col("v_id").isNotNull)
+        .select(col("user_id"), col("oid").as("p_id"), col("ts_us"),
+          col("v_id").as("sig_id"), col("v_val").as("sig_val"),
+          (col("ts_us") - col("v_from")).as("version_age_us"))
+        .orderBy(col("user_id"), col("p_id"))
+    },
+    Some("""
+      WITH iv AS (
+        SELECT user_id, event_id AS sig_id, epoch_us(ts) AS vf,
+               round(value, 2) AS sig_val,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS vt
+        FROM events WHERE event_type = 'signup'),
+      p AS (
+        SELECT user_id, event_id AS p_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.user_id, p.p_id, p.ts_us, iv.sig_id, iv.sig_val,
+             p.ts_us - iv.vf AS version_age_us
+      FROM p JOIN iv
+        ON p.user_id = iv.user_id AND p.ts_us >= iv.vf
+           AND (iv.vt IS NULL OR p.ts_us < iv.vt)
+      ORDER BY p.user_id, p.p_id"""))
+
   /** Duplicate-preserving set ops: INTERSECT ALL / EXCEPT ALL keep
     * per-key multiplicities (min / truncated-difference of counts) —
     * distinct physical operators from their DISTINCT cousins, and the
@@ -1178,6 +1237,6 @@ object RelationalQueries extends QueryModule {
     qCube, qNtile, qCorrSubquery, qPercentile,
     qDatetime, qStringFuncs, qNullSemantics, qArrayFuncs, qRangeFrame,
     qStringAgg, qGroupingSets, qUnpivot, qSampleHash, qApproxQuantile,
-    qHistogram, qJsonFuncs, qWindowDist, qScd2, qSetOpsAll, qFullOuter,
+    qHistogram, qJsonFuncs, qWindowDist, qScd2, qScd2Pit, qSetOpsAll, qFullOuter,
     qProfile, qProfileApprox, qCdcMerge, qDecimal)
 }

@@ -436,6 +436,17 @@ class QueriesSpec extends SparkTestBase {
     assert(!plan.contains(" Expand ["), "no grouping expansion expected")
   }
 
+  test("q_scd2_pit_join plans as one union + window, never an interval join") {
+    val plan = SparkEntry.queries("q_scd2_pit_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the scale failure mode is a range/interval join exploding
+    // candidates per fact; the as-of construction needs exactly one
+    // user_id shuffle and no join operator at all
+    assert(!plan.contains("Join"), "PIT lookup must ride the window, not a join")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      "one user_id shuffle shared by the union's window")
+  }
+
   test("kdb_compression_plan: lag windows and the rollup share one series shuffle") {
     val plan = SparkEntry.queries("kdb_compression_plan")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -2698,6 +2698,83 @@ object LlmQueries extends QueryModule {
       ORDER BY score DESC, doc_id
       LIMIT 20"""))
 
+  /** Retrieval-quality evaluation: MRR and nDCG@10 of the exact
+    * cosine ranking, with relevance = "neighbor carries the query's
+    * label" (the natural judgment the embeddings table ships) — the
+    * eval harness a retrieval stack runs before swapping ANN configs,
+    * sibling of llm_dedup_eval's band-config pre-flight. Determinism:
+    * the ranking is the bit-identical strict-fold cosine with id
+    * tiebreaks (embTopk precedent), relevance/ranks are ints, MRR is
+    * an exact reciprocal, and DCG/IDCG sum rel/log2(rank+1) — ln at
+    * 1 ulp, rounded 4dp. IDCG derives from the SAME expression over
+    * the ideal prefix, so nDCG ∈ [0,1] exactly. */
+  private val retrievalEval = QueryDef(
+    "llm_retrieval_eval",
+    (s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("q_label"))
+      val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        col("label").as("n_label"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      val ranked = broadcast(q).join(c, col("qid") =!= col("nid"))
+        .withColumn("cos", cosine(col("qv"), col("nv")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .withColumn("rel", (col("n_label") === col("q_label")).cast("int"))
+      ranked
+        .withColumn("ideal_rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("rk"))))
+        .groupBy(col("qid"))
+        .agg(count(when(col("rel") === 1, 1)).as("n_rel"),
+          min(when(col("rel") === 1, col("rk"))).as("first_rel"),
+          sum(col("rel").cast("double") / log2(col("rk").cast("double") + 1))
+            .as("dcg"),
+          sum(when(col("rel") === 1,
+            lit(1.0) / log2(col("ideal_rk").cast("double") + 1))
+            .otherwise(lit(0.0))).as("idcg"))
+        .select(col("qid"), col("n_rel"),
+          (round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 4) + lit(0.0))
+            .as("mrr"),
+          (round(when(col("n_rel") > 0, col("dcg") / col("idcg"))
+            .otherwise(lit(0.0)), 4) + lit(0.0)).as("ndcg10"))
+        .orderBy(col("qid"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv, label AS q_label
+        FROM embeddings WHERE vec_id <= 4),
+      c AS (SELECT vec_id AS nid, embedding AS nv, label AS n_label
+            FROM embeddings),
+      sc AS (
+        SELECT qid, nid, q_label, n_label,
+               ${dkDot("qv", "nv")} /
+               (sqrt(${dkDot("qv", "qv")}) * sqrt(${dkDot("nv", "nv")})) AS cos
+        FROM q, c WHERE qid <> nid),
+      rk AS (
+        SELECT qid,
+               CASE WHEN n_label = q_label THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+        FROM sc),
+      t AS (
+        SELECT qid, rel, rk,
+               row_number() OVER (PARTITION BY qid ORDER BY rel DESC, rk)
+                 AS ideal_rk
+        FROM rk WHERE rk <= 10)
+      SELECT qid,
+             count(CASE WHEN rel = 1 THEN 1 END) AS n_rel,
+             round(COALESCE(CAST(1.0 AS DOUBLE) /
+                   min(CASE WHEN rel = 1 THEN rk END), 0.0), 4) + 0.0 AS mrr,
+             round(CASE WHEN count(CASE WHEN rel = 1 THEN 1 END) > 0 THEN
+               sum(CAST(rel AS DOUBLE) / log2(CAST(rk AS DOUBLE) + 1)) /
+               sum(CASE WHEN rel = 1
+                   THEN CAST(1.0 AS DOUBLE) / log2(CAST(ideal_rk AS DOUBLE) + 1)
+                   ELSE CAST(0.0 AS DOUBLE) END)
+               ELSE 0.0 END, 4) + 0.0 AS ndcg10
+      FROM t
+      GROUP BY qid
+      ORDER BY qid"""))
+
   /** Model-based quality filtering: a fixed-weight logistic
     * classifier over document statistics — the fastText/quality-
     * classifier stage of a data pipeline (score docs with a trained
@@ -3133,5 +3210,6 @@ object LlmQueries extends QueryModule {
     int8Quantize, datasetCard, tokenizerFertility, codeDetect,
     softDedupWeights, spanCorruption, bloomScreen, sourceOverlap,
     bm25Search, randomProjection, kanonAudit, dedupEval, pagerank,
-    multimodalFeatures, similarityPq, hybridSearch, qualityClassifier)
+    multimodalFeatures, similarityPq, hybridSearch, qualityClassifier,
+    retrievalEval)
 }

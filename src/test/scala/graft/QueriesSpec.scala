@@ -151,7 +151,9 @@ class QueriesSpec extends SparkTestBase {
       "kdb_benford_audit", "llm_bm25_search", "kdb_acf", "llm_similarity_pq",
       // llm_hybrid_search: 1-row corpus stats + 1-row query vector ride
       // broadcast cross joins (bm25 + embTopk legs fused)
-      "llm_hybrid_search")
+      // llm_retrieval_eval: the 5-query broadcast × corpus cosine scan,
+      // same shape as llm_similarity_topk
+      "llm_hybrid_search", "llm_retrieval_eval")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -3377,6 +3377,230 @@ object KdbQueries extends QueryModule {
       FROM c
       ORDER BY from_type, to_type"""))
 
+  /** Max drawdown per series (event_type, user_id): running equity =
+    * cumulative value, running peak, drawdown = peak − equity; report
+    * each series' deepest drawdown, its trough time, and the peak
+    * equity — the risk metric every monitoring/finance consumer of a
+    * time-series store computes. All math in exact int64 cents
+    * (round(value·100)): a double cumsum's value depends on
+    * accumulation order (Spark windows fold left-to-right, DuckDB's
+    * segment tree doesn't), which would make the `dd = max_dd`
+    * trough-selection equality fragile under ulp drift; integer sums
+    * are associativity-proof. Scale shape: one series-partitioned
+    * window pass, then an aggregation on the SAME key — the window's
+    * hash partitioning is reused, no second shuffle; parallelism =
+    * series count, no global ordering anywhere. */
+  private val drawdown = QueryDef(
+    "kdb_drawdown",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wCum = Window.partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"), col("user_id"))
+      ev(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .withColumn("cum", sum(col("cents")).over(wCum))
+        .withColumn("peak", max(col("cum")).over(wCum))
+        .withColumn("dd", col("peak") - col("cum"))
+        .withColumn("max_dd", max(col("dd")).over(wAll))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg((max(col("dd")) / 100.0).as("max_drawdown"),
+          min(when(col("dd") === col("max_dd"), col("ts_us"))).as("trough_us"),
+          (max(col("peak")) / 100.0).as("peak_equity"))
+        .orderBy(col("event_type"), col("user_id"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us,
+               sum(CAST(round(value * 100, 0) AS BIGINT))
+                 OVER (PARTITION BY event_type, user_id
+                       ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM events),
+      p AS (
+        SELECT *, max(cum) OVER (PARTITION BY event_type, user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        FROM c),
+      dd AS (
+        SELECT *, peak - cum AS dd,
+               max(peak - cum) OVER (PARTITION BY event_type, user_id) AS max_dd
+        FROM p)
+      SELECT event_type, user_id,
+             max(dd) / 100.0 AS max_drawdown,
+             min(CASE WHEN dd = max_dd THEN ts_us END) AS trough_us,
+             max(peak) / 100.0 AS peak_equity
+      FROM dd
+      GROUP BY 1, 2
+      ORDER BY event_type, user_id"""))
+
+  /** Mean-shift changepoint per event_type: hourly per-event means,
+    * then for each candidate hour compare the 24 observed hours
+    * before vs the 24 from the candidate on (ROWS frames over present
+    * hours); shift score = |mean_after − mean_before|, argmax hour
+    * (earliest on ties) is the changepoint — the level-shift detector
+    * behind "when did this metric move". Exactness: the window frames
+    * sum int64 cents and counts (order-proof), each mean is ONE
+    * double division of identical exact integers in both engines, so
+    * the score ORDERING (row_number over a double) cannot diverge.
+    * Scale shape: one data-sized hourly aggregation, then
+    * type-partitioned windows over the ~720-row hourly table. */
+  private val changepoint = QueryDef(
+    "kdb_changepoint",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = ev(s, d)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(sum(col("cents")).as("sc"), count(lit(1)).as("n"))
+      val ord = Window.partitionBy(col("event_type")).orderBy(col("slot_ns"))
+      val wPrev = ord.rowsBetween(-24, -1)
+      val wNext = ord.rowsBetween(0, 23)
+      val scored = hourly
+        .withColumn("sp", sum(col("sc")).over(wPrev))
+        .withColumn("np", sum(col("n")).over(wPrev))
+        .withColumn("hp", count(lit(1)).over(wPrev))
+        .withColumn("sn", sum(col("sc")).over(wNext))
+        .withColumn("nn", sum(col("n")).over(wNext))
+        .withColumn("hn", count(lit(1)).over(wNext))
+        .filter(col("hp") === 24 && col("hn") === 24)
+        .withColumn("score", abs(col("sn") / col("nn") - col("sp") / col("np")))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("score").desc, col("slot_ns"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("slot_ns").as("change_ns"),
+          round(col("sp") / col("np") / 100.0, 4).as("mean_before"),
+          round(col("sn") / col("nn") / 100.0, 4).as("mean_after"),
+          round(col("score") / 100.0, 4).as("shift"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH hourly AS (
+        SELECT event_type, epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) AS sc,
+               count(*) AS n
+        FROM events
+        GROUP BY 1, 2),
+      w AS (
+        SELECT event_type, slot_ns,
+               sum(sc) OVER prev AS sp, sum(n) OVER prev AS np,
+               count(*) OVER prev AS hp,
+               sum(sc) OVER nxt AS sn, sum(n) OVER nxt AS nn,
+               count(*) OVER nxt AS hn
+        FROM hourly
+        WINDOW prev AS (PARTITION BY event_type ORDER BY slot_ns
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
+               nxt AS (PARTITION BY event_type ORDER BY slot_ns
+                       ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING)),
+      s AS (
+        SELECT *, abs(sn / nn - sp / np) AS score,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(sn / nn - sp / np) DESC, slot_ns) AS rk
+        FROM w
+        WHERE hp = 24 AND hn = 24)
+      SELECT event_type, slot_ns AS change_ns,
+             round(sp / np / 100.0, 4) AS mean_before,
+             round(sn / nn / 100.0, 4) AS mean_after,
+             round(score / 100.0, 4) AS shift
+      FROM s
+      WHERE rk = 1
+      ORDER BY event_type"""))
+
+  /** Sliding-window rate-limit audit: per-user request count over a
+    * trailing 1-hour RANGE frame (value-based, so burst spacing —
+    * not row adjacency — defines the window); report users that ever
+    * exceeded the limit, with their peak rate, violation count, and
+    * first violation time. The limit (2/hour) is a parameter, set low
+    * for the synthetic event density. All-integer math. Scale shape:
+    * one user-partitioned window pass, then an aggregation on the
+    * same key (shared shuffle); output is violators-only, never
+    * event-sized. */
+  private val rateLimitAudit = QueryDef(
+    "kdb_rate_limit_audit",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val limit = 2L
+      val hourUs = Hour / 1000
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-(hourUs - 1), Window.currentRow)
+      ev(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("cnt_1h", count(lit(1)).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("cnt_1h")).as("peak_1h"),
+          count(when(col("cnt_1h") > limit, 1)).as("n_violations"),
+          min(when(col("cnt_1h") > limit, col("ts_us"))).as("first_violation_us"))
+        .filter(col("n_violations") > 0)
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                              RANGE BETWEEN ${Hour / 1000 - 1} PRECEDING AND CURRENT ROW) AS cnt_1h
+        FROM events)
+      SELECT user_id, max(cnt_1h) AS peak_1h,
+             count(CASE WHEN cnt_1h > 2 THEN 1 END) AS n_violations,
+             min(CASE WHEN cnt_1h > 2 THEN ts_us END) AS first_violation_us
+      FROM c
+      GROUP BY user_id
+      HAVING count(CASE WHEN cnt_1h > 2 THEN 1 END) > 0
+      ORDER BY user_id"""))
+
+  /** Burstiness (Fano factor) per event_type over the [T0,T1) hourly
+    * grid: index of dispersion var(c)/mean(c) of hourly counts, the
+    * standard test for Poisson-vs-bursty arrivals. Zero hours are
+    * accounted WITHOUT materializing a dense grid: they contribute
+    * nothing to Σc or Σc², so mean = Σc/720 and var = (Σc² −
+    * (Σc)²/720)/720 over the 720 fixed grid hours need only the
+    * present-hour rows — no crossJoin, no nested-loop join. Σc and
+    * Σc² are exact int64; each derived double is a fixed sequence of
+    * identical IEEE ops in both engines. Scale: one hourly count
+    * aggregation, one 5-row rollup. */
+  private val burstiness = QueryDef(
+    "kdb_burstiness",
+    (s, d) => {
+      val nHours = ((T1 - T0) / Hour).toDouble
+      ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"),
+          max(col("c")).as("peak_hour"))
+        .select(col("event_type"),
+          col("s1").as("n_events"),
+          round(col("s1") / nHours, 4).as("mean_rate"),
+          round((col("s2") - col("s1") * col("s1") / nHours) / nHours /
+            (col("s1") / nHours), 4).as("fano"),
+          col("peak_hour"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH hourly AS (
+        SELECT event_type, epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               count(*) AS c
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1, 2),
+      agg AS (
+        SELECT event_type, sum(c) AS s1, sum(c * c) AS s2, max(c) AS peak_hour
+        FROM hourly
+        GROUP BY 1)
+      SELECT event_type,
+             CAST(s1 AS BIGINT) AS n_events,
+             round(s1 / 720.0, 4) AS mean_rate,
+             round((s2 - s1 * s1 / 720.0) / 720.0 / (s1 / 720.0), 4) AS fano,
+             CAST(peak_hour AS BIGINT) AS peak_hour
+      FROM agg
+      ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
@@ -3388,5 +3612,5 @@ object KdbQueries extends QueryModule {
     theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing,
     incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf,
     eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,
-    anomalyEnsemble)
+    anomalyEnsemble, drawdown, changepoint, rateLimitAudit, burstiness)
 }

@@ -469,4 +469,48 @@ class QueriesSpec extends SparkTestBase {
       "lead window, count agg, and row-normalize window must not re-shuffle")
     assert(!plan.contains("CartesianProduct"), "unexpected cartesian")
   }
+
+  test("kdb_drawdown: cumsum windows and the series rollup share one series shuffle") {
+    val plan = SparkEntry.queries("kdb_drawdown")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      "one pass over events")
+    // cum/peak/dd windows and the (event_type,user_id) groupBy all use
+    // the same key: exactly one hash exchange end to end
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      "drawdown windows + rollup must reuse one series partitioning")
+  }
+
+  test("kdb_changepoint: hourly pre-agg bounds the window input (no event-sized window)") {
+    val plan = SparkEntry.queries("kdb_changepoint")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      "one pass over events")
+    // events → hourly HashAggregate happens BEFORE any Window operator:
+    // the frames slide over the ~720-row hourly table, never raw events
+    val lines = plan.linesIterator.toVector
+    val firstWindow = lines.indexWhere(_.contains(" Window "))
+    val firstAgg = lines.indexWhere(_.contains("HashAggregate"))
+    assert(firstAgg >= 0 && firstWindow >= 0 && firstAgg > firstWindow,
+      "hourly aggregate must feed the window frames (bottom-up plan order)")
+  }
+
+  test("kdb_rate_limit_audit: range-frame window and violator rollup share the user shuffle") {
+    val plan = SparkEntry.queries("kdb_rate_limit_audit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      "one pass over events")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      "sliding-count window + per-user rollup must share one user_id shuffle")
+  }
+
+  test("kdb_burstiness: zero hours via algebra, not a dense-grid join") {
+    val plan = SparkEntry.queries("kdb_burstiness")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // Fano over the fixed 720-hour grid with absent hours contributing
+    // 0 to Σc/Σc² — so no grid crossJoin and no join at all
+    assert(!plan.contains("Join"), "burstiness needs no join")
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      "one pass over events")
+  }
 }

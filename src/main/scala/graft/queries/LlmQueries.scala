@@ -3198,6 +3198,62 @@ object LlmQueries extends QueryModule {
       ORDER BY pr DESC, node"""
     })
 
+  /** N-gram novelty per source: the share of each doc's distinct
+    * word-3-gram shingles whose corpus-wide FIRST occurrence (min
+    * doc_id) is that doc — the freshness/memorization profile used to
+    * compare candidate sources ("how much does source X add that the
+    * corpus doesn't already have?"). Scale shape: the shared shingle
+    * pipeline once, distinct (doc, hash) rows, one shuffle on the
+    * 60-bit shingle hash for the min-doc window, a doc-sized rollup
+    * joined to doc metadata, then a per-source aggregation — novelty
+    * ratios come from exact integer gram counts (ONE division per
+    * source), never an average of per-doc doubles (summation-order
+    * fragile). Docs with <3 tokens have no shingles and are excluded
+    * (inner join) in both engines. */
+  private val ngramNovelty = QueryDef(
+    "llm_ngram_novelty",
+    (s, d) => {
+      val w = Window.partitionBy(col("h"))
+      val perDoc = shingleRows(s, d, lit(true))
+        .select(col("doc_id"), hash60(col("shingle")).as("h"))
+        .distinct()
+        .withColumn("first_doc", min(col("doc_id")).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      documents(s, d).select(col("doc_id"), col("source"))
+        .join(perDoc, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_grams")).as("total_grams"),
+          sum(col("n_novel")).as("novel_grams"))
+        .select(col("source"), col("n_docs"), col("total_grams"),
+          col("novel_grams"),
+          round(col("novel_grams") / col("total_grams"), 4).as("novelty"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH ${dkMinhashCte},
+      u AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, unnest(shingle_list) AS shingle FROM sh)),
+      f AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS first_doc
+        FROM u),
+      pd AS (
+        SELECT doc_id, count(*) AS n_grams,
+               count(CASE WHEN first_doc = doc_id THEN 1 END) AS n_novel
+        FROM f
+        GROUP BY 1)
+      SELECT d.source, count(*) AS n_docs,
+             CAST(sum(pd.n_grams) AS BIGINT) AS total_grams,
+             CAST(sum(pd.n_novel) AS BIGINT) AS novel_grams,
+             round(sum(pd.n_novel) / sum(pd.n_grams), 4) AS novelty
+      FROM documents d JOIN pd USING (doc_id)
+      GROUP BY d.source
+      ORDER BY d.source"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
@@ -3211,5 +3267,5 @@ object LlmQueries extends QueryModule {
     softDedupWeights, spanCorruption, bloomScreen, sourceOverlap,
     bm25Search, randomProjection, kanonAudit, dedupEval, pagerank,
     multimodalFeatures, similarityPq, hybridSearch, qualityClassifier,
-    retrievalEval)
+    retrievalEval, ngramNovelty)
 }

@@ -504,6 +504,18 @@ class QueriesSpec extends SparkTestBase {
       "sliding-count window + per-user rollup must share one user_id shuffle")
   }
 
+  test("llm_ngram_novelty: shingle pipeline once + metadata join, no all-pairs shape") {
+    val plan = SparkEntry.queries("llm_ngram_novelty")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // one shingle-pipeline scan + one doc-metadata scan; candidates
+    // are (doc, hash) rows through a hash-partitioned window — never
+    // a doc×doc comparison
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) <= 2,
+      "novelty must scan documents at most twice (shingles + metadata)")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "novelty must stay join-key-local")
+  }
+
   test("kdb_burstiness: zero hours via algebra, not a dense-grid join") {
     val plan = SparkEntry.queries("kdb_burstiness")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -3601,6 +3601,113 @@ object KdbQueries extends QueryModule {
       FROM agg
       ORDER BY event_type"""))
 
+  /** Log₂-bucket quantile sketch per event_type (the DDSketch/HDR-
+    * histogram family at γ=2): values → int64 cents (+1 to dodge
+    * zeros), bucket = significant-bit count via length(bin(x)) — exact
+    * STRING math, identical in both engines (kdb_compression_plan
+    * precedent) — so the whole sketch is a FIXED-SIZE (≤64-bucket)
+    * integer histogram that map-side combines and merges
+    * associatively: the only percentile structure that works as a
+    * streaming/partial aggregate at 100 TB, where exact percentile
+    * needs a per-group sort. The estimate for quantile q is the upper
+    * bound (2^b−1) of the first bucket whose cumulative count reaches
+    * rank ⌈qn⌉. The γ=2 guarantee est ∈ [disc, 2·disc−1] against the
+    * exact discrete quantile is gated as an ALL-INTEGER invariant
+    * (flags must be constant 1) — the exact-twin rank pass exists
+    * only as the oracle harness; production runs just the sketch. */
+  private val quantileSketch = QueryDef(
+    "kdb_quantile_sketch",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = ev(s, d)
+        .withColumn("cents1",
+          round(col("value") * 100, 0).cast("long") + 1)
+      // sketch leg: (type, bucket) counts → cumulative → est per q
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      val wType = Window.partitionBy(col("event_type"))
+      val sk = base
+        .withColumn("b", length(bin(col("cents1"))))
+        .groupBy(col("event_type"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          wCum.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(wType))
+        .withColumn("r50", expr("(n + 1) div 2"))
+        .withColumn("r95", expr("(19 * n + 19) div 20"))
+        .withColumn("r99", expr("(99 * n + 99) div 100"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          count(lit(1)).as("n_buckets"),
+          min(when(col("cum") >= col("r50"), expr("shiftleft(CAST(1 AS BIGINT), b) - 1"))).as("e50"),
+          min(when(col("cum") >= col("r95"), expr("shiftleft(CAST(1 AS BIGINT), b) - 1"))).as("e95"),
+          min(when(col("cum") >= col("r99"), expr("shiftleft(CAST(1 AS BIGINT), b) - 1"))).as("e99"))
+      // exact-twin leg (oracle harness only): discrete rank quantiles
+      val wRank = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents1"), col("event_id"))
+      val disc = base
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wType))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("rn") === expr("(n + 1) div 2"), col("cents1"))).as("d50"),
+          min(when(col("rn") === expr("(19 * n + 19) div 20"), col("cents1"))).as("d95"),
+          min(when(col("rn") === expr("(99 * n + 99) div 100"), col("cents1"))).as("d99"))
+      sk.join(disc, "event_type")
+        .select(col("event_type"), col("n"), col("n_buckets"),
+          round(col("e50") / 100.0, 2).as("p50_est"),
+          round(col("e95") / 100.0, 2).as("p95_est"),
+          round(col("e99") / 100.0, 2).as("p99_est"),
+          when(col("e50") >= col("d50") && col("e50") <= lit(2) * col("d50") - 1, 1)
+            .otherwise(0).as("ok50"),
+          when(col("e95") >= col("d95") && col("e95") <= lit(2) * col("d95") - 1, 1)
+            .otherwise(0).as("ok95"),
+          when(col("e99") >= col("d99") && col("e99") <= lit(2) * col("d99") - 1, 1)
+            .otherwise(0).as("ok99"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) + 1 AS cents1
+        FROM events),
+      bk AS (
+        SELECT event_type, length(bin(cents1)) AS b, count(*) AS c
+        FROM base
+        GROUP BY 1, 2),
+      cm AS (
+        SELECT event_type, b, c,
+               CAST(sum(c) OVER (PARTITION BY event_type ORDER BY b
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM bk),
+      sk AS (
+        SELECT event_type, max(n) AS n, count(*) AS n_buckets,
+               min(CASE WHEN cum >= (n + 1) // 2 THEN (1::BIGINT << b) - 1 END) AS e50,
+               min(CASE WHEN cum >= (19 * n + 19) // 20 THEN (1::BIGINT << b) - 1 END) AS e95,
+               min(CASE WHEN cum >= (99 * n + 99) // 100 THEN (1::BIGINT << b) - 1 END) AS e99
+        FROM cm
+        GROUP BY 1),
+      rk AS (
+        SELECT event_type, cents1,
+               row_number() OVER (PARTITION BY event_type ORDER BY cents1, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM base),
+      disc AS (
+        SELECT event_type,
+               min(CASE WHEN rn = (n + 1) // 2 THEN cents1 END) AS d50,
+               min(CASE WHEN rn = (19 * n + 19) // 20 THEN cents1 END) AS d95,
+               min(CASE WHEN rn = (99 * n + 99) // 100 THEN cents1 END) AS d99
+        FROM rk
+        GROUP BY 1)
+      SELECT s.event_type, s.n, s.n_buckets,
+             round(e50 / 100.0, 2) AS p50_est,
+             round(e95 / 100.0, 2) AS p95_est,
+             round(e99 / 100.0, 2) AS p99_est,
+             CASE WHEN e50 >= d50 AND e50 <= 2 * d50 - 1 THEN 1 ELSE 0 END AS ok50,
+             CASE WHEN e95 >= d95 AND e95 <= 2 * d95 - 1 THEN 1 ELSE 0 END AS ok95,
+             CASE WHEN e99 >= d99 AND e99 <= 2 * d99 - 1 THEN 1 ELSE 0 END AS ok99
+      FROM sk s JOIN disc USING (event_type)
+      ORDER BY s.event_type"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
@@ -3612,5 +3719,6 @@ object KdbQueries extends QueryModule {
     theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing,
     incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf,
     eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,
-    anomalyEnsemble, drawdown, changepoint, rateLimitAudit, burstiness)
+    anomalyEnsemble, drawdown, changepoint, rateLimitAudit, burstiness,
+    quantileSketch)
 }

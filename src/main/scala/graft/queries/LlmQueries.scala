@@ -3254,6 +3254,36 @@ object LlmQueries extends QueryModule {
       GROUP BY d.source
       ORDER BY d.source"""))
 
+  /** Boilerplate-prefix clustering: group docs by the md5 of their
+    * first 16 tokens — the cheap screen for template/header
+    * duplication (mirror pages, scraped boilerplate) that exact-hash
+    * dedup misses because bodies differ. Only 16-byte digests
+    * shuffle; clusters (>1 doc) report size, keeper (min doc_id), and
+    * total chars affected. slice-then-hash is one pass per doc, no
+    * pairwise comparison anywhere. */
+  private val prefixDedup = QueryDef(
+    "llm_prefix_dedup",
+    (s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          md5(concat_ws(" ", slice(tokens(col("text")), 1, 16))).as("prefix_hash"))
+        .groupBy(col("prefix_hash"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("keeper_id"),
+          sum(col("n_chars")).as("total_chars"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("keeper_id"))
+    },
+    Some("""
+      SELECT md5(array_to_string(string_split(text, ' ')[1:16], ' ')) AS prefix_hash,
+             count(*) AS n_docs,
+             min(doc_id) AS keeper_id,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents
+      GROUP BY 1
+      HAVING count(*) > 1
+      ORDER BY keeper_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
@@ -3267,5 +3297,5 @@ object LlmQueries extends QueryModule {
     softDedupWeights, spanCorruption, bloomScreen, sourceOverlap,
     bm25Search, randomProjection, kanonAudit, dedupEval, pagerank,
     multimodalFeatures, similarityPq, hybridSearch, qualityClassifier,
-    retrievalEval, ngramNovelty)
+    retrievalEval, ngramNovelty, prefixDedup)
 }

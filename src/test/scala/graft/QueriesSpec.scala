@@ -516,6 +516,27 @@ class QueriesSpec extends SparkTestBase {
       "novelty must stay join-key-local")
   }
 
+  test("kdb_quantile_sketch: the 5-row leg join broadcasts; no cartesian") {
+    val plan = SparkEntry.queries("kdb_quantile_sketch")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // sketch leg (bounded (type,bucket) histogram) joins the exact-twin
+    // leg on event_type: both sides are 5-row aggregates, so the join
+    // must be a broadcast hash join, never a shuffle or NLJ
+    assert(plan.contains("BroadcastHashJoin"),
+      "the per-type leg join should broadcast")
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) <= 2,
+      "one scan per leg at most (the exact twin exists only as the oracle harness)")
+  }
+
+  test("llm_prefix_dedup: one scan, one shuffle on the 16-byte digest") {
+    val plan = SparkEntry.queries("llm_prefix_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      "one pass over documents")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      "only prefix digests shuffle, once")
+  }
+
   test("kdb_burstiness: zero hours via algebra, not a dense-grid join") {
     val plan = SparkEntry.queries("kdb_burstiness")(spark, sf)
       .queryExecution.executedPlan.toString

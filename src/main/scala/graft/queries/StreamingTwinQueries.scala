@@ -436,7 +436,77 @@ object StreamingTwinQueries extends QueryModule {
       GROUP BY 1, 2, 3
       ORDER BY event_type, user_id, day_ns"""))
 
+  /** Streaming quantile sketch: the log₂-bucket histogram of
+    * kdb_quantile_sketch maintained as STREAMING AGGREGATE STATE —
+    * (event_type, bucket) counts, a bounded ≤64-rows-per-type state
+    * that micro-batches merge into associatively — then finished
+    * (cumulate → rank → bucket upper bound) in a batch step over the
+    * tiny sink table. This is the operational point of shipping a
+    * sketch: exact percentiles cannot be incrementally maintained
+    * (they'd need every value in state), the mergeable histogram can;
+    * the twin gates that the streamed state finishes to EXACTLY the
+    * batch sketch (same estimates, same bucket counts) under the
+    * replay-equivalence promise. All-integer state and finish math. */
+  private val quantileSketchTwin = QueryDef(
+    "stream_quantile_sketch_twin",
+    (s, d) => {
+      val out = replay(s, s"$d/events.parquet", "complete") { stream =>
+        stream
+          .select(col("event_type"),
+            (round(col("value") * 100, 0).cast("long") + 1).as("cents1"))
+          .withColumn("b", length(bin(col("cents1"))))
+          .groupBy(col("event_type"), col("b"))
+          .count()
+      }
+      import org.apache.spark.sql.expressions.Window
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wType = Window.partitionBy(col("event_type"))
+      out
+        .withColumn("cum", sum(col("count")).over(wCum))
+        .withColumn("n", sum(col("count")).over(wType))
+        .withColumn("r50", expr("(n + 1) div 2"))
+        .withColumn("r95", expr("(19 * n + 19) div 20"))
+        .withColumn("r99", expr("(99 * n + 99) div 100"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          count(lit(1)).as("n_buckets"),
+          round(min(when(col("cum") >= col("r50"),
+            expr("shiftleft(CAST(1 AS BIGINT), b) - 1"))) / 100.0, 2).as("p50_est"),
+          round(min(when(col("cum") >= col("r95"),
+            expr("shiftleft(CAST(1 AS BIGINT), b) - 1"))) / 100.0, 2).as("p95_est"),
+          round(min(when(col("cum") >= col("r99"),
+            expr("shiftleft(CAST(1 AS BIGINT), b) - 1"))) / 100.0, 2).as("p99_est"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT event_type,
+               CAST(round(value * 100, 0) AS BIGINT) + 1 AS cents1
+        FROM events),
+      bk AS (
+        SELECT event_type, length(bin(cents1)) AS b, count(*) AS c
+        FROM base
+        GROUP BY 1, 2),
+      cm AS (
+        SELECT event_type, b, c,
+               CAST(sum(c) OVER (PARTITION BY event_type ORDER BY b
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM bk),
+      sk AS (
+        SELECT event_type, max(n) AS n, count(*) AS n_buckets,
+               round(min(CASE WHEN cum >= (n + 1) // 2
+                              THEN (1::BIGINT << b) - 1 END) / 100.0, 2) AS p50_est,
+               round(min(CASE WHEN cum >= (19 * n + 19) // 20
+                              THEN (1::BIGINT << b) - 1 END) / 100.0, 2) AS p95_est,
+               round(min(CASE WHEN cum >= (99 * n + 99) // 100
+                              THEN (1::BIGINT << b) - 1 END) / 100.0, 2) AS p99_est
+        FROM cm
+        GROUP BY 1)
+      SELECT * FROM sk ORDER BY event_type"""))
+
   override def defs: Seq[QueryDef] = Seq(
     tumblingTwin, dedupTwin, sessionizeTwin, hoppingTwin, latestTwin,
-    intervalJoinTwin, recoveryTwin, rollupTwin)
+    intervalJoinTwin, recoveryTwin, rollupTwin, quantileSketchTwin)
 }

@@ -3708,6 +3708,546 @@ object KdbQueries extends QueryModule {
       FROM sk s JOIN disc USING (event_type)
       ORDER BY s.event_type"""))
 
+  /** Repeat-event debounce audit: same-(user, type) events arriving
+    * within 10 minutes of the previous one join its "press group" (UI
+    * double-fires / client retry storms); per type we report how many
+    * events survive debouncing and the worst burst length — the input
+    * to a client-side dedup policy, complementing kdb_order_audit's
+    * lateness read. Island ids via the cumulative count of gap-opens
+    * (the kdb_incident_intervals precedent, but keyed per series): ONE
+    * (user_id, event_type) shuffle is shared by the lag and the island
+    * numbering, then a tiny per-type rollup. All integer ns math; the
+    * single rounded division is the bounce rate. */
+  private val debounce = QueryDef(
+    "kdb_debounce",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapNs = 600L * 1000 * 1000 * 1000 // 10 min
+      val wKey = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      val grouped = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("prev_ns", lag(col("ts_ns"), 1).over(wKey))
+        .withColumn("is_start",
+          when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1)
+            .otherwise(0))
+        .withColumn("gid", sum(col("is_start")).over(
+          wKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("event_type"), col("gid"))
+        .agg(count(lit(1)).as("burst"))
+      grouped
+        .groupBy(col("event_type"))
+        .agg(sum(col("burst")).as("n_events"),
+          count(lit(1)).as("n_groups"),
+          max(col("burst")).as("max_burst"))
+        .select(col("event_type"), col("n_events"), col("n_groups"),
+          (col("n_events") - col("n_groups")).as("n_bounces"),
+          round((col("n_events") - col("n_groups")) / col("n_events").cast("double"), 4)
+            .as("bounce_rate"),
+          col("max_burst"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_type, epoch_ns(ts) AS ts_ns, event_id
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}),
+      g AS (
+        SELECT user_id, event_type, ts_ns,
+               CASE WHEN lag(ts_ns) OVER w IS NULL
+                         OR ts_ns - lag(ts_ns) OVER w > 600000000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM e
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_ns, event_id)),
+      gi AS (
+        SELECT user_id, event_type,
+               sum(is_start) OVER (PARTITION BY user_id, event_type ORDER BY ts_ns
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        FROM g),
+      bursts AS (
+        SELECT user_id, event_type, gid, count(*) AS burst
+        FROM gi GROUP BY 1, 2, 3)
+      SELECT event_type,
+             CAST(sum(burst) AS BIGINT) AS n_events,
+             count(*) AS n_groups,
+             CAST(sum(burst) - count(*) AS BIGINT) AS n_bounces,
+             round((sum(burst) - count(*)) / CAST(sum(burst) AS DOUBLE), 4) AS bounce_rate,
+             CAST(max(burst) AS BIGINT) AS max_burst
+      FROM bursts
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** χ² independence test of event_type × hour-of-day — "is the
+    * traffic mix time-dependent?", the statistical upgrade of
+    * kdb_seasonality's eyeball diurnal profile. Zero-observation grid
+    * cells enter ALGEBRAICALLY, never via a dense-grid join (the
+    * kdb_burstiness precedent): since Σ_h E_th = rowtot_t, the per-type
+    * statistic is Σ_observed[(obs−E)²/E − E] + rowtot. Each observed
+    * cell's term is one double expression over exact integer counts
+    * (products taken in double to dodge int64 overflow at corpus
+    * scale — exact while < 2⁵³), quantized to integer micro-units
+    * BEFORE the per-type sum so engine summation order can't move the
+    * hash. One (type, hod) partial-agg pass; the row/col/grand totals
+    * ride windows over the ≤ types×24-row cell table. */
+  private val chisqIndependence = QueryDef(
+    "kdb_chisq_independence",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("hod", expr(s"(ts_ns div ${Hour}L) % 24"))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("obs"))
+      val withTot = cells
+        .withColumn("r", sum(col("obs")).over(Window.partitionBy(col("event_type"))))
+        .withColumn("c", sum(col("obs")).over(Window.partitionBy(col("hod"))))
+        .withColumn("n", sum(col("obs")).over(Window.partitionBy()))
+      val dev = col("n").cast("double") * col("obs") - col("r").cast("double") * col("c")
+      val e = col("r").cast("double") * col("c") / col("n")
+      val termMicro = round(
+        (dev * dev / (col("n").cast("double") * col("r") * col("c")) - e) * 1e6, 0)
+        .cast("long")
+      withTot
+        .withColumn("term_u", termMicro)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_cells"),
+          max(col("r")).as("row_total"),
+          round((sum(col("term_u")) / 1e6) + max(col("r")), 4).as("chi2"))
+        .withColumn("dof", lit(23))
+        .withColumn("time_dependent",
+          (col("chi2") > 42.0).cast("int"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT event_type,
+               (epoch_ns(ts) // ${Hour}) % 24 AS hod,
+               count(*) AS obs
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1, 2),
+      tot AS (
+        SELECT event_type, hod, obs,
+               sum(obs) OVER (PARTITION BY event_type) AS r,
+               sum(obs) OVER (PARTITION BY hod) AS c,
+               sum(obs) OVER () AS n
+        FROM cells),
+      terms AS (
+        SELECT event_type, r,
+               CAST(round(((CAST(n AS DOUBLE) * obs - CAST(r AS DOUBLE) * c)
+                           * (CAST(n AS DOUBLE) * obs - CAST(r AS DOUBLE) * c)
+                           / (CAST(n AS DOUBLE) * r * c)
+                           - CAST(r AS DOUBLE) * c / n) * 1e6, 0) AS BIGINT) AS term_u
+        FROM tot)
+      SELECT event_type,
+             count(*) AS n_cells,
+             CAST(max(r) AS BIGINT) AS row_total,
+             round(sum(term_u) / 1e6 + max(r), 4) AS chi2,
+             23 AS dof,
+             CASE WHEN round(sum(term_u) / 1e6 + max(r), 4) > 42.0 THEN 1 ELSE 0 END
+               AS time_dependent
+      FROM terms
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** Two-proportion A/B significance test: users split 50/50 by the
+    * shared 60-bit md5 hash of a salted user_id (deterministic,
+    * engine-identical assignment — the llm_train_val_split precedent),
+    * conversion = "≥ 14 purchases in the window" (the per-user median
+    * at every SF — "power buyer"; plain "any purchase" is universal in
+    * this corpus, which degenerates the pooled variance to 0). The
+    * pooled z-score is ONE double expression over the four integer
+    * counts, so both engines compute bit-identical doubles before the
+    * 4dp round; every divisor rides nullif so a degenerate split
+    * (empty variant, 0%/100% conversion) yields NULL z / significant=0
+    * instead of an ANSI divide-by-zero. Plan: one user_id partial-agg
+    * pass (conversion is a per-user conditional count), one
+    * conditional-agg rollup to a single row — no joins at all. */
+  private val abTest = QueryDef(
+    "kdb_ab_test",
+    (s, d) => {
+      import graft.functions.TextFunctions.hash60
+      def nz(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        nullif(c.cast("double"), lit(0.0))
+      val perUser = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") === "purchase", 1).otherwise(0)) >= 14)
+          .cast("int").as("converted"))
+        .withColumn("variant",
+          when(pmod(hash60(concat(lit("exp1:"), col("user_id").cast("string"))), lit(2L)) === 0,
+            "A").otherwise("B"))
+      val agg = perUser.groupBy().agg(
+        sum(when(col("variant") === "A", 1).otherwise(0)).as("n_a"),
+        sum(when(col("variant") === "B", 1).otherwise(0)).as("n_b"),
+        sum(when(col("variant") === "A", col("converted")).otherwise(0)).as("conv_a"),
+        sum(when(col("variant") === "B", col("converted")).otherwise(0)).as("conv_b"))
+      val pa = col("conv_a") / nz(col("n_a"))
+      val pb = col("conv_b") / nz(col("n_b"))
+      val pp = (col("conv_a") + col("conv_b")) / nz(col("n_a") + col("n_b"))
+      val z = (pa - pb) /
+        nz(sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / nz(col("n_a")) + lit(1.0) / nz(col("n_b")))))
+      agg.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        round(pa, 4).as("rate_a"), round(pb, 4).as("rate_b"),
+        round(z, 4).as("z_score"),
+        when(abs(round(z, 4)) > 1.96, 1).otherwise(0).as("significant"))
+    },
+    Some(s"""
+      WITH pu AS (
+        SELECT user_id,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                    THEN 1 ELSE 0 END AS converted,
+               CASE WHEN (('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                          % 2) = 0 THEN 'A' ELSE 'B' END AS variant
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY user_id),
+      agg AS (
+        SELECT sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS n_a,
+               sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS n_b,
+               sum(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS conv_a,
+               sum(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS conv_b
+        FROM pu),
+      zc AS (
+        SELECT n_a, n_b, conv_a, conv_b,
+               round((conv_a / nullif(CAST(n_a AS DOUBLE), 0)
+                      - conv_b / nullif(CAST(n_b AS DOUBLE), 0))
+                   / nullif(sqrt(((conv_a + conv_b) / nullif(CAST(n_a + n_b AS DOUBLE), 0))
+                          * (1.0 - (conv_a + conv_b) / nullif(CAST(n_a + n_b AS DOUBLE), 0))
+                          * (1.0 / nullif(CAST(n_a AS DOUBLE), 0)
+                             + 1.0 / nullif(CAST(n_b AS DOUBLE), 0))), 0), 4) AS z
+        FROM agg)
+      SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+             round(conv_a / nullif(CAST(n_a AS DOUBLE), 0), 4) AS rate_a,
+             round(conv_b / nullif(CAST(n_b AS DOUBLE), 0), 4) AS rate_b,
+             z AS z_score,
+             CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END AS significant
+      FROM zc"""))
+
+  /** Market-basket pair mining: event types co-occurring within the
+    * same (user, hour) basket, with support and lift — "which behaviors
+    * travel together?" per session-hour. The self-join runs on the
+    * DISTINCT (user, slot, type) triples (≤ baskets × |types| rows,
+    * already co-partitioned on the basket key, so the pair join adds
+    * no shuffle), never on raw events; per-type basket counts and the
+    * basket total broadcast back onto the ≤ |types|²⁄2-row pair table
+    * via constant-key broadcast-hash joins. Lift is one division of
+    * integer products, rounded 4dp. */
+  private val frequentPairs = QueryDef(
+    "kdb_frequent_pairs",
+    (s, d) => {
+      val b = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .select(col("user_id"), col("slot_ns"), col("event_type"))
+        .distinct()
+      val pairs = b.as("x")
+        .join(b.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.slot_ns") === col("y.slot_ns") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      val singles = b.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id"), col("slot_ns")).as("n_t"))
+      val nBaskets = b.select(col("user_id"), col("slot_ns")).distinct()
+        .agg(count(lit(1)).as("n_baskets")).withColumn("one", lit(1))
+      pairs
+        .join(broadcast(singles.select(col("event_type").as("type_a"), col("n_t").as("n_a"))), "type_a")
+        .join(broadcast(singles.select(col("event_type").as("type_b"), col("n_t").as("n_b"))), "type_b")
+        .withColumn("one", lit(1))
+        .join(broadcast(nBaskets), "one")
+        .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"), col("n_b"),
+          col("n_baskets"),
+          round(col("n_ab") / col("n_baskets").cast("double"), 4).as("support"),
+          round(col("n_ab").cast("double") * col("n_baskets") /
+            (col("n_a").cast("double") * col("n_b")), 4).as("lift"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT DISTINCT user_id,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               event_type
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}),
+      pairs AS (
+        SELECT x.event_type AS type_a, y.event_type AS type_b, count(*) AS n_ab
+        FROM b x JOIN b y
+          ON x.user_id = y.user_id AND x.slot_ns = y.slot_ns
+         AND x.event_type < y.event_type
+        GROUP BY 1, 2),
+      singles AS (
+        SELECT event_type, count(*) AS n_t FROM b GROUP BY 1),
+      nb AS (
+        SELECT count(*) AS n_baskets FROM (SELECT DISTINCT user_id, slot_ns FROM b))
+      SELECT type_a, type_b, n_ab,
+             sa.n_t AS n_a, sb.n_t AS n_b, n_baskets,
+             round(n_ab / CAST(n_baskets AS DOUBLE), 4) AS support,
+             round(CAST(n_ab AS DOUBLE) * n_baskets / (CAST(sa.n_t AS DOUBLE) * sb.n_t), 4) AS lift
+      FROM pairs
+      JOIN singles sa ON sa.event_type = type_a
+      JOIN singles sb ON sb.event_type = type_b
+      CROSS JOIN nb
+      ORDER BY type_a, type_b"""))
+
+  /** RFM customer segmentation: per-user Recency (days since last
+    * purchase at T1), Frequency (purchase count), Monetary (integer
+    * CENTS — the rollup's integer-cent sum discipline, so per-user
+    * totals are engine-exact regardless of summation order), each cut
+    * into quintiles by ntile(5) with a user_id tie-break for a TOTAL
+    * order (ntile on a partial order would let the two engines tile
+    * ties differently). Output is the segment rollup — tile triple +
+    * named segment, user counts, integer activity totals — not the
+    * per-user table, so the result stays ≤125 rows at any corpus
+    * size. One user_id partial-agg pass; the three ntile windows run
+    * over the already-aggregated per-user table (rows = |users|, the
+    * only global sort, fine ≤ hundreds of millions; beyond that the
+    * tile boundaries would come from approx quantiles instead). */
+  private val rfm = QueryDef(
+    "kdb_rfm",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val perUser = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1 &&
+          col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(col("ts_ns")).as("last_ns"),
+          count(lit(1)).as("frequency"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        // integer div, not /-then-cast: Spark's cast truncates where
+        // DuckDB's rounds — div floors identically in both engines
+        .withColumn("recency_days", expr(s"(${T1} - last_ns) div ${Day}"))
+        .drop("last_ns")
+      val tiled = perUser
+        .withColumn("r_tile", ntile(5).over(
+          Window.orderBy(col("recency_days").desc, col("user_id"))))
+        .withColumn("f_tile", ntile(5).over(
+          Window.orderBy(col("frequency"), col("user_id"))))
+        .withColumn("m_tile", ntile(5).over(
+          Window.orderBy(col("cents"), col("user_id"))))
+      tiled
+        .withColumn("segment",
+          when(col("r_tile") >= 4 && col("f_tile") >= 4 && col("m_tile") >= 4, "champion")
+            .when(col("r_tile") <= 2 && col("f_tile") >= 4, "at_risk")
+            .when(col("r_tile") <= 2 && col("f_tile") <= 2, "lost")
+            .otherwise("regular"))
+        .groupBy(col("r_tile"), col("f_tile"), col("m_tile"), col("segment"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("frequency")).as("purchases"),
+          sum(col("cents")).as("cents"))
+        .orderBy(col("r_tile"), col("f_tile"), col("m_tile"))
+    },
+    Some(s"""
+      WITH pu AS (
+        SELECT user_id,
+               (${T1} - max(epoch_ns(ts))) // ${Day} AS recency_days,
+               count(*) AS frequency,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+          AND event_type = 'purchase'
+        GROUP BY user_id),
+      t AS (
+        SELECT user_id, recency_days, frequency, cents,
+               ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_tile,
+               ntile(5) OVER (ORDER BY frequency, user_id) AS f_tile,
+               ntile(5) OVER (ORDER BY cents, user_id) AS m_tile
+        FROM pu),
+      seg AS (
+        SELECT r_tile, f_tile, m_tile, frequency, cents,
+               CASE WHEN r_tile >= 4 AND f_tile >= 4 AND m_tile >= 4 THEN 'champion'
+                    WHEN r_tile <= 2 AND f_tile >= 4 THEN 'at_risk'
+                    WHEN r_tile <= 2 AND f_tile <= 2 THEN 'lost'
+                    ELSE 'regular' END AS segment
+        FROM t)
+      SELECT r_tile, f_tile, m_tile, segment,
+             count(*) AS n_users,
+             sum(frequency) AS purchases,
+             sum(cents) AS cents
+      FROM seg
+      GROUP BY 1, 2, 3, 4
+      ORDER BY r_tile, f_tile, m_tile"""))
+
+  /** Last-touch marketing attribution: each purchase credits the most
+    * recent preceding view/click by the same user within a 24 h
+    * lookback, else 'direct'. The carried (ts, type) of the last
+    * marketing touch rides TWO last(..., ignoreNulls) window columns
+    * over the same (user, ts, event_id) order — both expressions are
+    * null on exactly the non-marketing rows, so they always resolve to
+    * the SAME row and stay consistent without a struct (DuckDB's
+    * IGNORE NULLS twin cannot carry a struct_pack through parquet
+    * hashing anyway). One user_id shuffle shared by the window pass;
+    * the channel rollup is a tiny second agg, and the share divides
+    * two exact integers once, 4dp. */
+  private val attribution = QueryDef(
+    "kdb_attribution",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lookbackNs = 24L * 3600 * 1000 * 1000 * 1000
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val mk = col("event_type").isin("view", "click")
+      val touched = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("mk_ts", last(when(mk, col("ts_ns")), ignoreNulls = true).over(w))
+        .withColumn("mk_type", last(when(mk, col("event_type")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("channel",
+          when(col("mk_ts").isNotNull && col("ts_ns") - col("mk_ts") <= lookbackNs,
+            col("mk_type")).otherwise(lit("direct")))
+      touched
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .withColumn("share", round(col("n_purchases") /
+          sum(col("n_purchases")).over(Window.partitionBy()).cast("double"), 4))
+        .orderBy(col("channel"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_type, epoch_ns(ts) AS ts_ns, event_id
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}),
+      t AS (
+        SELECT user_id, event_type, ts_ns,
+               last_value(CASE WHEN event_type IN ('view', 'click') THEN ts_ns END
+                          IGNORE NULLS) OVER w AS mk_ts,
+               last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+                          IGNORE NULLS) OVER w AS mk_type
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      p AS (
+        SELECT CASE WHEN mk_ts IS NOT NULL AND ts_ns - mk_ts <= ${24L * 3600 * 1000000000L}
+                    THEN mk_type ELSE 'direct' END AS channel
+        FROM t WHERE event_type = 'purchase')
+      SELECT channel, count(*) AS n_purchases,
+             round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 4) AS share
+      FROM p
+      GROUP BY channel
+      ORDER BY channel"""))
+
+  /** Session entry-path mining: sessions are 30-min-gap islands per
+    * user (the kdb_sessionize rule); each session's path is its first
+    * three event types joined 'a>b>c' — the "how do journeys start"
+    * navigation profile. The island numbering, the rank-within-session
+    * window, and the per-session rollup all cluster on user_id, so the
+    * whole pipeline rides ONE hash exchange (the later windows only
+    * re-sort locally); the path table that leaves it is ≤ |types|³
+    * rows. Determinism: ranks tie-break on event_id, and the Spark
+    * side rebuilds the ordered triple via sort_array over (ts,
+    * event_id, type) structs — collect_list order is not a contract. */
+  private val sessionPaths = QueryDef(
+    "kdb_session_paths",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapNs = 1800L * 1000 * 1000 * 1000
+      val wUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      val wSess = Window.partitionBy(col("user_id"), col("sid"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("is_start",
+          when(lag(col("ts_ns"), 1).over(wUser).isNull ||
+            col("ts_ns") - lag(col("ts_ns"), 1).over(wUser) > gapNs, 1).otherwise(0))
+        .withColumn("sid", sum(col("is_start")).over(
+          wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(wSess))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"), col("sid"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("ts_ns"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_type, epoch_ns(ts) AS ts_ns, event_id
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}),
+      g AS (
+        SELECT user_id, event_type, ts_ns, event_id,
+               CASE WHEN lag(ts_ns) OVER w IS NULL
+                         OR ts_ns - lag(ts_ns) OVER w > 1800000000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+      si AS (
+        SELECT user_id, event_type, ts_ns, event_id,
+               sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g),
+      r AS (
+        SELECT user_id, sid, event_type, ts_ns, event_id,
+               row_number() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts_ns, event_id) AS rn
+        FROM si),
+      paths AS (
+        SELECT user_id, sid,
+               string_agg(event_type, '>' ORDER BY ts_ns, event_id) AS path
+        FROM r WHERE rn <= 3
+        GROUP BY user_id, sid)
+      SELECT path, count(*) AS n_sessions
+      FROM paths
+      GROUP BY path
+      ORDER BY n_sessions DESC, path"""))
+
+  /** Inter-arrival time profile: gaps between consecutive same-type
+    * events of the same user, summarized per type as exact linearly-
+    * interpolated quartiles/p90 in integer MINUTES (the percentile
+    * operand is an exact integer, so the only doubles are each
+    * percentile's single two-point interpolation — bit-identical in
+    * both engines; a double-seconds operand would hash-diverge on
+    * summation-free grounds alone). The lag window and the per-type
+    * percentile agg are the whole plan — one series shuffle, one
+    * small agg. The engine answer to "how often does each signal
+    * actually fire?" — the sampling-rate audit behind watermark and
+    * retention sizing (pairs with kdb_watermark_sizing). */
+  private val interarrival = QueryDef(
+    "kdb_interarrival",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("gap_min",
+          ((col("ts_ns") - lag(col("ts_ns"), 1).over(w)) / lit(60L * 1000000000L))
+            .cast("long"))
+        .filter(col("gap_min").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          round(percentile(col("gap_min"), lit(0.25)), 4).as("p25_min"),
+          round(percentile(col("gap_min"), lit(0.5)), 4).as("p50_min"),
+          round(percentile(col("gap_min"), lit(0.75)), 4).as("p75_min"),
+          round(percentile(col("gap_min"), lit(0.9)), 4).as("p90_min"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_type, epoch_ns(ts) AS ts_ns, event_id
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}),
+      g AS (
+        SELECT event_type,
+               (ts_ns - lag(ts_ns) OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts_ns, event_id))
+                 // 60000000000 AS gap_min
+        FROM e)
+      SELECT event_type, count(*) AS n_gaps,
+             round(quantile_cont(gap_min, 0.25), 4) AS p25_min,
+             round(quantile_cont(gap_min, 0.5), 4) AS p50_min,
+             round(quantile_cont(gap_min, 0.75), 4) AS p75_min,
+             round(quantile_cont(gap_min, 0.9), 4) AS p90_min
+      FROM g WHERE gap_min IS NOT NULL
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
@@ -3720,5 +4260,6 @@ object KdbQueries extends QueryModule {
     incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf,
     eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,
     anomalyEnsemble, drawdown, changepoint, rateLimitAudit, burstiness,
-    quantileSketch)
+    quantileSketch, debounce, chisqIndependence, abTest, frequentPairs,
+    rfm, attribution, sessionPaths, interarrival)
 }

@@ -3284,6 +3284,108 @@ object LlmQueries extends QueryModule {
       HAVING count(*) > 1
       ORDER BY keeper_id"""))
 
+  /** Zipf's-law fit of the token frequency distribution: OLS of
+    * log10(freq) on log10(rank) over the top-200 vocabulary — natural
+    * text tracks slope ≈ −1, so a fitted slope far off it flags
+    * synthetic/templated/spammy corpora (the distributional cousin of
+    * llm_repetition_filter's per-doc screen). Rank total order and the
+    * llm_vocab_build counting pass are shared precedents: one token
+    * explode + one shuffle, ranking window over the tiny vocab table,
+    * regr_* aggregates over 200 O(1)-magnitude doubles rounded à la
+    * kdb_ols_trend (both engines' Σ over 200 such terms agree far
+    * beyond the 6dp/4dp rounds). */
+  private val zipfFit = QueryDef(
+    "llm_zipf_fit",
+    (s, d) => {
+      val w = Window.orderBy(col("n").desc, col("tok"))
+      documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 200)
+        .select(log10(col("rank").cast("double")).as("x"),
+          log10(col("n").cast("double")).as("y"))
+        .agg(count(lit(1)).as("n_terms"),
+          (round(expr("regr_slope(y, x)"), 6) + lit(0.0)).as("slope"),
+          (round(expr("regr_intercept(y, x)"), 4) + lit(0.0)).as("intercept"),
+          (round(expr("regr_r2(y, x)"), 4) + lit(0.0)).as("r2"))
+        .withColumn("zipfian", (abs(col("slope") + 1.0) <= lit(0.35)).cast("int"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      v AS (
+        SELECT tok, count(*) AS n FROM c GROUP BY tok),
+      r AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM v
+        QUALIFY rank <= 200),
+      xy AS (
+        SELECT log10(CAST(rank AS DOUBLE)) AS x, log10(CAST(n AS DOUBLE)) AS y
+        FROM r)
+      SELECT count(*) AS n_terms,
+             round(regr_slope(y, x), 6) + 0.0 AS slope,
+             round(regr_intercept(y, x), 4) + 0.0 AS intercept,
+             round(regr_r2(y, x), 4) + 0.0 AS r2,
+             CASE WHEN abs(round(regr_slope(y, x), 6) + 0.0 + 1.0) <= 0.35
+                  THEN 1 ELSE 0 END AS zipfian
+      FROM xy"""))
+
+  /** Dedup-graph triangle census: edge count, wedge count (Σ d(d−1)/2),
+    * triangle count, and the global clustering coefficient 3T/W of the
+    * LSH candidate-pair graph — high transitivity says candidate pairs
+    * form coherent duplicate CLUSTERS (template families), low says
+    * scattered band collisions; the structural audit that pairs with
+    * llm_dedup_eval's precision/recall read. Triangles close via two
+    * self-joins of the (d1<d2)-ordered edge list on shared endpoints —
+    * work is O(edges²/nodes) on the CANDIDATE graph (already blocked
+    * and bounded by the LSH band config), never on the corpus. The
+    * edge list is localCheckpoint-materialized once (the Dedup.scala
+    * discipline): four consumers would otherwise re-run the whole
+    * minhash pipeline per leg. */
+  private val dedupTriangles = QueryDef(
+    "llm_dedup_triangles",
+    (s, d) => {
+      val e = lshPairs(s, d).localCheckpoint(true)
+      val deg = e.select(col("d1").as("v")).union(e.select(col("d2").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val wedges = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+      val tri = e.as("ab")
+        .join(e.as("bc"), col("ab.d2") === col("bc.d1"))
+        .join(e.as("ac"),
+          col("ac.d1") === col("ab.d1") && col("ac.d2") === col("bc.d2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val edges = e.agg(count(lit(1)).as("n_edges"))
+      edges.withColumn("one", lit(1))
+        .join(broadcast(wedges.withColumn("one", lit(1))), "one")
+        .join(broadcast(tri.withColumn("one", lit(1))), "one")
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+          round(lit(3.0) * col("n_triangles") /
+            nullif(col("n_wedges").cast("double"), lit(0.0)), 4).as("global_cc"))
+    },
+    Some(s"""
+      WITH ${dkMinhashCte},
+      ${dkLshPairsCtes},
+      deg AS (
+        SELECT v, count(*) AS deg FROM (
+          SELECT d1 AS v FROM lsh_pairs
+          UNION ALL SELECT d2 FROM lsh_pairs)
+        GROUP BY v),
+      w AS (
+        SELECT count(*) AS n_nodes,
+               sum((deg * (deg - 1)) // 2) AS n_wedges
+        FROM deg),
+      t AS (
+        SELECT count(*) AS n_triangles
+        FROM lsh_pairs ab
+        JOIN lsh_pairs bc ON ab.d2 = bc.d1
+        JOIN lsh_pairs ac ON ac.d1 = ab.d1 AND ac.d2 = bc.d2),
+      ec AS (SELECT count(*) AS n_edges FROM lsh_pairs)
+      SELECT n_nodes, n_edges, n_wedges, n_triangles,
+             round(3.0 * n_triangles / nullif(CAST(n_wedges AS DOUBLE), 0), 4) AS global_cc
+      FROM ec, w, t"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
@@ -3297,5 +3399,5 @@ object LlmQueries extends QueryModule {
     softDedupWeights, spanCorruption, bloomScreen, sourceOverlap,
     bm25Search, randomProjection, kanonAudit, dedupEval, pagerank,
     multimodalFeatures, similarityPq, hybridSearch, qualityClassifier,
-    retrievalEval, ngramNovelty, prefixDedup)
+    retrievalEval, ngramNovelty, prefixDedup, zipfFit, dedupTriangles)
 }

@@ -1230,7 +1230,144 @@ object RelationalQueries extends QueryModule {
       .orderBy(col("l_returnflag"))
   }
 
+  /** TPC-H Q7 shape: bilateral trade volume between two REGIONS by
+    * year — the five-way join where only the fact table is big. Both
+    * nation→region dimension legs broadcast (≤25 rows each after the
+    * region filter), orders broadcasts nothing it doesn't need
+    * (pruned to the join key + date), and the lineitem↔orders join is
+    * the single shuffle; the (supp_nation, cust_nation, year) rollup
+    * is partial-agg friendly. Revenue rounds at 2dp per the q1/q3
+    * precedent. */
+  private val qTradeVolume = QueryDef(
+    "q_trade_volume",
+    (s, d) => {
+      val ns = nation(s, d).join(broadcast(
+          region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val nc = nation(s, d).join(broadcast(
+          region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(ns), col("s_nationkey") === col("s_nkey"))
+        .join(broadcast(customer(s, d).select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nc), col("c_nationkey") === col("c_nkey"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    Some("""
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN region sr ON sn.n_regionkey = sr.r_regionkey AND sr.r_name = 'EUROPE'
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region cr ON cn.n_regionkey = cr.r_regionkey AND cr.r_name = 'ASIA'
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2, 3
+      ORDER BY supp_nation, cust_nation, l_year"""))
+
+  /** TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    * The lineitem('R')↔orders join is the one shuffle; customer and
+    * nation broadcast; the final top-20 on the ROUNDED revenue (both
+    * engines order by the same 2dp value — ordering by the raw double
+    * on one side would flip rows at the cutoff) compiles to
+    * TakeOrderedAndProject, never a global sort. */
+  private val qReturnedRevenue = QueryDef(
+    "q_returned_revenue",
+    (s, d) => {
+      lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d).select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_return_lines"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""
+      SELECT c_custkey, c_name, n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS n_return_lines
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20"""))
+
+  /** TPC-H Q18 shape: large-quantity orders. The HAVING pre-aggregate
+    * runs on lineitem alone (one partial-agg shuffle on l_orderkey);
+    * only the surviving ~1% of order keys join back — as a broadcast,
+    * since the filtered key set is tiny relative to the fact tables it
+    * gates. Quantity threshold 250 ≈ the p99 of per-order quantity at
+    * every SF, so survivors exist at sf0.001 and stay ~1% at scale. */
+  private val qHeavyOrders = QueryDef(
+    "q_heavy_orders",
+    (s, d) => {
+      val heavy = lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      orders(s, d)
+        .join(broadcast(heavy), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(customer(s, d).select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("odate"),
+          round(col("o_totalprice"), 2).as("total_price"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(50)
+    },
+    Some("""
+      WITH heavy AS (
+        SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING round(sum(l_quantity), 2) > 250)
+      SELECT c_custkey, c_name, o_orderkey,
+             CAST(o_orderdate AS DATE) AS odate,
+             round(o_totalprice, 2) AS total_price, total_qty
+      FROM orders
+      JOIN heavy ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY total_qty DESC, o_orderkey
+      LIMIT 50"""))
+
   val defs: Seq[QueryDef] = Seq(
+    qTradeVolume, qReturnedRevenue, qHeavyOrders,
     q1Agg, q6Filter, q3TopOrders, q5Star, qSemi, qAnti,
     qWindowRunning, qTopkPerGroup, qLag, qRollup, qSortLimit,
     qSetOps, qScalarFuncs, qDistinctAgg,

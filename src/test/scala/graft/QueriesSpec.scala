@@ -153,7 +153,13 @@ class QueriesSpec extends SparkTestBase {
       // broadcast cross joins (bm25 + embTopk legs fused)
       // llm_retrieval_eval: the 5-query broadcast × corpus cosine scan,
       // same shape as llm_similarity_topk
-      "llm_hybrid_search", "llm_retrieval_eval")
+      "llm_hybrid_search", "llm_retrieval_eval",
+      // kdb_frequent_pairs: the 1-row basket-total broadcast — its
+      // constant "one" equi-key folds away, leaving the same intended
+      // 1-row broadcast cross join as llm_lm_score's vocab scalar
+      // llm_dedup_triangles: the three census legs are 1-row
+      // aggregates stitched by the same folded-constant broadcast
+      "kdb_frequent_pairs", "llm_dedup_triangles")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
@@ -545,5 +551,67 @@ class QueriesSpec extends SparkTestBase {
     assert(!plan.contains("Join"), "burstiness needs no join")
     assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
       "one pass over events")
+  }
+
+  test("kdb_debounce: island numbering and the burst rollup share one series shuffle") {
+    val plan = SparkEntry.queries("kdb_debounce")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // lag window, cumulative island id, and the (user,type,gid) burst
+    // agg all cluster on (user_id, event_type): one hash exchange,
+    // plus one for the tiny per-type rollup
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      "window + burst agg must reuse the series shuffle")
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      "one pass over events")
+  }
+
+  test("kdb_chisq_independence: zero cells via algebra — no grid join, windows over the cell table") {
+    val plan = SparkEntry.queries("kdb_chisq_independence")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // row/col/grand totals ride windows over the ≤ types×24-row cell
+    // aggregate, never a dense (type × 24) grid join
+    assert(!plan.contains("Join"), "chisq needs no join")
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      "one pass over events")
+  }
+
+  test("kdb_ab_test: one partial-agg pass, no joins") {
+    val plan = SparkEntry.queries("kdb_ab_test")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "the z-test is two aggregations, never a join")
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      "one pass over events")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      "per-user conversion must combine map-side")
+  }
+
+  test("kdb_frequent_pairs: pair self-join rides the basket key; stats broadcast back") {
+    val plan = SparkEntry.queries("kdb_frequent_pairs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the b×b pair join is an equi-join on (user_id, slot_ns) — never
+    // a cartesian over raw events; singles and the 1-row basket total
+    // come back as broadcasts
+    assert(!plan.contains("CartesianProduct"), "pair join must stay basket-key-local")
+    assert(plan.contains("BroadcastHashJoin"), "singles stats must broadcast")
+  }
+
+  test("kdb_rfm: one user partial-agg pass; ntile windows run over the per-user table") {
+    val plan = SparkEntry.queries("kdb_rfm")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      "one pass over events")
+    assert(!plan.contains("Join"), "RFM is aggregation + windows, never a join")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "the per-user pass must combine map-side")
+  }
+
+  test("kdb_attribution / kdb_session_paths / kdb_interarrival: one scan, windows cluster on the user key") {
+    Seq("kdb_attribution", "kdb_session_paths", "kdb_interarrival").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+        s"$q: one pass over events")
+      assert(!plan.contains("Join"), s"$q: carried state rides windows, not joins")
+    }
   }
 }

@@ -506,7 +506,102 @@ object StreamingTwinQueries extends QueryModule {
         GROUP BY 1)
       SELECT * FROM sk ORDER BY event_type"""))
 
+  /** Streaming heavy hitters: the Space-Saving summary
+    * (graft.functions.HeavyHitters, kdb_heavy_hitters' sketch) carried
+    * as STREAMING AGGREGATE STATE per event_type — bounded k=64
+    * counters per type regardless of user cardinality, micro-batches
+    * merging by the summary-merge rule. Exact per-key counts cannot be
+    * streamed at 100 TB (state = every distinct user); the mergeable
+    * summary can — this twin is the frequency-sketch sibling of
+    * stream_quantile_sketch_twin. Gated exactly like the batch query:
+    * sketch VALUES are merge-order-dependent, so the oracle-hashed
+    * output is the exact top-5 per type plus int flags asserting the
+    * theorems the streamed summary must satisfy — every reported
+    * count brackets the true count (bounds_ok) and every key with
+    * true frequency > N/k is present (containment_ok). */
+  private val heavyHittersTwin = QueryDef(
+    "stream_heavy_hitters_twin",
+    (s, d) => {
+      import s.implicits._
+      val k = 64
+      val sink = replay(s, s"$d/events.parquet", "complete") { stream =>
+        stream
+          .filter(col("user_id").isNotNull)
+          .select(col("event_type"), col("user_id"))
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(graft.functions.HeavyHitters.spaceSaving(k).name("summary"))
+          .toDF("event_type", "summary")
+      }
+      val summaries: Map[String, Seq[(Long, Long, Long)]] =
+        sink.collect().map { r =>
+          r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+            .map(c => (c.getLong(0), c.getLong(1), c.getLong(2)))
+        }.toMap
+      // ONE aggregation pass feeds the exact counts, totals, flags and
+      // the output (kdb_heavy_hitters' persist discipline)
+      val exact = events(s, d).filter(col("user_id").isNotNull)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n")).persist()
+      val totals = exact.groupBy(col("event_type")).agg(sum(col("n")).as("nt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val items = summaries.values.flatten.map(_._1).toSeq.distinct
+      val exactBySummary = exact.filter(col("user_id").isin(items: _*))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val flags: Map[String, (Int, Int)] = summaries.map { case (et, cs) =>
+        val boundsOk = cs.forall { case (item, cnt, err) =>
+          val t = exactBySummary.getOrElse((et, item), 0L)
+          cnt >= t && cnt - err <= t
+        }
+        val inSummary = cs.map(_._1).toSet
+        val nt = totals.getOrElse(et, 0L)
+        val containOk = exact
+          .filter(col("event_type") === et && col("n") > nt / k)
+          .collect().map(_.getLong(1)).forall(inSummary)
+        et -> (if (boundsOk) 1 else 0, if (containOk) 1 else 0)
+      }
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("n").desc, col("user_id"))
+      val top5 = exact.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).drop("rn")
+        .orderBy(col("event_type"), col("n").desc, col("user_id"))
+      val rows = top5.collect().map { r =>
+        val (b, c) = flags.getOrElse(r.getString(0), (0, 0))
+        org.apache.spark.sql.Row(r.getString(0), r.getLong(1), r.getLong(2), b, c)
+      }
+      exact.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*),
+        org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType) ::
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType) ::
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType) ::
+          org.apache.spark.sql.types.StructField("bounds_ok",
+            org.apache.spark.sql.types.IntegerType) ::
+          org.apache.spark.sql.types.StructField("containment_ok",
+            org.apache.spark.sql.types.IntegerType) :: Nil))
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_type, user_id, count(*) AS n
+        FROM events
+        WHERE user_id IS NOT NULL
+        GROUP BY 1, 2),
+      r AS (
+        SELECT event_type, user_id, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, user_id) AS rn
+        FROM c)
+      SELECT event_type, user_id, n, 1 AS bounds_ok, 1 AS containment_ok
+      FROM r WHERE rn <= 5
+      ORDER BY event_type, n DESC, user_id"""))
+
   override def defs: Seq[QueryDef] = Seq(
     tumblingTwin, dedupTwin, sessionizeTwin, hoppingTwin, latestTwin,
-    intervalJoinTwin, recoveryTwin, rollupTwin, quantileSketchTwin)
+    intervalJoinTwin, recoveryTwin, rollupTwin, quantileSketchTwin,
+    heavyHittersTwin)
 }

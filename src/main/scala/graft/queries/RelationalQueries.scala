@@ -1366,8 +1366,232 @@ object RelationalQueries extends QueryModule {
       ORDER BY total_qty DESC, o_orderkey
       LIMIT 50"""))
 
+  /** TPC-H Q13 shape: customer order-count distribution ("how many
+    * customers placed N orders, including zero"). The LEFT OUTER join
+    * keeps orderless customers; count(o_orderkey) counts matches (0
+    * for them). Both aggregations are partial-agg shuffles on keys
+    * that shrink fast (customers, then distinct order counts). */
+  private val qCustDist = QueryDef(
+    "q_custdist",
+    (s, d) => {
+      customer(s, d).select(col("c_custkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""
+      SELECT c_count, count(*) AS custdist
+      FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey)
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC"""))
+
+  /** TPC-H Q22 shape: "idle rich" — customers with above-average
+    * balance and no orders, rolled up per nation. The balance
+    * threshold is Σcents/count (exact integer sum, ONE double
+    * division) instead of avg() over doubles — engine-native double
+    * summation order would drift and flip membership at the
+    * threshold; the integer-cent path is bit-identical. The
+    * threshold broadcasts (1 row), the order check is a left-anti
+    * join, nation broadcasts. */
+  private val qIdleRich = QueryDef(
+    "q_idle_rich",
+    (s, d) => {
+      val c = customer(s, d)
+        .withColumn("bal_cents", round(col("c_acctbal") * 100, 0).cast("long"))
+      val thr = c.filter(col("bal_cents") > 0)
+        .agg((sum(col("bal_cents")) / count(lit(1)).cast("double")).as("avg_cents"))
+        .withColumn("one", lit(1))
+      c.withColumn("one", lit(1))
+        .join(broadcast(thr), "one")
+        .filter(col("bal_cents").cast("double") > col("avg_cents"))
+        .join(orders(s, d).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(nation(s, d).select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_custs"),
+          sum(col("bal_cents")).as("total_bal_cents"))
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+        FROM customer),
+      thr AS (
+        SELECT sum(bal_cents) / CAST(count(*) AS DOUBLE) AS avg_cents
+        FROM c WHERE bal_cents > 0)
+      SELECT n_name, count(*) AS n_custs,
+             CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+      FROM c
+      CROSS JOIN thr
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE CAST(bal_cents AS DOUBLE) > avg_cents
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY n_name
+      ORDER BY n_name"""))
+
+  /** TPC-H Q14 shape: promo revenue share per month. Revenue is
+    * quantized to integer cents PER ROW before summing (the
+    * engine-gated rollup discipline — double sums are summation-order
+    * dependent across engines; per-row round then integer sum is
+    * exact), so the share is one division of exact integers. Part
+    * broadcasts; one fact shuffle on the month rollup. */
+  private val qPromoShare = QueryDef(
+    "q_promo_share",
+    (s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(part(s, d).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("rev_cents",
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+            .cast("long"))
+        .groupBy(month(col("l_shipdate")).as("ship_month"))
+        .agg(sum(when(col("p_type") === "PROMO", col("rev_cents")).otherwise(0L))
+          .as("promo_cents"),
+          sum(col("rev_cents")).as("total_cents"),
+          count(lit(1)).as("n_lines"))
+        .withColumn("promo_share",
+          round(col("promo_cents") / col("total_cents").cast("double"), 4))
+        .orderBy(col("ship_month"))
+    },
+    Some("""
+      WITH l AS (
+        SELECT month(l_shipdate) AS ship_month, p_type,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+                 AS rev_cents
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01')
+      SELECT ship_month,
+             CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_cents ELSE 0 END) AS BIGINT)
+               AS promo_cents,
+             CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+             count(*) AS n_lines,
+             round(sum(CASE WHEN p_type = 'PROMO' THEN rev_cents ELSE 0 END)
+                   / CAST(sum(rev_cents) AS DOUBLE), 4) AS promo_share
+      FROM l
+      GROUP BY ship_month
+      ORDER BY ship_month"""))
+
+  /** TPC-H Q19 shape: bracketed OR-of-ANDs discount revenue — three
+    * (brand, size, quantity-range) brackets that Catalyst must keep
+    * pushable (the part filters prune the broadcast build side; the
+    * quantity/bracket residual evaluates post-join). Single-row
+    * output in exact integer cents. */
+  private val qBracketRevenue = QueryDef(
+    "q_bracket_revenue",
+    (s, d) => {
+      val p = part(s, d).select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val j = lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val bracket =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 25)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 35))
+      j.filter(bracket)
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""
+      SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+                  AS BIGINT) AS revenue_cents,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 15)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+             AND l_quantity BETWEEN 10 AND 25)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+             AND l_quantity BETWEEN 20 AND 35)"""))
+
+  /** TPC-H Q8 shape: a supplier nation's market share inside one
+    * region's customer market for one part type, by order year. The
+    * numerator/denominator both sum integer cents (per-row quantized
+    * — the q_promo_share discipline), so the share divides exact
+    * integers once per year. Every dimension broadcasts; lineitem ↔
+    * orders is the one shuffle. */
+  private val qMarketShare = QueryDef(
+    "q_market_share",
+    (s, d) => {
+      val custAsia = customer(s, d)
+        .join(broadcast(nation(s, d)
+          .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val suppNation = supplier(s, d)
+        .join(broadcast(nation(s, d).select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      lineitem(s, d)
+        .join(broadcast(part(s, d).filter(col("p_type") === "ECONOMY")
+          .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("rev_cents",
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+            .cast("long"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_7", col("rev_cents"))
+          .otherwise(0L)).as("nation_cents"),
+          sum(col("rev_cents")).as("total_cents"))
+        .withColumn("mkt_share",
+          round(col("nation_cents") / col("total_cents").cast("double"), 4))
+        .orderBy(col("o_year"))
+    },
+    Some("""
+      WITH asia_cust AS (
+        SELECT c_custkey FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'),
+      l AS (
+        SELECT year(o_orderdate) AS o_year, sn.n_name AS supp_nation,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+                 AS rev_cents
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN asia_cust ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey)
+      SELECT o_year,
+             CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_cents ELSE 0 END)
+                  AS BIGINT) AS nation_cents,
+             CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+             round(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_cents ELSE 0 END)
+                   / CAST(sum(rev_cents) AS DOUBLE), 4) AS mkt_share
+      FROM l
+      GROUP BY o_year
+      ORDER BY o_year"""))
+
   val defs: Seq[QueryDef] = Seq(
     qTradeVolume, qReturnedRevenue, qHeavyOrders,
+    qCustDist, qIdleRich, qPromoShare, qBracketRevenue, qMarketShare,
     q1Agg, q6Filter, q3TopOrders, q5Star, qSemi, qAnti,
     qWindowRunning, qTopkPerGroup, qLag, qRollup, qSortLimit,
     qSetOps, qScalarFuncs, qDistinctAgg,

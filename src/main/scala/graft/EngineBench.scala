@@ -26,8 +26,8 @@ object EngineBench {
         bucketDuration = Day, resolution = Hour, maxHotBuckets = 40),
       clock)
 
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("ts").cast("long").as("ts"),
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .select(col("ts"),
         array(col("event_type"), col("user_id").cast("string")).as("tags"),
         // payload: the value as 8-byte big-endian bits (opaque to the engine)
         unhex(lpad(hex(expr("cast(value * 100 as bigint)")), 16, "0")).as("payload"),

@@ -46,16 +46,12 @@ object KdbQueries extends QueryModule {
     * yield epoch SECONDS and empty results. Both facts are pinned by
     * DriverSessionCompatSpec. */
   private def ev(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    // Tables.events already normalizes ts to int64 ns for every source
+    // type the driver has shipped (ns-long / µs-timestamp / µs-ntz) —
+    // see Tables.tsNsCol; the dispatch there is the single place that
+    // knows about physical timestamp encodings.
     val df = events(s, d)
-    val tsNs = df.schema("ts").dataType match {
-      case LongType      => col("ts")
-      case TimestampType => unix_micros(col("ts")) * lit(1000L)
-      case other => throw new IllegalStateException(
-        s"events.ts has unsupported type $other; expected int64 ns (set " +
-          "spark.sql.legacy.parquet.nanosAsLong=true) or timestamp")
-    }
-    df.withColumn("ts_ns", tsNs)
+    df.withColumn("ts_ns", graft.sources.Tables.tsNsCol(df.schema("ts").dataType))
   }
 
   /** Q-1 Put: quantize to Resolution, route to bucket, last-writer-wins

@@ -1394,13 +1394,17 @@ object RelationalQueries extends QueryModule {
       ORDER BY custdist DESC, c_count DESC"""))
 
   /** TPC-H Q22 shape: "idle rich" — customers with above-average
-    * balance and no orders, rolled up per nation. The balance
-    * threshold is Σcents/count (exact integer sum, ONE double
-    * division) instead of avg() over doubles — engine-native double
-    * summation order would drift and flip membership at the
-    * threshold; the integer-cent path is bit-identical. The
-    * threshold broadcasts (1 row), the order check is a left-anti
-    * join, nation broadcasts. */
+    * balance and no URGENT orders, rolled up per nation. (The
+    * driver's corpus gives every customer at least one order, so the
+    * anti-join targets the urgent slice to stay a real filter; the
+    * plan shape — anti-join against a filtered fact — is identical
+    * to Q22's "no orders at all".) The balance threshold is
+    * Σcents/count (exact integer sum, ONE double division) instead
+    * of avg() over doubles — engine-native double summation order
+    * would drift and flip membership at the threshold; the
+    * integer-cent path is bit-identical. The threshold broadcasts
+    * (1 row), the order check is a left-anti join, nation
+    * broadcasts. */
   private val qIdleRich = QueryDef(
     "q_idle_rich",
     (s, d) => {
@@ -1412,7 +1416,8 @@ object RelationalQueries extends QueryModule {
       c.withColumn("one", lit(1))
         .join(broadcast(thr), "one")
         .filter(col("bal_cents").cast("double") > col("avg_cents"))
-        .join(orders(s, d).select(col("o_custkey")),
+        .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .join(broadcast(nation(s, d).select(col("n_nationkey"), col("n_name"))),
           col("c_nationkey") === col("n_nationkey"))
@@ -1435,7 +1440,9 @@ object RelationalQueries extends QueryModule {
       CROSS JOIN thr
       JOIN nation ON c_nationkey = n_nationkey
       WHERE CAST(bal_cents AS DOUBLE) > avg_cents
-        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
       GROUP BY n_name
       ORDER BY n_name"""))
 

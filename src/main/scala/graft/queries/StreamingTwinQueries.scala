@@ -34,15 +34,8 @@ object StreamingTwinQueries extends QueryModule {
   /** events.ts → int64 ns, same dispatch as KdbQueries.ev (the
     * session reads ns-annotated parquet as LongType via
     * spark.sql.legacy.parquet.nanosAsLong). */
-  private def tsNs(df: DataFrame) = {
-    import org.apache.spark.sql.types.{LongType, TimestampType}
-    df.schema("ts").dataType match {
-      case LongType      => col("ts")
-      case TimestampType => unix_micros(col("ts")) * lit(1000L)
-      case other => throw new IllegalStateException(
-        s"events.ts has unsupported type $other")
-    }
-  }
+  private def tsNs(df: DataFrame) =
+    graft.sources.Tables.tsNsCol(df.schema("ts").dataType)
 
   /** Run a streaming transform of a parquet table end-to-end and hand
     * back the memory-sink table. AvailableNow processes the whole

@@ -159,7 +159,10 @@ class QueriesSpec extends SparkTestBase {
       // 1-row broadcast cross join as llm_lm_score's vocab scalar
       // llm_dedup_triangles: the three census legs are 1-row
       // aggregates stitched by the same folded-constant broadcast
-      "kdb_frequent_pairs", "llm_dedup_triangles")
+      "kdb_frequent_pairs", "llm_dedup_triangles",
+      // q_idle_rich: the 1-row balance-threshold broadcast rides a
+      // BroadcastNestedLoopJoin (non-equi bal > avg comparison)
+      "q_idle_rich")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -136,8 +136,8 @@ class StreamingIngestSpec extends SparkTestBase {
     val T1 = 1704067200000000000L + 30 * Day // end of the events month
     // shape the real events into engine points
     val encodeUdf = udf((v: Double) => encode(v))
-    val points = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("ts").cast("long").as("ts"),
+    val points = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts"),
         array(col("event_type"), col("user_id").cast("string")).as("tags"),
         encodeUdf(col("value")).as("payload"),
         col("event_id").as("seq"))

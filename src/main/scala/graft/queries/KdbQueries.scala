@@ -4244,6 +4244,144 @@ object KdbQueries extends QueryModule {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** Cutler's RSI (14-hour) per event_type over the hourly cents
+    * series: delta = hour-over-hour change of the hourly integer-cent
+    * sum, gains/losses split, 14-present-hour ROWS frames, RSI =
+    * 100 − 100/(1 + Σgain/Σloss) — the momentum oscillator behind
+    * overbought/oversold monitoring. Cutler's SMA variant (not
+    * Wilder's EWMA) is deliberate: the frame sums are exact int64 in
+    * both engines, so the single double division chain — and
+    * therefore the 70/30 threshold flags — is bit-identical, whereas
+    * a recursive smoothed average would need a WITH RECURSIVE twin.
+    * Degenerate frames: Σloss = 0 with gains → 100; all-zero frame
+    * (flat series) → 50, by definition, not division. Scale shape:
+    * one data-sized hourly aggregation, then type-partitioned windows
+    * over the ~720-row/type hourly table — window input is GROUPED
+    * data, never raw rows. */
+  private val rsi = QueryDef(
+    "kdb_rsi",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wLag = Window.partitionBy(col("event_type")).orderBy(col("slot_1h"))
+      val wFrame = wLag.rowsBetween(-13, 0)
+      ev(s, d)
+        .withColumn("slot_1h", col("ts_ns") - col("ts_ns") % Hour)
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .groupBy(col("event_type"), col("slot_1h"))
+        .agg(sum(col("cents")).as("v"))
+        .withColumn("delta", col("v") - lag(col("v"), 1).over(wLag))
+        .filter(col("delta").isNotNull)
+        .withColumn("gain", greatest(col("delta"), lit(0L)))
+        .withColumn("loss", greatest(-col("delta"), lit(0L)))
+        .withColumn("sg", sum(col("gain")).over(wFrame))
+        .withColumn("sl", sum(col("loss")).over(wFrame))
+        .withColumn("nf", count(lit(1)).over(wFrame))
+        .filter(col("nf") === 14)
+        .withColumn("rsi",
+          when(col("sg") === 0 && col("sl") === 0, lit(50.0))
+            .when(col("sl") === 0, lit(100.0))
+            .otherwise(lit(100.0) - lit(100.0) /
+              (lit(1.0) + col("sg").cast("double") / col("sl").cast("double"))))
+        .select(col("event_type"), col("slot_1h"),
+          (round(col("rsi"), 4) + lit(0.0)).as("rsi"),
+          (col("rsi") > 70).cast("int").as("overbought"),
+          (col("rsi") < 30).cast("int").as("oversold"))
+        .orderBy(col("event_type"), col("slot_1h"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT event_type,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_1h,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2),
+      dl AS (
+        SELECT event_type, slot_1h,
+               v - lag(v) OVER (PARTITION BY event_type ORDER BY slot_1h) AS delta
+        FROM h),
+      g AS (
+        SELECT event_type, slot_1h,
+               greatest(delta, 0) AS gain, greatest(-delta, 0) AS loss
+        FROM dl WHERE delta IS NOT NULL),
+      f AS (
+        SELECT event_type, slot_1h,
+               CAST(sum(gain) OVER w AS BIGINT) AS sg,
+               CAST(sum(loss) OVER w AS BIGINT) AS sl,
+               count(*) OVER w AS nf
+        FROM g
+        WINDOW w AS (PARTITION BY event_type ORDER BY slot_1h
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+      r AS (
+        SELECT event_type, slot_1h,
+               CASE WHEN sg = 0 AND sl = 0 THEN 50.0
+                    WHEN sl = 0 THEN 100.0
+                    ELSE 100.0 - 100.0 /
+                         (1.0 + CAST(sg AS DOUBLE) / CAST(sl AS DOUBLE)) END AS rsi
+        FROM f WHERE nf = 14)
+      SELECT event_type, slot_1h,
+             round(rsi, 4) + 0.0 AS rsi,
+             CASE WHEN rsi > 70 THEN 1 ELSE 0 END AS overbought,
+             CASE WHEN rsi < 30 THEN 1 ELSE 0 END AS oversold
+      FROM r
+      ORDER BY event_type, slot_1h"""))
+
+  /** Local-maximum peak detection per event_type: a present hour is a
+    * peak when its max-value cents strictly exceed both neighboring
+    * present hours AND the series mean (Σcents/n, one double
+    * division); prominence = height above the taller neighbor — the
+    * spike finder behind alert review ("which hours stood out, and by
+    * how much"). Exactness: neighbor comparisons are pure int64;
+    * the mean gate compares CAST(v AS DOUBLE) > Σ/n where both sides
+    * derive from identical exact integers, so membership cannot drift
+    * under ulp noise. Scale shape: one data-sized hourly aggregation,
+    * then ONE type-partitioned window pass (lag/lead/avg share the
+    * partitioning); output is peaks only — tiny. */
+  private val peakDetect = QueryDef(
+    "kdb_peak_detect",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("slot_1h"))
+      val wAll = Window.partitionBy(col("event_type"))
+      ev(s, d)
+        .withColumn("slot_1h", col("ts_ns") - col("ts_ns") % Hour)
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .groupBy(col("event_type"), col("slot_1h"))
+        .agg(max(col("cents")).as("v"))
+        .withColumn("prev", lag(col("v"), 1).over(w))
+        .withColumn("nxt", lead(col("v"), 1).over(w))
+        .withColumn("mean",
+          sum(col("v")).over(wAll).cast("double") / count(lit(1)).over(wAll))
+        .filter(col("prev").isNotNull && col("nxt").isNotNull &&
+          col("v") > col("prev") && col("v") > col("nxt") &&
+          col("v").cast("double") > col("mean"))
+        .select(col("event_type"), col("slot_1h"),
+          (col("v") / 100.0).as("height"),
+          ((col("v") - greatest(col("prev"), col("nxt"))) / 100.0)
+            .as("prominence"))
+        .orderBy(col("event_type"), col("slot_1h"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT event_type,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_1h,
+               CAST(max(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2),
+      n AS (
+        SELECT event_type, slot_1h, v,
+               lag(v)  OVER w AS prev,
+               lead(v) OVER w AS nxt,
+               CAST(CAST(sum(v) OVER wa AS BIGINT) AS DOUBLE)
+                 / count(*) OVER wa AS mean
+        FROM h
+        WINDOW w AS (PARTITION BY event_type ORDER BY slot_1h),
+               wa AS (PARTITION BY event_type))
+      SELECT event_type, slot_1h,
+             v / 100.0 AS height,
+             (v - greatest(prev, nxt)) / 100.0 AS prominence
+      FROM n
+      WHERE prev IS NOT NULL AND nxt IS NOT NULL
+        AND v > prev AND v > nxt AND CAST(v AS DOUBLE) > mean
+      ORDER BY event_type, slot_1h"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
@@ -4257,5 +4395,5 @@ object KdbQueries extends QueryModule {
     eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,
     anomalyEnsemble, drawdown, changepoint, rateLimitAudit, burstiness,
     quantileSketch, debounce, chisqIndependence, abTest, frequentPairs,
-    rfm, attribution, sessionPaths, interarrival)
+    rfm, attribution, sessionPaths, interarrival, rsi, peakDetect)
 }

@@ -3386,7 +3386,74 @@ object LlmQueries extends QueryModule {
              round(3.0 * n_triangles / nullif(CAST(n_wedges AS DOUBLE), 0), 4) AS global_cc
       FROM ec, w, t"""))
 
+  /** Matryoshka-style truncated-dimension retrieval eval: for the
+    * 5-query probe set, rank the corpus by full 64-dim cosine and by
+    * cosine over the FIRST 16 dims only, and report top-10 overlap
+    * (recall@10 of the truncated index vs the exact ranking) — the
+    * pre-flight that tells you whether serving a prefix-truncated
+    * embedding (4× smaller index, MRL-trained models) keeps retrieval
+    * quality. Both rankings come from ONE broadcast-queries × corpus
+    * scan (two cosines per pair, two windows sharing the same qid
+    * partitioning — one shuffle); overlap is counted on the pair row
+    * itself (a nid is in both top-10s iff both its ranks ≤ 10), so no
+    * self-join. Exactness: both cosines are strict left-fold doubles
+    * (bit-identical across engines, embTopk precedent), ties broken
+    * by nid, recall is ONE division of small exact ints. At 100×
+    * corpus the eval rides the same ANN candidate path as
+    * llm_retrieval_eval — a bounded probe set, never all-pairs. */
+  private val matryoshkaEval = QueryDef(
+    "llm_matryoshka_eval",
+    (s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val wf = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_full").desc, col("nid"))
+      val wp = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_pre").desc, col("nid"))
+      broadcast(q).join(c, col("qid") =!= col("nid"))
+        .withColumn("cos_full", cosine(col("qv"), col("nv")))
+        .withColumn("cos_pre",
+          cosine(slice(col("qv"), 1, 16), slice(col("nv"), 1, 16)))
+        .withColumn("rk_full", row_number().over(wf))
+        .withColumn("rk_pre", row_number().over(wp))
+        .groupBy(col("qid"))
+        .agg(count(when(col("rk_full") <= 10 && col("rk_pre") <= 10, 1))
+          .as("n_overlap"))
+        .withColumn("recall_at_10",
+          round(col("n_overlap") / 10.0, 4) + lit(0.0))
+        .orderBy(col("qid"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv, embedding[1:16] AS qv16
+        FROM embeddings WHERE vec_id <= 4),
+      c AS (
+        SELECT vec_id AS nid, embedding AS nv, embedding[1:16] AS nv16
+        FROM embeddings),
+      sc AS (
+        SELECT qid, nid,
+               ${dkDot("qv", "nv")} /
+               (sqrt(${dkDot("qv", "qv")}) * sqrt(${dkDot("nv", "nv")})) AS cos_full,
+               ${dkDot("qv16", "nv16")} /
+               (sqrt(${dkDot("qv16", "qv16")}) * sqrt(${dkDot("nv16", "nv16")})) AS cos_pre
+        FROM q, c WHERE qid <> nid),
+      rk AS (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos_full DESC, nid) AS rk_full,
+               row_number() OVER (PARTITION BY qid ORDER BY cos_pre DESC, nid) AS rk_pre
+        FROM sc)
+      SELECT qid,
+             count(CASE WHEN rk_full <= 10 AND rk_pre <= 10 THEN 1 END) AS n_overlap,
+             round(count(CASE WHEN rk_full <= 10 AND rk_pre <= 10 THEN 1 END)
+                   / 10.0, 4) + 0.0 AS recall_at_10
+      FROM rk
+      GROUP BY qid
+      ORDER BY qid"""))
+
   val defs: Seq[QueryDef] = Seq(
+    matryoshkaEval,
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
     embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, embIvfTrained, semanticDedup, incrementalDedup, multimodalMeta,

@@ -593,8 +593,54 @@ object StreamingTwinQueries extends QueryModule {
       FROM r WHERE rn <= 5
       ORDER BY event_type, n DESC, user_id"""))
 
+  /** Stream-static broadcast join: the arriving event stream is
+    * enriched per micro-batch against a STATIC dimension computed
+    * once at job start (per-type corpus totals — the "reference data
+    * loaded beside the stream" pattern: tier tables, feature configs,
+    * yesterday's rollup), then windowed into hourly per-type counts
+    * with each hour's share of its type's total. Gates the one join
+    * topology no other twin covers: stateless stream-static inner
+    * join (no watermark, no join state — the static side broadcasts
+    * inside every micro-batch plan) BELOW a complete-mode windowed
+    * aggregation. Share = ONE double division of exact int64 counts.
+    * At scale the static side is a broadcast dim (size-bounded),
+    * and the post-join aggregation is the same partial-agg shuffle
+    * as batch — no per-row state. */
+  private val staticJoinTwin = QueryDef(
+    "stream_static_join_twin",
+    (s, d) => {
+      val statics = s.read.parquet(s"$d/events.parquet")
+        .groupBy(col("event_type").as("st_type"))
+        .agg(count(lit(1)).as("type_total"))
+      val out = replay(s, s"$d/events.parquet", "complete") { stream =>
+        stream
+          .withColumn("ts_ns", tsNs(stream))
+          .withColumn("slot_1h", col("ts_ns") - col("ts_ns") % Hour)
+          .join(broadcast(statics), col("event_type") === col("st_type"))
+          .groupBy(col("event_type"), col("slot_1h"), col("type_total"))
+          .agg(count(lit(1)).as("n"))
+      }
+      out.select(col("event_type"), col("slot_1h"), col("n"),
+        (round(col("n") / col("type_total").cast("double"), 6) + lit(0.0))
+          .as("share"))
+        .orderBy(col("event_type"), col("slot_1h"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT event_type AS st_type, count(*) AS type_total
+        FROM events GROUP BY 1),
+      h AS (
+        SELECT event_type,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_1h,
+               count(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, slot_1h, CAST(n AS BIGINT) AS n,
+             round(CAST(n AS DOUBLE) / type_total, 6) + 0.0 AS share
+      FROM h JOIN t ON event_type = st_type
+      ORDER BY event_type, slot_1h"""))
+
   override def defs: Seq[QueryDef] = Seq(
     tumblingTwin, dedupTwin, sessionizeTwin, hoppingTwin, latestTwin,
     intervalJoinTwin, recoveryTwin, rollupTwin, quantileSketchTwin,
-    heavyHittersTwin)
+    heavyHittersTwin, staticJoinTwin)
 }

@@ -162,7 +162,10 @@ class QueriesSpec extends SparkTestBase {
       "kdb_frequent_pairs", "llm_dedup_triangles",
       // q_idle_rich: the 1-row balance-threshold broadcast rides a
       // BroadcastNestedLoopJoin (non-equi bal > avg comparison)
-      "q_idle_rich")
+      "q_idle_rich",
+      // llm_matryoshka_eval: the 5-query probe set broadcasts over the
+      // corpus (qid =!= nid non-equi), same shape as llm_similarity_topk
+      "llm_matryoshka_eval")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
@@ -616,5 +619,37 @@ class QueriesSpec extends SparkTestBase {
         s"$q: one pass over events")
       assert(!plan.contains("Join"), s"$q: carried state rides windows, not joins")
     }
+  }
+
+  test("kdb_rsi / kdb_peak_detect: hourly pre-agg bounds the window input; one series partitioning") {
+    Seq("kdb_rsi", "kdb_peak_detect").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+        s"$q: one pass over events")
+      // frames slide over the hourly table, never raw events: the
+      // hourly HashAggregate sits below every Window (printed plans
+      // are root-first, so deeper = later line)
+      val lines = plan.linesIterator.toVector
+      val firstWindow = lines.indexWhere(_.contains(" Window "))
+      val lastAgg = lines.lastIndexWhere(_.contains("HashAggregate"))
+      assert(firstWindow >= 0 && lastAgg > firstWindow,
+        s"$q: hourly aggregate must feed the window frames")
+      // exactly two hash exchanges: the (type,slot) rollup and ONE
+      // type partitioning shared by every window spec
+      assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 2,
+        s"$q: window specs must share one series partitioning")
+    }
+  }
+
+  test("llm_matryoshka_eval: both rank windows and the rollup share one qid partitioning") {
+    val plan = SparkEntry.queries("llm_matryoshka_eval")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the probe set broadcasts; the corpus is never shuffled pre-join
+    assert(plan.contains("BroadcastNestedLoopJoin"), "probe set must broadcast")
+    // full-dim rank, prefix rank, and the per-qid overlap count all
+    // cluster on qid: one hash exchange end to end
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      "rank windows + rollup must reuse one qid partitioning")
   }
 }

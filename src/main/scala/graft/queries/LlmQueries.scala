@@ -3452,8 +3452,81 @@ object LlmQueries extends QueryModule {
       GROUP BY qid
       ORDER BY qid"""))
 
+  /** Curriculum ordering: documents bucketed into 4 difficulty
+    * quartiles by whitespace-token length (the classic
+    * shortest-first curriculum proxy), then INTERLEAVED —
+    * curriculum_pos = (rank within bucket − 1) × 4 + bucket — so
+    * every consecutive batch of 4 training examples spans all
+    * difficulty levels while still trending easy → hard within each
+    * bucket. The semantics are exactly ntile(4) OVER (ORDER BY
+    * n_tokens, doc_id) — but a global ntile window moves the ENTIRE
+    * corpus to one partition (Spark plans Exchange SinglePartition),
+    * the canonical 100 TB killer. Instead the global rank is
+    * decomposed: a tiny n_tokens histogram (one aggregation) carries
+    * each length's cumulative offset, broadcast back; within a
+    * length, ranks come from a doc_id window partitioned BY length
+    * (distributed); bucket and in-bucket rank are then closed-form
+    * integer math from (rank, N) reproducing ntile's
+    * first-(N mod 4)-buckets-get-one-extra rule. Everything is
+    * integer and tie-free, so the permutation is bit-identical to
+    * the oracle's literal ntile. Two scans of documents (histogram +
+    * assignment) is the honest distributed-rank cost; the only
+    * single-partition step is the cumsum over the ~|distinct
+    * lengths|-row histogram. */
+  private val curriculumOrder = QueryDef(
+    "llm_curriculum_order",
+    (s, d) => {
+      val t = documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      // tiny: one row per distinct length, cumulative start offset
+      val wHist = Window.orderBy(col("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val hist = t.groupBy(col("n_tokens")).agg(count(lit(1)).as("cnt"))
+        .withColumn("offset", coalesce(sum(col("cnt")).over(wHist), lit(0L)))
+        .withColumn("n_total", sum(col("cnt")).over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("n_tokens").as("h_tok"), col("offset"), col("n_total"))
+      val wInTok = Window.partitionBy(col("n_tokens")).orderBy(col("doc_id"))
+      t.join(broadcast(hist), col("n_tokens") === col("h_tok"))
+        .withColumn("r", col("offset") + row_number().over(wInTok))
+        // ntile(4): first (N mod 4) buckets hold ⌈N/4⌉, the rest ⌊N/4⌋
+        .withColumn("base", expr("n_total div 4"))
+        .withColumn("rem", col("n_total") % 4)
+        .withColumn("cut", col("rem") * (col("base") + 1))
+        .withColumn("bucket",
+          when(col("r") <= col("cut"),
+            expr("(r + base) div (base + 1)"))
+            .otherwise(col("rem") + expr("(r - cut + base - 1) div base")))
+        .withColumn("bstart",
+          (col("bucket") - 1) * col("base") +
+            least(col("bucket") - 1, col("rem")) + 1)
+        .select(col("doc_id"), col("n_tokens"),
+          col("bucket").cast("int").as("bucket"),
+          ((col("r") - col("bstart")) * 4 + col("bucket")).cast("int")
+            .as("curriculum_pos"))
+        .orderBy(col("curriculum_pos"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents),
+      b AS (
+        SELECT doc_id, n_tokens,
+               ntile(4) OVER (ORDER BY n_tokens, doc_id) AS bucket
+        FROM t),
+      r AS (
+        SELECT doc_id, n_tokens, bucket,
+               row_number() OVER (PARTITION BY bucket
+                                  ORDER BY n_tokens, doc_id) AS rk
+        FROM b)
+      SELECT doc_id, n_tokens, bucket,
+             (rk - 1) * 4 + bucket AS curriculum_pos
+      FROM r
+      ORDER BY curriculum_pos"""))
+
   val defs: Seq[QueryDef] = Seq(
-    matryoshkaEval,
+    matryoshkaEval, curriculumOrder,
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
     embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, embIvfTrained, semanticDedup, incrementalDedup, multimodalMeta,

@@ -1596,7 +1596,110 @@ object RelationalQueries extends QueryModule {
       GROUP BY o_year
       ORDER BY o_year"""))
 
+  /** TPC-H Q7 shape: cross-border trade — revenue flow between every
+    * (supplier nation → customer nation) pair per year, pairs where
+    * the nations differ. Revenue is quantized to integer cents PER
+    * ROW before summing (per-row round then int sum is exact across
+    * engines; q_promo_share discipline). The lineitem↔orders join is
+    * the one big shuffle; supplier/customer broadcast at gate scale
+    * (they are the smallest join sides; at 100× AQE flips them to
+    * shuffle joins off the same declarative plan), nation broadcasts
+    * twice. Output is bounded: |nations|² × years. */
+  private val qNationTrade = QueryDef(
+    "q_nation_trade",
+    (s, d) => {
+      val n1 = nation(s, d)
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = nation(s, d)
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      lineitem(s, d)
+        .withColumn("rev_cents",
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+            .cast("long"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("l_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(customer(s, d).select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg((sum(col("rev_cents")) / 100.0).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    Some("""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(o_orderdate) AS l_year,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                           AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name <> n2.n_name
+      GROUP BY 1, 2, 3
+      ORDER BY supp_nation, cust_nation, l_year"""))
+
+  /** TPC-H Q19 shape: disjunctive multi-attribute revenue — three
+    * OR'd (brand, size range, quantity range) branches. The point is
+    * the PLAN: the disjunction over part attributes joins first
+    * (broadcast part), then one filter evaluates all three branches;
+    * the quantity half of each branch refers only to lineitem columns
+    * and Catalyst extracts the common l_quantity <= 36 bound into the
+    * scan's pushed filters — predicate weakening a hand-written
+    * engine would need bespoke logic for. Revenue in per-row integer
+    * cents (q_promo_share discipline). */
+  private val qBrandDisjunct = QueryDef(
+    "q_brand_disjunct",
+    (s, d) => {
+      val branch1 = col("p_brand") === "Brand#12" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(1, 12)
+      val branch2 = col("p_brand") === "Brand#23" &&
+        col("p_size").between(1, 25) && col("l_quantity").between(10, 24)
+      val branch3 = col("p_brand") === "Brand#34" &&
+        col("p_size").between(1, 35) && col("l_quantity").between(24, 36)
+      lineitem(s, d)
+        .withColumn("rev_cents",
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+            .cast("long"))
+        .join(broadcast(part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(branch1 || branch2 || branch3)
+        .groupBy(col("p_brand"))
+        .agg((sum(col("rev_cents")) / 100.0).as("revenue"),
+          count(lit(1)).as("n_lines"),
+          (sum(round(col("l_quantity") * 100, 0).cast("long")) / 100.0)
+            .as("total_qty"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""
+      SELECT p_brand,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                           AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+             count(*) AS n_lines,
+             CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+               / 100.0 AS total_qty
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 12)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+             AND l_quantity BETWEEN 10 AND 24)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+             AND l_quantity BETWEEN 24 AND 36)
+      GROUP BY p_brand
+      ORDER BY p_brand"""))
+
   val defs: Seq[QueryDef] = Seq(
+    qNationTrade, qBrandDisjunct,
     qTradeVolume, qReturnedRevenue, qHeavyOrders,
     qCustDist, qIdleRich, qPromoShare, qBracketRevenue, qMarketShare,
     q1Agg, q6Filter, q3TopOrders, q5Star, qSemi, qAnti,

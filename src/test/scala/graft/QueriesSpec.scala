@@ -652,4 +652,71 @@ class QueriesSpec extends SparkTestBase {
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
       "rank windows + rollup must reuse one qid partitioning")
   }
+
+  test("q_brand_disjunct: the quantity disjunction reaches the lineitem scan; brands reach part") {
+    val plan = SparkEntry.queries("q_brand_disjunct")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val lineScan = plan.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("lineitem")).get
+    assert(lineScan.contains("l_quantity"),
+      "the OR of quantity ranges must be pushed into the lineitem scan")
+    val partScan = plan.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("part.parquet")).get
+    assert(partScan.contains("p_brand"),
+      "the brand/size disjunction must be pushed into the part scan")
+  }
+
+  test("q_nation_trade: one scan per table, all dimension joins broadcast at gate scale") {
+    val plan = SparkEntry.queries("q_nation_trade")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 6,
+      "lineitem, orders, supplier, customer, nation ×2 — one pass each")
+    assert(!plan.contains("CartesianProduct"))
+    // per-row cent quantization happens below the joins (rev_cents is
+    // projected out of the lineitem scan, not recomputed post-join)
+    val lines = plan.linesIterator.toVector
+    val revProject = lines.indexWhere(l =>
+      l.contains("AS rev_cents") && l.contains("Project"))
+    val firstJoin = lines.indexWhere(_.contains("Join"))
+    assert(revProject > firstJoin, "cents projected at the scan, below every join")
+  }
+
+  test("llm_curriculum_order: distributed rank — no data-sized single-partition window") {
+    val plan = SparkEntry.queries("llm_curriculum_order")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 2,
+      "histogram pass + assignment pass — exactly two scans")
+    // the ONLY single-partition step is the cumsum over the tiny
+    // histogram; the per-doc rank window is partitioned by n_tokens
+    assert(plan.linesIterator.count(_.contains("Exchange SinglePartition")) === 1,
+      "only the histogram cumsum may single-partition")
+    assert(plan.contains("BroadcastExchange"),
+      "histogram offsets must broadcast back to the assignment pass")
+  }
+
+  test("llm_curriculum_order closed-form ntile matches literal ntile when N mod 4 != 0") {
+    // the gate corpus has N ≡ 0 (mod 4), which never exercises the
+    // remainder branch of the closed-form bucket math — pin it on a
+    // 10-doc table (buckets of 3,3,2,2)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-curr").toString
+    spark.range(10).selectExpr("id AS doc_id",
+        "repeat('w ', CAST(id % 7 + 1 AS INT)) AS text",
+        "'en' AS lang", "'t' AS source", "1L AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("llm_curriculum_order")(spark, dir)
+      .select("doc_id", "bucket", "curriculum_pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    val want = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n_tokens")
+      .withColumn("bucket",
+        ntile(4).over(Window.orderBy(col("n_tokens"), col("doc_id"))))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("bucket"))
+        .orderBy(col("n_tokens"), col("doc_id"))))
+      .selectExpr("doc_id", "bucket", "(rk - 1) * 4 + bucket AS pos")
+      .orderBy(col("pos"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got === want, "closed-form bucket math must equal literal ntile")
+  }
 }

@@ -61,7 +61,11 @@ object ScaleBench {
     "llm_dedup_eval", "llm_bm25_search",
     // r7 heavies: full-corpus connected components (bound removed) and
     // PQ (k-means training + ADC search + rerank)
-    "llm_dedup_clusters", "llm_similarity_pq")
+    "llm_dedup_clusters", "llm_similarity_pq",
+    // r7-cont: the two-fact-table join (lineitem↔orders both grow k×,
+    // the shuffle-join growth probe) and the histogram-rank curriculum
+    // (two doc scans + broadcast — must stay ~linear, no hidden sort)
+    "q_nation_trade", "llm_curriculum_order")
 
   private val Tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

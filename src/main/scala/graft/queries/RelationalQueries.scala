@@ -1596,15 +1596,17 @@ object RelationalQueries extends QueryModule {
       GROUP BY o_year
       ORDER BY o_year"""))
 
-  /** TPC-H Q7 shape: cross-border trade — revenue flow between every
-    * (supplier nation → customer nation) pair per year, pairs where
-    * the nations differ. Revenue is quantized to integer cents PER
-    * ROW before summing (per-row round then int sum is exact across
-    * engines; q_promo_share discipline). The lineitem↔orders join is
-    * the one big shuffle; supplier/customer broadcast at gate scale
-    * (they are the smallest join sides; at 100× AQE flips them to
-    * shuffle joins off the same declarative plan), nation broadcasts
-    * twice. Output is bounded: |nations|² × years. */
+  /** Trade-flow matrix: q_trade_volume's TPC-H Q7 corridor
+    * generalized to the FULL (supplier nation → customer nation) ×
+    * year revenue matrix over every differing pair — the export/
+    * import dashboard behind "who trades with whom". Revenue is
+    * quantized to integer cents PER ROW before summing (per-row
+    * round then int sum is exact across engines; q_promo_share
+    * discipline — the corridor variant deliberately exercises the
+    * round(sum) path instead). The lineitem↔orders join is the one
+    * big shuffle; supplier/customer broadcast at gate scale (at 100×
+    * AQE flips them to shuffle joins off the same declarative plan),
+    * nation broadcasts twice. Output is bounded: |nations|² × years. */
   private val qNationTrade = QueryDef(
     "q_nation_trade",
     (s, d) => {

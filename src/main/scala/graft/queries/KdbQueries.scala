@@ -4382,6 +4382,119 @@ object KdbQueries extends QueryModule {
         AND v > prev AND v > nxt AND CAST(v AS DOUBLE) > mean
       ORDER BY event_type, slot_1h"""))
 
+  /** LTTB-style viz downsampling (parallel bucket-mean variant): one
+    * representative point per (event_type, hour) — the point whose
+    * triangle with the neighboring PRESENT buckets' mean points has
+    * the largest area; the first/last bucket of each series keep
+    * their first/last point (LTTB's global anchors). This is the
+    * standard parallelizable LTTB approximation (true LTTB chains
+    * each choice to the previous selection — inherently sequential),
+    * and the shape-preserving cousin of kdb_m4_downsample's
+    * min/max/first/last envelope. Exactness across engines: all
+    * inputs are exact ints (ms offsets, cents, counts, sums); means
+    * are ONE division each and the area is a fixed-order chain of
+    * IEEE core ops (±, ×, abs — no libm), so the double is
+    * bit-identical in both engines and the argmax (area DESC, ts)
+    * cannot flip. Scale shape: per-bucket stats ride one
+    * (type, bucket) partial-agg shuffle; the neighbor window runs
+    * over the tiny bucket table; the argmax row_number partitions by
+    * (type, bucket) — per-bucket work, no global sort, output =
+    * |buckets|. */
+  private val lttb = QueryDef(
+    "kdb_lttb_downsample",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val HourMs = 3600000L
+      val pts = ev(s, d)
+        .withColumn("x", expr("ts_ns div 1000000"))
+        .withColumn("y", round(col("value") * 100, 0).cast("long"))
+        .withColumn("bucket", col("x") - col("x") % HourMs)
+      val wB = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      val stats = pts.groupBy(col("event_type").as("st_type"), col("bucket").as("st_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+        .withColumn("mxp", lag(col("sx"), 1).over(
+          Window.partitionBy(col("st_type")).orderBy(col("st_bucket")))
+          .cast("double") / lag(col("n"), 1).over(
+          Window.partitionBy(col("st_type")).orderBy(col("st_bucket"))))
+        .withColumn("myp", lag(col("sy"), 1).over(
+          Window.partitionBy(col("st_type")).orderBy(col("st_bucket")))
+          .cast("double") / lag(col("n"), 1).over(
+          Window.partitionBy(col("st_type")).orderBy(col("st_bucket"))))
+        .withColumn("mxn", lead(col("sx"), 1).over(
+          Window.partitionBy(col("st_type")).orderBy(col("st_bucket")))
+          .cast("double") / lead(col("n"), 1).over(
+          Window.partitionBy(col("st_type")).orderBy(col("st_bucket"))))
+        .withColumn("myn", lead(col("sy"), 1).over(
+          Window.partitionBy(col("st_type")).orderBy(col("st_bucket")))
+          .cast("double") / lead(col("n"), 1).over(
+          Window.partitionBy(col("st_type")).orderBy(col("st_bucket"))))
+        .select(col("st_type"), col("st_bucket"),
+          col("mxp"), col("myp"), col("mxn"), col("myn"))
+      val wPick = Window.partitionBy(col("event_type"), col("bucket"))
+        .orderBy(col("score").desc, col("x"), col("y"))
+      // no broadcast hint: the stats table is |series|×|buckets| rows
+      // — tiny at gate scale (AQE broadcasts it), but at 100 TB it
+      // must flow as a shuffle join on the SAME (type, bucket) key as
+      // the argmax partitioning below
+      pts.join(stats,
+          col("event_type") === col("st_type") && col("bucket") === col("st_bucket"))
+        .withColumn("area",
+          abs((col("x").cast("double") - col("mxp")) * (col("myn") - col("myp")) -
+            (col("mxn") - col("mxp")) * (col("y").cast("double") - col("myp"))))
+        .withColumn("score",
+          when(col("mxp").isNull, -col("x").cast("double"))
+            .when(col("mxn").isNull, col("x").cast("double"))
+            .otherwise(col("area")))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("bucket").as("bucket_ms"),
+          col("x").as("ts_ms"), (col("y") / 100.0).as("v"),
+          when(col("mxp").isNull, "first").when(col("mxn").isNull, "last")
+            .otherwise("area").as("role"))
+        .orderBy(col("event_type"), col("bucket_ms"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_type,
+               epoch_ns(ts) // 1000000 AS x,
+               CAST(round(value * 100, 0) AS BIGINT) AS y
+        FROM events),
+      b AS (
+        SELECT *, x - x % 3600000 AS bucket FROM p),
+      st AS (
+        SELECT event_type AS st_type, bucket AS st_bucket,
+               count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy
+        FROM b GROUP BY 1, 2),
+      nb AS (
+        SELECT st_type, st_bucket,
+               CAST(lag(sx) OVER w AS DOUBLE) / lag(n) OVER w AS mxp,
+               CAST(lag(sy) OVER w AS DOUBLE) / lag(n) OVER w AS myp,
+               CAST(lead(sx) OVER w AS DOUBLE) / lead(n) OVER w AS mxn,
+               CAST(lead(sy) OVER w AS DOUBLE) / lead(n) OVER w AS myn
+        FROM st
+        WINDOW w AS (PARTITION BY st_type ORDER BY st_bucket)),
+      sc AS (
+        SELECT b.event_type, b.bucket, b.x, b.y,
+               abs((CAST(b.x AS DOUBLE) - mxp) * (myn - myp) -
+                   (mxn - mxp) * (CAST(b.y AS DOUBLE) - myp)) AS area,
+               mxp, mxn
+        FROM b JOIN nb ON b.event_type = st_type AND b.bucket = st_bucket),
+      rk AS (
+        SELECT *,
+               row_number() OVER (
+                 PARTITION BY event_type, bucket
+                 ORDER BY CASE WHEN mxp IS NULL THEN -CAST(x AS DOUBLE)
+                               WHEN mxn IS NULL THEN CAST(x AS DOUBLE)
+                               ELSE area END DESC, x, y) AS rn
+        FROM sc)
+      SELECT event_type, bucket AS bucket_ms, x AS ts_ms, y / 100.0 AS v,
+             CASE WHEN mxp IS NULL THEN 'first'
+                  WHEN mxn IS NULL THEN 'last'
+                  ELSE 'area' END AS role
+      FROM rk WHERE rn = 1
+      ORDER BY event_type, bucket_ms"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
@@ -4395,5 +4508,5 @@ object KdbQueries extends QueryModule {
     eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,
     anomalyEnsemble, drawdown, changepoint, rateLimitAudit, burstiness,
     quantileSketch, debounce, chisqIndependence, abTest, frequentPairs,
-    rfm, attribution, sessionPaths, interarrival, rsi, peakDetect)
+    rfm, attribution, sessionPaths, interarrival, rsi, peakDetect, lttb)
 }

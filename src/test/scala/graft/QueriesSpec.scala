@@ -694,6 +694,21 @@ class QueriesSpec extends SparkTestBase {
       "histogram offsets must broadcast back to the assignment pass")
   }
 
+  test("kdb_lttb_downsample: stats pass + join-back, argmax partitions per bucket") {
+    val plan = SparkEntry.queries("kdb_lttb_downsample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the raw points join back against the bucket-stats branch: two
+    // scans is the honest cost of a select-a-representative-ROW op
+    // (M4's pure aggregation does it in one — different output)
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 2,
+      "stats pass + join-back pass only")
+    assert(!plan.contains("CartesianProduct"))
+    // the argmax window partitions by (type, bucket) — per-bucket
+    // work, never a global or per-type sort of raw points
+    assert(plan.contains("windowspecdefinition(event_type"),
+      "argmax must partition by (event_type, bucket)")
+  }
+
   test("llm_curriculum_order closed-form ntile matches literal ntile when N mod 4 != 0") {
     // the gate corpus has N ≡ 0 (mod 4), which never exercises the
     // remainder branch of the closed-form bucket math — pin it on a

@@ -663,6 +663,102 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     coldBucketsOnDisk().map(b => b -> compactBucket(b)).toMap
   }
 
+  /** Right-to-erasure: physically remove every point whose tag tuple
+    * matches `tags` — Find's wildcard semantics, "" matches any value
+    * at that position — from EVERY bucket, hot and cold, and from the
+    * continuous-aggregate deltas. The one maintenance path that
+    * overrides the hot/cold write rules: erasure law does not wait
+    * for a bucket to go cold. At least one position must be concrete;
+    * the accidental "erase everything" is refused (retention is
+    * [[removeBefore]]'s job and stays separately guarded).
+    *
+    * Beyond the reference: kdb can only drop whole buckets
+    * (dbase/dbase.go:323-364); per-series hard deletion is what a
+    * training-data governance pipeline actually needs (user opt-out /
+    * GDPR Art. 17) — and with tag-clustered files (ingest sort +
+    * compaction clustering) the candidate scan prunes by parquet
+    * row-group stats, so untouched buckets cost one footer read and
+    * are NOT rewritten.
+    *
+    * Survivor rows are rewritten verbatim (raw seq history kept — no
+    * LWW resolution happens here, so a later compaction behaves
+    * identically); a bucket left empty loses its partition like
+    * retention. Rollup deltas are filtered in place via
+    * staging + two-rename swap, preserving each delta's seq-range
+    * NAME — the watermark chain stays intact because those seqs WERE
+    * folded; the erased series simply no longer contributes rows.
+    * Crash contract mirrors [[rebucket]]: between the two renames the
+    * delta is briefly absent and [[rollupCover]] fails loudly (the
+    * `.erase_trash_*` dir restores it by rename); a crash before the
+    * swap leaves the delta untouched and an invisible staging dir.
+    *
+    * Returns (per-bucket (rowsBefore, rowsAfter) for rewritten
+    * buckets, rollup partial rows removed). Erasure of a tag tuple
+    * with no data returns an empty map — idempotent by construction. */
+  def erase(tags: Seq[String]): (Map[Long, (Long, Long)], Long) = writeLock.synchronized {
+    ensureManifest(adopt = false)
+    if (tags.size != opts.indexDepth)
+      throw new IllegalArgumentException(InvalidIndexValues)
+    if (tags.forall(_.isEmpty))
+      throw new IllegalArgumentException(
+        "erase requires at least one concrete tag (full-table wipe is removeBefore's job)")
+    val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
+    sweepStaleStaging(fs)
+    val preds = tagCols.zip(tags).collect { case (c, v) if v.nonEmpty => col(c) === v }
+    def matching(df: DataFrame) = preds.foldLeft(df)(_ filter _)
+    def surviving(df: DataFrame) =
+      df.filter(!preds.reduce(_ && _))
+    // candidate buckets via pushed-down tag predicates: one row per
+    // affected bucket — row-group stats skip clustered cold files
+    val hit = matching(table())
+      .groupBy(col("bucket_ts")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rewritten = hit.map { case (b, nMatch) =>
+      val sources = bucketDirs(fs, b)
+      val scan = spark.read.schema(tableSchema.add("batch", StringType))
+        .option("basePath", opts.tablePath)
+        .parquet(sources.map(_.toString): _*)
+        .drop("batch", "bucket_ts")
+      val before = scan.count()
+      val after = before - nMatch
+      if (after > 0)
+        publishBatch(surviving(scan).withColumn("bucket_ts", lit(b)))
+      sources.foreach { p =>
+        fs.delete(p, true)
+        val parent = p.getParent
+        if (fs.exists(parent) &&
+          fs.listStatus(parent).forall(!_.getPath.getName.startsWith("bucket_ts=")))
+          fs.delete(parent, true)
+      }
+      b -> (before, after)
+    }
+    // cascade into every rollup delta that holds matching partials
+    var rollupRemoved = 0L
+    rollupDeltas(fs).foreach { case (dir, _, _) =>
+      // basePath defaults to the delta dir itself: only bucket_ts= is
+      // discovered as a partition (a rollupPath basePath would surface
+      // the delta= level as a phantom column and corrupt the rewrite)
+      val delta = spark.read.schema(rollupSchema).parquet(dir.toString)
+      val n = matching(delta).count()
+      if (n > 0) {
+        rollupRemoved += n
+        val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+        val staging = new Path(s"$rollupPath/.rstaging_$uuid")
+        surviving(delta).write.mode(SaveMode.Overwrite)
+          .partitionBy("bucket_ts").parquet(staging.toString)
+        val trash = new Path(s"$rollupPath/.erase_trash_$uuid")
+        if (!fs.rename(dir, trash))
+          throw new IllegalStateException(s"erase: could not stage out $dir")
+        if (!fs.rename(staging, dir)) {
+          fs.rename(trash, dir) // restore; staging is invisible garbage
+          throw new IllegalStateException(s"erase: could not publish filtered $dir")
+        }
+        fs.delete(trash, true)
+      }
+    }
+    (rewritten, rollupRemoved)
+  }
+
   /** Bucket-duration migration — the layout evolution the options
     * manifest makes safe to even attempt. Re-routes every committed
     * row (LWW history intact: raw rows carry their seq, nothing is

@@ -4495,6 +4495,68 @@ object KdbQueries extends QueryModule {
       FROM rk WHERE rn = 1
       ORDER BY event_type, bucket_ms"""))
 
+  /** Right-to-erasure, oracle-gated end to end: ingest the whole
+    * events table through Engine.put, fold the daily continuous
+    * aggregate, ERASE one user's every series (wildcard metric), and
+    * emit the surviving rollup plus two erasure receipts — the raw
+    * survivor row count (gates the bucket rewrites) and the number of
+    * rollup partials removed (gates the cascade) — against DuckDB
+    * computing the same world as `WHERE user_id <> 13`. The full
+    * production sequence (write → aggregate → erase → read) runs
+    * inside one QueryDef exactly like stream_rollup_twin runs the
+    * streaming path; EraseSpec covers the crash/guard corners this
+    * end-to-end can't. cnt counts the observation stream (every
+    * accepted write) and sum_cents is the rollupTwin discipline. */
+  private val eraseTwin = QueryDef(
+    "kdb_erase_twin",
+    (s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-erasetwin").toString
+      val engine = new graft.core.Engine(s,
+        graft.core.EngineOptions("etwin", dir, indexDepth = 2, payloadSize = 8,
+          bucketDuration = Day, resolution = Hour, maxHotBuckets = 40),
+        new graft.core.TestClock(T1))
+      val pts = ev(s, d)
+        .select(col("ts_ns"), col("event_type"),
+          col("user_id").cast("string").as("uid"),
+          col("value"), col("event_id"))
+        .as[(Long, String, String, Double, Long)]
+        .map { case (ts, et, uid, v, id) =>
+          graft.core.Point(ts, Seq(et, uid),
+            graft.plans.DoubleFromPayload.encode(v), id)
+        }
+      engine.put(pts.toDF())
+      engine.refreshRollup(Day)
+      val (_, partialsRemoved) = engine.erase(Seq("", "13"))
+      val rawRows = engine.stats()
+        .agg(sum(col("rows")).as("n")).collect()(0).getLong(0)
+      engine.rollup(T0, T0 + 31 * Day, Seq("", ""), Day)
+        .select(col("tag0").as("event_type"), col("tag1").as("user_id"),
+          col("rslot_ns").as("day_ns"), col("cnt"),
+          round(col("vsum") * 100).cast("long").as("sum_cents"),
+          lit(rawRows).as("raw_rows"),
+          lit(partialsRemoved).as("partials_removed"))
+        .orderBy(col("event_type"), col("user_id"), col("day_ns"))
+    },
+    Some(s"""
+      WITH survivors AS (
+        SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+               epoch_ns(ts) - epoch_ns(ts) % ${Day} AS day_ns,
+               count(*) AS cnt,
+               CAST(round(sum(value) * 100) AS BIGINT) AS sum_cents
+        FROM events WHERE user_id <> 13
+        GROUP BY 1, 2, 3),
+      receipts AS (
+        SELECT (SELECT count(*) FROM events WHERE user_id <> 13) AS raw_rows,
+               (SELECT count(*) FROM (
+                  SELECT DISTINCT event_type,
+                         epoch_ns(ts) - epoch_ns(ts) % ${Day}
+                  FROM events WHERE user_id = 13)) AS partials_removed)
+      SELECT event_type, user_id, day_ns, cnt, sum_cents,
+             raw_rows, partials_removed
+      FROM survivors CROSS JOIN receipts
+      ORDER BY event_type, user_id, day_ns"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
@@ -4508,5 +4570,5 @@ object KdbQueries extends QueryModule {
     eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,
     anomalyEnsemble, drawdown, changepoint, rateLimitAudit, burstiness,
     quantileSketch, debounce, chisqIndependence, abTest, frequentPairs,
-    rfm, attribution, sessionPaths, interarrival, rsi, peakDetect, lttb)
+    rfm, attribution, sessionPaths, interarrival, rsi, peakDetect, lttb, eraseTwin)
 }

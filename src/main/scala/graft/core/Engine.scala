@@ -528,6 +528,35 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       call_function("double_from_payload", col("payload")))
   }
 
+  /** SQL doorway: register the LWW-resolved store as a temp view so
+    * ad-hoc `spark.sql` reaches the engine directly — every committed
+    * (series, slot) once, tag columns + slot_ns + payload, plus a
+    * decoded `value` column when payloads are 8-byte doubles. The
+    * view pins the batch-file listing at registration — a FILE-LEVEL
+    * SNAPSHOT (batches published later are invisible until sqlView is
+    * called again), which also keeps concurrent compaction from
+    * yanking files mid-query in the common case. Tag and slot
+    * predicates fold through the LWW aggregate's grouping keys into
+    * the scan. No gap-fill — SQL users see stored points; the
+    * dense-grid contract stays with get/find, where the range is
+    * explicit. bucket_ts is
+    * carried as an extra (functionally slot-dependent) group key so
+    * it survives the LWW aggregate: filtering it prunes partitions
+    * outright, and even a bare slot_ns range effectively prunes at
+    * file granularity — every data file's slot stats lie inside its
+    * bucket, so footer min/max skip whole buckets. */
+  def sqlView(name: String): Unit = {
+    ensureManifest(adopt = false)
+    val base = table()
+      .groupBy((col("bucket_ts") +: tagCols.map(col)) :+ col("slot_ns"): _*)
+      .agg(max_by(col("payload"), col("seq")).as("payload"))
+    val typed =
+      if (opts.payloadSize == 8)
+        base.withColumn("value", call_function("double_from_payload", col("payload")))
+      else base
+    typed.createOrReplaceTempView(name)
+  }
+
   /** Series enumeration — the light read the reference's index trie
     * answers with a wildcard Find (mindex.go:126-168) minus the data:
     * distinct tag tuples seen in [start, end), optionally constrained

@@ -669,4 +669,38 @@ class EngineSpec extends SparkTestBase {
     val exR = intercept[IllegalArgumentException](bad.removeBefore(10000L))
     assert(exR.getMessage.contains(EngineErrors.OptionsMismatch))
   }
+
+  test("sqlView: ad-hoc SQL over the LWW-resolved store equals get(); live, typed, pruned") {
+    val dir = Files.createTempDirectory("graft-sqlview").toString
+    val clock = new TestClock(11999L)
+    val opts = EngineOptions("vdb", dir, indexDepth = 2, payloadSize = 8,
+      bucketDuration = 1000L, resolution = 10L)
+    val e = new Engine(spark, opts, clock)
+    val T = Seq("cpu", "h1")
+    e.putDoubles(Seq((11000L, T, 1.0), (11010L, T, 2.0), (11000L, T, 9.0))) // LWW at 11000
+    e.sqlView("graft_store")
+    // LWW-resolved, typed, ordered — exactly what getDoubles serves
+    val got = spark.sql(
+      """SELECT slot_ns, value FROM graft_store
+         WHERE tag0 = 'cpu' AND tag1 = 'h1' AND slot_ns >= 11000 AND slot_ns < 11020
+         ORDER BY slot_ns""").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === Seq((11000L, 9.0), (11010L, 2.0)))
+    val viaGet = e.getDoubles(11000L, 11020L, T)
+      .collect().map(r => (r.getAs[Long]("slot_ns"), r.getAs[Double]("value"))).toSeq
+    assert(got === viaGet)
+    // the view is a FILE-LEVEL SNAPSHOT: a later batch stays invisible
+    // until re-registration (which also shields in-flight SQL from
+    // compaction's file swaps in the common case)
+    e.putDoubles(Seq((11020L, T, 5.0)))
+    assert(spark.sql("SELECT count(*) FROM graft_store").collect()(0).getLong(0) === 2L)
+    e.sqlView("graft_store")
+    assert(spark.sql("SELECT count(*) FROM graft_store").collect()(0).getLong(0) === 3L)
+    // tag + slot predicates reach the parquet scan (pushdown through
+    // the LWW aggregate's grouping keys)
+    val plan = spark.sql(
+      "SELECT value FROM graft_store WHERE tag0 = 'cpu' AND slot_ns >= 11000")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("EqualTo(tag0,cpu)"),
+      s"tag predicate must reach the scan:\n$plan")
+  }
 }

@@ -79,7 +79,11 @@ object Bench {
     // minutes. Pass-major order so an early stop still leaves every
     // query with the SAME number of samples; at least one timed pass
     // always runs.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
+    // 3000s default: a ~3×-degraded driver host (r6 measured 527 s for
+    // one pass of 163 queries) still fits warmup + 3 passes of the
+    // current 211-query suite; the old 1200 s forced single-pass runs
+    // whose samples were non-adjudicable.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "3000").toDouble
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
     // warmup pass (untimed): plan-specific codegen + JIT
@@ -94,6 +98,27 @@ object Bench {
       .withDefaultValue(Vector.empty)
     var lastPassSec = elapsed // the warmup pass approximates one pass
     var done = 0
+    // checkpoint BENCH_FULL.json after every pass: an external kill
+    // (driver wall-clock, OOM reaper) must cost at most the pass in
+    // flight, never the whole run — r6 lost nothing only by luck
+    def writeFull(doneSoFar: Int, stopped: Boolean): Unit = {
+      val rs: Seq[(String, Seq[Double])] =
+        sorted.map { case (name, _) => name -> samplesByQuery(name) }
+      val meds = rs.map { case (k, v) =>
+        k -> (if (v.nonEmpty && v.forall(_ >= 0)) median(v) else -1.0) }
+      val tot = r3(meds.collect { case (_, v) if v >= 0 => v }.sum)
+      val sj = rs.map { case (k, v) =>
+        s"\"" + k + "\":{\"median\":" + r3(median(v.filter(_ >= 0))) +
+          ",\"samples\":" + v.map(r3).mkString("[", ",", "]") + "}"
+      }.mkString("{", ",", "}")
+      val meta = s""""passes_configured":$passes,"passes_done":$doneSoFar,"budget_stopped":$stopped"""
+      val json =
+        s"""{"metric":"total_median","value":$tot,"unit":"sec",$meta,"cpus":$cpus,"sf":"$sfDir","queries":$sj}"""
+      try Files.writeString(Paths.get(outPath), json)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+      }
+    }
     while (done < passes && (done == 0 || elapsed + lastPassSec <= budgetSec)) {
       val passStart = elapsed
       sorted.foreach { case (name, fn) =>
@@ -107,6 +132,7 @@ object Bench {
       }
       lastPassSec = elapsed - passStart
       done += 1
+      writeFull(done, stopped = false)
     }
     // A budget stop must be self-describing IN THE JSON, not just on
     // stderr: r6's driver run stopped after 1/3 passes but reported

@@ -294,13 +294,112 @@ object Multimodal {
   final case class ResizedMedia(
       media_id: Long, kind: String, width: Int, height: Int, content: Array[Byte])
 
+  /** PPM P6 header: returns (w, h, pixelDataOffset) for maxval < 256
+    * (1 byte/channel). Mirrors [[parsePpm]] but also reports where
+    * the raw RGB plane starts: after the maxval token comes EXACTLY
+    * one whitespace byte, then w*h*3 bytes. */
+  private[graft] def ppmPixelOffset(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+    var o = 2
+    def nextInt(): Option[Int] = {
+      while (o < b.length &&
+        (b(o) == ' ' || b(o) == '\n' || b(o) == '\t' || b(o) == '\r')) {
+        o += 1
+        if (o < b.length && b(o) == '#') // comment runs to end of line
+          while (o < b.length && b(o) != '\n') o += 1
+      }
+      val s = o
+      while (o < b.length && b(o) >= '0' && b(o) <= '9') o += 1
+      if (o == s) None else Some(new String(b, s, o - s, "US-ASCII").toInt)
+    }
+    for {
+      w <- nextInt(); h <- nextInt(); mx <- nextInt()
+      if mx > 0 && mx < 256 && w > 0 && h > 0
+      if o + 1 + w * h * 3 <= b.length
+    } yield (w, h, o + 1)
+  }
+
+  /** Real nearest-neighbor resize of a P6 PPM (floor source mapping:
+    * sx = x*srcW/dstW). Pure JVM — uncompressed RGB needs no codec. */
+  private[graft] def resizePpm(b: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    ppmPixelOffset(b).map { case (sw, sh, off) =>
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + w * h * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var y = 0
+      while (y < h) {
+        val sy = y * sh / h
+        var x = 0
+        while (x < w) {
+          val sx = x * sw / w
+          val s = off + (sy * sw + sx) * 3
+          val d = header.length + (y * w + x) * 3
+          out(d) = b(s); out(d + 1) = b(s + 1); out(d + 2) = b(s + 2)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+  /** Real nearest-neighbor resize of an uncompressed 24bpp BMP
+    * (BITMAPINFOHEADER, BI_RGB). Handles bottom-up and top-down row
+    * order and 4-byte row padding; emits a minimal 54-byte-header
+    * bottom-up BMP. */
+  private[graft] def resizeBmp(b: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    if (u32le(b, 14) < 40) return None // BITMAPCOREHEADER etc: probe-only
+    val off = i32le(b, 10)
+    val sw = i32le(b, 18)
+    val shRaw = i32le(b, 22)
+    val sh = math.abs(shRaw)
+    if (u16le(b, 28) != 24 || u32le(b, 30) != 0L) return None
+    if (sw <= 0 || sh == 0) return None
+    val srcRow = ((24 * sw + 31) / 32) * 4
+    if (off.toLong + srcRow.toLong * sh > b.length) return None
+    val dstRow = ((24 * w + 31) / 32) * 4
+    val total = 54 + dstRow * h
+    val out = new Array[Byte](total)
+    // file header
+    out(0) = 'B'; out(1) = 'M'
+    def put32(o: Int, v: Long): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte; out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def put16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    put32(2, total); put32(10, 54); put32(14, 40)
+    put32(18, w); put32(22, h) // positive height: bottom-up
+    put16(26, 1); put16(28, 24); put32(34, dstRow.toLong * h)
+    var y = 0 // top-down logical y
+    while (y < h) {
+      val sy = y * sh / h
+      val srcFileRow = if (shRaw > 0) sh - 1 - sy else sy // bottom-up source
+      val dstFileRow = h - 1 - y                          // bottom-up output
+      var x = 0
+      while (x < w) {
+        val sx = x * sw / w
+        val s = off + srcFileRow * srcRow + sx * 3
+        val d = 54 + dstFileRow * dstRow + x * 3
+        out(d) = b(s); out(d + 1) = b(s + 1); out(d + 2) = b(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
   /** Resize: media → fixed-target-dimension media, the 1:1 transform
     * shape of an image resize/transcode stage. Partition-preserving;
     * output payload size is bounded by the target dimensions rather
-    * than the input (what makes downstream stages plannable — a resize
-    * stage normalizes the byte budget per row). Stub kernel: a strided
-    * byte subsample of the source, deterministic in (content, w, h);
-    * a real codec swaps the body, never the plan. */
+    * than the input (what makes downstream stages plannable — a
+    * resize stage normalizes the byte budget per row). Two-tier like
+    * [[decode]]: uncompressed pixel formats — PPM P6 and 24bpp BMP —
+    * are resized FOR REAL (nearest-neighbor, floor source mapping,
+    * re-encoded in their own format); compressed formats keep the
+    * deterministic strided-byte stub seam, which a codec-backed
+    * kernel replaces without touching the plan. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedMedia] = {
     require(w > 0 && h > 0)
     import media.sparkSession.implicits._
@@ -308,13 +407,14 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val src = r.content
-        val out =
+        val out = resizePpm(src, w, h).orElse(resizeBmp(src, w, h)).getOrElse {
           if (src.isEmpty) Array.emptyByteArray
           else {
             val n = math.min(targetBytes, src.length)
             val stride = math.max(1, src.length / n)
             Array.tabulate(n)(i => src(math.min(i * stride, src.length - 1)))
           }
+        }
         ResizedMedia(r.media_id, r.kind, w, h, out)
       }
     }

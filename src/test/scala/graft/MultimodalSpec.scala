@@ -261,4 +261,51 @@ class MultimodalSpec extends SparkTestBase {
     // empty payload → zero vector, no division by zero
     assert(Multimodal.featureKernel(Array.emptyByteArray, dim).forall(_ === 0f))
   }
+
+  test("resize performs a REAL nearest-neighbor pixel resize for PPM and BMP") {
+    import spark.implicits._
+    // 2x2 PPM, distinct colors: TL=red TR=green BL=blue BR=white
+    val px = Array[Byte](
+      255.toByte, 0, 0,   0, 255.toByte, 0,
+      0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte)
+    val ppm = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ px
+    // 1x1: floor mapping keeps the top-left (red)
+    val one = Multimodal.resizePpm(ppm, 1, 1).get
+    assert(new String(one.take(11), "US-ASCII") === "P6\n1 1\n255\n")
+    assert(one.drop(11).toSeq === Seq(255.toByte, 0, 0))
+    // 2x1: top row survives (red, green)
+    val wide = Multimodal.resizePpm(ppm, 2, 1).get
+    assert(wide.drop(11).toSeq === Seq[Byte](255.toByte, 0, 0, 0, 255.toByte, 0))
+    // upscale 4x2: each source pixel doubles horizontally
+    val up = Multimodal.resizePpm(ppm, 4, 2).get
+    assert(Multimodal.parsePpm(up) === Some((4, 2, 1)))
+    assert(up.drop(11).take(6).toSeq === Seq[Byte](255.toByte, 0, 0, 255.toByte, 0, 0))
+
+    // BMP 2x2 bottom-up 24bpp, same logical colors: rows are stored
+    // bottom-first and BGR, each row padded to 4 bytes (2px*3B=6 → 8)
+    def bgr(r: Int, g: Int, b: Int) = Array[Byte](b.toByte, g.toByte, r.toByte)
+    val rowBottom = bgr(0, 0, 255) ++ bgr(255, 255, 255) ++ Array[Byte](0, 0) // BL, BR
+    val rowTop = bgr(255, 0, 0) ++ bgr(0, 255, 0) ++ Array[Byte](0, 0)       // TL, TR
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val bmp = ("BM".getBytes("US-ASCII") ++ le32(54L + 16) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(16) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0)) ++
+      rowBottom ++ rowTop
+    assert(Multimodal.parseBmp(bmp) === Some((2, 2, 1)))
+    val bOne = Multimodal.resizeBmp(bmp, 1, 1).get
+    assert(Multimodal.parseBmp(bOne) === Some((1, 1, 1)))
+    // the single surviving pixel is the logical top-left = red (BGR)
+    assert(bOne.drop(54).take(3).toSeq === Seq[Byte](0, 0, 255.toByte))
+    // resized BMP round-trips through the dataset-level resize stage
+    val ds = Seq(MediaRow(9L, "image", bmp)).toDS()
+    val out = Multimodal.resize(ds, 1, 1).collect()(0)
+    assert(out.content.toSeq === bOne.toSeq)
+    // compressed/unknown payloads keep the deterministic stub seam
+    val stub = Multimodal.resize(
+      Seq(MediaRow(8L, "image", "fake-png-bytes".getBytes)).toDS(), 4, 4)
+      .collect()(0)
+    assert(stub.content.length <= 4 * 4 / 64 + 1)
+  }
 }

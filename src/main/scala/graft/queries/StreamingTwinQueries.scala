@@ -639,8 +639,52 @@ object StreamingTwinQueries extends QueryModule {
       FROM h JOIN t ON event_type = st_type
       ORDER BY event_type, slot_1h"""))
 
+  /** Streaming as-of join replayed over events: each purchase picks
+    * up the latest same-user click within the preceding hour via
+    * StreamingIngest.asofLatest — the O(1)-state-per-series state-op
+    * formulation (latest-right fold), gated against the SQL as-of
+    * (row_number over the backward window, unmatched lefts kept with
+    * −1 receipts). The third join topology under the streaming gate:
+    * stream-stream buffered interval join (intervalJoinTwin),
+    * stream-static broadcast (staticJoinTwin), and now the custom
+    * stateful as-of. Tie rule pinned by construction: a click at
+    * exactly the purchase instant matches with lag 0. */
+  private val asofTwin = QueryDef(
+    "stream_asof_twin",
+    (s, d) => {
+      val out = replay2(s, s"$d/events.parquet", "append") { (left, right) =>
+        def pts(stream: DataFrame, kind: String) = stream
+          .filter(col("event_type") === kind)
+          .select(tsNs(stream).as("ts"),
+            array(col("user_id").cast("string")).as("tags"),
+            col("event_id").as("seq"))
+        StreamingIngest.asofLatest(
+          pts(left, "purchase"), pts(right, "click"), toleranceNs = Hour).toDF()
+      }
+      out.select(col("tag0"), col("left_seq"), col("right_seq"),
+        col("lag_us"), col("matched"))
+        .orderBy(col("left_seq"))
+    },
+    Some(s"""
+      WITH p AS (SELECT CAST(user_id AS VARCHAR) AS tag0, event_id AS left_seq,
+                        epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT CAST(user_id AS VARCHAR) AS tag0, event_id AS right_seq,
+                   epoch_us(ts) AS t FROM events WHERE event_type = 'click'),
+      j AS (
+        SELECT p.tag0, p.left_seq, c.right_seq, p.t - c.t AS lag_us,
+               row_number() OVER (PARTITION BY p.left_seq
+                                  ORDER BY c.t DESC, c.right_seq DESC) AS rn
+        FROM p JOIN c ON p.tag0 = c.tag0
+          AND c.t <= p.t AND c.t > p.t - ${Hour / 1000})
+      SELECT tag0, left_seq,
+             coalesce(right_seq, -1) AS right_seq,
+             coalesce(lag_us, -1) AS lag_us,
+             CASE WHEN right_seq IS NULL THEN 0 ELSE 1 END AS matched
+      FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) USING (tag0, left_seq)
+      ORDER BY left_seq"""))
+
   override def defs: Seq[QueryDef] = Seq(
     tumblingTwin, dedupTwin, sessionizeTwin, hoppingTwin, latestTwin,
     intervalJoinTwin, recoveryTwin, rollupTwin, quantileSketchTwin,
-    heavyHittersTwin, staticJoinTwin)
+    heavyHittersTwin, staticJoinTwin, asofTwin)
 }

@@ -253,6 +253,60 @@ object StreamingIngest {
                right_time < left_time + interval ${toleranceNs / 1000} microseconds"""))
   }
 
+  /** One as-of match: the latest right point at-or-before each left
+    * point. `right_seq`/`lag_us` are −1 with matched=0 when no right
+    * sits inside the tolerance window. */
+  final case class AsofOut(tag0: String, left_seq: Long, left_ts_us: Long,
+      right_seq: Long, lag_us: Long, matched: Int)
+
+  /** Streaming as-of join — kdb's signature join as a STATE op, not a
+    * buffered join: for each left point, the latest right point of the
+    * same series with right_ts ∈ (left_ts − tolerance, left_ts]. The
+    * insight that makes it streamable with O(1) state per series is
+    * that as-of looks BACKWARD only — the sole state needed is the
+    * latest (ts, seq) right point seen, monotonically folded, so state
+    * is one tiny record per series regardless of stream length or
+    * tolerance (a buffered interval join holds every right row inside
+    * the watermark instead). Within a micro-batch rows fold in
+    * (ts, role, seq) order with rights before lefts at equal ts, so a
+    * same-instant right matches with lag 0; cross-batch order is the
+    * stream's responsibility, as for every state op. Exclusive lower
+    * bound mirrors [[intervalJoin]]'s exclusive upper bound. */
+  def asofLatest(left: DataFrame, right: DataFrame,
+      toleranceNs: Long): org.apache.spark.sql.Dataset[AsofOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    requireMicros("toleranceNs", toleranceNs)
+    val tolUs = toleranceNs / 1000
+    val spark = left.sparkSession
+    import spark.implicits._
+    def shape(df: DataFrame, role: Int) = df
+      .select(element_at(col("tags"), 1).as("tag0"),
+        expr("ts div 1000").as("ts_us"), col("seq"), lit(role).as("role"))
+    shape(right, 0).unionByName(shape(left, 1))
+      .as[(String, Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long, Int)],
+            state: GroupState[(Long, Long)]) =>
+          val sorted = rows.toSeq.sortBy { case (_, ts, seq, role) => (ts, role, seq) }
+          var latest = state.getOption // latest right as (ts_us, seq)
+          val out = Seq.newBuilder[AsofOut]
+          sorted.foreach { case (_, ts, seq, role) =>
+            if (role == 0) {
+              if (latest.forall { case (lt, ls) => ts > lt || (ts == lt && seq > ls) })
+                latest = Some((ts, seq))
+            } else latest match {
+              case Some((rt, rs)) if ts - rt < tolUs =>
+                out += AsofOut(key, seq, ts, rs, ts - rt, 1)
+              case _ =>
+                out += AsofOut(key, seq, ts, -1L, -1L, 0)
+            }
+          }
+          latest.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same content key
     * while bounding state with the watermark —
     * dropDuplicatesWithinWatermark keeps a key's state only until the

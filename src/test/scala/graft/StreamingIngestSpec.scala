@@ -407,4 +407,40 @@ class StreamingIngestSpec extends SparkTestBase {
     // one delta per epoch accumulated — the maintenance fold collapses them
     assert(engine.compactRollup() === 2)
   }
+
+  test("streaming as-of join: O(1) latest-right state persists across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lefts = MemoryStream[Point]
+    val rights = MemoryStream[Point]
+    val out = StreamingIngest.asofLatest(
+      lefts.toDF(), rights.toDF(), toleranceNs = 5000000000L) // 5s
+    val q = out.toDF().writeStream
+      .format("memory").queryName("asof_test").outputMode("append")
+      .start()
+    try {
+      val S = 1000000000L // 1s in ns
+      // batch 1: two rights, then a left at the same instant as the
+      // second right — same-ts right matches with lag 0
+      rights.addData(Point(1 * S, tag4, pld(1), seq = 201),
+        Point(3 * S, tag4, pld(1), seq = 202))
+      lefts.addData(Point(3 * S, tag4, pld(1), seq = 101))
+      q.processAllAvailable()
+      // batch 2: a left with NO right in this batch — the match must
+      // come from state carried over (seq 202 at 3s, lag 4s < 5s)
+      lefts.addData(Point(7 * S, tag4, pld(1), seq = 102))
+      q.processAllAvailable()
+      // batch 3: a left beyond tolerance of the carried right → unmatched
+      lefts.addData(Point(20 * S, tag4, pld(1), seq = 103))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("asof_test")
+      .select("left_seq", "right_seq", "lag_us", "matched")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._1)
+    assert(rows.toSeq === Seq(
+      (101L, 202L, 0L, 1),
+      (102L, 202L, 4000000L, 1),
+      (103L, -1L, -1L, 0)))
+  }
 }

@@ -420,6 +420,82 @@ object Multimodal {
     }
   }
 
+  /** Per-channel audio statistics from real PCM samples. */
+  final case class AudioStats(
+      media_id: Long, channel: Int, sample_rate: Int, n_samples: Int,
+      rms: Double, peak: Int, zero_crossings: Long)
+
+  /** REAL audio feature extraction for 16-bit PCM WAV — the audio
+    * sibling of the PPM/BMP resize kernel: parse the RIFF chunks for
+    * real, then fold the actual samples into per-channel RMS, peak
+    * absolute amplitude, and zero-crossing count (the standard
+    * cheap audio descriptors: loudness, clipping headroom, and a
+    * crude pitch/noisiness proxy). One output row per (media,
+    * channel); non-WAV / non-16-bit payloads yield no rows — a
+    * filter, not a stub, since fake audio stats would poison
+    * downstream aggregates. flatMap shape, partition-preserving. */
+  def audioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val b = r.content
+        wavPcm16(b) match {
+          case Some((rate, channels, nSamples, dataOff)) =>
+            (0 until channels).map { ch =>
+              var i = 0
+              var sumSq = 0.0
+              var peak = 0
+              var zc = 0L
+              var prevNeg = false
+              var first = true
+              while (i < nSamples) {
+                val o = dataOff + (i * channels + ch) * 2
+                val s = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
+                sumSq += s.toDouble * s
+                if (math.abs(s) > peak) peak = math.abs(s)
+                val neg = s < 0
+                if (!first && neg != prevNeg) zc += 1
+                prevNeg = neg; first = false
+                i += 1
+              }
+              val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+              AudioStats(r.media_id, ch, rate, nSamples, rms, peak, zc)
+            }
+          case None => Seq.empty
+        }
+      }
+    }
+  }
+
+  /** WAV with 16-bit PCM samples: (rate, channels, nSamples,
+    * dataOffset), or None for any other payload. Same chunk walk as
+    * [[parseWav]] but also locates the data plane and requires
+    * bitsPerSample == 16, format == PCM. */
+  private[graft] def wavPcm16(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var o = 12L
+    var rate = -1L; var channels = -1; var bits = -1; var fmt = -1
+    var dataOff = -1L; var dataBytes = -1L
+    while (o + 8 <= b.length && (rate < 0 || dataOff < 0)) {
+      val id = tag(o.toInt)
+      val size = u32le(b, o.toInt + 4)
+      if (id == "fmt " && size >= 16 && o + 8 + 16 <= b.length) {
+        fmt = u16le(b, o.toInt + 8)
+        channels = u16le(b, o.toInt + 10)
+        rate = u32le(b, o.toInt + 12)
+        bits = u16le(b, o.toInt + 22)
+      } else if (id == "data") { dataOff = o + 8; dataBytes = size }
+      o += 8L + size + (size & 1L)
+    }
+    if (fmt != 1 || bits != 16 || rate <= 0 || channels <= 0 || dataOff < 0)
+      return None
+    val avail = math.min(dataBytes, b.length - dataOff)
+    val nSamples = (avail / (channels * 2)).toInt
+    if (nSamples <= 0) None
+    else Some((rate.toInt, channels, nSamples, dataOff.toInt))
+  }
+
   /** One extracted feature vector (the embedding-extraction shape). */
   final case class MediaFeature(media_id: Long, kind: String, feature: Array[Float])
 

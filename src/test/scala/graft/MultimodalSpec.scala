@@ -308,4 +308,37 @@ class MultimodalSpec extends SparkTestBase {
       .collect()(0)
     assert(stub.content.length <= 4 * 4 / 64 + 1)
   }
+
+  test("audioStats computes REAL per-channel PCM statistics; non-audio yields no rows") {
+    import spark.implicits._
+    // stereo 16-bit PCM fixture: ch0 = square wave ±1000 (alternating
+    // sign every sample), ch1 = constant 500 (no crossings)
+    val n = 8
+    val data = new Array[Byte](n * 2 * 2)
+    def put16(o: Int, v: Int): Unit = {
+      data(o) = (v & 0xff).toByte; data(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    for (i <- 0 until n) {
+      put16((i * 2) * 2, if (i % 2 == 0) 1000 else -1000) // ch0
+      put16((i * 2 + 1) * 2, 500)                          // ch1
+    }
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val wav = ("RIFF".getBytes("US-ASCII") ++ le32(36L + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(8000L) ++ le32(8000L * 4) ++ le16(4) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length.toLong)) ++ data
+    val ds = Seq(
+      MediaRow(1L, "audio", wav),
+      MediaRow(2L, "audio", "not-audio".getBytes)).toDS()
+    val out = Multimodal.audioStats(ds).collect().sortBy(_.channel)
+    assert(out.length === 2) // only the real WAV, one row per channel
+    val ch0 = out(0); val ch1 = out(1)
+    assert(ch0.sample_rate === 8000 && ch0.n_samples === 8)
+    assert(ch0.rms === 1000.0 && ch0.peak === 1000)
+    assert(ch0.zero_crossings === 7L) // sign flips between all 8 samples
+    assert(ch1.rms === 500.0 && ch1.peak === 500 && ch1.zero_crossings === 0L)
+  }
 }

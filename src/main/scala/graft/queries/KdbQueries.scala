@@ -4557,6 +4557,57 @@ object KdbQueries extends QueryModule {
       FROM survivors CROSS JOIN receipts
       ORDER BY event_type, user_id, day_ns"""))
 
+  /** SQL-doorway twin: ingest the events table through Engine.put,
+    * register the LWW-resolved store as a temp view, and answer an
+    * AD-HOC spark.sql aggregation over it — gated against DuckDB
+    * resolving the same last-writer-wins winners per (series, slot)
+    * and aggregating them directly. What this pins that no other
+    * query does: the VIEW path (SQL text → Catalyst over the store's
+    * resolved relation) serves exactly the engine's read semantics —
+    * LWW collapse included — without going through get/find. Cents
+    * discipline on the winner values. */
+  private val sqlViewTwin = QueryDef(
+    "kdb_sql_view_twin",
+    (s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlviewtwin").toString
+      val engine = new graft.core.Engine(s,
+        graft.core.EngineOptions("vtwin", dir, indexDepth = 2, payloadSize = 8,
+          bucketDuration = Day, resolution = Hour, maxHotBuckets = 40),
+        new graft.core.TestClock(T1))
+      val pts = ev(s, d)
+        .select(col("ts_ns"), col("event_type"),
+          col("user_id").cast("string").as("uid"),
+          col("value"), col("event_id"))
+        .as[(Long, String, String, Double, Long)]
+        .map { case (ts, et, uid, v, id) =>
+          graft.core.Point(ts, Seq(et, uid),
+            graft.plans.DoubleFromPayload.encode(v), id)
+        }
+      engine.put(pts.toDF())
+      engine.sqlView("graft_sql_view_twin")
+      s.sql("""
+        SELECT tag0 AS event_type, tag1 AS user_id,
+               count(*) AS n_slots,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM graft_sql_view_twin
+        GROUP BY tag0, tag1
+        ORDER BY event_type, user_id""")
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               arg_max(value, event_id) AS value
+        FROM events
+        GROUP BY 1, 2, 3)
+      SELECT event_type, user_id,
+             count(*) AS n_slots,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM w
+      GROUP BY 1, 2
+      ORDER BY event_type, user_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
@@ -4570,5 +4621,5 @@ object KdbQueries extends QueryModule {
     eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,
     anomalyEnsemble, drawdown, changepoint, rateLimitAudit, burstiness,
     quantileSketch, debounce, chisqIndependence, abTest, frequentPairs,
-    rfm, attribution, sessionPaths, interarrival, rsi, peakDetect, lttb, eraseTwin)
+    rfm, attribution, sessionPaths, interarrival, rsi, peakDetect, lttb, eraseTwin, sqlViewTwin)
 }

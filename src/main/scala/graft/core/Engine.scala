@@ -742,25 +742,36 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     val hit = matching(table())
       .groupBy(col("bucket_ts")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val rewritten = hit.map { case (b, nMatch) =>
-      val sources = bucketDirs(fs, b)
-      val scan = spark.read.schema(tableSchema.add("batch", StringType))
-        .option("basePath", opts.tablePath)
-        .parquet(sources.map(_.toString): _*)
-        .drop("batch", "bucket_ts")
-      val before = scan.count()
-      val after = before - nMatch
-      if (after > 0)
-        publishBatch(surviving(scan).withColumn("bucket_ts", lit(b)))
-      sources.foreach { p =>
-        fs.delete(p, true)
-        val parent = p.getParent
-        if (fs.exists(parent) &&
-          fs.listStatus(parent).forall(!_.getPath.getName.startsWith("bucket_ts=")))
-          fs.delete(parent, true)
+    val rewritten: Map[Long, (Long, Long)] =
+      if (hit.isEmpty) Map.empty
+      else {
+        // ONE rewrite job for every affected bucket, not a job per
+        // bucket: publishBatch partitions by bucket_ts, so all
+        // survivors land in one atomic batch publish — at 1000
+        // buckets that is 3 Spark jobs instead of ~2000. Crash
+        // contract: after the publish and before the source deletes,
+        // survivors exist twice (LWW-invisible identical copies) and
+        // the erased rows still exist — erasure completes by
+        // re-running erase, which is idempotent.
+        val sources = hit.keys.toSeq.sorted.flatMap(b => bucketDirs(fs, b))
+        val scan = spark.read.schema(tableSchema.add("batch", StringType))
+          .option("basePath", opts.tablePath)
+          .parquet(sources.map(_.toString): _*)
+          .drop("batch")
+        val before = scan.groupBy(col("bucket_ts")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val survivors = surviving(scan)
+        if (hit.exists { case (b, n) => before(b) > n })
+          publishBatch(survivors)
+        sources.foreach { p =>
+          fs.delete(p, true)
+          val parent = p.getParent
+          if (fs.exists(parent) &&
+            fs.listStatus(parent).forall(!_.getPath.getName.startsWith("bucket_ts=")))
+            fs.delete(parent, true)
+        }
+        hit.map { case (b, nMatch) => b -> (before(b), before(b) - nMatch) }
       }
-      b -> (before, after)
-    }
     // cascade into every rollup delta that holds matching partials
     var rollupRemoved = 0L
     rollupDeltas(fs).foreach { case (dir, _, _) =>

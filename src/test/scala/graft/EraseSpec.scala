@@ -102,4 +102,22 @@ class EraseSpec extends SparkTestBase {
     val err = intercept[IllegalArgumentException] { stale.erase(U1) }
     assert(err.getMessage.contains(EngineErrors.OptionsMismatch))
   }
+
+  test("erase after compaction: rewritten (clustered) buckets erase identically") {
+    val (e, clock) = mkEngine(now = 9999L)
+    e.putDoubles(Seq(
+      (9000L, U1, 1.0), (9010L, U2, 2.0),
+      (9010L, U2, 3.0))) // LWW overwrite → compaction collapses it
+    clock.goto(11999L)
+    val (before, after) = e.compactBucket(9000L)
+    assert(before === 3L && after === 2L)
+    // erase out of the COMPACTED layout (single clustered batch dir)
+    val (buckets, _) = e.erase(U1)
+    assert(buckets === Map(9000L -> ((2L, 1L))))
+    assert(vals(e.getDoubles(9000L, 9020L, U1)) === Seq(0.0, 0.0))
+    assert(vals(e.getDoubles(9010L, 9020L, U2)) === Seq(3.0))
+    // and the compaction of an erased bucket stays stable
+    assert(e.compactBucket(9000L) === ((1L, 1L)))
+    assert(vals(e.getDoubles(9010L, 9020L, U2)) === Seq(3.0))
+  }
 }

@@ -1752,8 +1752,12 @@ object LlmQueries extends QueryModule {
         .select(explode(tokens(col("text"))).as("tok"))
         .groupBy(col("tok"))
         .agg(count(lit(1)).as("n"))
+        // top-1000 FIRST via TakeOrderedAndProject (distributed),
+        // THEN rank the bounded table — a global row_number over the
+        // full vocabulary would single-partition |vocab| rows; same
+        // result, the limit and the window share one total order
+        .orderBy(col("n").desc, col("tok")).limit(1000)
         .withColumn("token_id", row_number().over(w).cast("long") - 1)
-        .filter(col("token_id") < 1000)
         .select(col("token_id"), col("tok"), col("n"))
         .orderBy(col("token_id"))
     },
@@ -1892,8 +1896,9 @@ object LlmQueries extends QueryModule {
       val vocab = documents(s, d)
         .select(explode(tokens(col("text"))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        // top-1000 first, rank the bounded table (vocab_build pattern)
+        .orderBy(col("n").desc, col("tok")).limit(1000)
         .withColumn("token_id", row_number().over(wv).cast("long") - 1)
-        .filter(col("token_id") < 1000)
         .select(col("tok"), col("token_id"))
       documents(s, d)
         .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
@@ -3302,8 +3307,9 @@ object LlmQueries extends QueryModule {
         .select(explode(tokens(col("text"))).as("tok"))
         .groupBy(col("tok"))
         .agg(count(lit(1)).as("n"))
+        // top-200 first, rank the bounded table (vocab_build pattern)
+        .orderBy(col("n").desc, col("tok")).limit(200)
         .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 200)
         .select(log10(col("rank").cast("double")).as("x"),
           log10(col("n").cast("double")).as("y"))
         .agg(count(lit(1)).as("n_terms"),

@@ -1,4 +1,14 @@
 package graft
+
+/** Plan hygiene sweep: prints every batch query whose executed plan
+  * contains a partition-less Window (`GLOBALWINDOW`) — the
+  * all-rows-to-one-partition shape that turns into a straggler at
+  * 100 TB unless its input is provably bounded (a slot grid, a
+  * top-K cut, a histogram). Run after adding queries; each hit must
+  * either be rewritten (top-K before rank — llm_vocab_build
+  * precedent) or carry a bounded-input justification in its
+  * scaladoc (kdb_rfm precedent). Engine-lifecycle twins are skipped
+  * (they build engines, not comparable plans). */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val spark = graft.core.EngineSession.local(8)
@@ -9,14 +19,11 @@ object PlanAudit {
         try {
           val plan = fn(spark, "/root/testdata/sf0.001")
             .queryExecution.executedPlan.toString
-          // a Window line like: Window [f() windowspecdefinition(ORDER-only...)], [order]
-          // partitioned windows print: Window [...], [partcols], [order]
           plan.linesIterator.filter(_.trim.startsWith("+- Window ")).foreach { l =>
-            // partitioned windows have windowspecdefinition(col#, ..., ORDER) with
-            // partition columns BEFORE the first "ASC NULLS"/"DESC NULLS" token;
-            // crude but effective: a windowspecdefinition whose first arg is already
-            // an ordering spec means no partitioning
-            val spec = l.substring(l.indexOf("windowspecdefinition(") + "windowspecdefinition(".length)
+            // partitioned windows list partition columns before the
+            // first ordering spec inside windowspecdefinition(...)
+            val spec = l.substring(
+              l.indexOf("windowspecdefinition(") + "windowspecdefinition(".length)
             val firstArg = spec.takeWhile(c => c != ',' && c != ')')
             if (firstArg.contains(" ASC") || firstArg.contains(" DESC"))
               println(s"GLOBALWINDOW $name :: ${l.trim.take(140)}")

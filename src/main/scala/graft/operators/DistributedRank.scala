@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global ranking WITHOUT a single-partition window.
+  *
+  * `row_number() OVER (ORDER BY ...)` moves every row to one
+  * partition — the canonical 100 TB straggler. The decomposition
+  * here is the classic distributed sort-rank: range-partition by the
+  * full sort order (boundaries come from sampling, but ANY
+  * sort-consistent boundaries yield exact ranks — sampling affects
+  * balance, never correctness, because the order columns must form a
+  * TOTAL order), rank within each partition (a partitioned window —
+  * distributed), collect the per-partition row counts (one tiny
+  * row per partition), and add each partition's cumulative offset
+  * back. The branch point is localCheckpoint-pinned so the offsets
+  * map and the final pass see the SAME physical partitioning — a
+  * re-sampled exchange between two actions would mismatch them.
+  *
+  * ntile derives from the global rank in closed form, reproducing
+  * SQL ntile's first-(N mod k)-buckets-get-one-extra rule — the
+  * llm_curriculum_order decomposition generalized to arbitrary sort
+  * keys (the histogram variant there needs a low-cardinality first
+  * key; this one only needs a total order). */
+object DistributedRank {
+
+  /** df + `rankName` column holding the exact 1-based global rank by
+    * `order` (which MUST be a total order — add a unique tiebreak).
+    * One range shuffle + one partitioned window; the input is
+    * materialized via localCheckpoint at the branch point. */
+  def withGlobalRank(df: DataFrame, rankName: String, order: Seq[Column]): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val local = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lr", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(order: _*)))
+      .localCheckpoint()
+    val counts = local.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = counts.keys.toSeq.sorted
+      .scanLeft((Int.MinValue, 0L)) { case ((_, acc), pid) =>
+        (pid, acc + counts(pid))
+      }
+      .sliding(2).collect { case Seq((_, acc), (pid, _)) => (pid, acc) }
+      .toMap
+    val offCol = offsets.foldLeft(lit(0L)) { case (c, (pid, off)) =>
+      when(col("__pid") === pid, lit(off)).otherwise(c)
+    }
+    local.withColumn(rankName, offCol + col("__lr")).drop("__pid", "__lr")
+  }
+
+  /** df + `tileName` = exact SQL-ntile(k) bucket by `order` (total
+    * order required), via [[withGlobalRank]] + the closed-form
+    * remainder rule. */
+  def withNtile(df: DataFrame, tileName: String, k: Int, order: Seq[Column]): DataFrame = {
+    require(k > 0)
+    val ranked = withGlobalRank(df, "__r", order)
+    val n = ranked.count() // served from the checkpoint, no recompute
+    val base = n / k
+    val rem = n % k
+    val cut = rem * (base + 1)
+    val tile =
+      if (base == 0) col("__r") // fewer rows than buckets: rank IS the tile
+      else when(col("__r") <= cut, expr(s"(__r + $base) div ${base + 1}"))
+        .otherwise(lit(rem) + expr(s"(__r - $cut + $base - 1) div $base"))
+    ranked.withColumn(tileName, tile.cast("int")).drop("__r")
+  }
+}

@@ -3997,10 +3997,12 @@ object KdbQueries extends QueryModule {
     * ties differently). Output is the segment rollup — tile triple +
     * named segment, user counts, integer activity totals — not the
     * per-user table, so the result stays ≤125 rows at any corpus
-    * size. One user_id partial-agg pass; the three ntile windows run
-    * over the already-aggregated per-user table (rows = |users|, the
-    * only global sort, fine ≤ hundreds of millions; beyond that the
-    * tile boundaries would come from approx quantiles instead). */
+    * size. One user_id partial-agg pass; the three quintiles come
+    * from graft.operators.DistributedRank — exact SQL-ntile via
+    * range-partitioned ranking, so NO |users|-row single-partition
+    * sort exists anywhere in the plan (three range shuffles of the
+    * per-user table instead, each checkpoint-pinned at its branch
+    * point). */
   private val rfm = QueryDef(
     "kdb_rfm",
     (s, d) => {
@@ -4016,13 +4018,16 @@ object KdbQueries extends QueryModule {
         // DuckDB's rounds — div floors identically in both engines
         .withColumn("recency_days", expr(s"(${T1} - last_ns) div ${Day}"))
         .drop("last_ns")
-      val tiled = perUser
-        .withColumn("r_tile", ntile(5).over(
-          Window.orderBy(col("recency_days").desc, col("user_id"))))
-        .withColumn("f_tile", ntile(5).over(
-          Window.orderBy(col("frequency"), col("user_id"))))
-        .withColumn("m_tile", ntile(5).over(
-          Window.orderBy(col("cents"), col("user_id"))))
+      // exact ntile WITHOUT partition-less windows: each quintile is
+      // the DistributedRank range-partitioned decomposition (three
+      // range shuffles of the per-user table instead of three
+      // |users|-row single-partition sorts — the ntile results are
+      // bit-identical to the oracle's literal ntile)
+      import graft.operators.DistributedRank.withNtile
+      val tiled = withNtile(withNtile(withNtile(perUser,
+        "r_tile", 5, Seq(col("recency_days").desc, col("user_id"))),
+        "f_tile", 5, Seq(col("frequency"), col("user_id"))),
+        "m_tile", 5, Seq(col("cents"), col("user_id")))
       tiled
         .withColumn("segment",
           when(col("r_tile") >= 4 && col("f_tile") >= 4 && col("m_tile") >= 4, "champion")

@@ -601,14 +601,18 @@ class QueriesSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), "singles stats must broadcast")
   }
 
-  test("kdb_rfm: one user partial-agg pass; ntile windows run over the per-user table") {
+  test("kdb_rfm: distributed quintiles — no single-partition sort anywhere") {
+    // the ntiles ride DistributedRank (range-partitioned ranking with
+    // checkpoint-pinned branch points), so the visible plan reads the
+    // final checkpoint and must contain NO partition-less window and
+    // NO SinglePartition exchange; the events scan + per-user
+    // partial-agg happen inside the checkpointed build (pinned by the
+    // oracle hash and DistributedRankSpec)
     val plan = SparkEntry.queries("kdb_rfm")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
-      "one pass over events")
-    assert(!plan.contains("Join"), "RFM is aggregation + windows, never a join")
-    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
-      "the per-user pass must combine map-side")
+    assert(!plan.contains("Exchange SinglePartition"),
+      "RFM must never single-partition the per-user table")
+    assert(!plan.contains("Join"), "RFM is aggregation + ranking, never a join")
   }
 
   test("kdb_attribution / kdb_session_paths / kdb_interarrival: one scan, windows cluster on the user key") {

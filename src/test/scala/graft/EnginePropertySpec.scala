@@ -172,4 +172,27 @@ class EnginePropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("DistributedRank ntile ≡ literal ntile for arbitrary (N, k, duplicate keys)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.DistributedRank
+    // random sizes and bucket counts with duplicate-heavy keys — the
+    // closed-form remainder rule and boundary-straddling ties must
+    // hold for every shape, not just the fixture sizes
+    val shapes = (1 to 6).map { s =>
+      (sample(Gen.choose(1, 400), 100L + s), sample(Gen.choose(1, 9), 200L + s),
+        sample(Gen.choose(2, 11), 300L + s))
+    }
+    for ((n, k, mod) <- shapes) {
+      val df = spark.range(n.toLong).selectExpr("id", s"id % $mod AS key")
+      val order = Seq(col("key"), col("id"))
+      val got = DistributedRank.withNtile(df, "t", k, order)
+        .select("id", "t").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      val want = df.withColumn("t",
+          ntile(k).over(Window.orderBy(col("key"), col("id"))))
+        .select("id", "t").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(got === want, s"mismatch at n=$n k=$k mod=$mod")
+    }
+  }
 }

@@ -716,10 +716,11 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * staging + two-rename swap, preserving each delta's seq-range
     * NAME — the watermark chain stays intact because those seqs WERE
     * folded; the erased series simply no longer contributes rows.
-    * Crash contract mirrors [[rebucket]]: between the two renames the
-    * delta is briefly absent and [[rollupCover]] fails loudly (the
-    * `.erase_trash_*` dir restores it by rename); a crash before the
-    * swap leaves the delta untouched and an invisible staging dir.
+    * Crash contract: between the two renames the delta is briefly
+    * absent and [[rollupCover]] fails loudly; the next erase() call
+    * SELF-HEALS by renaming the `.erase_trash_<deltaName>` dir back
+    * (and sweeps stale trash/staging). A crash before the swap
+    * leaves the delta untouched and an invisible staging dir.
     *
     * Returns (per-bucket (rowsBefore, rowsAfter) for rewritten
     * buckets, rollup partial rows removed). Erasure of a tag tuple
@@ -772,6 +773,23 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         }
         hit.map { case (b, nMatch) => b -> (before(b), before(b) - nMatch) }
       }
+    // recover/clean rollup-side crash leftovers BEFORE the cascade.
+    // The swap below stages the old delta as `.erase_trash_<deltaName>`
+    // — so a trash dir whose delta is MISSING marks a crash between
+    // the two renames, and recovery is one rename back; a trash or
+    // `.rstaging_` dir whose delta is healthy is stale garbage.
+    val rollupRoot = new Path(rollupPath)
+    if (fs.exists(rollupRoot)) fs.listStatus(rollupRoot).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".rstaging_")) fs.delete(st.getPath, true) // always garbage
+      else if (n.startsWith(".erase_trash_")) {
+        val deltaName = n.stripPrefix(".erase_trash_")
+        val target = new Path(s"$rollupPath/$deltaName")
+        if (deltaName.startsWith("delta=") && !fs.exists(target))
+          fs.rename(st.getPath, target) // crashed mid-swap: restore
+        else fs.delete(st.getPath, true) // delta healthy: trash is stale
+      }
+    }
     // cascade into every rollup delta that holds matching partials
     var rollupRemoved = 0L
     rollupDeltas(fs).foreach { case (dir, _, _) =>
@@ -786,7 +804,9 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         val staging = new Path(s"$rollupPath/.rstaging_$uuid")
         surviving(delta).write.mode(SaveMode.Overwrite)
           .partitionBy("bucket_ts").parquet(staging.toString)
-        val trash = new Path(s"$rollupPath/.erase_trash_$uuid")
+        // trash name = the delta name, so the pre-cascade sweep can
+        // restore a crashed swap with one rename
+        val trash = new Path(s"$rollupPath/.erase_trash_${dir.getName}")
         if (!fs.rename(dir, trash))
           throw new IllegalStateException(s"erase: could not stage out $dir")
         if (!fs.rename(staging, dir)) {

@@ -120,4 +120,28 @@ class EraseSpec extends SparkTestBase {
     assert(e.compactBucket(9000L) === ((1L, 1L)))
     assert(vals(e.getDoubles(9010L, 9020L, U2)) === Seq(3.0))
   }
+
+  test("a crash between the rollup-delta renames self-heals on the next erase") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val (e, _) = mkEngine()
+    e.putDoubles(Seq((11000L, U1, 1.0), (11000L, U2, 2.0)))
+    e.refreshRollup(100L)
+    e.putDoubles(Seq((11010L, U1, 3.0)))
+    e.refreshRollup(100L) // two deltas: losing the first BREAKS the chain
+    // simulate the crash window: the first delta was staged out to
+    // trash but the filtered replacement never landed
+    val rollupDir = new Path(e.opts.tablePath + "_rollup")
+    val fs = FileSystem.get(rollupDir.toUri, spark.sparkContext.hadoopConfiguration)
+    val delta = fs.listStatus(rollupDir)
+      .map(_.getPath).filter(_.getName.startsWith("delta="))
+      .minBy(_.getName) // delta=-1_<n> sorts first
+    assert(fs.rename(delta, new Path(rollupDir, s".erase_trash_${delta.getName}")))
+    // the chain is now broken — a rollup read fails loudly
+    intercept[IllegalStateException] { e.rollup(11000L, 11100L, U1, 100L).collect() }
+    // the next erase restores the delta first, then cascades
+    val (_, removed) = e.erase(U1)
+    assert(removed === 2L) // one U1 partial per delta
+    assert(e.rollup(11000L, 11100L, U2, 100L).collect().length === 1)
+    assert(e.rollup(11000L, 11100L, U1, 100L).collect().isEmpty)
+  }
 }

@@ -3002,6 +3002,85 @@ object KdbQueries extends QueryModule {
       GROUP BY island
       ORDER BY start_ns"""))
 
+  /** Reliability rollup over the incident stream: MTTR (mean
+    * incident duration), MTBF (mean start-to-start spacing), total
+    * downtime, and availability % — the SRE summary every
+    * incident-interval consumer computes next (kdb_incident_intervals
+    * emits the episodes; this is their scorecard). Same
+    * threshold/island construction, then one aggregation over the
+    * grid-bounded (≤720-row) incident table; the lag window for MTBF
+    * runs over that bounded table. Exactness: durations and gaps are
+    * exact int64 ns sums; each reported mean/percentage is ONE
+    * double division of identical integers, 4dp-rounded, +0.0
+    * canonicalized; fewer than two incidents report mtbf_min = −1
+    * explicitly rather than NULL-vs-NaN engine drift. */
+  private val reliability = QueryDef(
+    "kdb_reliability",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("slot_ns"))
+        .agg(count(when(col("event_type") === "error", 1)).as("n_err"),
+          count(lit(1)).as("n_tot"))
+      val wOrd = Window.orderBy(col("slot_ns"))
+      val incidents = counts.filter(col("n_err") * 10 > col("n_tot") * 3)
+        .withColumn("slot_idx", expr(s"(slot_ns - $T0) div $Hour"))
+        .withColumn("island", col("slot_idx") - row_number().over(wOrd))
+        .groupBy(col("island"))
+        .agg(min(col("slot_ns")).as("start_ns"),
+          max(col("slot_ns") + Hour).as("end_ns"))
+      val wInc = Window.orderBy(col("start_ns"))
+      incidents
+        .withColumn("tbf_ns", col("start_ns") - lag(col("start_ns"), 1).over(wInc))
+        .agg(count(lit(1)).as("n_incidents"),
+          sum(col("end_ns") - col("start_ns")).as("down_ns"),
+          sum(col("tbf_ns")).as("tbf_sum_ns"),
+          count(col("tbf_ns")).as("n_gaps"))
+        .select(col("n_incidents"),
+          expr("down_ns div 60000000000").as("downtime_min"),
+          (round(col("down_ns") / col("n_incidents") / 60e9, 4) + lit(0.0))
+            .as("mttr_min"),
+          when(col("n_gaps") > 0,
+            round(col("tbf_sum_ns") / col("n_gaps") / 60e9, 4) + lit(0.0))
+            .otherwise(lit(-1.0)).as("mtbf_min"),
+          (round((lit(1.0) - col("down_ns") / lit((T1 - T0).toDouble)) * 100, 4)
+            + lit(0.0)).as("availability_pct"))
+    },
+    Some(s"""
+      WITH counts AS (
+        SELECT epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS n_err,
+               count(*) AS n_tot
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1),
+      bad AS (
+        SELECT slot_ns, (slot_ns - ${T0}) // ${Hour} AS slot_idx
+        FROM counts WHERE n_err * 10 > n_tot * 3),
+      isl AS (
+        SELECT slot_ns,
+               slot_idx - row_number() OVER (ORDER BY slot_ns) AS island
+        FROM bad),
+      inc AS (
+        SELECT min(slot_ns) AS start_ns, max(slot_ns + ${Hour}) AS end_ns
+        FROM isl GROUP BY island),
+      g AS (
+        SELECT start_ns, end_ns,
+               start_ns - lag(start_ns) OVER (ORDER BY start_ns) AS tbf_ns
+        FROM inc)
+      SELECT count(*) AS n_incidents,
+             CAST(sum(end_ns - start_ns) AS BIGINT) // 60000000000 AS downtime_min,
+             round(CAST(sum(end_ns - start_ns) AS BIGINT) / count(*) / 60e9, 4)
+               + 0.0 AS mttr_min,
+             CASE WHEN count(tbf_ns) > 0
+                  THEN round(CAST(sum(tbf_ns) AS BIGINT) / count(tbf_ns) / 60e9, 4) + 0.0
+                  ELSE -1.0 END AS mtbf_min,
+             round((1.0 - CAST(sum(end_ns - start_ns) AS BIGINT)
+                    / CAST(${T1 - T0} AS DOUBLE)) * 100, 4) + 0.0 AS availability_pct
+      FROM g"""))
+
   /** SAX motif discovery (Lin et al.: Symbolic Aggregate
     * approXimation, the iSAX-index lineage): z-normalize each series,
     * discretize every hourly value into a 4-letter alphabet at the
@@ -4626,5 +4705,5 @@ object KdbQueries extends QueryModule {
     eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,
     anomalyEnsemble, drawdown, changepoint, rateLimitAudit, burstiness,
     quantileSketch, debounce, chisqIndependence, abTest, frequentPairs,
-    rfm, attribution, sessionPaths, interarrival, rsi, peakDetect, lttb, eraseTwin, sqlViewTwin)
+    rfm, attribution, sessionPaths, interarrival, rsi, peakDetect, lttb, eraseTwin, sqlViewTwin, reliability)
 }

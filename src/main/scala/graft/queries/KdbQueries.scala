@@ -3081,6 +3081,46 @@ object KdbQueries extends QueryModule {
                     / CAST(${T1 - T0} AS DOUBLE)) * 100, 4) + 0.0 AS availability_pct
       FROM g"""))
 
+  /** Series-cardinality growth monitor: per day, how many NEVER-
+    * BEFORE-SEEN (event_type, user) series first appeared, and the
+    * cumulative series count — the "cardinality explosion" early
+    * warning that every tag-indexed store needs (the reference's
+    * trie grows a node per new series, mindex.go: an unbounded tag
+    * value is its memory kill). First-seen = min(ts) per series (one
+    * partial-agg shuffle, map-side combinable); the daily rollup and
+    * cumulative window then run over ≤|days| rows. All integer
+    * counts. */
+  private val cardinalityGrowth = QueryDef(
+    "kdb_cardinality_growth",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val firstSeen = ev(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(col("ts_ns")).as("first_ns"))
+        .withColumn("day_ns", col("first_ns") - col("first_ns") % Day)
+      val wCum = Window.orderBy(col("day_ns"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      firstSeen
+        .groupBy(col("day_ns"))
+        .agg(count(lit(1)).as("new_series"))
+        .withColumn("cum_series", sum(col("new_series")).over(wCum))
+        .orderBy(col("day_ns"))
+    },
+    Some(s"""
+      WITH fs AS (
+        SELECT event_type, user_id, min(epoch_ns(ts)) AS first_ns
+        FROM events GROUP BY 1, 2),
+      daily AS (
+        SELECT first_ns - first_ns % ${Day} AS day_ns,
+               count(*) AS new_series
+        FROM fs GROUP BY 1)
+      SELECT day_ns, new_series,
+             CAST(sum(new_series) OVER (ORDER BY day_ns
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_series
+      FROM daily
+      ORDER BY day_ns"""))
+
   /** SAX motif discovery (Lin et al.: Symbolic Aggregate
     * approXimation, the iSAX-index lineage): z-normalize each series,
     * discretize every hourly value into a 4-letter alphabet at the
@@ -4705,5 +4745,5 @@ object KdbQueries extends QueryModule {
     eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,
     anomalyEnsemble, drawdown, changepoint, rateLimitAudit, burstiness,
     quantileSketch, debounce, chisqIndependence, abTest, frequentPairs,
-    rfm, attribution, sessionPaths, interarrival, rsi, peakDetect, lttb, eraseTwin, sqlViewTwin, reliability)
+    rfm, attribution, sessionPaths, interarrival, rsi, peakDetect, lttb, eraseTwin, sqlViewTwin, reliability, cardinalityGrowth)
 }

@@ -1700,7 +1700,257 @@ object RelationalQueries extends QueryModule {
       GROUP BY p_brand
       ORDER BY p_brand"""))
 
+  /** TPC-H Q4 shape: order-priority count over an EXISTS semi-join.
+    * "Late" adapts Q4's commit/receipt lag to this corpus's columns:
+    * a lineitem shipped more than 60 days after the order date. The
+    * semi-join carries the non-equi lateness predicate INTO the join
+    * condition, so Spark plans one hash semi-join on l_orderkey (the
+    * fact shuffle) and each order contributes at most once regardless
+    * of how many late lines it has — the dedup a naive inner-join +
+    * distinct would pay a second shuffle for. Output is bounded:
+    * 5 priority rows. */
+  private val qPriorityWait = QueryDef(
+    "q_priority_wait",
+    (s, d) => {
+      val o = orders(s, d).filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** TPC-H Q12 shape: conditional two-way counts per category. The
+    * corpus has no l_shipmode, so the category is l_linestatus and
+    * "late" is ship > order date + 90 days; the CASE-sum pair (urgent
+    * vs other priority) is the Q12 signature — one fact join on
+    * l_orderkey, then a 2-row rollup with both counts computed in the
+    * same partial aggregate (one pass, no second join). */
+  private val qLateByStatus = QueryDef(
+    "q_late_by_status",
+    (s, d) => {
+      val o = orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_linestatus"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_linestatus,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS high_line_count,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 0 ELSE 1 END) AS low_line_count
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus"""))
+
+  /** TPC-H Q15 shape: top supplier by quarterly revenue — the
+    * max-equality scalar subquery. Revenue is per-row integer cents so
+    * "equals the max" is an exact int64 compare in both engines (the
+    * raw-double variant can disagree at the max boundary under
+    * different summation orders). The per-supplier rollup is the one
+    * fact shuffle; the 1-row max and the supplier dim both broadcast
+    * back onto it, so no second pass over lineitem. */
+  private val qTopSupplier = QueryDef(
+    "q_top_supplier",
+    (s, d) => {
+      val rev = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .withColumn("rev_cents",
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+            .cast("long"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("rev_cents")).as("total_cents"))
+      val mx = rev.agg(max(col("total_cents")).as("max_cents"))
+      rev.join(broadcast(mx), col("total_cents") === col("max_cents"))
+        .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("total_cents") / 100.0).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                             AS BIGINT)) AS BIGINT) AS total_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_cents / 100.0 AS total_revenue
+      FROM supplier JOIN rev ON l_suppkey = s_suppkey
+      WHERE total_cents = (SELECT max(total_cents) FROM rev)
+      ORDER BY s_suppkey"""))
+
+  /** TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    * per-part average. The threshold compare q < 0.2 * avg(q) is
+    * restated as the integer inequality 5·q_cents·cnt < sum_q_cents
+    * (all positive), so the cutoff can never flip on double summation
+    * order. Brand filter broadcasts into the fact scan first; the
+    * per-part stats rollup and its join back to the surviving lines
+    * share the l_partkey shuffle key, and the final result is one
+    * global 1-row aggregate from exact cents. */
+  private val qSmallQtyRevenue = QueryDef(
+    "q_small_qty_revenue",
+    (s, d) => {
+      val p = part(s, d).filter(col("p_brand") === "Brand#4")
+        .select(col("p_partkey"))
+      val l = lineitem(s, d)
+        .select(col("l_partkey"),
+          round(col("l_quantity") * 100, 0).cast("long").as("qty_cents"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("price_cents"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val stats = l.groupBy(col("l_partkey").as("sp"))
+        .agg(sum(col("qty_cents")).as("sum_qc"), count(lit(1)).as("cnt"))
+      l.join(stats, col("l_partkey") === col("sp"))
+        .filter(col("qty_cents") * col("cnt") * lit(5L) < col("sum_qc"))
+        .agg(round(sum(col("price_cents")) / 100.0 / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""
+      WITH l AS (
+        SELECT l_partkey,
+               CAST(round(l_quantity * 100, 0) AS BIGINT) AS qty_cents,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#4'),
+      stats AS (
+        SELECT l_partkey AS sp, CAST(sum(qty_cents) AS BIGINT) AS sum_qc,
+               count(*) AS cnt
+        FROM l GROUP BY 1)
+      SELECT round(CAST(sum(price_cents) AS BIGINT) / 100.0 / 7.0, 2) AS avg_yearly,
+             count(*) AS n_lines
+      FROM l JOIN stats ON l_partkey = sp
+      WHERE qty_cents * cnt * 5 < sum_qc"""))
+
+  /** TPC-H Q21 shape: suppliers who kept orders waiting — the
+    * EXISTS / NOT-EXISTS pair. "Late" adapts to ship > order date +
+    * 90 days on 'F' orders. Instead of three correlated passes over
+    * lineitem (the literal SQL), one window over the l_orderkey
+    * partition annotates each line with the order's distinct-supplier
+    * set and late-supplier set (orders are bounded — at most a few
+    * lines — so the per-partition collect_set buffers O(1)); a line
+    * qualifies iff it is late, the order is multi-supplier, and its
+    * supplier is the ONLY late one. Single fact shuffle, then a tiny
+    * supplier rollup → top-20 via TakeOrderedAndProject. */
+  private val qWaitingSuppliers = QueryDef(
+    "q_waiting_suppliers",
+    (s, d) => {
+      val o = orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val l = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      l.withColumn("supps", collect_set(col("l_suppkey")).over(w))
+        .withColumn("late_supps",
+          collect_set(when(col("late"), col("l_suppkey"))).over(w))
+        .filter(col("late") && size(col("supps")) > 1 &&
+          size(col("late_supps")) === 1)
+        .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+    Some("""
+      SELECT s_name, count(*) AS numwait
+      FROM lineitem l1
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      JOIN supplier ON s_suppkey = l1.l_suppkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 20"""))
+
+  /** TPC-H Q22 shape: dormant high-balance customers per segment —
+    * the global-average scalar subquery + NOT EXISTS anti-join.
+    * "Above average" is the exact integer compare bal_cents · n >
+    * sum_cents over positive-balance customers (double-avg thresholds
+    * can flip at the boundary); the 1-row threshold broadcasts (a
+    * BroadcastNestedLoopJoin by construction — allowlisted like
+    * q_idle_rich's), and dormancy is a left-anti hash join against
+    * recent order custkeys. Customer is the only table scanned twice,
+    * and it is the small one. */
+  private val qSegmentDormant = QueryDef(
+    "q_segment_dormant",
+    (s, d) => {
+      val c = customer(s, d)
+        .withColumn("bal_cents", round(col("c_acctbal") * 100, 0).cast("long"))
+      val thresh = c.filter(col("bal_cents") > 0)
+        .agg(sum(col("bal_cents")).as("sum_cents"), count(lit(1)).as("n_pos"))
+      val recent = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      c.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(thresh))
+        .filter(col("bal_cents") * col("n_pos") > col("sum_cents"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          (sum(col("bal_cents")) / 100.0).as("totacctbal"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      WITH pos AS (
+        SELECT CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               count(*) AS n_pos
+        FROM customer WHERE round(c_acctbal * 100, 0) > 0)
+      SELECT c_mktsegment, count(*) AS numcust,
+             CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+               / 100.0 AS totacctbal
+      FROM customer, pos
+      WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) * n_pos > sum_cents
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1999-01-01')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
   val defs: Seq[QueryDef] = Seq(
+    qPriorityWait, qLateByStatus, qTopSupplier, qSmallQtyRevenue,
+    qWaitingSuppliers, qSegmentDormant,
     qNationTrade, qBrandDisjunct,
     qTradeVolume, qReturnedRevenue, qHeavyOrders,
     qCustDist, qIdleRich, qPromoShare, qBracketRevenue, qMarketShare,

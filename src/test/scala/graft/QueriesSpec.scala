@@ -165,7 +165,10 @@ class QueriesSpec extends SparkTestBase {
       "q_idle_rich",
       // llm_matryoshka_eval: the 5-query probe set broadcasts over the
       // corpus (qid =!= nid non-equi), same shape as llm_similarity_topk
-      "llm_matryoshka_eval")
+      "llm_matryoshka_eval",
+      // q_segment_dormant: the 1-row positive-balance threshold rides a
+      // broadcast cross join (non-equi bal·n > sum), same as q_idle_rich
+      "q_segment_dormant")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -4732,7 +4732,80 @@ object KdbQueries extends QueryModule {
       GROUP BY 1, 2
       ORDER BY event_type, user_id"""))
 
+  /** Bollinger bands (24-hour, k=2) per event_type over the hourly
+    * integer-cent sums: mean ± 2σ of the trailing 24 present hours,
+    * with band-breakout flags — the volatility-envelope monitor
+    * pairing kdb_rsi's momentum view. Exactness: the frame carries
+    * only exact int64 Σx / Σx² / n; variance is the algebraic
+    * (n·Σx² − Σx²ᵖᵃⁱʳ)/n² from those ints, sqrt is IEEE
+    * correctly-rounded (not libm-approximated), and both engines
+    * evaluate the identical mean ± 2.0·σ chain — so the breakout
+    * DECISION compares bit-identical doubles and cannot drift; only
+    * the REPORTED band edges are 4dp-rounded. Full-frame gate
+    * (nf = 24) keeps early unstable bands out. Scale shape: one
+    * data-sized hourly aggregation, then ONE type-partitioned window
+    * pass sharing Σ/Σ²/count over grouped (~720-row/type) data. */
+  private val bollinger = QueryDef(
+    "kdb_bollinger",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wF = Window.partitionBy(col("event_type")).orderBy(col("slot_1h"))
+        .rowsBetween(-23, 0)
+      ev(s, d)
+        .withColumn("slot_1h", col("ts_ns") - col("ts_ns") % Hour)
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .groupBy(col("event_type"), col("slot_1h"))
+        .agg(sum(col("cents")).as("v"))
+        .withColumn("sx", sum(col("v")).over(wF))
+        .withColumn("sxx", sum(col("v") * col("v")).over(wF))
+        .withColumn("nf", count(lit(1)).over(wF))
+        .filter(col("nf") === 24)
+        .withColumn("mean", col("sx").cast("double") / col("nf"))
+        .withColumn("sigma", sqrt(
+          (col("nf") * col("sxx") - col("sx") * col("sx")).cast("double") /
+            (col("nf") * col("nf"))))
+        .withColumn("upper", col("mean") + lit(2.0) * col("sigma"))
+        .withColumn("lower", col("mean") - lit(2.0) * col("sigma"))
+        .select(col("event_type"), col("slot_1h"),
+          (col("v") / 100.0).as("value"),
+          (round(col("upper") / 100.0, 4) + lit(0.0)).as("upper_band"),
+          (round(col("lower") / 100.0, 4) + lit(0.0)).as("lower_band"),
+          (col("v").cast("double") > col("upper")).cast("int").as("break_up"),
+          (col("v").cast("double") < col("lower")).cast("int").as("break_dn"))
+        .orderBy(col("event_type"), col("slot_1h"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT event_type,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_1h,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2),
+      f AS (
+        SELECT event_type, slot_1h, v,
+               CAST(sum(v) OVER w AS BIGINT) AS sx,
+               CAST(sum(v * v) OVER w AS BIGINT) AS sxx,
+               count(*) OVER w AS nf
+        FROM h
+        WINDOW w AS (PARTITION BY event_type ORDER BY slot_1h
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+      b AS (
+        SELECT event_type, slot_1h, v,
+               CAST(sx AS DOUBLE) / nf AS mean,
+               sqrt(CAST(nf * sxx - sx * sx AS DOUBLE) / (nf * nf)) AS sigma
+        FROM f WHERE nf = 24)
+      SELECT event_type, slot_1h,
+             v / 100.0 AS value,
+             round((mean + 2.0 * sigma) / 100.0, 4) + 0.0 AS upper_band,
+             round((mean - 2.0 * sigma) / 100.0, 4) + 0.0 AS lower_band,
+             CASE WHEN CAST(v AS DOUBLE) > mean + 2.0 * sigma
+                  THEN 1 ELSE 0 END AS break_up,
+             CASE WHEN CAST(v AS DOUBLE) < mean - 2.0 * sigma
+                  THEN 1 ELSE 0 END AS break_dn
+      FROM b
+      ORDER BY event_type, slot_1h"""))
+
   val defs: Seq[QueryDef] = Seq(
+    bollinger,
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
     sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest,

@@ -3531,7 +3531,100 @@ object LlmQueries extends QueryModule {
       FROM r
       ORDER BY curriculum_pos"""))
 
+  /** Clustering-quality eval: simplified silhouette of the labeled
+    * embedding space (per-point a = distance to own-label centroid,
+    * b = nearest other centroid; s = (b−a)/max(a,b)) plus the
+    * misassignment count (points strictly nearer a foreign centroid)
+    * — the "are these labels/clusters real?" pre-flight before
+    * trusting label-stratified sampling or IVF cells built on them.
+    * Cross-engine exactness in three layers: (1) centroids come from
+    * per-(label,dim) INTEGER micro-unit sums (summation-order-proof),
+    * each component one fixed CAST/÷1e6/÷n chain; (2) every distance
+    * is the strict index-order l2 fold (bit-identical kernel, embTopk
+    * precedent), so min-selection and the b² < a² decision compare
+    * identical doubles; (3) per-point silhouettes are re-quantized to
+    * micro-units before the per-label mean, so the REPORTED average
+    * is again an exact-integer division. Scale shape: centroid build
+    * is one (label,dim) partial-agg shuffle; scoring is corpus ×
+    * broadcast(|labels| centroids) — the allowlisted broadcast NLJ
+    * every ANN query uses — then one vec_id rollup and a tiny label
+    * rollup. */
+  private val clusterQuality = QueryDef(
+    "llm_cluster_quality",
+    (s, d) => {
+      val e = embeddings(s, d)
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("q", round(col("x").cast("double") * 1000000.0, 0).cast("long"))
+        .groupBy(col("label").as("clabel"), col("dim"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .withColumn("c", col("sq").cast("double") / 1000000.0 / col("n"))
+        .groupBy(col("clabel"))
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("cvec"))
+      e.crossJoin(broadcast(cent))
+        .withColumn("d2", l2sqHof(col("embedding"), col("cvec")))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(min(when(col("label") === col("clabel"), col("d2"))).as("a2"),
+          min(when(col("label") =!= col("clabel"), col("d2"))).as("b2"))
+        .withColumn("a", sqrt(col("a2")))
+        .withColumn("b", sqrt(col("b2")))
+        .withColumn("sil",
+          when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+            .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+        .withColumn("sil6", round(col("sil") * 1000000.0, 0).cast("long"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_points"),
+          (round(sum(col("sil6")).cast("double") / 1000000.0 / count(lit(1)), 4)
+            + lit(0.0)).as("mean_silhouette"),
+          count(when(col("b2") < col("a2"), lit(1))).as("n_misassigned"))
+        .orderBy(col("label"))
+    },
+    Some("""
+      WITH idx AS (
+        SELECT label, embedding,
+               unnest(generate_series(1, len(embedding))) AS dim
+        FROM embeddings),
+      qc AS (
+        SELECT label, dim,
+               CAST(round(CAST(embedding[dim] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        FROM idx),
+      cent AS (
+        SELECT label AS clabel, dim, CAST(sum(q) AS BIGINT) AS sq, count(*) AS n
+        FROM qc GROUP BY 1, 2),
+      cv AS (
+        SELECT clabel, list(CAST(sq AS DOUBLE) / 1000000.0 / n ORDER BY dim) AS cvec
+        FROM cent GROUP BY 1),
+      p AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               list_reduce([0.0] || list_transform(generate_series(1, len(e.embedding)),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) *
+                      (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])),
+                 (x, y) -> x + y) AS d2
+        FROM embeddings e, cv c),
+      ab AS (
+        SELECT vec_id, label,
+               min(CASE WHEN label = clabel THEN d2 END) AS a2,
+               min(CASE WHEN label <> clabel THEN d2 END) AS b2
+        FROM p GROUP BY 1, 2),
+      sil AS (
+        SELECT label, a2, b2,
+               CASE WHEN greatest(sqrt(a2), sqrt(b2)) = 0.0 THEN 0.0
+                    ELSE (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2))
+               END AS s
+        FROM ab),
+      sq6 AS (
+        SELECT label, a2, b2,
+               CAST(round(s * 1000000.0) AS BIGINT) AS sil6
+        FROM sil)
+      SELECT label, count(*) AS n_points,
+             round(CAST(CAST(sum(sil6) AS BIGINT) AS DOUBLE) / 1000000.0
+                   / count(*), 4) + 0.0 AS mean_silhouette,
+             count(CASE WHEN b2 < a2 THEN 1 END) AS n_misassigned
+      FROM sq6 GROUP BY label ORDER BY label"""))
+
   val defs: Seq[QueryDef] = Seq(
+    clusterQuality,
     matryoshkaEval, curriculumOrder,
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,

@@ -168,7 +168,10 @@ class QueriesSpec extends SparkTestBase {
       "llm_matryoshka_eval",
       // q_segment_dormant: the 1-row positive-balance threshold rides a
       // broadcast cross join (non-equi bal·n > sum), same as q_idle_rich
-      "q_segment_dormant")
+      "q_segment_dormant",
+      // llm_cluster_quality: corpus × broadcast(|labels| centroids)
+      // scoring cross join, same shape as llm_similarity_ivf_trained
+      "llm_cluster_quality")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -65,7 +65,13 @@ object ScaleBench {
     // r7-cont: the two-fact-table join (lineitem↔orders both grow k×,
     // the shuffle-join growth probe) and the histogram-rank curriculum
     // (two doc scans + broadcast — must stay ~linear, no hidden sort)
-    "q_nation_trade", "llm_curriculum_order")
+    "q_nation_trade", "llm_curriculum_order",
+    // r7-cont wave 2: the Q21 window-over-fact-join (per-order
+    // collect_set sets must stay bounded as orders grow k×), the Q4
+    // non-equi hash semi join, and the silhouette eval (corpus ×
+    // broadcast centroids; centroid count is fixed, so growth is the
+    // scoring scan)
+    "q_waiting_suppliers", "q_priority_wait", "llm_cluster_quality")
 
   private val Tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

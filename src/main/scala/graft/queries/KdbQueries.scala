@@ -4804,8 +4804,140 @@ object KdbQueries extends QueryModule {
       FROM b
       ORDER BY event_type, slot_1h"""))
 
+  /** Filter-by-group-aggregate — q's `fby` verb shape ("rows above
+    * their own group's average"): keep events whose value exceeds the
+    * mean of their (user, type) series, then roll the survivors up
+    * per type. The group mean never materializes as a double: the
+    * predicate is the exact integer cross-multiplication
+    * cents·n > Σcents, so membership can't drift at the boundary.
+    * Scale shape: ONE (user,type) shuffle feeds a whole-partition
+    * window (Σ, n shared), then a tiny per-type rollup; no join —
+    * the window form of the correlated-subquery pattern
+    * q_corr_subquery pays a join for. */
+  private val fbyFilter = QueryDef(
+    "kdb_fby_filter",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wg = Window.partitionBy(col("user_id"), col("event_type"))
+      ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .withColumn("gsum", sum(col("cents")).over(wg))
+        .withColumn("gn", count(lit(1)).over(wg))
+        .withColumn("above", (col("cents") * col("gn") > col("gsum")).cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("above") === 1, lit(1))).as("n_above"),
+          (round(sum(when(col("above") === 1, col("cents"))
+            .otherwise(lit(0L))).cast("double") / 100.0, 2) + lit(0.0))
+            .as("above_value_sum"),
+          round(count(when(col("above") === 1, lit(1))).cast("double") /
+            count(lit(1)), 4).as("above_ratio"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}),
+      g AS (
+        SELECT event_type, cents,
+               CAST(sum(cents) OVER (PARTITION BY user_id, event_type)
+                 AS BIGINT) AS gsum,
+               count(*) OVER (PARTITION BY user_id, event_type) AS gn
+        FROM e),
+      f AS (
+        SELECT event_type, cents,
+               CASE WHEN cents * gn > gsum THEN 1 ELSE 0 END AS above
+        FROM g)
+      SELECT event_type,
+             count(*) AS n_total,
+             count(CASE WHEN above = 1 THEN 1 END) AS n_above,
+             round(CAST(CAST(sum(CASE WHEN above = 1 THEN cents ELSE 0 END)
+               AS BIGINT) AS DOUBLE) / 100.0, 2) + 0.0 AS above_value_sum,
+             round(CAST(count(CASE WHEN above = 1 THEN 1 END) AS DOUBLE)
+               / count(*), 4) AS above_ratio
+      FROM f
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** Spearman rank correlation for every event-type pair over their
+    * common hourly grid — the monotone-association complement of the
+    * Pearson queries (kdb_series_corr / kdb_corr_matrix), robust to
+    * the outliers that dominate a product-moment estimate. Ranks are
+    * assigned AFTER the pair join (within the common-hour sample,
+    * as the statistic requires) by row_number with the deterministic
+    * (value, slot) tie-break — both engines produce identical integer
+    * ranks, so Σd² is exact int64 and ρ = 1 − 6Σd²/(n(n²−1)) is ONE
+    * double division chain; pairs with n < 2 report NULL explicitly.
+    * Scale shape: one hourly aggregation, a slot-equi self-join of
+    * the tiny hourly table, and per-pair windows over the
+    * |pairs| × |hours| grid — window input is grouped data, never
+    * raw rows. */
+  private val spearman = QueryDef(
+    "kdb_spearman",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = ev(s, d)
+        .withColumn("slot_1h", col("ts_ns") - col("ts_ns") % Hour)
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .groupBy(col("event_type"), col("slot_1h"))
+        .agg(sum(col("cents")).as("v"))
+      val a = h.select(col("event_type").as("t1"), col("slot_1h").as("s1"),
+        col("v").as("v1"))
+      val b = h.select(col("event_type").as("t2"), col("slot_1h").as("s2"),
+        col("v").as("v2"))
+      val w1 = Window.partitionBy(col("t1"), col("t2"))
+        .orderBy(col("v1"), col("s1"))
+      val w2 = Window.partitionBy(col("t1"), col("t2"))
+        .orderBy(col("v2"), col("s1"))
+      a.join(b, col("s1") === col("s2") && col("t1") < col("t2"))
+        .withColumn("r1", row_number().over(w1))
+        .withColumn("r2", row_number().over(w2))
+        .withColumn("d", (col("r1") - col("r2")).cast("long"))
+        .groupBy(col("t1"), col("t2"))
+        .agg(count(lit(1)).as("n_hours"), sum(col("d") * col("d")).as("sd2"))
+        .withColumn("rho",
+          when(col("n_hours") < 2, lit(null).cast("double"))
+            .otherwise(round(lit(1.0) -
+              lit(6.0) * col("sd2").cast("double") /
+                (col("n_hours") * (col("n_hours") * col("n_hours") - lit(1L))),
+              4) + lit(0.0)))
+        .select(col("t1"), col("t2"), col("n_hours"), col("sd2"), col("rho"))
+        .orderBy(col("t1"), col("t2"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT event_type,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_1h,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2),
+      p AS (
+        SELECT a.event_type AS t1, b.event_type AS t2, a.slot_1h AS s1,
+               a.v AS v1, b.v AS v2
+        FROM h a JOIN h b ON a.slot_1h = b.slot_1h
+                         AND a.event_type < b.event_type),
+      r AS (
+        SELECT t1, t2,
+               row_number() OVER (PARTITION BY t1, t2 ORDER BY v1, s1) AS r1,
+               row_number() OVER (PARTITION BY t1, t2 ORDER BY v2, s1) AS r2
+        FROM p),
+      agg AS (
+        SELECT t1, t2, count(*) AS n_hours,
+               CAST(sum(CAST(r1 - r2 AS BIGINT) * CAST(r1 - r2 AS BIGINT))
+                 AS BIGINT) AS sd2
+        FROM r GROUP BY 1, 2)
+      SELECT t1, t2, n_hours, sd2,
+             CASE WHEN n_hours < 2 THEN NULL
+                  ELSE round(1.0 - 6.0 * CAST(sd2 AS DOUBLE) /
+                       (n_hours * (n_hours * n_hours - 1)), 4) + 0.0
+             END AS rho
+      FROM agg
+      ORDER BY t1, t2"""))
+
   val defs: Seq[QueryDef] = Seq(
-    bollinger,
+    bollinger, fbyFilter, spearman,
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
     sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest,

@@ -4936,8 +4936,114 @@ object KdbQueries extends QueryModule {
       FROM agg
       ORDER BY t1, t2"""))
 
+  /** Kaplan–Meier survival curve for signup → first purchase — the
+    * time-to-event estimator behind churn/conversion-lag analysis
+    * (the censoring-aware statistic a naive "average days to
+    * purchase" gets wrong). Per user: first signup in the window,
+    * first purchase at-or-after it; non-converters are right-censored
+    * at the window end. S(t) = Π over event days ≤ t of
+    * (n_risk − d)/n_risk. Cross-engine exactness: d/c/n_risk are all
+    * exact int64 (n_risk via total-minus-cumulative-exits windows);
+    * each factor is ONE double division of exact ints; the running
+    * product is a fixed ascending-day fold (Spark aggregate-HOF over
+    * the sort_array'd factor list ↔ DuckDB list_reduce over
+    * list(ORDER BY) — multiplication is IEEE-exact per step, so the
+    * fold is bit-identical; llm_similarity_topk fold precedent).
+    * Scale shape: two per-user rollups on the user shuffle, then
+    * everything — cumulative windows, the ≤|window-days| × ≤|days|
+    * factor join (broadcast NLJ, grid-bounded), the fold — runs on
+    * the day table, which is bounded by the 30-day range, never by
+    * |users| (kdb_rfm bounded-input precedent for the partition-less
+    * windows). */
+  private val survivalKm = QueryDef(
+    "kdb_survival_km",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = ev(s, d).filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts_ns")).as("s_ns"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .join(su, "user_id")
+        .filter(col("ts_ns") >= col("s_ns"))
+        .groupBy(col("user_id")).agg(min(col("ts_ns")).as("p_ns"))
+      val days = su.join(pu, Seq("user_id"), "left")
+        .withColumn("dur_day",
+          when(col("p_ns").isNotNull, expr(s"(p_ns - s_ns) div ${Day}"))
+            .otherwise(expr(s"(${T1} - 1 - s_ns) div ${Day}")))
+        .withColumn("evt", col("p_ns").isNotNull.cast("int"))
+        .groupBy(col("dur_day"))
+        .agg(count(when(col("evt") === 1, lit(1))).as("d"),
+          count(when(col("evt") === 0, lit(1))).as("c"))
+      val wAll = Window.orderBy(col("dur_day"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wCum = Window.orderBy(col("dur_day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val evd = days
+        .withColumn("n_risk", sum(col("d") + col("c")).over(wAll) -
+          coalesce(sum(col("d") + col("c")).over(wCum), lit(0L)))
+        .filter(col("d") > 0)
+        .withColumn("factor",
+          (col("n_risk") - col("d")).cast("double") / col("n_risk"))
+      val lhs = evd.select(col("dur_day").as("t"), col("d"), col("c"),
+        col("n_risk"))
+      val rhs = evd.select(col("dur_day").as("sd"), col("factor"))
+      lhs.join(rhs, col("sd") <= col("t"))
+        .groupBy(col("t"), col("d"), col("c"), col("n_risk"))
+        .agg(aggregate(
+          transform(sort_array(collect_list(struct(col("sd"), col("factor")))),
+            x => x.getField("factor")),
+          lit(1.0), (acc, v) => acc * v).as("surv"))
+        .select(col("t").as("dur_day"), col("n_risk"),
+          col("d").as("d_events"), col("c").as("n_censored"),
+          (round(col("surv"), 4) + lit(0.0)).as("survival"))
+        .orderBy(col("dur_day"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}),
+      su AS (
+        SELECT user_id, min(ts_ns) AS s_ns FROM e
+        WHERE event_type = 'signup' GROUP BY 1),
+      pu AS (
+        SELECT e.user_id, min(e.ts_ns) AS p_ns
+        FROM e JOIN su ON e.user_id = su.user_id
+        WHERE e.event_type = 'purchase' AND e.ts_ns >= su.s_ns
+        GROUP BY 1),
+      dur AS (
+        SELECT su.user_id,
+               CASE WHEN p_ns IS NOT NULL THEN (p_ns - s_ns) // ${Day}
+                    ELSE (${T1} - 1 - s_ns) // ${Day} END AS dur_day,
+               CASE WHEN p_ns IS NOT NULL THEN 1 ELSE 0 END AS evt
+        FROM su LEFT JOIN pu ON su.user_id = pu.user_id),
+      days AS (
+        SELECT dur_day,
+               count(CASE WHEN evt = 1 THEN 1 END) AS d,
+               count(CASE WHEN evt = 0 THEN 1 END) AS c
+        FROM dur GROUP BY 1),
+      evd AS (
+        SELECT dur_day, d, c, n_risk,
+               CAST(n_risk - d AS DOUBLE) / n_risk AS factor
+        FROM (
+          SELECT dur_day, d, c,
+                 CAST(sum(d + c) OVER () AS BIGINT)
+                   - coalesce(CAST(sum(d + c) OVER (ORDER BY dur_day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS BIGINT), 0) AS n_risk
+          FROM days)
+        WHERE d > 0),
+      surv AS (
+        SELECT a.dur_day, a.d, a.c, a.n_risk,
+               list_reduce([1.0] || list(b.factor ORDER BY b.dur_day),
+                 (x, y) -> x * y) AS sv
+        FROM evd a JOIN evd b ON b.dur_day <= a.dur_day
+        GROUP BY 1, 2, 3, 4)
+      SELECT dur_day, n_risk, d AS d_events, c AS n_censored,
+             round(sv, 4) + 0.0 AS survival
+      FROM surv ORDER BY dur_day"""))
+
   val defs: Seq[QueryDef] = Seq(
-    bollinger, fbyFilter, spearman,
+    bollinger, fbyFilter, spearman, survivalKm,
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
     sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest,

@@ -171,7 +171,10 @@ class QueriesSpec extends SparkTestBase {
       "q_segment_dormant",
       // llm_cluster_quality: corpus × broadcast(|labels| centroids)
       // scoring cross join, same shape as llm_similarity_ivf_trained
-      "llm_cluster_quality")
+      "llm_cluster_quality",
+      // kdb_survival_km: the ≤|window-days|² factor join (sd <= t
+      // non-equi) on the grid-bounded day table, same as benford's grid
+      "kdb_survival_km")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

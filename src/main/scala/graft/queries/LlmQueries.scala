@@ -3623,8 +3623,76 @@ object LlmQueries extends QueryModule {
              count(CASE WHEN b2 < a2 THEN 1 END) AS n_misassigned
       FROM sq6 GROUP BY label ORDER BY label"""))
 
+  /** PMI collocation mining: top adjacent-bigram phrases ranked by
+    * count with pointwise mutual information — the word2vec-style
+    * phrase-detection pass that decides which token pairs deserve a
+    * fused vocab entry ("new_york" vs "new"+"york") before vocabulary
+    * construction. All counts (bigram, both unigram marginals, both
+    * totals) are exact int64; PMI is reported as the fixed chain
+    * ln(c_ab/B) − ln(c_a/N) − ln(c_b/N) over exact-int divisions,
+    * 4dp-rounded (libm 1-ulp drift is fine for a REPORTED value —
+    * llm_zipf_fit precedent), and the ranking orders by the exact
+    * count with pair tie-breaks, never by the float. Scale shape: one
+    * corpus scan explodes bigrams into a (w1,w2) partial-agg rollup;
+    * unigram marginals are vocab-bounded broadcasts, totals are 1-row
+    * broadcast cross joins (allowlisted). */
+  private val pmiCollocations = QueryDef(
+    "llm_pmi_collocations",
+    (s, d) => {
+      val toks = documents(s, d).select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val uc = toks.select(explode(col("ws")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val tot = uc.agg(sum(col("cw")).as("n_tok"))
+      val bc = toks.filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      val btot = bc.agg(sum(col("c_ab")).as("b_tot"))
+      bc.filter(col("c_ab") >= 10)
+        .join(broadcast(uc.select(col("w").as("wa"), col("cw").as("ca"))),
+          col("w1") === col("wa"))
+        .join(broadcast(uc.select(col("w").as("wb"), col("cw").as("cb"))),
+          col("w2") === col("wb"))
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(btot))
+        .select(col("w1"), col("w2"), col("c_ab"),
+          (round(
+            log(col("c_ab").cast("double") / col("b_tot")) -
+              log(col("ca").cast("double") / col("n_tok")) -
+              log(col("cb").cast("double") / col("n_tok")), 4) + lit(0.0))
+            .as("pmi"))
+        .orderBy(col("c_ab").desc, col("w1"), col("w2"))
+        .limit(30)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      uc AS (
+        SELECT w, count(*) AS cw
+        FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY 1),
+      tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n_tok FROM uc),
+      pos AS (
+        SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS g FROM toks),
+      bc AS (
+        SELECT ws[g] AS w1, ws[g + 1] AS w2, count(*) AS c_ab
+        FROM pos GROUP BY 1, 2),
+      btot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS b_tot FROM bc)
+      SELECT w1, w2, c_ab,
+             round(ln(CAST(c_ab AS DOUBLE) / b_tot)
+                   - ln(CAST(ua.cw AS DOUBLE) / n_tok)
+                   - ln(CAST(ub.cw AS DOUBLE) / n_tok), 4) + 0.0 AS pmi
+      FROM bc
+      JOIN uc ua ON bc.w1 = ua.w
+      JOIN uc ub ON bc.w2 = ub.w
+      CROSS JOIN tot CROSS JOIN btot
+      WHERE c_ab >= 10
+      ORDER BY c_ab DESC, w1, w2
+      LIMIT 30"""))
+
   val defs: Seq[QueryDef] = Seq(
-    clusterQuality,
+    clusterQuality, pmiCollocations,
     matryoshkaEval, curriculumOrder,
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,

@@ -174,7 +174,10 @@ class QueriesSpec extends SparkTestBase {
       "llm_cluster_quality",
       // kdb_survival_km: the ≤|window-days|² factor join (sd <= t
       // non-equi) on the grid-bounded day table, same as benford's grid
-      "kdb_survival_km")
+      "kdb_survival_km",
+      // llm_pmi_collocations: the two 1-row corpus totals (N tokens,
+      // B bigrams) ride broadcast cross joins, same as llm_lm_score's
+      "llm_pmi_collocations")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -21,6 +21,7 @@ object SparkEntry {
     RelationalQueries,
     KdbQueries,
     LlmQueries,
+    StatsQueries,
     StreamingTwinQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

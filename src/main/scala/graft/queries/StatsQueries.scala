@@ -1,0 +1,498 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.DistributedRank
+import graft.functions.TextFunctions.hash60
+import graft.queries.KdbQueries.{Hour, T0, T1}
+
+/** Statistical inference + distribution-shape operators over the
+  * events stream — the hypothesis-testing / robust-stats layer a
+  * metrics store grows once raw series exist (the reference stops at
+  * storage+read, `dbase/dbase.go:24-38`; these are the analyses its
+  * users run downstream, expressed in-engine).
+  *
+  * Scale stance shared by every def here:
+  *  - no partition-less windows over data-sized inputs: global ranks
+  *    come from [[graft.operators.DistributedRank]] (range-partition +
+  *    partitioned window + offset add), the one exception being
+  *    fixed-cardinality frames (10 deciles, 5 R/S sizes) documented
+  *    per query;
+  *  - rank orders never compare raw float aggregates: sums are
+  *    rounded before entering an ORDER BY, with an integer tiebreak,
+  *    so a last-bit summation-order difference cannot flip a rank;
+  *  - resampling is hash-deterministic (Poisson bootstrap), never
+  *    rand() — re-runs and both engines agree bit-for-bit on the
+  *    resample weights.
+  */
+object StatsQueries extends QueryModule {
+
+  private def ev(s: SparkSession, d: String): DataFrame = {
+    val df = graft.sources.Tables.events(s, d)
+    df.withColumn("ts_ns", graft.sources.Tables.tsNsCol(df.schema("ts").dataType))
+  }
+
+  /** Welch's unequal-variance t-test: click vs purchase payload
+    * distributions. Pure two-group aggregation (count/avg/var_samp)
+    * folded to one row — a single map-side-combinable shuffle, no
+    * windows, no joins; the cheapest possible shape at any scale.
+    * t and the Welch–Satterthwaite df are computed from the five
+    * aggregates in closed form. */
+  private val welch = QueryDef(
+    "kdb_welch_ttest",
+    (s, d) => {
+      val g = ev(s, d).filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          avg(col("value")).as("m"), var_samp(col("value")).as("v"))
+      val one = g.groupBy().agg(
+        max(when(col("event_type") === "click", col("n"))).as("n1"),
+        max(when(col("event_type") === "click", col("m"))).as("m1"),
+        max(when(col("event_type") === "click", col("v"))).as("v1"),
+        max(when(col("event_type") === "purchase", col("n"))).as("n2"),
+        max(when(col("event_type") === "purchase", col("m"))).as("m2"),
+        max(when(col("event_type") === "purchase", col("v"))).as("v2"))
+      val se1 = col("v1") / col("n1")
+      val se2 = col("v2") / col("n2")
+      one.select(
+        col("n1").cast("long").as("n_click"),
+        col("n2").cast("long").as("n_purchase"),
+        round(col("m1"), 4).as("mean_click"),
+        round(col("m2"), 4).as("mean_purchase"),
+        // + 0.0 after round: canonicalize IEEE -0.0 (kdb_zscore precedent)
+        (round((col("m1") - col("m2")) / sqrt(se1 + se2), 4) + lit(0.0)).as("t_stat"),
+        round(pow(se1 + se2, 2) /
+          (pow(se1, 2) / (col("n1") - 1) + pow(se2, 2) / (col("n2") - 1)), 4)
+          .as("df_welch"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n,
+               avg(value) AS m, var_samp(value) AS v
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1),
+      one AS (
+        SELECT
+          max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+          max(CASE WHEN event_type = 'click' THEN m END) AS m1,
+          max(CASE WHEN event_type = 'click' THEN v END) AS v1,
+          max(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+          max(CASE WHEN event_type = 'purchase' THEN m END) AS m2,
+          max(CASE WHEN event_type = 'purchase' THEN v END) AS v2
+        FROM g)
+      SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
+             round(m1, 4) AS mean_click, round(m2, 4) AS mean_purchase,
+             round((m1 - m2) / sqrt(v1/n1 + v2/n2), 4) + 0.0 AS t_stat,
+             round(pow(v1/n1 + v2/n2, 2) /
+               (pow(v1/n1, 2)/(n1-1) + pow(v2/n2, 2)/(n2-1)), 4) AS df_welch
+      FROM one"""))
+
+  /** Mann–Whitney U (rank-sum) test, tie-corrected: the distribution-
+    * free complement to [[welch]] — detects a location shift without
+    * normality. Mid-ranks come from the exact global row_number
+    * ([[DistributedRank.withGlobalRank]], range-shuffle not a
+    * single-partition window) averaged over each tie group (a window
+    * PARTITIONED by value — distributed). Mid-ranks are integer
+    * halves, so their sums are exact in doubles and the U statistic
+    * is engine-independent without rounding tricks; only z divides
+    * by the tie-corrected σ. */
+  private val mannWhitney = QueryDef(
+    "kdb_mann_whitney",
+    (s, d) => {
+      val x = ev(s, d).filter(col("event_type").isin("click", "purchase"))
+        .select(col("value"), col("event_type").as("grp"), col("event_id"))
+      val ranked = DistributedRank.withGlobalRank(
+        x, "rn", Seq(col("value"), col("grp"), col("event_id")))
+      val mid = ranked.withColumn(
+        "midrank", avg(col("rn")).over(Window.partitionBy(col("value"))))
+      val a = mid.groupBy().agg(
+        sum(when(col("grp") === "click", col("midrank"))).as("r1"),
+        sum(when(col("grp") === "click", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("grp") === "purchase", 1L).otherwise(0L)).as("n2"))
+      val t = ranked.groupBy(col("value")).agg(count(lit(1)).cast("double").as("tc"))
+        .groupBy().agg(sum(col("tc") * col("tc") * col("tc") - col("tc")).as("tiesum"))
+      val n = col("n1") + col("n2")
+      val u1 = col("r1") - col("n1") * (col("n1") + 1) / lit(2.0)
+      val mu = col("n1") * col("n2") / lit(2.0)
+      val sig = sqrt(col("n1") * col("n2") / lit(12.0) *
+        ((n + 1) - col("tiesum") / (n * (n - 1))))
+      a.crossJoin(t).select(
+        col("n1"), col("n2"),
+        round(u1, 2).as("u1"),
+        (round((u1 - mu) / sig, 4) + lit(0.0)).as("z_stat"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT value, event_type AS grp, event_id
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      ranked AS (
+        SELECT value, grp,
+               row_number() OVER (ORDER BY value, grp, event_id) AS rn
+        FROM x),
+      mid AS (
+        SELECT grp, avg(rn) OVER (PARTITION BY value) AS midrank
+        FROM ranked),
+      a AS (
+        SELECT sum(CASE WHEN grp = 'click' THEN midrank END) AS r1,
+               sum(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS n2
+        FROM mid),
+      t AS (
+        SELECT sum(tc * tc * tc - tc) AS tiesum FROM (
+          SELECT CAST(count(*) AS DOUBLE) AS tc FROM ranked GROUP BY value))
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             round(r1 - n1 * (n1 + 1) / 2.0, 2) AS u1,
+             round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) /
+               sqrt(n1 * n2 / 12.0 *
+                 ((n1 + n2 + 1) - tiesum / ((n1 + n2) * (n1 + n2 - 1.0)))), 4)
+               + 0.0 AS z_stat
+      FROM a CROSS JOIN t"""))
+
+  /** Gini coefficient of per-user event volume — the standard
+    * inequality audit (is traffic a long tail or a few whales?).
+    * Everything is integer until the final division: x_u = count of
+    * events for user u, ranks ascending from [[DistributedRank]]
+    * (exact, distributed), G = 2·Σ r·x_r / (n·Σx) − (n+1)/n. At
+    * 100 TB the per-user rollup is the only data-sized pass; the
+    * ranked frame is |users| rows. */
+  private val gini = QueryDef(
+    "kdb_gini",
+    (s, d) => {
+      val counts = ev(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("x"))
+      val ranked = DistributedRank.withGlobalRank(
+        counts, "r", Seq(col("x"), col("user_id")))
+      // r·x summed as double and n·Σx multiplied as double: at 1e9
+      // users a long product overflows; at gate scale every term is
+      // < 2^53 so the double sums are still exact and match DuckDB's
+      // integer arithmetic bit-for-bit
+      ranked.groupBy().agg(
+        count(lit(1)).as("n_users"),
+        sum(col("x")).as("total_events"),
+        round((lit(2.0) * sum(col("r").cast("double") * col("x"))) /
+          (count(lit(1)).cast("double") * sum(col("x")).cast("double")) -
+          (count(lit(1)) + lit(1.0)) / count(lit(1)), 4).as("gini"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+      ranked AS (
+        SELECT x, row_number() OVER (ORDER BY x, user_id) AS r
+        FROM counts)
+      SELECT count(*) AS n_users, CAST(sum(x) AS BIGINT) AS total_events,
+             round(2.0 * sum(r * x) / (count(*) * 1.0 * sum(x))
+               - (count(*) + 1.0) / count(*), 4) AS gini
+      FROM ranked"""))
+
+  /** Pareto / concentration curve: users bucketed into value-deciles
+    * (exact SQL ntile semantics via [[DistributedRank.withNtile]] —
+    * range-shuffle, never one partition), each decile's revenue
+    * share and cumulative share. Rank order is (rounded total DESC,
+    * user_id) — rounded before ordering so float summation order
+    * cannot flip a decile boundary. The final cumulative window runs
+    * over exactly 10 rows (bounded by construction — the kdb_rfm
+    * precedent for a justified partition-less frame). */
+  private val pareto = QueryDef(
+    "kdb_pareto",
+    (s, d) => {
+      val totals = ev(s, d).groupBy(col("user_id"))
+        .agg(round(sum(col("value")), 2).as("tot"))
+      val tiled = DistributedRank.withNtile(
+        totals, "decile", 10, Seq(col("tot").desc, col("user_id")))
+      val byDecile = tiled.groupBy(col("decile")).agg(
+        count(lit(1)).as("n_users"), sum(col("tot")).as("dv"))
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDecile
+        .withColumn("share", col("dv") / sum(col("dv")).over(
+          Window.partitionBy()))
+        .select(col("decile"), col("n_users"),
+          round(col("dv"), 2).as("decile_value"),
+          round(col("share"), 4).as("share"),
+          round(sum(col("share")).over(w), 4).as("cum_share"))
+        .orderBy(col("decile"))
+    },
+    Some("""
+      WITH totals AS (
+        SELECT user_id, round(sum(value), 2) AS tot
+        FROM events GROUP BY 1),
+      tiled AS (
+        SELECT tot, ntile(10) OVER (ORDER BY tot DESC, user_id) AS decile
+        FROM totals),
+      by_decile AS (
+        SELECT decile, count(*) AS n_users, sum(tot) AS dv
+        FROM tiled GROUP BY 1),
+      shares AS (
+        SELECT decile, n_users, dv, dv / sum(dv) OVER () AS share
+        FROM by_decile)
+      SELECT decile, n_users, round(dv, 2) AS decile_value,
+             round(share, 4) AS share,
+             round(sum(share) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS cum_share
+      FROM shares ORDER BY decile"""))
+
+  /** Winsorized robust statistics per event type: exact p05/p95
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`, the q_percentile
+    * parity), payloads clamped into [p05, p95], raw vs winsorized
+    * mean/stddev side by side — the outlier-robust health view. Two
+    * shuffles on the same 5-key group column (AQE coalesces); the
+    * exact percentile buffers per group, bounded by |event types|
+    * groups — the approx variant (q_approx_quantile precedent) is
+    * the drop-in when group counts are data-sized. */
+  private val winsorize = QueryDef(
+    "kdb_winsorize",
+    (s, d) => {
+      val cuts = ev(s, d).groupBy(col("event_type"))
+        .agg(percentile(col("value"), array(lit(0.05), lit(0.95))).as("pp"))
+        .select(col("event_type"),
+          element_at(col("pp"), 1).as("p05"), element_at(col("pp"), 2).as("p95"))
+      val clamped = ev(s, d).join(cuts, Seq("event_type"))
+        .withColumn("wv", greatest(col("p05"), least(col("p95"), col("value"))))
+      clamped.groupBy(col("event_type")).agg(
+        round(max(col("p05")), 4).as("p05"),
+        round(max(col("p95")), 4).as("p95"),
+        round(avg(col("value")), 4).as("mean_raw"),
+        round(avg(col("wv")), 4).as("mean_wins"),
+        round(stddev_samp(col("value")), 4).as("std_raw"),
+        round(stddev_samp(col("wv")), 4).as("std_wins"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH cuts AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY 1),
+      clamped AS (
+        SELECT e.event_type, e.value, c.p05, c.p95,
+               greatest(c.p05, least(c.p95, e.value)) AS wv
+        FROM events e JOIN cuts c USING (event_type))
+      SELECT event_type,
+             round(max(p05), 4) AS p05, round(max(p95), 4) AS p95,
+             round(avg(value), 4) AS mean_raw, round(avg(wv), 4) AS mean_wins,
+             round(stddev_samp(value), 4) AS std_raw,
+             round(stddev_samp(wv), 4) AS std_wins
+      FROM clamped GROUP BY 1 ORDER BY event_type"""))
+
+  /** Cross-series quantile normalization (the microarray classic,
+    * here: make every event type's hourly-volume distribution
+    * identical while preserving each type's ranking): dense hourly
+    * grid per type (equal counts by construction — the Find-style
+    * type × slot broadcast grid), rank within type (PARTITIONED
+    * window), replace each value with the cross-type mean at its
+    * rank. Ranks order by (rounded sum, slot) — no raw-float
+    * ordering. Shape: one shuffle for the hourly rollup, one
+    * partitioned rank, one |grid|-sized mean-by-rank join. */
+  private val quantileNorm = QueryDef(
+    "kdb_quantile_norm",
+    (s, d) => {
+      val e = ev(s, d).filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+      val nSlots = (T1 - T0) / Hour
+      val types = e.select(col("event_type")).distinct()
+      val grid = types.crossJoin(
+        broadcast(s.range(nSlots).select((lit(T0) + col("id") * Hour).as("slot_ns"))))
+      val sums = e
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(round(sum(col("value")), 2).as("v"))
+      val dense = grid.join(sums, Seq("event_type", "slot_ns"), "left_outer")
+        .withColumn("v", coalesce(col("v"), lit(0.0)))
+      val ranked = dense.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("v"), col("slot_ns"))))
+      val rankMeans = ranked.groupBy(col("rnk"))
+        .agg(avg(col("v")).as("norm_v"))
+      ranked.join(rankMeans, Seq("rnk"))
+        .select(col("event_type"), col("slot_ns"), col("v"),
+          round(col("norm_v"), 4).as("norm_v"))
+        .orderBy(col("event_type"), col("slot_ns"))
+    },
+    Some(s"""
+      WITH types AS (SELECT DISTINCT event_type FROM events
+                     WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}),
+      grid AS (
+        SELECT event_type, g.slot_ns
+        FROM types CROSS JOIN range(${T0}, ${T1}, ${Hour}) g(slot_ns)),
+      sums AS (
+        SELECT event_type,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               round(sum(value), 2) AS v
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1, 2),
+      dense AS (
+        SELECT g.event_type, g.slot_ns, coalesce(s.v, 0.0) AS v
+        FROM grid g LEFT JOIN sums s USING (event_type, slot_ns)),
+      ranked AS (
+        SELECT event_type, slot_ns, v,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY v, slot_ns) AS rnk
+        FROM dense),
+      rank_means AS (
+        SELECT rnk, avg(v) AS norm_v FROM ranked GROUP BY 1)
+      SELECT r.event_type, r.slot_ns, r.v, round(m.norm_v, 4) AS norm_v
+      FROM ranked r JOIN rank_means m USING (rnk)
+      ORDER BY event_type, slot_ns"""))
+
+  /** Hurst exponent via rescaled-range (R/S) analysis on the hourly
+    * total-value series: for block sizes n ∈ {8,16,36,72,144} (each
+    * divides the 720-slot month exactly — no partial blocks), split
+    * the series into blocks, compute the range R of cumulative
+    * deviations and the population σ S per block, average R/S per n,
+    * and fit H as the OLS slope of ln(R/S) on ln(n). H≈0.5 random
+    * walk, >0.5 trending, <0.5 mean-reverting. All windows are
+    * PARTITIONED by (n, block); the OLS fold runs over exactly 5
+    * rows. The series itself is the dense hourly rollup — one
+    * shuffle, grid-bounded from there on. */
+  private val hurst = QueryDef(
+    "kdb_hurst",
+    (s, d) => {
+      val e = ev(s, d).filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+      val nSlots = (T1 - T0) / Hour
+      val grid = s.range(nSlots).select(col("id").as("idx"))
+      // slot - T0 is exactly divisible by Hour, so the double quotient
+      // is exact and the cast is lossless (pure int semantics)
+      val sums = e
+        .withColumn("idx",
+          ((col("ts_ns") - col("ts_ns") % Hour - T0) / Hour).cast("long"))
+        .groupBy(col("idx")).agg(round(sum(col("value")), 2).as("x"))
+      val series = grid.join(sums, Seq("idx"), "left_outer")
+        .withColumn("x", coalesce(col("x"), lit(0.0)))
+      val sized = series.crossJoin(
+        broadcast(s.createDataFrame(Seq(Tuple1(8L), Tuple1(16L), Tuple1(36L),
+          Tuple1(72L), Tuple1(144L))).toDF("n")))
+        .withColumn("blk", floor(col("idx") / col("n")))
+      val wCum = Window.partitionBy(col("n"), col("blk")).orderBy(col("idx"))
+      val dev = sized
+        .withColumn("mean_b", avg(col("x")).over(
+          Window.partitionBy(col("n"), col("blk"))))
+        .withColumn("cumdev", sum(col("x") - col("mean_b")).over(wCum))
+      val rs = dev.groupBy(col("n"), col("blk")).agg(
+        (max(col("cumdev")) - min(col("cumdev"))).as("r"),
+        stddev_pop(col("x")).as("sd"))
+        .filter(col("sd") > 0)
+        .groupBy(col("n")).agg(avg(col("r") / col("sd")).as("avg_rs"))
+      val ols = rs.groupBy().agg(
+        ((count(lit(1)) * sum(log(col("n")) * log(col("avg_rs"))) -
+          sum(log(col("n"))) * sum(log(col("avg_rs")))) /
+          (count(lit(1)) * sum(log(col("n")) * log(col("n"))) -
+            sum(log(col("n"))) * sum(log(col("n"))))).as("hurst"))
+      rs.crossJoin(ols)
+        .select(col("n"), round(col("avg_rs"), 4).as("avg_rs"),
+          round(col("hurst"), 4).as("hurst"))
+        .orderBy(col("n"))
+    },
+    Some(s"""
+      WITH series AS (
+        SELECT g.idx, coalesce(s.x, 0.0) AS x
+        FROM range(0, ${(T1 - T0) / Hour}) g(idx)
+        LEFT JOIN (
+          SELECT (epoch_ns(ts) - ${T0}) // ${Hour} AS idx,
+                 round(sum(value), 2) AS x
+          FROM events
+          WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+          GROUP BY 1) s USING (idx)),
+      sized AS (
+        SELECT n.n, series.idx, series.x, series.idx // n.n AS blk
+        FROM series CROSS JOIN (VALUES (8), (16), (36), (72), (144)) n(n)),
+      dev AS (
+        SELECT n, blk, x,
+               sum(x - mean_b) OVER (PARTITION BY n, blk ORDER BY idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumdev
+        FROM (
+          SELECT n, blk, idx, x,
+                 avg(x) OVER (PARTITION BY n, blk) AS mean_b
+          FROM sized)),
+      rs AS (
+        SELECT n, avg(r / sd) AS avg_rs FROM (
+          SELECT n, blk, max(cumdev) - min(cumdev) AS r,
+                 stddev_pop(x) AS sd
+          FROM dev GROUP BY 1, 2)
+        WHERE sd > 0 GROUP BY 1),
+      ols AS (
+        SELECT (count(*) * sum(ln(n) * ln(avg_rs)) -
+                sum(ln(n)) * sum(ln(avg_rs))) /
+               (count(*) * sum(ln(n) * ln(n)) -
+                sum(ln(n)) * sum(ln(n))) AS hurst
+        FROM rs)
+      SELECT n, round(avg_rs, 4) AS avg_rs, round(hurst, 4) AS hurst
+      FROM rs CROSS JOIN ols ORDER BY n"""))
+
+  /** Poisson-bootstrap confidence interval for the mean purchase
+    * value — the at-scale bootstrap: instead of resampling rows
+    * (a B-fold shuffle of the data), each (row, replicate) pair
+    * draws a deterministic Poisson(1) weight from the shared 60-bit
+    * hash, so the whole thing is one explode + one map-side-
+    * combinable aggregation producing B=200 rows. No rand(): the
+    * weight of row r in replicate b is a pure function of (r, b),
+    * identical in both engines and across retries. The inverse-CDF
+    * thresholds are the Poisson(1) CDF to k=6 (7+ truncated,
+    * P ≈ 8e-6). CI = exact 2.5/97.5 percentiles of the 200
+    * replicate means. */
+  private val bootstrap = QueryDef(
+    "kdb_bootstrap_ci",
+    (s, d) => {
+      val x = ev(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("value"))
+      val u = hash60(concat(col("event_id").cast("string"), lit(":"),
+        col("b").cast("string"))).cast("double") / lit(1152921504606846976.0)
+      val w = when(u < 0.36787944117144233, 0.0)
+        .when(u < 0.7357588823428847, 1.0)
+        .when(u < 0.9196986029286058, 2.0)
+        .when(u < 0.9810118431238463, 3.0)
+        .when(u < 0.9963401531726563, 4.0)
+        .when(u < 0.9994058151824183, 5.0)
+        .when(u < 0.999916758850712, 6.0)
+        .otherwise(7.0)
+      val reps = x.withColumn("b", explode(sequence(lit(0), lit(199))))
+        .withColumn("w", w)
+        .groupBy(col("b"))
+        .agg((sum(col("w") * col("value")) / sum(col("w"))).as("mb"))
+      val ci = reps.groupBy().agg(
+        percentile(col("mb"), array(lit(0.025), lit(0.975))).as("pp"),
+        count(lit(1)).as("b_count"))
+      val point = x.groupBy().agg(
+        count(lit(1)).as("n_rows"), avg(col("value")).as("m"))
+      point.crossJoin(ci).select(
+        col("n_rows"), col("b_count"),
+        round(col("m"), 4).as("point_est"),
+        round(element_at(col("pp"), 1), 4).as("ci_lo"),
+        round(element_at(col("pp"), 2), 4).as("ci_hi"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT event_id, value FROM events WHERE event_type = 'purchase'),
+      reps AS (
+        SELECT b.range AS b,
+               sum(w * value) / sum(w) AS mb
+        FROM x CROSS JOIN range(0, 200) b,
+        LATERAL (SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                   || ':' || CAST(b.range AS VARCHAR)), 1, 15))::BIGINT
+                   AS DOUBLE) / 1152921504606846976.0 AS u) h,
+        LATERAL (SELECT CASE
+                   WHEN u < 0.36787944117144233 THEN 0.0
+                   WHEN u < 0.7357588823428847 THEN 1.0
+                   WHEN u < 0.9196986029286058 THEN 2.0
+                   WHEN u < 0.9810118431238463 THEN 3.0
+                   WHEN u < 0.9963401531726563 THEN 4.0
+                   WHEN u < 0.9994058151824183 THEN 5.0
+                   WHEN u < 0.999916758850712 THEN 6.0
+                   ELSE 7.0 END AS w) p
+        GROUP BY 1),
+      ci AS (
+        SELECT quantile_cont(mb, 0.025) AS lo,
+               quantile_cont(mb, 0.975) AS hi,
+               count(*) AS b_count
+        FROM reps),
+      pt AS (
+        SELECT count(*) AS n_rows, avg(value) AS m FROM x)
+      SELECT n_rows, b_count, round(m, 4) AS point_est,
+             round(lo, 4) AS ci_lo, round(hi, 4) AS ci_hi
+      FROM pt CROSS JOIN ci"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    welch, mannWhitney, gini, pareto, winsorize, quantileNorm, hurst,
+    bootstrap)
+}

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+import graft.sources.Tables.embeddings
+
+/** Training-set curation over the labeled embedding corpus — the ops
+  * between "deduped corpus" and "training batch": contrastive
+  * hard-negative mining, a nearest-centroid label audit, and
+  * diversity-constrained retrieval. All pairwise work is broadcast-
+  * bounded (a fixed anchor/centroid set against the corpus) or
+  * LSH-bucket-local — never an all-pairs self-join.
+  */
+object TrainingQueries extends QueryModule {
+
+  /** DuckDB twin of the strict left-fold dot product (identical
+    * association order to graft.plans.DotProduct — bit-identical
+    * doubles, the llm_dedup_semantic precedent). */
+  private def dkDot(a: String, b: String): String =
+    s"""list_reduce([0.0] || list_transform(generate_series(1, len($a)),
+       i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
+
+  private def dkCos(a: String, b: String): String =
+    s"${dkDot(a, b)} / (sqrt(${dkDot(a, a)}) * sqrt(${dkDot(b, b)}))"
+
+  /** Contrastive hard-negative mining: for each of 32 anchor vectors,
+    * the top-3 most-similar vectors carrying a DIFFERENT label — the
+    * negatives that actually move a contrastive loss. The anchor set
+    * broadcasts (fixed, small); the corpus streams past it once, so
+    * the cost is |corpus| × |anchors| codegen'd cosine folds with a
+    * per-anchor top-k window — no shuffle of the corpus itself beyond
+    * the window's anchor-key exchange. At 100 TB the same query runs
+    * against the IVF/LSH-bucketed index (llm_similarity_ivf) to cut
+    * the candidate set; brute force is the exactness baseline. */
+  private val hardNegatives = QueryDef(
+    "llm_hard_negatives",
+    (s, d) => {
+      val e = embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("qid"), col("label").as("q_label"),
+          col("embedding").as("qv"))
+      val corpus = e.select(col("vec_id").as("nid"),
+        col("label").as("n_label"), col("embedding").as("nv"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      broadcast(anchors)
+        .join(corpus, col("q_label") =!= col("n_label"))
+        .withColumn("cos", cosine(col("qv"), col("nv")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("qid"), col("rk"), col("nid"), col("q_label"),
+          col("n_label"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    Some(s"""
+      WITH anchors AS (
+        SELECT vec_id AS qid, label AS q_label, embedding AS qv
+        FROM embeddings WHERE vec_id < 32),
+      scored AS (
+        SELECT a.qid, a.q_label, c.vec_id AS nid, c.label AS n_label,
+               ${dkCos("a.qv", "c.embedding")} AS cos
+        FROM anchors a JOIN embeddings c ON a.q_label <> c.label),
+      rk AS (
+        SELECT qid, q_label, nid, n_label, cos,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, nid) AS rk
+        FROM scored)
+      SELECT qid, rk, nid, q_label, n_label, round(cos, 4) AS cos
+      FROM rk WHERE rk <= 3
+      ORDER BY qid, rk"""))
+
+  /** Nearest-centroid label audit: hash-split train/test (vec_id%5=0
+    * is test), per-label centroids from train, every test vector
+    * classified to its nearest centroid by cosine, output the
+    * confusion matrix. The cross-engine float-mean trap
+    * (llm_similarity_ivf_trained scaladoc) is solved EXACTLY here:
+    * each component is quantized to integer micros and the centroid
+    * is the micro-SUM — integer, order-independent, identical in
+    * both engines — and since cosine is scale-invariant the sum IS
+    * the mean for classification purposes (no division, no float
+    * mean). Scale shape: one posexplode pass for 10×64 integer
+    * cells, centroids broadcast, one corpus pass to classify. */
+  private val centroidClassify = QueryDef(
+    "llm_centroid_classify",
+    (s, d) => {
+      val e = embeddings(s, d)
+      val cells = e.filter(col("vec_id") % 5 =!= 0)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(round(col("v").cast("double") * 1000000, 0).cast("long")).as("sm"))
+      val cents = cells.groupBy(col("label"))
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("sm")))),
+          x => x.getField("sm").cast("double")).as("cv"))
+        .select(col("label").as("c_label"), col("cv"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("c_label"))
+      e.filter(col("vec_id") % 5 === 0)
+        .crossJoin(broadcast(cents))
+        .withColumn("cos", cosine(col("embedding"), col("cv")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .groupBy(col("label"), col("c_label").as("pred_label"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("label"), col("pred_label"))
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT label, t.dim AS dim,
+               CAST(sum(CAST(round(CAST(embedding[t.dim] AS DOUBLE) * 1000000, 0)
+                 AS BIGINT)) AS BIGINT) AS sm
+        FROM embeddings CROSS JOIN range(1, 65) t(dim)
+        WHERE vec_id % 5 <> 0
+        GROUP BY 1, 2),
+      cents AS (
+        SELECT label AS c_label,
+               list(CAST(sm AS DOUBLE) ORDER BY dim) AS cv
+        FROM cells GROUP BY 1),
+      scored AS (
+        SELECT e.vec_id, e.label, c.c_label,
+               ${dkCos("e.embedding", "c.cv")} AS cos
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id % 5 = 0),
+      best AS (
+        SELECT vec_id, label, c_label,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, c_label) AS rk
+        FROM scored)
+      SELECT label, c_label AS pred_label, count(*) AS n_vecs
+      FROM best WHERE rk = 1
+      GROUP BY 1, 2
+      ORDER BY label, pred_label"""))
+
+  /** Diversity-constrained retrieval: cosine top-10 for a query
+    * vector, but at most ONE result per 8-bit sign-LSH bucket — the
+    * cheap deterministic stand-in for MMR re-ranking (greedy MMR is
+    * inherently sequential; bucket-capping gets the "don't return 10
+    * near-duplicates" effect in two partitioned window passes).
+    * Bucket-best is a 256-way partitioned window; the final top-10
+    * is a TakeOrderedAndProject over ≤256 bucket winners. Safe to
+    * order on the raw cosine: the fold is bit-identical in both
+    * engines (llm_dedup_semantic precedent). */
+  private val diversifiedTopk = QueryDef(
+    "llm_diversified_topk",
+    (s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val w = Window.partitionBy(col("bucket")).orderBy(col("cos").desc, col("nid"))
+      e.filter(col("vec_id") > 0)
+        .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+        .crossJoin(broadcast(q))
+        .withColumn("cos", cosine(col("qv"), col("nv")))
+        .withColumn("bucket", signBucket(col("nv"), 8))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("bucket"), col("nid"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("cos").desc, col("nid")).limit(10)
+        .orderBy(col("cos").desc, col("nid"))
+    },
+    Some {
+      val bucket = (0 until 8).map(i =>
+        s"CASE WHEN nv[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      s"""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT e.vec_id AS nid, e.embedding AS nv,
+               ${dkCos("q.qv", "e.embedding")} AS cos
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id > 0),
+      bucketed AS (
+        SELECT nid, cos, $bucket AS bucket,
+               row_number() OVER (PARTITION BY ($bucket)
+                 ORDER BY cos DESC, nid) AS rk
+        FROM scored)
+      SELECT bucket, nid, round(cos, 4) AS cos
+      FROM bucketed WHERE rk = 1
+      ORDER BY cos DESC, nid LIMIT 10"""
+    })
+
+  val defs: Seq[QueryDef] = Seq(hardNegatives, centroidClassify, diversifiedTopk)
+}

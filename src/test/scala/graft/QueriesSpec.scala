@@ -177,7 +177,20 @@ class QueriesSpec extends SparkTestBase {
       "kdb_survival_km",
       // llm_pmi_collocations: the two 1-row corpus totals (N tokens,
       // B bigrams) ride broadcast cross joins, same as llm_lm_score's
-      "llm_pmi_collocations")
+      "llm_pmi_collocations",
+      // kdb_quantile_norm / kdb_hurst: dense-grid densification with
+      // the grid (slots, R/S block sizes) side broadcast — the
+      // kdb_acf/benford shape
+      "kdb_quantile_norm", "kdb_hurst",
+      // kdb_mann_whitney / kdb_bootstrap_ci: 1-row statistic frames
+      // (tie-correction total, CI bounds) stitched by broadcast cross
+      // joins, same as llm_lm_score's scalar
+      "kdb_mann_whitney", "kdb_bootstrap_ci",
+      // llm_hard_negatives / llm_centroid_classify /
+      // llm_diversified_topk: fixed anchor/centroid/query sets
+      // broadcast over the corpus (non-equi label/id predicates),
+      // same shape as llm_similarity_topk
+      "llm_hard_negatives", "llm_centroid_classify", "llm_diversified_topk")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
@@ -405,6 +418,65 @@ class QueriesSpec extends SparkTestBase {
     // -merging raw events against themselves
     assert(plan.linesIterator.count(_.contains("Scan parquet")) <= 4,
       "ACF must derive every branch from the slot pre-agg, not re-scan events per lag")
+  }
+
+  test("stats batch: global ranks come from DistributedRank, not a single-partition window") {
+    // kdb_mann_whitney / kdb_gini / kdb_pareto rank DATA-SIZED frames
+    // (all values / all users); their plans must start from the
+    // DistributedRank localCheckpoint boundary — proof the range-
+    // shuffle rank ran, instead of a rank window over one partition
+    Seq("kdb_mann_whitney", "kdb_gini", "kdb_pareto").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ExistingRDD"),
+        s"$name: expected the DistributedRank checkpoint boundary")
+      assert(!plan.contains("Scan parquet"),
+        s"$name: final plan should derive from the ranked checkpoint, not re-scan")
+    }
+  }
+
+  test("kdb_welch_ttest is pure aggregation: no windows, no joins") {
+    val plan = SparkEntry.queries("kdb_welch_ttest")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "t-test must not need a window")
+    assert(!plan.contains("Join"), "t-test must fold to one row without joins")
+  }
+
+  test("kdb_bootstrap_ci: replicate means partial-aggregate before the shuffle") {
+    val plan = SparkEntry.queries("kdb_bootstrap_ci")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the explode(0..199) fan-out must be followed by a partial
+    // HashAggregate in the same stage — only B rows per task shuffle,
+    // never the exploded rows
+    assert(plan.contains("Generate explode"), "expected the replicate explode")
+    val genIdx = plan.indexOf("Generate explode")
+    val aggBefore = plan.lastIndexOf("HashAggregate", genIdx)
+    assert(aggBefore >= 0 &&
+      !plan.substring(aggBefore, genIdx).contains("Exchange"),
+      "partial aggregation must sit between explode and the exchange")
+  }
+
+  test("kdb_quantile_norm / kdb_hurst: the grid side rides IdentityBroadcastMode") {
+    Seq("kdb_quantile_norm", "kdb_hurst").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastExchange IdentityBroadcastMode"),
+        s"$name: grid densification must broadcast the grid side")
+      assert(!plan.contains("CartesianProduct"), s"$name: unexpected cartesian")
+    }
+  }
+
+  test("training batch: the fixed small side broadcasts over one corpus pass") {
+    Seq("llm_hard_negatives", "llm_centroid_classify", "llm_diversified_topk")
+      .foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastExchange"),
+          s"$name: anchors/centroids/query must broadcast")
+        assert(!plan.contains("CartesianProduct"), s"$name: unexpected cartesian")
+        assert(plan.linesIterator.count(_.contains("Scan parquet")) <= 2,
+          s"$name: corpus must not be re-scanned per stage")
+      }
   }
 
   test("llm_pagerank_centrality truncates lineage: iterations end at a checkpoint boundary") {

@@ -71,7 +71,15 @@ object ScaleBench {
     // non-equi hash semi join, and the silhouette eval (corpus ×
     // broadcast centroids; centroid count is fixed, so growth is the
     // scoring scan)
-    "q_waiting_suppliers", "q_priority_wait", "llm_cluster_quality")
+    "q_waiting_suppliers", "q_priority_wait", "llm_cluster_quality",
+    // r7-cont wave 3 (stats/training batch): the exact distributed
+    // rank (range shuffle must scale ~linearly), the 200× Poisson
+    // replicate explode (partial-agg must keep the shuffle at B rows
+    // per task), the dense-grid normalization (rollup-dominated,
+    // grid constant), and anchor-broadcast negative mining (one
+    // corpus scan growth)
+    "kdb_mann_whitney", "kdb_bootstrap_ci", "kdb_quantile_norm",
+    "llm_hard_negatives")
 
   private val Tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

@@ -23,6 +23,7 @@ object SparkEntry {
     LlmQueries,
     StatsQueries,
     TrainingQueries,
+    SeriesOpsQueries,
     StreamingTwinQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

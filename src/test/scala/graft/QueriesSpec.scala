@@ -479,6 +479,32 @@ class QueriesSpec extends SparkTestBase {
       }
   }
 
+  test("kdb_wj_agg: the window join is a bucket-exploded hash EQUI-join, never non-equi") {
+    val plan = SparkEntry.queries("kdb_wj_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate explode"),
+      "left rows must explode into their spanned hour buckets")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "the (user, bucket) key must plan as a hash/merge equi-join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "a non-equi plan would replicate raw events at 100 TB")
+  }
+
+  test("kdb_dtw / kdb_vwap plan shapes: grid-bounded DP, pure aggregation") {
+    val dtw = SparkEntry.queries("kdb_dtw")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the DP runs inside one projection over a 1-row aggregate — the
+    // only data-sized work is the slot rollup scan
+    assert(dtw.linesIterator.count(_.contains("Scan parquet")) <= 1,
+      "DTW must derive both series from ONE events scan")
+    assert(!dtw.contains("CartesianProduct"))
+    val vwap = SparkEntry.queries("kdb_vwap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!vwap.contains("Window") && !vwap.contains("Join"),
+      "vwap is one map-side-combinable aggregation")
+  }
+
   test("llm_pagerank_centrality truncates lineage: iterations end at a checkpoint boundary") {
     val qe = SparkEntry.queries("llm_pagerank_centrality")(spark, sf).queryExecution
     val plan = qe.executedPlan.toString

@@ -1,0 +1,226 @@
+package graft
+
+import java.nio.file.Files
+import graft.queries.KdbQueries.{T0, T1}
+
+/** Kernel correctness for the stats / series-ops / training batches,
+  * against plain-Scala reference implementations and closed-form
+  * invariants — the spec layer under the DuckDB oracle gate (which
+  * proves cross-engine agreement, not algorithmic correctness).
+  */
+class StatsKernelSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Synthetic events dir (ts as int64 ns — the ns-long source shape
+    * from DriverSessionCompatSpec). */
+  private def eventsDir(
+      rows: Seq[(Long, Long, Long, String, Double, String)]): String = {
+    val dir = Files.createTempDirectory("graft-statskernel").toString
+    val s = spark
+    import s.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  // ---------------- Gini ----------------
+
+  test("kdb_gini: closed forms — equal counts give 0, concentration approaches (n-1)/n") {
+    // 4 users × 5 events each → perfect equality
+    val equal = eventsDir((0 until 20).map(i =>
+      (i.toLong, T0 + i * 1000L, (i % 4).toLong, "click", 1.0, "{}")))
+    val g0 = SparkEntry.queries("kdb_gini")(spark, equal)
+      .collect().head.getAs[Double]("gini")
+    assert(g0 === 0.0)
+
+    // counts 1,1,1,97: reference formula
+    val rows = (0 until 3).map(i =>
+      (i.toLong, T0 + i * 1000L, i.toLong, "click", 1.0, "{}")) ++
+      (0 until 97).map(i =>
+        (100L + i, T0 + (100 + i) * 1000L, 9L, "click", 1.0, "{}"))
+    val skew = eventsDir(rows)
+    val xs = Seq(1L, 1L, 1L, 97L) // ascending
+    val n = xs.size
+    val expected = 2.0 * xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum /
+      (n.toDouble * xs.sum) - (n + 1.0) / n
+    val g1 = SparkEntry.queries("kdb_gini")(spark, skew)
+      .collect().head.getAs[Double]("gini")
+    assert(g1 === math.rint(expected * 10000) / 10000)
+  }
+
+  // ---------------- Mann–Whitney ----------------
+
+  /** Reference mid-rank U and tie-corrected z. */
+  private def mwRef(click: Seq[Double], purch: Seq[Double]): (Double, Double) = {
+    val all = click ++ purch
+    val n = all.size
+    def midrank(v: Double) =
+      all.count(_ < v) + (all.count(_ == v) + 1) / 2.0
+    val r1 = click.map(midrank).sum
+    val n1 = click.size.toDouble
+    val n2 = purch.size.toDouble
+    val u1 = r1 - n1 * (n1 + 1) / 2.0
+    val tiesum = all.groupBy(identity).values
+      .map { g => val t = g.size.toDouble; t * t * t - t }.sum
+    val sig = math.sqrt(n1 * n2 / 12.0 * ((n + 1) - tiesum / (n.toDouble * (n - 1))))
+    (u1, (u1 - n1 * n2 / 2.0) / sig)
+  }
+
+  test("kdb_mann_whitney matches the reference U/z on tie-free and tied samples") {
+    for ((click, purch) <- Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(1.0, 1.0, 2.0, 7.5), Seq(2.0, 3.0, 3.0)))) {
+      val rows =
+        click.zipWithIndex.map { case (v, i) =>
+          (i.toLong, T0 + i * 1000L, 1L, "click", v, "{}") } ++
+        purch.zipWithIndex.map { case (v, i) =>
+          (100L + i, T0 + (100 + i) * 1000L, 2L, "purchase", v, "{}") }
+      val got = SparkEntry.queries("kdb_mann_whitney")(spark, eventsDir(rows))
+        .collect().head
+      val (u1, z) = mwRef(click, purch)
+      assert(got.getAs[Double]("u1") === math.rint(u1 * 100) / 100)
+      assert(got.getAs[Double]("z_stat") === math.rint(z * 10000) / 10000 + 0.0)
+    }
+  }
+
+  // ---------------- Welch ----------------
+
+  test("kdb_welch_ttest: identical samples give t = 0 with the Satterthwaite df") {
+    val rows = Seq(1.0, 2.0, 3.0).zipWithIndex.flatMap { case (v, i) => Seq(
+      (i.toLong, T0 + i * 1000L, 1L, "click", v, "{}"),
+      (10L + i, T0 + i * 1000L, 2L, "purchase", v, "{}")) }
+    val got = SparkEntry.queries("kdb_welch_ttest")(spark, eventsDir(rows))
+      .collect().head
+    assert(got.getAs[Double]("t_stat") === 0.0)
+    assert(got.getAs[Double]("df_welch") === 4.0) // closed form for equal v/n
+  }
+
+  // ---------------- Poisson bootstrap ----------------
+
+  test("kdb_bootstrap_ci: a constant sample has a degenerate CI at the constant") {
+    // every replicate mean of a constant is the constant, whatever the
+    // Poisson weights drew (P[all-zero weights] ~ e^-300)
+    val rows = (0 until 300).map(i =>
+      (i.toLong, T0 + i * 1000L, (i % 7).toLong, "purchase", 10.0, "{}"))
+    val got = SparkEntry.queries("kdb_bootstrap_ci")(spark, eventsDir(rows))
+      .collect().head
+    assert(got.getAs[Double]("point_est") === 10.0)
+    assert(got.getAs[Double]("ci_lo") === 10.0)
+    assert(got.getAs[Double]("ci_hi") === 10.0)
+    assert(got.getAs[Long]("b_count") === 200L)
+  }
+
+  test("kdb_bootstrap_ci on testdata: lo <= point <= hi, strict width") {
+    val got = SparkEntry.queries("kdb_bootstrap_ci")(spark, sf).collect().head
+    val (lo, pt, hi) = (got.getAs[Double]("ci_lo"),
+      got.getAs[Double]("point_est"), got.getAs[Double]("ci_hi"))
+    assert(lo <= pt && pt <= hi && lo < hi)
+  }
+
+  // ---------------- VWAP ----------------
+
+  test("kdb_vwap: constant price is weight-invariant") {
+    val rows = (0 until 10).map(i =>
+      (i.toLong, T0 + i * 3600L * 1000000000L, 1L, "click", 3.5,
+        s"""{"k": ${i % 5 + 1}}"""))
+    val out = SparkEntry.queries("kdb_vwap")(spark, eventsDir(rows)).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Double]("vwap") === 3.5))
+  }
+
+  // ---------------- DTW ----------------
+
+  /** Reference banded DP (full matrix, same recurrence). */
+  private def dtwRef(a: Array[Double], b: Array[Double], w: Int): Double = {
+    val n = a.length
+    val inf = 1e18
+    val dp = Array.fill(n + 1, n + 1)(inf)
+    dp(0)(0) = 0.0
+    for (i <- 1 to n; j <- 1 to n if math.abs(i - j) <= w)
+      dp(i)(j) = math.abs(a(i - 1) - b(j - 1)) +
+        math.min(dp(i - 1)(j), math.min(dp(i - 1)(j - 1), dp(i)(j - 1)))
+    dp(n)(n)
+  }
+
+  test("kdb_dtw: identical series warp at zero cost") {
+    val rows = (0 until 40).flatMap { i =>
+      val ts = T0 + i.toLong * 6 * 3600L * 1000000000L / 2
+      Seq((i.toLong * 2, ts, 1L, "click", (i % 7) * 1.25, "{}"),
+        (i.toLong * 2 + 1, ts, 2L, "purchase", (i % 7) * 1.25, "{}"))
+    }
+    val got = SparkEntry.queries("kdb_dtw")(spark, eventsDir(rows)).collect().head
+    assert(got.getAs[Double]("dtw_dollars") === 0.0)
+  }
+
+  test("kdb_dtw matches the reference banded DP on a shifted series") {
+    val res = (T1 - T0) / 120
+    // clicks: pulse at slots 10..20; purchases: same pulse shifted +3
+    // slots (inside the w=8 band, so DTW should be far below the
+    // aligned L1 distance)
+    val rows = (10 to 20).flatMap { sl =>
+      Seq((sl.toLong, T0 + sl * res, 1L, "click", sl * 2.0, "{}"),
+        (100L + sl, T0 + (sl + 3) * res, 2L, "purchase", sl * 2.0, "{}"))
+    }
+    val a = Array.fill(120)(0.0)
+    val b = Array.fill(120)(0.0)
+    (10 to 20).foreach { sl =>
+      a(sl) = math.rint(sl * 2.0 * 100) // cents
+      b(sl + 3) = math.rint(sl * 2.0 * 100)
+    }
+    val expected = math.rint(dtwRef(a, b, 8) / 100.0 * 100) / 100
+    val got = SparkEntry.queries("kdb_dtw")(spark, eventsDir(rows)).collect().head
+    assert(got.getAs[Double]("dtw_dollars") === expected)
+    // and the shape claim itself: warping beats aligned comparison
+    val alignedL1 = a.zip(b).map { case (x, y) => math.abs(x - y) }.sum / 100.0
+    assert(expected < alignedL1)
+  }
+
+  // ---------------- invariants on the gate corpus ----------------
+
+  test("kdb_pareto: deciles are balanced, shares sum to 1") {
+    val out = SparkEntry.queries("kdb_pareto")(spark, sf).collect()
+    assert(out.map(_.getAs[Int]("decile")).toSeq === (1 to 10))
+    val counts = out.map(_.getAs[Long]("n_users"))
+    assert(counts.max - counts.min <= 1, "exact ntile balance")
+    assert(math.abs(out.last.getAs[Double]("cum_share") - 1.0) < 2e-3)
+    // shares are non-increasing by construction (ordered by total desc)
+    val shares = out.map(_.getAs[Double]("share")).toSeq
+    assert(shares === shares.sorted.reverse)
+  }
+
+  test("kdb_quantile_norm: every type ends with the identical value distribution") {
+    val out = SparkEntry.queries("kdb_quantile_norm")(spark, sf).collect()
+    val byType = out.groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rs) => t -> rs.map(_.getAs[Double]("norm_v")).sorted.toSeq }
+    assert(byType.values.toSet.size === 1,
+      "quantile normalization must equalize the distributions exactly")
+  }
+
+  test("kdb_hurst: exponent is in (0,1) and R/S grows with block size") {
+    val out = SparkEntry.queries("kdb_hurst")(spark, sf).collect()
+    assert(out.length === 5)
+    val h = out.head.getAs[Double]("hurst")
+    assert(h > 0.0 && h < 1.0)
+    val rs = out.map(_.getAs[Double]("avg_rs")).toSeq
+    assert(rs === rs.sorted, "avg R/S should increase with n")
+  }
+
+  test("training batch invariants: label disjointness, partition of test split, bucket cap") {
+    val neg = SparkEntry.queries("llm_hard_negatives")(spark, sf).collect()
+    assert(neg.nonEmpty)
+    neg.foreach(r => assert(r.get(r.fieldIndex("q_label")) != r.get(r.fieldIndex("n_label"))))
+    assert(neg.groupBy(_.getAs[Long]("qid")).values.forall(_.length <= 3))
+
+    val conf = SparkEntry.queries("llm_centroid_classify")(spark, sf).collect()
+    val nTest = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter("vec_id % 5 = 0").count()
+    assert(conf.map(_.getAs[Long]("n_vecs")).sum === nTest,
+      "confusion matrix must partition the test split")
+
+    val div = SparkEntry.queries("llm_diversified_topk")(spark, sf).collect()
+    assert(div.length === 10)
+    assert(div.map(_.getAs[Long]("bucket")).distinct.length === 10,
+      "at most one result per LSH bucket")
+  }
+}

@@ -31,6 +31,20 @@ object StreamingTwinQueries extends QueryModule {
 
   private val Hour = 3600L * 1000 * 1000 * 1000 // ns
 
+  /** Run `f` with shuffle partitions scoped down to 8 and restore the
+    * session value after. Stateful streaming cost is dominated by
+    * per-partition state-store instantiation + checkpoint commits —
+    * 32 stores for a single-file replay is pure overhead (a real
+    * deployment sizes this to state volume, which here is KBs). The
+    * conf is read at query START, so scoping the start+await block is
+    * sufficient; results are partition-count-invariant. */
+  private def withReplayPartitions[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, "8")
+    try f finally s.conf.set(key, old)
+  }
+
   /** events.ts → int64 ns, same dispatch as KdbQueries.ev (the
     * session reads ns-annotated parquet as LongType via
     * spark.sql.legacy.parquet.nanosAsLong). */
@@ -57,14 +71,16 @@ object StreamingTwinQueries extends QueryModule {
       }
     val stream = s.readStream.schema(schema).parquet(dir)
     val table = s"stream_twin_${System.nanoTime()}"
-    val q = transform(stream).writeStream
-      .format("memory").queryName(table)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft-twin-ckpt").toString)
-      .start()
-    q.awaitTermination()
+    withReplayPartitions(s) {
+      val q = transform(stream).writeStream
+        .format("memory").queryName(table)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-twin-ckpt").toString)
+        .start()
+      q.awaitTermination()
+    }
     s.table(table)
   }
 
@@ -300,14 +316,16 @@ object StreamingTwinQueries extends QueryModule {
     val left = s.readStream.schema(schema).parquet(dir)
     val right = s.readStream.schema(schema).parquet(dir)
     val table = s"stream_twin_${System.nanoTime()}"
-    val q = transform(left, right).writeStream
-      .format("memory").queryName(table)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft-twin-ckpt").toString)
-      .start()
-    q.awaitTermination()
+    withReplayPartitions(s) {
+      val q = transform(left, right).writeStream
+        .format("memory").queryName(table)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-twin-ckpt").toString)
+        .start()
+      q.awaitTermination()
+    }
     s.table(table)
   }
 
@@ -331,13 +349,15 @@ object StreamingTwinQueries extends QueryModule {
         val pts = stream.select(
           tsNs(stream).as("ts"), array(col("event_type")).as("tags"))
         val table = s"stream_twin_rec_${tableSuffix}_${System.nanoTime()}"
-        val q = StreamingIngest.tumblingCounts(pts, Hour, watermarkNs = 0L)
-          .writeStream.format("memory").queryName(table)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ckpt)
-          .start()
-        q.awaitTermination()
+        withReplayPartitions(s) {
+          val q = StreamingIngest.tumblingCounts(pts, Hour, watermarkNs = 0L)
+            .writeStream.format("memory").queryName(table)
+            .outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .start()
+          q.awaitTermination()
+        }
         s.table(table)
       }
       src.filter(col("event_id") % 2 === 0).write.parquet(s"$inDir/chunk0")

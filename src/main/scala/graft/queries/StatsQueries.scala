@@ -492,7 +492,169 @@ object StatsQueries extends QueryModule {
              round(lo, 4) AS ci_lo, round(hi, 4) AS ci_hi
       FROM pt CROSS JOIN ci"""))
 
+  /** Mann–Kendall trend test on the hourly total-cents series: S =
+    * Σ_{i<j} sign(x_j − x_i) with the tie-corrected variance and
+    * continuity-corrected z — the nonparametric "is there ANY
+    * monotone trend?" complement to kdb_ols_trend's linear fit and
+    * kdb_theilsen_slope's robust slope. Everything is exact int64
+    * until z. The pair space is the 720-slot GRID self-joined with
+    * itself (≤ 259k pairs, constant in data size — broadcast one
+    * side, the kdb_acf grid-join shape); the data-sized work is one
+    * hourly rollup. */
+  private val mannKendall = QueryDef(
+    "kdb_mann_kendall",
+    (s, d) => {
+      val e = ev(s, d).filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+      val nSlots = (T1 - T0) / Hour
+      val grid = s.range(nSlots).select(col("id").as("idx"))
+      val sums = e
+        .withColumn("idx",
+          ((col("ts_ns") - col("ts_ns") % Hour - T0) / Hour).cast("long"))
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .groupBy(col("idx")).agg(sum(col("cents")).as("x"))
+      val dense = grid.join(sums, Seq("idx"), "left_outer")
+        .withColumn("x", coalesce(col("x"), lit(0L)))
+      val a = dense.select(col("idx").as("i"), col("x").as("xi"))
+      val b = dense.select(col("idx").as("j"), col("x").as("xj"))
+      val sStat = a.join(broadcast(b), col("i") < col("j"))
+        .groupBy().agg(sum(signum(col("xj") - col("xi")).cast("long")).as("s_stat"))
+      val ties = dense.groupBy(col("x")).agg(count(lit(1)).as("t"))
+        .groupBy().agg(
+          sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tiesum"),
+          count(lit(1)).as("n_groups"))
+      val n = lit(nSlots.toDouble)
+      val variance = (n * (n - 1) * (lit(2.0) * n + 5) - col("tiesum")) / lit(18.0)
+      val sD = col("s_stat").cast("double")
+      val z = when(col("s_stat") > 0, (sD - 1) / sqrt(variance))
+        .when(col("s_stat") < 0, (sD + 1) / sqrt(variance))
+        .otherwise(lit(0.0))
+      sStat.crossJoin(ties).select(
+        lit(nSlots).as("n_slots"), col("s_stat"),
+        (round(z, 4) + lit(0.0)).as("z_stat"),
+        when(z > 1.96, "increasing").when(z < -1.96, "decreasing")
+          .otherwise("no_trend").as("trend"))
+    },
+    Some(s"""
+      WITH sums AS (
+        SELECT (epoch_ns(ts) - epoch_ns(ts) % ${Hour} - ${T0}) // ${Hour} AS idx,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1),
+      dense AS (
+        SELECT g.idx, coalesce(s.x, 0) AS x
+        FROM range(0, ${(T1 - T0) / Hour}) g(idx) LEFT JOIN sums s USING (idx)),
+      st AS (
+        SELECT CAST(sum(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT) AS s_stat
+        FROM dense a JOIN dense b ON a.idx < b.idx),
+      ties AS (
+        SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tiesum
+        FROM (SELECT count(*) AS t FROM dense GROUP BY x)),
+      z AS (
+        SELECT s_stat, tiesum,
+               CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1) /
+                      sqrt((${(T1 - T0) / Hour}.0 * (${(T1 - T0) / Hour} - 1)
+                        * (2.0 * ${(T1 - T0) / Hour} + 5) - tiesum) / 18.0)
+                    WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1) /
+                      sqrt((${(T1 - T0) / Hour}.0 * (${(T1 - T0) / Hour} - 1)
+                        * (2.0 * ${(T1 - T0) / Hour} + 5) - tiesum) / 18.0)
+                    ELSE 0.0 END AS zv
+        FROM st CROSS JOIN ties)
+      SELECT ${(T1 - T0) / Hour} AS n_slots, s_stat,
+             round(zv, 4) + 0.0 AS z_stat,
+             CASE WHEN zv > 1.96 THEN 'increasing'
+                  WHEN zv < -1.96 THEN 'decreasing'
+                  ELSE 'no_trend' END AS trend
+      FROM z"""))
+
+  /** Dickey–Fuller stationarity test (no-lag DF form) on the hourly
+    * total-cents series: regress Δx_t on x_{t−1}; DF statistic =
+    * β̂/SE(β̂) from the five exact int64 moment sums (Σx, Σy, Σxx,
+    * Σxy, Σyy over the 719 (x_{t−1}, Δx_t) pairs — the
+    * kdb_lead_lag_corr integer-moment discipline), so both engines
+    * compute the identical doubles and even the stationary DECISION
+    * (df < −2.86, the 5% critical value) is branch-safe. Pairs come
+    * from the dense grid's own lag — one rollup shuffle, grid-bounded
+    * after. The unit-root question is kdb_hurst's H≈0.5 asked the
+    * econometric way. */
+  private val dickeyFuller = QueryDef(
+    "kdb_dickey_fuller",
+    (s, d) => {
+      val e = ev(s, d).filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+      val nSlots = (T1 - T0) / Hour
+      val grid = s.range(nSlots).select(col("id").as("idx"))
+      val sums = e
+        .withColumn("idx",
+          ((col("ts_ns") - col("ts_ns") % Hour - T0) / Hour).cast("long"))
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .groupBy(col("idx")).agg(sum(col("cents")).as("v"))
+      val dense = grid.join(sums, Seq("idx"), "left_outer")
+        .withColumn("v", coalesce(col("v"), lit(0L)))
+      val w = Window.orderBy(col("idx")) // 720-slot grid: bounded frame
+      val pairs = dense
+        .withColumn("xprev", lag(col("v"), 1).over(w))
+        .filter(col("xprev").isNotNull)
+        .select(col("xprev").as("x"), (col("v") - col("xprev")).as("y"))
+      val m = pairs.groupBy().agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      val beta = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      val alpha = (col("sy") - beta * col("sx")) / col("n")
+      val sse = col("syy") - alpha * col("sy") - beta * col("sxy")
+      val s2 = sse / (col("n") - 2)
+      val seb = sqrt(s2 / (col("sxx") - col("sx") * col("sx") / col("n")))
+      val df = beta / seb
+      m.select(
+        col("n").cast("long").as("n_pairs"),
+        (round(beta, 6) + lit(0.0)).as("beta"),
+        (round(df, 4) + lit(0.0)).as("df_stat"),
+        when(df < -2.86, 1).otherwise(0).as("stationary"))
+    },
+    Some(s"""
+      WITH sums AS (
+        SELECT (epoch_ns(ts) - epoch_ns(ts) % ${Hour} - ${T0}) // ${Hour} AS idx,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1),
+      dense AS (
+        SELECT g.idx, coalesce(s.v, 0) AS v
+        FROM range(0, ${(T1 - T0) / Hour}) g(idx) LEFT JOIN sums s USING (idx)),
+      pairs AS (
+        SELECT lag(v) OVER (ORDER BY idx) AS x,
+               v - lag(v) OVER (ORDER BY idx) AS y
+        FROM dense QUALIFY x IS NOT NULL),
+      m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(x * y) AS DOUBLE) AS sxy,
+               CAST(sum(y * y) AS DOUBLE) AS syy
+        FROM pairs),
+      fit AS (
+        SELECT n, sx, sy, sxy, syy, sxx,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta
+        FROM m),
+      fit2 AS (
+        SELECT n, beta, sxx, sx,
+               syy - ((sy - beta * sx) / n) * sy - beta * sxy AS sse
+        FROM fit),
+      df AS (
+        SELECT n, beta,
+               beta / sqrt((sse / (n - 2)) / (sxx - sx * sx / n)) AS dfv
+        FROM fit2)
+      SELECT CAST(n AS BIGINT) AS n_pairs,
+             round(beta, 6) + 0.0 AS beta,
+             round(dfv, 4) + 0.0 AS df_stat,
+             CASE WHEN dfv < -2.86 THEN 1 ELSE 0 END AS stationary
+      FROM df"""))
+
   val defs: Seq[QueryDef] = Seq(
     welch, mannWhitney, gini, pareto, winsorize, quantileNorm, hurst,
-    bootstrap)
+    bootstrap, mannKendall, dickeyFuller)
 }

@@ -190,7 +190,11 @@ class QueriesSpec extends SparkTestBase {
       // llm_diversified_topk: fixed anchor/centroid/query sets
       // broadcast over the corpus (non-equi label/id predicates),
       // same shape as llm_similarity_topk
-      "llm_hard_negatives", "llm_centroid_classify", "llm_diversified_topk")
+      "llm_hard_negatives", "llm_centroid_classify", "llm_diversified_topk",
+      // kdb_mann_kendall: the 720-slot grid self-joined for sign pairs
+      // (≤259k pairs, constant in data size) + a 1-row tie-sum cross
+      // join — the kdb_acf grid shape
+      "kdb_mann_kendall")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -51,6 +51,41 @@ object DistributedRank {
     local.withColumn(rankName, offCol + col("__lr")).drop("__pid", "__lr")
   }
 
+  /** df + `outName` = exact EXCLUSIVE running sum of `valueCol` in
+    * `order` (sum over all STRICTLY-preceding rows; the first row
+    * gets 0) — the same decomposition as [[withGlobalRank]] but for
+    * prefix sums: range-partition by the sort order, partial prefix
+    * sums inside each partition (a partitioned window), collect one
+    * per-partition total, add the cumulative offset back. `order`
+    * must be a total order and `valueCol` an integer column (the
+    * per-partition totals fold on the driver as exact Longs).
+    * Replaces `sum() OVER (ORDER BY …)` — the other single-partition
+    * window shape — with one range shuffle. */
+  def withPrefixSum(df: DataFrame, valueCol: Column, outName: String,
+      order: Seq[Column]): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val local = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", valueCol.cast("long"))
+      .withColumn("__ps", sum(col("__v")).over(
+        Window.partitionBy(col("__pid")).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .localCheckpoint()
+    val totals = local.groupBy(col("__pid")).agg(sum(col("__v")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = totals.keys.toSeq.sorted
+      .scanLeft((Int.MinValue, 0L)) { case ((_, acc), pid) =>
+        (pid, acc + totals(pid))
+      }
+      .sliding(2).collect { case Seq((_, acc), (pid, _)) => (pid, acc) }
+      .toMap
+    val offCol = offsets.foldLeft(lit(0L)) { case (c, (pid, off)) =>
+      when(col("__pid") === pid, lit(off)).otherwise(c)
+    }
+    local.withColumn(outName, offCol + coalesce(col("__ps"), lit(0L)))
+      .drop("__pid", "__v", "__ps")
+  }
+
   /** df + `tileName` = exact SQL-ntile(k) bucket by `order` (total
     * order required), via [[withGlobalRank]] + the closed-form
     * remainder rule. */

@@ -91,37 +91,41 @@ object StatsQueries extends QueryModule {
 
   /** Mann–Whitney U (rank-sum) test, tie-corrected: the distribution-
     * free complement to [[welch]] — detects a location shift without
-    * normality. Mid-ranks come from the exact global row_number
-    * ([[DistributedRank.withGlobalRank]], range-shuffle not a
-    * single-partition window) averaged over each tie group (a window
-    * PARTITIONED by value — distributed). Mid-ranks are integer
-    * halves, so their sums are exact in doubles and the U statistic
-    * is engine-independent without rounding tricks; only z divides
-    * by the tie-corrected σ. */
+    * normality. Skew-proof decomposition: rows fold to ONE row per
+    * distinct value (tie count t_v + per-group count), the exclusive
+    * prefix sum of t_v in value order comes from
+    * [[DistributedRank.withPrefixSum]] (range shuffle — never a
+    * single-partition running sum, and never a window PARTITIONED BY
+    * value, which a heavily-tied column would collapse onto one
+    * task), and each tie group's mid-rank is the closed form
+    * cum_before + (t+1)/2. Mid-ranks are integer halves, so R₁ is
+    * exact in doubles and U is engine-independent without rounding
+    * tricks; only z divides by the tie-corrected σ (NULL when every
+    * value ties — σ = 0 has no z). */
   private val mannWhitney = QueryDef(
     "kdb_mann_whitney",
     (s, d) => {
       val x = ev(s, d).filter(col("event_type").isin("click", "purchase"))
-        .select(col("value"), col("event_type").as("grp"), col("event_id"))
-      val ranked = DistributedRank.withGlobalRank(
-        x, "rn", Seq(col("value"), col("grp"), col("event_id")))
-      val mid = ranked.withColumn(
-        "midrank", avg(col("rn")).over(Window.partitionBy(col("value"))))
-      val a = mid.groupBy().agg(
-        sum(when(col("grp") === "click", col("midrank"))).as("r1"),
-        sum(when(col("grp") === "click", 1L).otherwise(0L)).as("n1"),
-        sum(when(col("grp") === "purchase", 1L).otherwise(0L)).as("n2"))
-      val t = ranked.groupBy(col("value")).agg(count(lit(1)).cast("double").as("tc"))
-        .groupBy().agg(sum(col("tc") * col("tc") * col("tc") - col("tc")).as("tiesum"))
+        .select(col("value"), col("event_type").as("grp"))
+      val byVal = x.groupBy(col("value")).agg(
+        count(lit(1)).as("t"),
+        sum(when(col("grp") === "click", 1L).otherwise(0L)).as("n1v"))
+      val cum = DistributedRank.withPrefixSum(
+        byVal, col("t"), "cum_before", Seq(col("value")))
+      val a = cum.groupBy().agg(
+        sum(col("n1v") * (col("cum_before") + (col("t") + 1) / lit(2.0))).as("r1"),
+        sum(col("n1v")).as("n1"),
+        sum(col("t") - col("n1v")).as("n2"),
+        sum(col("t") * col("t") * col("t") - col("t")).cast("double").as("tiesum"))
       val n = col("n1") + col("n2")
       val u1 = col("r1") - col("n1") * (col("n1") + 1) / lit(2.0)
       val mu = col("n1") * col("n2") / lit(2.0)
       val sig = sqrt(col("n1") * col("n2") / lit(12.0) *
         ((n + 1) - col("tiesum") / (n * (n - 1))))
-      a.crossJoin(t).select(
+      a.select(
         col("n1"), col("n2"),
         round(u1, 2).as("u1"),
-        (round((u1 - mu) / sig, 4) + lit(0.0)).as("z_stat"))
+        (round((u1 - mu) / nullif(sig, lit(0.0)), 4) + lit(0.0)).as("z_stat"))
     },
     Some("""
       WITH x AS (
@@ -145,8 +149,8 @@ object StatsQueries extends QueryModule {
       SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
              round(r1 - n1 * (n1 + 1) / 2.0, 2) AS u1,
              round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) /
-               sqrt(n1 * n2 / 12.0 *
-                 ((n1 + n2 + 1) - tiesum / ((n1 + n2) * (n1 + n2 - 1.0)))), 4)
+               nullif(sqrt(n1 * n2 / 12.0 *
+                 ((n1 + n2 + 1) - tiesum / ((n1 + n2) * (n1 + n2 - 1.0)))), 0.0), 4)
                + 0.0 AS z_stat
       FROM a CROSS JOIN t"""))
 

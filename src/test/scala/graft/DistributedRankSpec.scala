@@ -34,6 +34,29 @@ class DistributedRankSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("withPrefixSum equals the exclusive running sum over the same total order") {
+    val order = Seq(col("k"), col("id"))
+    val got = DistributedRank.withPrefixSum(fixture, col("id") + 1, "ps", order)
+      .select("id", "ps").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = fixture.withColumn("ps", coalesce(sum(col("id") + 1).over(
+        Window.orderBy(col("k"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("id", "ps").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === want)
+  }
+
+  test("withPrefixSum across arbitrary sizes (empty, 1, partition-boundary sizes)") {
+    for (n <- Seq(0, 1, 2, 31, 32, 33, 100)) {
+      val df = spark.range(n.toLong).selectExpr("id", "id % 3 AS k")
+      val got = DistributedRank.withPrefixSum(df, lit(2L), "ps", Seq(col("k"), col("id")))
+        .select("id", "ps").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy { case (id, k) => (k, id) }.zipWithIndex
+        .map { case ((id, _), i) => (id, 2L * i) }.toMap
+      assert(got === want, s"n=$n")
+    }
+  }
+
   test("no partition-less window in the plan; ranks spread across partitions") {
     val order = Seq(col("k"), col("id"))
     val ranked = DistributedRank.withGlobalRank(fixture, "r", order)

@@ -84,6 +84,20 @@ class StatsKernelSpec extends SparkTestBase {
     }
   }
 
+  test("kdb_mann_whitney: the all-tied degenerate case yields NULL z (skew-proof path)") {
+    // one giant tie group — the shape that would collapse a
+    // PARTITION BY value window onto one task; the closed-form
+    // midrank path folds it to one row per distinct value instead
+    val rows = (0 until 50).map(i =>
+      (i.toLong, T0 + i * 1000L, 1L, "click", 1.0, "{}")) ++
+      (0 until 50).map(i =>
+        (100L + i, T0 + (100 + i) * 1000L, 2L, "purchase", 1.0, "{}"))
+    val got = SparkEntry.queries("kdb_mann_whitney")(spark, eventsDir(rows))
+      .collect().head
+    assert(got.getAs[Double]("u1") === 1250.0) // 50·50.5 − 50·51/2
+    assert(got.isNullAt(got.fieldIndex("z_stat")), "σ = 0 has no z")
+  }
+
   // ---------------- Welch ----------------
 
   test("kdb_welch_ttest: identical samples give t = 0 with the Satterthwaite df") {

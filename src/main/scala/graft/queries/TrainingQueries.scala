@@ -29,27 +29,43 @@ object TrainingQueries extends QueryModule {
     * the top-3 most-similar vectors carrying a DIFFERENT label — the
     * negatives that actually move a contrastive loss. The anchor set
     * broadcasts (fixed, small); the corpus streams past it once, so
-    * the cost is |corpus| × |anchors| codegen'd cosine folds with a
-    * per-anchor top-k window — no shuffle of the corpus itself beyond
-    * the window's anchor-key exchange. At 100 TB the same query runs
-    * against the IVF/LSH-bucketed index (llm_similarity_ivf) to cut
-    * the candidate set; brute force is the exactness baseline. */
+    * the cost is |corpus| × |anchors| codegen'd cosine folds. Top-3
+    * selection uses the k-bounded TopKAgg (the llm_knn_classify
+    * rewrite): map-side buffers carry at most 3 candidates per
+    * anchor per partition, so the shuffle is k·|anchors| rows — a
+    * per-anchor row_number window would instead sort |corpus| rows
+    * per anchor through one task. Labels rejoin via a broadcast of
+    * the 96-row winner set against a column-pruned corpus scan. At
+    * 100 TB the same query runs against the IVF/LSH-bucketed index
+    * (llm_similarity_ivf) to cut the candidate set; brute force is
+    * the exactness baseline. */
   private val hardNegatives = QueryDef(
     "llm_hard_negatives",
     (s, d) => {
+      import s.implicits._
       val e = embeddings(s, d)
       val anchors = e.filter(col("vec_id") < 32)
         .select(col("vec_id").as("qid"), col("label").as("q_label"),
           col("embedding").as("qv"))
       val corpus = e.select(col("vec_id").as("nid"),
         col("label").as("n_label"), col("embedding").as("nv"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-      broadcast(anchors)
+      val top3 = broadcast(anchors)
         .join(corpus, col("q_label") =!= col("n_label"))
         .withColumn("cos", cosine(col("qv"), col("nv")))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("qid"), col("nid"), col("cos"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues { case (_, nid, cos) => graft.functions.TopK.Scored(nid, cos) }
+        .agg(graft.functions.TopK.topK(3))
+        .toDF("qid", "top")
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "sc")))
+        .select(col("qid"), (col("pos") + 1).cast("int").as("rk"),
+          col("sc.id").as("nid"), col("sc.score").as("cosr"))
+      e.select(col("vec_id").as("nid"), col("label").as("n_label"))
+        .join(broadcast(top3), "nid")
+        .join(broadcast(anchors.select(col("qid"), col("q_label"))), "qid")
         .select(col("qid"), col("rk"), col("nid"), col("q_label"),
-          col("n_label"), round(col("cos"), 4).as("cos"))
+          col("n_label"), round(col("cosr"), 4).as("cos"))
         .orderBy(col("qid"), col("rk"))
     },
     Some(s"""

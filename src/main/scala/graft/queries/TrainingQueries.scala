@@ -150,24 +150,30 @@ object TrainingQueries extends QueryModule {
     * cheap deterministic stand-in for MMR re-ranking (greedy MMR is
     * inherently sequential; bucket-capping gets the "don't return 10
     * near-duplicates" effect in two partitioned window passes).
-    * Bucket-best is a 256-way partitioned window; the final top-10
-    * is a TakeOrderedAndProject over ≤256 bucket winners. Safe to
-    * order on the raw cosine: the fold is bit-identical in both
-    * engines (llm_dedup_semantic precedent). */
+    * Bucket-best is a map-side-combinable argmax — max(struct(cos,
+    * −nid, nid)) folds lexicographically to (best cos, lowest nid)
+    * with at most one buffered row per bucket per partition, so the
+    * shuffle carries ≤256 rows per task (a per-bucket row_number
+    * window would sort each bucket's full membership instead); the
+    * final top-10 is a TakeOrderedAndProject over ≤256 bucket
+    * winners. Safe to compare raw cosines: the fold is bit-identical
+    * in both engines (llm_dedup_semantic precedent). */
   private val diversifiedTopk = QueryDef(
     "llm_diversified_topk",
     (s, d) => {
       val e = embeddings(s, d)
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qv"))
-      val w = Window.partitionBy(col("bucket")).orderBy(col("cos").desc, col("nid"))
       e.filter(col("vec_id") > 0)
         .select(col("vec_id").as("nid"), col("embedding").as("nv"))
         .crossJoin(broadcast(q))
         .withColumn("cos", cosine(col("qv"), col("nv")))
         .withColumn("bucket", signBucket(col("nv"), 8))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("bucket"), col("nid"), round(col("cos"), 4).as("cos"))
+        .groupBy(col("bucket"))
+        .agg(max(struct(col("cos"), (-col("nid")).as("neg_nid"),
+          col("nid").as("nid"))).as("m"))
+        .select(col("bucket"), col("m.nid").as("nid"),
+          round(col("m.cos"), 4).as("cos"))
         .orderBy(col("cos").desc, col("nid")).limit(10)
         .orderBy(col("cos").desc, col("nid"))
     },

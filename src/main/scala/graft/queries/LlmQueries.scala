@@ -456,6 +456,92 @@ object LlmQueries extends QueryModule {
       SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_logp
       FROM j GROUP BY 1 ORDER BY doc_id"""))
 
+  /** Interpolated Kneser–Ney bigram scoring (D = 0.75, smoothed
+    * continuation) — the standard LM-smoothing ladder step above
+    * [[lmScore]]'s add-one: P(w2|w1) = max(c−D,0)/c(w1·) +
+    * D·N1+(w1,·)/c(w1·) · Pcont(w2), with Pcont = (N1+(·,w2)+1) /
+    * (B+V) (+1 keeps unseen words defined; normalization drift is
+    * documented, determinism is what's gated). Every quantity
+    * derives from the ONE bigram count table: prefix totals and
+    * fan-out by w1, continuation fan-in by w2, B and V as 1-row
+    * aggregates of the already-reduced tables — no extra corpus
+    * passes over [[lmScore]]'s shapes, same shuffle keys, scalar
+    * totals ride broadcast cross joins. All inputs to P are exact
+    * integers and the D=0.75 literal is binary-exact, so both
+    * engines compute identical doubles; ln/exp are 1-ulp libm and
+    * only feed 4dp/2dp-rounded REPORTED values (the
+    * llm_quality_classifier rule). */
+  private val lmScoreKn = QueryDef(
+    "llm_lm_score_kn",
+    (s, d) => {
+      def toks(df: DataFrame) = df
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
+      def bigrams(df: DataFrame) = {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        toks(df).withColumn("w2", lead(col("w1"), 1).over(w))
+          .filter(col("w2").isNotNull)
+      }
+      val train = documents(s, d).filter(col("doc_id") >= 100 && col("doc_id") < 400)
+      val eval_ = documents(s, d).filter(col("doc_id") < 100)
+      val c2 = bigrams(train).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val pref = c2.groupBy(col("w1")).agg(
+        sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+      val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+      val tot = c2.agg(count(lit(1)).as("btypes"))
+      val cv = cont.agg(count(lit(1)).as("cv"))
+      bigrams(eval_)
+        .join(c2, Seq("w1", "w2"), "left_outer")
+        .join(pref, Seq("w1"), "left_outer")
+        .join(cont, Seq("w2"), "left_outer")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(cv))
+        .withColumn("pcont",
+          (coalesce(col("n1b"), lit(0L)) + lit(1.0)) / (col("btypes") + col("cv")))
+        .withColumn("p", when(col("c1").isNotNull,
+            (greatest(coalesce(col("c2"), lit(0L)) - lit(0.75), lit(0.0)) +
+              lit(0.75) * col("n1f") * col("pcont")) / col("c1"))
+          .otherwise(col("pcont")))
+        .select(col("doc_id"), log(col("p")).as("logp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(col("logp")), 4).as("avg_logp"),
+          round(exp(-avg(col("logp"))), 2).as("ppl"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tr AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE doc_id >= 100 AND doc_id < 400),
+      trpos AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS g FROM tr),
+      c2 AS (SELECT ws[g] AS w1, ws[g+1] AS w2, count(*) AS c2 FROM trpos GROUP BY 1, 2),
+      pref AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1f
+               FROM c2 GROUP BY 1),
+      cont AS (SELECT w2, count(*) AS n1b FROM c2 GROUP BY 1),
+      tot AS (SELECT count(*) AS btypes FROM c2),
+      cv AS (SELECT count(*) AS cv FROM cont),
+      ev AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             WHERE doc_id < 100),
+      evpos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS g FROM ev),
+      evbg AS (SELECT doc_id, ws[g] AS w1, ws[g+1] AS w2 FROM evpos),
+      j AS (
+        SELECT doc_id,
+               ln(CASE WHEN pref.c1 IS NOT NULL THEN
+                    (greatest(coalesce(c2.c2, 0) - CAST(0.75 AS DOUBLE),
+                       CAST(0.0 AS DOUBLE)) +
+                     CAST(0.75 AS DOUBLE) * pref.n1f *
+                       ((coalesce(cont.n1b, 0) + 1.0) / (tot.btypes + cv.cv)))
+                    / pref.c1
+                  ELSE (coalesce(cont.n1b, 0) + 1.0) / (tot.btypes + cv.cv)
+                  END) AS logp
+        FROM evbg
+        LEFT JOIN c2 ON c2.w1 = evbg.w1 AND c2.w2 = evbg.w2
+        LEFT JOIN pref ON pref.w1 = evbg.w1
+        LEFT JOIN cont ON cont.w2 = evbg.w2
+        CROSS JOIN tot CROSS JOIN cv)
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(avg(logp), 4) AS avg_logp,
+             round(exp(-avg(logp)), 2) AS ppl
+      FROM j GROUP BY 1 ORDER BY doc_id"""))
+
   /** Training-mixture weights: temperature-smoothed (α=0.5) domain
     * sampling — w_i = n_i^α / Σ n_j^α over per-source token counts,
     * then each source's expected token draw under a 1M budget and the
@@ -3699,7 +3785,7 @@ object LlmQueries extends QueryModule {
     embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, embIvfTrained, semanticDedup, incrementalDedup, multimodalMeta,
     filterChain, packSeq, stratSample, dedupClusters, decontaminate, piiScrub,
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
-    dedupSubstring, encodeIds, editDistance, lmScore, mixtureWeights,
+    dedupSubstring, encodeIds, editDistance, lmScore, lmScoreKn, mixtureWeights,
     multimodalFrames, embNormAudit, knnClassify, dedupReport, lengthBands,
     tokenEntropy, dsirSample, perplexityBuckets, winnowingFp, containment,
     int8Quantize, datasetCard, tokenizerFertility, codeDetect,

@@ -283,5 +283,144 @@ object SeriesOpsQueries extends QueryModule {
       FROM dp WHERE i = ${n}"""
     })
 
-  val defs: Seq[QueryDef] = Seq(vwap, wjAgg, rollingBeta, dtw)
+  /** MACD (12/26/9): per-type EMA-12 and EMA-26 traces over the
+    * hourly slot series, their difference (MACD line), the EMA-9
+    * signal line, and the histogram. EMAs are inherently sequential,
+    * so each is ONE strict left fold emitting the full trace as a
+    * growing list (the kdb_dtw list-accumulator pattern; seeds with
+    * the first value like a conventional MACD implementation) —
+    * inputs are slot-bounded per type after the one rollup shuffle,
+    * and both engines run the identical fold (Spark `aggregate`,
+    * DuckDB natural-seed `list_reduce`), so pre-round doubles are
+    * bit-identical. α constants are runtime IEEE divisions (2/13,
+    * 2/27) — correctly rounded to the same double in both engines. */
+  private val macd = QueryDef(
+    "kdb_macd",
+    (s, d) => {
+      def emaArr(arr: org.apache.spark.sql.Column, alpha: Double) =
+        aggregate(arr, array().cast("array<double>"),
+          (acc, x) => when(size(acc) === 0, array(x.cast("double")))
+            .otherwise(concat(acc, array(
+              lit(alpha) * x + lit(1 - alpha) * element_at(acc, -1)))))
+      val arrs = ev(s, d)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(max(col("value")).as("v"))
+        .groupBy(col("event_type"))
+        .agg(
+          transform(sort_array(collect_list(struct(col("slot_ns"), col("v")))),
+            r => r.getField("slot_ns")).as("slots"),
+          transform(sort_array(collect_list(struct(col("slot_ns"), col("v")))),
+            r => r.getField("v")).as("vs"))
+      val withEmas = arrs
+        .withColumn("e12", emaArr(col("vs"), 2.0 / 13.0))
+        .withColumn("e26", emaArr(col("vs"), 2.0 / 27.0))
+        .withColumn("m", zip_with(col("e12"), col("e26"), (a, b) => a - b))
+        .withColumn("sig", emaArr(col("m"), 0.2))
+      withEmas
+        .select(col("event_type"),
+          posexplode(arrays_zip(col("slots"), col("m"), col("sig")))
+            .as(Seq("i", "z")))
+        .select(col("event_type"), col("z.slots").as("slot_ns"),
+          (round(col("z.m"), 4) + lit(0.0)).as("macd"),
+          (round(col("z.sig"), 4) + lit(0.0)).as("signal"),
+          (round(col("z.m") - col("z.sig"), 4) + lit(0.0)).as("histogram"))
+        .orderBy(col("event_type"), col("slot_ns"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT event_type,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               max(value) AS v
+        FROM events GROUP BY 1, 2),
+      arrs AS (
+        SELECT event_type,
+               list(slot_ns ORDER BY slot_ns) AS slots,
+               list(v ORDER BY slot_ns) AS vs
+        FROM h GROUP BY 1),
+      emas AS (
+        SELECT event_type, slots,
+               list_reduce(list_transform(vs, z -> [CAST(z AS DOUBLE)]),
+                 (acc, xx) -> list_append(acc,
+                   (CAST(2.0 AS DOUBLE) / 13.0) * xx[1] +
+                   (1 - CAST(2.0 AS DOUBLE) / 13.0) * acc[-1])) AS e12,
+               list_reduce(list_transform(vs, z -> [CAST(z AS DOUBLE)]),
+                 (acc, xx) -> list_append(acc,
+                   (CAST(2.0 AS DOUBLE) / 27.0) * xx[1] +
+                   (1 - CAST(2.0 AS DOUBLE) / 27.0) * acc[-1])) AS e26
+        FROM arrs),
+      mcd AS (
+        SELECT event_type, slots,
+               list_transform(generate_series(1, len(slots)),
+                 i -> e12[i] - e26[i]) AS m
+        FROM emas),
+      sgn AS (
+        SELECT event_type, slots, m,
+               list_reduce(list_transform(m, z -> [CAST(z AS DOUBLE)]),
+                 (acc, xx) -> list_append(acc,
+                   CAST(0.2 AS DOUBLE) * xx[1] +
+                   CAST(0.8 AS DOUBLE) * acc[-1])) AS sig
+        FROM mcd),
+      out AS (
+        SELECT event_type, slots, m, sig,
+               unnest(generate_series(1, len(slots))) AS i
+        FROM sgn)
+      SELECT event_type, slots[i] AS slot_ns,
+             round(m[i], 4) + 0.0 AS macd,
+             round(sig[i], 4) + 0.0 AS signal,
+             round(m[i] - sig[i], 4) + 0.0 AS histogram
+      FROM out
+      ORDER BY event_type, slot_ns"""))
+
+  /** Exact weighted median of payload per event type, weighted by
+    * props.k — where kdb_winsorize trims and kdb_percentile ranks
+    * unweighted. Skew-proof: the running weight comes from ONE
+    * global [[DistributedRank.withPrefixSum]] over (type, value, id)
+    * — never a per-type window that funnels a whole type through one
+    * task — and each type's local cumulative weight is the global
+    * one minus that type's broadcast offset (|types| rows). The
+    * median is the smallest value whose inclusive cumulative weight
+    * reaches half the type total (lower weighted median). */
+  private val weightedMedian = QueryDef(
+    "kdb_weighted_median",
+    (s, d) => {
+      val x = ev(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .select(col("event_type"), col("value"), col("event_id"), col("k"))
+      val cum = graft.operators.DistributedRank.withPrefixSum(
+        x, col("k"), "gcum", Seq(col("event_type"), col("value"), col("event_id")))
+      val totals = x.groupBy(col("event_type")).agg(sum(col("k")).as("tot"))
+      val wOff = Window.orderBy(col("event_type"))
+        .rowsBetween(Window.unboundedPreceding, -1) // |types| rows: bounded
+      val offsets = totals.withColumn("off",
+        coalesce(sum(col("tot")).over(wOff), lit(0L)))
+      cum.join(broadcast(offsets), Seq("event_type"))
+        .withColumn("lcum", col("gcum") - col("off") + col("k"))
+        .filter(col("lcum") * 2 >= col("tot"))
+        .groupBy(col("event_type"))
+        .agg(max(col("tot")).as("total_weight"),
+          round(min(col("value")), 2).as("w_median"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT event_type, value, event_id,
+               CAST(props->>'k' AS BIGINT) AS k
+        FROM events),
+      cum AS (
+        SELECT event_type, value, k,
+               sum(k) OVER (PARTITION BY event_type
+                 ORDER BY value, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lcum,
+               CAST(sum(k) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        FROM x)
+      SELECT event_type, max(tot) AS total_weight,
+             round(min(value), 2) AS w_median
+      FROM cum
+      WHERE lcum * 2 >= tot
+      GROUP BY 1
+      ORDER BY event_type"""))
+
+  val defs: Seq[QueryDef] = Seq(vwap, wjAgg, rollingBeta, dtw, macd,
+    weightedMedian)
 }

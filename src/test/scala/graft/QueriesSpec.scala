@@ -194,7 +194,11 @@ class QueriesSpec extends SparkTestBase {
       // kdb_mann_kendall: the 720-slot grid self-joined for sign pairs
       // (≤259k pairs, constant in data size) + a 1-row tie-sum cross
       // join — the kdb_acf grid shape
-      "kdb_mann_kendall")
+      "kdb_mann_kendall",
+      // llm_lm_score_kn: the two 1-row corpus totals (B bigram types,
+      // V continuation vocab) ride broadcast cross joins, same as
+      // llm_lm_score's vocab scalar
+      "llm_lm_score_kn")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

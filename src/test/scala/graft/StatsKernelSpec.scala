@@ -190,6 +190,58 @@ class StatsKernelSpec extends SparkTestBase {
     assert(expected < alignedL1)
   }
 
+  // ---------------- MACD / weighted median ----------------
+
+  test("kdb_macd: a constant series has zero MACD, signal, and histogram everywhere") {
+    val rows = (0 until 30).map(i =>
+      (i.toLong, T0 + i.toLong * 3600L * 1000000000L, 1L, "click", 5.0, "{}"))
+    val out = SparkEntry.queries("kdb_macd")(spark, eventsDir(rows)).collect()
+    assert(out.length === 30)
+    out.foreach { r =>
+      assert(r.getAs[Double]("macd") === 0.0)
+      assert(r.getAs[Double]("signal") === 0.0)
+      assert(r.getAs[Double]("histogram") === 0.0)
+    }
+  }
+
+  test("kdb_macd matches a reference EMA recursion on a ramp") {
+    val vals = (0 until 40).map(i => (i % 9) * 1.5 + 1)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, T0 + i.toLong * 3600L * 1000000000L, 1L, "click", v, "{}") }
+    def ema(xs: Seq[Double], a: Double): Seq[Double] =
+      xs.tail.scanLeft(xs.head)((acc, x) => a * x + (1 - a) * acc)
+    val e12 = ema(vals, 2.0 / 13.0)
+    val e26 = ema(vals, 2.0 / 27.0)
+    val m = e12.zip(e26).map { case (x, y) => x - y }
+    val sig = ema(m, 0.2)
+    val out = SparkEntry.queries("kdb_macd")(spark, eventsDir(rows))
+      .orderBy("slot_ns").collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("macd") === math.rint(m(i) * 10000) / 10000 + 0.0, s"i=$i")
+      assert(r.getAs[Double]("signal") === math.rint(sig(i) * 10000) / 10000 + 0.0, s"i=$i")
+    }
+  }
+
+  test("kdb_weighted_median: known small example (lower weighted median)") {
+    // values 1..4 with weights 1,1,1,7 → total 10, half 5: the first
+    // value whose inclusive cum weight reaches 5 is 4
+    val rows = Seq((1.0, 1), (2.0, 1), (3.0, 1), (4.0, 7)).zipWithIndex.map {
+      case ((v, k), i) =>
+        (i.toLong, T0 + i * 1000L, 1L, "click", v, s"""{"k": $k}""")
+    }
+    val got = SparkEntry.queries("kdb_weighted_median")(spark, eventsDir(rows))
+      .collect().head
+    assert(got.getAs[Double]("w_median") === 4.0)
+    assert(got.getAs[Long]("total_weight") === 10L)
+    // and with uniform weights it degrades to the lower median
+    val rows2 = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, T0 + i * 1000L, 1L, "click", v, """{"k": 1}""")
+    }
+    val got2 = SparkEntry.queries("kdb_weighted_median")(spark, eventsDir(rows2))
+      .collect().head
+    assert(got2.getAs[Double]("w_median") === 2.0)
+  }
+
   // ---------------- invariants on the gate corpus ----------------
 
   test("kdb_pareto: deciles are balanced, shares sum to 1") {

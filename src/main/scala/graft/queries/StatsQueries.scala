@@ -658,7 +658,142 @@ object StatsQueries extends QueryModule {
              CASE WHEN dfv < -2.86 THEN 1 ELSE 0 END AS stationary
       FROM df"""))
 
+  /** Engle–Granger cointegration test between the click and purchase
+    * hourly cent series: step 1 fits y on x by OLS from exact int64
+    * moments; step 2 runs the Dickey–Fuller regression on the
+    * residuals, which are QUANTIZED to integer dollars first (coarse
+    * enough that squared-sum moments can't overflow int64 at any SF;
+    * the verdict is insensitive to sub-dollar residual detail)
+    * — so the second regression's moments are again exact integers
+    * and both engines agree bit-for-bit all the way to the
+    * cointegrated DECISION (df < −3.34, the 5% Engle–Granger
+    * critical value for two variables with constant). The pair
+    * series is the dense grid; everything after the one rollup
+    * shuffle is grid-bounded. The two 1-row fit frames ride
+    * broadcast cross joins. */
+  private val cointegration = QueryDef(
+    "kdb_cointegration",
+    (s, d) => {
+      val e = ev(s, d).filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      val nSlots = (T1 - T0) / Hour
+      val grid = s.range(nSlots).select((lit(T0) + col("id") * Hour).as("slot_ns"))
+      val sums = e.groupBy(col("slot_ns")).agg(
+        sum(when(col("event_type") === "click", col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", col("cents")).otherwise(0L)).as("y"))
+      val dense = grid.join(sums, Seq("slot_ns"), "left_outer")
+        .withColumn("x", coalesce(col("x"), lit(0L)))
+        .withColumn("y", coalesce(col("y"), lit(0L)))
+      val fit = dense.groupBy().agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+        .withColumn("beta", (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+        .withColumn("alpha", (col("sy") - col("beta") * col("sx")) / col("n"))
+        .select(col("beta"), col("alpha"))
+      val resid = dense.crossJoin(broadcast(fit))
+        .withColumn("ri", round(
+          (col("y").cast("double") - col("alpha") - col("beta") * col("x"))
+            / 100.0, 0).cast("long"))
+      val w = Window.orderBy(col("slot_ns")) // grid-bounded frame
+      val pairs = resid
+        .withColumn("rp", lag(col("ri"), 1).over(w))
+        .filter(col("rp").isNotNull)
+        .select(col("rp").as("rx"), (col("ri") - col("rp")).as("ry"),
+          col("beta"), col("alpha"))
+      val m = pairs.groupBy(col("beta"), col("alpha")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("rx")).cast("double").as("sx"),
+        sum(col("ry")).cast("double").as("sy"),
+        sum(col("rx") * col("rx")).cast("double").as("sxx"),
+        sum(col("rx") * col("ry")).cast("double").as("sxy"),
+        sum(col("ry") * col("ry")).cast("double").as("syy"))
+      val b2 = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      val a2 = (col("sy") - b2 * col("sx")) / col("n")
+      val sse = col("syy") - a2 * col("sy") - b2 * col("sxy")
+      val dfv = b2 / sqrt((sse / (col("n") - 2)) /
+        (col("sxx") - col("sx") * col("sx") / col("n")))
+      m.select(
+        col("n").cast("long").as("n_pairs"),
+        (round(col("beta"), 6) + lit(0.0)).as("beta"),
+        (round(col("alpha"), 2) + lit(0.0)).as("alpha"),
+        (round(dfv, 4) + lit(0.0)).as("df_resid"),
+        when(dfv < -3.34, 1).otherwise(0).as("cointegrated"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+          AND event_type IN ('click', 'purchase')),
+      sums AS (
+        SELECT slot_ns,
+               CAST(sum(CASE WHEN event_type = 'click' THEN cents ELSE 0 END)
+                 AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+                 AS BIGINT) AS y
+        FROM e GROUP BY 1),
+      dense AS (
+        SELECT g.slot_ns, coalesce(s.x, 0) AS x, coalesce(s.y, 0) AS y
+        FROM range(${T0}, ${T1}, ${Hour}) g(slot_ns)
+        LEFT JOIN sums s USING (slot_ns)),
+      m1 AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(x * y) AS DOUBLE) AS sxy
+        FROM dense),
+      fit AS (
+        SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+               (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                 AS alpha
+        FROM m1),
+      resid AS (
+        SELECT d.slot_ns,
+               CAST(round((CAST(d.y AS DOUBLE) - f.alpha - f.beta * d.x)
+                 / 100.0, 0) AS BIGINT) AS ri,
+               f.beta, f.alpha
+        FROM dense d CROSS JOIN fit f),
+      pairs AS (
+        SELECT lag(ri) OVER (ORDER BY slot_ns) AS rx,
+               ri - lag(ri) OVER (ORDER BY slot_ns) AS ry,
+               beta, alpha
+        FROM resid QUALIFY rx IS NOT NULL),
+      m AS (
+        SELECT beta, alpha,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(rx) AS DOUBLE) AS sx, CAST(sum(ry) AS DOUBLE) AS sy,
+               CAST(sum(rx * rx) AS DOUBLE) AS sxx,
+               CAST(sum(rx * ry) AS DOUBLE) AS sxy,
+               CAST(sum(ry * ry) AS DOUBLE) AS syy
+        FROM pairs GROUP BY 1, 2),
+      f2 AS (
+        SELECT beta, alpha, n, sx, sxx, sxy, sy, syy,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b2
+        FROM m),
+      f3 AS (
+        SELECT beta, alpha, n, sx, sxx, b2,
+               syy - ((sy - b2 * sx) / n) * sy - b2 * sxy AS sse
+        FROM f2),
+      df AS (
+        SELECT beta, alpha, n, b2,
+               b2 / sqrt((sse / (n - 2)) / (sxx - sx * sx / n)) AS dfv
+        FROM f3)
+      SELECT CAST(n AS BIGINT) AS n_pairs,
+             round(beta, 6) + 0.0 AS beta,
+             round(alpha, 2) + 0.0 AS alpha,
+             round(dfv, 4) + 0.0 AS df_resid,
+             CASE WHEN dfv < -3.34 THEN 1 ELSE 0 END AS cointegrated
+      FROM df"""))
+
   val defs: Seq[QueryDef] = Seq(
     welch, mannWhitney, gini, pareto, winsorize, quantileNorm, hurst,
-    bootstrap, mannKendall, dickeyFuller)
+    bootstrap, mannKendall, dickeyFuller, cointegration)
 }

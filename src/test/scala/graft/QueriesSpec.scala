@@ -198,7 +198,11 @@ class QueriesSpec extends SparkTestBase {
       // llm_lm_score_kn: the two 1-row corpus totals (B bigram types,
       // V continuation vocab) ride broadcast cross joins, same as
       // llm_lm_score's vocab scalar
-      "llm_lm_score_kn")
+      "llm_lm_score_kn",
+      // kdb_cointegration: the 1-row OLS fit broadcast over the grid
+      // for residuals — the llm_lm_score scalar shape on the
+      // kdb_acf grid
+      "kdb_cointegration")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -903,6 +903,47 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     spark.read.parquet(outDir).count()
   }
 
+  /** Restore a snapshot produced by [[exportSnapshot]] into THIS
+    * engine's table as ONE atomic batch publish — the other half of
+    * the backup / frozen-training-set story (export pins a
+    * consistent cut; import stands a serving engine back up from
+    * it). The snapshot is validated against this engine's layout
+    * first — slot alignment to resolution, bucket agreement, payload
+    * size, tag arity/emptiness, seq sanity — and the import REFUSES
+    * wholesale on the first violation: a restore is all-or-nothing,
+    * never a partial adopt of a foreign layout (the
+    * `_graft_options` fail-closed philosophy applied to data). Rows
+    * keep their original seq values, so [[currentSeq]] and the
+    * [[getAsOf]] MVCC watermark continue from the snapshot's cut,
+    * and importing into a non-empty table behaves exactly like any
+    * other historical batch (LWW resolves overlaps by seq). One
+    * validation scan + one bucket-partitioned publish; crash before
+    * the rename leaves only an invisible staging dir. Returns the
+    * imported row count. */
+  def importSnapshot(srcDir: String): Long = writeLock.synchronized {
+    ensureManifest(adopt = false)
+    val snap = spark.read.schema(tableSchema).parquet(srcDir)
+    val a = snap.agg(
+      count(lit(1)).as("n"),
+      count(when(col("slot_ns") % opts.resolution =!= 0, 1)).as("misaligned"),
+      count(when(floorBucket(col("slot_ns")) =!= col("bucket_ts"), 1)).as("misplaced"),
+      count(when(octet_length(col("payload")) =!= opts.payloadSize ||
+        col("payload").isNull, 1)).as("invalid_payload"),
+      count(when(tagCols.map(c => col(c).isNull || col(c) === "").reduce(_ || _), 1))
+        .as("invalid_tags"),
+      count(when(col("seq").isNull || col("seq") < 0, 1)).as("invalid_seq")).head()
+    val n = a.getLong(0)
+    val bad = Seq("misaligned", "misplaced", "invalid_payload",
+      "invalid_tags", "invalid_seq")
+      .zipWithIndex.collect { case (name, i) if a.getLong(i + 1) > 0 =>
+        s"$name=${a.getLong(i + 1)}" }
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"importSnapshot: snapshot violates this engine's layout (${bad.mkString(", ")})")
+    if (n > 0) publishBatch(snap.select(tableSchema.fieldNames.map(col): _*))
+    n
+  }
+
   /** Full-table physical audit — the ops-path complement of the
     * serving path's tolerant reads (same pairing the reference makes:
     * serve the valid prefix, log the damage). Counts, per invariant:

@@ -539,6 +539,41 @@ class EngineSpec extends SparkTestBase {
     intercept[Exception](e.exportSnapshot(cut, out))
   }
 
+  test("importSnapshot restores an export: reads match, MVCC continues, layout violations refuse") {
+    val (e, clock) = mkEngine()
+    e.put(Seq(Point(11000L, tag4, pld(1)), Point(11010L, tag4, pld(2))))
+    e.put(Seq(Point(11000L, tag4, pld(7)))) // LWW overwrite pre-cut
+    val cut = e.currentSeq()
+    val out = Files.createTempDirectory("graft-snapio").toString + "/snap"
+    assert(e.exportSnapshot(cut, out) === 2L)
+
+    // restore into a FRESH engine dir
+    val dir2 = Files.createTempDirectory("graft-restore").toString
+    val e2 = new Engine(spark, EngineOptions("rdb", dir2, 4, 4, 1000L, 10L), clock)
+    assert(e2.importSnapshot(out) === 2L)
+    // reads equal the source's resolved state at the cut
+    assert(payloads(e2.get(11000L, 11020L, tag4)) ===
+      payloads(e.getAsOf(11000L, 11020L, tag4, cut)))
+    // the MVCC watermark continues from the snapshot's seqs…
+    assert(e2.currentSeq() === cut)
+    // …and new writes keep working on top of the restore (LWW wins)
+    assert(e2.put(Seq(Point(11000L, tag4, pld(9)))) === Map("ok" -> 1L))
+    assert(payloads(e2.get(11000L, 11010L, tag4)) === Seq(pld(9).toSeq))
+    // idempotent re-import: identical rows are LWW-invisible duplicates
+    // of losers — the serving read is unchanged
+    e2.importSnapshot(out)
+    assert(payloads(e2.get(11000L, 11010L, tag4)) === Seq(pld(9).toSeq))
+
+    // a snapshot whose layout disagrees with the target engine refuses
+    // wholesale: payload width 4 into a width-8 engine
+    val dir3 = Files.createTempDirectory("graft-restore8").toString
+    val e3 = new Engine(spark, EngineOptions("rdb8", dir3, 4, 8, 1000L, 10L), clock)
+    val ex = intercept[IllegalArgumentException](e3.importSnapshot(out))
+    assert(ex.getMessage.contains("invalid_payload"))
+    // and nothing was adopted
+    assert(e3.currentSeq() === -1L)
+  }
+
   test("auditTable: healthy table is all zeros; a misfiled row is counted") {
     val dir = Files.createTempDirectory("graft-audit").toString
     val clock = new TestClock(11999L)

@@ -793,7 +793,128 @@ object StatsQueries extends QueryModule {
              CASE WHEN dfv < -3.34 THEN 1 ELSE 0 END AS cointegrated
       FROM df"""))
 
+  /** Granger causality (lag-1): does the click series HELP PREDICT
+    * the purchase series beyond purchase's own past? Unrestricted
+    * y_t ~ a + b·y_{t−1} + c·x_{t−1} vs restricted y_t ~ a + b·y_{t−1},
+    * F = (SSE_r − SSE_u)/(SSE_u/(n−3)). Both regressions solve in
+    * closed form from the exact int64 moment sums of the
+    * (y, y_lag, x_lag) grid triples — centered normal equations via
+    * Cramer's rule, every input integer-derived, identical doubles in
+    * both engines; the CAUSES decision (F > 3.85, the 5% F(1,∞)
+    * critical value) is therefore branch-safe. One rollup shuffle;
+    * the lag window runs on the 720-slot grid (bounded). The
+    * directional complement of kdb_lead_lag_corr's symmetric
+    * cross-correlation. */
+  private val granger = QueryDef(
+    "kdb_granger",
+    (s, d) => {
+      val e = ev(s, d).filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      val nSlots = (T1 - T0) / Hour
+      val grid = s.range(nSlots).select((lit(T0) + col("id") * Hour).as("slot_ns"))
+      val sums = e.groupBy(col("slot_ns")).agg(
+        sum(when(col("event_type") === "click", col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", col("cents")).otherwise(0L)).as("y"))
+      val dense = grid.join(sums, Seq("slot_ns"), "left_outer")
+        .withColumn("x", coalesce(col("x"), lit(0L)))
+        .withColumn("y", coalesce(col("y"), lit(0L)))
+      val w = Window.orderBy(col("slot_ns")) // grid-bounded frame
+      val trip = dense
+        .withColumn("yl", lag(col("y"), 1).over(w))
+        .withColumn("xl", lag(col("x"), 1).over(w))
+        .filter(col("yl").isNotNull)
+        .select(col("y"), col("yl"), col("xl"))
+      val m = trip.groupBy().agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("yl")).cast("double").as("s1"),
+        sum(col("xl")).cast("double").as("s2"),
+        sum(col("yl") * col("yl")).cast("double").as("s11"),
+        sum(col("xl") * col("xl")).cast("double").as("s22"),
+        sum(col("yl") * col("xl")).cast("double").as("s12"),
+        sum(col("y") * col("yl")).cast("double").as("sy1"),
+        sum(col("y") * col("xl")).cast("double").as("sy2"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      // centered co-moments (all one-op combinations of exact sums)
+      val c11 = col("s11") - col("s1") * col("s1") / col("n")
+      val c22 = col("s22") - col("s2") * col("s2") / col("n")
+      val c12 = col("s12") - col("s1") * col("s2") / col("n")
+      val cy1 = col("sy1") - col("sy") * col("s1") / col("n")
+      val cy2 = col("sy2") - col("sy") * col("s2") / col("n")
+      val cyy = col("syy") - col("sy") * col("sy") / col("n")
+      val det = c11 * c22 - c12 * c12
+      val b = (cy1 * c22 - cy2 * c12) / det
+      val c = (cy2 * c11 - cy1 * c12) / det
+      val sseU = cyy - b * cy1 - c * cy2
+      val sseR = cyy - cy1 * cy1 / c11
+      val f = (sseR - sseU) / (sseU / (col("n") - 3))
+      m.select(
+        col("n").cast("long").as("n_pairs"),
+        (round(b, 6) + lit(0.0)).as("b_ylag"),
+        (round(c, 6) + lit(0.0)).as("c_xlag"),
+        (round(f, 4) + lit(0.0)).as("f_stat"),
+        when(f > 3.85, 1).otherwise(0).as("x_causes_y"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+          AND event_type IN ('click', 'purchase')),
+      sums AS (
+        SELECT slot_ns,
+               CAST(sum(CASE WHEN event_type = 'click' THEN cents ELSE 0 END)
+                 AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+                 AS BIGINT) AS y
+        FROM e GROUP BY 1),
+      dense AS (
+        SELECT g.slot_ns, coalesce(s.x, 0) AS x, coalesce(s.y, 0) AS y
+        FROM range(${T0}, ${T1}, ${Hour}) g(slot_ns)
+        LEFT JOIN sums s USING (slot_ns)),
+      trip AS (
+        SELECT y, lag(y) OVER (ORDER BY slot_ns) AS yl,
+               lag(x) OVER (ORDER BY slot_ns) AS xl
+        FROM dense QUALIFY yl IS NOT NULL),
+      m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(yl) AS DOUBLE) AS s1, CAST(sum(xl) AS DOUBLE) AS s2,
+               CAST(sum(yl * yl) AS DOUBLE) AS s11,
+               CAST(sum(xl * xl) AS DOUBLE) AS s22,
+               CAST(sum(yl * xl) AS DOUBLE) AS s12,
+               CAST(sum(y * yl) AS DOUBLE) AS sy1,
+               CAST(sum(y * xl) AS DOUBLE) AS sy2,
+               CAST(sum(y * y) AS DOUBLE) AS syy
+        FROM trip),
+      cm AS (
+        SELECT n,
+               s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
+               s12 - s1 * s2 / n AS c12,
+               sy1 - sy * s1 / n AS cy1, sy2 - sy * s2 / n AS cy2,
+               syy - sy * sy / n AS cyy
+        FROM m),
+      fit AS (
+        SELECT n, cy1, cy2, cyy, c11,
+               (cy1 * c22 - cy2 * c12) / (c11 * c22 - c12 * c12) AS b,
+               (cy2 * c11 - cy1 * c12) / (c11 * c22 - c12 * c12) AS c
+        FROM cm),
+      ff AS (
+        SELECT n, b, c,
+               ((cyy - cy1 * cy1 / c11) - (cyy - b * cy1 - c * cy2)) /
+                 ((cyy - b * cy1 - c * cy2) / (n - 3)) AS f
+        FROM fit)
+      SELECT CAST(n AS BIGINT) AS n_pairs,
+             round(b, 6) + 0.0 AS b_ylag,
+             round(c, 6) + 0.0 AS c_xlag,
+             round(f, 4) + 0.0 AS f_stat,
+             CASE WHEN f > 3.85 THEN 1 ELSE 0 END AS x_causes_y
+      FROM ff"""))
+
   val defs: Seq[QueryDef] = Seq(
     welch, mannWhitney, gini, pareto, winsorize, quantileNorm, hurst,
-    bootstrap, mannKendall, dickeyFuller, cointegration)
+    bootstrap, mannKendall, dickeyFuller, cointegration, granger)
 }

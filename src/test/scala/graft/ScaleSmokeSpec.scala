@@ -52,6 +52,31 @@ class ScaleSmokeSpec extends SparkTestBase {
     comps.unpersist()
   }
 
+  test("hot-key window join: wj_agg stays correct when one (user, hour) holds the stream") {
+    // one user emits 5000 clicks inside a single hour bucket — the
+    // hottest (user, bucket) key the equi-join can see; the bucket
+    // explode must neither lose nor double-count any of them
+    import graft.queries.KdbQueries.{Hour, T0}
+    val s = spark
+    import s.implicits._
+    val clicks = (0 until 5000).map(i =>
+      (i.toLong, T0 + i.toLong, 1L, "click", 1.0, "{}"))
+    val purchases = Seq(
+      // window [T0, T0+2h]: catches all 5000 clicks
+      (9001L, T0 + 2 * Hour, 1L, "purchase", 1.0, "{}"),
+      // window [T0+1h+1, T0+3h+1]: catches none (clicks all < T0+5µs)
+      (9002L, T0 + 3 * Hour + 1, 1L, "purchase", 1.0, "{}"),
+      // a cold user: zero clicks, left semantics must keep the row
+      (9003L, T0 + 2 * Hour, 2L, "purchase", 1.0, "{}"))
+    val dir = Files.createTempDirectory("graft-wj-hot").toString
+    (clicks ++ purchases)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("kdb_wj_agg")(spark, dir)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n_clicks")).toMap
+    assert(out === Map(9001L -> 5000L, 9002L -> 0L, 9003L -> 0L))
+  }
+
   test("stopword bomb: BoundedPostings keeps O(dfCap) buffers under a 100k-doc shingle") {
     import graft.functions.Postings
     // unit-level proof of the bound: reduce 100k postings of ONE

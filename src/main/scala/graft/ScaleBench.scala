@@ -79,7 +79,14 @@ object ScaleBench {
     // grid constant), and anchor-broadcast negative mining (one
     // corpus scan growth)
     "kdb_mann_whitney", "kdb_bootstrap_ci", "kdb_quantile_norm",
-    "llm_hard_negatives")
+    "llm_hard_negatives",
+    // r7-cont wave 4 (close): exact weighted median (global prefix
+    // sum over raw events — the DistributedRank growth probe on the
+    // biggest input), the grid-pair Mann-Kendall (must stay flat —
+    // pairs are constant in data size), the wj bucket-explode join
+    // (both sides grow k×), and KN scoring (bigram tables grow)
+    "kdb_weighted_median", "kdb_mann_kendall", "kdb_wj_agg",
+    "llm_lm_score_kn")
 
   private val Tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

@@ -914,7 +914,97 @@ object StatsQueries extends QueryModule {
              CASE WHEN f > 3.85 THEN 1 ELSE 0 END AS x_causes_y
       FROM ff"""))
 
+  /** Ljung–Box portmanteau test on the hourly total-cents series:
+    * Q = n(n+2)·Σ_{k=1..6} ρ̂²_k/(n−k), the "is anything left in the
+    * autocorrelations?" white-noise audit that closes the ACF family
+    * (kdb_acf reports the ρ̂s; this one makes the joint decision).
+    * Each ρ̂_k comes from exact int64 lagged moments over the dense
+    * grid (6 lead() columns in one bounded window pass), expanded
+    * around the full-series mean with the identical association
+    * order in both engines; the six ρ² terms fold in EXPLICIT k
+    * order (a sum() over rows would be order-nondeterministic even
+    * at 6 rows), so the white-noise decision at the χ²(6) 5% value
+    * 12.59 is branch-safe. One rollup shuffle; grid-bounded after. */
+  private val ljungBox = QueryDef(
+    "kdb_ljung_box",
+    (s, d) => {
+      val e = ev(s, d).filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+      val nSlots = (T1 - T0) / Hour
+      val grid = s.range(nSlots).select((lit(T0) + col("id") * Hour).as("slot_ns"))
+      val sums = e
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .groupBy(col("slot_ns")).agg(sum(col("cents")).as("x"))
+      val dense = grid.join(sums, Seq("slot_ns"), "left_outer")
+        .withColumn("x", coalesce(col("x"), lit(0L)))
+      val w = Window.orderBy(col("slot_ns")) // grid-bounded frame
+      val lagged = (1 to 6).foldLeft(dense) { (df, k) =>
+        df.withColumn(s"x$k", lead(col("x"), k).over(w))
+      }
+      val aggs = Seq(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("x") * col("x")).cast("double").as("sxx")) ++
+        (1 to 6).flatMap { k => Seq(
+          sum(col("x") * col(s"x$k")).cast("double").as(s"sxy$k"),
+          sum(when(col(s"x$k").isNotNull, col("x"))).cast("double").as(s"sa$k"),
+          sum(col(s"x$k")).cast("double").as(s"sb$k"))
+        }
+      val m = lagged.groupBy().agg(aggs.head, aggs.tail: _*)
+      val mean = col("sx") / col("n")
+      val den = col("sxx") - col("sx") * col("sx") / col("n")
+      def rho(k: Int) =
+        (col(s"sxy$k") - mean * (col(s"sa$k") + col(s"sb$k")) +
+          (col("n") - k) * mean * mean) / den
+      // explicit k-order fold: r1²/(n−1) + … + r6²/(n−6)
+      val qSum = (1 to 6).map(k => rho(k) * rho(k) / (col("n") - k))
+        .reduceLeft(_ + _)
+      val q = col("n") * (col("n") + 2) * qSum
+      val sel = Seq(col("n").cast("long").as("n_slots")) ++
+        (1 to 6).map(k => (round(rho(k), 4) + lit(0.0)).as(s"rho$k")) ++
+        Seq((round(q, 4) + lit(0.0)).as("q_stat"),
+          when(q <= 12.59, 1).otherwise(0).as("white_noise"))
+      m.select(sel: _*)
+    },
+    Some {
+      val leads = (1 to 6).map(k =>
+        s"lead(x, $k) OVER (ORDER BY slot_ns) AS x$k").mkString(", ")
+      val moments = (1 to 6).map(k => s"""
+        CAST(sum(x * x$k) AS DOUBLE) AS sxy$k,
+        CAST(sum(CASE WHEN x$k IS NOT NULL THEN x END) AS DOUBLE) AS sa$k,
+        CAST(sum(x$k) AS DOUBLE) AS sb$k""").mkString(",")
+      def rho(k: Int) =
+        s"(sxy$k - (sx / n) * (sa$k + sb$k) + (n - $k) * (sx / n) * (sx / n)) / (sxx - sx * sx / n)"
+      val qSum = (1 to 6).map(k => s"(${rho(k)}) * (${rho(k)}) / (n - $k)")
+        .mkString(" + ")
+      val rhos = (1 to 6).map(k => s"round(${rho(k)}, 4) + 0.0 AS rho$k")
+        .mkString(", ")
+      s"""
+      WITH sums AS (
+        SELECT epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1),
+      dense AS (
+        SELECT g.slot_ns, coalesce(s.x, 0) AS x
+        FROM range(${T0}, ${T1}, ${Hour}) g(slot_ns)
+        LEFT JOIN sums s USING (slot_ns)),
+      lagged AS (SELECT x, $leads FROM dense),
+      m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(x * x) AS DOUBLE) AS sxx, $moments
+        FROM lagged)
+      SELECT CAST(n AS BIGINT) AS n_slots, $rhos,
+             round(n * (n + 2) * ($qSum), 4) + 0.0 AS q_stat,
+             CASE WHEN n * (n + 2) * ($qSum) <= 12.59 THEN 1 ELSE 0 END
+               AS white_noise
+      FROM m"""
+    })
+
   val defs: Seq[QueryDef] = Seq(
     welch, mannWhitney, gini, pareto, winsorize, quantileNorm, hurst,
-    bootstrap, mannKendall, dickeyFuller, cointegration, granger)
+    bootstrap, mannKendall, dickeyFuller, cointegration, granger,
+    ljungBox)
 }

@@ -1003,8 +1003,107 @@ object StatsQueries extends QueryModule {
       FROM m"""
     })
 
+  /** Split-conformal prediction interval for the next-step Holt
+    * forecast, per event type: replay Holt(α=0.5, β=0.25) over the
+    * slot series keeping the whole (level, trend) TRACE, score every
+    * one-step-ahead forecast's absolute residual (the
+    * kdb_forecast_backtest walk-forward, with the residual SERIES
+    * kept instead of folded to MAE), and take the conformal quantile
+    * — the ⌈0.9·(m+1)⌉-th smallest residual, an ORDER STATISTIC, no
+    * interpolation — as the ±band around the next forecast.
+    * Distribution-free coverage is conformal's whole point: no
+    * normality assumed anywhere. The trace is a list-accumulator
+    * fold in Spark and the kdb_holt_trend recursive CTE in DuckDB
+    * (struct-fold accumulators miscompute in DuckDB 1.0.0 —
+    * documented gotcha); identical association order makes every
+    * level/trend/residual double bit-identical pre-round, and the
+    * order-statistic quantile is exact in both. Slot-bounded per
+    * type after one rollup shuffle. */
+  private val conformal = QueryDef(
+    "kdb_conformal_forecast",
+    (s, d) => {
+      val arrs = ev(s, d)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(max(col("value")).as("v"))
+        .groupBy(col("event_type"))
+        .agg(transform(sort_array(collect_list(struct(col("slot_ns"), col("v")))),
+          r => r.getField("v")).as("vs"))
+      val zero = array().cast("array<struct<l:double,b:double>>")
+      val fold = aggregate(col("vs"), zero, (acc, x) => {
+        val last = element_at(acc, -1)
+        val lNew = lit(0.5) * x + lit(0.5) *
+          (last.getField("l") + last.getField("b"))
+        val bNew = lit(0.25) * (lNew - last.getField("l")) +
+          lit(0.75) * last.getField("b")
+        when(size(acc) === 0,
+          array(struct(x.cast("double").as("l"), lit(0.0).as("b"))))
+          .otherwise(concat(acc, array(struct(lNew.as("l"), bNew.as("b")))))
+      })
+      val withTrace = arrs.withColumn("tr", fold)
+        .withColumn("resids", array_sort(
+          transform(sequence(lit(2), size(col("vs"))), i =>
+            abs(element_at(col("vs"), i).cast("double") -
+              (element_at(col("tr"), i - 1).getField("l") +
+                element_at(col("tr"), i - 1).getField("b"))))))
+        .withColumn("m", size(col("vs")) - 1)
+        .withColumn("k", least(
+          ceil(lit(0.9) * (col("m") + 1)).cast("int"), col("m")))
+        .withColumn("fc", element_at(col("tr"), -1).getField("l") +
+          element_at(col("tr"), -1).getField("b"))
+        .withColumn("q", when(col("m") > 0,
+          element_at(col("resids"), col("k"))))
+      withTrace.select(col("event_type"), col("m").as("n_cal"),
+        (round(col("fc"), 2) + lit(0.0)).as("forecast"),
+        (round(col("q"), 2) + lit(0.0)).as("q90"),
+        (round(col("fc") - col("q"), 2) + lit(0.0)).as("lo90"),
+        (round(col("fc") + col("q"), 2) + lit(0.0)).as("hi90"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH RECURSIVE h AS (
+        SELECT event_type,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               max(value) AS v
+        FROM events GROUP BY 1, 2),
+      arrs AS (
+        SELECT event_type AS et, list(v ORDER BY slot_ns) AS vs
+        FROM h GROUP BY 1),
+      dp(et, i, l, b) AS (
+        SELECT et, 1, CAST(vs[1] AS DOUBLE), CAST(0.0 AS DOUBLE) FROM arrs
+        UNION ALL
+        SELECT d.et, d.i + 1,
+               0.5 * a.vs[d.i + 1] + 0.5 * (d.l + d.b),
+               0.25 * ((0.5 * a.vs[d.i + 1] + 0.5 * (d.l + d.b)) - d.l)
+                 + 0.75 * d.b
+        FROM dp d JOIN arrs a ON a.et = d.et
+        WHERE d.i < len(a.vs)),
+      resid AS (
+        SELECT d.et, abs(a.vs[d.i + 1] - (d.l + d.b)) AS r
+        FROM dp d JOIN arrs a ON a.et = d.et
+        WHERE d.i < len(a.vs)),
+      ragg AS (
+        SELECT et, list_sort(list(r)) AS rs, count(*) AS m
+        FROM resid GROUP BY 1),
+      fc AS (
+        SELECT d.et, d.l + d.b AS fc
+        FROM dp d JOIN arrs a ON a.et = d.et
+        WHERE d.i = len(a.vs)),
+      out AS (
+        SELECT r.et, r.m, f.fc,
+               CASE WHEN r.m > 0 THEN r.rs[least(
+                 CAST(ceil(0.9 * (r.m + 1)) AS BIGINT), r.m)] END AS q
+        FROM ragg r JOIN fc f ON f.et = r.et)
+      SELECT et AS event_type, CAST(m AS INTEGER) AS n_cal,
+             round(fc, 2) + 0.0 AS forecast,
+             round(q, 2) + 0.0 AS q90,
+             round(fc - q, 2) + 0.0 AS lo90,
+             round(fc + q, 2) + 0.0 AS hi90
+      FROM out
+      ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] = Seq(
     welch, mannWhitney, gini, pareto, winsorize, quantileNorm, hurst,
     bootstrap, mannKendall, dickeyFuller, cointegration, granger,
-    ljungBox)
+    ljungBox, conformal)
 }

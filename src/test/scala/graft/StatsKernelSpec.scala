@@ -242,6 +242,39 @@ class StatsKernelSpec extends SparkTestBase {
     assert(got2.getAs[Double]("w_median") === 2.0)
   }
 
+  test("kdb_conformal_forecast: a constant series has zero-width intervals at the constant") {
+    // Holt on a constant holds level=c, trend=0 → every walk-forward
+    // residual is 0 → conformal q90 = 0 and lo = hi = forecast = c
+    val rows = (0 until 48).map(i =>
+      (i.toLong, T0 + i.toLong * 3600L * 1000000000L, 1L, "click", 7.25, "{}"))
+    val got = SparkEntry.queries("kdb_conformal_forecast")(spark, eventsDir(rows))
+      .collect().head
+    assert(got.getAs[Double]("forecast") === 7.25)
+    assert(got.getAs[Double]("q90") === 0.0)
+    assert(got.getAs[Double]("lo90") === 7.25)
+    assert(got.getAs[Double]("hi90") === 7.25)
+    assert(got.getAs[Int]("n_cal") === 47)
+  }
+
+  test("kdb_ljung_box: a strongly alternating series is decisively not white noise") {
+    val out = SparkEntry.queries("kdb_ljung_box")(spark, sf).collect().head
+    // sanity on real data first: Q is finite and rhos are in [-1, 1]
+    (1 to 6).foreach { k =>
+      val r = out.getAs[Double](s"rho$k")
+      assert(r >= -1.0 && r <= 1.0, s"rho$k=$r")
+    }
+    // synthetic: hourly alternation ±100 around the mean → rho1 ≈ -1
+    // → Q explodes → the white-noise hypothesis must be rejected
+    val rows = (0 until 720).map(i =>
+      (i.toLong, T0 + i.toLong * 3600L * 1000000000L, 1L, "click",
+        if (i % 2 == 0) 2.0 else 0.01, "{}"))
+    val alt = SparkEntry.queries("kdb_ljung_box")(spark, eventsDir(rows))
+      .collect().head
+    assert(alt.getAs[Double]("rho1") < -0.9)
+    assert(alt.getAs[Double]("q_stat") > 100.0)
+    assert(alt.getAs[Int]("white_noise") === 0)
+  }
+
   // ---------------- invariants on the gate corpus ----------------
 
   test("kdb_pareto: deciles are balanced, shares sum to 1") {

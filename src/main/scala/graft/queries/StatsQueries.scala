@@ -1102,8 +1102,95 @@ object StatsQueries extends QueryModule {
       FROM out
       ORDER BY event_type"""))
 
+  /** Sequential probability ratio test (Wald's SPRT) on the hourly
+    * purchase stream: H0 p=0.30 vs H1 p=0.35 conversion (payload >
+    * $50), α=β=0.05 barriers at ±ln 19 — the always-valid sequential
+    * complement to kdb_ab_test's fixed-horizon z-test: it reports
+    * the FIRST hour the evidence crossed a barrier, not just the
+    * end-of-month verdict. Branch-safety (the llm_quality_classifier
+    * rule, applied to a sequential decision): the per-outcome LLR
+    * increments and the barriers are HARDCODED literal doubles
+    * identical in both engines — never a runtime ln — and the
+    * cumulative LLR at slot t is K_t·A + (N_t−K_t)·B from INTEGER
+    * cumulative counts (window-summed longs, the kdb_stl rule; a
+    * double cumsum would diverge between Spark's running frames and
+    * DuckDB's segment trees). Grid-bounded after one rollup. */
+  private val sprt = QueryDef(
+    "kdb_sprt",
+    (s, d) => {
+      val A = 0.15415067982725836 // ln(0.35/0.30)
+      val B = -0.07410797215372172 // ln(0.65/0.70)
+      val Bar = 2.9444389791664403 // ln((1-0.05)/0.05)
+      val e = ev(s, d).filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .filter(col("event_type") === "purchase")
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+      val perSlot = e.groupBy(col("slot_ns")).agg(
+        count(lit(1)).as("n"),
+        count(when(col("value") > 50.0, 1)).as("k"))
+      val w = Window.orderBy(col("slot_ns"))
+        .rowsBetween(Window.unboundedPreceding, 0) // slot grid: bounded
+      val llr = perSlot
+        .withColumn("kc", sum(col("k")).over(w))
+        .withColumn("nc", sum(col("n")).over(w))
+        .withColumn("llr",
+          col("kc") * lit(A) + (col("nc") - col("kc")) * lit(B))
+      llr.groupBy().agg(
+        count(lit(1)).as("n_slots"),
+        max(col("nc")).as("n_trials"),
+        max(col("kc")).as("k_success"),
+        min(when(col("llr") >= Bar, col("slot_ns"))).as("h1_cross_ns"),
+        min(when(col("llr") <= -Bar, col("slot_ns"))).as("h0_cross_ns"),
+        (round(max_by(col("llr"), col("slot_ns")), 4) + lit(0.0)).as("llr_final"))
+        .select(col("n_slots"), col("n_trials"), col("k_success"),
+          col("h1_cross_ns"), col("h0_cross_ns"), col("llr_final"),
+          when(col("h1_cross_ns").isNotNull &&
+            (col("h0_cross_ns").isNull || col("h1_cross_ns") <= col("h0_cross_ns")),
+            "accept_h1")
+            .when(col("h0_cross_ns").isNotNull, "accept_h0")
+            .otherwise("continue").as("decision"))
+    },
+    Some(s"""
+      WITH perslot AS (
+        SELECT epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               count(*) AS n,
+               count(CASE WHEN value > 50.0 THEN 1 END) AS k
+        FROM events
+        WHERE event_type = 'purchase'
+          AND epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1),
+      cum AS (
+        SELECT slot_ns,
+               CAST(sum(k) OVER (ORDER BY slot_ns
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS kc,
+               CAST(sum(n) OVER (ORDER BY slot_ns
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nc
+        FROM perslot),
+      llr AS (
+        SELECT slot_ns, kc, nc,
+               kc * CAST(0.15415067982725836 AS DOUBLE)
+                 + (nc - kc) * CAST(-0.07410797215372172 AS DOUBLE) AS llr
+        FROM cum),
+      agg AS (
+        SELECT count(*) AS n_slots,
+               CAST(max(nc) AS BIGINT) AS n_trials,
+               CAST(max(kc) AS BIGINT) AS k_success,
+               min(CASE WHEN llr >= 2.9444389791664403 THEN slot_ns END)
+                 AS h1_cross_ns,
+               min(CASE WHEN llr <= -2.9444389791664403 THEN slot_ns END)
+                 AS h0_cross_ns,
+               round(arg_max(llr, slot_ns), 4) + 0.0 AS llr_final
+        FROM llr)
+      SELECT n_slots, n_trials, k_success, h1_cross_ns, h0_cross_ns,
+             llr_final,
+             CASE WHEN h1_cross_ns IS NOT NULL AND
+                    (h0_cross_ns IS NULL OR h1_cross_ns <= h0_cross_ns)
+                  THEN 'accept_h1'
+                  WHEN h0_cross_ns IS NOT NULL THEN 'accept_h0'
+                  ELSE 'continue' END AS decision
+      FROM agg"""))
+
   val defs: Seq[QueryDef] = Seq(
     welch, mannWhitney, gini, pareto, winsorize, quantileNorm, hurst,
     bootstrap, mannKendall, dickeyFuller, cointegration, granger,
-    ljungBox, conformal)
+    ljungBox, conformal, sprt)
 }

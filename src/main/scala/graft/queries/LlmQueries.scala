@@ -542,6 +542,97 @@ object LlmQueries extends QueryModule {
              round(exp(-avg(logp)), 2) AS ppl
       FROM j GROUP BY 1 ORDER BY doc_id"""))
 
+  /** Filter-overlap matrix: [[filterChain]] applies rules first-
+    * failure-wins, which HIDES how redundant the rules are — this is
+    * the introspection pass that evaluates every rule INDEPENDENTLY
+    * and reports the pairwise overlap (Jaccard of flagged-doc sets)
+    * for all 6 rule pairs. A pair with Jaccard ≈ 1 means one rule is
+    * dead weight; ≈ 0 means they prune disjoint slices — the data a
+    * pipeline owner needs before reordering or dropping stages. One
+    * narrow scan, ten conditional counts folded to ONE row, six
+    * literal-struct rows exploded from it — no second pass, no
+    * shuffle beyond the global aggregate. All counts exact ints;
+    * the only division is the final reported ratio. */
+  private val filterOverlap = QueryDef(
+    "llm_filter_overlap",
+    (s, d) => {
+      val t = tokens(col("text"))
+      val nTok = size(t)
+      val meanLen = (col("n_chars") - nTok + 1).cast("double") / nTok
+      val diversity = size(array_distinct(t)).cast("double") / nTok
+      def i(c: Column) = when(c, 1L).otherwise(0L)
+      val flagged = documents(s, d)
+        .withColumn("fs", i(col("n_chars") < 120))
+        .withColumn("fl", i(col("n_chars") > 450))
+        .withColumn("fw", i(meanLen > 5.0))
+        .withColumn("fr", i(diversity < 0.35))
+      val a = flagged.groupBy().agg(
+        sum(col("fs")).as("ss"), sum(col("fl")).as("sl"),
+        sum(col("fw")).as("sw"), sum(col("fr")).as("sr"),
+        sum(col("fs") * col("fl")).as("b_sl"),
+        sum(col("fs") * col("fw")).as("b_sw"),
+        sum(col("fs") * col("fr")).as("b_sr"),
+        sum(col("fl") * col("fw")).as("b_lw"),
+        sum(col("fl") * col("fr")).as("b_lr"),
+        sum(col("fw") * col("fr")).as("b_wr"))
+      def row(f1: String, f2: String, n1: String, n2: String, b: String) =
+        struct(lit(f1).as("f1"), lit(f2).as("f2"), col(n1).as("n_f1"),
+          col(n2).as("n_f2"), col(b).as("n_both"))
+      a.select(explode(array(
+          row("repetitive", "too_long", "sr", "sl", "b_lr"),
+          row("repetitive", "weird_tokens", "sr", "sw", "b_wr"),
+          row("too_long", "weird_tokens", "sl", "sw", "b_lw"),
+          row("too_short", "repetitive", "ss", "sr", "b_sr"),
+          row("too_short", "too_long", "ss", "sl", "b_sl"),
+          row("too_short", "weird_tokens", "ss", "sw", "b_sw"))).as("p"))
+        .select(col("p.f1"), col("p.f2"), col("p.n_f1"), col("p.n_f2"),
+          col("p.n_both"),
+          (col("p.n_f1") + col("p.n_f2") - col("p.n_both")).as("n_either"),
+          round(col("p.n_both").cast("double") /
+            nullif(col("p.n_f1") + col("p.n_f2") - col("p.n_both"), lit(0L)), 4)
+            .as("jaccard"))
+        .orderBy(col("f1"), col("f2"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT n_chars,
+               len(string_split(text, ' ')) AS nt,
+               len(list_distinct(string_split(text, ' '))) AS nd
+        FROM documents),
+      f AS (
+        SELECT CASE WHEN n_chars < 120 THEN 1 ELSE 0 END AS fs,
+               CASE WHEN n_chars > 450 THEN 1 ELSE 0 END AS fl,
+               CASE WHEN CAST(n_chars - nt + 1 AS DOUBLE) / nt > 5.0
+                    THEN 1 ELSE 0 END AS fw,
+               CASE WHEN CAST(nd AS DOUBLE) / nt < 0.35
+                    THEN 1 ELSE 0 END AS fr
+        FROM t),
+      a AS (
+        SELECT count(CASE WHEN fs = 1 THEN 1 END) AS ss,
+               count(CASE WHEN fl = 1 THEN 1 END) AS sl,
+               count(CASE WHEN fw = 1 THEN 1 END) AS sw,
+               count(CASE WHEN fr = 1 THEN 1 END) AS sr,
+               count(CASE WHEN fs = 1 AND fl = 1 THEN 1 END) AS b_sl,
+               count(CASE WHEN fs = 1 AND fw = 1 THEN 1 END) AS b_sw,
+               count(CASE WHEN fs = 1 AND fr = 1 THEN 1 END) AS b_sr,
+               count(CASE WHEN fl = 1 AND fw = 1 THEN 1 END) AS b_lw,
+               count(CASE WHEN fl = 1 AND fr = 1 THEN 1 END) AS b_lr,
+               count(CASE WHEN fw = 1 AND fr = 1 THEN 1 END) AS b_wr
+        FROM f),
+      pairs AS (
+        SELECT 'repetitive' AS f1, 'too_long' AS f2, sr AS n_f1, sl AS n_f2, b_lr AS n_both FROM a
+        UNION ALL SELECT 'repetitive', 'weird_tokens', sr, sw, b_wr FROM a
+        UNION ALL SELECT 'too_long', 'weird_tokens', sl, sw, b_lw FROM a
+        UNION ALL SELECT 'too_short', 'repetitive', ss, sr, b_sr FROM a
+        UNION ALL SELECT 'too_short', 'too_long', ss, sl, b_sl FROM a
+        UNION ALL SELECT 'too_short', 'weird_tokens', ss, sw, b_sw FROM a)
+      SELECT f1, f2, n_f1, n_f2, n_both,
+             n_f1 + n_f2 - n_both AS n_either,
+             round(CAST(n_both AS DOUBLE) /
+               nullif(n_f1 + n_f2 - n_both, 0), 4) AS jaccard
+      FROM pairs
+      ORDER BY f1, f2"""))
+
   /** Training-mixture weights: temperature-smoothed (α=0.5) domain
     * sampling — w_i = n_i^α / Σ n_j^α over per-source token counts,
     * then each source's expected token draw under a 1M budget and the
@@ -3785,7 +3876,7 @@ object LlmQueries extends QueryModule {
     embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, embIvfTrained, semanticDedup, incrementalDedup, multimodalMeta,
     filterChain, packSeq, stratSample, dedupClusters, decontaminate, piiScrub,
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
-    dedupSubstring, encodeIds, editDistance, lmScore, lmScoreKn, mixtureWeights,
+    dedupSubstring, encodeIds, editDistance, lmScore, lmScoreKn, filterOverlap, mixtureWeights,
     multimodalFrames, embNormAudit, knnClassify, dedupReport, lengthBands,
     tokenEntropy, dsirSample, perplexityBuckets, winnowingFp, containment,
     int8Quantize, datasetCard, tokenizerFertility, codeDetect,

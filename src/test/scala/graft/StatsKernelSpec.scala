@@ -275,6 +275,26 @@ class StatsKernelSpec extends SparkTestBase {
     assert(alt.getAs[Int]("white_noise") === 0)
   }
 
+  test("kdb_sprt: decisive streams cross the right barrier, and early") {
+    // 60%+ conversion (vs H1 p=0.35): H1 evidence accumulates at
+    // ~+0.066/obs — with 40 obs/hour the +2.944 barrier falls inside
+    // the first few hours
+    def mk(highEvery: Int) = (0 until 2400).map { i =>
+      val v = if (i % highEvery == 0) 80.0 else 10.0
+      (i.toLong, T0 + (i / 40).toLong * 3600L * 1000000000L + i % 40,
+        1L, "purchase", v, "{}")
+    }
+    val h1 = SparkEntry.queries("kdb_sprt")(spark, eventsDir(mk(2)))
+      .collect().head // 50% > 0.35 → H1
+    assert(h1.getAs[String]("decision") === "accept_h1")
+    assert(h1.getAs[Long]("h1_cross_ns") < T0 + 10L * 3600L * 1000000000L,
+      "decisive evidence must cross within the first hours, not at month end")
+
+    val h0 = SparkEntry.queries("kdb_sprt")(spark, eventsDir(mk(10)))
+      .collect().head // 10% < 0.30 → H0
+    assert(h0.getAs[String]("decision") === "accept_h0")
+  }
+
   // ---------------- invariants on the gate corpus ----------------
 
   test("kdb_pareto: deciles are balanced, shares sum to 1") {

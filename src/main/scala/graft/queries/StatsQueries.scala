@@ -1189,8 +1189,78 @@ object StatsQueries extends QueryModule {
                   ELSE 'continue' END AS decision
       FROM agg"""))
 
+  /** Entropy rate of the event-type stream: the conditional entropy
+    * H(next|current) in bits over the same per-user (ts_us,
+    * event_id)-ordered transitions as kdb_event_transitions, beside
+    * the marginal H(next) and their difference — the mutual
+    * information, i.e. how many bits the current event type buys you
+    * about the next one (the Markov matrix summarized to one
+    * predictability number). Counts are exact int64; the ≤|types|²
+    * entropy terms sum as doubles and feed only 4dp-rounded REPORTED
+    * values (the lm_score precedent — never a branch). Transition
+    * counts are one shuffle; everything after is |types|²-bounded
+    * with 1-row totals on broadcast cross joins. */
+  private val entropyRate = QueryDef(
+    "kdb_entropy_rate",
+    (s, d) => {
+      val L = 0.6931471805599453 // ln 2
+      val seqW = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val c = ev(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(seqW))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("nij"))
+      val rowTot = c.groupBy(col("cur")).agg(sum(col("nij")).as("ni"))
+      val nTot = c.groupBy().agg(sum(col("nij")).as("nn"))
+      val sc = c.join(broadcast(rowTot), Seq("cur"))
+        .crossJoin(broadcast(nTot))
+        .groupBy().agg(sum(
+          (col("nij").cast("double") / col("nn")) *
+            log(col("nij").cast("double") / col("ni"))).as("s_cond"))
+      val sn = c.groupBy(col("nxt")).agg(sum(col("nij")).as("nj"))
+        .crossJoin(broadcast(nTot))
+        .groupBy().agg(sum(
+          (col("nj").cast("double") / col("nn")) *
+            log(col("nj").cast("double") / col("nn"))).as("s_next"))
+      nTot.crossJoin(sc).crossJoin(sn).select(
+        col("nn").as("n_transitions"),
+        (round(-col("s_next") / L, 4) + lit(0.0)).as("h_next_bits"),
+        (round(-col("s_cond") / L, 4) + lit(0.0)).as("h_cond_bits"),
+        (round((col("s_cond") - col("s_next")) / L, 4) + lit(0.0))
+          .as("info_gain_bits"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events),
+      c AS (
+        SELECT event_type AS cur, nxt, count(*) AS nij
+        FROM seq WHERE nxt IS NOT NULL
+        GROUP BY 1, 2),
+      rowtot AS (SELECT cur, CAST(sum(nij) AS BIGINT) AS ni FROM c GROUP BY 1),
+      ntot AS (SELECT CAST(sum(nij) AS BIGINT) AS nn FROM c),
+      sc AS (
+        SELECT sum((CAST(nij AS DOUBLE) / nn) *
+                 ln(CAST(nij AS DOUBLE) / ni)) AS s_cond
+        FROM c JOIN rowtot USING (cur) CROSS JOIN ntot),
+      sn AS (
+        SELECT sum((CAST(nj AS DOUBLE) / nn) *
+                 ln(CAST(nj AS DOUBLE) / nn)) AS s_next
+        FROM (SELECT nxt, CAST(sum(nij) AS BIGINT) AS nj FROM c GROUP BY 1)
+        CROSS JOIN ntot)
+      SELECT nn AS n_transitions,
+             round(-s_next / 0.6931471805599453, 4) + 0.0 AS h_next_bits,
+             round(-s_cond / 0.6931471805599453, 4) + 0.0 AS h_cond_bits,
+             round((s_cond - s_next) / 0.6931471805599453, 4) + 0.0
+               AS info_gain_bits
+      FROM ntot CROSS JOIN sc CROSS JOIN sn"""))
+
   val defs: Seq[QueryDef] = Seq(
     welch, mannWhitney, gini, pareto, winsorize, quantileNorm, hurst,
     bootstrap, mannKendall, dickeyFuller, cointegration, granger,
-    ljungBox, conformal, sprt)
+    ljungBox, conformal, sprt, entropyRate)
 }

@@ -202,7 +202,10 @@ class QueriesSpec extends SparkTestBase {
       // kdb_cointegration: the 1-row OLS fit broadcast over the grid
       // for residuals — the llm_lm_score scalar shape on the
       // kdb_acf grid
-      "kdb_cointegration")
+      "kdb_cointegration",
+      // kdb_entropy_rate: the 1-row transition total rides broadcast
+      // cross joins over the |types|²-bounded count table
+      "kdb_entropy_rate")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

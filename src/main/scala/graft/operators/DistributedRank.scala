@@ -86,6 +86,51 @@ object DistributedRank {
       .drop("__pid", "__v", "__ps")
   }
 
+  /** Multi-column variant of [[withPrefixSum]]: ONE range shuffle
+    * computes an exact exclusive prefix sum for EACH (valueCol →
+    * outName) pair. The k-sample statistics need one running sum per
+    * sample (KS: two ECDFs; k-sample AD/KW: one per group) — calling
+    * [[withPrefixSum]] k times would range-shuffle the same frame k
+    * times; this pays the shuffle once and carries k window columns
+    * through the same partitioned pass. */
+  def withPrefixSums(df: DataFrame, sums: Seq[(Column, String)],
+      order: Seq[Column]): DataFrame = {
+    require(sums.nonEmpty)
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val staged = sums.zipWithIndex.foldLeft(
+      df.repartitionByRange(parts, order: _*)
+        .withColumn("__pid", spark_partition_id())) {
+      case (acc, ((c, _), i)) =>
+        acc.withColumn(s"__v$i", c.cast("long"))
+          .withColumn(s"__ps$i", sum(col(s"__v$i")).over(w))
+    }
+    val local = staged.localCheckpoint()
+    val totAggs = sums.indices.map(i => sum(col(s"__v$i")).as(s"t$i"))
+    val totals = local.groupBy(col("__pid"))
+      .agg(totAggs.head, totAggs.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> sums.indices.map(i => r.getLong(i + 1)))
+      .toMap
+    val pids = totals.keys.toSeq.sorted
+    val out = sums.zipWithIndex.foldLeft(local) { case (acc, ((_, name), i)) =>
+      val offsets = pids
+        .scanLeft((Int.MinValue, 0L)) { case ((_, cum), pid) =>
+          (pid, cum + totals(pid)(i))
+        }
+        .sliding(2).collect { case Seq((_, cum), (pid, _)) => (pid, cum) }
+        .toMap
+      val offCol = offsets.foldLeft(lit(0L)) { case (c, (pid, off)) =>
+        when(col("__pid") === pid, lit(off)).otherwise(c)
+      }
+      acc.withColumn(name, offCol + coalesce(col(s"__ps$i"), lit(0L)))
+    }
+    sums.indices.foldLeft(out.drop("__pid")) { (acc, i) =>
+      acc.drop(s"__v$i", s"__ps$i")
+    }
+  }
+
   /** df + `tileName` = exact SQL-ntile(k) bucket by `order` (total
     * order required), via [[withGlobalRank]] + the closed-form
     * remainder rule. */

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables._
 
@@ -5042,8 +5042,241 @@ object KdbQueries extends QueryModule {
              round(sv, 4) + 0.0 AS survival
       FROM surv ORDER BY dur_day"""))
 
+  /** Partial autocorrelation (PACF) at lags 1..3 per series, via
+    * Durbin–Levinson on the autocovariance ratios — the AR-order
+    * diagnostic that completes [[acf]]: ACF says "correlated at lag
+    * k", PACF says "correlated at lag k AFTER removing lags < k"
+    * (an AR(1) series has ACF at every lag but PACF only at lag 1).
+    * Exact-integer discipline one step further than acf: the centered
+    * autocovariances are cleared of the rational mean by multiplying
+    * through by n² — n²·S_k = n²·Σvₜvₜ₊ₖ − n·T·(Hₖ+Tₖ) + (n−k)·T²
+    * is exact BIGINT algebra in both engines (T = grid total; safe
+    * while hourly counts stay < ~2³¹ — beyond that this grid frame
+    * would move to DECIMAL(38,0)), so ρ₁..ρ₃ are bit-identical
+    * doubles and the Durbin–Levinson recursion (fixed closed-form
+    * algebra, three levels) cannot diverge between engines. The
+    * data-sized work is ONE hourly rollup; the lagged self-join runs
+    * on the (types × 720-slot) grid. */
+  /** Hourly-grid slot count over [T0, T1) — 720; shared by the pacf/
+    * periodogram oracles (the SQL strings are built outside the
+    * query lambdas). */
+  private val GridN: Long = (T1 - T0) / Hour
+
+  private val pacf = QueryDef(
+    "kdb_pacf",
+    (s, d) => {
+      val n = GridN // 720 — fixed by the time range
+      val counts = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(count(lit(1)).as("nv"))
+      val types = counts.select(col("event_type")).distinct()
+      val grid = s.range(n).select((lit(T0) + col("id") * Hour).as("slot_ns"))
+      val dense = types.crossJoin(broadcast(grid))
+        .join(counts, Seq("event_type", "slot_ns"), "left_outer")
+        .select(col("event_type"), col("slot_ns"),
+          coalesce(col("nv"), lit(0L)).as("v"))
+      val base = dense
+        .select(col("event_type"), col("slot_ns"), col("v").as("x"),
+          explode(sequence(lit(0L), lit(3L))).as("lag"))
+        .filter(col("slot_ns") < lit(T1) - col("lag") * Hour)
+      val lagged = dense.select(col("event_type").as("y_type"),
+        col("slot_ns").as("y_slot"), col("v").as("y"))
+      val moms = base.join(lagged,
+          col("event_type") === col("y_type") &&
+            col("y_slot") === col("slot_ns") + col("lag") * Hour)
+        .groupBy(col("event_type"), col("lag"))
+        .agg(sum(col("x") * col("y")).as("a"),
+          sum(col("x")).as("hx"), sum(col("y")).as("ty"))
+      def pick(k: Int, c: String) = max(when(col("lag") === k, col(c)))
+      val wide = moms.groupBy(col("event_type")).agg(
+        pick(0, "a").as("a0"), pick(0, "hx").as("t"),
+        pick(1, "a").as("a1"), pick(1, "hx").as("h1"), pick(1, "ty").as("t1"),
+        pick(2, "a").as("a2"), pick(2, "hx").as("h2"), pick(2, "ty").as("t2"),
+        pick(3, "a").as("a3"), pick(3, "hx").as("h3"), pick(3, "ty").as("t3"))
+      def sK(a: Column, h: Column, t: Column, k: Int): Column =
+        lit(n * n) * a - lit(n) * col("t") * (h + t) + lit(n - k) * col("t") * col("t")
+      val withS = wide
+        .withColumn("s0", sK(col("a0"), col("t"), col("t"), 0))
+        .withColumn("s1", sK(col("a1"), col("h1"), col("t1"), 1))
+        .withColumn("s2", sK(col("a2"), col("h2"), col("t2"), 2))
+        .withColumn("s3", sK(col("a3"), col("h3"), col("t3"), 3))
+        .withColumn("r1", col("s1").cast("double") / col("s0"))
+        .withColumn("r2", col("s2").cast("double") / col("s0"))
+        .withColumn("r3", col("s3").cast("double") / col("s0"))
+        // Durbin–Levinson, levels 1..3
+        .withColumn("p11", col("r1"))
+        .withColumn("p22",
+          (col("r2") - col("r1") * col("r1")) / (lit(1.0) - col("r1") * col("r1")))
+        .withColumn("p21", col("r1") * (lit(1.0) - col("p22")))
+        .withColumn("p33",
+          (col("r3") - col("p21") * col("r2") - col("p22") * col("r1")) /
+            (lit(1.0) - col("p21") * col("r1") - col("p22") * col("r2")))
+      withS.select(col("event_type"),
+          (round(col("r1"), 4) + lit(0.0)).as("rho1"),
+          (round(col("r2"), 4) + lit(0.0)).as("rho2"),
+          (round(col("r3"), 4) + lit(0.0)).as("rho3"),
+          (round(col("p11"), 4) + lit(0.0)).as("pacf1"),
+          (round(col("p22"), 4) + lit(0.0)).as("pacf2"),
+          (round(col("p33"), 4) + lit(0.0)).as("pacf3"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH counts AS (
+        SELECT event_type, epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               count(*) AS nv
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1, 2),
+      types AS (SELECT DISTINCT event_type FROM counts),
+      dense AS (
+        SELECT t.event_type, g.slot_ns, coalesce(c.nv, 0) AS v
+        FROM types t
+        CROSS JOIN range(${T0}, ${T1}, ${Hour}) g(slot_ns)
+        LEFT JOIN counts c ON c.event_type = t.event_type AND c.slot_ns = g.slot_ns),
+      moms AS (
+        SELECT b.event_type, l.lag,
+               CAST(sum(b.v * p.v) AS BIGINT) AS a,
+               CAST(sum(b.v) AS BIGINT) AS hx,
+               CAST(sum(p.v) AS BIGINT) AS ty
+        FROM range(0, 4) l(lag)
+        JOIN dense b ON b.slot_ns < ${T1} - l.lag * ${Hour}
+        JOIN dense p ON p.event_type = b.event_type
+                    AND p.slot_ns = b.slot_ns + l.lag * ${Hour}
+        GROUP BY 1, 2),
+      wide AS (
+        SELECT event_type,
+               max(CASE WHEN lag = 0 THEN a END) AS a0,
+               max(CASE WHEN lag = 0 THEN hx END) AS t,
+               max(CASE WHEN lag = 1 THEN a END) AS a1,
+               max(CASE WHEN lag = 1 THEN hx END) AS h1,
+               max(CASE WHEN lag = 1 THEN ty END) AS t1,
+               max(CASE WHEN lag = 2 THEN a END) AS a2,
+               max(CASE WHEN lag = 2 THEN hx END) AS h2,
+               max(CASE WHEN lag = 2 THEN ty END) AS t2,
+               max(CASE WHEN lag = 3 THEN a END) AS a3,
+               max(CASE WHEN lag = 3 THEN hx END) AS h3,
+               max(CASE WHEN lag = 3 THEN ty END) AS t3
+        FROM moms GROUP BY 1),
+      ss AS (
+        SELECT event_type,
+               ${GridN * GridN} * a0 - ${GridN} * t * (t + t) + ${GridN} * t * t AS s0,
+               ${GridN * GridN} * a1 - ${GridN} * t * (h1 + t1) + ${GridN - 1} * t * t AS s1,
+               ${GridN * GridN} * a2 - ${GridN} * t * (h2 + t2) + ${GridN - 2} * t * t AS s2,
+               ${GridN * GridN} * a3 - ${GridN} * t * (h3 + t3) + ${GridN - 3} * t * t AS s3
+        FROM wide),
+      rr AS (
+        SELECT event_type,
+               CAST(s1 AS DOUBLE) / s0 AS r1,
+               CAST(s2 AS DOUBLE) / s0 AS r2,
+               CAST(s3 AS DOUBLE) / s0 AS r3
+        FROM ss),
+      dl2 AS (
+        SELECT event_type, r1, r2, r3,
+               (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+        FROM rr),
+      dl AS (
+        SELECT event_type, r1, r2, r3, p22,
+               r1 * (1.0 - p22) AS p21
+        FROM dl2)
+      SELECT event_type,
+             round(r1, 4) + 0.0 AS rho1,
+             round(r2, 4) + 0.0 AS rho2,
+             round(r3, 4) + 0.0 AS rho3,
+             round(r1, 4) + 0.0 AS pacf1,
+             round(p22, 4) + 0.0 AS pacf2,
+             round((r3 - p21 * r2 - p22 * r1) /
+                   (1.0 - p21 * r1 - p22 * r2), 4) + 0.0 AS pacf3
+      FROM dl
+      ORDER BY event_type"""))
+
+  /** Periodogram at candidate periods {168, 48, 24, 12, 8, 6} h per
+    * series: normalized spectral power P(p) = (C² + S²)/(n·σ̂²) with
+    * C = Σ(vₜ−v̄)cos(2πt/p), S likewise — the "WHICH period is
+    * there?" scan (kdb_seasonality asserts 24 h; this ranks the
+    * candidates, including the weekly harmonic a daily model misses).
+    * Angle arguments are reduced BEFORE the trig call — θ =
+    * 2π·(t mod p)/p with integer t, p — so both engines evaluate
+    * cos/sin on identical small arguments in [0, 2π) and libm
+    * large-argument reduction differences never appear. The data-
+    * sized work is ONE hourly rollup; the trig pass runs on the
+    * (types × 720 slots × 6 periods) grid — constant in data size,
+    * broadcast-free single aggregation. */
+  private val periodogram = QueryDef(
+    "kdb_periodogram",
+    (s, d) => {
+      val n = (T1 - T0) / Hour
+      val periods = Seq(168L, 48L, 24L, 12L, 8L, 6L)
+      val counts = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(count(lit(1)).as("nv"))
+      val types = counts.select(col("event_type")).distinct()
+      val grid = s.range(n).select(col("id").as("t"),
+        (lit(T0) + col("id") * Hour).as("slot_ns"))
+      val dense = types.crossJoin(broadcast(grid))
+        .join(counts, Seq("event_type", "slot_ns"), "left_outer")
+        .select(col("event_type"), col("t"),
+          coalesce(col("nv"), lit(0L)).as("v"))
+        .localCheckpoint() // grid frame, read twice (moments + trig)
+      val mom = dense.groupBy(col("event_type")).agg(
+        sum(col("v")).as("tt"), sum(col("v") * col("v")).as("vv"))
+      val theta = lit(2.0 * math.Pi) * (col("t") % col("p")).cast("double") / col("p")
+      val trig = dense
+        .withColumn("p", explode(lit(periods.toArray)))
+        .groupBy(col("event_type"), col("p"))
+        .agg(sum(col("v") * cos(theta)).as("sc"),
+          sum(col("v") * sin(theta)).as("ssn"),
+          sum(cos(theta)).as("cc"),
+          sum(sin(theta)).as("s2"))
+      val joined = trig.join(broadcast(mom), Seq("event_type"))
+      val m = col("tt").cast("double") / lit(n.toDouble)
+      val cBig = col("sc") - m * col("cc")
+      val sBig = col("ssn") - m * col("s2")
+      val varN = col("vv").cast("double") - col("tt").cast("double") * m
+      joined.select(col("event_type"), col("p").cast("int").as("period_h"),
+          round((cBig * cBig + sBig * sBig) / varN, 4).as("power"))
+        .orderBy(col("event_type"), col("period_h").desc)
+    },
+    Some(s"""
+      WITH counts AS (
+        SELECT event_type, epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               count(*) AS nv
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1, 2),
+      types AS (SELECT DISTINCT event_type FROM counts),
+      dense AS (
+        SELECT t.event_type, (g.slot_ns - ${T0}) // ${Hour} AS t,
+               coalesce(c.nv, 0) AS v
+        FROM types t
+        CROSS JOIN range(${T0}, ${T1}, ${Hour}) g(slot_ns)
+        LEFT JOIN counts c ON c.event_type = t.event_type AND c.slot_ns = g.slot_ns),
+      mom AS (
+        SELECT event_type, CAST(sum(v) AS BIGINT) AS tt,
+               CAST(sum(v * v) AS BIGINT) AS vv
+        FROM dense GROUP BY 1),
+      trig AS (
+        SELECT d.event_type, p.p,
+               sum(d.v * cos(2 * pi() * (d.t % p.p) / p.p)) AS sc,
+               sum(d.v * sin(2 * pi() * (d.t % p.p) / p.p)) AS ssn,
+               sum(cos(2 * pi() * (d.t % p.p) / p.p)) AS cc,
+               sum(sin(2 * pi() * (d.t % p.p) / p.p)) AS s2
+        FROM dense d CROSS JOIN (
+          SELECT unnest([168, 48, 24, 12, 8, 6]) AS p) p
+        GROUP BY 1, 2)
+      SELECT t.event_type, CAST(t.p AS INT) AS period_h,
+             round((pow(t.sc - (CAST(m.tt AS DOUBLE) / ${GridN}) * t.cc, 2) +
+                    pow(t.ssn - (CAST(m.tt AS DOUBLE) / ${GridN}) * t.s2, 2)) /
+                   (CAST(m.vv AS DOUBLE)
+                    - CAST(m.tt AS DOUBLE) * m.tt / ${GridN}), 4) AS power
+      FROM trig t JOIN mom m ON m.event_type = t.event_type
+      ORDER BY t.event_type, period_h DESC"""))
+
   val defs: Seq[QueryDef] = Seq(
-    bollinger, fbyFilter, spearman, survivalKm,
+    bollinger, fbyFilter, spearman, survivalKm, pacf, periodogram,
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
     sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest,

@@ -3868,7 +3868,47 @@ object LlmQueries extends QueryModule {
       ORDER BY c_ab DESC, w1, w2
       LIMIT 30"""))
 
+  /** Weighted sampling WITHOUT replacement via the Efraimidis–
+    * Spirakis exponential-sort trick: each doc draws key =
+    * ln(u)/w (u = deterministic unit uniform from the shared 60-bit
+    * hash, w = n_chars) and the global top-20 keys ARE a weighted
+    * sample without replacement — the one-pass, shuffle-free way to
+    * draw "k docs, long docs proportionally more likely" at any
+    * scale (naive weighted sampling needs a prefix-sum over the
+    * weight column + k binary searches; this is a k-bounded
+    * TakeOrderedAndProject). u = (h+1)/2⁶⁰ keeps u in (0,1] so
+    * ln(u) is finite; the doc_id tie-break makes the order total.
+    * No rand(): re-runs, retries, and both engines draw the same
+    * sample. */
+  private val weightedSample = QueryDef(
+    "llm_weighted_sample",
+    (s, d) => {
+      val u = (hash60(concat(col("doc_id").cast("string"), lit(":ws"))) + 1)
+        .cast("double") / lit(1152921504606846976.0)
+      documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          (log(u) / col("n_chars")).as("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("n_chars"),
+          round(col("es_key") * 1000000, 4).as("es_key_ppm"))
+        .orderBy(col("es_key_ppm").desc, col("doc_id"))
+    },
+    Some("""
+      WITH keyed AS (
+        SELECT doc_id, n_chars,
+               ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'),
+                   1, 15))::BIGINT AS DOUBLE) + 1)
+                  / 1152921504606846976.0) / n_chars AS es_key
+        FROM documents)
+      SELECT doc_id, n_chars, es_key_ppm FROM (
+        SELECT doc_id, n_chars, round(es_key * 1000000, 4) AS es_key_ppm
+        FROM keyed
+        ORDER BY es_key DESC, doc_id LIMIT 20)
+      ORDER BY es_key_ppm DESC, doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
+    weightedSample,
     clusterQuality, pmiCollocations,
     matryoshkaEval, curriculumOrder,
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,

@@ -1259,8 +1259,315 @@ object StatsQueries extends QueryModule {
                AS info_gain_bits
       FROM ntot CROSS JOIN sc CROSS JOIN sn"""))
 
+  /** Two-sample Kolmogorov–Smirnov test: click vs purchase payload
+    * distributions — the distribution-SHAPE complement to
+    * [[welch]] (location) and [[mannWhitney]] (rank shift): D is the
+    * sup-distance between the two empirical CDFs, sensitive to any
+    * difference. Skew-proof decomposition: rows fold to ONE row per
+    * distinct value carrying both groups' tie counts, then ONE range
+    * shuffle ([[DistributedRank.withPrefixSums]] — the two running
+    * ECDFs share the pass) yields both inclusive cumulative counts;
+    * D = max over distinct values of |F₁−F₂| is a plain aggregation.
+    * ECDF steps are exact rationals (int/int) so D differs between
+    * engines only in the final double division. p is the standard
+    * Kolmogorov series truncated at k=5 with Stephens' small-sample λ
+    * correction — pure algebra on one row. */
+  private val ksTest = QueryDef(
+    "kdb_ks_test",
+    (s, d) => {
+      val x = ev(s, d).filter(col("event_type").isin("click", "purchase"))
+        .select(col("value"), col("event_type").as("grp"))
+      val byVal = x.groupBy(col("value")).agg(
+        sum(when(col("grp") === "click", 1L).otherwise(0L)).as("t1"),
+        sum(when(col("grp") === "purchase", 1L).otherwise(0L)).as("t2"))
+      val cum = graft.operators.DistributedRank.withPrefixSums(
+        byVal, Seq((col("t1"), "c1b"), (col("t2"), "c2b")), Seq(col("value")))
+      // totals from the checkpointed prefix-sum frame — byVal itself
+      // would re-scan events; cum is pinned inside withPrefixSums
+      val tot = cum.groupBy().agg(
+        sum(col("t1")).as("n1"), sum(col("t2")).as("n2"))
+      val dRow = cum.crossJoin(broadcast(tot))
+        .select(abs((col("c1b") + col("t1")).cast("double") / col("n1") -
+          (col("c2b") + col("t2")).cast("double") / col("n2")).as("gap"),
+          col("n1"), col("n2"))
+        .groupBy(col("n1"), col("n2")).agg(max(col("gap")).as("d"))
+      val en = col("n1").cast("double") * col("n2") / (col("n1") + col("n2"))
+      val lam = (sqrt(en) + lit(0.12) + lit(0.11) / sqrt(en)) * col("d")
+      val pRaw = (1 to 5).map { k =>
+        lit(2.0 * (if (k % 2 == 1) 1 else -1)) * exp(lit(-2.0 * k * k) * lam * lam)
+      }.reduce(_ + _)
+      dRow.select(
+        col("n1"), col("n2"),
+        round(col("d"), 4).as("d_stat"),
+        round(lam, 4).as("lambda"),
+        round(greatest(least(pRaw, lit(1.0)), lit(0.0)), 4).as("p_value"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT value, event_type AS grp
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      byval AS (
+        SELECT value,
+               sum(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS t1,
+               sum(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS t2
+        FROM x GROUP BY 1),
+      cum AS (
+        SELECT CAST(sum(t1) OVER (ORDER BY value) AS BIGINT) AS c1,
+               CAST(sum(t2) OVER (ORDER BY value) AS BIGINT) AS c2
+        FROM byval),
+      tot AS (
+        SELECT CAST(sum(t1) AS BIGINT) AS n1, CAST(sum(t2) AS BIGINT) AS n2
+        FROM byval),
+      dd AS (
+        SELECT n1, n2,
+               max(abs(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)) AS d
+        FROM cum CROSS JOIN tot GROUP BY 1, 2),
+      lamt AS (
+        SELECT n1, n2, d,
+               (sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) + 0.12 +
+                0.11 / sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2))) * d AS lam
+        FROM dd)
+      SELECT n1, n2, round(d, 4) AS d_stat, round(lam, 4) AS lambda,
+             round(greatest(least(
+               2.0 * exp(-2.0 * lam * lam) - 2.0 * exp(-8.0 * lam * lam)
+               + 2.0 * exp(-18.0 * lam * lam) - 2.0 * exp(-32.0 * lam * lam)
+               + 2.0 * exp(-50.0 * lam * lam), 1.0), 0.0), 4) AS p_value
+      FROM lamt"""))
+
+  /** Kruskal–Wallis H: does ANY event type's payload distribution
+    * differ? — the k-group generalization of [[mannWhitney]], sharing
+    * its skew-proof midrank decomposition: one row per distinct value
+    * (total tie count t), one range shuffle for the exclusive prefix
+    * sum, midrank = cum_before + (t+1)/2 in closed form, then per-
+    * (value, group) counts join the |distinct values|-sized midrank
+    * frame (an aggregate-sized shuffle join, never data² work). Rank
+    * sums R_g are exact in doubles (midranks are integer halves);
+    * H gets the standard tie correction. The only data-sized pass is
+    * the first groupBy. */
+  private val kruskal = QueryDef(
+    "kdb_kruskal_wallis",
+    (s, d) => {
+      val x = ev(s, d).select(col("value"), col("event_type").as("grp"))
+      // one data-sized agg, pinned: everything downstream reads this
+      // aggregate-sized frame, never events again
+      val byValGrp = x.groupBy(col("value"), col("grp"))
+        .agg(count(lit(1)).as("ngv"))
+        .localCheckpoint()
+      val byVal = byValGrp.groupBy(col("value")).agg(sum(col("ngv")).as("t"))
+      val mid = DistributedRank.withPrefixSum(
+          byVal, col("t"), "cum_before", Seq(col("value")))
+        .select(col("value"), col("t"),
+          (col("cum_before") + (col("t") + 1) / lit(2.0)).as("midrank"))
+      val rg = byValGrp.join(mid.drop("t"), Seq("value"))
+        .groupBy(col("grp"))
+        .agg(sum(col("ngv")).as("ng"),
+          sum(col("ngv") * col("midrank")).as("rg"))
+      val ties = mid.groupBy().agg(
+        sum(col("t") * col("t") * col("t") - col("t")).cast("double").as("tiesum"))
+      val one = rg.groupBy().agg(
+        sum(col("ng")).as("n_total"),
+        count(lit(1)).as("k_groups"),
+        sum(col("rg") * col("rg") / col("ng")).as("sr2"))
+      val n = col("n_total").cast("double")
+      val h = lit(12.0) / (n * (n + 1)) * col("sr2") - lit(3.0) * (n + 1)
+      val corr = lit(1.0) - col("tiesum") / (n * n * n - n)
+      one.crossJoin(ties).select(
+        col("n_total"), col("k_groups"),
+        (col("k_groups") - 1).cast("int").as("df"),
+        round(h, 4).as("h_stat"),
+        round(h / corr, 4).as("h_corrected"))
+    },
+    Some("""
+      WITH x AS (SELECT value, event_type AS grp, event_id FROM events),
+      ranked AS (
+        SELECT value, grp,
+               row_number() OVER (ORDER BY value, grp, event_id) AS rn
+        FROM x),
+      mid AS (
+        SELECT grp, avg(rn) OVER (PARTITION BY value) AS midrank
+        FROM ranked),
+      rg AS (
+        SELECT grp, count(*) AS ng, sum(midrank) AS rg FROM mid GROUP BY 1),
+      ties AS (
+        SELECT sum(tc * tc * tc - tc) AS tiesum FROM (
+          SELECT CAST(count(*) AS DOUBLE) AS tc FROM ranked GROUP BY value)),
+      one AS (
+        SELECT CAST(sum(ng) AS BIGINT) AS n_total,
+               count(*) AS k_groups,
+               sum(rg * rg / ng) AS sr2
+        FROM rg)
+      SELECT n_total, k_groups, CAST(k_groups - 1 AS INT) AS df,
+             round(12.0 / (n_total * (n_total + 1.0)) * sr2
+                   - 3.0 * (n_total + 1.0), 4) AS h_stat,
+             round((12.0 / (n_total * (n_total + 1.0)) * sr2
+                   - 3.0 * (n_total + 1.0)) /
+                   (1.0 - tiesum / (CAST(n_total AS DOUBLE) * n_total * n_total
+                    - n_total)), 4) AS h_corrected
+      FROM one CROSS JOIN ties"""))
+
+  /** Generalized-ESD outlier pass (Rosner) over the daily total-cents
+    * series: three rounds of "flag the most extreme studentized
+    * residual, then re-estimate without it" — the masking-proof
+    * anomaly sweep (a single z-score pass hides a second outlier
+    * behind the first's inflated σ; kdb_zscore_anomaly is that single
+    * pass, this is the iterated fix). The data-sized work is ONE
+    * daily rollup to exact integer cents; each round then runs on the
+    * ≤30-row grid frame (agg → broadcast stats → arg-max row →
+    * anti-join), so the iteration cost is constant in data size.
+    * Tie-break on (|z| desc, day asc) makes the removal order total. */
+  private val esd = QueryDef(
+    "kdb_esd_outliers",
+    (s, d) => {
+      val daily = ev(s, d).filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("day_idx",
+          ((col("ts_ns") - lit(T0)) / lit(24L * Hour)).cast("long"))
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .groupBy(col("day_idx")).agg(sum(col("cents")).as("x"))
+        .localCheckpoint() // 30-row frame; pin it so 3 rounds don't rescan
+      var remaining = daily
+      var removed: DataFrame = null
+      for (r <- 1 to 3) {
+        val stats = remaining.groupBy().agg(
+          avg(col("x")).as("m"), stddev_samp(col("x")).as("sd"))
+        // σ = 0 (constant remainder) ⇒ NULL z, not a divide error;
+        // the deterministic (|z| DESC NULLS LAST, day) order then
+        // removes the smallest remaining day — same rule both engines
+        val top = remaining.crossJoin(broadcast(stats))
+          .withColumn("z", (col("x") - col("m")) / nullif(col("sd"), lit(0.0)))
+          .orderBy(abs(col("z")).desc, col("day_idx").asc)
+          .limit(1)
+          .select(lit(r).as("round_no"), col("day_idx"),
+            round(col("x") / lit(100.0), 2).as("day_total"),
+            (round(col("z"), 4) + lit(0.0)).as("esd_z"))
+          .localCheckpoint()
+        removed = if (removed == null) top else removed.unionAll(top)
+        remaining = remaining.join(
+          top.select(col("day_idx").as("rm")),
+          col("day_idx") === col("rm"), "left_anti")
+      }
+      removed.orderBy(col("round_no"))
+    },
+    Some(s"""
+      WITH s0 AS (
+        SELECT (epoch_ns(ts) - ${T0}) // ${24L * Hour} AS day_idx,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1),
+      o1 AS (
+        SELECT day_idx, x, (x - avg(x) OVER ())
+                 / nullif(stddev_samp(x) OVER (), 0.0) AS z
+        FROM s0 ORDER BY abs(z) DESC NULLS LAST, day_idx ASC LIMIT 1),
+      s1 AS (SELECT * FROM s0 WHERE day_idx NOT IN (SELECT day_idx FROM o1)),
+      o2 AS (
+        SELECT day_idx, x, (x - avg(x) OVER ())
+                 / nullif(stddev_samp(x) OVER (), 0.0) AS z
+        FROM s1 ORDER BY abs(z) DESC NULLS LAST, day_idx ASC LIMIT 1),
+      s2 AS (SELECT * FROM s1 WHERE day_idx NOT IN (SELECT day_idx FROM o2)),
+      o3 AS (
+        SELECT day_idx, x, (x - avg(x) OVER ())
+                 / nullif(stddev_samp(x) OVER (), 0.0) AS z
+        FROM s2 ORDER BY abs(z) DESC NULLS LAST, day_idx ASC LIMIT 1)
+      SELECT 1 AS round_no, day_idx, round(x / 100.0, 2) AS day_total,
+             round(z, 4) + 0.0 AS esd_z FROM o1
+      UNION ALL
+      SELECT 2, day_idx, round(x / 100.0, 2), round(z, 4) + 0.0 FROM o2
+      UNION ALL
+      SELECT 3, day_idx, round(x / 100.0, 2), round(z, 4) + 0.0 FROM o3
+      ORDER BY round_no"""))
+
+  /** Circular (directional) statistics of event time-of-day per type:
+    * the mean hour and resultant length R̄ of the 24 h phase angle —
+    * the correct way to average times of day (a linear mean calls
+    * 23:00+01:00 "noon"; the circular mean says midnight, R̄ says how
+    * concentrated). One map-side-combinable aggregation of (Σcos,
+    * Σsin, n); everything downstream is one-row-per-type algebra.
+    * Angles come from µs-of-day (exact integers) so both engines feed
+    * cos/sin identical arguments in [0, 2π). */
+  private val circular = QueryDef(
+    "kdb_circular_stats",
+    (s, d) => {
+      val DayUs = 86400000000L
+      val theta = col("us_day").cast("double") / lit(DayUs.toDouble) *
+        lit(2.0 * math.Pi)
+      val g = ev(s, d)
+        .withColumn("us_day", expr("ts_ns div 1000") % DayUs)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(cos(theta)).as("c"), sum(sin(theta)).as("ss"))
+      val rbar = sqrt(col("c") * col("c") + col("ss") * col("ss")) / col("n")
+      val ang = atan2(col("ss"), col("c"))
+      val angPos = (ang + lit(2.0 * math.Pi)) % lit(2.0 * math.Pi)
+      g.select(
+        col("event_type"), col("n"),
+        round(angPos / lit(2.0 * math.Pi) * 24, 4).as("mean_hour"),
+        round(rbar, 4).as("resultant"),
+        round(sqrt(lit(-2.0) * log(rbar)) / lit(2.0 * math.Pi) * 24, 4)
+          .as("circ_std_hours"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT event_type, count(*) AS n,
+               sum(cos((epoch_ns(ts) // 1000 % 86400000000)
+                   / 86400000000.0 * 2 * pi())) AS c,
+               sum(sin((epoch_ns(ts) // 1000 % 86400000000)
+                   / 86400000000.0 * 2 * pi())) AS ss
+        FROM events GROUP BY 1)
+      SELECT event_type, n,
+             round(((atan2(ss, c) + 2 * pi()) % (2 * pi()))
+                   / (2 * pi()) * 24, 4) AS mean_hour,
+             round(sqrt(c * c + ss * ss) / n, 4) AS resultant,
+             round(sqrt(-2 * ln(sqrt(c * c + ss * ss) / n))
+                   / (2 * pi()) * 24, 4) AS circ_std_hours
+      FROM g ORDER BY event_type"""))
+
+  /** Hill tail-index estimator for the purchase-value distribution:
+    * α̂ = k / Σᵢ ln(xᵢ/x₍ₖ₊₁₎) over the k = 200 largest order
+    * statistics — the standard "how heavy is the tail" number that
+    * decides whether means/variances are even finite (α ≤ 2 ⇒
+    * infinite variance ⇒ kdb_welch_ttest is the wrong tool). Scale
+    * shape: the ONLY data-sized op is a k-bounded TakeOrdered (top
+    * 201 rows by value); the estimator itself runs on that constant-
+    * size frame. Boundary ties are harmless: tied values contribute
+    * ln(1) = 0 regardless of which tied ROWS the limit keeps. */
+  private val tailIndex = QueryDef(
+    "kdb_tail_index",
+    (s, d) => {
+      val top = ev(s, d).filter(col("event_type") === "purchase")
+        .select(col("value"))
+        .orderBy(col("value").desc)
+        .limit(201)
+        .localCheckpoint() // 201-row frame: branch for threshold + sum
+      val thr = top.groupBy().agg(min(col("value")).as("xmin"))
+      val hill = top.crossJoin(broadcast(thr))
+        .filter(col("value") > col("xmin"))
+        .groupBy(col("xmin"))
+        .agg(count(lit(1)).as("k_used"),
+          sum(log(col("value") / col("xmin"))).as("lsum"))
+      hill.select(
+        col("k_used"),
+        round(col("xmin"), 4).as("x_threshold"),
+        round(col("k_used") / col("lsum"), 4).as("alpha_hill"),
+        round(col("lsum") / col("k_used"), 4).as("mean_excess_log"))
+    },
+    Some("""
+      WITH top AS (
+        SELECT value FROM events WHERE event_type = 'purchase'
+        ORDER BY value DESC LIMIT 201),
+      thr AS (SELECT min(value) AS xmin FROM top),
+      hill AS (
+        SELECT xmin, count(*) AS k_used,
+               sum(ln(value / xmin)) AS lsum
+        FROM top CROSS JOIN thr WHERE value > xmin GROUP BY 1)
+      SELECT k_used, round(xmin, 4) AS x_threshold,
+             round(k_used / lsum, 4) AS alpha_hill,
+             round(lsum / k_used, 4) AS mean_excess_log
+      FROM hill"""))
+
   val defs: Seq[QueryDef] = Seq(
     welch, mannWhitney, gini, pareto, winsorize, quantileNorm, hurst,
     bootstrap, mannKendall, dickeyFuller, cointegration, granger,
-    ljungBox, conformal, sprt, entropyRate)
+    ljungBox, conformal, sprt, entropyRate,
+    ksTest, kruskal, esd, circular, tailIndex)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
@@ -197,5 +197,122 @@ object TrainingQueries extends QueryModule {
       ORDER BY cos DESC, nid LIMIT 10"""
     })
 
-  val defs: Seq[QueryDef] = Seq(hardNegatives, centroidClassify, diversifiedTopk)
+  /** Leading principal component of the embedding corpus by power
+    * iteration — the spectral audit behind whitening, anisotropy
+    * checks ("is the corpus collapsing onto one direction?"), and
+    * Matryoshka-style dimension triage. Scale decomposition: the
+    * DATA-SIZED work is one pass building the d×d covariance — a
+    * posexplode² outer-product expansion whose partial aggregation
+    * folds each partition to at most d² = 4096 cells before the
+    * shuffle (map-side combine; the shuffle itself is constant-size).
+    * The d×d eigensolve is then FIXED-SIZE driver math (the
+    * Ivf.train centroid precedent): 12 power-method iterations from
+    * v₀ = 1/8·𝟙 on a 64×64 matrix. Cross-engine float discipline:
+    * components quantize to integer micros (llm_centroid_classify
+    * precedent) so ΣQ and ΣQQ are exact BIGINTs and the covariance
+    * C = ΣQQ/n − (ΣQᵢ/n)(ΣQⱼ/n) is derived from identical operands
+    * in both engines; power iteration is contractive, so the
+    * engines' sum-order ulp differences decay into the same fixed
+    * point instead of accumulating. Sign is canonicalized (largest-
+    * |component| entry made positive). The DuckDB oracle runs the
+    * SAME 12 iterations as an unrolled (non-recursive) CTE chain,
+    * generated below. */
+  private val pcaPower = QueryDef(
+    "llm_pca_power",
+    (s, d) => {
+      import s.implicits._
+      val Dim = 64
+      val e = embeddings(s, d)
+      val n = e.count()
+      def micro(c: Column): Column =
+        round(c.cast("double") * 1000000, 0).cast("long")
+      val sums = e
+        .select(posexplode(col("embedding")).as(Seq("i", "xi")))
+        .groupBy(col("i")).agg(sum(micro(col("xi"))).as("sq"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val cells = e
+        .select(posexplode(col("embedding")).as(Seq("i", "xi")), col("embedding"))
+        .select(col("i"), micro(col("xi")).as("qi"),
+          posexplode(col("embedding")).as(Seq("j", "xj")))
+        .select(col("i"), col("j"), (col("qi") * micro(col("xj"))).as("qq"))
+        .groupBy(col("i"), col("j")).agg(sum(col("qq")).as("sqq"))
+        .collect() // FIXED d² = 4096 rows — data-independent size
+      val cov = Array.ofDim[Double](Dim, Dim)
+      cells.foreach { r =>
+        val i = r.getInt(0); val j = r.getInt(1)
+        cov(i)(j) = r.getLong(2).toDouble / n -
+          (sums(i).toDouble / n) * (sums(j).toDouble / n)
+      }
+      var v = Array.fill(Dim)(0.125)
+      var lam = 0.0
+      for (_ <- 1 to 12) {
+        val w = Array.tabulate(Dim) { i =>
+          var acc = 0.0
+          var j = 0
+          while (j < Dim) { acc += cov(i)(j) * v(j); j += 1 }
+          acc
+        }
+        lam = math.sqrt(w.map(x => x * x).sum)
+        v = w.map(_ / lam)
+      }
+      val imax = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      val flip = if (v(imax) < 0) -1.0 else 1.0
+      val trace = (0 until Dim).map(i => cov(i)(i)).sum
+      (0 until Dim)
+        .map(i => (i + 1, v(i) * flip, lam / 1e12, lam / trace))
+        .toDF("dim", "loading_raw", "lambda_raw", "share_raw")
+        .select(col("dim"),
+          (round(col("loading_raw"), 4) + lit(0.0)).as("loading"),
+          round(col("lambda_raw"), 6).as("lambda_cov"),
+          round(col("share_raw"), 4).as("var_share"))
+        .orderBy(col("dim"))
+    },
+    Some {
+      val iters = (1 to 12).map { k =>
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        // wK MATERIALIZED: nK and vK both read wK — without it the
+        // inliner doubles the evaluation tree per level (2^12 blowup)
+        s"""w$k AS MATERIALIZED (
+        SELECT c.i AS dim, sum(c.c * v.x) AS x
+        FROM cov c JOIN $prev v ON v.dim = c.j GROUP BY 1),
+      n$k AS (SELECT sqrt(sum(x * x)) AS s FROM w$k),
+      v$k AS (SELECT dim, x / s AS x FROM w$k CROSS JOIN n$k)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH q AS MATERIALIZED (
+        -- MATERIALIZED: the 12-iteration CTE chain references cov 12×;
+        -- without it DuckDB inlines q (and its parquet scan) into every
+        -- iteration and exhausts file handles
+        SELECT vec_id, t.dim AS dim,
+               CAST(round(CAST(embedding[t.dim] AS DOUBLE) * 1000000, 0)
+                 AS BIGINT) AS qv
+        FROM embeddings CROSS JOIN range(1, 65) t(dim)),
+      nn AS (SELECT count(*) AS n FROM embeddings),
+      sums AS (SELECT dim, CAST(sum(qv) AS BIGINT) AS sq FROM q GROUP BY 1),
+      sqq AS (
+        SELECT a.dim AS i, b.dim AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS sqq
+        FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+      cov AS MATERIALIZED (
+        SELECT i, j,
+               CAST(sqq AS DOUBLE) / nn.n
+                 - (CAST(sa.sq AS DOUBLE) / nn.n) * (CAST(sb.sq AS DOUBLE) / nn.n) AS c
+        FROM sqq JOIN sums sa ON sa.dim = sqq.i
+                 JOIN sums sb ON sb.dim = sqq.j
+        CROSS JOIN nn),
+      v0 AS (SELECT dim, 0.125 AS x FROM range(1, 65) t(dim)),
+      $iters,
+      flip AS (
+        SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS f
+        FROM v12 ORDER BY abs(x) DESC, dim LIMIT 1),
+      tr AS (SELECT sum(c) AS trace FROM cov WHERE i = j)
+      SELECT CAST(v.dim AS INT) AS dim,
+             round(v.x * flip.f, 4) + 0.0 AS loading,
+             round(n12.s / 1e12, 6) AS lambda_cov,
+             round(n12.s / tr.trace, 4) AS var_share
+      FROM v12 v CROSS JOIN flip CROSS JOIN n12 CROSS JOIN tr
+      ORDER BY dim"""
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(hardNegatives, centroidClassify, diversifiedTopk, pcaPower)
 }

@@ -205,7 +205,20 @@ class QueriesSpec extends SparkTestBase {
       "kdb_cointegration",
       // kdb_entropy_rate: the 1-row transition total rides broadcast
       // cross joins over the |types|²-bounded count table
-      "kdb_entropy_rate")
+      "kdb_entropy_rate",
+      // kdb_ks_test / kdb_kruskal_wallis: 1-row statistic frames
+      // (group totals, tie sums) stitched by broadcast cross joins —
+      // the kdb_mann_whitney scalar shape
+      "kdb_ks_test", "kdb_kruskal_wallis",
+      // kdb_esd_outliers: per-round 1-row (mean, sd) broadcasts over
+      // the ≤30-row daily grid frame
+      "kdb_esd_outliers",
+      // kdb_tail_index: the 1-row threshold broadcast over the
+      // 201-row TakeOrdered frame (non-equi value > xmin)
+      "kdb_tail_index",
+      // kdb_pacf / kdb_periodogram: distinct types × hourly-grid
+      // broadcast densification — the kdb_acf grid shape
+      "kdb_pacf", "kdb_periodogram")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
@@ -863,6 +876,99 @@ class QueriesSpec extends SparkTestBase {
     val missing = SparkEntry.queries.keySet.filterNot(survey.contains)
     assert(missing.isEmpty,
       s"queries with no SURVEY.md mention: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("kdb_ks_test / kdb_kruskal_wallis: ranks ride DistributedRank, never a single partition") {
+    Seq("kdb_ks_test", "kdb_kruskal_wallis").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ExistingRDD"),
+        s"$name: expected the DistributedRank checkpoint boundary")
+      assert(!plan.contains("Exchange SinglePartition") ||
+        plan.linesIterator.count(_.contains("Exchange SinglePartition")) <= 2,
+        s"$name: only the 1-row statistic folds may single-partition")
+    }
+    // the KS ECDF pair must come from ONE range shuffle (the
+    // two-column withPrefixSums pass), so the final plan derives from
+    // a single checkpointed frame — no events re-scan
+    val ks = SparkEntry.queries("kdb_ks_test")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!ks.contains("Scan parquet"),
+      "kdb_ks_test: both ECDFs and the totals must read the prefix-sum checkpoint")
+  }
+
+  test("kdb_circular_stats: one scan, pure map-side-combinable aggregation") {
+    val plan = SparkEntry.queries("kdb_circular_stats")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      "one pass over events")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      "circular moments are a single aggregation")
+    assert(plan.contains("partial_sum"), "Σcos/Σsin must combine map-side")
+  }
+
+  test("kdb_tail_index: the order-statistics cut is k-bounded TakeOrdered") {
+    val plan = SparkEntry.queries("kdb_tail_index")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-201 must be a k-bounded top-k, never a global sort")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "no global sort of the data-sized value column")
+  }
+
+  test("llm_weighted_sample: hash keys are per-row; the draw is one TakeOrdered") {
+    val plan = SparkEntry.queries("llm_weighted_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the k-sample must be a bounded top-k")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "E-S keys are per-row math; nothing should hash-shuffle")
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      "one pass over documents")
+  }
+
+  test("kdb_pacf / kdb_periodogram: grid densification broadcasts; branches share the slot pre-agg") {
+    // pacf's grid crossJoin is visible in the final plan (no
+    // checkpoint): the grid side must ride IdentityBroadcastMode
+    val pacf = SparkEntry.queries("kdb_pacf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(pacf.contains("BroadcastExchange IdentityBroadcastMode"),
+      "kdb_pacf: the hourly grid side must broadcast (kdb_acf shape)")
+    assert(!pacf.contains("CartesianProduct"), "kdb_pacf: unexpected cartesian")
+    assert(pacf.linesIterator.count(_.contains("Scan parquet")) <= 4,
+      "kdb_pacf: every branch must derive from the slot pre-agg, not re-scan events")
+    // periodogram pins the dense grid with a localCheckpoint (moments
+    // + trig both read it): the final plan starts at that boundary
+    // and must never re-scan events
+    val per = SparkEntry.queries("kdb_periodogram")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(per.contains("ExistingRDD"),
+      "kdb_periodogram: expected the dense-grid checkpoint boundary")
+    assert(!per.contains("Scan parquet"),
+      "kdb_periodogram: moments and trig must reuse the checkpointed grid")
+    assert(!per.contains("CartesianProduct"), "kdb_periodogram: unexpected cartesian")
+  }
+
+  test("kdb_esd_outliers: rounds run on the checkpointed 30-row grid, never re-scanning events") {
+    val plan = SparkEntry.queries("kdb_esd_outliers")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"),
+      "expected the daily-rollup checkpoint boundary")
+    assert(!plan.contains("Scan parquet"),
+      "three ESD rounds must reuse the pinned daily frame")
+  }
+
+  test("llm_pca_power: d² covariance cells are data-independent; loadings are unit-norm") {
+    val out = SparkEntry.queries("llm_pca_power")(spark, sf).collect()
+    assert(out.length === 64, "one row per dimension")
+    val norm = math.sqrt(out.map(_.getDouble(1)).map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 0.01, s"rounded loadings should be ~unit norm, got $norm")
+    val shares = out.map(_.getDouble(3)).distinct
+    assert(shares.length === 1 && shares.head > 0 && shares.head <= 1.0,
+      "variance share is a single (0,1] scalar")
+    // sign canonicalization: the largest-|loading| entry is positive
+    val loadings = out.map(_.getDouble(1))
+    assert(loadings.maxBy(math.abs) > 0, "dominant component must be positive")
   }
 
   test("llm_curriculum_order closed-form ntile matches literal ntile when N mod 4 != 0") {

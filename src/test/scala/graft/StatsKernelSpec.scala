@@ -325,6 +325,177 @@ class StatsKernelSpec extends SparkTestBase {
     assert(rs === rs.sorted, "avg R/S should increase with n")
   }
 
+  // ---------------- KS two-sample ----------------
+
+  test("kdb_ks_test: disjoint samples give D = 1; identical samples give D = 0, p = 1") {
+    val disjoint = eventsDir(Seq(
+      (0L, T0 + 1000L, 1L, "click", 1.0, "{}"),
+      (1L, T0 + 2000L, 2L, "click", 2.0, "{}"),
+      (2L, T0 + 3000L, 3L, "purchase", 3.0, "{}"),
+      (3L, T0 + 4000L, 4L, "purchase", 4.0, "{}")))
+    val d1 = SparkEntry.queries("kdb_ks_test")(spark, disjoint).collect().head
+    assert(d1.getAs[Double]("d_stat") === 1.0)
+
+    val same = eventsDir(Seq(
+      (0L, T0 + 1000L, 1L, "click", 1.0, "{}"),
+      (1L, T0 + 2000L, 2L, "click", 2.0, "{}"),
+      (2L, T0 + 3000L, 3L, "purchase", 1.0, "{}"),
+      (3L, T0 + 4000L, 4L, "purchase", 2.0, "{}")))
+    val d0 = SparkEntry.queries("kdb_ks_test")(spark, same).collect().head
+    assert(d0.getAs[Double]("d_stat") === 0.0)
+    assert(d0.getAs[Double]("p_value") === 1.0, "λ = 0 ⇒ the series clamps to p = 1")
+  }
+
+  // ---------------- Kruskal–Wallis ----------------
+
+  /** Reference H with midranks and tie correction. */
+  private def kwRef(groups: Seq[Seq[Double]]): Double = {
+    val all = groups.flatten
+    val nn = all.size
+    def midrank(v: Double) = all.count(_ < v) + (all.count(_ == v) + 1) / 2.0
+    val sr2 = groups.map { g =>
+      val r = g.map(midrank).sum; r * r / g.size
+    }.sum
+    val h = 12.0 / (nn * (nn + 1.0)) * sr2 - 3 * (nn + 1)
+    val ties = all.groupBy(identity).values
+      .map(_.size.toDouble).map(t => t * t * t - t).sum
+    h / (1 - ties / (nn.toDouble * nn * nn - nn))
+  }
+
+  test("kdb_kruskal_wallis matches the reference midrank H on three shifted groups") {
+    val g1 = Seq(1.0, 2.0, 3.0)
+    val g2 = Seq(2.0, 4.0, 5.0)
+    val g3 = Seq(6.0, 7.0, 8.0)
+    val rows =
+      g1.zipWithIndex.map { case (v, i) => (i.toLong, T0 + i * 1000L, i.toLong, "click", v, "{}") } ++
+      g2.zipWithIndex.map { case (v, i) => (10L + i, T0 + (10 + i) * 1000L, 10L + i, "purchase", v, "{}") } ++
+      g3.zipWithIndex.map { case (v, i) => (20L + i, T0 + (20 + i) * 1000L, 20L + i, "view", v, "{}") }
+    val out = SparkEntry.queries("kdb_kruskal_wallis")(spark, eventsDir(rows))
+      .collect().head
+    assert(out.getAs[Long]("n_total") === 9L)
+    assert(out.getAs[Int]("df") === 2)
+    assert(out.getAs[Double]("h_corrected") ===
+      math.rint(kwRef(Seq(g1, g2, g3)) * 10000) / 10000)
+  }
+
+  // ---------------- Generalized ESD ----------------
+
+  test("kdb_esd_outliers: the second spike is unmasked after the first is removed") {
+    // 10 active days at $100/day except day 3 ($10k) and day 7 ($8k):
+    // a single z pass would let the day-3 spike inflate σ and hide
+    // day 7; the iterated sweep must find 3 then 7
+    val rows = (0 until 10).map { day =>
+      val v = day match { case 3 => 10000.0; case 7 => 8000.0; case _ => 100.0 + day }
+      (day.toLong, T0 + day * 24L * 3600L * 1000000000L + 1000L, day.toLong, "click", v, "{}")
+    }
+    val out = SparkEntry.queries("kdb_esd_outliers")(spark, eventsDir(rows))
+      .collect()
+    assert(out.length === 3)
+    assert(out(0).getAs[Long]("day_idx") === 3L)
+    assert(out(1).getAs[Long]("day_idx") === 7L)
+    // both flagged rounds are decisive outliers (and note round 2's z
+    // typically EXCEEDS round 1's: removing the first spike shrinks σ
+    // — precisely the masking effect the iteration exists to undo)
+    assert(math.abs(out(0).getAs[Double]("esd_z")) > 2.0)
+    assert(math.abs(out(1).getAs[Double]("esd_z")) > 2.0)
+  }
+
+  test("kdb_esd_outliers: a constant remainder yields NULL z rounds, never a divide error") {
+    // one spike over an otherwise constant series: round 1 removes the
+    // spike, rounds 2–3 see σ = 0 and must emit NULL z + the smallest
+    // remaining day (the deterministic degenerate rule, both engines)
+    val rows = (0 until 6).map { day =>
+      val v = if (day == 2) 5000.0 else 100.0
+      (day.toLong, T0 + day * 24L * 3600L * 1000000000L + 1000L, day.toLong, "click", v, "{}")
+    }
+    val out = SparkEntry.queries("kdb_esd_outliers")(spark, eventsDir(rows))
+      .collect()
+    assert(out.length === 3)
+    assert(out(0).getAs[Long]("day_idx") === 2L)
+    assert(!out(0).isNullAt(out(0).fieldIndex("esd_z")))
+    assert(out(1).isNullAt(out(1).fieldIndex("esd_z")))
+    assert(out(1).getAs[Long]("day_idx") === 0L)
+    assert(out(2).getAs[Long]("day_idx") === 1L)
+  }
+
+  // ---------------- PACF ----------------
+
+  test("kdb_pacf matches the reference Durbin–Levinson on a periodic grid") {
+    // hourly counts c_t = 1 + 2·[t ≡ 0 mod 4]: strong lag-structure,
+    // reference autocovariances computable exactly in plain Scala
+    val nSlots = ((T1 - T0) / (3600L * 1000000000L)).toInt
+    val counts = (0 until nSlots).map(t => if (t % 4 == 0) 3 else 1)
+    val rows = for {
+      t <- 0 until nSlots
+      c <- 0 until counts(t)
+    } yield ((t * 10 + c).toLong, T0 + t * 3600L * 1000000000L + c * 1000L,
+      c.toLong, "click", 1.0, "{}")
+    val out = SparkEntry.queries("kdb_pacf")(spark, eventsDir(rows))
+      .collect().head
+
+    val v = counts.map(_.toDouble)
+    val m = v.sum / v.size
+    def acov(k: Int) = (0 until v.size - k).map(t => (v(t) - m) * (v(t + k) - m)).sum
+    val r1 = acov(1) / acov(0); val r2 = acov(2) / acov(0); val r3 = acov(3) / acov(0)
+    val p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    val p21 = r1 * (1 - p22)
+    val p33 = (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2)
+    def rd(x: Double) = math.rint(x * 10000) / 10000
+    assert(out.getAs[Double]("rho1") === rd(r1))
+    assert(out.getAs[Double]("pacf1") === rd(r1))
+    assert(out.getAs[Double]("pacf2") === rd(p22))
+    assert(out.getAs[Double]("pacf3") === rd(p33))
+  }
+
+  // ---------------- Periodogram ----------------
+
+  test("kdb_periodogram: a 24 h sinusoid concentrates power at period 24") {
+    val nSlots = ((T1 - T0) / (3600L * 1000000000L)).toInt
+    val counts = (0 until nSlots).map(t =>
+      2 + math.round(math.cos(2 * math.Pi * t / 24.0)).toInt)
+    val rows = for {
+      t <- 0 until nSlots
+      c <- 0 until counts(t)
+    } yield ((t * 10 + c).toLong, T0 + t * 3600L * 1000000000L + c * 1000L,
+      c.toLong, "click", 1.0, "{}")
+    val out = SparkEntry.queries("kdb_periodogram")(spark, eventsDir(rows))
+      .collect().map(r => r.getAs[Int]("period_h") -> r.getAs[Double]("power")).toMap
+    assert(out(24) > 10 * out(12), "fundamental must dominate the harmonics")
+    assert(out(24) > 10 * out(168), "no weekly power in a daily sinusoid")
+  }
+
+  // ---------------- Weighted sampling ----------------
+
+  test("llm_weighted_sample matches a plain-Scala Efraimidis–Spirakis draw") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val want = docs.map { case (id, w) =>
+      val u = (h60(s"$id:ws") + 1).toDouble / 1152921504606846976.0
+      (id, math.log(u) / w)
+    }.sortBy { case (id, k) => (-k, id) }.take(20).map(_._1).toSeq
+    val got = SparkEntry.queries("llm_weighted_sample")(spark, sf)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(got.sorted === want.sorted,
+      "the engine must draw exactly the reference sample")
+  }
+
+  // ---------------- PCA power iteration ----------------
+
+  test("llm_pca_power: PC1 explains at least as much variance as any single axis") {
+    val out = SparkEntry.queries("llm_pca_power")(spark, sf).collect()
+    val lam = out.head.getAs[Double]("lambda_cov")
+    val share = out.head.getAs[Double]("var_share")
+    assert(lam > 0)
+    assert(share >= 1.0 / 64 - 1e-9,
+      "λ1/trace can never be below the 1/d average")
+  }
+
   test("training batch invariants: label disjointness, partition of test split, bucket cap") {
     val neg = SparkEntry.queries("llm_hard_negatives")(spark, sf).collect()
     assert(neg.nonEmpty)

@@ -4681,6 +4681,148 @@ object KdbQueries extends QueryModule {
       FROM survivors CROSS JOIN receipts
       ORDER BY event_type, user_id, day_ns"""))
 
+  /** MVCC time travel, oracle-gated end to end: ingest the purchase
+    * stream in TWO batches (even event_ids, then odd event_ids at a
+    * higher seq block), capture the snapshot watermark between them
+    * with currentSeq(), and read the SAME 3-day window twice —
+    * findAsOf(watermark) vs find() — emitting each user's cents total
+    * in both worlds plus a changed flag and the watermark itself.
+    * DuckDB reconstructs both worlds from the events table: the as-of
+    * world is LWW over even rows only, the current world is LWW with
+    * odd rows seq-shifted above every even seq — exactly the engine's
+    * append-only rule. What this pins that EngineSpec's MVCC specs
+    * can't: the snapshot predicate (`seq <= watermark`) composing with
+    * LWW resolve, wildcard series discovery (series first seen in
+    * batch 2 must be ABSENT as-of, present now), and the dense-slab
+    * zero-fill, all hash-gated at sf0.01. Scale shape: the seq filter
+    * is one pushed-down parquet predicate (no version log, no state
+    * reconstruction), so time travel costs the same scan as a current
+    * read. */
+  private val timeTravelTwin = QueryDef(
+    "kdb_time_travel_twin",
+    (s, d) => {
+      import s.implicits._
+      val SeqShift = 1L << 40 // above any event_id: batch 2 always wins LWW
+      val dir = java.nio.file.Files.createTempDirectory("graft-ttwin").toString
+      val engine = new graft.core.Engine(s,
+        graft.core.EngineOptions("ttwin", dir, indexDepth = 2, payloadSize = 8,
+          bucketDuration = Day, resolution = Hour, maxHotBuckets = 40),
+        new graft.core.TestClock(T1))
+      val base = ev(s, d)
+        .filter(col("event_type") === "purchase" &&
+          col("ts_ns") >= T0 && col("ts_ns") < T0 + 3 * Day)
+        .select(col("ts_ns"), col("user_id").cast("string").as("uid"),
+          col("value"), col("event_id"))
+      def pts(df: DataFrame, shift: Long) = df
+        .as[(Long, String, Double, Long)]
+        .map { case (ts, uid, v, id) =>
+          graft.core.Point(ts, Seq("purchase", uid),
+            graft.plans.DoubleFromPayload.encode(v), id + shift)
+        }.toDF()
+      engine.put(pts(base.filter(col("event_id") % 2 === 0), 0L))
+      val mark = engine.currentSeq()
+      engine.put(pts(base.filter(col("event_id") % 2 === 1), SeqShift))
+      def cents(dfr: DataFrame, out: String) = dfr
+        .withColumn("v", call_function("double_from_payload", col("payload")))
+        .groupBy(col("tag1").as("user_id"))
+        .agg(sum(round(col("v") * 100, 0).cast("long")).as(out))
+      val asof = cents(
+        engine.findAsOf(T0, T0 + 3 * Day, Seq("purchase", ""), mark), "asof_cents")
+      val now = cents(
+        engine.find(T0, T0 + 3 * Day, Seq("purchase", "")), "now_cents")
+      now.join(asof, Seq("user_id"), "left_outer")
+        .select(col("user_id"), col("asof_cents"), col("now_cents"),
+          when(col("asof_cents").isNull ||
+            col("asof_cents") =!= col("now_cents"), 1).otherwise(0).as("changed"),
+          lit(mark).as("snapshot_seq"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT user_id, epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               value, event_id, event_id % 2 AS odd
+        FROM events
+        WHERE event_type = 'purchase'
+          AND epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T0 + 3 * Day}),
+      snap AS (
+        SELECT CAST(user_id AS VARCHAR) AS user_id,
+               CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS asof_cents
+        FROM (SELECT user_id, slot_ns, arg_max(value, event_id) AS v
+              FROM w WHERE odd = 0 GROUP BY 1, 2)
+        GROUP BY 1),
+      cur AS (
+        SELECT CAST(user_id AS VARCHAR) AS user_id,
+               CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS now_cents
+        FROM (SELECT user_id, slot_ns,
+                     arg_max(value, event_id +
+                       CASE WHEN odd = 1 THEN ${1L << 40} ELSE 0 END) AS v
+              FROM w GROUP BY 1, 2)
+        GROUP BY 1),
+      mark AS (
+        SELECT CAST(max(event_id) AS BIGINT) AS snapshot_seq
+        FROM w WHERE odd = 0)
+      SELECT c.user_id, a.asof_cents, c.now_cents,
+             CASE WHEN a.asof_cents IS NULL
+                    OR a.asof_cents <> c.now_cents THEN 1 ELSE 0 END AS changed,
+             snapshot_seq
+      FROM cur c LEFT JOIN snap a USING (user_id) CROSS JOIN mark
+      ORDER BY c.user_id"""))
+
+  /** One-way ANOVA F across all event types' payload distributions —
+    * the parametric complement of kdb_kruskal_wallis (same question,
+    * normality assumed, power gained): F = MSB/MSW from per-group
+    * (n, Σx, Σx²) moments, η² = SSB/SST as the effect size. ONE
+    * map-side-combinable aggregation to k rows, then closed-form
+    * algebra — the cheapest shape at any scale, no windows, no
+    * ranks. */
+  private val anovaF = QueryDef(
+    "kdb_anova_f",
+    (s, d) => {
+      // integer-cent moments: F and eta-sq are scale-invariant, so the
+      // cents series gives the SAME statistics from exact int64 sums —
+      // bit-identical in both engines (the kdb_lead_lag_corr rule)
+      val g = ev(s, d)
+        .withColumn("c", round(col("value") * 100, 0).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("c")).cast("double").as("sx"),
+          sum(col("c") * col("c")).cast("double").as("sxx"))
+      val one = g.groupBy().agg(
+        sum(col("n")).as("nt"), count(lit(1)).as("k"),
+        sum(col("sx")).as("sxt"), sum(col("sxx")).as("sxxt"),
+        sum(col("sx") * col("sx") / col("n")).as("sb"))
+      val ssb = col("sb") - col("sxt") * col("sxt") / col("nt")
+      val sst = col("sxxt") - col("sxt") * col("sxt") / col("nt")
+      val ssw = sst - ssb
+      one.select(
+        col("nt").cast("long").as("n_total"),
+        col("k").cast("int").as("k_groups"),
+        round((ssb / (col("k") - 1)) / (ssw / (col("nt") - col("k"))), 4)
+          .as("f_stat"),
+        round(ssb / sst, 4).as("eta_sq"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events),
+      g AS (
+        SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+               CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS sx,
+               CAST(CAST(sum(c * c) AS BIGINT) AS DOUBLE) AS sxx
+        FROM c GROUP BY 1),
+      one AS (
+        SELECT sum(n) AS nt, count(*) AS k,
+               sum(sx) AS sxt, sum(sxx) AS sxxt,
+               sum(sx * sx / n) AS sb
+        FROM g)
+      SELECT CAST(nt AS BIGINT) AS n_total, CAST(k AS INT) AS k_groups,
+             round(((sb - sxt * sxt / nt) / (k - 1)) /
+                   ((sxxt - sxt * sxt / nt - (sb - sxt * sxt / nt))
+                    / (nt - k)), 4) AS f_stat,
+             round((sb - sxt * sxt / nt) /
+                   (sxxt - sxt * sxt / nt), 4) AS eta_sq
+      FROM one"""))
+
   /** SQL-doorway twin: ingest the events table through Engine.put,
     * register the LWW-resolved store as a temp view, and answer an
     * AD-HOC spark.sql aggregation over it — gated against DuckDB
@@ -5285,6 +5427,7 @@ object KdbQueries extends QueryModule {
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
     locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest,
     theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing,
+    timeTravelTwin, anovaF,
     incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf,
     eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,
     anomalyEnsemble, drawdown, changepoint, rateLimitAudit, burstiness,

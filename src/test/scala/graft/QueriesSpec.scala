@@ -218,7 +218,11 @@ class QueriesSpec extends SparkTestBase {
       "kdb_tail_index",
       // kdb_pacf / kdb_periodogram: distinct types × hourly-grid
       // broadcast densification — the kdb_acf grid shape
-      "kdb_pacf", "kdb_periodogram")
+      "kdb_pacf", "kdb_periodogram",
+      // kdb_time_travel_twin: both engine reads ride find's
+      // series × broadcast(slot-grid) densification (the
+      // kdb_find_wildcard shape, twice)
+      "kdb_time_travel_twin")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

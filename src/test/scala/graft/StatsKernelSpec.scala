@@ -378,6 +378,32 @@ class StatsKernelSpec extends SparkTestBase {
       math.rint(kwRef(Seq(g1, g2, g3)) * 10000) / 10000)
   }
 
+  // ---------------- One-way ANOVA ----------------
+
+  test("kdb_anova_f matches the reference F and eta-squared on three shifted groups") {
+    val g1 = Seq(1.0, 2.0, 3.0)
+    val g2 = Seq(4.0, 5.0, 6.0)
+    val g3 = Seq(8.0, 9.0, 10.0)
+    val rows =
+      g1.zipWithIndex.map { case (v, i) => (i.toLong, T0 + i * 1000L, i.toLong, "click", v, "{}") } ++
+      g2.zipWithIndex.map { case (v, i) => (10L + i, T0 + (10 + i) * 1000L, 10L + i, "purchase", v, "{}") } ++
+      g3.zipWithIndex.map { case (v, i) => (20L + i, T0 + (20 + i) * 1000L, 20L + i, "view", v, "{}") }
+    val out = SparkEntry.queries("kdb_anova_f")(spark, eventsDir(rows))
+      .collect().head
+    val groups = Seq(g1, g2, g3)
+    val all = groups.flatten
+    val gm = all.sum / all.size
+    val ssb = groups.map(g => g.size * math.pow(g.sum / g.size - gm, 2)).sum
+    val sst = all.map(x => math.pow(x - gm, 2)).sum
+    val ssw = sst - ssb
+    val f = (ssb / (groups.size - 1)) / (ssw / (all.size - groups.size))
+    def rd(x: Double) = math.rint(x * 10000) / 10000
+    assert(out.getAs[Long]("n_total") === 9L)
+    assert(out.getAs[Int]("k_groups") === 3)
+    assert(out.getAs[Double]("f_stat") === rd(f))
+    assert(out.getAs[Double]("eta_sq") === rd(ssb / sst))
+  }
+
   // ---------------- Generalized ESD ----------------
 
   test("kdb_esd_outliers: the second spike is unmasked after the first is removed") {

@@ -86,7 +86,17 @@ object ScaleBench {
     // pairs are constant in data size), the wj bucket-explode join
     // (both sides grow k×), and KN scoring (bigram tables grow)
     "kdb_weighted_median", "kdb_mann_kendall", "kdb_wj_agg",
-    "llm_lm_score_kn")
+    "llm_lm_score_kn",
+    // r8 wave 5: the k-sample rank statistics (one range shuffle over
+    // distinct values — the multi-column prefix-sum growth probe), the
+    // grid-bounded spectral pair (pacf/periodogram must stay ~flat
+    // after their rollup), the d²-cell covariance + fixed driver
+    // eigensolve (growth is the outer-product scan ONLY), the
+    // TakeOrdered samplers (k-bounded cuts must stay ~scan-linear),
+    // and the pure-aggregation ANOVA / daily-grid ESD
+    "kdb_ks_test", "kdb_kruskal_wallis", "kdb_pacf", "kdb_periodogram",
+    "llm_pca_power", "llm_weighted_sample", "kdb_tail_index",
+    "kdb_anova_f", "kdb_esd_outliers")
 
   private val Tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

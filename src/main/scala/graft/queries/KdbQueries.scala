@@ -4874,6 +4874,81 @@ object KdbQueries extends QueryModule {
       GROUP BY 1, 2
       ORDER BY event_type, user_id"""))
 
+  /** Maintenance pipeline, oracle-gated end to end: ingest the events
+    * table, COMPACT the first three day-buckets (multi-batch dirs →
+    * one clustered file set, per-key history collapsed to the LWW
+    * winner), then REBUCKET the whole store Day → 2·Day (the layout
+    * migration; the old handle's manifest check goes stale by design,
+    * so the read reopens with the returned options) — and prove reads
+    * are INVARIANT under both rewrites by hash-gating the post-
+    * migration per-series rollup against DuckDB's LWW world computed
+    * straight from events. Receipts gate the compaction itself: raw
+    * rows before vs distinct (series, slot) after, both oracle-
+    * computable. RollupSpec/EngineSpec cover crash corners; this pins
+    * the happy-path semantics at sf0.01 the way kdb_erase_twin pins
+    * erasure. */
+  private val maintenanceTwin = QueryDef(
+    "kdb_maintenance_twin",
+    (s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-mainttwin").toString
+      val opts0 = graft.core.EngineOptions("mtwin", dir, indexDepth = 2,
+        payloadSize = 8, bucketDuration = Day, resolution = Hour,
+        maxHotBuckets = 40)
+      val clock = new graft.core.TestClock(T1)
+      val engine = new graft.core.Engine(s, opts0, clock)
+      val pts = ev(s, d)
+        .select(col("ts_ns"), col("event_type"),
+          col("user_id").cast("string").as("uid"),
+          col("value"), col("event_id"))
+        .as[(Long, String, String, Double, Long)]
+        .map { case (ts, et, uid, v, id) =>
+          graft.core.Point(ts, Seq(et, uid),
+            graft.plans.DoubleFromPayload.encode(v), id)
+        }
+      engine.put(pts.toDF())
+      val compacted = (0 until 3).map(i => engine.compactBucket(T0 + i * Day))
+      val before = compacted.map(_._1).sum
+      val after = compacted.map(_._2).sum
+      val newOpts = engine.rebucket(2 * Day)
+      val reopened = new graft.core.Engine(s, newOpts, clock)
+      reopened.sqlView("graft_maint_twin")
+      s.sql("""
+        SELECT tag0 AS event_type, tag1 AS user_id,
+               count(*) AS n_slots,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM graft_maint_twin
+        GROUP BY tag0, tag1""")
+        .withColumn("compact_before", lit(before))
+        .withColumn("compact_after", lit(after))
+        .orderBy(col("event_type"), col("user_id"))
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               arg_max(value, event_id) AS value
+        FROM events
+        GROUP BY 1, 2, 3),
+      receipts AS (
+        SELECT
+          (SELECT count(*) FROM events
+           WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T0 + 3 * Day})
+            AS compact_before,
+          (SELECT count(*) FROM (
+             SELECT DISTINCT event_type, user_id,
+                    epoch_ns(ts) - epoch_ns(ts) % ${Hour}
+             FROM events
+             WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T0 + 3 * Day}))
+            AS compact_after)
+      SELECT event_type, user_id,
+             count(*) AS n_slots,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             compact_before, compact_after
+      FROM w CROSS JOIN receipts
+      GROUP BY 1, 2, 5, 6
+      ORDER BY event_type, user_id"""))
+
   /** Bollinger bands (24-hour, k=2) per event_type over the hourly
     * integer-cent sums: mean ± 2σ of the trailing 24 present hours,
     * with band-breakout flags — the volatility-envelope monitor
@@ -5427,7 +5502,7 @@ object KdbQueries extends QueryModule {
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
     locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest,
     theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing,
-    timeTravelTwin, anovaF,
+    timeTravelTwin, anovaF, maintenanceTwin,
     incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf,
     eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,
     anomalyEnsemble, drawdown, changepoint, rateLimitAudit, burstiness,

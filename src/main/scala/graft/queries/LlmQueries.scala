@@ -3868,6 +3868,119 @@ object LlmQueries extends QueryModule {
       ORDER BY c_ab DESC, w1, w2
       LIMIT 30"""))
 
+  /** One BPE merge iteration — the inner loop of byte-pair-encoding
+    * tokenizer TRAINING (llm_vocab_build learns a word vocab;
+    * llm_bpe_tokens APPLIES a tokenizer; this is the step that
+    * LEARNS one): count every adjacent symbol pair weighted by word
+    * frequency and surface the top merges. Scale decomposition that
+    * makes corpus-scale BPE feasible: the pair scan runs over the
+    * WORD-FREQUENCY TABLE (aggregate-sized), not the corpus — one
+    * data-sized shuffle builds the vocab, then positions explode over
+    * distinct words only, exactly how production BPE trainers batch
+    * it. Counts are exact ints; ordering is (count DESC, pair) so the
+    * chosen merge is branch-safe. */
+  private val bpeMergeStep = QueryDef(
+    "llm_bpe_merge_step",
+    (s, d) => {
+      val vocab = documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      vocab.filter(length(col("w")) >= 2)
+        .select(col("w"), col("cnt"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(col("w").substr(col("i"), lit(1)).as("c1"),
+          col("w").substr(col("i") + 1, lit(1)).as("c2"),
+          col("cnt"))
+        .groupBy(col("c1"), col("c2"))
+        .agg(sum(col("cnt")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("c1"), col("c2"))
+        .limit(20)
+        .select(col("c1"), col("c2"),
+          concat(col("c1"), col("c2")).as("merged"), col("pair_count"))
+    },
+    Some("""
+      WITH vocab AS (
+        SELECT w, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY 1),
+      pos AS (
+        SELECT w, cnt, unnest(generate_series(1, length(w) - 1)) AS i
+        FROM vocab WHERE length(w) >= 2),
+      pairs AS (
+        SELECT substr(w, i, 1) AS c1, substr(w, i + 1, 1) AS c2,
+               CAST(sum(cnt) AS BIGINT) AS pair_count
+        FROM pos GROUP BY 1, 2)
+      SELECT c1, c2, c1 || c2 AS merged, pair_count
+      FROM pairs
+      ORDER BY pair_count DESC, c1, c2
+      LIMIT 20"""))
+
+  /** Skip-gram co-occurrence with PMI over a ±2 token window — the
+    * word2vec/GloVe co-occurrence pass, generalizing
+    * llm_pmi_collocations' adjacent bigrams to the window the
+    * embedding objectives actually use. NO token self-join: the
+    * forward window comes from two lead() steps over ONE doc_id
+    * shuffle (the shingleRows discipline — tokenize once, window the
+    * rows), and every marginal (center, context, total) folds from
+    * the aggregate-sized pair table itself. PMI is reported 4dp; the
+    * ORDER is the exact integer count, so libm ln ulps can't reorder
+    * rows. */
+  private val skipgramCooc = QueryDef(
+    "llm_skipgram_cooc",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+        .withColumn("l1", lead(col("w"), 1).over(w))
+        .withColumn("l2", lead(col("w"), 2).over(w))
+      val pairs = toks.select(col("w").as("a"), col("l1").as("b"))
+        .unionAll(toks.select(col("w").as("a"), col("l2").as("b")))
+        .filter(col("b").isNotNull)
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+        .localCheckpoint() // aggregate-sized; marginals + final read it
+      val ma = pairs.groupBy(col("a")).agg(sum(col("c_ab")).as("ca"))
+      val mb = pairs.groupBy(col("b")).agg(sum(col("c_ab")).as("cb"))
+      val tot = pairs.agg(sum(col("c_ab")).as("p_tot"))
+      pairs.filter(col("c_ab") >= 10)
+        .join(broadcast(ma), Seq("a"))
+        .join(broadcast(mb), Seq("b"))
+        .crossJoin(broadcast(tot))
+        .select(col("a"), col("b"), col("c_ab"),
+          (round(
+            log(col("c_ab").cast("double") / col("p_tot")) -
+              log(col("ca").cast("double") / col("p_tot")) -
+              log(col("cb").cast("double") / col("p_tot")), 4) + lit(0.0))
+            .as("pmi"))
+        .orderBy(col("c_ab").desc, col("a"), col("b"))
+        .limit(30)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, g AS pos, ws[g] AS w,
+               lead(ws[g], 1) OVER (PARTITION BY doc_id ORDER BY g) AS l1,
+               lead(ws[g], 2) OVER (PARTITION BY doc_id ORDER BY g) AS l2
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             unnest(generate_series(1, len(ws))) t(g)),
+      pairs AS (
+        SELECT a, b, count(*) AS c_ab FROM (
+          SELECT w AS a, l1 AS b FROM toks WHERE l1 IS NOT NULL
+          UNION ALL
+          SELECT w AS a, l2 AS b FROM toks WHERE l2 IS NOT NULL)
+        GROUP BY 1, 2),
+      ma AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS ca FROM pairs GROUP BY 1),
+      mb AS (SELECT b, CAST(sum(c_ab) AS BIGINT) AS cb FROM pairs GROUP BY 1),
+      tot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS p_tot FROM pairs)
+      SELECT a, b, c_ab,
+             round(ln(CAST(c_ab AS DOUBLE) / p_tot)
+                   - ln(CAST(ca AS DOUBLE) / p_tot)
+                   - ln(CAST(cb AS DOUBLE) / p_tot), 4) + 0.0 AS pmi
+      FROM pairs JOIN ma USING (a) JOIN mb USING (b)
+      CROSS JOIN tot
+      WHERE c_ab >= 10
+      ORDER BY c_ab DESC, a, b
+      LIMIT 30"""))
+
   /** Weighted sampling WITHOUT replacement via the Efraimidis–
     * Spirakis exponential-sort trick: each doc draws key =
     * ln(u)/w (u = deterministic unit uniform from the shared 60-bit
@@ -3908,7 +4021,7 @@ object LlmQueries extends QueryModule {
       ORDER BY es_key_ppm DESC, doc_id"""))
 
   val defs: Seq[QueryDef] = Seq(
-    weightedSample,
+    weightedSample, bpeMergeStep, skipgramCooc,
     clusterQuality, pmiCollocations,
     matryoshkaEval, curriculumOrder,
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,

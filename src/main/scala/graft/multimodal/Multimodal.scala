@@ -248,16 +248,53 @@ object Multimodal {
     }
   }
 
+  /** MP3 (MPEG-1 Layer III): optional ID3v2 tag (10-byte header with
+    * a 28-bit syncsafe size) skipped, then the first frame header —
+    * 11-bit sync, version/layer bits, bitrate + samplerate table
+    * lookups, mono/stereo from the channel-mode bits. Returns
+    * (sampleRate, channels, frameCount) with frameCount estimated
+    * from the fixed Layer-III frame length 144·bitrate/rate — the
+    * WAV triple's shape for compressed audio. Free-format (bitrate
+    * index 0), reserved indices, and non-MPEG-1-Layer-III streams
+    * reject to the stub. */
+  private[graft] def parseMp3(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 4) return None
+    var o = 0
+    if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      if (b.length < 10) return None
+      val tagSize = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      o = 10 + tagSize
+    }
+    if (o < 0 || o + 4 > b.length) return None
+    val h1 = b(o + 1) & 0xff; val h2 = b(o + 2) & 0xff; val h3 = b(o + 3) & 0xff
+    if ((b(o) & 0xff) != 0xff || (h1 & 0xe0) != 0xe0) return None
+    val version = (h1 >> 3) & 3 // 3 = MPEG-1 (1 reserved)
+    val layer = (h1 >> 1) & 3 //   1 = Layer III (0 reserved)
+    if (version != 3 || layer != 1) return None
+    val bitrateIdx = (h2 >> 4) & 0xf
+    val srIdx = (h2 >> 2) & 3
+    if (bitrateIdx == 0 || bitrateIdx == 15 || srIdx == 3) return None
+    val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+      160, 192, 224, 256, 320)(bitrateIdx)
+    val sr = Array(44100, 48000, 32000)(srIdx)
+    val channels = if (((h3 >> 6) & 3) == 3) 1 else 2
+    val frameLen = 144 * (kbps * 1000) / sr
+    val nFrames = (b.length - o) / frameLen
+    Some((sr, channels, math.max(nFrames, 1)))
+  }
+
   /** Codec probe: real header parse for the formats the JVM can read
-    * unaided (BMP/WAV/PPM payloads plus PNG/JPEG/GIF/MP4 container
-    * headers — compressed PIXELS need a codec, but the public headers
-    * don't), deterministic stub for everything else. The fingerprint
-    * is the content FNV in both branches (it identifies bytes, not
-    * decoded pixels). */
+    * unaided (BMP/WAV/PPM payloads plus PNG/JPEG/GIF/MP4/MP3
+    * container headers — compressed PIXELS/SAMPLES need a codec, but
+    * the public headers don't), deterministic stub for everything
+    * else. The fingerprint is the content FNV in both branches (it
+    * identifies bytes, not decoded pixels). */
   def decode(content: Array[Byte]): (Int, Int, Int, Long) =
     parseBmp(content).orElse(parseWav(content)).orElse(parsePpm(content))
       .orElse(parsePng(content)).orElse(parseJpeg(content))
-      .orElse(parseGif(content)).orElse(parseMp4(content)) match {
+      .orElse(parseGif(content)).orElse(parseMp4(content))
+      .orElse(parseMp3(content)) match {
       case Some((w, h, nf)) =>
         (w, h, nf, graft.plans.Fnv64.hash(content) & Long.MaxValue)
       case None => decodeStub(content)

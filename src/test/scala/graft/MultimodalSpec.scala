@@ -231,6 +231,35 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.length === 7) // ceil(61/10)
   }
 
+  test("decode parses MP3 frame headers (with and without ID3v2); reserved bits reject") {
+    // MPEG-1 Layer III, 128 kbps, 44100 Hz, stereo: header FF FB 90 00,
+    // frame length 144*128000/44100 = 417 bytes
+    def mp3Fixture(frames: Int, id3: Boolean): Array[Byte] = {
+      val frame = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00) ++
+        Array.fill(413)(0x55.toByte)
+      val tag =
+        if (id3) "ID3".getBytes ++ Array[Byte](3, 0, 0, 0, 0, 0, 0)
+        else Array.emptyByteArray
+      tag ++ Array.fill(frames)(frame).flatten
+    }
+    assert(Multimodal.parseMp3(mp3Fixture(3, id3 = false)) === Some((44100, 2, 3)))
+    assert(Multimodal.parseMp3(mp3Fixture(2, id3 = true)) === Some((44100, 2, 2)))
+    // mono flag (channel mode 3): C0 in byte 3
+    val mono = mp3Fixture(1, id3 = false)
+    mono(3) = 0xc0.toByte
+    assert(Multimodal.parseMp3(mono) === Some((44100, 1, 1)))
+    // free-format bitrate (index 0) and reserved samplerate reject
+    val free = mp3Fixture(1, id3 = false); free(2) = 0x00
+    assert(Multimodal.parseMp3(free) === None)
+    val badSr = mp3Fixture(1, id3 = false); badSr(2) = 0x9c.toByte
+    assert(Multimodal.parseMp3(badSr) === None)
+    // an ID3 tag whose syncsafe size overruns the buffer rejects
+    val lying = "ID3".getBytes ++ Array[Byte](3, 0, 0, 0x7f, 0x7f, 0x7f, 0x7f)
+    assert(Multimodal.parseMp3(lying) === None)
+    // lost sync rejects
+    assert(Multimodal.parseMp3(Array[Byte](0x12, 0x34, 0x56, 0x78)) === None)
+  }
+
   test("featureKernel matches an independently computed byte-statistics fixture") {
     // all 256 byte values once: uniform histogram, known moments
     val content = Array.tabulate(256)(_.toByte)

@@ -222,7 +222,11 @@ class QueriesSpec extends SparkTestBase {
       // kdb_time_travel_twin: both engine reads ride find's
       // series × broadcast(slot-grid) densification (the
       // kdb_find_wildcard shape, twice)
-      "kdb_time_travel_twin")
+      "kdb_time_travel_twin",
+      // llm_skipgram_cooc: the 1-row pair-total scalar rides a
+      // broadcast cross join over the aggregate-sized pair table —
+      // the llm_lm_score scalar shape
+      "llm_skipgram_cooc")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

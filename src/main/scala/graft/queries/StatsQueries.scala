@@ -424,24 +424,41 @@ object StatsQueries extends QueryModule {
       SELECT n, round(avg_rs, 4) AS avg_rs, round(hurst, 4) AS hurst
       FROM rs CROSS JOIN ols ORDER BY n"""))
 
+  /** Lehmer/Park-Miller modulus and the g^b = 48271^b mod M table for
+    * b = 0..199 — kdb_bootstrap_ci's replicate uniforms; the same 200
+    * constants are injected verbatim into its DuckDB oracle. */
+  private val LehmerM: Long = 2147483647L
+  private val LehmerPow: Array[Long] = {
+    val a = new Array[Long](200)
+    a(0) = 1L
+    for (b <- 1 until 200) a(b) = a(b - 1) * 48271L % LehmerM
+    a
+  }
+
   /** Poisson-bootstrap confidence interval for the mean purchase
     * value — the at-scale bootstrap: instead of resampling rows
     * (a B-fold shuffle of the data), each (row, replicate) pair
-    * draws a deterministic Poisson(1) weight from the shared 60-bit
-    * hash, so the whole thing is one explode + one map-side-
-    * combinable aggregation producing B=200 rows. No rand(): the
-    * weight of row r in replicate b is a pure function of (r, b),
-    * identical in both engines and across retries. The inverse-CDF
-    * thresholds are the Poisson(1) CDF to k=6 (7+ truncated,
-    * P ≈ 8e-6). CI = exact 2.5/97.5 percentiles of the 200
-    * replicate means. */
+    * draws a deterministic Poisson(1) weight, so the whole thing is
+    * one explode + one map-side-combinable aggregation producing
+    * B=200 rows. No rand(): the weight of row r in replicate b is a
+    * pure function of (r, b), identical in both engines and across
+    * retries. CPU discipline (r8): ONE md5 seeds each row, then
+    * replicate b's uniform is the Lehmer product u_b = h₀·gᵇ mod
+    * 2³¹−1 with g = 48271 — the 200 per-row draws are integer
+    * multiply-mods against a 200-entry gᵇ literal table (generated
+    * below, injected into BOTH engines), not 200 md5 calls; products
+    * stay < 2⁶² so BIGINT arithmetic is exact in both. The
+    * inverse-CDF thresholds are the Poisson(1) CDF to k=6 (7+
+    * truncated, P ≈ 8e-6). CI = exact 2.5/97.5 percentiles of the
+    * 200 replicate means. */
   private val bootstrap = QueryDef(
     "kdb_bootstrap_ci",
     (s, d) => {
       val x = ev(s, d).filter(col("event_type") === "purchase")
         .select(col("event_id"), col("value"))
-      val u = hash60(concat(col("event_id").cast("string"), lit(":"),
-        col("b").cast("string"))).cast("double") / lit(1152921504606846976.0)
+      val h0 = hash60(col("event_id").cast("string")) % lit(LehmerM - 1) + 1
+      val u = ((h0 * element_at(lit(LehmerPow), col("b") + 1)) % lit(LehmerM))
+        .cast("double") / lit(LehmerM.toDouble)
       val w = when(u < 0.36787944117144233, 0.0)
         .when(u < 0.7357588823428847, 1.0)
         .when(u < 0.9196986029286058, 2.0)
@@ -465,16 +482,20 @@ object StatsQueries extends QueryModule {
         round(element_at(col("pp"), 1), 4).as("ci_lo"),
         round(element_at(col("pp"), 2), 4).as("ci_hi"))
     },
-    Some("""
+    Some(s"""
       WITH x AS (
         SELECT event_id, value FROM events WHERE event_type = 'purchase'),
+      seeded AS (
+        SELECT value,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 2147483646 + 1 AS h0
+        FROM x),
       reps AS (
         SELECT b.range AS b,
                sum(w * value) / sum(w) AS mb
-        FROM x CROSS JOIN range(0, 200) b,
-        LATERAL (SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
-                   || ':' || CAST(b.range AS VARCHAR)), 1, 15))::BIGINT
-                   AS DOUBLE) / 1152921504606846976.0 AS u) h,
+        FROM seeded CROSS JOIN range(0, 200) b,
+        LATERAL (SELECT CAST((h0 * ([${LehmerPow.mkString(", ")}])[b.range + 1])
+                   % 2147483647 AS DOUBLE) / 2147483647.0 AS u) h,
         LATERAL (SELECT CASE
                    WHEN u < 0.36787944117144233 THEN 0.0
                    WHEN u < 0.7357588823428847 THEN 1.0

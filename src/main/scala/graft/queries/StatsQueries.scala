@@ -439,8 +439,8 @@ object StatsQueries extends QueryModule {
     * value — the at-scale bootstrap: instead of resampling rows
     * (a B-fold shuffle of the data), each (row, replicate) pair
     * draws a deterministic Poisson(1) weight, so the whole thing is
-    * one explode + one map-side-combinable aggregation producing
-    * B=200 rows. No rand(): the weight of row r in replicate b is a
+    * one per-partition B-bounded fold (2·B doubles of task state)
+    * + a 200-group aggregation over ≤200·|partitions| partial rows. No rand(): the weight of row r in replicate b is a
     * pure function of (r, b), identical in both engines and across
     * retries. CPU discipline (r8): ONE md5 seeds each row, then
     * replicate b's uniform is the Lehmer product u_b = h₀·gᵇ mod
@@ -454,23 +454,49 @@ object StatsQueries extends QueryModule {
   private val bootstrap = QueryDef(
     "kdb_bootstrap_ci",
     (s, d) => {
+      import s.implicits._
       val x = ev(s, d).filter(col("event_type") === "purchase")
         .select(col("event_id"), col("value"))
-      val h0 = hash60(col("event_id").cast("string")) % lit(LehmerM - 1) + 1
-      val u = ((h0 * element_at(lit(LehmerPow), col("b") + 1)) % lit(LehmerM))
-        .cast("double") / lit(LehmerM.toDouble)
-      val w = when(u < 0.36787944117144233, 0.0)
-        .when(u < 0.7357588823428847, 1.0)
-        .when(u < 0.9196986029286058, 2.0)
-        .when(u < 0.9810118431238463, 3.0)
-        .when(u < 0.9963401531726563, 4.0)
-        .when(u < 0.9994058151824183, 5.0)
-        .when(u < 0.999916758850712, 6.0)
-        .otherwise(7.0)
-      val reps = x.withColumn("b", explode(sequence(lit(0), lit(199))))
-        .withColumn("w", w)
+      // B-bounded dense accumulator instead of a B-fold row explode
+      // (the llm_pca_power shape): each task folds its rows into one
+      // 2·B-double buffer — the honest-sink bench showed the 23M
+      // exploded rows, not the hashing, were the cost (3.5 s → this).
+      // Determinism contract unchanged: the md5-hex seed is hash60's
+      // exact definition, the Lehmer draw is the same exact-int
+      // arithmetic as the oracle's, and the Poisson thresholds are
+      // literal-identical — replicate weights stay pure functions of
+      // (row, b) shared with DuckDB.
+      val repPartials = x.as[(Long, Double)].mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sw = new Array[Double](200)
+        val swv = new Array[Double](200)
+        it.foreach { case (id, v) =>
+          val hex = md.digest(id.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          val h0 = java.lang.Long.parseLong(hex.substring(0, 15), 16) %
+            (LehmerM - 1) + 1
+          var b = 0
+          while (b < 200) {
+            val u = (h0 * LehmerPow(b) % LehmerM).toDouble / LehmerM
+            val w =
+              if (u < 0.36787944117144233) 0.0
+              else if (u < 0.7357588823428847) 1.0
+              else if (u < 0.9196986029286058) 2.0
+              else if (u < 0.9810118431238463) 3.0
+              else if (u < 0.9963401531726563) 4.0
+              else if (u < 0.9994058151824183) 5.0
+              else if (u < 0.999916758850712) 6.0
+              else 7.0
+            sw(b) += w
+            swv(b) += w * v
+            b += 1
+          }
+        }
+        Iterator.tabulate(200)(b => (b, swv(b), sw(b)))
+      }.toDF("b", "swv", "sw")
+      val reps = repPartials
         .groupBy(col("b"))
-        .agg((sum(col("w") * col("value")) / sum(col("w"))).as("mb"))
+        .agg((sum(col("swv")) / sum(col("sw"))).as("mb"))
       val ci = reps.groupBy().agg(
         percentile(col("mb"), array(lit(0.025), lit(0.975))).as("pp"),
         count(lit(1)).as("b_count"))

@@ -478,18 +478,20 @@ class QueriesSpec extends SparkTestBase {
     assert(!plan.contains("Join"), "t-test must fold to one row without joins")
   }
 
-  test("kdb_bootstrap_ci: replicate means partial-aggregate before the shuffle") {
+  test("kdb_bootstrap_ci: replicates fold per-partition; no B-fold row explode") {
     val plan = SparkEntry.queries("kdb_bootstrap_ci")(spark, sf)
       .queryExecution.executedPlan.toString
-    // the explode(0..199) fan-out must be followed by a partial
-    // HashAggregate in the same stage — only B rows per task shuffle,
-    // never the exploded rows
-    assert(plan.contains("Generate explode"), "expected the replicate explode")
-    val genIdx = plan.indexOf("Generate explode")
-    val aggBefore = plan.lastIndexOf("HashAggregate", genIdx)
-    assert(aggBefore >= 0 &&
-      !plan.substring(aggBefore, genIdx).contains("Exchange"),
-      "partial aggregation must sit between explode and the exchange")
+    // the B=200 fan-out lives in a fixed 2·B-double task buffer (the
+    // llm_pca_power accumulator shape) — a Generate here would mean
+    // the (row × replicate) space went back onto the row stream
+    assert(!plan.contains("Generate explode"),
+      "replicate weights must fold in the partition buffer, not explode")
+    assert(plan.contains("MapPartitions"),
+      "expected the per-partition replicate fold")
+    // only ≤200·|partitions| partial rows may shuffle into the
+    // replicate-mean aggregation
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      "one 200-group shuffle for the replicate means")
   }
 
   test("kdb_quantile_norm / kdb_hurst: the grid side rides IdentityBroadcastMode") {

@@ -4949,6 +4949,85 @@ object KdbQueries extends QueryModule {
       GROUP BY 1, 2, 5, 6
       ORDER BY event_type, user_id"""))
 
+  /** Backup / restore, oracle-gated end to end: ingest the first week
+    * in TWO seq blocks, exportSnapshot at the watermark BETWEEN them
+    * (a consistent MVCC cut: the snapshot must contain the first
+    * block's LWW world and none of the second), importSnapshot into a
+    * FRESH engine, and hash-gate the restored engine's per-series
+    * rollup — plus three oracle-computable receipts: exported rows
+    * (export collapses history, so = distinct (series, slot) of the
+    * cut), imported rows (all-or-nothing ⇒ equal), and the restored
+    * engine's currentSeq (rows keep their seq ⇒ the cut watermark =
+    * max first-block event_id). What this pins beyond the
+    * EngineSpec/import specs: export's watermark × LWW composition
+    * and seq continuity across a restore, at sf0.01 against DuckDB
+    * reconstructing the cut from the raw events. */
+  private val backupTwin = QueryDef(
+    "kdb_backup_twin",
+    (s, d) => {
+      import s.implicits._
+      val SeqShift = 1L << 40
+      val dir = java.nio.file.Files.createTempDirectory("graft-baktwin").toString
+      val clock = new graft.core.TestClock(T1)
+      def mkEngine(sub: String) = new graft.core.Engine(s,
+        graft.core.EngineOptions(s"bak$sub", s"$dir/$sub", indexDepth = 2,
+          payloadSize = 8, bucketDuration = Day, resolution = Hour,
+          maxHotBuckets = 40), clock)
+      val a = mkEngine("a")
+      val base = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T0 + 7 * Day)
+        .select(col("ts_ns"), col("event_type"),
+          col("user_id").cast("string").as("uid"),
+          col("value"), col("event_id"))
+      def pts(df: DataFrame, shift: Long) = df
+        .as[(Long, String, String, Double, Long)]
+        .map { case (ts, et, uid, v, id) =>
+          graft.core.Point(ts, Seq(et, uid),
+            graft.plans.DoubleFromPayload.encode(v), id + shift)
+        }.toDF()
+      a.put(pts(base.filter(col("event_id") % 2 === 0), 0L))
+      val mark = a.currentSeq()
+      a.put(pts(base.filter(col("event_id") % 2 === 1), SeqShift))
+      val exported = a.exportSnapshot(mark, s"$dir/snap")
+      val b = mkEngine("b")
+      val imported = b.importSnapshot(s"$dir/snap")
+      val restoredSeq = b.currentSeq()
+      b.sqlView("graft_backup_twin")
+      s.sql("""
+        SELECT tag0 AS event_type, tag1 AS user_id,
+               count(*) AS n_slots,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM graft_backup_twin
+        GROUP BY tag0, tag1""")
+        .withColumn("exported_rows", lit(exported))
+        .withColumn("imported_rows", lit(imported))
+        .withColumn("restored_seq", lit(restoredSeq))
+        .orderBy(col("event_type"), col("user_id"))
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               value, event_id
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T0 + 7 * Day}
+          AND event_id % 2 = 0),
+      cut AS (
+        SELECT event_type, user_id, slot_ns,
+               arg_max(value, event_id) AS value
+        FROM w GROUP BY 1, 2, 3),
+      receipts AS (
+        SELECT (SELECT count(*) FROM cut) AS exported_rows,
+               (SELECT count(*) FROM cut) AS imported_rows,
+               (SELECT CAST(max(event_id) AS BIGINT) FROM w) AS restored_seq)
+      SELECT event_type, user_id,
+             count(*) AS n_slots,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             exported_rows, imported_rows, restored_seq
+      FROM cut CROSS JOIN receipts
+      GROUP BY 1, 2, 5, 6, 7
+      ORDER BY event_type, user_id"""))
+
   /** Bollinger bands (24-hour, k=2) per event_type over the hourly
     * integer-cent sums: mean ± 2σ of the trailing 24 present hours,
     * with band-breakout flags — the volatility-envelope monitor
@@ -5502,7 +5581,7 @@ object KdbQueries extends QueryModule {
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
     locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest,
     theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing,
-    timeTravelTwin, anovaF, maintenanceTwin,
+    timeTravelTwin, anovaF, maintenanceTwin, backupTwin,
     incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf,
     eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,
     anomalyEnsemble, drawdown, changepoint, rateLimitAudit, burstiness,

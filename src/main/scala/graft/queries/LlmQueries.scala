@@ -3868,6 +3868,61 @@ object LlmQueries extends QueryModule {
       ORDER BY c_ab DESC, w1, w2
       LIMIT 30"""))
 
+  /** Instruction-data detection: which corpus slices look like Q/A or
+    * imperative-prompt data rather than prose? — the screen run
+    * before pretraining mixes (instruction-formatted text leaking
+    * into pretraining skews evals; conversely it's what you keep for
+    * SFT). Pure per-row integer features, no regex-engine dependence
+    * (Java vs RE2 semantics can drift — llm_code_detect's lesson):
+    * Q:/A: template hits via replace-length deltas, question-mark
+    * counts likewise, imperative openers by first-token membership.
+    * flag = (has both Q: and A:) OR (imperative opener + a question
+    * mark) OR ≥3 question marks. One map-side-combinable rollup per
+    * (lang, source) slice. */
+  private val instructionDetect = QueryDef(
+    "llm_instruction_detect",
+    (s, d) => {
+      val t = lower(col("text"))
+      val hasQ = length(t) - length(regexp_replace(t, lit("q:"), lit(""))) >= 2
+      val hasA = length(t) - length(regexp_replace(t, lit("a:"), lit(""))) >= 2
+      val qmarks = length(t) - length(regexp_replace(t, lit("\\?"), lit("")))
+      val first = element_at(split(t, " "), 1)
+      val imper = first.isin("write", "explain", "describe", "list",
+        "summarize", "translate", "give", "create", "generate", "classify")
+      val flag = (hasQ && hasA) || (imper && qmarks >= 1) || qmarks >= 3
+      documents(s, d)
+        .select(col("lang"), col("source"),
+          flag.cast("int").as("f"), qmarks.as("qm"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("f")).as("n_instruction_like"),
+          round(avg(col("qm")), 2).as("avg_qmarks"))
+        .withColumn("pct_flagged",
+          round(col("n_instruction_like").cast("double") / col("n_docs"), 4))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT lang, source,
+               CASE WHEN (length(lower(text))
+                      - length(replace(lower(text), 'q:', '')) >= 2
+                     AND length(lower(text))
+                      - length(replace(lower(text), 'a:', '')) >= 2)
+                 OR (string_split(lower(text), ' ')[1] IN
+                      ('write', 'explain', 'describe', 'list', 'summarize',
+                       'translate', 'give', 'create', 'generate', 'classify')
+                     AND length(text) - length(replace(text, '?', '')) >= 1)
+                 OR length(text) - length(replace(text, '?', '')) >= 3
+                 THEN 1 ELSE 0 END AS f,
+               length(text) - length(replace(text, '?', '')) AS qm
+        FROM documents)
+      SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(f) AS BIGINT) AS n_instruction_like,
+             round(avg(qm), 2) AS avg_qmarks,
+             round(CAST(sum(f) AS DOUBLE) / count(*), 4) AS pct_flagged
+      FROM f GROUP BY 1, 2
+      ORDER BY lang, source"""))
+
   /** One BPE merge iteration — the inner loop of byte-pair-encoding
     * tokenizer TRAINING (llm_vocab_build learns a word vocab;
     * llm_bpe_tokens APPLIES a tokenizer; this is the step that
@@ -4021,7 +4076,7 @@ object LlmQueries extends QueryModule {
       ORDER BY es_key_ppm DESC, doc_id"""))
 
   val defs: Seq[QueryDef] = Seq(
-    weightedSample, bpeMergeStep, skipgramCooc,
+    weightedSample, bpeMergeStep, skipgramCooc, instructionDetect,
     clusterQuality, pmiCollocations,
     matryoshkaEval, curriculumOrder,
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,

@@ -1612,9 +1612,98 @@ object StatsQueries extends QueryModule {
              round(lsum / k_used, 4) AS mean_excess_log
       FROM hill"""))
 
+  /** Partial correlation r_xy·z of the hourly click (x) and purchase
+    * (y) cent series CONTROLLING for view volume (z) — "do clicks and
+    * purchases co-move beyond what overall traffic explains?", the
+    * confounder-removal step kdb_series_corr and kdb_lead_lag_corr
+    * skip. Exact-integer discipline end to end: all nine moment sums
+    * (Σx, Σy, Σz, Σxy, Σxz, Σyz, Σx², Σy², Σz²) fold from int64
+    * hourly cents over the fixed n = 720 grid (absent hours are
+    * all-zero rows and vanish from every Σ, so no dense-grid join is
+    * needed — the kdb_burstiness algebra), the three pairwise
+    * Pearsons come from those exact ints, and the partial is the
+    * closed form (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)). ONE
+    * data-sized shuffle (the hourly pivot); everything after is
+    * one-row algebra. */
+  private val partialCorr = QueryDef(
+    "kdb_partial_corr",
+    (s, d) => {
+      val n = lit(720.0) // fixed grid size: (T1-T0)/Hour
+      val cents = round(col("value") * 100, 0).cast("long")
+      val byHour = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("slot_ns"))
+        .agg(
+          sum(when(col("event_type") === "click", cents).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", cents).otherwise(0L)).as("y"),
+          sum(when(col("event_type") === "view", cents).otherwise(0L)).as("z"))
+      val m = byHour.groupBy().agg(
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("z")).as("sxz"),
+        sum(col("y") * col("z")).as("syz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("z") * col("z")).as("szz"))
+      def r(sab: Column, sa: Column, sb: Column, saa: Column, sbb: Column) =
+        (n * sab - sa * sb) /
+          sqrt((n * saa - sa * sa).cast("double") * (n * sbb - sb * sb).cast("double"))
+      val rxy = r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+      val rxz = r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+      val ryz = r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+      m.select(
+        lit(720L).as("n_hours"),
+        (round(rxy, 4) + lit(0.0)).as("r_xy"),
+        (round(rxz, 4) + lit(0.0)).as("r_xz"),
+        (round(ryz, 4) + lit(0.0)).as("r_yz"),
+        (round((rxy - rxz * ryz) /
+          sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)), 4) + lit(0.0))
+          .as("r_xy_given_z"))
+    },
+    Some(s"""
+      WITH byhour AS (
+        SELECT epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               CAST(sum(CASE WHEN event_type = 'click'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+               CAST(sum(CASE WHEN event_type = 'view'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS z
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1),
+      m AS (
+        SELECT CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(z) AS BIGINT) AS sz,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * z) AS BIGINT) AS sxz,
+               CAST(sum(y * z) AS BIGINT) AS syz,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(z * z) AS BIGINT) AS szz
+        FROM byhour),
+      rr AS (
+        SELECT
+          (720.0 * sxy - sx * sy) /
+            sqrt((720.0 * sxx - sx * sx) * (720.0 * syy - sy * sy)) AS rxy,
+          (720.0 * sxz - sx * sz) /
+            sqrt((720.0 * sxx - sx * sx) * (720.0 * szz - sz * sz)) AS rxz,
+          (720.0 * syz - sy * sz) /
+            sqrt((720.0 * syy - sy * sy) * (720.0 * szz - sz * sz)) AS ryz
+        FROM m)
+      SELECT CAST(720 AS BIGINT) AS n_hours,
+             round(rxy, 4) + 0.0 AS r_xy,
+             round(rxz, 4) + 0.0 AS r_xz,
+             round(ryz, 4) + 0.0 AS r_yz,
+             round((rxy - rxz * ryz) /
+                   sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 4) + 0.0
+               AS r_xy_given_z
+      FROM rr"""))
+
   val defs: Seq[QueryDef] = Seq(
     welch, mannWhitney, gini, pareto, winsorize, quantileNorm, hurst,
     bootstrap, mannKendall, dickeyFuller, cointegration, granger,
     ljungBox, conformal, sprt, entropyRate,
-    ksTest, kruskal, esd, circular, tailIndex)
+    ksTest, kruskal, esd, circular, tailIndex, partialCorr)
 }

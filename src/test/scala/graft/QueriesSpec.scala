@@ -907,6 +907,26 @@ class QueriesSpec extends SparkTestBase {
       "kdb_ks_test: both ECDFs and the totals must read the prefix-sum checkpoint")
   }
 
+  test("kdb_partial_corr: one hourly pivot shuffle, moment algebra joins nothing") {
+    val plan = SparkEntry.queries("kdb_partial_corr")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      "all nine moments fold from ONE pivoted frame — a join means the series split")
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      "one pass over events")
+    assert(plan.contains("partial_sum"), "cent moments must combine map-side")
+  }
+
+  test("llm_instruction_detect: per-row integer features, one rollup shuffle") {
+    val plan = SparkEntry.queries("llm_instruction_detect")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "the screen is one pass + one rollup")
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      "one pass over documents")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      "one (lang, source) rollup shuffle")
+  }
+
   test("kdb_circular_stats: one scan, pure map-side-combinable aggregation") {
     val plan = SparkEntry.queries("kdb_circular_stats")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -1008,6 +1008,27 @@ class QueriesSpec extends SparkTestBase {
     assert(loadings.maxBy(math.abs) > 0, "dominant component must be positive")
   }
 
+  test("llm_instruction_detect flags exactly the Q/A, imperative, and interrogative shapes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-instr").toString
+    val docs = Seq(
+      (0L, "q: what is spark a: a distributed engine", true), // Q/A template
+      (1L, "write a poem about rivers ?", true), //             imperative + ?
+      (2L, "why ? how ? when ? nobody knows", true), //         >=3 question marks
+      (3L, "write a poem about rivers", false), //              imperative, no ?
+      (4L, "the river flows quietly to the sea", false), //     prose
+      (5L, "q: dangling question prefix only", false)) //       Q: without A:
+    val s = spark
+    import s.implicits._
+    docs.map { case (id, text, _) => (id, text, "en", "t", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("llm_instruction_detect")(spark, dir).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_docs") === 6L)
+    assert(out.head.getAs[Long]("n_instruction_like") ===
+      docs.count(_._3).toLong)
+  }
+
   test("llm_curriculum_order closed-form ntile matches literal ntile when N mod 4 != 0") {
     // the gate corpus has N ≡ 0 (mod 4), which never exercises the
     // remainder branch of the closed-form bucket math — pin it on a

@@ -404,6 +404,47 @@ class StatsKernelSpec extends SparkTestBase {
     assert(out.getAs[Double]("eta_sq") === rd(ssb / sst))
   }
 
+  // ---------------- Partial correlation ----------------
+
+  test("kdb_partial_corr matches the reference closed form; confounder removal shows") {
+    // x and y both driven by z (hours 0..5): marginally correlated,
+    // much less so once z is controlled for
+    val HourNs = 3600L * 1000000000L
+    val z = Seq(10.0, 20.0, 30.0, 40.0, 50.0, 60.0)
+    val x = z.zipWithIndex.map { case (v, i) => v * 2 + (if (i % 2 == 0) 3 else -3) }
+    val y = z.zipWithIndex.map { case (v, i) => v * 3 + (if (i % 3 == 0) 5 else -2) }
+    val rows =
+      z.zipWithIndex.map { case (v, i) =>
+        (100L + i, T0 + i * HourNs + 1000L, 1L, "view", v, "{}") } ++
+      x.zipWithIndex.map { case (v, i) =>
+        (200L + i, T0 + i * HourNs + 2000L, 2L, "click", v, "{}") } ++
+      y.zipWithIndex.map { case (v, i) =>
+        (300L + i, T0 + i * HourNs + 3000L, 3L, "purchase", v, "{}") }
+    val out = SparkEntry.queries("kdb_partial_corr")(spark, eventsDir(rows))
+      .collect().head
+
+    // reference on the 720-hour grid (absent hours are zeros)
+    val n = 720
+    def series(vs: Seq[Double]) =
+      (0 until n).map(i => if (i < vs.size) math.rint(vs(i) * 100) else 0.0)
+    val (xs, ys, zs) = (series(x), series(y), series(z))
+    def corr(a: Seq[Double], b: Seq[Double]) = {
+      val (sa, sb) = (a.sum, b.sum)
+      val sab = a.zip(b).map { case (p, q) => p * q }.sum
+      val saa = a.map(p => p * p).sum
+      val sbb = b.map(p => p * p).sum
+      (n * sab - sa * sb) / math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    }
+    val (rxy, rxz, ryz) = (corr(xs, ys), corr(xs, zs), corr(ys, zs))
+    val part = (rxy - rxz * ryz) / math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    def rd(v: Double) = math.rint(v * 10000) / 10000
+    assert(out.getAs[Double]("r_xy") === rd(rxy))
+    assert(out.getAs[Double]("r_xy_given_z") === rd(part))
+    // the whole point: controlling for z collapses the raw correlation
+    assert(math.abs(out.getAs[Double]("r_xy_given_z")) <
+      math.abs(out.getAs[Double]("r_xy")))
+  }
+
   // ---------------- Generalized ESD ----------------
 
   test("kdb_esd_outliers: the second spike is unmasked after the first is removed") {

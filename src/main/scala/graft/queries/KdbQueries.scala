@@ -4184,8 +4184,8 @@ object KdbQueries extends QueryModule {
         FROM t)
       SELECT r_tile, f_tile, m_tile, segment,
              count(*) AS n_users,
-             sum(frequency) AS purchases,
-             sum(cents) AS cents
+             CAST(sum(frequency) AS BIGINT) AS purchases,
+             CAST(sum(cents) AS BIGINT) AS cents
       FROM seg
       GROUP BY 1, 2, 3, 4
       ORDER BY r_tile, f_tile, m_tile"""))

@@ -3557,7 +3557,7 @@ object LlmQueries extends QueryModule {
         GROUP BY v),
       w AS (
         SELECT count(*) AS n_nodes,
-               sum((deg * (deg - 1)) // 2) AS n_wedges
+               CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
         FROM deg),
       t AS (
         SELECT count(*) AS n_triangles

@@ -30,6 +30,16 @@ def main(sf_dir, out_dir):
         try:
             want_rel = con.sql(sql)
             want_cols = want_rel.columns
+            # Type lint: an uncast sum() yields HUGEINT, which the driver's
+            # type-sensitive hasher serializes differently than BIGINT even
+            # when values are identical (round-8 root cause). Fail loudly.
+            bad_types = [f"{c}:{t}" for c, t in zip(want_cols, want_rel.types)
+                         if "HUGEINT" in str(t).upper()]
+            if bad_types:
+                print(f"FAIL {name}: oracle emits HUGEINT columns {bad_types} "
+                      f"- wrap the sum() in CAST(... AS BIGINT)")
+                n_fail += 1
+                continue
             want = [dict(zip(want_cols, r)) for r in want_rel.fetchall()]
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")

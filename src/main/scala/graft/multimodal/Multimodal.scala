@@ -8,17 +8,22 @@ import org.apache.spark.sql.functions._
   * partition-sized batches — the Spark-side shape a 100 TB media
   * pipeline needs (schema, batching, partitioning are real).
   *
-  * Decoding is two-tier. Formats with self-describing uncompressed
+  * Decoding is tiered. Formats with self-describing uncompressed
   * headers — BMP, WAV, PPM — are parsed FOR REAL in pure JVM (no
-  * codec libraries needed): [[decode]] returns their true dimensions.
-  * Everything else (JPEG/MP4/... need codec libs this container
-  * doesn't ship) falls back to [[decodeStub]], a deterministic
-  * content-hash stand-in. Swapping in a full codec changes only the
-  * function body passed to mapPartitions — batch shape, schema, and
-  * the query plan are unchanged. (In PySpark the same seam is a
-  * Pandas UDF over mapInPandas; here it is typed mapPartitions, the
-  * Scala-native equivalent: per-partition iterator in, per-partition
-  * iterator out, no per-row JVM boundary crossing.)
+  * codec libraries needed), and compressed STILL images (PNG, JPEG,
+  * GIF, BMP variants) decode to real pixels through the JDK's own
+  * `javax.imageio.ImageIO` readers — [[decode]], [[resize]], and
+  * [[extractFeatures]] all operate on true dimensions and true pixel
+  * planes for every still-image format a real corpus contains. Only
+  * video/audio FRAME payloads (MP4 samples, MP3 granules — codecs the
+  * JDK does not ship) fall back to [[decodeStub]], a deterministic
+  * content-hash stand-in behind their real container-header parses.
+  * Swapping in a full codec changes only the function body passed to
+  * mapPartitions — batch shape, schema, and the query plan are
+  * unchanged. (In PySpark the same seam is a Pandas UDF over
+  * mapInPandas; here it is typed mapPartitions, the Scala-native
+  * equivalent: per-partition iterator in, per-partition iterator out,
+  * no per-row JVM boundary crossing.)
   */
 object Multimodal {
 
@@ -41,6 +46,73 @@ object Multimodal {
   def decodeStub(content: Array[Byte]): (Int, Int, Int, Long) = {
     val pos = graft.plans.Fnv64.hash(content) & Long.MaxValue
     ((pos % 640).toInt + 1, ((pos >> 16) % 480).toInt + 1, ((pos >> 32) % 300).toInt + 1, pos)
+  }
+
+  // ---- full pixel decode (javax.imageio — pure JDK, no external
+  // libraries). The JDK ships registered readers for PNG, JPEG, GIF,
+  // and BMP, so compressed STILL-image payloads decode to real pixels
+  // here; only video/audio FRAME decode remains outside the JDK.
+  // ImageIO's default scratch-file cache would add a disk round-trip
+  // per decode on every executor — force in-memory streams once.
+  private lazy val imageIoReady: Boolean = {
+    javax.imageio.ImageIO.setUseCache(false)
+    true
+  }
+
+  /** Decode a compressed still image (PNG/JPEG/GIF/BMP/...) to real
+    * pixels via the JDK's registered ImageIO readers. None for
+    * non-image payloads, truncated files, or unregistered formats —
+    * callers fall back to their stub/filter discipline. */
+  private[graft] def decodeImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (content.length < 8 || !imageIoReady) return None
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
+    catch { case _: Throwable => None }
+  }
+
+  /** Row-major RGB byte plane of a decoded image (3 bytes/pixel, the
+    * same layout as a PPM P6 body) — the bridge from any ImageIO
+    * color model to the byte-statistics feature kernel and the
+    * nearest-neighbor resize. Bounded by w*h*3, not the encoded size. */
+  private[graft] def rgbBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Byte](w * h * 3)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        val d = (y * w + x) * 3
+        out(d) = ((p >> 16) & 0xff).toByte
+        out(d + 1) = ((p >> 8) & 0xff).toByte
+        out(d + 2) = (p & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Animated-GIF frame count via the JDK GIF reader (the header-only
+    * parse cannot see past the logical screen descriptor). None when
+    * no reader claims the stream or the stream is truncated. */
+  private[graft] def gifFrameCount(content: Array[Byte]): Option[Int] = {
+    if (!imageIoReady) return None
+    var stream: javax.imageio.stream.ImageInputStream = null
+    try {
+      stream = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val readers = javax.imageio.ImageIO.getImageReaders(stream)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(stream)
+        val n = reader.getNumImages(true) // allowSearch: walks the frame list
+        if (n > 0) Some(n) else None
+      } finally reader.dispose()
+    } catch { case _: Throwable => None }
+    finally if (stream != null) stream.close()
   }
 
   // ---- header-only codecs (pure JVM, no libraries) ----------------
@@ -286,14 +358,19 @@ object Multimodal {
 
   /** Codec probe: real header parse for the formats the JVM can read
     * unaided (BMP/WAV/PPM payloads plus PNG/JPEG/GIF/MP4/MP3
-    * container headers — compressed PIXELS/SAMPLES need a codec, but
-    * the public headers don't), deterministic stub for everything
-    * else. The fingerprint is the content FNV in both branches (it
-    * identifies bytes, not decoded pixels). */
+    * container headers — compressed PIXELS/SAMPLES decode via the
+    * JDK's ImageIO readers where registered, and the public headers
+    * cover the rest), deterministic stub for everything else. GIF
+    * frame counts come from the real frame walk (animated GIFs report
+    * their true frame count, not 1). The fingerprint is the content
+    * FNV in both branches (it identifies bytes, not decoded pixels). */
   def decode(content: Array[Byte]): (Int, Int, Int, Long) =
     parseBmp(content).orElse(parseWav(content)).orElse(parsePpm(content))
       .orElse(parsePng(content)).orElse(parseJpeg(content))
-      .orElse(parseGif(content)).orElse(parseMp4(content))
+      .orElse(parseGif(content).map { case (w, h, _) =>
+        (w, h, gifFrameCount(content).getOrElse(1))
+      })
+      .orElse(parseMp4(content))
       .orElse(parseMp3(content)) match {
       case Some((w, h, nf)) =>
         (w, h, nf, graft.plans.Fnv64.hash(content) & Long.MaxValue)
@@ -427,16 +504,49 @@ object Multimodal {
     Some(out)
   }
 
+  /** Real nearest-neighbor resize of any ImageIO-decodable compressed
+    * still image (PNG/JPEG/GIF/non-24bpp BMP): decode to pixels, map
+    * with the SAME floor rule as [[resizePpm]]/[[resizeBmp]]
+    * (sx = x*srcW/dstW), re-encode lossless PNG. PNG output keeps the
+    * resized payload deterministic (JPEG re-encode would re-quantize)
+    * and bounded by the target dims. */
+  private[graft] def resizeImage(b: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    decodeImage(b).flatMap { img =>
+      val sw = img.getWidth; val sh = img.getHeight
+      if (sw <= 0 || sh <= 0) None
+      else {
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val srcRow = new Array[Int](sw)
+        var y = 0
+        var lastSy = -1
+        while (y < h) {
+          val sy = y * sh / h
+          if (sy != lastSy) { img.getRGB(0, sy, sw, 1, srcRow, 0, sw); lastSy = sy }
+          var x = 0
+          while (x < w) {
+            out.setRGB(x, y, srcRow(x * sw / w))
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream(w * h / 4 + 64)
+        if (javax.imageio.ImageIO.write(out, "png", baos)) Some(baos.toByteArray)
+        else None
+      }
+    }
+
   /** Resize: media → fixed-target-dimension media, the 1:1 transform
     * shape of an image resize/transcode stage. Partition-preserving;
     * output payload size is bounded by the target dimensions rather
     * than the input (what makes downstream stages plannable — a
-    * resize stage normalizes the byte budget per row). Two-tier like
+    * resize stage normalizes the byte budget per row). Tiered like
     * [[decode]]: uncompressed pixel formats — PPM P6 and 24bpp BMP —
-    * are resized FOR REAL (nearest-neighbor, floor source mapping,
-    * re-encoded in their own format); compressed formats keep the
-    * deterministic strided-byte stub seam, which a codec-backed
-    * kernel replaces without touching the plan. */
+    * are resized in-format (nearest-neighbor, floor source mapping);
+    * compressed still images (PNG/JPEG/GIF/other BMPs) decode through
+    * the JDK's ImageIO readers and re-encode lossless PNG with the
+    * same pixel mapping; only non-image payloads keep the
+    * deterministic strided-byte stub seam. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedMedia] = {
     require(w > 0 && h > 0)
     import media.sparkSession.implicits._
@@ -444,7 +554,8 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val src = r.content
-        val out = resizePpm(src, w, h).orElse(resizeBmp(src, w, h)).getOrElse {
+        val out = resizePpm(src, w, h).orElse(resizeBmp(src, w, h))
+          .orElse(resizeImage(src, w, h)).getOrElse {
           if (src.isEmpty) Array.emptyByteArray
           else {
             val n = math.min(targetBytes, src.length)
@@ -583,14 +694,27 @@ object Multimodal {
     * preserving like probe; the output column is exactly the
     * embeddings-table layout (`Array[Float]`), so extracted features
     * flow straight into the similarity/ANN operators (cosine top-k,
-    * sign-LSH, IVF) with no schema adaptation. The kernel is
-    * [[featureKernel]] — a real byte-statistics feature; only a
-    * model-backed embedding remains out of scope for this container. */
+    * sign-LSH, IVF) with no schema adaptation. Decodable still images
+    * (PNG/JPEG/GIF/BMP via ImageIO, PPM via the P6 parser) featurize
+    * over their REAL decoded RGB pixel plane — two encodings of the
+    * same pixels land on the same vector, which is what makes the
+    * downstream near-dup operators meaningful on images; everything
+    * else featurizes over raw payload bytes with the same
+    * [[featureKernel]]. Only a model-backed embedding remains out of
+    * scope for this container. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int): Dataset[MediaFeature] = {
     require(dim >= 5, "dim must cover >=1 histogram bin + 4 moment slots")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.map(r => MediaFeature(r.media_id, r.kind, featureKernel(r.content, dim)))
+      rows.map { r =>
+        val plane = ppmPixelOffset(r.content) match {
+          case Some((w, h, off)) =>
+            java.util.Arrays.copyOfRange(r.content, off, off + w * h * 3)
+          case None =>
+            decodeImage(r.content).map(rgbBytes).getOrElse(r.content)
+        }
+        MediaFeature(r.media_id, r.kind, featureKernel(plane, dim))
+      }
     }
   }
 

@@ -370,4 +370,91 @@ class MultimodalSpec extends SparkTestBase {
     assert(ch0.zero_crossings === 7L) // sign flips between all 8 samples
     assert(ch1.rms === 500.0 && ch1.peak === 500 && ch1.zero_crossings === 0L)
   }
+
+  // ---- ImageIO tier: real pixel decode for compressed still images ----
+
+  /** 2x2 test pattern: TL=red TR=green BL=blue BR=white. */
+  private def pattern2x2(): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    img
+  }
+
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no $fmt writer")
+    baos.toByteArray
+  }
+
+  test("resize decodes REAL PNG pixels (exact fixture, stub untouched)") {
+    import spark.implicits._
+    val png = encode(pattern2x2(), "png")
+    assert(Multimodal.parsePng(png).map(t => (t._1, t._2)) === Some((2, 2)))
+    // 1x1: floor mapping keeps the top-left (red); output is lossless PNG
+    val one = Multimodal.resize(Seq(MediaRow(1L, "image", png)).toDS(), 1, 1)
+      .collect()(0)
+    val oneImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(one.content))
+    assert(oneImg.getWidth === 1 && oneImg.getHeight === 1)
+    assert((oneImg.getRGB(0, 0) & 0xffffff) === 0xff0000)
+    // upscale 4x2: each source pixel doubles horizontally, exact grid
+    val up = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.resizeImage(png, 4, 2).get))
+    val want = Seq(0xff0000, 0xff0000, 0x00ff00, 0x00ff00,
+      0x0000ff, 0x0000ff, 0xffffff, 0xffffff)
+    val got = for (y <- 0 until 2; x <- 0 until 4) yield up.getRGB(x, y) & 0xffffff
+    assert(got === want)
+  }
+
+  test("resize decodes REAL JPEG pixels (exact vs reference decode)") {
+    val jpeg = encode(pattern2x2(), "jpg")
+    assert(Multimodal.parseJpeg(jpeg).map(t => (t._1, t._2)) === Some((2, 2)))
+    // JPEG is lossy: the fixture is the JDK's own decode of the same
+    // bytes with the same floor mapping — bit-exact, not approximate.
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    val out = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.resizeImage(jpeg, 4, 4).get))
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((out.getRGB(x, y) & 0xffffff) ===
+        (ref.getRGB(x * 2 / 4, y * 2 / 4) & 0xffffff))
+  }
+
+  test("extractFeatures featurizes decoded pixels: PNG == same pixels as PPM") {
+    import spark.implicits._
+    val png = encode(pattern2x2(), "png")
+    val ppm = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](
+      255.toByte, 0, 0, 0, 255.toByte, 0,
+      0, 0, 255.toByte, 255.toByte, 255.toByte, 255.toByte)
+    val ds = Seq(MediaRow(1L, "image", png), MediaRow(2L, "image", ppm)).toDS()
+    val fs = Multimodal.extractFeatures(ds, 8).collect().sortBy(_.media_id)
+    // two ENCODINGS of the same pixels → identical feature vectors
+    assert(fs(0).feature.toSeq === fs(1).feature.toSeq)
+    // and they equal the kernel over the raw RGB plane, not the encoded bytes
+    val plane = Multimodal.rgbBytes(pattern2x2())
+    assert(fs(0).feature.toSeq === Multimodal.featureKernel(plane, 8).toSeq)
+    assert(fs(0).feature.toSeq !== Multimodal.featureKernel(png, 8).toSeq)
+  }
+
+  test("probe counts REAL animated-GIF frames via the frame walk") {
+    // two-frame animated GIF via the JDK's own sequence writer
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    assume(writers.hasNext, "no gif writer")
+    val writer = writers.next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val stream = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(stream)
+    writer.prepareWriteSequence(null)
+    writer.writeToSequence(new javax.imageio.IIOImage(pattern2x2(), null, null), null)
+    writer.writeToSequence(new javax.imageio.IIOImage(pattern2x2(), null, null), null)
+    writer.endWriteSequence()
+    stream.close(); writer.dispose()
+    val gif = baos.toByteArray
+    val (w, h, nf, _) = Multimodal.decode(gif)
+    assert((w, h, nf) === (2, 2, 2))
+    // single-frame GIF still reports 1
+    val (_, _, nf1, _) = Multimodal.decode(encode(pattern2x2(), "gif"))
+    assert(nf1 === 1)
+  }
 }

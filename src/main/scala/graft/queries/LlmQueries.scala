@@ -3970,6 +3970,106 @@ object LlmQueries extends QueryModule {
       ORDER BY pair_count DESC, c1, c2
       LIMIT 20"""))
 
+  /** Full multi-iteration BPE tokenizer TRAINING — the driver-
+    * controlled loop of llm_bpe_merge_step's pair-count pass, run to
+    * `bpeTrainMerges` merges (the Dedup.connectedComponents loop
+    * discipline: per-round localCheckpoint truncates lineage so
+    * planning cost stays flat across iterations). State is the
+    * WORD-FREQUENCY table only — each distinct word carries its
+    * symbol sequence as a space-joined string with sentinel spaces
+    * (" l o w "), so one plain `replace(" l r ", " lr ")` applies a
+    * merge; applied TWICE because consecutive occurrences share the
+    * separator space (" l r l r " consumes the middle space on the
+    * first pass — the second pass catches the now-isolated
+    * remainder, which is exactly the left-to-right non-overlapping
+    * semantics of reference BPE trainers). Per step the driver
+    * collects ONE argmax row (count DESC, pair ASC — branch-safe
+    * exact-int tie-break) plus one scalar; the corpus-sized work is
+    * the single vocab-count shuffle before the loop. tokens_before
+    * gates the merge APPLICATION, not just selection: it derives
+    * from the evolving symbol state (Σ pair instances + invariant
+    * word total), so a wrong replace on either engine flips it. The
+    * oracle unrolls the same merges as chained CTEs
+    * (llm_pagerank_centrality precedent). */
+  private val bpeTrainMerges = 8
+  private val bpeTrain = QueryDef(
+    "llm_bpe_train",
+    (s, d) => {
+      val vocab = documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // aggregate-sized state; few partitions keep the per-step jobs cheap
+      var words = vocab
+        .select(col("cnt"),
+          concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" ")).as("s"))
+        .coalesce(8)
+        .localCheckpoint()
+      val wordTotal = words.agg(sum(col("cnt"))).collect()(0).getLong(0)
+      val merges = Seq.newBuilder[(Int, String, String, String, Long, Long)]
+      for (step <- 1 to bpeTrainMerges) {
+        val pairs = words
+          .select(col("cnt"), split(trim(col("s")), " ").as("syms"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("cnt"),
+            explode(sequence(lit(1), size(col("syms")) - 1)).as("g"),
+            col("syms"))
+          .select(element_at(col("syms"), col("g")).as("l"),
+            element_at(col("syms"), col("g") + 1).as("r"), col("cnt"))
+          .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("pair_count"))
+          .localCheckpoint() // two driver reads (argmax + Σ) share one pass
+        val tokensBefore =
+          pairs.agg(sum(col("pair_count"))).collect()(0).getLong(0) + wordTotal
+        val best = pairs
+          .orderBy(col("pair_count").desc, col("l"), col("r"))
+          .limit(1).collect()(0) // bounded: exactly one merge decision
+        val (l, r, pc) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((step, l, r, l + r, pc, tokensBefore))
+        val pat = lit(s" $l $r "); val rep = lit(s" $l$r ")
+        words = words
+          .withColumn("s", replace(replace(col("s"), pat, rep), pat, rep))
+          .localCheckpoint()
+      }
+      import s.implicits._
+      merges.result().toDF("step", "lhs", "rhs", "merged", "pair_count", "tokens_before")
+        .orderBy(col("step"))
+    },
+    Some {
+      val steps = (1 to bpeTrainMerges).map { k =>
+        s"""p$k AS (
+        SELECT syms[g] AS l, syms[g + 1] AS r,
+               CAST(sum(cnt) AS BIGINT) AS pair_count
+        FROM (SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS g
+              FROM (SELECT cnt, string_split(trim(s), ' ') AS syms FROM w${k - 1}))
+        GROUP BY 1, 2),
+      b$k AS (SELECT l, r, pair_count FROM p$k
+              ORDER BY pair_count DESC, l, r LIMIT 1),
+      t$k AS (SELECT CAST(sum(pair_count) AS BIGINT)
+                     + (SELECT wtot FROM wtot) AS tokens_before FROM p$k),
+      w$k AS (SELECT cnt,
+          replace(replace(s, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' '),
+                  ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ') AS s
+        FROM w${k - 1} CROSS JOIN b$k)"""
+      }.mkString(",\n      ")
+      val rows = (1 to bpeTrainMerges).map(k =>
+        s"""SELECT $k AS step, l AS lhs, r AS rhs, l || r AS merged, pair_count,
+               (SELECT tokens_before FROM t$k) AS tokens_before FROM b$k""")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH vocab AS (
+        SELECT w, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) > 0
+        GROUP BY 1),
+      wtot AS (SELECT CAST(sum(cnt) AS BIGINT) AS wtot FROM vocab),
+      w0 AS (SELECT cnt,
+          ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+        FROM vocab),
+      $steps
+      SELECT * FROM ($rows)
+      ORDER BY step"""
+    })
+
   /** Skip-gram co-occurrence with PMI over a ±2 token window — the
     * word2vec/GloVe co-occurrence pass, generalizing
     * llm_pmi_collocations' adjacent bigrams to the window the
@@ -4076,7 +4176,7 @@ object LlmQueries extends QueryModule {
       ORDER BY es_key_ppm DESC, doc_id"""))
 
   val defs: Seq[QueryDef] = Seq(
-    weightedSample, bpeMergeStep, skipgramCooc, instructionDetect,
+    weightedSample, bpeMergeStep, bpeTrain, skipgramCooc, instructionDetect,
     clusterQuality, pmiCollocations,
     matryoshkaEval, curriculumOrder,
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,

@@ -137,4 +137,20 @@ class FunctionsSpec extends SparkTestBase {
     assert(fromOrc.exceptAll(src).count() === 0)
     assert(src.exceptAll(fromOrc).count() === 0)
   }
+
+  test("double-replace equals left-to-right non-overlapping BPE merge") {
+    // llm_bpe_train's merge application: consecutive pair occurrences
+    // share a separator space, so one replace pass skips alternate
+    // matches (it consumes the middle space) and a SECOND pass always
+    // finishes the job — after pass 1 no two unmerged occurrences are
+    // adjacent. Pin the engine semantics the oracle parity relies on.
+    def merge2(s: String) = spark.sql(
+      s"SELECT replace(replace('$s', ' a a ', ' aa '), ' a a ', ' aa ') AS r")
+      .collect()(0).getString(0)
+    assert(merge2(" a a ") === " aa ")
+    assert(merge2(" a a a ") === " aa a ")       // odd run: leftover single
+    assert(merge2(" a a a a ") === " aa aa ")    // even run: both pairs merge
+    assert(merge2(" b a a a a b ") === " b aa aa b ")
+    assert(merge2(" a b a a ") === " a b aa ")   // leading non-pair untouched
+  }
 }

@@ -321,39 +321,59 @@ object Multimodal {
   }
 
   /** MP3 (MPEG-1 Layer III): optional ID3v2 tag (10-byte header with
-    * a 28-bit syncsafe size) skipped, then the first frame header —
-    * 11-bit sync, version/layer bits, bitrate + samplerate table
-    * lookups, mono/stereo from the channel-mode bits. Returns
-    * (sampleRate, channels, frameCount) with frameCount estimated
-    * from the fixed Layer-III frame length 144·bitrate/rate — the
-    * WAV triple's shape for compressed audio. Free-format (bitrate
-    * index 0), reserved indices, and non-MPEG-1-Layer-III streams
-    * reject to the stub. */
+    * a 28-bit syncsafe size; flags bit 4 appends a 10-byte footer)
+    * skipped, then a frame-by-frame header walk — 11-bit sync,
+    * version/layer bits, per-frame bitrate + samplerate table
+    * lookups, per-frame padding bit (one extra byte), mono/stereo
+    * from the channel-mode bits. Returns (sampleRate, channels,
+    * frameCount) with frameCount the EXACT walked count (CBR and VBR
+    * alike) — the WAV triple's shape for compressed audio.
+    * Free-format (bitrate index 0), reserved indices, and
+    * non-MPEG-1-Layer-III streams reject to the stub. */
   private[graft] def parseMp3(b: Array[Byte]): Option[(Int, Int, Int)] = {
     if (b.length < 4) return None
-    var o = 0
+    var o = 0L
     if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
       if (b.length < 10) return None
       val tagSize = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
         ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
-      o = 10 + tagSize
+      // ID3v2 footer flag (header flags bit 4): 10 more bytes after the tag
+      val footer = if ((b(5) & 0x10) != 0) 10 else 0
+      o = 10L + tagSize + footer
     }
-    if (o < 0 || o + 4 > b.length) return None
-    val h1 = b(o + 1) & 0xff; val h2 = b(o + 2) & 0xff; val h3 = b(o + 3) & 0xff
-    if ((b(o) & 0xff) != 0xff || (h1 & 0xe0) != 0xe0) return None
-    val version = (h1 >> 3) & 3 // 3 = MPEG-1 (1 reserved)
-    val layer = (h1 >> 1) & 3 //   1 = Layer III (0 reserved)
-    if (version != 3 || layer != 1) return None
-    val bitrateIdx = (h2 >> 4) & 0xf
-    val srIdx = (h2 >> 2) & 3
-    if (bitrateIdx == 0 || bitrateIdx == 15 || srIdx == 3) return None
-    val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
-      160, 192, 224, 256, 320)(bitrateIdx)
-    val sr = Array(44100, 48000, 32000)(srIdx)
-    val channels = if (((h3 >> 6) & 3) == 3) 1 else 2
-    val frameLen = 144 * (kbps * 1000) / sr
-    val nFrames = (b.length - o) / frameLen
-    Some((sr, channels, math.max(nFrames, 1)))
+    // Frame WALK, not a first-frame CBR estimate: each frame's own
+    // header supplies its bitrate (so VBR streams count exactly) and
+    // padding bit (Layer III padding adds one byte to that frame).
+    // Rate/channel-mode are fixed per stream — the first frame pins
+    // them; a header that stops parsing (trailing garbage, ID3v1 tag,
+    // truncation) ends the walk with the frames counted so far.
+    val kbpsTable = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+      160, 192, 224, 256, 320)
+    val srTable = Array(44100, 48000, 32000)
+    var sr = -1; var channels = -1; var nFrames = 0
+    var walking = true
+    while (walking && o + 4 <= b.length) {
+      val h1 = b(o.toInt + 1) & 0xff
+      val h2 = b(o.toInt + 2) & 0xff
+      val h3 = b(o.toInt + 3) & 0xff
+      val bitrateIdx = (h2 >> 4) & 0xf
+      val srIdx = (h2 >> 2) & 3
+      if ((b(o.toInt) & 0xff) != 0xff || (h1 & 0xe0) != 0xe0 ||
+        ((h1 >> 3) & 3) != 3 || ((h1 >> 1) & 3) != 1 || // MPEG-1 Layer III only
+        bitrateIdx == 0 || bitrateIdx == 15 || srIdx == 3) walking = false
+      else {
+        val thisSr = srTable(srIdx)
+        val thisCh = if (((h3 >> 6) & 3) == 3) 1 else 2
+        if (sr < 0) { sr = thisSr; channels = thisCh }
+        if (thisSr != sr || thisCh != channels) walking = false // not one stream
+        else {
+          val padding = (h2 >> 1) & 1
+          nFrames += 1
+          o += 144L * (kbpsTable(bitrateIdx) * 1000) / thisSr + padding
+        }
+      }
+    }
+    if (nFrames == 0) None else Some((sr, channels, nFrames))
   }
 
   /** Codec probe: real header parse for the formats the JVM can read

@@ -4635,7 +4635,7 @@ object KdbQueries extends QueryModule {
     "kdb_erase_twin",
     (s, d) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("graft-erasetwin").toString
+      val dir = graft.core.Scratch.dir("graft-erasetwin")
       val engine = new graft.core.Engine(s,
         graft.core.EngineOptions("etwin", dir, indexDepth = 2, payloadSize = 8,
           bucketDuration = Day, resolution = Hour, maxHotBuckets = 40),
@@ -4703,7 +4703,7 @@ object KdbQueries extends QueryModule {
     (s, d) => {
       import s.implicits._
       val SeqShift = 1L << 40 // above any event_id: batch 2 always wins LWW
-      val dir = java.nio.file.Files.createTempDirectory("graft-ttwin").toString
+      val dir = graft.core.Scratch.dir("graft-ttwin")
       val engine = new graft.core.Engine(s,
         graft.core.EngineOptions("ttwin", dir, indexDepth = 2, payloadSize = 8,
           bucketDuration = Day, resolution = Hour, maxHotBuckets = 40),
@@ -4836,7 +4836,7 @@ object KdbQueries extends QueryModule {
     "kdb_sql_view_twin",
     (s, d) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("graft-sqlviewtwin").toString
+      val dir = graft.core.Scratch.dir("graft-sqlviewtwin")
       val engine = new graft.core.Engine(s,
         graft.core.EngineOptions("vtwin", dir, indexDepth = 2, payloadSize = 8,
           bucketDuration = Day, resolution = Hour, maxHotBuckets = 40),
@@ -4891,7 +4891,7 @@ object KdbQueries extends QueryModule {
     "kdb_maintenance_twin",
     (s, d) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("graft-mainttwin").toString
+      val dir = graft.core.Scratch.dir("graft-mainttwin")
       val opts0 = graft.core.EngineOptions("mtwin", dir, indexDepth = 2,
         payloadSize = 8, bucketDuration = Day, resolution = Hour,
         maxHotBuckets = 40)
@@ -4967,7 +4967,7 @@ object KdbQueries extends QueryModule {
     (s, d) => {
       import s.implicits._
       val SeqShift = 1L << 40
-      val dir = java.nio.file.Files.createTempDirectory("graft-baktwin").toString
+      val dir = graft.core.Scratch.dir("graft-baktwin")
       val clock = new graft.core.TestClock(T1)
       def mkEngine(sub: String) = new graft.core.Engine(s,
         graft.core.EngineOptions(s"bak$sub", s"$dir/$sub", indexDepth = 2,

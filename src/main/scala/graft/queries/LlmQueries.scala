@@ -4089,8 +4089,12 @@ object LlmQueries extends QueryModule {
         .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
         .withColumn("l1", lead(col("w"), 1).over(w))
         .withColumn("l2", lead(col("w"), 2).over(w))
-      val pairs = toks.select(col("w").as("a"), col("l1").as("b"))
-        .unionAll(toks.select(col("w").as("a"), col("l2").as("b")))
+      // ONE pass emits both context words (explode of the 2-slot lead
+      // array) — a union of two projections would execute the
+      // tokenize+posexplode+window subtree twice
+      val pairs = toks
+        .select(col("w").as("a"),
+          explode(array(col("l1"), col("l2"))).as("b"))
         .filter(col("b").isNotNull)
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
         .localCheckpoint() // aggregate-sized; marginals + final read it

@@ -471,10 +471,15 @@ object StatsQueries extends QueryModule {
         val sw = new Array[Double](200)
         val swv = new Array[Double](200)
         it.foreach { case (id, v) =>
-          val hex = md.digest(id.toString.getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString
-          val h0 = java.lang.Long.parseLong(hex.substring(0, 15), 16) %
-            (LehmerM - 1) + 1
+          // 60-bit seed = first 15 hex digits of md5 = digest bytes 0-6
+          // plus the high nibble of byte 7, packed with shifts (no
+          // per-row hex-string formatting in this hottest loop)
+          val dig = md.digest(id.toString.getBytes("UTF-8"))
+          var h15 = 0L
+          var k = 0
+          while (k < 7) { h15 = (h15 << 8) | (dig(k) & 0xffL); k += 1 }
+          h15 = (h15 << 4) | ((dig(7) & 0xf0L) >> 4)
+          val h0 = h15 % (LehmerM - 1) + 1
           var b = 0
           while (b < 200) {
             val u = (h0 * LehmerPow(b) % LehmerM).toDouble / LehmerM

@@ -64,7 +64,7 @@ object StreamingTwinQueries extends QueryModule {
     val dir =
       if (java.nio.file.Files.isDirectory(p)) path
       else {
-        val tmp = Files.createTempDirectory("graft-twin-src")
+        val tmp = graft.core.Scratch.path("graft-twin-src")
         java.nio.file.Files.createSymbolicLink(
           tmp.resolve(p.getFileName), p.toAbsolutePath)
         tmp.toString
@@ -77,7 +77,7 @@ object StreamingTwinQueries extends QueryModule {
         .outputMode(outputMode)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",
-          Files.createTempDirectory("graft-twin-ckpt").toString)
+          graft.core.Scratch.dir("graft-twin-ckpt"))
         .start()
       q.awaitTermination()
     }
@@ -308,7 +308,7 @@ object StreamingTwinQueries extends QueryModule {
     val dir =
       if (java.nio.file.Files.isDirectory(p)) path
       else {
-        val tmp = Files.createTempDirectory("graft-twin-src")
+        val tmp = graft.core.Scratch.path("graft-twin-src")
         java.nio.file.Files.createSymbolicLink(
           tmp.resolve(p.getFileName), p.toAbsolutePath)
         tmp.toString
@@ -322,7 +322,7 @@ object StreamingTwinQueries extends QueryModule {
         .outputMode(outputMode)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",
-          Files.createTempDirectory("graft-twin-ckpt").toString)
+          graft.core.Scratch.dir("graft-twin-ckpt"))
         .start()
       q.awaitTermination()
     }
@@ -342,8 +342,8 @@ object StreamingTwinQueries extends QueryModule {
     "stream_recovery_twin",
     (s, d) => {
       val src = s.read.parquet(s"$d/events.parquet")
-      val inDir = Files.createTempDirectory("graft-twin-rec").toString
-      val ckpt = Files.createTempDirectory("graft-twin-rec-ckpt").toString
+      val inDir = graft.core.Scratch.dir("graft-twin-rec")
+      val ckpt = graft.core.Scratch.dir("graft-twin-rec-ckpt")
       def run(tableSuffix: String): DataFrame = {
         val stream = s.readStream.schema(src.schema).parquet(s"$inDir/*")
         val pts = stream.select(
@@ -393,7 +393,7 @@ object StreamingTwinQueries extends QueryModule {
     (s, d) => {
       import s.implicits._
       import graft.queries.KdbQueries.{Day, T0, T1}
-      val dir = Files.createTempDirectory("graft-rolltwin").toString
+      val dir = graft.core.Scratch.dir("graft-rolltwin")
       val engine = new graft.core.Engine(s,
         graft.core.EngineOptions("rtwin", dir, indexDepth = 2, payloadSize = 8,
           bucketDuration = Day, resolution = Hour, maxHotBuckets = 40),
@@ -404,7 +404,7 @@ object StreamingTwinQueries extends QueryModule {
       val srcDir =
         if (java.nio.file.Files.isDirectory(p)) path
         else {
-          val tmp = Files.createTempDirectory("graft-rolltwin-src")
+          val tmp = graft.core.Scratch.path("graft-rolltwin-src")
           java.nio.file.Files.createSymbolicLink(
             tmp.resolve(p.getFileName), p.toAbsolutePath)
           tmp.toString
@@ -421,7 +421,7 @@ object StreamingTwinQueries extends QueryModule {
             graft.plans.DoubleFromPayload.encode(v), id)
         }
       val q = ingest.start(pts.toDF(),
-        Files.createTempDirectory("graft-rolltwin-ckpt").toString,
+        graft.core.Scratch.dir("graft-rolltwin-ckpt"),
         rollupResolution = Some(Day))
       try { q.processAllAvailable() } finally q.stop()
       engine.rollup(T0, T0 + 31 * Day, Seq("", ""), Day)

@@ -225,7 +225,6 @@ object TrainingQueries extends QueryModule {
       import s.implicits._
       val Dim = 64
       val e = embeddings(s, d)
-      val n = e.count()
       // One dense per-partition accumulator instead of a posexplode²
       // row blowup: each task folds its rows into a FIXED (d + d²)-
       // long buffer (the per-partition imperative case mapPartitions
@@ -236,11 +235,15 @@ object TrainingQueries extends QueryModule {
       // aggregation produces.
       def halfUp(x: Double): Long =
         (math.signum(x) * math.floor(math.abs(x) + 0.5)).toLong
+      // row count rides the same buffer (no separate count() job, and
+      // an empty table fails fast instead of dividing NaN covariances)
       val partials = e.select(col("embedding")).as[Array[Float]]
         .mapPartitions { it =>
+          var cnt = 0L
           val sums = new Array[Long](Dim)
           val qq = new Array[Long](Dim * Dim)
           it.foreach { arr =>
+            cnt += 1
             val q = new Array[Long](Dim)
             var i = 0
             while (i < Dim) { q(i) = halfUp(arr(i).toDouble * 1000000); i += 1 }
@@ -253,16 +256,19 @@ object TrainingQueries extends QueryModule {
               i += 1
             }
           }
-          Iterator.single((sums, qq))
+          Iterator.single((cnt, sums, qq))
         }.collect() // ≤ one (d + d²) buffer per partition, data-independent
       val sums = new Array[Long](Dim)
       val qqTot = new Array[Long](Dim * Dim)
-      partials.foreach { case (s2, q2) =>
+      var n = 0L
+      partials.foreach { case (c2, s2, q2) =>
+        n += c2
         var i = 0
         while (i < Dim) { sums(i) += s2(i); i += 1 }
         i = 0
         while (i < Dim * Dim) { qqTot(i) += q2(i); i += 1 }
       }
+      require(n > 0, "llm_pca_power: empty embeddings table")
       val cov = Array.ofDim[Double](Dim, Dim)
       for (i <- 0 until Dim; j <- 0 until Dim)
         cov(i)(j) = qqTot(i * Dim + j).toDouble / n -

@@ -258,6 +258,25 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.parseMp3(lying) === None)
     // lost sync rejects
     assert(Multimodal.parseMp3(Array[Byte](0x12, 0x34, 0x56, 0x78)) === None)
+
+    // padding bit: FF FB 92 00 = same frame +1 byte (418); the walk must
+    // honor it or it desyncs at the second frame header
+    val padded = Array[Byte](0xff.toByte, 0xfb.toByte, 0x92.toByte, 0x00) ++
+      Array.fill(414)(0x55.toByte)
+    assert(Multimodal.parseMp3(padded ++ padded) === Some((44100, 2, 2)))
+    // VBR: a 160 kbps frame (FF FB A0 00, 522 bytes) after a 128 kbps one —
+    // per-frame bitrate lookup counts both exactly
+    val f128 = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00) ++
+      Array.fill(413)(0x55.toByte)
+    val f160 = Array[Byte](0xff.toByte, 0xfb.toByte, 0xa0.toByte, 0x00) ++
+      Array.fill(518)(0x55.toByte)
+    assert(Multimodal.parseMp3(f128 ++ f160 ++ f128) === Some((44100, 2, 3)))
+    // ID3v2 footer flag (header flags bit 4) shifts the audio start 10 bytes
+    val withFooter = "ID3".getBytes ++ Array[Byte](3, 0, 0x10, 0, 0, 0, 0) ++
+      Array.fill(10)(0.toByte) ++ f128
+    assert(Multimodal.parseMp3(withFooter) === Some((44100, 2, 1)))
+    // trailing garbage (e.g. an ID3v1 tag) ends the walk, frames still count
+    assert(Multimodal.parseMp3(f128 ++ "TAG-junk".getBytes) === Some((44100, 2, 1)))
   }
 
   test("featureKernel matches an independently computed byte-statistics fixture") {

@@ -96,7 +96,14 @@ object ScaleBench {
     // and the pure-aggregation ANOVA / daily-grid ESD
     "kdb_ks_test", "kdb_kruskal_wallis", "kdb_pacf", "kdb_periodogram",
     "llm_pca_power", "llm_weighted_sample", "kdb_tail_index",
-    "kdb_anova_f", "kdb_esd_outliers")
+    "kdb_anova_f", "kdb_esd_outliers",
+    // r9 wave 6: the distinct (source, shingle) self-join (per-shingle
+    // fan-out bounded by |sources|² — growth must be the shingle-table
+    // build, not the pair space) and the first ENGINE twin on the
+    // curve (ingest → erase → rollup: partition-parallel parquet
+    // rewrites; the lifecycle must scale with data, not with file
+    // count × job overhead)
+    "llm_source_overlap", "kdb_erase_twin")
 
   private val Tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
-import graft.sources.Tables.embeddings
+import graft.sources.Tables.{documents, embeddings}
 
 /** Training-set curation over the labeled embedding corpus — the ops
   * between "deduped corpus" and "training batch": contrastive

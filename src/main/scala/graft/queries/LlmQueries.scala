@@ -3238,6 +3238,48 @@ object LlmQueries extends QueryModule {
       GROUP BY 1, 2, 3
       ORDER BY lang, source, len_band"""))
 
+  /** Differentially-private histogram release — the publication step
+    * after llm_kanon_audit's risk scan and llm_pii_scrub's redaction:
+    * per-(lang, source) document counts released with Laplace(1/ε)
+    * noise (ε = 1, count sensitivity 1), the standard DP mechanism
+    * for sharing corpus composition without leaking membership. The
+    * noise draw is DETERMINISTIC per group (the kdb_bootstrap_ci
+    * discipline: a seeded draw is a pure function both engines
+    * compute, which is what makes a DP release oracle-gatable at
+    * all): u ∈ (−1, 1) from the group key's md5-prefix hash60, then
+    * the Laplace inverse CDF −sign(u)·ln(1 − |u|)/ε. ln is libm but
+    * the release rounds to 4dp (the llm_skipgram_cooc PMI
+    * precedent); ORDER is by the exact group key, never the noised
+    * value. One aggregation shuffle; noise is per-GROUP work on the
+    * aggregate-sized result. True counts never appear in the
+    * output. */
+  private val dpRelease = QueryDef(
+    "llm_dp_release",
+    (s, d) => {
+      val u = ((hash60(concat(col("lang"), lit("|"), col("source"))) % 2000001L)
+        - lit(1000000L)).cast("double") / 1000001.0
+      documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("u", u)
+        .select(col("lang"), col("source"),
+          (round(col("n") + -signum(col("u")) * log(lit(1.0) - abs(col("u"))), 4)
+            + lit(0.0)).as("released_count"),
+          lit(1.0).as("epsilon"), lit(1).as("l1_sensitivity"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT lang, source, count(*) AS n,
+               CAST((${dkHashP("lang || '|' || source").replace(s"% $P", "% 2000001")}
+                 - 1000000) AS DOUBLE) / 1000001.0 AS u
+        FROM documents GROUP BY 1, 2)
+      SELECT lang, source,
+             round(n + -sign(u) * ln(1.0 - abs(u)), 4) + 0.0 AS released_count,
+             CAST(1.0 AS DOUBLE) AS epsilon, 1 AS l1_sensitivity
+      FROM g
+      ORDER BY lang, source"""))
+
   /** Dedup-quality evaluation: recall/precision of the MinHash-LSH
     * candidate generator against exact n-gram-Jaccard ground truth
     * (pairs at J ≥ 0.5) on a bounded doc subset — the harness that
@@ -4193,7 +4235,7 @@ object LlmQueries extends QueryModule {
     tokenEntropy, dsirSample, perplexityBuckets, winnowingFp, containment,
     int8Quantize, datasetCard, tokenizerFertility, codeDetect,
     softDedupWeights, spanCorruption, bloomScreen, sourceOverlap,
-    bm25Search, randomProjection, kanonAudit, dedupEval, pagerank,
+    bm25Search, randomProjection, kanonAudit, dpRelease, dedupEval, pagerank,
     multimodalFeatures, similarityPq, hybridSearch, qualityClassifier,
     retrievalEval, ngramNovelty, prefixDedup, zipfFit, dedupTriangles)
 }

@@ -343,6 +343,247 @@ object TrainingQueries extends QueryModule {
       ORDER BY dim"""
     })
 
+  /** Decision-stump training by distributed histogram split search —
+    * the inner loop of gradient-boosted-tree learners (XGBoost/
+    * LightGBM grow trees exactly this way): ONE corpus pass builds
+    * the aggregate-sized (feature, bucket, label) histogram, then
+    * every candidate split of every feature is scored from window
+    * cumulative sums over that histogram — never a per-split data
+    * scan. Label: lang = 'en'; features are exact-integer
+    * bucketizations (token count, char count, avg/max token length)
+    * so the histogram is exact in both engines. Split score is the
+    * weighted Gini sum-of-squares Σc_L²/n_L + Σc_R²/n_R — each term
+    * ONE correctly-rounded IEEE division of exact BIGINTs and one
+    * addition in fixed order, so the doubles are bit-identical
+    * across engines and the argmax (score DESC, then integer
+    * (feature, threshold)) is branch-safe without rounding. Output:
+    * best split per feature + its exact child counts (which pin the
+    * cumsum arithmetic) + 4dp impurity reports + the overall winner
+    * flag. At 100 TB the corpus pass is the only data-sized work —
+    * the split search runs on a histogram whose size is features ×
+    * buckets, independent of row count. */
+  private val stumpTrain = QueryDef(
+    "llm_stump_train",
+    (s, d) => {
+      val docs = documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("nt", size(col("toks")))
+        .withColumn("y", when(col("lang") === "en", 1L).otherwise(0L))
+      val feats = docs.select(col("y"),
+        explode(array(
+          struct(lit(1).as("feature"), (col("nt") / 8).cast("long").as("bucket")),
+          struct(lit(2).as("feature"), (col("n_chars") / 64).cast("long").as("bucket")),
+          struct(lit(3).as("feature"),
+            expr("(10 * length(replace(text, ' ', ''))) div nt").as("bucket")),
+          struct(lit(4).as("feature"),
+            expr("aggregate(toks, 0L, (m, w) -> greatest(m, length(w))) div 2")
+              .as("bucket")))).as("fb"))
+        .select(col("fb.feature"), col("fb.bucket"), col("y"))
+      // nt div 8: Spark integer `/` on longs is double division — use
+      // explicit div via cast after floor-free int math
+      val hist = feats.groupBy(col("feature"), col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n1"))
+      val wCum = Window.partitionBy(col("feature")).orderBy(col("bucket"))
+      val wTot = Window.partitionBy(col("feature"))
+      val scored = hist
+        .withColumn("nl", sum(col("n")).over(wCum))
+        .withColumn("nl1", sum(col("n1")).over(wCum))
+        .withColumn("nt_all", sum(col("n")).over(wTot))
+        .withColumn("nt1", sum(col("n1")).over(wTot))
+        .withColumn("nr", col("nt_all") - col("nl"))
+        .withColumn("nr1", col("nt1") - col("nl1"))
+        .filter(col("nr") > 0) // a split must leave both children non-empty
+        .withColumn("score",
+          (col("nl1") * col("nl1") + (col("nl") - col("nl1")) * (col("nl") - col("nl1")))
+            .cast("double") / col("nl") +
+            (col("nr1") * col("nr1") + (col("nr") - col("nr1")) * (col("nr") - col("nr1")))
+              .cast("double") / col("nr"))
+      val best = scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("feature"))
+            .orderBy(col("score").desc, col("bucket"))))
+        .filter(col("rk") === 1)
+      best
+        .withColumn("overall", row_number().over(
+          Window.partitionBy(lit(1)) // 4 rows total: trivially bounded
+            .orderBy(col("score").desc, col("feature"), col("bucket"))))
+        .select(col("feature"), col("bucket").as("threshold"),
+          col("nl"), col("nl1"), col("nr"), col("nr1"),
+          (round(col("score"), 4) + lit(0.0)).as("split_score"),
+          (round(lit(1.0) - col("score") / col("nt_all"), 4) + lit(0.0))
+            .as("child_gini"),
+          when(col("overall") === 1, 1).otherwise(0).as("is_best"))
+        .orderBy(col("feature"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               string_split(text, ' ') AS toks, n_chars, text
+        FROM documents),
+      feats AS (
+        SELECT y, 1 AS feature, len(toks) // 8 AS bucket FROM docs
+        UNION ALL
+        SELECT y, 2, n_chars // 64 FROM docs
+        UNION ALL
+        SELECT y, 3, (10 * length(replace(text, ' ', ''))) // len(toks) FROM docs
+        UNION ALL
+        SELECT y, 4, list_max(list_transform(toks, w -> length(w))) // 2 FROM docs),
+      hist AS (
+        SELECT feature, bucket, count(*) AS n, CAST(sum(y) AS BIGINT) AS n1
+        FROM feats GROUP BY 1, 2),
+      scored AS (
+        SELECT feature, bucket,
+               sum(n) OVER wc AS nl, sum(n1) OVER wc AS nl1,
+               sum(n) OVER wt AS nt_all, sum(n1) OVER wt AS nt1
+        FROM hist
+        WINDOW wc AS (PARTITION BY feature ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wt AS (PARTITION BY feature)),
+      sc2 AS (
+        SELECT feature, bucket, nl, nl1, nt_all,
+               nt_all - nl AS nr, nt1 - nl1 AS nr1,
+               CAST(nl1 * nl1 + (nl - nl1) * (nl - nl1) AS DOUBLE) / nl
+                 + CAST((nt1 - nl1) * (nt1 - nl1)
+                        + ((nt_all - nl) - (nt1 - nl1)) * ((nt_all - nl) - (nt1 - nl1))
+                        AS DOUBLE) / (nt_all - nl) AS score
+        FROM scored WHERE nt_all - nl > 0),
+      best AS (
+        SELECT *, row_number() OVER (PARTITION BY feature
+                    ORDER BY score DESC, bucket) AS rk
+        FROM sc2),
+      flagged AS (
+        SELECT *, row_number() OVER (ORDER BY score DESC, feature, bucket) AS overall
+        FROM best WHERE rk = 1)
+      SELECT feature, bucket AS threshold,
+             CAST(nl AS BIGINT) AS nl, CAST(nl1 AS BIGINT) AS nl1,
+             CAST(nr AS BIGINT) AS nr, CAST(nr1 AS BIGINT) AS nr1,
+             round(score, 4) + 0.0 AS split_score,
+             round(1.0 - score / nt_all, 4) + 0.0 AS child_gini,
+             CASE WHEN overall = 1 THEN 1 ELSE 0 END AS is_best
+      FROM flagged
+      ORDER BY feature"""))
+
+  /** Hard-sigmoid logistic-regression training by distributed
+    * gradient descent — the canonical "compute the gradient in
+    * parallel, update on the driver" loop every distributed ML
+    * library runs (3 iterations; one corpus-pass aggregation each,
+    * collecting FOUR BIGINTs — the IVF-train plan-reset discipline).
+    * Cross-engine exactness by construction, not tolerance: features
+    * scale by powers of two (a/512, b/128, c/16 — EXACT IEEE
+    * doubles), the margin folds left-to-right from driver weights
+    * whose update arithmetic is the identical expression in both
+    * engines, the hard sigmoid clamp(0.5 + z/4) is branch +
+    * exact-arithmetic only (no libm exp whose ulps could flip an
+    * equality-sensitive decision — the llm_quality_classifier
+    * lesson), and per-row residuals quantize to exact 2²⁰ integer
+    * units BEFORE summing so the gradient is an order-independent
+    * BIGINT sum. Each output row pins the full iteration: exact
+    * gradient ints, post-update weights, and the pre-update decision
+    * accuracy (sign of the bit-identical margin). The oracle replays
+    * the same 3 iterations as chained CTEs carrying weights as
+    * columns. */
+  private val logregTrain = QueryDef(
+    "llm_logreg_train",
+    (s, d) => {
+      import s.implicits._
+      val base = documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("n_chars").as("a"),
+          size(col("toks")).cast("long").as("b"),
+          expr("aggregate(toks, 0L, (m, w) -> greatest(m, length(w)))").as("c"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .localCheckpoint() // 3 gradient passes + final reread the same rows
+      var (w0, wa, wb, wc) = (0.0, 0.0, 0.0, 0.0)
+      val lr = 0.5
+      val iters = Seq.newBuilder[(Int, Long, Long, Long, Long, Long,
+        Double, Double, Double, Double)]
+      for (it <- 1 to 3) {
+        val z = lit(w0) + lit(wa) * (col("a").cast("double") / 512.0) +
+          lit(wb) * (col("b").cast("double") / 128.0) +
+          lit(wc) * (col("c").cast("double") / 16.0)
+        val sRaw = lit(0.5) + z * 0.25
+        val p = when(sRaw < 0.0, 0.0).when(sRaw > 1.0, 1.0).otherwise(sRaw)
+        val rq = round((p - col("y")) * 1048576.0, 0).cast("long")
+        val row = base.agg(
+          count(lit(1)).as("n"),
+          sum(rq).as("g0"),
+          sum(rq * col("a")).as("ga"),
+          sum(rq * col("b")).as("gb"),
+          sum(rq * col("c")).as("gc"),
+          sum(when((z > 0.0) === (col("y") === 1L), 1L).otherwise(0L))
+            .as("ncorr")).collect()(0) // bounded: six scalars per iteration
+        val n = row.getLong(0)
+        val (g0, ga, gb, gc2, nc) = (row.getLong(1), row.getLong(2),
+          row.getLong(3), row.getLong(4), row.getLong(5))
+        w0 = w0 - lr * g0 / (n * 1048576.0)
+        wa = wa - lr * ga / (n * 1048576.0 * 512.0)
+        wb = wb - lr * gb / (n * 1048576.0 * 128.0)
+        wc = wc - lr * gc2 / (n * 1048576.0 * 16.0)
+        iters += ((it, g0, ga, gb, gc2, nc, w0, wa, wb, wc))
+      }
+      iters.result()
+        .toDF("iter", "g0", "ga", "gb", "gc", "n_correct_before",
+          "w0", "wa", "wb", "wc")
+        .select(col("iter"), col("g0"), col("ga"), col("gb"), col("gc"),
+          col("n_correct_before"),
+          (round(col("w0"), 6) + lit(0.0)).as("w0"),
+          (round(col("wa"), 6) + lit(0.0)).as("wa"),
+          (round(col("wb"), 6) + lit(0.0)).as("wb"),
+          (round(col("wc"), 6) + lit(0.0)).as("wc"))
+        .orderBy(col("iter"))
+    },
+    Some {
+      def zExpr(w: String): String =
+        s"($w.w0 + $w.wa * (CAST(a AS DOUBLE) / 512.0)" +
+          s" + $w.wb * (CAST(b AS DOUBLE) / 128.0)" +
+          s" + $w.wc * (CAST(c AS DOUBLE) / 16.0))"
+      def gradCte(k: Int): String = {
+        val w = s"wt${k - 1}"
+        s"""g$k AS (
+        SELECT count(*) AS n,
+               CAST(sum(rq) AS BIGINT) AS g0,
+               CAST(sum(rq * a) AS BIGINT) AS ga,
+               CAST(sum(rq * b) AS BIGINT) AS gb,
+               CAST(sum(rq * c) AS BIGINT) AS gc,
+               CAST(sum(CASE WHEN (z > 0.0) = (y = 1) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ncorr
+        FROM (
+          SELECT y, a, b, c, z,
+                 CAST(round((CASE WHEN s < 0.0 THEN 0.0
+                                  WHEN s > 1.0 THEN 1.0
+                                  ELSE s END - y) * 1048576.0) AS BIGINT) AS rq
+          FROM (SELECT *, 0.5 + z * 0.25 AS s
+                FROM (SELECT f.*, ${zExpr(w)} AS z FROM f CROSS JOIN $w)))),
+      wt$k AS (
+        SELECT w0 - 0.5 * g0 / (n * 1048576.0) AS w0,
+               wa - 0.5 * ga / (n * 1048576.0 * 512.0) AS wa,
+               wb - 0.5 * gb / (n * 1048576.0 * 128.0) AS wb,
+               wc - 0.5 * gc / (n * 1048576.0 * 16.0) AS wc
+        FROM wt${k - 1} CROSS JOIN g$k)"""
+      }
+      val rows = (1 to 3).map(k =>
+        s"""SELECT $k AS iter, g0, ga, gb, gc, ncorr AS n_correct_before,
+               round((SELECT w0 FROM wt$k), 6) + 0.0 AS w0,
+               round((SELECT wa FROM wt$k), 6) + 0.0 AS wa,
+               round((SELECT wb FROM wt$k), 6) + 0.0 AS wb,
+               round((SELECT wc FROM wt$k), 6) + 0.0 AS wc
+        FROM g$k""").mkString("\n        UNION ALL ")
+      s"""
+      WITH f AS (
+        SELECT n_chars AS a,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS b,
+               CAST(list_max(list_transform(string_split(text, ' '),
+                 w -> length(w))) AS BIGINT) AS c,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents),
+      wt0 AS (SELECT 0.0 AS w0, 0.0 AS wa, 0.0 AS wb, 0.0 AS wc),
+      ${(1 to 3).map(gradCte).mkString(",\n      ")}
+      SELECT * FROM ($rows)
+      ORDER BY iter"""
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(hardNegatives, centroidClassify, diversifiedTopk, pcaPower)
+    Seq(hardNegatives, centroidClassify, diversifiedTopk, pcaPower,
+      stumpTrain, logregTrain)
 }

@@ -703,8 +703,76 @@ object StreamingTwinQueries extends QueryModule {
       FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) USING (tag0, left_seq)
       ORDER BY left_seq"""))
 
+  /** Streaming CDC changelog apply replayed over events: each event
+    * becomes a keyed INSERT / UPDATE / DELETE (deterministic op from
+    * event_id), folded into per-user row state by StreamingIngest
+    * .cdcApply with STRICT changelog semantics — updates to absent
+    * rows are IGNORED (with a receipt), deletes reset, inserts
+    * resurrect — which no LWW twin covers. The oracle replays the
+    * identical ordered fold per user with a SCALAR-encoded
+    * accumulator (nIgnored·2⁴⁰ + cents·2 + exists — DuckDB 1.0
+    * list_reduce miscomputes struct accumulators, scalar folds are
+    * exact; all ops are integer arithmetic, so the fold is
+    * bit-deterministic in both engines). */
+  private val cdcTwin = QueryDef(
+    "stream_cdc_twin",
+    (s, d) => {
+      val out = replay(s, s"$d/events.parquet", "update") { stream =>
+        val ops = stream.select(
+          col("user_id").as("key"),
+          tsNs(stream).as("ts"),
+          col("event_id").as("seq"),
+          when(col("event_id") % 10 === 0, "D")
+            .when(col("event_id") % 3 === 0, "I")
+            .otherwise("U").as("op"),
+          round(col("value") * 100.0, 0).cast("long").as("cents"))
+        StreamingIngest.cdcApply(ops).toDF()
+      }
+      // defensive final-state pick (n_ops is monotone per batch); a
+      // single-file replay emits exactly one row per key anyway
+      out.groupBy(col("key"))
+        .agg(max(struct(col("n_ops"), col("is_present"), col("cents"),
+          col("n_ignored"))).as("m"))
+        .select(col("key").as("user_id"), col("m.is_present").as("is_present"),
+          col("m.cents").as("cents"), col("m.n_ops").as("n_ops"),
+          col("m.n_ignored").as("n_ignored"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH ops AS (
+        SELECT user_id, epoch_ns(ts) AS ts_ns, event_id AS seq,
+               CASE WHEN event_id % 10 = 0 THEN 3
+                    WHEN event_id % 3 = 0 THEN 1
+                    ELSE 2 END AS opc,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      enc AS (
+        SELECT user_id,
+               list(opc * 1099511627776 + cents ORDER BY ts_ns, seq) AS es,
+               count(*) AS n_ops
+        FROM ops GROUP BY 1),
+      folded AS (
+        SELECT user_id, n_ops,
+               list_reduce([0::BIGINT] || es, (a, e) ->
+                 CASE e // 1099511627776
+                   WHEN 1 THEN a - a % 1099511627776
+                               + (e % 1099511627776) * 2 + 1
+                   WHEN 2 THEN CASE WHEN a % 2 = 1
+                               THEN a - a % 1099511627776
+                                    + (e % 1099511627776) * 2 + 1
+                               ELSE a + 1099511627776 END
+                   ELSE a - a % 1099511627776 END) AS acc
+        FROM enc)
+      SELECT user_id,
+             CAST(acc % 2 AS INTEGER) AS is_present,
+             (acc % 1099511627776) // 2 AS cents,
+             n_ops,
+             acc // 1099511627776 AS n_ignored
+      FROM folded
+      ORDER BY user_id"""))
+
   override def defs: Seq[QueryDef] = Seq(
     tumblingTwin, dedupTwin, sessionizeTwin, hoppingTwin, latestTwin,
     intervalJoinTwin, recoveryTwin, rollupTwin, quantileSketchTwin,
-    heavyHittersTwin, staticJoinTwin, asofTwin)
+    heavyHittersTwin, staticJoinTwin, asofTwin, cdcTwin)
 }

@@ -324,4 +324,58 @@ object StreamingIngest {
         md5(concat(concat_ws("\u0000", col("tags")).cast("binary"), col("payload"))))
       .dropDuplicatesWithinWatermark("content_key")
   }
+
+  /** Per-key CDC row state: `exists` is the row's liveness, `cents`
+    * its current value (0 while absent), plus apply receipts. */
+  final case class CdcState(exists: Boolean, cents: Long, nOps: Long, nIgnored: Long)
+
+  /** One emitted row-state snapshot per key touched by a micro-batch. */
+  final case class CdcOut(key: Long, is_present: Int, cents: Long,
+      n_ops: Long, n_ignored: Long)
+
+  /** Streaming CDC changelog apply — the Debezium/Delta-merge ingestion
+    * topology: a stream of keyed INSERT/UPDATE/DELETE operations folds
+    * into per-key row state with STRICT changelog semantics (not plain
+    * LWW): INSERT writes the row (resurrecting a deleted key), UPDATE
+    * applies only if the row currently exists (an update to an absent
+    * row is counted in the `n_ignored` receipt, exactly what a MERGE's
+    * WHEN MATCHED clause would skip), DELETE removes the row and
+    * resets its value. Ops apply in (ts, seq) order — the within-batch
+    * sort is bounded by one key's batch volume, and state is one small
+    * record per key regardless of stream length (the latestPerSeries
+    * scale discipline). Update-mode sinks receive the post-batch state
+    * of every touched key; the receipts (`n_ops`, `n_ignored`) are the
+    * apply audit a CDC pipeline reconciles against the source ledger.
+    *
+    * Input columns: key (long), ts (long ns), seq (long),
+    * op ("I" | "U" | "D"), cents (long). */
+  def cdcApply(ops: DataFrame): org.apache.spark.sql.Dataset[CdcOut] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = ops.sparkSession
+    import spark.implicits._
+    ops.select(col("key"), col("ts"), col("seq"), col("op"), col("cents"))
+      .as[(Long, Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[CdcState]) =>
+          val init = state.getOption.getOrElse(CdcState(exists = false, 0L, 0L, 0L))
+          val next = rows.toVector.sortBy(r => (r._2, r._3)).foldLeft(init) {
+            (st, r) =>
+              val applied = r._4 match {
+                case "I" => st.copy(exists = true, cents = r._5)
+                case "U" =>
+                  if (st.exists) st.copy(cents = r._5)
+                  else st.copy(nIgnored = st.nIgnored + 1)
+                case "D" => st.copy(exists = false, cents = 0L)
+                case other =>
+                  throw new IllegalArgumentException(
+                    s"cdcApply: unknown op '$other' for key $key")
+              }
+              applied.copy(nOps = applied.nOps + 1)
+          }
+          state.update(next)
+          CdcOut(key, if (next.exists) 1 else 0, next.cents, next.nOps, next.nIgnored)
+      }
+  }
 }

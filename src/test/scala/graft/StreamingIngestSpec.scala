@@ -259,6 +259,47 @@ class StreamingIngestSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("cdcApply: strict changelog semantics persist across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Long, String, Long)]
+    val applied = StreamingIngest.cdcApply(
+      stream.toDF().toDF("key", "ts", "seq", "op", "cents"))
+    val q = applied.writeStream
+      .format("memory").queryName("cdc_test").outputMode("update")
+      .start()
+    def state(): Map[Long, (Int, Long, Long, Long)] =
+      spark.table("cdc_test")
+        .groupBy(col("key"))
+        .agg(org.apache.spark.sql.functions.max_by(
+          org.apache.spark.sql.functions.struct(col("is_present"), col("cents"),
+            col("n_ops"), col("n_ignored")),
+          col("n_ops")).as("b"))
+        .collect().map(r => r.getLong(0) -> {
+          val b = r.getStruct(1)
+          (b.getInt(0), b.getLong(1), b.getLong(2), b.getLong(3))
+        }).toMap
+    try {
+      // batch 1: update-before-insert is IGNORED (strict, not LWW);
+      // the later insert in the same batch lands (ts order within batch)
+      stream.addData((7L, 100L, 1L, "U", 500L), (7L, 200L, 2L, "I", 900L))
+      q.processAllAvailable()
+      assert(state()(7L) === ((1, 900L, 2L, 1L)))
+      // batch 2: update now applies (state carried across batches)
+      stream.addData((7L, 300L, 3L, "U", 950L))
+      q.processAllAvailable()
+      assert(state()(7L) === ((1, 950L, 3L, 1L)))
+      // batch 3: delete resets; a trailing update is ignored again
+      stream.addData((7L, 400L, 4L, "D", 0L), (7L, 500L, 5L, "U", 111L))
+      q.processAllAvailable()
+      assert(state()(7L) === ((0, 0L, 5L, 2L)))
+      // batch 4: insert resurrects the deleted key
+      stream.addData((7L, 600L, 6L, "I", 42L))
+      q.processAllAvailable()
+      assert(state()(7L) === ((1, 42L, 6L, 2L)))
+    } finally q.stop()
+  }
+
   test("stateful query restarts from checkpoint: LWW state survives stop/start") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -59,12 +59,24 @@ object Multimodal {
     true
   }
 
-  /** Decode a compressed still image (PNG/JPEG/GIF/BMP/...) to real
+  /** Cheap magic-byte sniff for the formats the JDK ships readers
+    * for. Gates the ImageIO probe: without it every NON-image row
+    * (the common case on a mixed corpus) pays stream wrappers plus a
+    * reader-registry scan just to learn nothing. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 8 && (
+      ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) ||
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+        (b(0) == 'B' && b(1) == 'M'))
+
+  /** Decode a compressed still image (PNG/JPEG/GIF/BMP) to real
     * pixels via the JDK's registered ImageIO readers. None for
-    * non-image payloads, truncated files, or unregistered formats —
-    * callers fall back to their stub/filter discipline. */
+    * non-image payloads (magic-sniffed, no registry probe), truncated
+    * files, or unregistered formats — callers fall back to their
+    * stub/filter discipline. */
   private[graft] def decodeImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] = {
-    if (content.length < 8 || !imageIoReady) return None
+    if (!looksLikeImage(content) || !imageIoReady) return None
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
     catch { case _: Throwable => None }
   }
@@ -368,8 +380,11 @@ object Multimodal {
         if (thisSr != sr || thisCh != channels) walking = false // not one stream
         else {
           val padding = (h2 >> 1) & 1
-          nFrames += 1
-          o += 144L * (kbpsTable(bitrateIdx) * 1000) / thisSr + padding
+          val frameLen = 144L * (kbpsTable(bitrateIdx) * 1000) / thisSr + padding
+          // count only frames whose BODY fits — a header at EOF with a
+          // truncated body (cut download) is not a decodable frame
+          if (o + frameLen <= b.length) { nFrames += 1; o += frameLen }
+          else walking = false
         }
       }
     }
@@ -449,7 +464,10 @@ object Multimodal {
     for {
       w <- nextInt(); h <- nextInt(); mx <- nextInt()
       if mx > 0 && mx < 256 && w > 0 && h > 0
-      if o + 1 + w * h * 3 <= b.length
+      // Long math: header dims near 2^31 would overflow an Int product
+      // (w*h*3 going negative lets the guard pass and the pixel copy
+      // crash); any honest payload must actually CONTAIN its plane
+      if o + 1L + w.toLong * h * 3L <= b.length
     } yield (w, h, o + 1)
   }
 

@@ -21,9 +21,12 @@ import graft.functions.VectorFunctions._
   */
 object LlmQueries extends QueryModule {
 
-  /** DuckDB rendering of the shared 60-bit md5-prefix hash (mod P). */
-  private def dkHashP(x: String): String =
-    s"(('0x' || substr(md5($x), 1, 15))::BIGINT % $P)"
+  /** DuckDB rendering of the shared 60-bit md5-prefix hash, reduced
+    * mod `mod` (default P — the minhash/permutation modulus; callers
+    * with a different range pass their own instead of string-patching
+    * this rendering). */
+  private def dkHashP(x: String, mod: Long = P): String =
+    s"(('0x' || substr(md5($x), 1, 15))::BIGINT % $mod)"
 
   /** DuckDB left fold with explicit init (matches Spark `aggregate`). */
   private def dkFold(init: String, list: String, lambda: String): String =
@@ -1392,7 +1395,12 @@ object LlmQueries extends QueryModule {
   private val multimodalFeatures = QueryDef(
     "llm_multimodal_features",
     (s, d) => {
-      val docs = documents(s, d).filter(length(col("text")) > 0)
+      // exclude payloads that parse as REAL media (a text beginning
+      // "P6 ..." IS a valid PPM): the kernel correctly featurizes
+      // those over decoded pixels, which the byte-statistics twin
+      // deliberately does not model — same predicate in the oracle
+      val docs = documents(s, d)
+        .filter(length(col("text")) > 0 && !col("text").startsWith("P6"))
       val kern = graft.multimodal.Multimodal
         .extractFeatures(graft.multimodal.Multimodal.fromDocuments(s, docs), 8)
         .toDF().select(col("media_id").as("doc_id"), col("feature"))
@@ -1433,7 +1441,8 @@ object LlmQueries extends QueryModule {
         SELECT doc_id,
                list_transform(string_split(text, ''), c -> unicode(c)) AS bs,
                length(text) AS n
-        FROM documents WHERE length(text) > 0),
+        FROM documents
+        WHERE length(text) > 0 AND text NOT LIKE 'P6%'),
       f AS (
         SELECT doc_id, n,
                len(list_filter(bs, x -> x // 64 = 0)) AS c0,
@@ -3271,7 +3280,7 @@ object LlmQueries extends QueryModule {
     Some(s"""
       WITH g AS (
         SELECT lang, source, count(*) AS n,
-               CAST((${dkHashP("lang || '|' || source").replace(s"% $P", "% 2000001")}
+               CAST((${dkHashP("lang || '|' || source", 2000001L)}
                  - 1000000) AS DOUBLE) / 1000001.0 AS u
         FROM documents GROUP BY 1, 2)
       SELECT lang, source,
@@ -4023,8 +4032,14 @@ object LlmQueries extends QueryModule {
     * merge; applied TWICE because consecutive occurrences share the
     * separator space (" l r l r " consumes the middle space on the
     * first pass — the second pass catches the now-isolated
-    * remainder, which is exactly the left-to-right non-overlapping
-    * semantics of reference BPE trainers). Per step the driver
+    * remainder). For distinct-symbol merges this equals reference
+    * left-to-right BPE exactly; the ONE divergence is a SELF-pair
+    * merge (l = r) over a run of ≥ 5 repeats, where the two-pass
+    * scan pairs (1,2)(4,5) while reference pairs (1,2)(3,4) — same
+    * deterministic rule in BOTH engines (the oracle replays it), and
+    * no merge this corpus learns is a self-pair; the unit test pins
+    * both the agreeing cases and the divergent run-of-5 case. Per
+    * step the driver
     * collects ONE argmax row (count DESC, pair ASC — branch-safe
     * exact-int tie-break) plus one scalar; the corpus-sized work is
     * the single vocab-count shuffle before the loop. tokens_before
@@ -4060,11 +4075,15 @@ object LlmQueries extends QueryModule {
             element_at(col("syms"), col("g") + 1).as("r"), col("cnt"))
           .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("pair_count"))
           .localCheckpoint() // two driver reads (argmax + Σ) share one pass
+        val bestRows = pairs
+          .orderBy(col("pair_count").desc, col("l"), col("r"))
+          .limit(1).collect() // bounded: exactly one merge decision
+        require(bestRows.nonEmpty,
+          s"llm_bpe_train: corpus exhausted after ${step - 1} merges " +
+            s"(no adjacent pairs remain; lower bpeTrainMerges)")
+        val best = bestRows(0)
         val tokensBefore =
           pairs.agg(sum(col("pair_count"))).collect()(0).getLong(0) + wordTotal
-        val best = pairs
-          .orderBy(col("pair_count").desc, col("l"), col("r"))
-          .limit(1).collect()(0) // bounded: exactly one merge decision
         val (l, r, pc) = (best.getString(0), best.getString(1), best.getLong(2))
         merges += ((step, l, r, l + r, pc, tokensBefore))
         val pat = lit(s" $l $r "); val rep = lit(s" $l$r ")

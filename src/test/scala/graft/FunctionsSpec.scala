@@ -138,12 +138,15 @@ class FunctionsSpec extends SparkTestBase {
     assert(src.exceptAll(fromOrc).count() === 0)
   }
 
-  test("double-replace equals left-to-right non-overlapping BPE merge") {
+  test("double-replace BPE merge: reference-exact to run length 4, pinned divergence at 5+") {
     // llm_bpe_train's merge application: consecutive pair occurrences
     // share a separator space, so one replace pass skips alternate
-    // matches (it consumes the middle space) and a SECOND pass always
-    // finishes the job — after pass 1 no two unmerged occurrences are
-    // adjacent. Pin the engine semantics the oracle parity relies on.
+    // matches (it consumes the middle space) and a SECOND pass merges
+    // the now-isolated remainder. For distinct-symbol merges and
+    // self-pair runs up to 4 this equals reference left-to-right BPE;
+    // a SELF-pair run of 5+ pairs at different positions — the same
+    // deterministic rule in both engines (the oracle replays it), so
+    // pin the divergent case too.
     def merge2(s: String) = spark.sql(
       s"SELECT replace(replace('$s', ' a a ', ' aa '), ' a a ', ' aa ') AS r")
       .collect()(0).getString(0)
@@ -152,5 +155,14 @@ class FunctionsSpec extends SparkTestBase {
     assert(merge2(" a a a a ") === " aa aa ")    // even run: both pairs merge
     assert(merge2(" b a a a a b ") === " b aa aa b ")
     assert(merge2(" a b a a ") === " a b aa ")   // leading non-pair untouched
+    // DIVERGENCE, pinned: run of 5 pairs as (1,2)(4,5) = "aa a aa";
+    // reference left-to-right would pair (1,2)(3,4) = "aa aa a".
+    // Same multiset of symbols, different adjacency.
+    assert(merge2(" a a a a a ") === " aa a aa ")
+    // distinct-symbol chains stay reference-exact at any length
+    def merge2ab(s: String) = spark.sql(
+      s"SELECT replace(replace('$s', ' x y ', ' xy '), ' x y ', ' xy ') AS r")
+      .collect()(0).getString(0)
+    assert(merge2ab(" x y x y x y ") === " xy xy xy ")
   }
 }

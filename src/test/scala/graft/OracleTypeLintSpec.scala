@@ -29,10 +29,10 @@ class OracleTypeLintSpec extends AnyFunSuite {
     assume(new java.io.File(s"$sfDir/lineitem.parquet").exists, "testdata unavailable")
 
     val tmp = java.nio.file.Files.createTempFile("oracle_sql", ".json")
+    // the gate's own escaper (Verify.jsonEscape) — a weaker local copy
+    // would turn a legal-but-exotic control char into a spurious failure
     val json = SparkEntry.oracleSql.toSeq.sortBy(_._1).map { case (k, v) =>
-      val esc = v.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n").replace("\r", "").replace("\t", "\\t")
-      s""""$k": "$esc""""
+      s"${Verify.jsonEscape(k)}: ${Verify.jsonEscape(v)}"
     }.mkString("{", ",\n", "}")
     java.nio.file.Files.write(tmp, json.getBytes("UTF-8"))
 

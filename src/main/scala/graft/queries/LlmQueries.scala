@@ -3247,6 +3247,68 @@ object LlmQueries extends QueryModule {
       GROUP BY 1, 2, 3
       ORDER BY lang, source, len_band"""))
 
+  /** Preference-pair construction for DPO/RLHF-style training — the
+    * step that turns a scored corpus into (chosen, rejected) pairs:
+    * within each (lang, source) "prompt group", the best- and
+    * worst-scoring documents pair up, with the margin as the pair's
+    * training weight. The score is EXACT-integer quality (distinct-
+    * token-percentage · 1000 + capped length: lexical diversity
+    * dominating, length tie-breaking), so argmax/argmin are
+    * branch-safe; Spark picks them with min/max over a (score,
+    * doc_id) struct — ONE map-side-combinable aggregation, no
+    * per-group window sort — while the oracle uses rank-1 windows
+    * with the identical (score, doc_id) tie order, because DuckDB's
+    * max_by leaves ties unspecified. Groups need ≥ 2 docs and a
+    * strictly positive margin (a pair with no quality gap teaches
+    * nothing). At 100 TB: one shuffle at (lang, source) granularity;
+    * the struct carries only two ints per row into the combiner. */
+  private val preferencePairs = QueryDef(
+    "llm_preference_pairs",
+    (s, d) => {
+      // integer div, not `/` (Spark's / on ints is double division)
+      val score = expr(
+        "(size(array_distinct(split(text, ' '))) * 100)" +
+          " div size(split(text, ' ')) * 1000 + least(n_chars, 999L)")
+      val scored = documents(s, d)
+        .select(col("lang"), col("source"), col("doc_id"),
+          score.cast("long").as("score"))
+      scored.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct(col("score"), col("doc_id"))).as("hi"),
+          min(struct(col("score"), col("doc_id"))).as("lo"))
+        .filter(col("n_docs") >= 2 && col("hi.score") > col("lo.score"))
+        .select(col("lang"), col("source"), col("n_docs"),
+          col("hi.doc_id").as("chosen_id"), col("hi.score").as("chosen_score"),
+          col("lo.doc_id").as("rejected_id"), col("lo.score").as("rejected_score"),
+          (col("hi.score") - col("lo.score")).as("margin"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT lang, source, doc_id,
+               (len(list_distinct(string_split(text, ' '))) * 100)
+                 // len(string_split(text, ' ')) * 1000
+                 + least(n_chars, 999) AS score
+        FROM documents),
+      ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY lang, source
+                 ORDER BY score DESC, doc_id DESC) AS rk_hi,
+               row_number() OVER (PARTITION BY lang, source
+                 ORDER BY score ASC, doc_id ASC) AS rk_lo,
+               count(*) OVER (PARTITION BY lang, source) AS n_docs
+        FROM scored),
+      hi AS (SELECT lang, source, n_docs, doc_id AS chosen_id,
+                    score AS chosen_score FROM ranked WHERE rk_hi = 1),
+      lo AS (SELECT lang, source, doc_id AS rejected_id,
+                    score AS rejected_score FROM ranked WHERE rk_lo = 1)
+      SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+             chosen_id, chosen_score, rejected_id, rejected_score,
+             chosen_score - rejected_score AS margin
+      FROM hi JOIN lo USING (lang, source)
+      WHERE n_docs >= 2 AND chosen_score > rejected_score
+      ORDER BY lang, source"""))
+
   /** Differentially-private histogram release — the publication step
     * after llm_kanon_audit's risk scan and llm_pii_scrub's redaction:
     * per-(lang, source) document counts released with Laplace(1/ε)
@@ -4254,7 +4316,7 @@ object LlmQueries extends QueryModule {
     tokenEntropy, dsirSample, perplexityBuckets, winnowingFp, containment,
     int8Quantize, datasetCard, tokenizerFertility, codeDetect,
     softDedupWeights, spanCorruption, bloomScreen, sourceOverlap,
-    bm25Search, randomProjection, kanonAudit, dpRelease, dedupEval, pagerank,
+    bm25Search, randomProjection, kanonAudit, dpRelease, preferencePairs, dedupEval, pagerank,
     multimodalFeatures, similarityPq, hybridSearch, qualityClassifier,
     retrievalEval, ngramNovelty, prefixDedup, zipfFit, dedupTriangles)
 }

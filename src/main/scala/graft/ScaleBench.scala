@@ -103,7 +103,16 @@ object ScaleBench {
     // curve (ingest → erase → rollup: partition-parallel parquet
     // rewrites; the lifecycle must scale with data, not with file
     // count × job overhead)
-    "llm_source_overlap", "kdb_erase_twin")
+    "llm_source_overlap", "kdb_erase_twin",
+    // r9 wave 7: the remaining engine lifecycle twins (backup/restore
+    // at an MVCC cut; compact+rebucket maintenance) and the round's
+    // trainers — BPE (one corpus tokenize + 8 aggregate-sized steps),
+    // stump (one corpus histogram pass, split search data-independent),
+    // logreg (3 gradient passes — must be ~scan-linear), preference
+    // pairs and DP release (single-shuffle aggregations)
+    "kdb_backup_twin", "kdb_maintenance_twin", "llm_bpe_train",
+    "llm_stump_train", "llm_logreg_train", "llm_preference_pairs",
+    "llm_dp_release")
 
   private val Tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

@@ -4111,55 +4111,80 @@ object LlmQueries extends QueryModule {
     * oracle unrolls the same merges as chained CTEs
     * (llm_pagerank_centrality precedent). */
   private val bpeTrainMerges = 8
+
+  /** The shared BPE learning loop (see llm_bpe_train's doc): returns
+    * one row per merge step — (step, lhs, rhs, pair_count,
+    * tokens_before). Driver-controlled, per-round localCheckpoint,
+    * one argmax row collected per step. Reused by llm_bpe_train (the
+    * training gate) and llm_bpe_encode_stats (the train→apply
+    * composition). */
+  private def bpeLearn(s: SparkSession, d: String): Seq[(Int, String, String, Long, Long)] = {
+    val vocab = documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // aggregate-sized state; few partitions keep the per-step jobs cheap
+    var words = vocab
+      .select(col("cnt"),
+        concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" ")).as("s"))
+      .coalesce(8)
+      .localCheckpoint()
+    val wordTotal = words.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    val merges = Seq.newBuilder[(Int, String, String, Long, Long)]
+    for (step <- 1 to bpeTrainMerges) {
+      val pairs = words
+        .select(col("cnt"), split(trim(col("s")), " ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"),
+          explode(sequence(lit(1), size(col("syms")) - 1)).as("g"),
+          col("syms"))
+        .select(element_at(col("syms"), col("g")).as("l"),
+          element_at(col("syms"), col("g") + 1).as("r"), col("cnt"))
+        .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("pair_count"))
+        .localCheckpoint() // two driver reads (argmax + Σ) share one pass
+      val bestRows = pairs
+        .orderBy(col("pair_count").desc, col("l"), col("r"))
+        .limit(1).collect() // bounded: exactly one merge decision
+      require(bestRows.nonEmpty,
+        s"llm_bpe_train: corpus exhausted after ${step - 1} merges " +
+          s"(no adjacent pairs remain; lower bpeTrainMerges)")
+      val best = bestRows(0)
+      val tokensBefore =
+        pairs.agg(sum(col("pair_count"))).collect()(0).getLong(0) + wordTotal
+      val (l, r, pc) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((step, l, r, pc, tokensBefore))
+      val pat = lit(s" $l $r "); val rep = lit(s" $l$r ")
+      words = words
+        .withColumn("s", replace(replace(col("s"), pat, rep), pat, rep))
+        .localCheckpoint()
+    }
+    merges.result()
+  }
+
   private val bpeTrain = QueryDef(
     "llm_bpe_train",
     (s, d) => {
-      val vocab = documents(s, d)
-        .select(explode(tokens(col("text"))).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      // aggregate-sized state; few partitions keep the per-step jobs cheap
-      var words = vocab
-        .select(col("cnt"),
-          concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" ")).as("s"))
-        .coalesce(8)
-        .localCheckpoint()
-      val wordTotal = words.agg(sum(col("cnt"))).collect()(0).getLong(0)
-      val merges = Seq.newBuilder[(Int, String, String, String, Long, Long)]
-      for (step <- 1 to bpeTrainMerges) {
-        val pairs = words
-          .select(col("cnt"), split(trim(col("s")), " ").as("syms"))
-          .filter(size(col("syms")) >= 2)
-          .select(col("cnt"),
-            explode(sequence(lit(1), size(col("syms")) - 1)).as("g"),
-            col("syms"))
-          .select(element_at(col("syms"), col("g")).as("l"),
-            element_at(col("syms"), col("g") + 1).as("r"), col("cnt"))
-          .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("pair_count"))
-          .localCheckpoint() // two driver reads (argmax + Σ) share one pass
-        val bestRows = pairs
-          .orderBy(col("pair_count").desc, col("l"), col("r"))
-          .limit(1).collect() // bounded: exactly one merge decision
-        require(bestRows.nonEmpty,
-          s"llm_bpe_train: corpus exhausted after ${step - 1} merges " +
-            s"(no adjacent pairs remain; lower bpeTrainMerges)")
-        val best = bestRows(0)
-        val tokensBefore =
-          pairs.agg(sum(col("pair_count"))).collect()(0).getLong(0) + wordTotal
-        val (l, r, pc) = (best.getString(0), best.getString(1), best.getLong(2))
-        merges += ((step, l, r, l + r, pc, tokensBefore))
-        val pat = lit(s" $l $r "); val rep = lit(s" $l$r ")
-        words = words
-          .withColumn("s", replace(replace(col("s"), pat, rep), pat, rep))
-          .localCheckpoint()
-      }
       import s.implicits._
-      merges.result().toDF("step", "lhs", "rhs", "merged", "pair_count", "tokens_before")
+      bpeLearn(s, d)
+        .map { case (step, l, r, pc, tb) => (step, l, r, l + r, pc, tb) }
+        .toDF("step", "lhs", "rhs", "merged", "pair_count", "tokens_before")
         .orderBy(col("step"))
     },
     Some {
-      val steps = (1 to bpeTrainMerges).map { k =>
-        s"""p$k AS (
+      s"""
+      WITH $dkBpeTrainCtes
+      SELECT * FROM ($dkBpeTrainRows)
+      ORDER BY step"""
+    })
+
+  /** DuckDB CTE block replaying bpeLearn — vocab, wtot, w0, and the
+    * p/b/t/w{1..n} chain (b_k is the step-k merge decision, w_k the
+    * post-merge symbol state). Shared by llm_bpe_train's oracle and
+    * llm_bpe_encode_stats' (which chains the learned b_k merges onto
+    * a per-language vocabulary). */
+  private def dkBpeTrainCtes: String = {
+    val steps = (1 to bpeTrainMerges).map { k =>
+      s"""p$k AS (
         SELECT syms[g] AS l, syms[g + 1] AS r,
                CAST(sum(cnt) AS BIGINT) AS pair_count
         FROM (SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS g
@@ -4173,13 +4198,8 @@ object LlmQueries extends QueryModule {
           replace(replace(s, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' '),
                   ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ') AS s
         FROM w${k - 1} CROSS JOIN b$k)"""
-      }.mkString(",\n      ")
-      val rows = (1 to bpeTrainMerges).map(k =>
-        s"""SELECT $k AS step, l AS lhs, r AS rhs, l || r AS merged, pair_count,
-               (SELECT tokens_before FROM t$k) AS tokens_before FROM b$k""")
-        .mkString("\n        UNION ALL ")
-      s"""
-      WITH vocab AS (
+    }.mkString(",\n      ")
+    s"""vocab AS (
         SELECT w, count(*) AS cnt
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         WHERE length(w) > 0
@@ -4188,9 +4208,82 @@ object LlmQueries extends QueryModule {
       w0 AS (SELECT cnt,
           ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
         FROM vocab),
-      $steps
-      SELECT * FROM ($rows)
-      ORDER BY step"""
+      $steps"""
+  }
+
+  private def dkBpeTrainRows: String =
+    (1 to bpeTrainMerges).map(k =>
+      s"""SELECT $k AS step, l AS lhs, r AS rhs, l || r AS merged, pair_count,
+               (SELECT tokens_before FROM t$k) AS tokens_before FROM b$k""")
+      .mkString("\n        UNION ALL ")
+
+  /** Train → APPLY composition: encode every language's vocabulary
+    * with the corpus-learned merges and report per-language
+    * compression — the end-to-end tokenizer pipeline (llm_bpe_train
+    * learns, this applies what was learned and measures the payoff,
+    * the bytes-per-token equity audit llm_tokenizer_fertility does
+    * for a FIXED vocab). Scale shape: application also runs on the
+    * aggregate-sized (lang, word)-frequency table, never the corpus —
+    * tokens_after folds as Σ cnt·|syms| per language. The oracle
+    * chains the SAME learned b_k decisions (shared CTE block) onto a
+    * per-language vocabulary, so a drift in either the training
+    * argmax or the merge application flips the gate. */
+  private val bpeEncodeStats = QueryDef(
+    "llm_bpe_encode_stats",
+    (s, d) => {
+      val merges = bpeLearn(s, d)
+      val langVocab = documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+        .withColumn("s",
+          concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" ")))
+      val applied = merges.foldLeft(langVocab) { case (df, (_, l, r, _, _)) =>
+        val pat = lit(s" $l $r "); val rep = lit(s" $l$r ")
+        df.withColumn("s", replace(replace(col("s"), pat, rep), pat, rep))
+      }
+      applied
+        .select(col("lang"), col("cnt"), col("w"),
+          size(split(trim(col("s")), " ")).as("nsym"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("cnt")).as("word_instances"),
+          sum(col("cnt") * length(col("w"))).as("tokens_before"),
+          sum(col("cnt") * col("nsym")).as("tokens_after"))
+        .select(col("lang"), col("n_words"), col("word_instances"),
+          col("tokens_before"), col("tokens_after"),
+          (round(col("tokens_before").cast("double") / col("tokens_after"), 4)
+            + lit(0.0)).as("compression"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      val lvs = (1 to bpeTrainMerges).map { k =>
+        s"""lv$k AS (SELECT lang, w, cnt,
+          replace(replace(s, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' '),
+                  ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ') AS s
+        FROM lv${k - 1} CROSS JOIN b$k)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH $dkBpeTrainCtes,
+      lv0 AS (
+        SELECT lang, w, count(*) AS cnt,
+               ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) > 0
+        GROUP BY 1, 2),
+      $lvs
+      SELECT lang,
+             count(*) AS n_words,
+             CAST(sum(cnt) AS BIGINT) AS word_instances,
+             CAST(sum(cnt * length(w)) AS BIGINT) AS tokens_before,
+             CAST(sum(cnt * len(string_split(trim(s), ' '))) AS BIGINT)
+               AS tokens_after,
+             round(CAST(sum(cnt * length(w)) AS DOUBLE)
+                   / sum(cnt * len(string_split(trim(s), ' '))), 4) + 0.0
+               AS compression
+      FROM lv$bpeTrainMerges
+      GROUP BY lang
+      ORDER BY lang"""
     })
 
   /** Skip-gram co-occurrence with PMI over a ±2 token window — the
@@ -4303,7 +4396,7 @@ object LlmQueries extends QueryModule {
       ORDER BY es_key_ppm DESC, doc_id"""))
 
   val defs: Seq[QueryDef] = Seq(
-    weightedSample, bpeMergeStep, bpeTrain, skipgramCooc, instructionDetect,
+    weightedSample, bpeMergeStep, bpeTrain, bpeEncodeStats, skipgramCooc, instructionDetect,
     clusterQuality, pmiCollocations,
     matryoshkaEval, curriculumOrder,
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,

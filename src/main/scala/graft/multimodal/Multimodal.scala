@@ -14,10 +14,15 @@ import org.apache.spark.sql.functions._
   * GIF, BMP variants) decode to real pixels through the JDK's own
   * `javax.imageio.ImageIO` readers — [[decode]], [[resize]], and
   * [[extractFeatures]] all operate on true dimensions and true pixel
-  * planes for every still-image format a real corpus contains. Only
-  * video/audio FRAME payloads (MP4 samples, MP3 granules — codecs the
-  * JDK does not ship) fall back to [[decodeStub]], a deterministic
-  * content-hash stand-in behind their real container-header parses.
+  * planes for every still-image format a real corpus contains. Video
+  * and compressed audio decode as far as a bare JDK can go: MJPEG-AVI
+  * frames extract at their REAL movi-chunk offsets and decode to true
+  * pixels ([[parseAvi]]/[[frameImage]]), and G.711 A-law/µ-law audio
+  * expands to true linear samples ([[audioStats]]). Only non-MJPEG
+  * video samples and non-G.711 compressed audio (MP4 H.26x, MP3
+  * granules — codecs the JDK does not ship) fall back to
+  * [[decodeStub]], a deterministic content-hash stand-in behind their
+  * real container-header parses.
   * Swapping in a full codec changes only the function body passed to
   * mapPartitions — batch shape, schema, and the query plan are
   * unchanged. (In PySpark the same seam is a Pandas UDF over
@@ -41,8 +46,7 @@ object Multimodal {
   /** Deterministic stand-in for a codec probe: stable pseudo-metadata
     * from a 64-bit FNV-1a of the content (graft.plans.Fnv64, the same
     * hash exposed to SQL as fnv64()). Unknown payload kinds fall back
-    * here; recognized headers (BMP/WAV/PPM) are parsed for real by
-    * [[decode]]. */
+    * here; recognized formats are parsed for real by [[decode]]. */
   def decodeStub(content: Array[Byte]): (Int, Int, Int, Long) = {
     val pos = graft.plans.Fnv64.hash(content) & Long.MaxValue
     ((pos % 640).toInt + 1, ((pos >> 16) % 480).toInt + 1, ((pos >> 32) % 300).toInt + 1, pos)
@@ -128,11 +132,12 @@ object Multimodal {
   }
 
   // ---- header-only codecs (pure JVM, no libraries) ----------------
-  // The container ships no media libraries, but the uncompressed
-  // container formats are parseable from their public headers alone:
-  // BMP (BITMAPINFOHEADER / BITMAPCOREHEADER), WAV (RIFF chunks), and
-  // PPM (P6 ASCII header). probe() therefore returns TRUE metadata for
-  // these; compressed formats (JPEG/MP4/...) still hit the stub seam.
+  // The container ships no media libraries, but the container formats
+  // are parseable from their public headers alone: BMP, WAV (RIFF
+  // chunks), PPM, PNG/JPEG/GIF signatures, MP4 boxes, MP3 frame
+  // headers, AVI movi chunks. probe() therefore returns TRUE metadata
+  // for all of them; only non-MJPEG video samples and non-G.711
+  // compressed audio payloads still hit the stub seam.
 
   private def u16le(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
@@ -391,16 +396,77 @@ object Multimodal {
     if (nFrames == 0) None else Some((sr, channels, nFrames))
   }
 
+  /** AVI (RIFF 'AVI '): real container walk — dimensions and total
+    * frame count from the 'avih' main header (LIST hdrl), and every
+    * video frame's REAL byte offset+size from the 'movi' LIST's
+    * '##dc'/'##db' chunks (compressed / uncompressed video data).
+    * With an MJPEG video stream each frame chunk IS a JPEG, so
+    * [[frameImage]] decodes true pixels via ImageIO — the one video
+    * codec path a bare JDK can run end to end. Chunk sizes are
+    * word-aligned (odd pads one byte); a lying size clamps at the
+    * buffer end (the parseMp4/parseWav cursor discipline). */
+  private[graft] def parseAvi(b: Array[Byte]): Option[(Int, Int, Vector[(Long, Long)])] = {
+    def tag(o: Long) = new String(b, o.toInt, 4, "US-ASCII")
+    if (b.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var w = 0; var h = 0
+    val frames = Vector.newBuilder[(Long, Long)]
+    // walk chunks in [from, until): LISTs recurse, 'avih' yields dims,
+    // movi-level '##dc'/'##db' chunks yield frame (offset, size).
+    // depth caps at 16: real AVI nests <= 4 LISTs; an adversarial
+    // payload of nothing but LIST headers would otherwise recurse
+    // b.length/12 frames deep and overflow the stack
+    def walk(from: Long, until: Long, inMovi: Boolean, depth: Int): Unit = {
+      if (depth > 16) return
+      var o = from
+      while (o + 8 <= until) {
+        val id = tag(o)
+        val size = u32le(b, o.toInt + 4)
+        val dataEnd = math.min(o + 8 + size, until)
+        if (id == "LIST" && o + 12 <= until) {
+          val listType = tag(o + 8)
+          walk(o + 12, dataEnd, inMovi || listType == "movi", depth + 1)
+        } else if (id == "avih" && o + 8 + 40 <= until) {
+          w = i32le(b, o.toInt + 8 + 32)
+          h = i32le(b, o.toInt + 8 + 36)
+        } else if (inMovi && id.length == 4 &&
+          (id.endsWith("dc") || id.endsWith("db")) &&
+          id(0).isDigit && id(1).isDigit) {
+          frames += ((o + 8, math.min(size, until - o - 8)))
+        }
+        o += 8L + size + (size & 1L)
+      }
+    }
+    walk(12L, b.length.toLong, inMovi = false, depth = 0)
+    val fs = frames.result()
+    if (w > 0 && h > 0 && fs.nonEmpty) Some((w, h, fs)) else None
+  }
+
+  /** Decode one sampled video frame to real pixels: slice the frame
+    * chunk at its AVI offset and run it through the ImageIO tier
+    * (MJPEG frames are plain JPEGs). None for non-AVI payloads or
+    * non-image frame codecs. */
+  private[graft] def frameImage(content: Array[Byte], frameNo: Int): Option[java.awt.image.BufferedImage] =
+    parseAvi(content).flatMap { case (_, _, frames) =>
+      if (frameNo < 0 || frameNo >= frames.size) None
+      else {
+        val (off, len) = frames(frameNo)
+        decodeImage(java.util.Arrays.copyOfRange(
+          content, off.toInt, (off + len).toInt))
+      }
+    }
+
   /** Codec probe: real header parse for the formats the JVM can read
-    * unaided (BMP/WAV/PPM payloads plus PNG/JPEG/GIF/MP4/MP3
+    * unaided (BMP/WAV/PPM payloads plus PNG/JPEG/GIF/MP4/MP3/AVI
     * container headers — compressed PIXELS/SAMPLES decode via the
     * JDK's ImageIO readers where registered, and the public headers
     * cover the rest), deterministic stub for everything else. GIF
     * frame counts come from the real frame walk (animated GIFs report
-    * their true frame count, not 1). The fingerprint is the content
-    * FNV in both branches (it identifies bytes, not decoded pixels). */
+    * their true frame count, not 1); AVI frame counts from the real
+    * movi chunk walk. The fingerprint is the content FNV in both
+    * branches (it identifies bytes, not decoded pixels). */
   def decode(content: Array[Byte]): (Int, Int, Int, Long) =
-    parseBmp(content).orElse(parseWav(content)).orElse(parsePpm(content))
+    parseAvi(content).map { case (w, h, fs) => (w, h, fs.size) }
+      .orElse(parseBmp(content)).orElse(parseWav(content)).orElse(parsePpm(content))
       .orElse(parsePng(content)).orElse(parseJpeg(content))
       .orElse(parseGif(content).map { case (w, h, _) =>
         (w, h, gifFrameCount(content).getOrElse(1))
@@ -426,14 +492,24 @@ object Multimodal {
 
   /** Frame sampling: every `everyN`-th frame of each video as a
     * (media_id, frame_no, byte_offset) row — the flatMap shape of a
-    * real frame extractor (1 input row → k output rows). */
+    * real frame extractor (1 input row → k output rows). AVI payloads
+    * report REAL chunk offsets from the movi walk (an MJPEG frame at
+    * that offset decodes via [[frameImage]]); other containers keep
+    * the deterministic fixed-stride stand-in. */
   def sampleFrames(media: Dataset[MediaRow], everyN: Int): Dataset[FrameRef] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").mapPartitions { rows =>
       rows.flatMap { r =>
-        val (_, _, nFrames, _) = decode(r.content)
-        (0 until nFrames by everyN).map { f =>
-          FrameRef(r.media_id, f, f.toLong * 4096L) // stub offset: fixed frame stride
+        parseAvi(r.content) match {
+          case Some((_, _, frames)) =>
+            (0 until frames.size by everyN).map { f =>
+              FrameRef(r.media_id, f, frames(f)._1)
+            }
+          case None =>
+            val (_, _, nFrames, _) = decode(r.content)
+            (0 until nFrames by everyN).map { f =>
+              FrameRef(r.media_id, f, f.toLong * 4096L) // stub offset: fixed frame stride
+            }
         }
       }
     }
@@ -616,17 +692,31 @@ object Multimodal {
     * real, then fold the actual samples into per-channel RMS, peak
     * absolute amplitude, and zero-crossing count (the standard
     * cheap audio descriptors: loudness, clipping headroom, and a
-    * crude pitch/noisiness proxy). One output row per (media,
-    * channel); non-WAV / non-16-bit payloads yield no rows — a
-    * filter, not a stub, since fake audio stats would poison
+    * crude pitch/noisiness proxy). Decodes 16-bit PCM directly and
+    * G.711 A-law/µ-law (fmt 6/7) through the real companding
+    * expansion — compressed telephony audio gets TRUE stats. One
+    * output row per (media, channel); other payloads yield no rows —
+    * a filter, not a stub, since fake audio stats would poison
     * downstream aggregates. flatMap shape, partition-preserving. */
   def audioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         val b = r.content
-        wavPcm16(b) match {
-          case Some((rate, channels, nSamples, dataOff)) =>
+        // (rate, channels, nSamples, sample reader) — 16-bit PCM, or
+        // G.711 A-law/µ-law expanded to linear by the real decode
+        val parsed: Option[(Int, Int, Int, Int => Int)] =
+          wavPcm16(b).map { case (rate, channels, n, off) =>
+            (rate, channels, n,
+              (j: Int) => ((b(off + j * 2) & 0xff) | (b(off + j * 2 + 1) << 8))
+                .toShort.toInt)
+          }.orElse(wavG711(b).map { case (rate, channels, n, off, fmt) =>
+            (rate, channels, n,
+              if (fmt == 7) (j: Int) => ulawDecode(b(off + j))
+              else (j: Int) => alawDecode(b(off + j)))
+          })
+        parsed match {
+          case Some((rate, channels, nSamples, sample)) =>
             (0 until channels).map { ch =>
               var i = 0
               var sumSq = 0.0
@@ -635,8 +725,7 @@ object Multimodal {
               var prevNeg = false
               var first = true
               while (i < nSamples) {
-                val o = dataOff + (i * channels + ch) * 2
-                val s = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
+                val s = sample(i * channels + ch)
                 sumSq += s.toDouble * s
                 if (math.abs(s) > peak) peak = math.abs(s)
                 val neg = s < 0
@@ -651,6 +740,61 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** G.711 µ-law byte → 16-bit linear sample (the ITU G.711 decode
+    * expansion: complement, unpack sign/exponent/mantissa, rescale).
+    * decode(0xFF) = 0, decode(0x00) = −32124 — the classic extremes. */
+  private[graft] def ulawDecode(u: Byte): Int = {
+    val x = ~u & 0xff
+    val sign = x & 0x80
+    val exp = (x >> 4) & 0x07
+    val mant = x & 0x0f
+    val v = (((mant << 3) + 0x84) << exp) - 0x84
+    if (sign != 0) -v else v
+  }
+
+  /** G.711 A-law byte → 16-bit linear (XOR 0x55 unmask; sign bit SET
+    * means positive in A-law). decode(0xD5) = +8, decode(0x55) = −8,
+    * decode(0xAA) = +32256 — the ITU reference points. */
+  private[graft] def alawDecode(a0: Byte): Int = {
+    val a = (a0 ^ 0x55) & 0xff
+    val sign = a & 0x80
+    val exp = (a >> 4) & 0x07
+    val mant = a & 0x0f
+    var v = (mant << 4) + 8
+    if (exp > 0) v = (v + 0x100) << (exp - 1)
+    if (sign != 0) v else -v
+  }
+
+  /** WAV with G.711 companded samples (fmt 6 = A-law, 7 = µ-law,
+    * 8 bits/sample): (rate, channels, nSamples, dataOffset, fmt).
+    * Same chunk walk as [[wavPcm16]]; a REAL compressed-audio decode
+    * path the bare JVM can run (the G.711 expansion is pure
+    * arithmetic — no codec library). */
+  private[graft] def wavG711(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var o = 12L
+    var rate = -1L; var channels = -1; var bits = -1; var fmt = -1
+    var dataOff = -1L; var dataBytes = -1L
+    while (o + 8 <= b.length && (rate < 0 || dataOff < 0)) {
+      val id = tag(o.toInt)
+      val size = u32le(b, o.toInt + 4)
+      if (id == "fmt " && size >= 16 && o + 8 + 16 <= b.length) {
+        fmt = u16le(b, o.toInt + 8)
+        channels = u16le(b, o.toInt + 10)
+        rate = u32le(b, o.toInt + 12)
+        bits = u16le(b, o.toInt + 22)
+      } else if (id == "data") { dataOff = o + 8; dataBytes = size }
+      o += 8L + size + (size & 1L)
+    }
+    if ((fmt != 6 && fmt != 7) || bits != 8 || rate <= 0 || channels <= 0 ||
+      dataOff < 0) return None
+    val avail = math.min(dataBytes, b.length - dataOff)
+    val nSamples = (avail / channels).toInt
+    if (nSamples <= 0) None
+    else Some((rate.toInt, channels, nSamples, dataOff.toInt, fmt))
   }
 
   /** WAV with 16-bit PCM samples: (rate, channels, nSamples,

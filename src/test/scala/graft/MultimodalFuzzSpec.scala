@@ -31,6 +31,8 @@ class MultimodalFuzzSpec extends SparkTestBase {
     "GIF87a".getBytes("US-ASCII"),
     "BM".getBytes("US-ASCII"),
     "RIFF1234WAVE".getBytes("US-ASCII"),
+    "RIFF1234AVI ".getBytes("US-ASCII"),
+    "RIFF1234AVI LIST1234movi00dc".getBytes("US-ASCII"),
     "P6 ".getBytes("US-ASCII"),
     "ID3".getBytes("US-ASCII"),
     Array[Byte](0xff.toByte, 0xfb.toByte),

@@ -456,6 +456,87 @@ class MultimodalSpec extends SparkTestBase {
     assert(fs(0).feature.toSeq !== Multimodal.featureKernel(png, 8).toSeq)
   }
 
+  test("AVI/MJPEG: real container walk, real frame offsets, real frame pixel decode") {
+    import spark.implicits._
+    // hand-built but spec-faithful AVI: RIFF('AVI ') { LIST(hdrl){avih},
+    // LIST(movi){ 00dc jpeg, 00dc jpeg } } — our parser reads exactly
+    // the structures a real MJPEG-AVI carries
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++
+        (if (payload.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+    val jpeg = encode(pattern2x2(), "jpg")
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(2), 0, avih, 16, 4)  // dwTotalFrames
+    System.arraycopy(le32(2), 0, avih, 32, 4)  // dwWidth
+    System.arraycopy(le32(2), 0, avih, 36, 4)  // dwHeight
+    val movi = list("movi", chunk("00dc", jpeg) ++ chunk("00dc", jpeg))
+    val body = "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", chunk("avih", avih)) ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+
+    val (w, h, frames) = Multimodal.parseAvi(avi).get
+    assert((w, h, frames.size) === (2, 2, 2))
+    // decode() reports the real dims + movi frame count
+    val (dw, dh, nf, _) = Multimodal.decode(avi)
+    assert((dw, dh, nf) === (2, 2, 2))
+    // sampleFrames emits the REAL chunk offsets, and the bytes at the
+    // offset ARE a decodable JPEG with the expected top-left pixel
+    val refs = Multimodal.sampleFrames(
+      Seq(MediaRow(5L, "video", avi)).toDS(), 1).collect().sortBy(_.frame_no)
+    assert(refs.map(_.frame_no).toSeq === Seq(0, 1))
+    refs.foreach { fr =>
+      assert(avi.slice(fr.byte_offset.toInt, fr.byte_offset.toInt + 2).toSeq ===
+        Seq(0xff.toByte, 0xd8.toByte)) // JPEG SOI at the reported offset
+    }
+    val img = Multimodal.frameImage(avi, 1).get
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    assert((img.getRGB(0, 0) & 0xffffff) === (ref.getRGB(0, 0) & 0xffffff))
+    // out-of-range frame and non-AVI payloads reject
+    assert(Multimodal.frameImage(avi, 2) === None)
+    assert(Multimodal.frameImage("not-a-video".getBytes, 0) === None)
+  }
+
+  test("audioStats decodes REAL G.711 mu-law/A-law samples (ITU reference points)") {
+    import spark.implicits._
+    // ITU G.711 extremes pin the expansion: ulaw 0x00 = -32124,
+    // 0xFF = 0; alaw 0xD5 = +8, 0x55 = -8, 0xAA = +32256
+    assert(Multimodal.ulawDecode(0x00.toByte) === -32124)
+    assert(Multimodal.ulawDecode(0xff.toByte) === 0)
+    assert(Multimodal.alawDecode(0xd5.toByte) === 8)
+    assert(Multimodal.alawDecode(0x55.toByte) === -8)
+    assert(Multimodal.alawDecode(0xaa.toByte) === 32256)
+    // sign symmetry: flipping the mu-law sign bit negates the sample
+    for (v <- Seq(0x10, 0x34, 0x7f))
+      assert(Multimodal.ulawDecode((v ^ 0x80).toByte) === -Multimodal.ulawDecode(v.toByte))
+
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def wav(fmt: Int, data: Array[Byte]) =
+      ("RIFF".getBytes("US-ASCII") ++ le32(36L + data.length) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(fmt) ++ le16(1) ++
+        le32(8000L) ++ le32(8000L) ++ le16(1) ++ le16(8) ++
+        "data".getBytes("US-ASCII") ++ le32(data.length.toLong)) ++ data
+    // mono mu-law: [max-negative, silence] -> peak 32124, one crossing? no:
+    // -32124 then 0 (0 is not negative, sign changes) -> zc = 1
+    val mu = wav(7, Array(0x00.toByte, 0xff.toByte))
+    val muStats = Multimodal.audioStats(Seq(MediaRow(1L, "audio", mu)).toDS())
+      .collect()(0)
+    assert(muStats.peak === 32124 && muStats.n_samples === 2)
+    assert(muStats.zero_crossings === 1L)
+    // mono A-law: [+8, -8, +32256]
+    val al = wav(6, Array(0xd5.toByte, 0x55.toByte, 0xaa.toByte))
+    val alStats = Multimodal.audioStats(Seq(MediaRow(2L, "audio", al)).toDS())
+      .collect()(0)
+    assert(alStats.peak === 32256 && alStats.zero_crossings === 2L)
+    assert(math.abs(alStats.rms - math.sqrt((8.0 * 8 + 8 * 8 + 32256.0 * 32256) / 3)) < 1e-9)
+  }
+
   test("probe counts REAL animated-GIF frames via the frame walk") {
     // two-frame animated GIF via the JDK's own sequence writer
     val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")

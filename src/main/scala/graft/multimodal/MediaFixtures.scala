@@ -1,0 +1,95 @@
+package graft.multimodal
+
+/** Deterministic synthetic-media generators — real encoders (the
+  * JDK's ImageIO writers plus hand-assembled RIFF/PPM containers)
+  * driven by integer parameters, so an encode→decode round trip is
+  * PREDICTABLE arithmetic: a DuckDB oracle can state what the codec
+  * must parse out of the bytes without ever seeing them. This is what
+  * lets the binary codec tier sit under the driver's hash gate
+  * (llm_multimodal_codec_twin) instead of only under specs.
+  * Also reusable as spec fixtures. */
+private[graft] object MediaFixtures {
+
+  private def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  private def img(w: Int, h: Int): java.awt.image.BufferedImage = {
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { im.setRGB(x, y, ((x * 37 + y * 101) % 255) << 8); x += 1 }
+      y += 1
+    }
+    im
+  }
+
+  private def encode(im: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, fmt, baos)
+    baos.toByteArray
+  }
+
+  def png(w: Int, h: Int): Array[Byte] = encode(img(w, h), "png")
+  def jpeg(w: Int, h: Int): Array[Byte] = encode(img(w, h), "jpg")
+  def bmp(w: Int, h: Int): Array[Byte] = encode(img(w, h), "bmp")
+
+  /** Animated GIF with `frames` frames of w×h via the JDK sequence
+    * writer (the same frame list gifFrameCount walks). */
+  def gif(w: Int, h: Int, frames: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val stream = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(stream)
+    writer.prepareWriteSequence(null)
+    (0 until frames).foreach { _ =>
+      writer.writeToSequence(new javax.imageio.IIOImage(img(w, h), null, null), null)
+    }
+    writer.endWriteSequence()
+    stream.close(); writer.dispose()
+    baos.toByteArray
+  }
+
+  /** Mono 16-bit PCM WAV, 8 kHz, `n` samples of a deterministic ramp. */
+  def wavPcm(n: Int): Array[Byte] = {
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (i * 257) % 30000 - 15000
+      data(i * 2) = (v & 0xff).toByte; data(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    ("RIFF".getBytes("US-ASCII") ++ le32(36L + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000L) ++ le32(16000L) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length.toLong)) ++ data
+  }
+
+  /** PPM P6 of w×h with a deterministic byte pattern. */
+  def ppm(w: Int, h: Int): Array[Byte] =
+    s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate(w * h * 3)(i => ((i * 31) % 251).toByte)
+
+  /** MJPEG AVI: `frames` JPEG frames of w×h in a spec-faithful
+    * RIFF('AVI '){ LIST(hdrl){avih}, LIST(movi){##dc…} } container. */
+  def aviMjpeg(w: Int, h: Int, frames: Int): Array[Byte] = {
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload ++
+        (if (payload.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+    val frame = jpeg(w, h)
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(frames.toLong), 0, avih, 16, 4) // dwTotalFrames
+    System.arraycopy(le32(w.toLong), 0, avih, 32, 4)      // dwWidth
+    System.arraycopy(le32(h.toLong), 0, avih, 36, 4)      // dwHeight
+    val movi = list("movi",
+      Array.fill(frames)(chunk("00dc", frame)).flatten)
+    val body = "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", chunk("avih", avih)) ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+  }
+}

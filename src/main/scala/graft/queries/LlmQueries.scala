@@ -3247,6 +3247,61 @@ object LlmQueries extends QueryModule {
       GROUP BY 1, 2, 3
       ORDER BY lang, source, len_band"""))
 
+  /** Binary-codec round-trip gate: REAL encoders (ImageIO writers +
+    * hand-assembled RIFF/PPM containers) driven by integer parameters
+    * derived from doc_id, decoded back through the production
+    * [[graft.multimodal.Multimodal.decode]] tier — PNG/JPEG/GIF/BMP/
+    * PPM/WAV/MJPEG-AVI all under the driver's hash gate, not just
+    * specs. The oracle never sees bytes: because the construction is
+    * parameter-deterministic, what the codec MUST parse out (dims,
+    * frame counts, sample counts) is plain arithmetic over doc_id —
+    * any drift in a header walker, the GIF frame walk, the AVI movi
+    * scan, or the WAV chunk math flips the gate. Encode+decode run
+    * distributed in mapPartitions (48 ids × 7 formats, each tiny);
+    * the shape is the real decode tier's, so this also regression-
+    * pins decode() precedence (e.g. AVI before WAV in the orElse
+    * chain — both are RIFF). */
+  private val multimodalCodecTwin = QueryDef(
+    "llm_multimodal_codec_twin",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.{MediaFixtures, Multimodal}
+      val ids = documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 48).as[Long]
+      ids.mapPartitions { it =>
+        it.flatMap { id =>
+          val g = (id % 32).toInt
+          val pw = g % 9 + 1; val ph = g % 4 + 1
+          val bw = g % 7 + 1; val bh = g % 5 + 1
+          Seq(
+            ("png", Multimodal.decode(MediaFixtures.png(pw, ph))),
+            ("jpeg", Multimodal.decode(MediaFixtures.jpeg(pw, ph))),
+            ("bmp", Multimodal.decode(MediaFixtures.bmp(bw, bh))),
+            ("gif", Multimodal.decode(MediaFixtures.gif(bw, bh, g % 3 + 1))),
+            ("ppm", Multimodal.decode(MediaFixtures.ppm(pw, bh))),
+            ("wav", Multimodal.decode(MediaFixtures.wavPcm(g % 50 + 1))),
+            ("avi", Multimodal.decode(MediaFixtures.aviMjpeg(2, 2, g % 4 + 2)))
+          ).map { case (fmt, (w, h, nf, _)) => (id, fmt, w, h, nf) }
+        }
+      }.toDF("doc_id", "fmt", "width", "height", "n_frames")
+        .orderBy(col("doc_id"), col("fmt"))
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, doc_id % 32 AS g FROM documents WHERE doc_id < 48)
+      SELECT doc_id, fmt, CAST(width AS INT) AS width,
+             CAST(height AS INT) AS height, CAST(n_frames AS INT) AS n_frames
+      FROM (
+        SELECT doc_id, 'png' AS fmt, g % 9 + 1 AS width, g % 4 + 1 AS height,
+               1 AS n_frames FROM ids
+        UNION ALL SELECT doc_id, 'jpeg', g % 9 + 1, g % 4 + 1, 1 FROM ids
+        UNION ALL SELECT doc_id, 'bmp', g % 7 + 1, g % 5 + 1, 1 FROM ids
+        UNION ALL SELECT doc_id, 'gif', g % 7 + 1, g % 5 + 1, g % 3 + 1 FROM ids
+        UNION ALL SELECT doc_id, 'ppm', g % 9 + 1, g % 5 + 1, 1 FROM ids
+        UNION ALL SELECT doc_id, 'wav', 8000, 1, g % 50 + 1 FROM ids
+        UNION ALL SELECT doc_id, 'avi', 2, 2, g % 4 + 2 FROM ids)
+      ORDER BY doc_id, fmt"""))
+
   /** Preference-pair construction for DPO/RLHF-style training — the
     * step that turns a scored corpus into (chosen, rejected) pairs:
     * within each (lang, source) "prompt group", the best- and
@@ -4409,7 +4464,7 @@ object LlmQueries extends QueryModule {
     tokenEntropy, dsirSample, perplexityBuckets, winnowingFp, containment,
     int8Quantize, datasetCard, tokenizerFertility, codeDetect,
     softDedupWeights, spanCorruption, bloomScreen, sourceOverlap,
-    bm25Search, randomProjection, kanonAudit, dpRelease, preferencePairs, dedupEval, pagerank,
+    bm25Search, randomProjection, kanonAudit, dpRelease, preferencePairs, multimodalCodecTwin, dedupEval, pagerank,
     multimodalFeatures, similarityPq, hybridSearch, qualityClassifier,
     retrievalEval, ngramNovelty, prefixDedup, zipfFit, dedupTriangles)
 }

@@ -34,10 +34,12 @@ def main(sf_dir, out_dir):
             # type-sensitive hasher serializes differently than BIGINT even
             # when values are identical (round-8 root cause). Fail loudly.
             bad_types = [f"{c}:{t}" for c, t in zip(want_cols, want_rel.types)
-                         if "HUGEINT" in str(t).upper()]
+                         if "HUGEINT" in str(t).upper()
+                         or "DECIMAL" in str(t).upper()]
             if bad_types:
-                print(f"FAIL {name}: oracle emits HUGEINT columns {bad_types} "
-                      f"- wrap the sum() in CAST(... AS BIGINT)")
+                print(f"FAIL {name}: oracle emits HUGEINT/DECIMAL columns "
+                      f"{bad_types} - CAST sums to BIGINT, literals/decimal "
+                      f"aggregates to DOUBLE (or render fixed-scale strings)")
                 n_fail += 1
                 continue
             want = [dict(zip(want_cols, r)) for r in want_rel.fetchall()]

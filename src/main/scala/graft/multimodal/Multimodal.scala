@@ -165,32 +165,43 @@ object Multimodal {
       case _ => None
     }
 
-  /** WAV: RIFF/WAVE container; walk the chunk list for fmt + data.
-    * Mapped onto MediaMeta dims: width = sample rate, height =
-    * channel count, n_frames = sample frames (data bytes / block
-    * align). Chunks are word-aligned (odd sizes pad one byte). */
-  private[graft] def parseWav(b: Array[Byte]): Option[(Int, Int, Int)] = {
+  /** The ONE RIFF/WAVE chunk walk every WAV reader shares: locate the
+    * fmt and data chunks and return (fmt, bits, rate, channels,
+    * blockAlign, dataOff, dataBytes). Long cursor: a corrupt chunk
+    * size near u32 max would wrap an Int cursor (or stop it advancing
+    * — an infinite loop); in Long the cursor only ever grows, so a
+    * garbage size just walks off the end and the parse rejects.
+    * Chunks are word-aligned (odd sizes pad one byte). */
+  private def wavChunks(b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Long, Long)] = {
     def tag(o: Int) = new String(b, o, 4, "US-ASCII")
     if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    // Long cursor: a corrupt chunk size near u32 max would wrap an Int
-    // cursor (or stop it advancing — an infinite loop); in Long the
-    // cursor only ever grows, so a garbage size just walks off the end
-    // and the parse rejects to the stub.
     var o = 12L
-    var rate = -1L; var channels = -1; var blockAlign = -1; var dataBytes = -1L
-    while (o + 8 <= b.length && (rate < 0 || dataBytes < 0)) {
+    var fmt = -1; var bits = -1; var rate = -1L; var channels = -1
+    var blockAlign = -1; var dataOff = -1L; var dataBytes = -1L
+    while (o + 8 <= b.length && (rate < 0 || dataOff < 0)) {
       val id = tag(o.toInt)
       val size = u32le(b, o.toInt + 4)
       if (id == "fmt " && size >= 16 && o + 8 + 16 <= b.length) {
+        fmt = u16le(b, o.toInt + 8)
         channels = u16le(b, o.toInt + 10)
         rate = u32le(b, o.toInt + 12)
         blockAlign = u16le(b, o.toInt + 20)
-      } else if (id == "data") dataBytes = size
+        bits = u16le(b, o.toInt + 22)
+      } else if (id == "data") { dataOff = o + 8; dataBytes = size }
       o += 8L + size + (size & 1L)
     }
-    if (rate <= 0 || channels <= 0 || blockAlign <= 0 || dataBytes < 0) None
-    else Some((rate.toInt, channels, (dataBytes / blockAlign).toInt))
+    if (rate <= 0 || channels <= 0 || dataOff < 0 || dataBytes < 0) None
+    else Some((fmt, bits, rate.toInt, channels, blockAlign, dataOff, dataBytes))
   }
+
+  /** WAV: RIFF/WAVE container via [[wavChunks]]. Mapped onto
+    * MediaMeta dims: width = sample rate, height = channel count,
+    * n_frames = sample frames (data bytes / block align). */
+  private[graft] def parseWav(b: Array[Byte]): Option[(Int, Int, Int)] =
+    wavChunks(b).flatMap { case (_, _, rate, channels, blockAlign, _, dataBytes) =>
+      if (blockAlign <= 0) None
+      else Some((rate, channels, (dataBytes / blockAlign).toInt))
+    }
 
   /** PPM (P6): ASCII header "P6 <w> <h> <maxval>" with #-comments. */
   private[graft] def parsePpm(b: Array[Byte]): Option[(Int, Int, Int)] = {
@@ -769,62 +780,31 @@ object Multimodal {
 
   /** WAV with G.711 companded samples (fmt 6 = A-law, 7 = µ-law,
     * 8 bits/sample): (rate, channels, nSamples, dataOffset, fmt).
-    * Same chunk walk as [[wavPcm16]]; a REAL compressed-audio decode
-    * path the bare JVM can run (the G.711 expansion is pure
-    * arithmetic — no codec library). */
-  private[graft] def wavG711(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
-    def tag(o: Int) = new String(b, o, 4, "US-ASCII")
-    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var o = 12L
-    var rate = -1L; var channels = -1; var bits = -1; var fmt = -1
-    var dataOff = -1L; var dataBytes = -1L
-    while (o + 8 <= b.length && (rate < 0 || dataOff < 0)) {
-      val id = tag(o.toInt)
-      val size = u32le(b, o.toInt + 4)
-      if (id == "fmt " && size >= 16 && o + 8 + 16 <= b.length) {
-        fmt = u16le(b, o.toInt + 8)
-        channels = u16le(b, o.toInt + 10)
-        rate = u32le(b, o.toInt + 12)
-        bits = u16le(b, o.toInt + 22)
-      } else if (id == "data") { dataOff = o + 8; dataBytes = size }
-      o += 8L + size + (size & 1L)
+    * Rides [[wavChunks]]; a REAL compressed-audio decode path the
+    * bare JVM can run (the G.711 expansion is pure arithmetic — no
+    * codec library). */
+  private[graft] def wavG711(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] =
+    wavChunks(b).flatMap { case (fmt, bits, rate, channels, _, dataOff, dataBytes) =>
+      if ((fmt != 6 && fmt != 7) || bits != 8) None
+      else {
+        val nSamples = (math.min(dataBytes, b.length - dataOff) / channels).toInt
+        if (nSamples <= 0) None
+        else Some((rate, channels, nSamples, dataOff.toInt, fmt))
+      }
     }
-    if ((fmt != 6 && fmt != 7) || bits != 8 || rate <= 0 || channels <= 0 ||
-      dataOff < 0) return None
-    val avail = math.min(dataBytes, b.length - dataOff)
-    val nSamples = (avail / channels).toInt
-    if (nSamples <= 0) None
-    else Some((rate.toInt, channels, nSamples, dataOff.toInt, fmt))
-  }
 
   /** WAV with 16-bit PCM samples: (rate, channels, nSamples,
-    * dataOffset), or None for any other payload. Same chunk walk as
-    * [[parseWav]] but also locates the data plane and requires
-    * bitsPerSample == 16, format == PCM. */
-  private[graft] def wavPcm16(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
-    def tag(o: Int) = new String(b, o, 4, "US-ASCII")
-    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var o = 12L
-    var rate = -1L; var channels = -1; var bits = -1; var fmt = -1
-    var dataOff = -1L; var dataBytes = -1L
-    while (o + 8 <= b.length && (rate < 0 || dataOff < 0)) {
-      val id = tag(o.toInt)
-      val size = u32le(b, o.toInt + 4)
-      if (id == "fmt " && size >= 16 && o + 8 + 16 <= b.length) {
-        fmt = u16le(b, o.toInt + 8)
-        channels = u16le(b, o.toInt + 10)
-        rate = u32le(b, o.toInt + 12)
-        bits = u16le(b, o.toInt + 22)
-      } else if (id == "data") { dataOff = o + 8; dataBytes = size }
-      o += 8L + size + (size & 1L)
+    * dataOffset), or None for any other payload. Rides [[wavChunks]]
+    * and requires bitsPerSample == 16, format == PCM. */
+  private[graft] def wavPcm16(b: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    wavChunks(b).flatMap { case (fmt, bits, rate, channels, _, dataOff, dataBytes) =>
+      if (fmt != 1 || bits != 16) None
+      else {
+        val nSamples = (math.min(dataBytes, b.length - dataOff) / (channels * 2)).toInt
+        if (nSamples <= 0) None
+        else Some((rate, channels, nSamples, dataOff.toInt))
+      }
     }
-    if (fmt != 1 || bits != 16 || rate <= 0 || channels <= 0 || dataOff < 0)
-      return None
-    val avail = math.min(dataBytes, b.length - dataOff)
-    val nSamples = (avail / (channels * 2)).toInt
-    if (nSamples <= 0) None
-    else Some((rate.toInt, channels, nSamples, dataOff.toInt))
-  }
 
   /** One extracted feature vector (the embedding-extraction shape). */
   final case class MediaFeature(media_id: Long, kind: String, feature: Array[Float])

@@ -1948,7 +1948,56 @@ object RelationalQueries extends QueryModule {
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""))
 
+  /** Sink/source round-trip fidelity across the three non-parquet
+    * batch formats Spark ships (ORC columnar, CSV text, JSON lines):
+    * one lineitem projection is WRITTEN to each format and READ BACK,
+    * and each re-read must reproduce the identical per-flag aggregate
+    * the oracle computes straight from parquet — so the gate fails if
+    * any format loses rows, reorders columns, or mangles a type on
+    * the way through (dates through CSV text, integral doubles
+    * through JSON, everything through ORC's own codec). Quantity sums
+    * stay exact: TPC-H quantities are integral doubles, so their sums
+    * are order-independent integers until 2^53. Scratch dirs ride
+    * graft.core.Scratch (deleted at JVM exit; a fresh dir per call so
+    * re-invocations never collide). At 100 TB this is the audit you
+    * run before committing a corpus to an interchange format. */
+  private val qFormatsRoundtrip = QueryDef(
+    "q_formats_roundtrip",
+    (s, d) => {
+      val base = lineitem(s, d).select(col("l_orderkey"), col("l_quantity"),
+        col("l_returnflag"), col("l_shipdate").cast("date").as("ship"))
+      val out = graft.core.Scratch.path("graft-formats")
+      base.write.mode("overwrite").orc(s"$out/orc")
+      base.write.mode("overwrite").option("header", "true").csv(s"$out/csv")
+      base.write.mode("overwrite").json(s"$out/json")
+      val reread = Seq(
+        "orc" -> s.read.orc(s"$out/orc"),
+        "csv" -> s.read.schema(base.schema).option("header", "true").csv(s"$out/csv"),
+        "json" -> s.read.schema(base.schema).json(s"$out/json"))
+      reread.map { case (fmt, df) =>
+        df.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity")).cast("long").as("sum_qty"),
+            min(col("ship")).cast("string").as("min_ship"),
+            max(col("ship")).cast("string").as("max_ship"))
+          .select(lit(fmt).as("fmt"), col("l_returnflag"), col("n"),
+            col("sum_qty"), col("min_ship"), col("max_ship"))
+      }.reduce(_ unionAll _)
+        .orderBy(col("fmt"), col("l_returnflag"))
+    },
+    Some("""
+      WITH agg AS (
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               CAST(CAST(min(l_shipdate) AS DATE) AS VARCHAR) AS min_ship,
+               CAST(CAST(max(l_shipdate) AS DATE) AS VARCHAR) AS max_ship
+        FROM lineitem GROUP BY 1)
+      SELECT f.fmt, a.l_returnflag, a.n, a.sum_qty, a.min_ship, a.max_ship
+      FROM agg a CROSS JOIN (VALUES ('orc'), ('csv'), ('json')) f(fmt)
+      ORDER BY f.fmt, a.l_returnflag"""))
+
   val defs: Seq[QueryDef] = Seq(
+    qFormatsRoundtrip,
     qPriorityWait, qLateByStatus, qTopSupplier, qSmallQtyRevenue,
     qWaitingSuppliers, qSegmentDormant,
     qNationTrade, qBrandDisjunct,

@@ -583,7 +583,287 @@ object TrainingQueries extends QueryModule {
       ORDER BY iter"""
     })
 
+  /** HASH-GATED k-means training — 3 Lloyd iterations, k = 4, over the
+    * embedding corpus. llm_similarity_ivf_trained's scaladoc explains
+    * why a float-mean k-means can only be property-gated: centroid
+    * means are order-of-summation floating point. This trainer removes
+    * that nondeterminism BY CONSTRUCTION so the full training
+    * trajectory sits under the driver's hash gate: every embedding
+    * component quantizes to exact integer micros BEFORE summing
+    * (order-independent BIGINT cell sums, the llm_centroid_classify
+    * discipline), and the working centroid is (microsum / count) /
+    * 1e6 — two IEEE divisions of exact integers, bit-identical in
+    * both engines. Distances then ride the strict left-fold L2Sq
+    * kernel (bit-identical to DuckDB's list_reduce rendering), so
+    * assignment argmin with a cid tie-break can never diverge.
+    *
+    * Spark shape, per iteration: assignment is a NARROW codegen'd map
+    * — k l2sq folds per row feeding one array_min over (dist, cid)
+    * structs, no crossJoin, no per-row window, no shuffle — and the
+    * ONLY shuffle is the (cid, dim) cell aggregate, map-side-combined
+    * down to k·64 rows that also carry the iteration stats (member
+    * counts on the cell counts, micro-quantized inertia on the dim-0
+    * group). The driver holds k·64 doubles of state and collects
+    * k·64 rows per iteration — the same driver-update loop as
+    * llm_logreg_train, and exactly how a 1000-executor k-means wants
+    * to run: corpus passes stay narrow, reduced state is tiny.
+    * Empty-cluster rule (both engines): keep the previous centroid.
+    * Output pins the trajectory: per (iter, cid) the member count,
+    * total inertia in micros, and the centroid's micro-cell checksum.
+    */
+  private val kmeansTrain = QueryDef(
+    "llm_kmeans_train",
+    (s, d) => {
+      import s.implicits._
+      val k = 4
+      val micros = (c: Column) => round(c.cast("double") * 1000000, 0).cast("long")
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .localCheckpoint() // 3 assignment passes reread the same rows
+      // init: micro-quantized seed vectors (cnt = 1), quantized by the
+      // SAME Spark-SQL round as every later update — the driver never
+      // rounds (JVM Math.round is half-up, not half-away-from-zero,
+      // and embedding components go negative)
+      val init = e.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cid"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("cid"), col("dim"), micros(col("v")).as("sm"),
+          lit(1L).as("cnt"))
+        .collect()
+      def centroidsOf(cells: Array[org.apache.spark.sql.Row]): Map[Int, Array[Double]] =
+        cells.groupBy(_.getAs[Int]("cid")).map { case (cid, rs) =>
+          cid -> rs.sortBy(_.getAs[Int]("dim"))
+            .map(r => r.getAs[Long]("sm").toDouble / r.getAs[Long]("cnt") / 1000000.0)
+        }
+      var cents: Seq[(Int, Array[Double])] =
+        centroidsOf(init).toSeq.sortBy(_._1)
+      val out = Seq.newBuilder[(Int, Int, Long, Long, Long)]
+      for (it <- 1 to 3) {
+        val best = array_min(array(cents.map { case (cid, cv) =>
+          struct(l2sq(col("embedding"), typedLit(cv)).as("d"),
+            lit(cid).as("c"))
+        }: _*))
+        val cells = e.withColumn("best", best)
+          .select(col("best.c").as("cid"),
+            round(col("best.d") * 1000000, 0).cast("long").as("dmic"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy(col("cid"), col("dim"))
+          .agg(sum(micros(col("v"))).as("sm"), count(lit(1)).as("cnt"),
+            sum(col("dmic")).as("dsum")) // = cid's inertia (each member once per dim)
+          .collect() // k·64 rows — bounded, independent of corpus size
+        cells.filter(_.getAs[Int]("dim") == 0)
+          .sortBy(_.getAs[Int]("cid"))
+          .foreach { r =>
+            val cid = r.getAs[Int]("cid")
+            val centSum = cells.filter(_.getAs[Int]("cid") == cid)
+              .map(_.getAs[Long]("sm")).sum
+            out += ((it, cid, r.getAs[Long]("cnt"), r.getAs[Long]("dsum"), centSum))
+          }
+        val updated = centroidsOf(cells)
+        cents = cents.map { case (cid, old) =>
+          cid -> updated.getOrElse(cid, old)
+        }
+      }
+      out.result()
+        .toDF("iter", "cid", "n_members", "inertia", "cent_sum")
+        .orderBy(col("iter"), col("cid"))
+    },
+    Some {
+      def dkL2(a: String, b: String): String =
+        s"""list_reduce([0.0] || list_transform(generate_series(1, len($a)),
+           i -> (CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i])),
+           (x, y) -> x + y)"""
+      def iterCtes(k: Int): String = s"""
+      a$k AS (
+        SELECT vec_id, embedding, cid, dist FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 ${dkL2("e.embedding", "c.cv")} AS dist,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${dkL2("e.embedding", "c.cv")}, c.cid) AS rn
+          FROM embeddings e CROSS JOIN c${k - 1} c)
+        WHERE rn = 1),
+      cells$k AS (
+        SELECT cid, t.dim,
+               CAST(sum(CAST(round(CAST(embedding[t.dim] AS DOUBLE) * 1000000, 0)
+                 AS BIGINT)) AS BIGINT) AS sm,
+               count(*) AS cnt
+        FROM a$k CROSS JOIN range(1, 65) t(dim)
+        GROUP BY 1, 2),
+      s$k AS (
+        SELECT cid, count(*) AS n_members,
+               CAST(sum(CAST(round(dist * 1000000, 0) AS BIGINT)) AS BIGINT) AS inertia
+        FROM a$k GROUP BY 1),
+      cs$k AS (
+        SELECT cid, CAST(sum(sm) AS BIGINT) AS cent_sum FROM cells$k GROUP BY 1),
+      c$k AS (
+        SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+        FROM c${k - 1} p LEFT JOIN (
+          SELECT cid, list(CAST(sm AS DOUBLE) / cnt / 1000000.0 ORDER BY dim) AS cv
+          FROM cells$k GROUP BY 1) u ON p.cid = u.cid)"""
+      val rows = (1 to 3).map(k =>
+        s"""SELECT $k AS iter, s$k.cid, n_members, inertia, cent_sum
+        FROM s$k JOIN cs$k USING (cid)""").mkString("\n        UNION ALL ")
+      s"""
+      WITH cells0 AS (
+        SELECT CAST(vec_id AS INT) AS cid, t.dim,
+               CAST(round(CAST(embedding[t.dim] AS DOUBLE) * 1000000, 0) AS BIGINT) AS sm,
+               CAST(1 AS BIGINT) AS cnt
+        FROM embeddings CROSS JOIN range(1, 65) t(dim)
+        WHERE vec_id < 4),
+      c0 AS (
+        SELECT cid, list(CAST(sm AS DOUBLE) / cnt / 1000000.0 ORDER BY dim) AS cv
+        FROM cells0 GROUP BY 1),
+      ${(1 to 3).map(iterCtes).mkString(",")}
+      SELECT * FROM ($rows)
+      ORDER BY iter, cid"""
+    })
+
+  /** Multinomial naive-Bayes training + held-out evaluation — the
+    * classic trained lang/quality classifier pipeline step (the
+    * fastText-style counterpart to llm_quality_classifier's FIXED
+    * weights and llm_lang_id's marker heuristic: here the weights are
+    * LEARNED from the corpus split). Train = doc_id %% 5 ≠ 0, test =
+    * the rest; classes are languages; features are whitespace tokens
+    * with add-one smoothing over the train vocabulary. Determinism:
+    * each (token, class) log-likelihood ln((cnt+1)/(tot_c+V)) is one
+    * libm call on an exact-integer ratio, quantized to integer micros
+    * BEFORE any summation — so a document's score is an
+    * order-independent BIGINT sum (token order and aggregation order
+    * can't move it), and the argmax margin between classes is
+    * thousands of micros while a worst-case 1-ulp ln() wobble moves a
+    * score by ±1 micro: the decision is branch-safe in practice (and
+    * the score itself is gated exactly). Spark shape: two token-level
+    * aggregations on (class, token) build the model (map-side
+    * combinable); scoring is one shuffle hash join of test tokens
+    * against the model on (class, token); the class table, vocab
+    * size, and priors broadcast. */
+  private val nbTrain = QueryDef(
+    "llm_nb_train",
+    (s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      val trTok = train.select(col("lang").as("c"), explode(col("toks")).as("w"))
+      val wc = trTok.groupBy(col("c"), col("w")).agg(count(lit(1)).as("cnt"))
+      val tot = wc.groupBy(col("c")).agg(sum(col("cnt")).as("tot"))
+      val vv = wc.select(col("w")).distinct().agg(count(lit(1)).as("v"))
+      val nTr = train.agg(count(lit(1)).as("n_train"))
+      val pri = train.groupBy(col("lang").as("c"))
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(nTr))
+        .select(col("c"),
+          round(log(col("n_docs").cast("double") / col("n_train")) * 1000000, 0)
+            .cast("long").as("prior"))
+      val clsx = broadcast(pri.join(tot, Seq("c")).crossJoin(vv))
+      val teTok = test.select(col("doc_id"), col("lang").as("true_lang"),
+        explode(col("toks")).as("w"))
+      val lp = round(log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double")
+        / (col("tot") + col("v"))) * 1000000, 0).cast("long")
+      teTok.crossJoin(clsx)
+        .join(wc, Seq("c", "w"), "left_outer")
+        .groupBy(col("doc_id"), col("true_lang"), col("c"), col("prior"))
+        .agg(sum(lp).as("lpsum"))
+        .select(col("doc_id"), col("true_lang"),
+          struct((col("prior") + col("lpsum")).as("score"), col("c")).as("sc"))
+        .groupBy(col("doc_id"), col("true_lang"))
+        .agg(max(col("sc")).as("m")) // argmax: (score, class) lexicographic
+        .select(col("doc_id"), col("true_lang"), col("m.c").as("pred_lang"),
+          col("m.score").as("score"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      tr AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
+      te AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
+      trtok AS (SELECT lang AS c, unnest(toks) AS w FROM tr),
+      wc AS (SELECT c, w, count(*) AS cnt FROM trtok GROUP BY 1, 2),
+      tot AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS tot FROM wc GROUP BY 1),
+      vv AS (SELECT count(DISTINCT w) AS v FROM trtok),
+      ntr AS (SELECT count(*) AS n_train FROM tr),
+      pri AS (
+        SELECT lang AS c,
+               CAST(round(ln(CAST(count(*) AS DOUBLE)
+                 / (SELECT n_train FROM ntr)) * 1000000, 0) AS BIGINT) AS prior
+        FROM tr GROUP BY 1),
+      clsx AS (SELECT pri.c, prior, tot, v FROM pri JOIN tot USING (c) CROSS JOIN vv),
+      tetok AS (SELECT doc_id, lang AS true_lang, unnest(toks) AS w FROM te),
+      sc AS (
+        SELECT t.doc_id, t.true_lang, x.c,
+               x.prior + CAST(sum(CAST(round(ln(
+                   CAST(COALESCE(wc.cnt, 0) + 1 AS DOUBLE) / (x.tot + x.v)
+                 ) * 1000000, 0) AS BIGINT)) AS BIGINT) AS score
+        FROM tetok t CROSS JOIN clsx x
+        LEFT JOIN wc ON wc.c = x.c AND wc.w = t.w
+        GROUP BY t.doc_id, t.true_lang, x.c, x.prior),
+      best AS (
+        SELECT doc_id, true_lang, c, score,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, c DESC) AS rk
+        FROM sc)
+      SELECT doc_id, true_lang, c AS pred_lang, score
+      FROM best WHERE rk = 1
+      ORDER BY doc_id"""))
+
+  /** GRPO-style group-relative advantage — the RLHF/GRPO batch step
+    * downstream of llm_preference_pairs: within each (lang, source)
+    * "prompt group" every document is a scored rollout, and its
+    * advantage is (reward − group mean) / group std. Rewards reuse
+    * the preference-pair EXACT-integer quality score, so the group
+    * moments are order-independent BIGINT sums; mean and population
+    * variance are then fixed-order IEEE arithmetic on those exact
+    * integers (bit-identical cross-engine), and the degenerate-group
+    * guard is the EXACT integer predicate min < max (never a float
+    * variance-vs-zero test, and never sum², which overflows BIGINT
+    * long before min/max does anything at all). Spark shape: one
+    * map-side-combinable aggregation to group moments (count + two
+    * sums + min/max), moments broadcast back over a second narrow
+    * corpus pass — no window sort of the corpus, one shuffle at
+    * (lang, source) granularity. */
+  private val grpoAdvantage = QueryDef(
+    "llm_grpo_advantage",
+    (s, d) => {
+      val score = expr(
+        "(size(array_distinct(split(text, ' '))) * 100)" +
+          " div size(split(text, ' ')) * 1000 + least(n_chars, 999L)")
+      val scored = documents(s, d).select(col("lang"), col("source"),
+        col("doc_id"), score.cast("long").as("reward"))
+      val stats = scored.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("reward")).as("sr"),
+          sum(col("reward") * col("reward")).as("srq"),
+          min(col("reward")).as("mn"), max(col("reward")).as("mx"))
+        .filter(col("n") >= 2 && col("mn") < col("mx"))
+      val mean = col("sr").cast("double") / col("n")
+      val varPop = col("srq").cast("double") / col("n") - mean * mean
+      scored.join(broadcast(stats), Seq("lang", "source"))
+        .select(col("lang"), col("source"), col("doc_id"), col("reward"),
+          (round((col("reward").cast("double") - mean) / sqrt(varPop), 4)
+            + lit(0.0)).as("advantage"))
+        .orderBy(col("lang"), col("source"), col("doc_id"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT lang, source, doc_id,
+               (len(list_distinct(string_split(text, ' '))) * 100)
+                 // len(string_split(text, ' ')) * 1000
+                 + least(n_chars, 999) AS reward
+        FROM documents),
+      st AS (
+        SELECT lang, source, count(*) AS n,
+               CAST(sum(reward) AS BIGINT) AS sr,
+               CAST(sum(reward * reward) AS BIGINT) AS srq,
+               min(reward) AS mn, max(reward) AS mx
+        FROM scored GROUP BY 1, 2),
+      g AS (SELECT * FROM st WHERE n >= 2 AND mn < mx)
+      SELECT s.lang, s.source, s.doc_id, CAST(s.reward AS BIGINT) AS reward,
+             round((CAST(s.reward AS DOUBLE) - CAST(sr AS DOUBLE) / n)
+               / sqrt(CAST(srq AS DOUBLE) / n
+                      - (CAST(sr AS DOUBLE) / n) * (CAST(sr AS DOUBLE) / n)),
+               4) + 0.0 AS advantage
+      FROM scored s JOIN g USING (lang, source)
+      ORDER BY s.lang, s.source, s.doc_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(hardNegatives, centroidClassify, diversifiedTopk, pcaPower,
-      stumpTrain, logregTrain)
+      stumpTrain, logregTrain, kmeansTrain, nbTrain, grpoAdvantage)
 }

@@ -1054,4 +1054,50 @@ class QueriesSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
     assert(got === want, "closed-form bucket math must equal literal ntile")
   }
+
+  test("llm_kmeans_train: Lloyd invariants — full assignment, non-increasing inertia") {
+    val rows = SparkEntry.queries("llm_kmeans_train")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    (1 to 3).foreach { it =>
+      assert(rows.filter(_._1 == it).map(_._3).sum === total,
+        s"iteration $it must assign every vector exactly once")
+    }
+    val inertia = (1 to 3).map(it => rows.filter(_._1 == it).map(_._4).sum)
+    assert(inertia(1) <= inertia(0) && inertia(2) <= inertia(1),
+      s"Lloyd iterations must not increase inertia: $inertia")
+  }
+
+  test("llm_nb_train: one prediction per held-out doc, valid classes, negative log-scores") {
+    val rows = SparkEntry.queries("llm_nb_train")(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(rows.length === docs.filter("doc_id % 5 = 0").count())
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    val langs = docs.select("lang").distinct.collect().map(_.getString(0)).toSet
+    rows.foreach { r =>
+      assert(langs(r.getString(2)), s"pred ${r.getString(2)} not a training class")
+      assert(r.getLong(3) < 0L, "a smoothed multinomial log-score is strictly negative")
+    }
+  }
+
+  test("llm_grpo_advantage: advantages are mean-centered per prompt group") {
+    val rows = SparkEntry.queries("llm_grpo_advantage")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getString(0), r.getString(1))).foreach { case (g, rs) =>
+      val sum = rs.map(_.getDouble(4)).sum
+      // advantages are rounded 4dp, so the group sum drifts by ≤ n·5e-5
+      assert(math.abs(sum) <= rs.length * 5e-5 + 1e-9,
+        s"group $g advantage sum $sum not ~0")
+    }
+  }
+
+  test("q_formats_roundtrip: every format reproduces the identical aggregate") {
+    val rows = SparkEntry.queries("q_formats_roundtrip")(spark, sf).collect()
+    val byFmt = rows.groupBy(_.getString(0)).view
+      .mapValues(_.map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toSet).toMap
+    assert(byFmt.keySet === Set("orc", "csv", "json"))
+    assert(byFmt("orc") === byFmt("csv") && byFmt("csv") === byFmt("json"),
+      "a format lost or mangled rows on the round trip")
+  }
 }

@@ -112,7 +112,13 @@ object ScaleBench {
     // pairs and DP release (single-shuffle aggregations)
     "kdb_backup_twin", "kdb_maintenance_twin", "llm_bpe_train",
     "llm_stump_train", "llm_logreg_train", "llm_preference_pairs",
-    "llm_dp_release")
+    "llm_dp_release",
+    // r9 wave 8: the hash-gated k-means (3 assignment passes, each a
+    // narrow map + k·64-cell shuffle — must be ~scan-linear like
+    // logreg) and naive Bayes (vocab grows with the token-tagged
+    // text model, so BOTH the model build and the test-token join
+    // grow k× — the token-level-join growth probe)
+    "llm_kmeans_train", "llm_nb_train")
 
   private val Tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

@@ -190,7 +190,10 @@ object Multimodal {
       } else if (id == "data") { dataOff = o + 8; dataBytes = size }
       o += 8L + size + (size & 1L)
     }
-    if (rate <= 0 || channels <= 0 || dataOff < 0 || dataBytes < 0) None
+    // rate is a u32 from the wire: values above Int.MaxValue would
+    // wrap negative in the Int narrowing below — reject, don't wrap
+    if (rate <= 0 || rate > Int.MaxValue || channels <= 0 ||
+      dataOff < 0 || dataBytes < 0) None
     else Some((fmt, bits, rate.toInt, channels, blockAlign, dataOff, dataBytes))
   }
 
@@ -199,8 +202,12 @@ object Multimodal {
     * n_frames = sample frames (data bytes / block align). */
   private[graft] def parseWav(b: Array[Byte]): Option[(Int, Int, Int)] =
     wavChunks(b).flatMap { case (_, _, rate, channels, blockAlign, _, dataBytes) =>
-      if (blockAlign <= 0) None
-      else Some((rate, channels, (dataBytes / blockAlign).toInt))
+      val frames = if (blockAlign <= 0) -1L else dataBytes / blockAlign
+      // declared u32 data size over a tiny block align can exceed Int —
+      // reject to the stub instead of wrapping negative (or reporting
+      // a 0-frame "valid" WAV, which would break decode()'s ≥1 contract)
+      if (frames < 1 || frames > Int.MaxValue) None
+      else Some((rate, channels, frames.toInt))
     }
 
   /** PPM (P6): ASCII header "P6 <w> <h> <maxval>" with #-comments. */
@@ -476,7 +483,14 @@ object Multimodal {
     * movi chunk walk. The fingerprint is the content FNV in both
     * branches (it identifies bytes, not decoded pixels). */
   def decode(content: Array[Byte]): (Int, Int, Int, Long) =
-    parseAvi(content).map { case (w, h, fs) => (w, h, fs.size) }
+    decodeGiven(parseAvi(content), content)
+
+  /** decode() with the AVI parse precomputed — [[sampleFrames]] has
+    * already run (and rejected) parseAvi when it falls back here, so
+    * this variant skips re-walking the RIFF header per row. */
+  private def decodeGiven(avi: Option[(Int, Int, Vector[(Long, Long)])],
+      content: Array[Byte]): (Int, Int, Int, Long) =
+    avi.map { case (w, h, fs) => (w, h, fs.size) }
       .orElse(parseBmp(content)).orElse(parseWav(content)).orElse(parsePpm(content))
       .orElse(parsePng(content)).orElse(parseJpeg(content))
       .orElse(parseGif(content).map { case (w, h, _) =>
@@ -517,7 +531,7 @@ object Multimodal {
               FrameRef(r.media_id, f, frames(f)._1)
             }
           case None =>
-            val (_, _, nFrames, _) = decode(r.content)
+            val (_, _, nFrames, _) = decodeGiven(None, r.content)
             (0 until nFrames by everyN).map { f =>
               FrameRef(r.media_id, f, f.toLong * 4096L) // stub offset: fixed frame stride
             }

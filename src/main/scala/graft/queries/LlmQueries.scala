@@ -3320,10 +3320,7 @@ object LlmQueries extends QueryModule {
   private val preferencePairs = QueryDef(
     "llm_preference_pairs",
     (s, d) => {
-      // integer div, not `/` (Spark's / on ints is double division)
-      val score = expr(
-        "(size(array_distinct(split(text, ' '))) * 100)" +
-          " div size(split(text, ' ')) * 1000 + least(n_chars, 999L)")
+      val score = expr(SharedExprs.qualityScoreSpark)
       val scored = documents(s, d)
         .select(col("lang"), col("source"), col("doc_id"),
           score.cast("long").as("score"))
@@ -3338,12 +3335,10 @@ object LlmQueries extends QueryModule {
           (col("hi.score") - col("lo.score")).as("margin"))
         .orderBy(col("lang"), col("source"))
     },
-    Some("""
+    Some(s"""
       WITH scored AS (
         SELECT lang, source, doc_id,
-               (len(list_distinct(string_split(text, ' '))) * 100)
-                 // len(string_split(text, ' ')) * 1000
-                 + least(n_chars, 999) AS score
+               ${SharedExprs.qualityScoreDuck} AS score
         FROM documents),
       ranked AS (
         SELECT *,
@@ -4201,7 +4196,7 @@ object LlmQueries extends QueryModule {
         .orderBy(col("pair_count").desc, col("l"), col("r"))
         .limit(1).collect() // bounded: exactly one merge decision
       require(bestRows.nonEmpty,
-        s"llm_bpe_train: corpus exhausted after ${step - 1} merges " +
+        s"bpeLearn (llm_bpe_train / llm_bpe_encode_stats): corpus exhausted after ${step - 1} merges " +
           s"(no adjacent pairs remain; lower bpeTrainMerges)")
       val best = bestRows(0)
       val tokensBefore =

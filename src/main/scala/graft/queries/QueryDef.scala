@@ -19,6 +19,27 @@ final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+/** Expressions shared verbatim across operators so they cannot
+  * de-synchronize: a tweak to one consumer's copy would silently split
+  * semantics between the operator family and its oracles. */
+private[queries] object SharedExprs {
+  /** Exact-integer document quality score (distinct-token-percentage
+    * · 1000, length tie-break capped at 999): lexical diversity
+    * dominates, every term is integer arithmetic so argmax/argmin and
+    * moment sums are branch-safe. Consumed by llm_preference_pairs
+    * (pair construction) and llm_grpo_advantage (rollout reward).
+    * Integer div (`div`//`//`), never `/` (Spark's / on ints is
+    * double division). */
+  val qualityScoreSpark: String =
+    "(size(array_distinct(split(text, ' '))) * 100)" +
+      " div size(split(text, ' ')) * 1000 + least(n_chars, 999L)"
+
+  /** DuckDB rendering of [[qualityScoreSpark]]. */
+  val qualityScoreDuck: String =
+    "(len(list_distinct(string_split(text, ' '))) * 100) " +
+      "// len(string_split(text, ' ')) * 1000 + least(n_chars, 999)"
+}
+
 trait QueryModule {
   def defs: Seq[QueryDef]
   final def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -809,13 +809,16 @@ object TrainingQueries extends QueryModule {
     * downstream of llm_preference_pairs: within each (lang, source)
     * "prompt group" every document is a scored rollout, and its
     * advantage is (reward − group mean) / group std. Rewards reuse
-    * the preference-pair EXACT-integer quality score, so the group
-    * moments are order-independent BIGINT sums; mean and population
-    * variance are then fixed-order IEEE arithmetic on those exact
-    * integers (bit-identical cross-engine), and the degenerate-group
-    * guard is the EXACT integer predicate min < max (never a float
-    * variance-vs-zero test, and never sum², which overflows BIGINT
-    * long before min/max does anything at all). Spark shape: one
+    * the preference-pair EXACT-integer quality score (the SHARED
+    * SharedExprs snippet — one definition, two operators, no drift),
+    * so the group moments are order-independent integer sums; mean
+    * and population variance are then fixed-order IEEE arithmetic on
+    * those exact integers (bit-identical cross-engine). The sum of
+    * squares accumulates in 128 bits (Spark decimal(38,0), DuckDB
+    * HUGEINT) — a reward² is ~2³⁴, so a BIGINT Σr² would wrap at
+    * ~2²⁹ ≈ 5·10⁸ docs per group, a size a 100 TB corpus reaches —
+    * and the degenerate-group guard is the EXACT integer predicate
+    * min < max (never a float variance-vs-zero test). Spark shape: one
     * map-side-combinable aggregation to group moments (count + two
     * sums + min/max), moments broadcast back over a second narrow
     * corpus pass — no window sort of the corpus, one shuffle at
@@ -823,14 +826,12 @@ object TrainingQueries extends QueryModule {
   private val grpoAdvantage = QueryDef(
     "llm_grpo_advantage",
     (s, d) => {
-      val score = expr(
-        "(size(array_distinct(split(text, ' '))) * 100)" +
-          " div size(split(text, ' ')) * 1000 + least(n_chars, 999L)")
+      val score = expr(SharedExprs.qualityScoreSpark)
       val scored = documents(s, d).select(col("lang"), col("source"),
         col("doc_id"), score.cast("long").as("reward"))
       val stats = scored.groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n"), sum(col("reward")).as("sr"),
-          sum(col("reward") * col("reward")).as("srq"),
+          sum(col("reward").cast("decimal(19,0)") * col("reward")).as("srq"),
           min(col("reward")).as("mn"), max(col("reward")).as("mx"))
         .filter(col("n") >= 2 && col("mn") < col("mx"))
       val mean = col("sr").cast("double") / col("n")
@@ -841,17 +842,15 @@ object TrainingQueries extends QueryModule {
             + lit(0.0)).as("advantage"))
         .orderBy(col("lang"), col("source"), col("doc_id"))
     },
-    Some("""
+    Some(s"""
       WITH scored AS (
         SELECT lang, source, doc_id,
-               (len(list_distinct(string_split(text, ' '))) * 100)
-                 // len(string_split(text, ' ')) * 1000
-                 + least(n_chars, 999) AS reward
+               ${SharedExprs.qualityScoreDuck} AS reward
         FROM documents),
       st AS (
         SELECT lang, source, count(*) AS n,
                CAST(sum(reward) AS BIGINT) AS sr,
-               CAST(sum(reward * reward) AS BIGINT) AS srq,
+               sum(CAST(reward AS HUGEINT) * reward) AS srq,
                min(reward) AS mn, max(reward) AS mx
         FROM scored GROUP BY 1, 2),
       g AS (SELECT * FROM st WHERE n >= 2 AND mn < mx)

@@ -458,25 +458,11 @@ class MultimodalSpec extends SparkTestBase {
 
   test("AVI/MJPEG: real container walk, real frame offsets, real frame pixel decode") {
     import spark.implicits._
-    // hand-built but spec-faithful AVI: RIFF('AVI ') { LIST(hdrl){avih},
-    // LIST(movi){ 00dc jpeg, 00dc jpeg } } — our parser reads exactly
-    // the structures a real MJPEG-AVI carries
-    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    def chunk(id: String, payload: Array[Byte]): Array[Byte] =
-      id.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++
-        (if (payload.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
-    def list(typ: String, body: Array[Byte]): Array[Byte] =
-      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
-    val jpeg = encode(pattern2x2(), "jpg")
-    val avih = new Array[Byte](56)
-    System.arraycopy(le32(2), 0, avih, 16, 4)  // dwTotalFrames
-    System.arraycopy(le32(2), 0, avih, 32, 4)  // dwWidth
-    System.arraycopy(le32(2), 0, avih, 36, 4)  // dwHeight
-    val movi = list("movi", chunk("00dc", jpeg) ++ chunk("00dc", jpeg))
-    val body = "AVI ".getBytes("US-ASCII") ++
-      list("hdrl", chunk("avih", avih)) ++ movi
-    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    // the production fixture generator IS the container spec — the
+    // spec used to hand-duplicate its byte layout line for line, which
+    // only added a second place for a layout fix to miss
+    val jpeg = graft.multimodal.MediaFixtures.jpeg(2, 2)
+    val avi = graft.multimodal.MediaFixtures.aviMjpeg(2, 2, 2)
 
     val (w, h, frames) = Multimodal.parseAvi(avi).get
     assert((w, h, frames.size) === (2, 2, 2))

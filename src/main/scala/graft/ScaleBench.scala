@@ -118,7 +118,11 @@ object ScaleBench {
     // logreg) and naive Bayes (vocab grows with the token-tagged
     // text model, so BOTH the model build and the test-token join
     // grow k× — the token-level-join growth probe)
-    "llm_kmeans_train", "llm_nb_train")
+    "llm_kmeans_train", "llm_nb_train",
+    // r9 wave 8b: the boosting loop (per round: one corpus residual
+    // pass + a histogram-sized split search — must stay scan-linear
+    // like the other driver-update trainers)
+    "llm_gbdt_train")
 
   private val Tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

@@ -862,7 +862,165 @@ object TrainingQueries extends QueryModule {
       FROM scored s JOIN g USING (lang, source)
       ORDER BY s.lang, s.source, s.doc_id"""))
 
+  /** Gradient-boosting training, 2 rounds of depth-1 trees on squared
+    * loss with shrinkage ν = 0.5 — the boosting LOOP llm_stump_train
+    * deliberately stops short of: each round re-fits a stump to the
+    * current residuals and folds its shrunken leaf predictions into
+    * the model, which is what XGBoost/LightGBM actually iterate.
+    * Determinism by construction, assembled from the suite's proven
+    * pieces: residuals quantize to integer micros BEFORE summing
+    * (order-independent BIGINT histogram sums — the logreg gradient
+    * discipline), split scores are SL²/nL + SR²/nR as fixed-order
+    * IEEE ops on exact integers (the stump scoring discipline, so
+    * argmax needs no rounding), leaf values are two divisions of
+    * exact integers, ν = 0.5 is binary-exact, and the reported MSE
+    * accumulates Σrmic² in 128 bits (Spark decimal / DuckDB HUGEINT —
+    * the llm_grpo_advantage overflow lesson). Spark shape, per round:
+    * ONE corpus pass builds the 4-feature residual histogram
+    * (map-side combined to histogram size), split search runs window
+    * cumsums over that aggregate-sized table, the driver collects one
+    * best-split row + one ssq scalar and extends the model
+    * expression — at 100 TB each round costs one scan, like every
+    * trainer here. The oracle replays both rounds as chained CTEs
+    * carrying the model value per row. */
+  private val gbdtTrain = QueryDef(
+    "llm_gbdt_train",
+    (s, d) => {
+      import s.implicits._
+      val nu = 0.5 // binary-exact shrinkage
+      val base = documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("nt", size(col("toks")))
+        .select(
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+          (col("nt") / 8).cast("long").as("b1"),
+          (col("n_chars") / 64).cast("long").as("b2"),
+          expr("(10 * length(replace(text, ' ', ''))) div nt").as("b3"),
+          expr("aggregate(toks, 0L, (m, w) -> greatest(m, length(w))) div 2")
+            .as("b4"))
+        .localCheckpoint() // 2 residual passes reread the same rows
+      val h0 = base.agg(count(lit(1)).as("n"), sum(col("y")).as("n1")).collect()(0)
+      val n = h0.getLong(0)
+      var fCol: Column = lit(h0.getLong(1).toDouble / n) // F0 = mean(y)
+      val out = Seq.newBuilder[(Int, Int, Long, Long, Long, Long, Long,
+        Double, Double, Double)]
+      for (m <- 1 to 2) {
+        val rmic = round((col("y").cast("double") - fCol) * 1000000, 0).cast("long")
+        val hist = base.withColumn("rmic", rmic)
+          .select(col("rmic"), explode(array(
+            struct(lit(1).as("feature"), col("b1").as("bucket")),
+            struct(lit(2).as("feature"), col("b2").as("bucket")),
+            struct(lit(3).as("feature"), col("b3").as("bucket")),
+            struct(lit(4).as("feature"), col("b4").as("bucket")))).as("fb"))
+          .select(col("fb.feature"), col("fb.bucket"), col("rmic"))
+          .groupBy(col("feature"), col("bucket"))
+          .agg(count(lit(1)).as("cn"), sum(col("rmic")).as("sm"),
+            sum(col("rmic").cast("decimal(19,0)") * col("rmic")).as("ssq"))
+          .localCheckpoint() // aggregate-sized; feeds two driver actions
+        val wCum = Window.partitionBy(col("feature")).orderBy(col("bucket"))
+        val wTot = Window.partitionBy(col("feature"))
+        val best = hist
+          .withColumn("nl", sum(col("cn")).over(wCum))
+          .withColumn("sl", sum(col("sm")).over(wCum))
+          .withColumn("ntA", sum(col("cn")).over(wTot))
+          .withColumn("st", sum(col("sm")).over(wTot))
+          .withColumn("nr", col("ntA") - col("nl"))
+          .withColumn("sr", col("st") - col("sl"))
+          .filter(col("nr") > 0) // both children non-empty
+          .withColumn("score",
+            col("sl").cast("double") * col("sl").cast("double") / col("nl") +
+              col("sr").cast("double") * col("sr").cast("double") / col("nr"))
+          .orderBy(col("score").desc, col("feature"), col("bucket"))
+          .select(col("feature"), col("bucket"), col("nl"), col("nr"),
+            col("sl"), col("sr"))
+          .limit(1).collect()(0)
+        val ssqT = hist.filter(col("feature") === 1)
+          .agg(sum(col("ssq"))).collect()(0).getDecimal(0)
+        val mse = ssqT.doubleValue() / n / 1.0e12 // micros² → raw units
+        val (bf, thr) = (best.getInt(0), best.getLong(1))
+        val (nl, nr, sl, sr) = (best.getLong(2), best.getLong(3),
+          best.getLong(4), best.getLong(5))
+        val wl = sl.toDouble / nl / 1000000.0
+        val wr = sr.toDouble / nr / 1000000.0
+        out += ((m, bf, thr, nl, nr, sl, sr, wl, wr, mse))
+        fCol = fCol + when(col(s"b$bf") <= thr, lit(wl * nu)).otherwise(lit(wr * nu))
+      }
+      out.result()
+        .toDF("iter", "feature", "threshold", "nl", "nr", "sl", "sr",
+          "wl", "wr", "mse_before")
+        .select(col("iter"), col("feature"), col("threshold"), col("nl"),
+          col("nr"), col("sl"), col("sr"),
+          (round(col("wl"), 6) + lit(0.0)).as("wl"),
+          (round(col("wr"), 6) + lit(0.0)).as("wr"),
+          (round(col("mse_before"), 6) + lit(0.0)).as("mse_before"))
+        .orderBy(col("iter"))
+    },
+    Some {
+      def roundCtes(k: Int): String = s"""
+      r$k AS (SELECT *, CAST(round((y - fv) * 1000000, 0) AS BIGINT) AS rmic
+              FROM rows$k),
+      h$k AS (
+        SELECT feature, bucket, count(*) AS cn, CAST(sum(rmic) AS BIGINT) AS sm,
+               sum(CAST(rmic AS HUGEINT) * rmic) AS ssq
+        FROM (SELECT 1 AS feature, b1 AS bucket, rmic FROM r$k
+              UNION ALL SELECT 2, b2, rmic FROM r$k
+              UNION ALL SELECT 3, b3, rmic FROM r$k
+              UNION ALL SELECT 4, b4, rmic FROM r$k)
+        GROUP BY 1, 2),
+      sc$k AS (
+        SELECT feature, bucket,
+               sum(cn) OVER wc AS nl, CAST(sum(sm) OVER wc AS BIGINT) AS sl,
+               sum(cn) OVER wt AS ntA, CAST(sum(sm) OVER wt AS BIGINT) AS st
+        FROM h$k
+        WINDOW wc AS (PARTITION BY feature ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wt AS (PARTITION BY feature)),
+      bx$k AS (
+        SELECT feature, bucket, CAST(nl AS BIGINT) AS nl,
+               CAST(ntA - nl AS BIGINT) AS nr, sl, st - sl AS sr,
+               row_number() OVER (ORDER BY
+                 CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl
+                   + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+                     / (ntA - nl) DESC,
+                 feature, bucket) AS rk
+        FROM sc$k WHERE ntA - nl > 0),
+      best$k AS (
+        SELECT feature, bucket AS thr, nl, nr, sl, sr,
+               CAST(sl AS DOUBLE) / nl / 1000000.0 AS wl,
+               CAST(sr AS DOUBLE) / nr / 1000000.0 AS wr
+        FROM bx$k WHERE rk = 1),
+      m$k AS (SELECT CAST(sum(ssq) AS DOUBLE) AS ssqd FROM h$k WHERE feature = 1),
+      rows${k + 1} AS (
+        SELECT y, b1, b2, b3, b4,
+               fv + 0.5 * (CASE WHEN (CASE b.feature WHEN 1 THEN b1
+                 WHEN 2 THEN b2 WHEN 3 THEN b3 ELSE b4 END) <= b.thr
+                 THEN b.wl ELSE b.wr END) AS fv
+        FROM r$k CROSS JOIN best$k b)"""
+      val rows = (1 to 2).map(k =>
+        s"""SELECT $k AS iter, feature, thr AS threshold, nl, nr, sl, sr,
+               round(wl, 6) + 0.0 AS wl, round(wr, 6) + 0.0 AS wr,
+               round(m$k.ssqd / f0.n / 1000000000000.0, 6) + 0.0 AS mse_before
+        FROM best$k CROSS JOIN m$k CROSS JOIN f0""").mkString("\n        UNION ALL ")
+      s"""
+      WITH f AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               len(string_split(text, ' ')) // 8 AS b1,
+               n_chars // 64 AS b2,
+               (10 * length(replace(text, ' ', '')))
+                 // len(string_split(text, ' ')) AS b3,
+               list_max(list_transform(string_split(text, ' '),
+                 w -> length(w))) // 2 AS b4
+        FROM documents),
+      f0 AS (SELECT CAST(sum(y) AS DOUBLE) / count(*) AS fv0,
+                    count(*) AS n FROM f),
+      rows1 AS (SELECT f.*, f0.fv0 AS fv FROM f CROSS JOIN f0),
+      ${(1 to 2).map(roundCtes).mkString(",")}
+      SELECT * FROM ($rows)
+      ORDER BY iter"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(hardNegatives, centroidClassify, diversifiedTopk, pcaPower,
-      stumpTrain, logregTrain, kmeansTrain, nbTrain, grpoAdvantage)
+      stumpTrain, logregTrain, kmeansTrain, nbTrain, grpoAdvantage,
+      gbdtTrain)
 }

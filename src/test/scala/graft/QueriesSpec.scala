@@ -1091,6 +1091,19 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("llm_gbdt_train: boosting reduces training MSE round over round") {
+    val rows = SparkEntry.queries("llm_gbdt_train")(spark, sf)
+      .orderBy("iter").collect()
+    assert(rows.length === 2)
+    val mse = rows.map(_.getDouble(9))
+    // ν = 0.5 on squared loss: each leaf update removes 0.75·n·w² of
+    // SSE, so round-2 residual MSE can never exceed round-1's
+    assert(mse(1) <= mse(0), s"boosting must not increase MSE: ${mse.toSeq}")
+    rows.foreach { r =>
+      assert(r.getLong(3) > 0 && r.getLong(4) > 0, "both children non-empty")
+    }
+  }
+
   test("q_formats_roundtrip: every format reproduces the identical aggregate") {
     val rows = SparkEntry.queries("q_formats_roundtrip")(spark, sf).collect()
     val byFmt = rows.groupBy(_.getString(0)).view

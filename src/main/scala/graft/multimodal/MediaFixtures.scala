@@ -14,13 +14,18 @@ private[graft] object MediaFixtures {
     ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
   private def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
 
-  private def img(w: Int, h: Int): java.awt.image.BufferedImage = {
+  private def img(w: Int, h: Int, rowShift: Int = 0,
+      xCoef: Int = 37): java.awt.image.BufferedImage = {
     val im = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { im.setRGB(x, y, ((x * 37 + y * 101) % 255) << 8); x += 1 }
+      while (x < w) {
+        val d = if (y == 0) rowShift else 0
+        im.setRGB(x, y, ((x * xCoef + y * 101 + d) % 255) << 8)
+        x += 1
+      }
       y += 1
     }
     im
@@ -33,6 +38,22 @@ private[graft] object MediaFixtures {
   }
 
   def png(w: Int, h: Int): Array[Byte] = encode(img(w, h), "png")
+
+  /** PNG with a per-image x-gradient coefficient — structurally
+    * DISTINCT content per seed, so unrelated fixtures hash far apart
+    * (the single shared gradient of png(w, h) makes every image a
+    * near-dup of every other, which defeats a dedup demo). */
+  def pngSeeded(w: Int, h: Int, xCoef: Int): Array[Byte] =
+    encode(img(w, h, 0, xCoef), "png")
+
+  /** [[pngSeeded]] whose TOP ROW's green channel is shifted by
+    * `delta` (mod 255) — the controlled near-duplicate: only dHash
+    * grid row 0 can change (≤ 8 of 56 bits), and since a uniform
+    * shift preserves pairwise sample order except across the mod-255
+    * wrap, the Hamming distance is small or zero — exactly the
+    * perceptual-hash invariance the dedup operator exists to exploit. */
+  def pngRowShift(w: Int, h: Int, delta: Int, xCoef: Int): Array[Byte] =
+    encode(img(w, h, delta, xCoef), "png")
   def jpeg(w: Int, h: Int): Array[Byte] = encode(img(w, h), "jpg")
   def bmp(w: Int, h: Int): Array[Byte] = encode(img(w, h), "bmp")
 

@@ -110,6 +110,40 @@ object Multimodal {
     out
   }
 
+  /** 56-bit difference hash (dHash) of a decoded image: nearest-
+    * neighbor sample onto a 9-column × 7-row luma grid, bit
+    * (gy·8 + gx) set when the left sample is strictly brighter than
+    * its right neighbor — the perceptual fingerprint whose Hamming
+    * distance ranks image NEAR-duplicates (robust to uniform
+    * brightness shifts, unlike the byte fingerprint). 56 bits, not
+    * 64, keeps the hash strictly positive in a signed BIGINT in
+    * every engine that compares it. Luma is integer ITU-R 601
+    * ((299r + 587g + 114b) div 1000) and the "resize" is integer
+    * nearest-neighbor ((g·dim) div grid) — NO float path, so an
+    * oracle that knows the pixel formula reproduces the hash as pure
+    * arithmetic. None for non-image payloads. */
+  def dhash56(content: Array[Byte]): Option[Long] =
+    decodeImage(content).map { im =>
+      val w = im.getWidth; val h = im.getHeight
+      def luma(px: Int, py: Int): Int = {
+        val p = im.getRGB(px, py)
+        (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+      }
+      var hash = 0L
+      var gy = 0
+      while (gy < 7) {
+        val py = gy * h / 7
+        var gx = 0
+        while (gx < 8) {
+          if (luma(gx * w / 9, py) > luma((gx + 1) * w / 9, py))
+            hash |= 1L << (gy * 8 + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      hash
+    }
+
   /** Animated-GIF frame count via the JDK GIF reader (the header-only
     * parse cannot see past the logical screen descriptor). None when
     * no reader claims the stream or the stream is truncated. */

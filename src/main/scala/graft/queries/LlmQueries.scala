@@ -4445,6 +4445,369 @@ object LlmQueries extends QueryModule {
         ORDER BY es_key DESC, doc_id LIMIT 20)
       ORDER BY es_key_ppm DESC, doc_id"""))
 
+  /** Cohen's kappa of the marker-token lang-id heuristic against the
+    * gold `lang` label, per source — the inter-rater / label-QA audit
+    * a labeling pipeline runs before trusting weak labels (chance-
+    * corrected agreement, not raw accuracy: a rater that always says
+    * the majority class scores high accuracy but κ ≈ 0). Exactness by
+    * algebra: with h = agreements, n = docs, and S = Σ_c pred_c·gold_c
+    * the chance-pair count, κ = (p_o − p_e)/(1 − p_e) reduces to
+    * (h·n − S)/(n² − S) — a ratio of EXACT BIGINTs, so both engines
+    * perform ONE identical IEEE division (no float accumulation to
+    * drift). S = n² forces h = n (both raters constant on the same
+    * class), pinned to κ = 1 before the division. Spark shape: a
+    * narrow prediction pass, then three map-side-combinable
+    * aggregations at (source[, class]) granularity and joins on the
+    * tiny marginal tables — nothing data-sized shuffles twice. */
+  private val agreementKappa = QueryDef(
+    "llm_agreement_kappa",
+    (s, d) => {
+      val t = tokens(col("text"))
+      val cs = Seq("the" -> "en", "a" -> "zh", "data" -> "fr", "scan" -> "es")
+        .map { case (w, l) => (tokenCountOf(t, w), l) }
+      val g = greatest((tokenCountOf(t, "hash") +: cs.map(_._1)): _*)
+      val pred = cs.foldLeft(when(lit(false), "")) { case (acc, (c, l)) =>
+        acc.when(c === g, l)
+      }.otherwise("de")
+      val per = documents(s, d)
+        .select(col("source"), col("lang"), pred.as("pred"))
+      val tot = per.groupBy(col("source")).agg(
+        count(lit(1)).as("n"),
+        sum((col("pred") === col("lang")).cast("long")).as("hits"))
+      val pc = per.groupBy(col("source"), col("pred"))
+        .agg(count(lit(1)).as("pc"))
+      val gc = per.groupBy(col("source").as("gsource"), col("lang"))
+        .agg(count(lit(1)).as("gc"))
+      val chance = pc
+        .join(gc, col("gsource") === col("source") && col("lang") === col("pred"))
+        .groupBy(col("source"))
+        .agg(sum(col("pc") * col("gc")).as("s_chance"))
+      tot.join(chance, Seq("source"), "left")
+        .withColumn("s_chance", coalesce(col("s_chance"), lit(0L)))
+        .select(col("source"), col("n"), col("hits"), col("s_chance"),
+          when(col("n") * col("n") === col("s_chance"), lit(1.0))
+            .otherwise(round(
+              (col("hits") * col("n") - col("s_chance")).cast("double") /
+                (col("n") * col("n") - col("s_chance")).cast("double"), 6) +
+              lit(0.0)).as("kappa"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT source, lang,
+               len(list_filter(string_split(text, ' '), t -> t = 'the'))  AS c1,
+               len(list_filter(string_split(text, ' '), t -> t = 'a'))    AS c2,
+               len(list_filter(string_split(text, ' '), t -> t = 'data')) AS c3,
+               len(list_filter(string_split(text, ' '), t -> t = 'scan')) AS c4,
+               len(list_filter(string_split(text, ' '), t -> t = 'hash')) AS c5
+        FROM documents),
+      p AS (
+        SELECT source, lang,
+               CASE WHEN c1 = greatest(c1,c2,c3,c4,c5) THEN 'en'
+                    WHEN c2 = greatest(c1,c2,c3,c4,c5) THEN 'zh'
+                    WHEN c3 = greatest(c1,c2,c3,c4,c5) THEN 'fr'
+                    WHEN c4 = greatest(c1,c2,c3,c4,c5) THEN 'es'
+                    ELSE 'de' END AS pred
+        FROM c),
+      tot AS (
+        SELECT source, count(*) AS n,
+               count(CASE WHEN pred = lang THEN 1 END) AS hits
+        FROM p GROUP BY 1),
+      pc AS (SELECT source, pred, count(*) AS pc FROM p GROUP BY 1, 2),
+      gc AS (SELECT source, lang, count(*) AS gc FROM p GROUP BY 1, 2),
+      ch AS (
+        SELECT pc.source, CAST(sum(pc.pc * gc.gc) AS BIGINT) AS s_chance
+        FROM pc JOIN gc ON gc.source = pc.source AND gc.lang = pc.pred
+        GROUP BY 1)
+      SELECT tot.source, n, hits, coalesce(s_chance, 0) AS s_chance,
+             CASE WHEN n * n = coalesce(s_chance, 0) THEN CAST(1.0 AS DOUBLE)
+                  ELSE round(
+                    CAST(hits * n - coalesce(s_chance, 0) AS DOUBLE) /
+                    CAST(n * n - coalesce(s_chance, 0) AS DOUBLE), 6) + 0.0
+             END AS kappa
+      FROM tot LEFT JOIN ch ON ch.source = tot.source
+      ORDER BY tot.source"""))
+
+  /** Per-source boilerplate scrub — the RefinedWeb/CCNet line-dedup
+    * REWRITE step (dedup that edits documents instead of dropping
+    * them): split each doc into consecutive 3-token segments, call a
+    * segment boilerplate when its exact text recurs in ≥ 2 distinct
+    * docs of the SAME source (nav bars, footers, cookie banners —
+    * the within-site repetition signature), and re-emit each doc
+    * with those segments cut out. Output per doc: segment/removal
+    * counts, surviving token count, and the md5 of the rebuilt text
+    * (segments rejoined in position order — the hash pins the exact
+    * reconstruction, not just the counts). Spark shape: segmenting
+    * follows the llm_chunk_documents explode(sequence)+slice idiom
+    * (no shuffle, no lambda-re-evaluation of the split); the
+    * frequency join keys on (source, md5(segment)) so at 100 TB the
+    * repeated-segment table shuffles 16-byte digests, never segment
+    * text; reassembly sorts the collected (seg, chunk) structs —
+    * collect_list order is shuffle-dependent, array_sort makes it
+    * total. */
+  private val boilerplateScrub = QueryDef(
+    "llm_boilerplate_scrub",
+    (s, d) => {
+      val segW = 3
+      val seg = documents(s, d)
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+        .withColumn("nt", size(col("toks")))
+        .withColumn("seg",
+          explode(sequence(lit(0), floor((col("nt") - 1) / lit(segW)).cast("int"))))
+        .select(col("doc_id"), col("source"), col("seg"),
+          array_join(slice(col("toks"), col("seg") * segW + 1, lit(segW)), " ")
+            .as("chunk"))
+        .withColumn("chash", md5(col("chunk")))
+      val dfreq = seg.groupBy(col("source"), col("chash"))
+        .agg(countDistinct(col("doc_id")).as("df_docs"))
+      val flagged = seg.join(dfreq, Seq("source", "chash"))
+        .withColumn("bp", (col("df_docs") >= 2).cast("int"))
+      val counts = flagged.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_segs"), sum(col("bp")).as("n_removed"))
+      val rebuilt = flagged.filter(col("bp") === 0)
+        .groupBy(col("doc_id")).agg(
+          sum(size(split(col("chunk"), " "))).as("n_tokens_kept"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("seg"), col("chunk")))),
+              x => x.getField("chunk")),
+            " ")).as("clean_hash"))
+      counts.join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segs"), col("n_removed"),
+          coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+          coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      c AS (
+        SELECT doc_id, source, toks,
+               unnest(generate_series(0, (len(toks) - 1) // 3)) AS seg
+        FROM t),
+      x AS (
+        SELECT doc_id, source, seg,
+               array_to_string(list_slice(toks, seg * 3 + 1, seg * 3 + 3), ' ')
+                 AS chunk
+        FROM c),
+      d AS (
+        SELECT source, md5(chunk) AS chash, count(DISTINCT doc_id) AS df_docs
+        FROM x GROUP BY 1, 2),
+      f AS (
+        SELECT x.doc_id, x.seg, x.chunk,
+               CASE WHEN d.df_docs >= 2 THEN 1 ELSE 0 END AS bp
+        FROM x JOIN d ON d.source = x.source AND d.chash = md5(x.chunk)),
+      cnt AS (
+        SELECT doc_id, count(*) AS n_segs,
+               count(CASE WHEN bp = 1 THEN 1 END) AS n_removed
+        FROM f GROUP BY 1),
+      reb AS (
+        SELECT doc_id,
+               CAST(sum(len(string_split(chunk, ' '))) AS BIGINT) AS n_tokens_kept,
+               md5(string_agg(chunk, ' ' ORDER BY seg)) AS clean_hash
+        FROM f WHERE bp = 0 GROUP BY 1)
+      SELECT cnt.doc_id, n_segs, n_removed,
+             coalesce(n_tokens_kept, 0) AS n_tokens_kept,
+             coalesce(clean_hash, md5('')) AS clean_hash
+      FROM cnt LEFT JOIN reb ON reb.doc_id = cnt.doc_id
+      ORDER BY cnt.doc_id"""))
+
+  /** Image near-duplicate detection by perceptual hash — the
+    * LAION-style image-dedup pipeline run over REALLY-DECODED pixels:
+    * deterministic PNG fixtures (base / top-row-brightness-shifted
+    * near-dup / different-size distractor per id) decode through the
+    * JDK ImageIO path, [[graft.multimodal.Multimodal.dhash56]] turns
+    * each into a 56-bit difference hash, LSH banding (4 × 14-bit
+    * bands) generates candidate pairs, and Hamming ≤ 8 confirms
+    * near-dups. The oracle recomputes every hash as PURE ARITHMETIC
+    * from the known pixel formula — integer nearest-neighbor grid +
+    * integer luma make the codec → hash path bit-checkable, so a
+    * decode defect anywhere flips the gate (the
+    * llm_multimodal_codec_twin discipline extended from metadata to
+    * pixels). Scale shape: hashing is a narrow per-partition map (no
+    * shuffle), the pair search is band-bucketed — only 14-bit-key
+    * collisions ever join, never all pairs — and what shuffles is the
+    * 8-byte hash, not the image. */
+  private val imageDhashDedup = QueryDef(
+    "llm_image_dhash_dedup",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.{MediaFixtures, Multimodal}
+      val hashes = documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 32).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val g = (id % 32).toInt
+            val w = g % 8 + 5; val h = g % 7 + 7; val delta = g % 9 + 3
+            val coef = 37 + 2 * g // per-id gradient: unrelated ids hash apart
+            def hashOf(png: Array[Byte]): Long =
+              Multimodal.dhash56(png)
+                .getOrElse(sys.error("PNG fixture must decode"))
+            Seq(
+              (id, "a", hashOf(MediaFixtures.pngSeeded(w, h, coef))),
+              (id, "b", hashOf(MediaFixtures.pngRowShift(w, h, delta, coef))),
+              (id, "c", hashOf(MediaFixtures.pngSeeded(w + 1, h, coef))))
+          }
+        }.toDF("doc_id", "variant", "dhash")
+      val bands = hashes
+        .select(col("doc_id"), col("variant"), col("dhash"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bkey",
+          expr("shiftright(dhash, band * 14)").bitwiseAND(lit(16383L)))
+      val l = bands.select(col("band"), col("bkey"), col("doc_id").as("id1"),
+        col("variant").as("v1"), col("dhash").as("h1"))
+      val r = bands.select(col("band"), col("bkey"), col("doc_id").as("id2"),
+        col("variant").as("v2"), col("dhash").as("h2"))
+      l.join(r, Seq("band", "bkey"))
+        .filter(col("id1") < col("id2") ||
+          (col("id1") === col("id2") && col("v1") < col("v2")))
+        .select(col("id1"), col("v1"), col("id2"), col("v2"),
+          col("h1"), col("h2"))
+        .distinct()
+        .withColumn("hamming", expr("cast(bit_count(h1 ^ h2) as int)"))
+        .filter(col("hamming") <= 8)
+        .select(col("id1"), col("v1"), col("id2"), col("v2"), col("hamming"))
+        .orderBy(col("id1"), col("v1"), col("id2"), col("v2"))
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, CAST(doc_id % 32 AS INTEGER) AS g
+        FROM documents WHERE doc_id < 32),
+      imgs AS (
+        SELECT doc_id, 'a' AS variant, g % 8 + 5 AS w, g % 7 + 7 AS h,
+               0 AS delta, 37 + 2 * g AS coef FROM ids
+        UNION ALL SELECT doc_id, 'b', g % 8 + 5, g % 7 + 7, g % 9 + 3,
+               37 + 2 * g FROM ids
+        UNION ALL SELECT doc_id, 'c', g % 8 + 6, g % 7 + 7, 0,
+               37 + 2 * g FROM ids),
+      grid AS (SELECT *, unnest(generate_series(0, 6)) AS gy FROM imgs),
+      cells AS (SELECT *, unnest(generate_series(0, 8)) AS sx FROM grid),
+      samp AS (
+        SELECT doc_id, variant, gy, sx,
+               (587 * (CASE WHEN (gy * h) // 7 = 0
+                       THEN ((sx * w) // 9 * coef + delta) % 255
+                       ELSE ((sx * w) // 9 * coef
+                             + ((gy * h) // 7) * 101) % 255
+                       END)) // 1000 AS s
+        FROM cells),
+      bits AS (
+        SELECT a.doc_id, a.variant, a.gy, a.sx AS gx,
+               CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+        FROM samp a
+        JOIN samp b ON b.doc_id = a.doc_id AND b.variant = a.variant
+          AND b.gy = a.gy AND b.sx = a.sx + 1
+        WHERE a.sx < 8),
+      hs AS (
+        SELECT doc_id, variant,
+               CAST(sum(CASE WHEN bit = 1
+                 THEN (CAST(1 AS BIGINT) << (gy * 8 + gx)) ELSE 0 END)
+                 AS BIGINT) AS dhash
+        FROM bits GROUP BY 1, 2),
+      bk AS (
+        SELECT doc_id, variant, dhash, band,
+               (dhash >> (band * 14)) & 16383 AS bkey
+        FROM (SELECT *, unnest(generate_series(0, 3)) AS band FROM hs)),
+      cand AS (
+        SELECT DISTINCT l.doc_id AS id1, l.variant AS v1,
+               r.doc_id AS id2, r.variant AS v2, l.dhash AS h1, r.dhash AS h2
+        FROM bk l JOIN bk r ON r.band = l.band AND r.bkey = l.bkey
+        WHERE l.doc_id < r.doc_id
+           OR (l.doc_id = r.doc_id AND l.variant < r.variant))
+      SELECT id1, v1, id2, v2,
+             CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+      FROM cand
+      WHERE bit_count(xor(h1, h2)) <= 8
+      ORDER BY id1, v1, id2, v2"""))
+
+  /** Two-stage retrieval: rerank the BM25 top-20 with features a
+    * first-stage scorer cannot see — the retrieve-then-rerank shape
+    * every RAG/search pipeline runs (recall from a cheap corpus-wide
+    * stage, precision from an expensive candidate-only stage). Stage
+    * 1 IS llm_bm25_search's QueryDef, consumed verbatim (fn + oracle
+    * both — the SharedExprs doctrine at whole-query granularity, so
+    * the stages cannot drift apart). Stage 2 scores only the 20
+    * candidates: query-term coverage, hit count, and minimum
+    * inter-term position gap (the proximity signal BM25's
+    * bag-of-words sum ignores), folded into an EXACT-integer rerank
+    * score (coverage·100000 − gap·10 + capped hits — strictly
+    * tiered, branch-safe argsort). Scale shape: positions come from
+    * the tokenizer-filtered postings semi-joined to the broadcast
+    * 20-row candidate set, the gap self-join is candidate-bounded,
+    * and both rank windows run on the constant 20-row frame (the
+    * kdb_tail_index k-bounded discipline). */
+  private val rerankStage = QueryDef(
+    "llm_rerank_stage",
+    (s, d) => {
+      val terms = Seq("dup", "vector", "query")
+      val cand = bm25Search.fn(s, d)
+        .select(col("doc_id"), col("score").as("bm25_score"))
+      val pos = documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .filter(col("tok").isin(terms: _*))
+        .join(broadcast(cand.select(col("doc_id"))), Seq("doc_id"))
+      val cov = pos.groupBy(col("doc_id")).agg(
+        countDistinct(col("tok")).as("coverage"), count(lit(1)).as("n_hits"))
+      val gaps = pos.as("p1")
+        .join(pos.as("p2"),
+          col("p1.doc_id") === col("p2.doc_id") && col("p1.tok") < col("p2.tok"))
+        .groupBy(col("p1.doc_id").as("doc_id"))
+        .agg(min(abs(col("p1.pos") - col("p2.pos"))).as("min_gap"))
+      val wNew = Window.orderBy(col("rerank_score").desc, col("doc_id"))
+      val wOld = Window.orderBy(col("bm25_score").desc, col("doc_id"))
+      cand
+        .join(cov, Seq("doc_id"))
+        .join(gaps, Seq("doc_id"), "left")
+        .withColumn("min_gap", coalesce(col("min_gap"), lit(9999)))
+        .withColumn("rerank_score",
+          col("coverage") * lit(100000L) - col("min_gap") * lit(10L) +
+            least(col("n_hits"), lit(50L)))
+        .withColumn("new_rank", row_number().over(wNew))
+        .withColumn("old_rank", row_number().over(wOld))
+        .select(col("doc_id"), col("old_rank"), col("new_rank"),
+          (col("new_rank") - col("old_rank")).as("moved"),
+          col("coverage"), col("n_hits"), col("min_gap"), col("rerank_score"))
+        .orderBy(col("new_rank"))
+    },
+    Some(s"""
+      WITH cand AS (SELECT doc_id, score FROM (${bm25Search.oracle.get})),
+      t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      pos0 AS (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS g FROM t),
+      ch AS (
+        SELECT h.doc_id, h.tok, h.pos
+        FROM (SELECT doc_id, ws[g] AS tok, g AS pos FROM pos0
+              WHERE ws[g] IN ('dup', 'vector', 'query')) h
+        JOIN cand USING (doc_id)),
+      cov AS (
+        SELECT doc_id, count(DISTINCT tok) AS coverage, count(*) AS n_hits
+        FROM ch GROUP BY 1),
+      gaps AS (
+        SELECT p1.doc_id, min(abs(p1.pos - p2.pos)) AS min_gap
+        FROM ch p1
+        JOIN ch p2 ON p2.doc_id = p1.doc_id AND p1.tok < p2.tok
+        GROUP BY 1),
+      rer AS (
+        SELECT c.doc_id, c.score AS bm25_score, coverage, n_hits,
+               CAST(coalesce(min_gap, 9999) AS INTEGER) AS min_gap
+        FROM cand c
+        JOIN cov USING (doc_id)
+        LEFT JOIN gaps ON gaps.doc_id = c.doc_id),
+      ranked AS (
+        SELECT doc_id, coverage, n_hits, min_gap,
+               coverage * 100000 - min_gap * 10 + least(n_hits, 50)
+                 AS rerank_score,
+               CAST(row_number() OVER (ORDER BY bm25_score DESC, doc_id)
+                 AS INTEGER) AS old_rank
+        FROM rer)
+      SELECT doc_id, old_rank,
+             CAST(row_number() OVER (ORDER BY rerank_score DESC, doc_id)
+               AS INTEGER) AS new_rank,
+             CAST(CAST(row_number() OVER (ORDER BY rerank_score DESC, doc_id)
+               AS INTEGER) - old_rank AS INTEGER) AS moved,
+             coverage, n_hits, min_gap, rerank_score
+      FROM ranked
+      ORDER BY new_rank"""))
+
   val defs: Seq[QueryDef] = Seq(
     weightedSample, bpeMergeStep, bpeTrain, bpeEncodeStats, skipgramCooc, instructionDetect,
     clusterQuality, pmiCollocations,
@@ -4461,5 +4824,6 @@ object LlmQueries extends QueryModule {
     softDedupWeights, spanCorruption, bloomScreen, sourceOverlap,
     bm25Search, randomProjection, kanonAudit, dpRelease, preferencePairs, multimodalCodecTwin, dedupEval, pagerank,
     multimodalFeatures, similarityPq, hybridSearch, qualityClassifier,
-    retrievalEval, ngramNovelty, prefixDedup, zipfFit, dedupTriangles)
+    retrievalEval, ngramNovelty, prefixDedup, zipfFit, dedupTriangles,
+    agreementKappa, boilerplateScrub, imageDhashDedup, rerankStage)
 }

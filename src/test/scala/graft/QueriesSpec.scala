@@ -226,7 +226,17 @@ class QueriesSpec extends SparkTestBase {
       // llm_skipgram_cooc: the 1-row pair-total scalar rides a
       // broadcast cross join over the aggregate-sized pair table —
       // the llm_lm_score scalar shape
-      "llm_skipgram_cooc")
+      "llm_skipgram_cooc",
+      // llm_nb_train: the |classes|-row model header (prior, tot, V)
+      // broadcasts over the test tokens (every token scores against
+      // every class — the intended densification) plus the 1-row
+      // n_train scalar — the llm_lm_score scalar shape
+      "llm_nb_train",
+      // llm_rerank_stage: stage 1 IS llm_bm25_search's plan (consumed
+      // verbatim), so it inherits bm25's allowlisted 1-row
+      // corpus-stats broadcast cross join; stage 2 adds only equi
+      // joins on the broadcast 20-row candidate set
+      "llm_rerank_stage")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
@@ -1102,6 +1112,56 @@ class QueriesSpec extends SparkTestBase {
     rows.foreach { r =>
       assert(r.getLong(3) > 0 && r.getLong(4) > 0, "both children non-empty")
     }
+  }
+
+  test("llm_agreement_kappa: kappa bounded and never exceeds raw accuracy") {
+    val rows = SparkEntry.queries("llm_agreement_kappa")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hits, k) = (r.getLong(1), r.getLong(2), r.getDouble(4))
+      assert(n > 0 && hits <= n)
+      assert(k >= -1.0 - 1e-9 && k <= 1.0 + 1e-9, s"kappa out of range: $k")
+      // chance correction can only lower agreement below raw accuracy
+      // unless agreement is perfect
+      if (hits < n) assert(k <= hits.toDouble / n + 1e-9)
+    }
+  }
+
+  test("llm_boilerplate_scrub: removal bounded, token accounting consistent") {
+    val rows = SparkEntry.queries("llm_boilerplate_scrub")(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length === nDocs, "every doc must re-emit, even if fully scrubbed")
+    var removedTotal = 0L
+    rows.foreach { r =>
+      val (segs, rem, kept) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(rem <= segs)
+      // 3-token segments (last may be shorter): kept tokens fit in kept segs
+      assert(kept <= (segs - rem) * 3)
+      if (rem == 0) assert(kept >= segs * 2 - 2, "no removal => all tokens kept")
+      removedTotal += rem
+    }
+    assert(removedTotal > 0, "corpus must contain SOME repeated segments")
+  }
+
+  test("llm_image_dhash_dedup: every brightness-shifted twin is found as a near-dup") {
+    val rows = SparkEntry.queries("llm_image_dhash_dedup")(spark, sf).collect()
+    rows.foreach(r => assert(r.getInt(4) <= 8))
+    val abPairs = rows.filter(r =>
+      r.getLong(0) == r.getLong(2) && r.getString(1) == "a" && r.getString(3) == "b")
+    assert(abPairs.length === 32,
+      s"all 32 (base, row-shifted) twins must surface; got ${abPairs.length}")
+  }
+
+  test("llm_rerank_stage: both rankings are 1..20 permutations, coverage tiers strictly") {
+    val rows = SparkEntry.queries("llm_rerank_stage")(spark, sf).collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to 20))
+    assert(rows.map(_.getInt(2)).sorted.toSeq === (1 to 20))
+    // rerank_score is tiered by coverage: output is sorted by new_rank,
+    // so coverage must be non-increasing down the reranked list
+    val cov = rows.sortBy(_.getInt(2)).map(_.getLong(4))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a >= b },
+      s"coverage must dominate the rerank order: ${cov.toSeq}")
   }
 
   test("q_formats_roundtrip: every format reproduces the identical aggregate") {

@@ -122,7 +122,13 @@ object ScaleBench {
     // r9 wave 8b: the boosting loop (per round: one corpus residual
     // pass + a histogram-sized split search — must stay scan-linear
     // like the other driver-update trainers)
-    "llm_gbdt_train")
+    "llm_gbdt_train",
+    // r9 wave 9: the segment-frequency rewrite (explode + two
+    // digest-keyed shuffles — the candidate for super-linear growth
+    // is the (source, chunk-hash) table), the nb-shaped label audit
+    // (token-join growth like nb_train), and the bin-bounded PSI
+    // monitor (must be flat-bounded output, scan-linear input)
+    "llm_boilerplate_scrub", "llm_label_noise", "llm_psi_drift")
 
   private val Tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

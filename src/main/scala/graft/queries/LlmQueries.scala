@@ -4808,6 +4808,82 @@ object LlmQueries extends QueryModule {
       FROM ranked
       ORDER BY new_rank"""))
 
+  /** Population-stability-index (PSI) drift monitor — the
+    * train/serve-skew audit a production pipeline runs on every
+    * incoming batch: bin two per-doc features (length, type-token
+    * ratio), compare the reference split's bin distribution (doc_id
+    * % 5 ≠ 0 — llm_nb_train's train split) against the incoming
+    * split's, and report each bin's PSI contribution
+    * (p − q)·ln(p/q). Laplace add-one smoothing (p = (n_b+1)/(N+B))
+    * keeps empty bins finite; counts, bin ids, and totals are exact
+    * integers, the contribution is ONE fixed-order double expression
+    * on those exact ints quantized to micros (the nb/lm_score ln()
+    * discipline). Scale shape: one corpus pass explodes 2 rows/doc,
+    * one map-side-combinable (feature, bin) count, per-feature
+    * totals join back EQUI on feature (aggregate-sized — no scalar
+    * cross join), output is bin-bounded. */
+  private val psiDrift = QueryDef(
+    "llm_psi_drift",
+    (s, d) => {
+      val ttr = expr(
+        "((size(array_distinct(split(text, ' '))) * 100)" +
+          " div size(split(text, ' '))) div 10")
+      val fb = documents(s, d)
+        .select(
+          explode(array(
+            struct(lit("len").as("feature"),
+              expr("n_chars div 100").as("bin")),
+            struct(lit("ttr").as("feature"), ttr.as("bin")))).as("fb"),
+          (col("doc_id") % 5 === 0).cast("long").as("is_cur"))
+        .select(col("fb.feature").as("feature"), col("fb.bin").as("bin"),
+          col("is_cur"))
+      val counts = fb.groupBy(col("feature"), col("bin"))
+        .agg(sum(lit(1L) - col("is_cur")).as("ref_n"),
+          sum(col("is_cur")).as("cur_n"))
+      val tots = counts.groupBy(col("feature"))
+        .agg(count(lit(1)).as("bcnt"), sum(col("ref_n")).as("nr"),
+          sum(col("cur_n")).as("nc"))
+      counts.join(tots, Seq("feature"))
+        .withColumn("p",
+          (col("ref_n") + 1).cast("double") / (col("nr") + col("bcnt")))
+        .withColumn("q",
+          (col("cur_n") + 1).cast("double") / (col("nc") + col("bcnt")))
+        .select(col("feature"), col("bin"), col("ref_n"), col("cur_n"),
+          round((col("p") - col("q")) * log(col("p") / col("q")) * 1000000, 0)
+            .cast("long").as("contrib_micro"))
+        .orderBy(col("feature"), col("bin"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+               n_chars // 100 AS len_bin,
+               ((len(list_distinct(string_split(text, ' '))) * 100)
+                 // len(string_split(text, ' '))) // 10 AS ttr_bin,
+               CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS is_cur
+        FROM documents),
+      fb AS (
+        SELECT 'len' AS feature, len_bin AS bin, is_cur FROM base
+        UNION ALL SELECT 'ttr', ttr_bin, is_cur FROM base),
+      counts AS (
+        SELECT feature, bin,
+               count(CASE WHEN is_cur = 0 THEN 1 END) AS ref_n,
+               count(CASE WHEN is_cur = 1 THEN 1 END) AS cur_n
+        FROM fb GROUP BY 1, 2),
+      tots AS (
+        SELECT feature, count(*) AS bcnt,
+               CAST(sum(ref_n) AS BIGINT) AS nr,
+               CAST(sum(cur_n) AS BIGINT) AS nc
+        FROM counts GROUP BY 1),
+      pq AS (
+        SELECT c.feature, c.bin, c.ref_n, c.cur_n,
+               CAST(c.ref_n + 1 AS DOUBLE) / (t.nr + t.bcnt) AS p,
+               CAST(c.cur_n + 1 AS DOUBLE) / (t.nc + t.bcnt) AS q
+        FROM counts c JOIN tots t USING (feature))
+      SELECT feature, bin, ref_n, cur_n,
+             CAST(round((p - q) * ln(p / q) * 1000000, 0) AS BIGINT)
+               AS contrib_micro
+      FROM pq ORDER BY feature, bin"""))
+
   val defs: Seq[QueryDef] = Seq(
     weightedSample, bpeMergeStep, bpeTrain, bpeEncodeStats, skipgramCooc, instructionDetect,
     clusterQuality, pmiCollocations,
@@ -4825,5 +4901,5 @@ object LlmQueries extends QueryModule {
     bm25Search, randomProjection, kanonAudit, dpRelease, preferencePairs, multimodalCodecTwin, dedupEval, pagerank,
     multimodalFeatures, similarityPq, hybridSearch, qualityClassifier,
     retrievalEval, ngramNovelty, prefixDedup, zipfFit, dedupTriangles,
-    agreementKappa, boilerplateScrub, imageDhashDedup, rerankStage)
+    agreementKappa, boilerplateScrub, imageDhashDedup, rerankStage, psiDrift)
 }

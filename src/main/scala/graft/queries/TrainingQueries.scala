@@ -736,42 +736,44 @@ object TrainingQueries extends QueryModule {
     * combinable); scoring is one shuffle hash join of test tokens
     * against the model on (class, token); the class table, vocab
     * size, and priors broadcast. */
-  private val nbTrain = QueryDef(
-    "llm_nb_train",
-    (s, d) => {
-      val docs = documents(s, d)
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
-      val train = docs.filter(col("doc_id") % 5 =!= 0)
-      val test = docs.filter(col("doc_id") % 5 === 0)
-      val trTok = train.select(col("lang").as("c"), explode(col("toks")).as("w"))
-      val wc = trTok.groupBy(col("c"), col("w")).agg(count(lit(1)).as("cnt"))
-      val tot = wc.groupBy(col("c")).agg(sum(col("cnt")).as("tot"))
-      val vv = wc.select(col("w")).distinct().agg(count(lit(1)).as("v"))
-      val nTr = train.agg(count(lit(1)).as("n_train"))
-      val pri = train.groupBy(col("lang").as("c"))
-        .agg(count(lit(1)).as("n_docs"))
-        .crossJoin(broadcast(nTr))
-        .select(col("c"),
-          round(log(col("n_docs").cast("double") / col("n_train")) * 1000000, 0)
-            .cast("long").as("prior"))
-      val clsx = broadcast(pri.join(tot, Seq("c")).crossJoin(vv))
-      val teTok = test.select(col("doc_id"), col("lang").as("true_lang"),
-        explode(col("toks")).as("w"))
-      val lp = round(log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double")
-        / (col("tot") + col("v"))) * 1000000, 0).cast("long")
-      teTok.crossJoin(clsx)
-        .join(wc, Seq("c", "w"), "left_outer")
-        .groupBy(col("doc_id"), col("true_lang"), col("c"), col("prior"))
-        .agg(sum(lp).as("lpsum"))
-        .select(col("doc_id"), col("true_lang"),
-          struct((col("prior") + col("lpsum")).as("score"), col("c")).as("sc"))
-        .groupBy(col("doc_id"), col("true_lang"))
-        .agg(max(col("sc")).as("m")) // argmax: (score, class) lexicographic
-        .select(col("doc_id"), col("true_lang"), col("m.c").as("pred_lang"),
-          col("m.score").as("score"))
-        .orderBy(col("doc_id"))
-    },
-    Some("""
+  /** Per-(test-doc, class) naive-Bayes log-score table — the shared
+    * scoring core of llm_nb_train (argmax consumer) and
+    * llm_label_noise (margin consumer): ONE definition so the model
+    * and the audit of its labels cannot drift apart. Columns:
+    * doc_id, true_lang, c, score (prior + Σ micro-quantized token
+    * log-likelihoods — an order-independent BIGINT per class). */
+  private def nbClassScores(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val test = docs.filter(col("doc_id") % 5 === 0)
+    val trTok = train.select(col("lang").as("c"), explode(col("toks")).as("w"))
+    val wc = trTok.groupBy(col("c"), col("w")).agg(count(lit(1)).as("cnt"))
+    val tot = wc.groupBy(col("c")).agg(sum(col("cnt")).as("tot"))
+    val vv = wc.select(col("w")).distinct().agg(count(lit(1)).as("v"))
+    val nTr = train.agg(count(lit(1)).as("n_train"))
+    val pri = train.groupBy(col("lang").as("c"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(nTr))
+      .select(col("c"),
+        round(log(col("n_docs").cast("double") / col("n_train")) * 1000000, 0)
+          .cast("long").as("prior"))
+    val clsx = broadcast(pri.join(tot, Seq("c")).crossJoin(vv))
+    val teTok = test.select(col("doc_id"), col("lang").as("true_lang"),
+      explode(col("toks")).as("w"))
+    val lp = round(log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double")
+      / (col("tot") + col("v"))) * 1000000, 0).cast("long")
+    teTok.crossJoin(clsx)
+      .join(wc, Seq("c", "w"), "left_outer")
+      .groupBy(col("doc_id"), col("true_lang"), col("c"), col("prior"))
+      .agg(sum(lp).as("lpsum"))
+      .select(col("doc_id"), col("true_lang"), col("c"),
+        (col("prior") + col("lpsum")).as("score"))
+  }
+
+  /** DuckDB rendering of [[nbClassScores]] — the CTE prefix both NB
+    * oracles share verbatim (ends at `sc`: per-(doc, class) scores). */
+  private val nbSqlPrefix = """
       WITH docs AS (
         SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
       tr AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
@@ -795,7 +797,21 @@ object TrainingQueries extends QueryModule {
                  ) * 1000000, 0) AS BIGINT)) AS BIGINT) AS score
         FROM tetok t CROSS JOIN clsx x
         LEFT JOIN wc ON wc.c = x.c AND wc.w = t.w
-        GROUP BY t.doc_id, t.true_lang, x.c, x.prior),
+        GROUP BY t.doc_id, t.true_lang, x.c, x.prior)"""
+
+  private val nbTrain = QueryDef(
+    "llm_nb_train",
+    (s, d) => {
+      nbClassScores(s, d)
+        .select(col("doc_id"), col("true_lang"),
+          struct(col("score"), col("c")).as("sc"))
+        .groupBy(col("doc_id"), col("true_lang"))
+        .agg(max(col("sc")).as("m")) // argmax: (score, class) lexicographic
+        .select(col("doc_id"), col("true_lang"), col("m.c").as("pred_lang"),
+          col("m.score").as("score"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""$nbSqlPrefix,
       best AS (
         SELECT doc_id, true_lang, c, score,
                row_number() OVER (PARTITION BY doc_id
@@ -804,6 +820,55 @@ object TrainingQueries extends QueryModule {
       SELECT doc_id, true_lang, c AS pred_lang, score
       FROM best WHERE rk = 1
       ORDER BY doc_id"""))
+
+  /** Confident-learning label-noise detection (the Cleanlab shape):
+    * a held-out doc whose LEARNED-model argmax disagrees with its
+    * gold label by a wide margin is a probable labeling error — the
+    * audit run before anyone trains on "gold" data. Consumes
+    * [[nbClassScores]] (the SAME per-(doc, class) score table
+    * llm_nb_train argmaxes — one scoring definition, no drift);
+    * margin = best score − gold-class score in integer micros, both
+    * order-independent BIGINTs, so the ≥ 1000-micro confidence
+    * threshold is an exact integer predicate (no float branch). Docs
+    * whose gold class never appears in training are EXCLUDED by the
+    * inner join — they are out-of-distribution, a different queue
+    * than mislabeled. Scale shape: two aggregations of the same
+    * score table (argmax struct-max + a gold-row filter), one equi
+    * join on doc_id. */
+  private val labelNoise = QueryDef(
+    "llm_label_noise",
+    (s, d) => {
+      val scores = nbClassScores(s, d)
+      val best = scores
+        .select(col("doc_id"), col("true_lang"),
+          struct(col("score"), col("c")).as("sc"))
+        .groupBy(col("doc_id"), col("true_lang"))
+        .agg(max(col("sc")).as("m"))
+      val gold = scores.filter(col("c") === col("true_lang"))
+        .select(col("doc_id"), col("score").as("gold_score"))
+      best.join(gold, Seq("doc_id"))
+        .filter(col("m.c") =!= col("true_lang") &&
+          col("m.score") - col("gold_score") >= 1000L)
+        .select(col("doc_id"), col("true_lang"),
+          col("m.c").as("pred_lang"),
+          (col("m.score") - col("gold_score")).as("margin_micros"))
+        .orderBy(col("margin_micros").desc, col("doc_id"))
+    },
+    Some(s"""$nbSqlPrefix,
+      best AS (
+        SELECT doc_id, true_lang, c, score,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, c DESC) AS rk
+        FROM sc),
+      top AS (SELECT doc_id, true_lang, c AS pred_lang, score FROM best
+              WHERE rk = 1),
+      gold AS (SELECT doc_id, score AS gold_score FROM sc
+               WHERE c = true_lang)
+      SELECT t.doc_id, t.true_lang, t.pred_lang,
+             t.score - g.gold_score AS margin_micros
+      FROM top t JOIN gold g ON g.doc_id = t.doc_id
+      WHERE t.pred_lang <> t.true_lang AND t.score - g.gold_score >= 1000
+      ORDER BY margin_micros DESC, t.doc_id"""))
 
   /** GRPO-style group-relative advantage — the RLHF/GRPO batch step
     * downstream of llm_preference_pairs: within each (lang, source)
@@ -1022,5 +1087,5 @@ object TrainingQueries extends QueryModule {
   val defs: Seq[QueryDef] =
     Seq(hardNegatives, centroidClassify, diversifiedTopk, pcaPower,
       stumpTrain, logregTrain, kmeansTrain, nbTrain, grpoAdvantage,
-      gbdtTrain)
+      gbdtTrain, labelNoise)
 }

@@ -230,8 +230,9 @@ class QueriesSpec extends SparkTestBase {
       // llm_nb_train: the |classes|-row model header (prior, tot, V)
       // broadcasts over the test tokens (every token scores against
       // every class — the intended densification) plus the 1-row
-      // n_train scalar — the llm_lm_score scalar shape
-      "llm_nb_train",
+      // n_train scalar — the llm_lm_score scalar shape;
+      // llm_label_noise consumes nbClassScores — the identical plan
+      "llm_nb_train", "llm_label_noise",
       // llm_rerank_stage: stage 1 IS llm_bm25_search's plan (consumed
       // verbatim), so it inherits bm25's allowlisted 1-row
       // corpus-stats broadcast cross join; stage 2 adds only equi
@@ -1162,6 +1163,32 @@ class QueriesSpec extends SparkTestBase {
     val cov = rows.sortBy(_.getInt(2)).map(_.getLong(4))
     assert(cov.zip(cov.tail).forall { case (a, b) => a >= b },
       s"coverage must dominate the rerank order: ${cov.toSeq}")
+  }
+
+  test("llm_label_noise: flagged docs are exactly the wide-margin disagreements of nb_train") {
+    val noise = SparkEntry.queries("llm_label_noise")(spark, sf).collect()
+    val nb = SparkEntry.queries("llm_nb_train")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    noise.foreach { r =>
+      assert(r.getLong(3) >= 1000L, "margin below the confidence threshold")
+      val (trueLang, predLang) = nb(r.getLong(0))
+      assert(trueLang != predLang, "flagged doc must be an nb_train disagreement")
+      assert(r.getString(2) === predLang, "pred must match the shared scoring core")
+    }
+    // the audit is a subset of disagreements, never a superset
+    val disagreements = nb.count { case (_, (t, p)) => t != p }
+    assert(noise.length <= disagreements)
+  }
+
+  test("llm_psi_drift: contributions are non-negative and bins partition both splits") {
+    val rows = SparkEntry.queries("llm_psi_drift")(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    // (p - q)·ln(p/q) >= 0 always (same sign factors)
+    rows.foreach(r => assert(r.getLong(4) >= 0L, s"negative PSI term: $r"))
+    rows.groupBy(_.getString(0)).foreach { case (feat, rs) =>
+      assert(rs.map(r => r.getLong(2) + r.getLong(3)).sum === nDocs,
+        s"feature $feat bins must partition the corpus")
+    }
   }
 
   test("q_formats_roundtrip: every format reproduces the identical aggregate") {

@@ -74,11 +74,18 @@ private[graft] object MediaFixtures {
   }
 
   /** Mono 16-bit PCM WAV, 8 kHz, `n` samples of a deterministic ramp. */
-  def wavPcm(n: Int): Array[Byte] = {
+  def wavPcm(n: Int): Array[Byte] = wavPcmSeeded(n, 257, 1, 1)
+
+  /** [[wavPcm]] with a per-fixture ramp stride and an exact num/den
+    * gain. Both divisions run on NON-NEGATIVE ints before the offset
+    * subtraction, so truncation equals floor and any engine's integer
+    * division reproduces the samples exactly (Scala `/` truncates
+    * toward zero, DuckDB `//` floors — they agree only on ≥ 0). */
+  def wavPcmSeeded(n: Int, stride: Int, num: Int, den: Int): Array[Byte] = {
     val data = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
-      val v = (i * 257) % 30000 - 15000
+      val v = ((i * stride % 30000) * num) / den - (15000 * num) / den
       data(i * 2) = (v & 0xff).toByte; data(i * 2 + 1) = ((v >> 8) & 0xff).toByte
       i += 1
     }

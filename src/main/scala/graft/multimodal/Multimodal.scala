@@ -854,6 +854,43 @@ object Multimodal {
       }
     }
 
+  /** 56-bit audio fingerprint over really-decoded PCM — the audio
+    * analog of [[dhash56]]: energies of the first 57 64-sample
+    * frames (Σv², exact longs), bit f set when frame f is strictly
+    * louder than frame f+1. An energy-ORDER fingerprint is invariant
+    * under uniform gain (the perceptual property a loudness-
+    * normalized re-encode must not defeat) while structurally
+    * different audio hashes far apart. Mono 16-bit PCM with ≥ 3648
+    * samples only; None otherwise — a shorter clip is too short to
+    * fingerprint, not "the hash of nothing". */
+  def audioEnergyHash56(content: Array[Byte]): Option[Long] =
+    wavPcm16(content).flatMap { case (_, channels, nSamples, dataOff) =>
+      if (channels != 1 || nSamples < 57 * 64) None
+      else {
+        val e = new Array[Long](57)
+        var f = 0
+        while (f < 57) {
+          var acc = 0L
+          var i = 0
+          while (i < 64) {
+            val idx = dataOff + (f * 64 + i) * 2
+            val v = ((content(idx) & 0xff) | (content(idx + 1) << 8)).toShort.toLong
+            acc += v * v
+            i += 1
+          }
+          e(f) = acc
+          f += 1
+        }
+        var hash = 0L
+        var k = 0
+        while (k < 56) {
+          if (e(k) > e(k + 1)) hash |= 1L << k
+          k += 1
+        }
+        Some(hash)
+      }
+    }
+
   /** One extracted feature vector (the embedding-extraction shape). */
   final case class MediaFeature(media_id: Long, kind: String, feature: Array[Float])
 

@@ -4612,6 +4612,54 @@ object LlmQueries extends QueryModule {
       FROM cnt LEFT JOIN reb ON reb.doc_id = cnt.doc_id
       ORDER BY cnt.doc_id"""))
 
+  /** Band-bucketed Hamming near-dup pairs over a (doc_id, variant,
+    * dhash) table of 56-bit fingerprints: 4 × 14-bit LSH bands
+    * generate candidates (only band-key collisions ever join — never
+    * all pairs), bit_count confirms at `maxHamming`. ONE pairing
+    * definition shared by the image and audio fingerprint operators;
+    * [[dkHammingTail]] is its DuckDB rendering. */
+  private def bandedHammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = hashes
+      .select(col("doc_id"), col("variant"), col("dhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey",
+        expr("shiftright(dhash, band * 14)").bitwiseAND(lit(16383L)))
+    val l = bands.select(col("band"), col("bkey"), col("doc_id").as("id1"),
+      col("variant").as("v1"), col("dhash").as("h1"))
+    val r = bands.select(col("band"), col("bkey"), col("doc_id").as("id2"),
+      col("variant").as("v2"), col("dhash").as("h2"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("id1") < col("id2") ||
+        (col("id1") === col("id2") && col("v1") < col("v2")))
+      .select(col("id1"), col("v1"), col("id2"), col("v2"),
+        col("h1"), col("h2"))
+      .distinct()
+      .withColumn("hamming", expr("cast(bit_count(h1 ^ h2) as int)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("v1"), col("id2"), col("v2"), col("hamming"))
+      .orderBy(col("id1"), col("v1"), col("id2"), col("v2"))
+  }
+
+  /** DuckDB rendering of [[bandedHammingPairs]]: appends the
+    * banding/candidate/confirm tail to a CTE chain whose last CTE
+    * `hs` holds (doc_id, variant, dhash). */
+  private def dkHammingTail(maxHamming: Int): String = s""",
+      bk AS (
+        SELECT doc_id, variant, dhash, band,
+               (dhash >> (band * 14)) & 16383 AS bkey
+        FROM (SELECT *, unnest(generate_series(0, 3)) AS band FROM hs)),
+      cand AS (
+        SELECT DISTINCT l.doc_id AS id1, l.variant AS v1,
+               r.doc_id AS id2, r.variant AS v2, l.dhash AS h1, r.dhash AS h2
+        FROM bk l JOIN bk r ON r.band = l.band AND r.bkey = l.bkey
+        WHERE l.doc_id < r.doc_id
+           OR (l.doc_id = r.doc_id AND l.variant < r.variant))
+      SELECT id1, v1, id2, v2,
+             CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+      FROM cand
+      WHERE bit_count(xor(h1, h2)) <= $maxHamming
+      ORDER BY id1, v1, id2, v2"""
+
   /** Image near-duplicate detection by perceptual hash — the
     * LAION-style image-dedup pipeline run over REALLY-DECODED pixels:
     * deterministic PNG fixtures (base / top-row-brightness-shifted
@@ -4649,25 +4697,7 @@ object LlmQueries extends QueryModule {
               (id, "c", hashOf(MediaFixtures.pngSeeded(w + 1, h, coef))))
           }
         }.toDF("doc_id", "variant", "dhash")
-      val bands = hashes
-        .select(col("doc_id"), col("variant"), col("dhash"),
-          explode(sequence(lit(0), lit(3))).as("band"))
-        .withColumn("bkey",
-          expr("shiftright(dhash, band * 14)").bitwiseAND(lit(16383L)))
-      val l = bands.select(col("band"), col("bkey"), col("doc_id").as("id1"),
-        col("variant").as("v1"), col("dhash").as("h1"))
-      val r = bands.select(col("band"), col("bkey"), col("doc_id").as("id2"),
-        col("variant").as("v2"), col("dhash").as("h2"))
-      l.join(r, Seq("band", "bkey"))
-        .filter(col("id1") < col("id2") ||
-          (col("id1") === col("id2") && col("v1") < col("v2")))
-        .select(col("id1"), col("v1"), col("id2"), col("v2"),
-          col("h1"), col("h2"))
-        .distinct()
-        .withColumn("hamming", expr("cast(bit_count(h1 ^ h2) as int)"))
-        .filter(col("hamming") <= 8)
-        .select(col("id1"), col("v1"), col("id2"), col("v2"), col("hamming"))
-        .orderBy(col("id1"), col("v1"), col("id2"), col("v2"))
+      bandedHammingPairs(hashes, 8)
     },
     Some("""
       WITH ids AS (
@@ -4702,22 +4732,7 @@ object LlmQueries extends QueryModule {
                CAST(sum(CASE WHEN bit = 1
                  THEN (CAST(1 AS BIGINT) << (gy * 8 + gx)) ELSE 0 END)
                  AS BIGINT) AS dhash
-        FROM bits GROUP BY 1, 2),
-      bk AS (
-        SELECT doc_id, variant, dhash, band,
-               (dhash >> (band * 14)) & 16383 AS bkey
-        FROM (SELECT *, unnest(generate_series(0, 3)) AS band FROM hs)),
-      cand AS (
-        SELECT DISTINCT l.doc_id AS id1, l.variant AS v1,
-               r.doc_id AS id2, r.variant AS v2, l.dhash AS h1, r.dhash AS h2
-        FROM bk l JOIN bk r ON r.band = l.band AND r.bkey = l.bkey
-        WHERE l.doc_id < r.doc_id
-           OR (l.doc_id = r.doc_id AND l.variant < r.variant))
-      SELECT id1, v1, id2, v2,
-             CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
-      FROM cand
-      WHERE bit_count(xor(h1, h2)) <= 8
-      ORDER BY id1, v1, id2, v2"""))
+        FROM bits GROUP BY 1, 2)""" + dkHammingTail(8)))
 
   /** Two-stage retrieval: rerank the BM25 top-20 with features a
     * first-stage scorer cannot see — the retrieve-then-rerank shape
@@ -4807,6 +4822,78 @@ object LlmQueries extends QueryModule {
              coverage, n_hits, min_gap, rerank_score
       FROM ranked
       ORDER BY new_rank"""))
+
+  /** Audio near-duplicate detection by acoustic fingerprint — the
+    * audio arm of the fingerprint-dedup family (one pairing
+    * definition with llm_image_dhash_dedup): deterministic mono-PCM
+    * WAV fixtures (base ramp / gain-0.75 re-encode / different-
+    * stride distractor per id) decode through the real RIFF/PCM
+    * path, [[graft.multimodal.Multimodal.audioEnergyHash56]] folds
+    * each into a 56-bit frame-energy-order hash, and the shared
+    * banded-Hamming pairing confirms at ≤ 4 bits. The gain twin
+    * hashes IDENTICALLY (energy order is gain-invariant — the
+    * perceptual property a loudness-normalized re-upload must not
+    * defeat) while the nearest distractor sits ≥ 7 bits away, so the
+    * threshold cleanly separates. The oracle recomputes every hash
+    * as pure arithmetic from the ramp formula — both fixture
+    * divisions run on non-negative ints so Scala truncation and
+    * DuckDB floor agree. Hashing is a narrow per-partition map; only
+    * 8-byte hashes shuffle. */
+  private val audioFingerprint = QueryDef(
+    "llm_audio_fingerprint",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.{MediaFixtures, Multimodal}
+      val n = 57 * 64
+      val hashes = documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 32).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val g = (id % 32).toInt
+            val stride = 257 + 2 * g
+            def hashOf(wav: Array[Byte]): Long =
+              Multimodal.audioEnergyHash56(wav)
+                .getOrElse(sys.error("PCM fixture must decode"))
+            Seq(
+              (id, "a", hashOf(MediaFixtures.wavPcmSeeded(n, stride, 1, 1))),
+              (id, "b", hashOf(MediaFixtures.wavPcmSeeded(n, stride, 3, 4))),
+              (id, "c", hashOf(MediaFixtures.wavPcmSeeded(n, stride + 101, 1, 1))))
+          }
+        }.toDF("doc_id", "variant", "dhash")
+      bandedHammingPairs(hashes, 4)
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, CAST(doc_id % 32 AS INTEGER) AS g
+        FROM documents WHERE doc_id < 32),
+      auds AS (
+        SELECT doc_id, 'a' AS variant, 257 + 2 * g AS stride,
+               1 AS num, 1 AS den FROM ids
+        UNION ALL SELECT doc_id, 'b', 257 + 2 * g, 3, 4 FROM ids
+        UNION ALL SELECT doc_id, 'c', 358 + 2 * g, 1, 1 FROM ids),
+      frames AS (SELECT *, unnest(generate_series(0, 56)) AS f FROM auds),
+      cells AS (SELECT *, unnest(generate_series(0, 63)) AS j FROM frames),
+      vals AS (
+        SELECT doc_id, variant, f,
+               ((f * 64 + j) * stride % 30000) * num // den
+                 - (15000 * num) // den AS v
+        FROM cells),
+      en AS (
+        SELECT doc_id, variant, f,
+               CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS e
+        FROM vals GROUP BY 1, 2, 3),
+      bits AS (
+        SELECT a.doc_id, a.variant, a.f,
+               CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+        FROM en a
+        JOIN en b ON b.doc_id = a.doc_id AND b.variant = a.variant
+          AND b.f = a.f + 1
+        WHERE a.f < 56),
+      hs AS (
+        SELECT doc_id, variant,
+               CAST(sum(CASE WHEN bit = 1
+                 THEN (CAST(1 AS BIGINT) << f) ELSE 0 END) AS BIGINT) AS dhash
+        FROM bits GROUP BY 1, 2)""" + dkHammingTail(4)))
 
   /** Population-stability-index (PSI) drift monitor — the
     * train/serve-skew audit a production pipeline runs on every
@@ -4901,5 +4988,6 @@ object LlmQueries extends QueryModule {
     bm25Search, randomProjection, kanonAudit, dpRelease, preferencePairs, multimodalCodecTwin, dedupEval, pagerank,
     multimodalFeatures, similarityPq, hybridSearch, qualityClassifier,
     retrievalEval, ngramNovelty, prefixDedup, zipfFit, dedupTriangles,
-    agreementKappa, boilerplateScrub, imageDhashDedup, rerankStage, psiDrift)
+    agreementKappa, boilerplateScrub, imageDhashDedup, rerankStage, psiDrift,
+    audioFingerprint)
 }

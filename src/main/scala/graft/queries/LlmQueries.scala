@@ -2835,10 +2835,18 @@ object LlmQueries extends QueryModule {
     * corpus-sized side join), df and the corpus stats are tiny
     * broadcast aggregates, and the final per-doc fold touches ≤|terms|
     * rows per doc. Only matching docs ever shuffle. */
+  /** The fixed query of the lexical-search family — ONE definition
+    * for llm_bm25_search (stage 1) and llm_rerank_stage (stage 2),
+    * in both engines, so the stages cannot filter on different
+    * terms. */
+  private val searchTerms = Seq("dup", "vector", "query")
+  private val searchTermsSql =
+    searchTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+
   private val bm25Search = QueryDef(
     "llm_bm25_search",
     (s, d) => {
-      val terms = Seq("dup", "vector", "query")
+      val terms = searchTerms
       val postings = documents(s, d)
         .select(col("doc_id"), size(tokens(col("text"))).as("dl"),
           explode(tokens(col("text"))).as("tok"))
@@ -2863,7 +2871,7 @@ object LlmQueries extends QueryModule {
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
     },
-    Some("""
+    Some(s"""
       WITH dl AS (
         SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
       stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
@@ -2871,7 +2879,7 @@ object LlmQueries extends QueryModule {
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       postings AS (
         SELECT doc_id, tok, count(*) AS tf
-        FROM toks WHERE tok IN ('dup', 'vector', 'query')
+        FROM toks WHERE tok IN $searchTermsSql
         GROUP BY 1, 2),
       dfreq AS (SELECT tok, count(*) AS df FROM postings GROUP BY 1),
       scored AS (
@@ -4452,9 +4460,12 @@ object LlmQueries extends QueryModule {
     * the majority class scores high accuracy but κ ≈ 0). Exactness by
     * algebra: with h = agreements, n = docs, and S = Σ_c pred_c·gold_c
     * the chance-pair count, κ = (p_o − p_e)/(1 − p_e) reduces to
-    * (h·n − S)/(n² − S) — a ratio of EXACT BIGINTs, so both engines
-    * perform ONE identical IEEE division (no float accumulation to
-    * drift). S = n² forces h = n (both raters constant on the same
+    * (h·n − S)/(n² − S) — a ratio of EXACT 128-bit integers
+    * (decimal(38,0) / HUGEINT: S and n² reach n² magnitude, so a
+    * BIGINT would wrap at ~3·10⁹ docs per source — the
+    * llm_grpo_advantage Σr² lesson), so both engines perform ONE
+    * identical IEEE division (no float accumulation to drift).
+    * S = n² forces h = n (both raters constant on the same
     * class), pinned to κ = 1 before the division. Spark shape: a
     * narrow prediction pass, then three map-side-combinable
     * aggregations at (source[, class]) granularity and joins on the
@@ -4478,17 +4489,23 @@ object LlmQueries extends QueryModule {
         .agg(count(lit(1)).as("pc"))
       val gc = per.groupBy(col("source").as("gsource"), col("lang"))
         .agg(count(lit(1)).as("gc"))
+      // h·n, n², and S reach n² magnitude: 128 bits (decimal(38,0) /
+      // HUGEINT) like llm_grpo_advantage's Σr² — a BIGINT n² wraps at
+      // ~3·10⁹ docs per source
       val chance = pc
         .join(gc, col("gsource") === col("source") && col("lang") === col("pred"))
         .groupBy(col("source"))
-        .agg(sum(col("pc") * col("gc")).as("s_chance"))
+        .agg(sum(col("pc").cast("decimal(19,0)") * col("gc")).as("s_chance"))
+      val hn = col("hits").cast("decimal(19,0)") * col("n")
+      val nn = col("n").cast("decimal(19,0)") * col("n")
       tot.join(chance, Seq("source"), "left")
         .withColumn("s_chance", coalesce(col("s_chance"), lit(0L)))
-        .select(col("source"), col("n"), col("hits"), col("s_chance"),
-          when(col("n") * col("n") === col("s_chance"), lit(1.0))
+        .select(col("source"), col("n"), col("hits"),
+          col("s_chance").cast("long").as("s_chance"),
+          when(nn === col("s_chance"), lit(1.0))
             .otherwise(round(
-              (col("hits") * col("n") - col("s_chance")).cast("double") /
-                (col("n") * col("n") - col("s_chance")).cast("double"), 6) +
+              (hn - col("s_chance")).cast("double") /
+                (nn - col("s_chance")).cast("double"), 6) +
               lit(0.0)).as("kappa"))
         .orderBy(col("source"))
     },
@@ -4516,14 +4533,18 @@ object LlmQueries extends QueryModule {
       pc AS (SELECT source, pred, count(*) AS pc FROM p GROUP BY 1, 2),
       gc AS (SELECT source, lang, count(*) AS gc FROM p GROUP BY 1, 2),
       ch AS (
-        SELECT pc.source, CAST(sum(pc.pc * gc.gc) AS BIGINT) AS s_chance
+        SELECT pc.source, sum(CAST(pc.pc AS HUGEINT) * gc.gc) AS s_chance
         FROM pc JOIN gc ON gc.source = pc.source AND gc.lang = pc.pred
         GROUP BY 1)
-      SELECT tot.source, n, hits, coalesce(s_chance, 0) AS s_chance,
-             CASE WHEN n * n = coalesce(s_chance, 0) THEN CAST(1.0 AS DOUBLE)
+      SELECT tot.source, n, hits,
+             CAST(coalesce(s_chance, 0) AS BIGINT) AS s_chance,
+             CASE WHEN CAST(n AS HUGEINT) * n = coalesce(s_chance, 0)
+                  THEN CAST(1.0 AS DOUBLE)
                   ELSE round(
-                    CAST(hits * n - coalesce(s_chance, 0) AS DOUBLE) /
-                    CAST(n * n - coalesce(s_chance, 0) AS DOUBLE), 6) + 0.0
+                    CAST(CAST(hits AS HUGEINT) * n
+                         - coalesce(s_chance, 0) AS DOUBLE) /
+                    CAST(CAST(n AS HUGEINT) * n
+                         - coalesce(s_chance, 0) AS DOUBLE), 6) + 0.0
              END AS kappa
       FROM tot LEFT JOIN ch ON ch.source = tot.source
       ORDER BY tot.source"""))
@@ -4539,10 +4560,15 @@ object LlmQueries extends QueryModule {
     * (segments rejoined in position order — the hash pins the exact
     * reconstruction, not just the counts). Spark shape: segmenting
     * follows the llm_chunk_documents explode(sequence)+slice idiom
-    * (no shuffle, no lambda-re-evaluation of the split); the
-    * frequency join keys on (source, md5(segment)) so at 100 TB the
-    * repeated-segment table shuffles 16-byte digests, never segment
-    * text; reassembly sorts the collected (seg, chunk) structs —
+    * (no shuffle, no lambda-re-evaluation of the split); the entire
+    * frequency side — per-(source, digest) doc counts, the
+    * boilerplate set, and the per-doc removed-index arrays — runs on
+    * (doc_id, seg, source, md5(segment)) rows with NO text column,
+    * so at 100 TB those shuffles carry 16-byte digests; segment TEXT
+    * crosses the wire exactly once, into the doc_id-keyed rewrite
+    * aggregation (unavoidable — the output IS the rewritten corpus),
+    * whose join and groupBy share the doc_id partitioning.
+    * Reassembly sorts the collected (seg, chunk) structs —
     * collect_list order is shuffle-dependent, array_sort makes it
     * total. */
   private val boilerplateScrub = QueryDef(
@@ -4558,24 +4584,26 @@ object LlmQueries extends QueryModule {
           array_join(slice(col("toks"), col("seg") * segW + 1, lit(segW)), " ")
             .as("chunk"))
         .withColumn("chash", md5(col("chunk")))
-      val dfreq = seg.groupBy(col("source"), col("chash"))
+      val dig = seg.select(col("doc_id"), col("source"), col("seg"), col("chash"))
+      val bpSet = dig.groupBy(col("source"), col("chash"))
         .agg(countDistinct(col("doc_id")).as("df_docs"))
-      val flagged = seg.join(dfreq, Seq("source", "chash"))
-        .withColumn("bp", (col("df_docs") >= 2).cast("int"))
-      val counts = flagged.groupBy(col("doc_id")).agg(
-        count(lit(1)).as("n_segs"), sum(col("bp")).as("n_removed"))
-      val rebuilt = flagged.filter(col("bp") === 0)
-        .groupBy(col("doc_id")).agg(
-          sum(size(split(col("chunk"), " "))).as("n_tokens_kept"),
+        .filter(col("df_docs") >= 2)
+        .select(col("source"), col("chash"))
+      val removed = dig.join(bpSet, Seq("source", "chash"))
+        .groupBy(col("doc_id")).agg(collect_set(col("seg")).as("rsegs"))
+      val keep = !coalesce(array_contains(col("rsegs"), col("seg")), lit(false))
+      seg.join(removed, Seq("doc_id"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_segs"),
+          sum((!keep).cast("long")).as("n_removed"),
+          sum(when(keep, size(split(col("chunk"), " "))).otherwise(0L))
+            .as("n_tokens_kept"),
           md5(array_join(
             transform(
-              array_sort(collect_list(struct(col("seg"), col("chunk")))),
+              array_sort(collect_list(when(keep, struct(col("seg"), col("chunk"))))),
               x => x.getField("chunk")),
             " ")).as("clean_hash"))
-      counts.join(rebuilt, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_segs"), col("n_removed"),
-          coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
-          coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
         .orderBy(col("doc_id"))
     },
     Some("""
@@ -4744,8 +4772,10 @@ object LlmQueries extends QueryModule {
     * candidates: query-term coverage, hit count, and minimum
     * inter-term position gap (the proximity signal BM25's
     * bag-of-words sum ignores), folded into an EXACT-integer rerank
-    * score (coverage·100000 − gap·10 + capped hits — strictly
-    * tiered, branch-safe argsort). Scale shape: positions come from
+    * score (coverage·100000 − min(gap, 9000)·10 + hits capped at 50 —
+    * the gap cap makes the coverage tiers hold by ARITHMETIC,
+    * 90000 + 50 < 100000, not by hoping documents stay short; a
+    * branch-safe argsort). Scale shape: positions come from
     * the tokenizer-filtered postings semi-joined to the broadcast
     * 20-row candidate set, the gap self-join is candidate-bounded,
     * and both rank windows run on the constant 20-row frame (the
@@ -4753,13 +4783,19 @@ object LlmQueries extends QueryModule {
   private val rerankStage = QueryDef(
     "llm_rerank_stage",
     (s, d) => {
-      val terms = Seq("dup", "vector", "query")
+      // 20 rows, reused by three consumers (pos semi-join + both rank
+      // windows) — materialize once instead of re-running stage 1
       val cand = bm25Search.fn(s, d)
         .select(col("doc_id"), col("score").as("bm25_score"))
+        .localCheckpoint()
+      // candidate-bounded positions, consumed by cov AND both sides
+      // of the gap self-join — without the checkpoint each reference
+      // re-tokenizes the corpus (self-joins don't share subtrees)
       val pos = documents(s, d)
         .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-        .filter(col("tok").isin(terms: _*))
+        .filter(col("tok").isin(searchTerms: _*))
         .join(broadcast(cand.select(col("doc_id"))), Seq("doc_id"))
+        .localCheckpoint()
       val cov = pos.groupBy(col("doc_id")).agg(
         countDistinct(col("tok")).as("coverage"), count(lit(1)).as("n_hits"))
       val gaps = pos.as("p1")
@@ -4772,7 +4808,10 @@ object LlmQueries extends QueryModule {
       cand
         .join(cov, Seq("doc_id"))
         .join(gaps, Seq("doc_id"), "left")
-        .withColumn("min_gap", coalesce(col("min_gap"), lit(9999)))
+        // cap at 9000 so the coverage tier holds by arithmetic
+        // (10·9000 + 50 < 100000) and the no-pair sentinel collapses
+        // onto the same cap
+        .withColumn("min_gap", least(coalesce(col("min_gap"), lit(9999)), lit(9000)))
         .withColumn("rerank_score",
           col("coverage") * lit(100000L) - col("min_gap") * lit(10L) +
             least(col("n_hits"), lit(50L)))
@@ -4791,7 +4830,7 @@ object LlmQueries extends QueryModule {
       ch AS (
         SELECT h.doc_id, h.tok, h.pos
         FROM (SELECT doc_id, ws[g] AS tok, g AS pos FROM pos0
-              WHERE ws[g] IN ('dup', 'vector', 'query')) h
+              WHERE ws[g] IN $searchTermsSql) h
         JOIN cand USING (doc_id)),
       cov AS (
         SELECT doc_id, count(DISTINCT tok) AS coverage, count(*) AS n_hits
@@ -4803,7 +4842,7 @@ object LlmQueries extends QueryModule {
         GROUP BY 1),
       rer AS (
         SELECT c.doc_id, c.score AS bm25_score, coverage, n_hits,
-               CAST(coalesce(min_gap, 9999) AS INTEGER) AS min_gap
+               least(CAST(coalesce(min_gap, 9999) AS INTEGER), 9000) AS min_gap
         FROM cand c
         JOIN cov USING (doc_id)
         LEFT JOIN gaps ON gaps.doc_id = c.doc_id),

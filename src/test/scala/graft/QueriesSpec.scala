@@ -1194,7 +1194,8 @@ class QueriesSpec extends SparkTestBase {
   test("llm_audio_fingerprint: gain twins collide exactly; distractors never pair") {
     val rows = SparkEntry.queries("llm_audio_fingerprint")(spark, sf).collect()
     // the 0.75-gain re-encode preserves energy order bit-for-bit
-    val ab = rows.filter(r => r.getString(1) == "a" && r.getString(3) == "b")
+    val ab = rows.filter(r => r.getLong(0) == r.getLong(2) &&
+      r.getString(1) == "a" && r.getString(3) == "b")
     assert(ab.length === 32 && ab.forall(_.getInt(4) === 0),
       "every gain twin must hash identically")
     assert(rows.forall(r => !(r.getString(1) == "c" || r.getString(3) == "c")),

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions.{hash60, tokens}
 import graft.functions.VectorFunctions._
 import graft.sources.Tables.{documents, embeddings}
 
@@ -1084,8 +1085,183 @@ object TrainingQueries extends QueryModule {
       ORDER BY iter"""
     })
 
+  /** Margin-calibration audit of the learned classifier — the
+    * reliability-diagram question ("when the model is confident, is
+    * it right?") asked in a determinism-safe way: libm softmax would
+    * make probabilities engine-dependent, so confidence is the EXACT
+    * integer top-1 − top-2 score margin (micros), binned at 2000
+    * micros (capped at bin 9), with per-bin accuracy from exact
+    * counts. A well-calibrated model shows accuracy rising with the
+    * margin bin; a flat curve means the margins are noise. Third
+    * consumer of [[nbClassScores]] — per doc the class list is
+    * collected (|classes| ≤ langs, bounded) and sorted desc by
+    * (score, class), the same total order as the oracle's
+    * row_number. Scale: one aggregation to per-doc top-2, one to the
+    * 10-bin table. */
+  private val marginCalibration = QueryDef(
+    "llm_margin_calibration",
+    (s, d) => {
+      val perDoc = nbClassScores(s, d)
+        .groupBy(col("doc_id"), col("true_lang"))
+        .agg(reverse(array_sort(collect_list(struct(col("score"), col("c")))))
+          .as("arr"))
+        .filter(size(col("arr")) >= 2)
+        .select(col("true_lang"), col("arr").getItem(0).getField("c").as("pred"),
+          (col("arr").getItem(0).getField("score") -
+            col("arr").getItem(1).getField("score")).as("margin"))
+      perDoc
+        .groupBy(least(expr("margin div 2000"), lit(9L)).as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("pred") === col("true_lang")).cast("long")).as("hits"),
+          sum(col("margin")).as("sm"))
+        .select(col("bin"), col("n"), col("hits"),
+          (round(col("hits").cast("double") / col("n"), 4) + lit(0.0)).as("acc"),
+          expr("sm div n").as("avg_margin_micros"))
+        .orderBy(col("bin"))
+    },
+    Some(s"""$nbSqlPrefix,
+      rk AS (
+        SELECT doc_id, true_lang, c, score,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, c DESC) AS rk
+        FROM sc),
+      top2 AS (
+        SELECT a.doc_id, a.true_lang, a.c AS pred,
+               a.score - b.score AS margin
+        FROM rk a JOIN rk b ON b.doc_id = a.doc_id
+        WHERE a.rk = 1 AND b.rk = 2),
+      binned AS (
+        SELECT least(margin // 2000, 9) AS bin, true_lang, pred, margin
+        FROM top2)
+      SELECT bin, count(*) AS n,
+             count(CASE WHEN pred = true_lang THEN 1 END) AS hits,
+             round(CAST(count(CASE WHEN pred = true_lang THEN 1 END) AS DOUBLE)
+               / count(*), 4) + 0.0 AS acc,
+             CAST(sum(margin) AS BIGINT) // count(*) AS avg_margin_micros
+      FROM binned
+      GROUP BY bin
+      ORDER BY bin"""))
+
+  /** One EM iteration of PLSA topic modeling (K = 3) — the
+    * unsupervised corpus-structure trainer next to the supervised
+    * family: deterministic hash init (a(d,z), b(w,z) ∈ [1,100] —
+    * asymmetric, so EM breaks symmetry), E-step responsibilities,
+    * M-step word-topic masses, top-5 words per topic. The EM
+    * division is where float PLSA diverges across engines, so it is
+    * engineered EXACT: r(z) ∝ p(w|z)p(z|d) = [b_z/D_z]·[a_z/A_d],
+    * and A_d cancels in the normalization while multiplying through
+    * by ΠD makes each term t_z = a_z·b_z·(ΠD/D_z) an exact BIGINT
+    * (ΠD/D_z is exact — D_z divides ΠD); r_z = t_z·10⁶ div Σt is
+    * then one integer division (magnitudes proven for vocab V ≤ 300:
+    * t·10⁶ ≤ 10¹⁴·(V/100)² < 2⁶³; this corpus has V = 31 — a real
+    * 10⁵-word vocab would widen t to decimal(38,0)/HUGEINT, the
+    * llm_grpo_advantage pattern). M-step masses are Σ cnt·r — order-
+    * independent BIGINT sums. Spark shape: one (doc, word) count
+    * shuffle, the vocab×3 factor table pivots to per-word columns
+    * and broadcasts, the E-step is a NARROW map (three integer
+    * expressions per row), the M-step map-side combines to vocab×3
+    * cells, and the top-5 window runs on that constant-bounded
+    * table. The ΠD scalar rides a 1-row broadcast cross join (the
+    * llm_lm_score shape). */
+  private val plsaEm = QueryDef(
+    "llm_plsa_em",
+    (s, d) => {
+      val cnts = documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      val bz = cnts.select(col("w")).distinct()
+        .select(col("w"), explode(sequence(lit(1), lit(3))).as("z"))
+        .withColumn("b",
+          hash60(concat(col("w"), lit(":pw"), col("z").cast("string"))) % 100 + 1)
+      val dz = bz.groupBy(col("z")).agg(sum(col("b")).as("dsum"))
+      val dp = dz.agg(
+        (max(when(col("z") === 1, col("dsum"))) *
+          max(when(col("z") === 2, col("dsum"))) *
+          max(when(col("z") === 3, col("dsum")))).as("dp"))
+      val fw = bz.join(broadcast(dz), Seq("z"))
+        .crossJoin(broadcast(dp))
+        .withColumn("f", col("b") * expr("dp div dsum"))
+      val fp = fw.groupBy(col("w")).agg(
+        max(when(col("z") === 1, col("f"))).as("f1"),
+        max(when(col("z") === 2, col("f"))).as("f2"),
+        max(when(col("z") === 3, col("f"))).as("f3"))
+      def a(z: Int) =
+        hash60(concat(col("doc_id").cast("string"), lit(s":pd$z"))) % 100 + 1
+      val e = cnts.join(broadcast(fp), Seq("w"))
+        .withColumn("t1", a(1) * col("f1"))
+        .withColumn("t2", a(2) * col("f2"))
+        .withColumn("t3", a(3) * col("f3"))
+        .withColumn("ts", col("t1") + col("t2") + col("t3"))
+      val rz = e.select(col("w"), col("cnt"),
+        explode(array(
+          struct(lit(1).as("z"), expr("t1 * 1000000 div ts").as("r")),
+          struct(lit(2).as("z"), expr("t2 * 1000000 div ts").as("r")),
+          struct(lit(3).as("z"), expr("t3 * 1000000 div ts").as("r")))).as("x"))
+        .select(col("w"), col("cnt"), col("x.z").as("topic"), col("x.r").as("r"))
+      val nwz = rz.groupBy(col("topic"), col("w"))
+        .agg(sum(col("cnt") * col("r")).as("weight"))
+      nwz
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("topic"))
+            .orderBy(col("weight").desc, col("w"))))
+        .filter(col("rnk") <= 5)
+        .select(col("topic"), col("rnk"), col("w"), col("weight"))
+        .orderBy(col("topic"), col("rnk"))
+    },
+    Some("""
+      WITH cnts AS (
+        SELECT doc_id, tok AS w, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY 1, 2),
+      topics AS (SELECT unnest(generate_series(1, 3)) AS z),
+      bz AS (
+        SELECT w, z,
+               ('0x' || substr(md5(w || ':pw' || z), 1, 15))::BIGINT % 100 + 1
+                 AS b
+        FROM (SELECT DISTINCT w FROM cnts) CROSS JOIN topics),
+      dz AS (SELECT z, CAST(sum(b) AS BIGINT) AS dsum FROM bz GROUP BY 1),
+      dp AS (
+        SELECT (SELECT dsum FROM dz WHERE z = 1)
+             * (SELECT dsum FROM dz WHERE z = 2)
+             * (SELECT dsum FROM dz WHERE z = 3) AS dp),
+      fp AS (
+        SELECT w,
+               max(CASE WHEN z = 1 THEN f END) AS f1,
+               max(CASE WHEN z = 2 THEN f END) AS f2,
+               max(CASE WHEN z = 3 THEN f END) AS f3
+        FROM (SELECT b.w, b.z, b.b * (dp.dp // d.dsum) AS f
+              FROM bz b JOIN dz d USING (z) CROSS JOIN dp)
+        GROUP BY 1),
+      e AS (
+        SELECT c.doc_id, c.w, c.cnt,
+               (('0x' || substr(md5(CAST(c.doc_id AS VARCHAR) || ':pd1'),
+                 1, 15))::BIGINT % 100 + 1) * f1 AS t1,
+               (('0x' || substr(md5(CAST(c.doc_id AS VARCHAR) || ':pd2'),
+                 1, 15))::BIGINT % 100 + 1) * f2 AS t2,
+               (('0x' || substr(md5(CAST(c.doc_id AS VARCHAR) || ':pd3'),
+                 1, 15))::BIGINT % 100 + 1) * f3 AS t3
+        FROM cnts c JOIN fp USING (w)),
+      rz AS (
+        SELECT w, cnt, 1 AS topic, t1 * 1000000 // (t1 + t2 + t3) AS r FROM e
+        UNION ALL
+        SELECT w, cnt, 2, t2 * 1000000 // (t1 + t2 + t3) FROM e
+        UNION ALL
+        SELECT w, cnt, 3, t3 * 1000000 // (t1 + t2 + t3) FROM e),
+      nwz AS (
+        SELECT topic, w, CAST(sum(cnt * r) AS BIGINT) AS weight
+        FROM rz GROUP BY 1, 2),
+      top AS (
+        SELECT topic, w, weight,
+               row_number() OVER (PARTITION BY topic
+                 ORDER BY weight DESC, w) AS rnk
+        FROM nwz)
+      SELECT topic, CAST(rnk AS INTEGER) AS rnk, w, weight
+      FROM top WHERE rnk <= 5
+      ORDER BY topic, rnk"""))
+
   val defs: Seq[QueryDef] =
     Seq(hardNegatives, centroidClassify, diversifiedTopk, pcaPower,
       stumpTrain, logregTrain, kmeansTrain, nbTrain, grpoAdvantage,
-      gbdtTrain, labelNoise)
+      gbdtTrain, labelNoise, marginCalibration, plsaEm)
 }

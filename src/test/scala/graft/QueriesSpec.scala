@@ -231,8 +231,12 @@ class QueriesSpec extends SparkTestBase {
       // broadcasts over the test tokens (every token scores against
       // every class — the intended densification) plus the 1-row
       // n_train scalar — the llm_lm_score scalar shape;
-      // llm_label_noise consumes nbClassScores — the identical plan
-      "llm_nb_train", "llm_label_noise",
+      // llm_label_noise / llm_margin_calibration consume
+      // nbClassScores — the identical plan;
+      // llm_plsa_em: the 1-row ΠD scalar rides a broadcast cross
+      // join over the vocab×3 factor table — the same scalar shape
+      "llm_nb_train", "llm_label_noise", "llm_margin_calibration",
+      "llm_plsa_em",
       // llm_rerank_stage: stage 1 IS llm_bm25_search's plan (consumed
       // verbatim), so it inherits bm25's allowlisted 1-row
       // corpus-stats broadcast cross join; stage 2 adds only equi
@@ -1200,6 +1204,42 @@ class QueriesSpec extends SparkTestBase {
       "every gain twin must hash identically")
     assert(rows.forall(r => !(r.getString(1) == "c" || r.getString(3) == "c")),
       "different-stride audio must never pair at the threshold")
+  }
+
+  test("llm_margin_calibration: bins cover every scored doc exactly once") {
+    val rows = SparkEntry.queries("llm_margin_calibration")(spark, sf).collect()
+    val nb = SparkEntry.queries("llm_nb_train")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === nb.length,
+      "every nb-scored doc must land in exactly one margin bin")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 9)
+    }
+    // NOTE deliberately NO rising-curve assertion: on this corpus the
+    // audit's finding is that NB is ANTI-calibrated (the top margin
+    // bin is ~28% accurate vs ~100% at the bottom — wide margins come
+    // from long docs whose token mass amplifies a wrong class). The
+    // operator exists to SURFACE that; asserting calibration would
+    // encode the hypothesis the data refutes.
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length,
+      "one row per margin bin")
+  }
+
+  test("llm_plsa_em: topics differentiate and masses conserve sanity") {
+    val rows = SparkEntry.queries("llm_plsa_em")(spark, sf).collect()
+    assert(rows.length === 15, "3 topics x top-5 words")
+    (1 to 3).foreach { t =>
+      val tw = rows.filter(_.getInt(0) == t)
+      assert(tw.map(_.getInt(1)).toSeq === (1 to 5))
+      // weights strictly ordered within a topic (ties broken by word,
+      // but the REPORTED weight column must be non-increasing)
+      val ws = tw.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+    }
+    // asymmetric init must differentiate topics: the three top-1 words
+    // cannot all coincide
+    assert(rows.filter(_.getInt(1) == 1).map(_.getString(2)).distinct.length >= 2,
+      "EM step collapsed: all topics share one top word")
   }
 
   test("q_formats_roundtrip: every format reproduces the identical aggregate") {

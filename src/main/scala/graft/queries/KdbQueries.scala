@@ -4768,6 +4768,100 @@ object KdbQueries extends QueryModule {
       FROM cur c LEFT JOIN snap a USING (user_id) CROSS JOIN mark
       ORDER BY c.user_id"""))
 
+  /** MVCC snapshot DIFF, oracle-gated end to end — the data-versioning
+    * audit on top of kdb_time_travel_twin's two-world read: which
+    * (series, slot) cells changed between the watermark version and
+    * now, with before/after values — what a lakehouse surfaces as
+    * "diff two table versions" before promoting a dataset. Same
+    * two-batch ingest (even event_ids, currentSeq() watermark, odd
+    * event_ids seq-shifted above), then the cell-level join of
+    * findAsOf(mark) vs find(): a cell is 'added' when its as-of cents
+    * are zero (absent series, zero-filled slot — zeros ARE absence in
+    * the engine's own read model) and 'updated' otherwise; unchanged
+    * cells are filtered, so the output is the diff, not the table.
+    * The as-of world is a SUBSET of now (append-only), so one
+    * left-outer join suffices. DuckDB reconstructs both worlds at
+    * slot granularity (the ttwin LWW CTEs without the user rollup)
+    * and needs no dense grid: a cell can only differ where data
+    * exists. Scale shape: both reads are one pushed-down-predicate
+    * scan each; the diff join keys on (series, slot) — the same
+    * partitioning the store is clustered by. */
+  private val snapshotDiffTwin = QueryDef(
+    "kdb_snapshot_diff_twin",
+    (s, d) => {
+      import s.implicits._
+      val SeqShift = 1L << 40
+      val dir = graft.core.Scratch.dir("graft-sdtwin")
+      val engine = new graft.core.Engine(s,
+        graft.core.EngineOptions("sdtwin", dir, indexDepth = 2, payloadSize = 8,
+          bucketDuration = Day, resolution = Hour, maxHotBuckets = 40),
+        new graft.core.TestClock(T1))
+      val base = ev(s, d)
+        .filter(col("event_type") === "purchase" &&
+          col("ts_ns") >= T0 && col("ts_ns") < T0 + 3 * Day)
+        .select(col("ts_ns"), col("user_id").cast("string").as("uid"),
+          col("value"), col("event_id"))
+      def pts(df: DataFrame, shift: Long) = df
+        .as[(Long, String, Double, Long)]
+        .map { case (ts, uid, v, id) =>
+          graft.core.Point(ts, Seq("purchase", uid),
+            graft.plans.DoubleFromPayload.encode(v), id + shift)
+        }.toDF()
+      engine.put(pts(base.filter(col("event_id") % 2 === 0), 0L))
+      val mark = engine.currentSeq()
+      engine.put(pts(base.filter(col("event_id") % 2 === 1), SeqShift))
+      def cells(dfr: DataFrame, out: String) = dfr
+        .withColumn("v", call_function("double_from_payload", col("payload")))
+        .select(col("tag1").as("user_id"), col("slot_ns"),
+          round(col("v") * 100, 0).cast("long").as(out))
+      val asof = cells(
+        engine.findAsOf(T0, T0 + 3 * Day, Seq("purchase", ""), mark), "asof_cents")
+      val now = cells(
+        engine.find(T0, T0 + 3 * Day, Seq("purchase", "")), "now_cents")
+      now.join(asof, Seq("user_id", "slot_ns"), "left_outer")
+        .withColumn("asof_cents", coalesce(col("asof_cents"), lit(0L)))
+        .filter(col("now_cents") =!= col("asof_cents"))
+        .select(col("user_id"), col("slot_ns"), col("asof_cents"),
+          col("now_cents"),
+          (col("now_cents") - col("asof_cents")).as("delta_cents"),
+          when(col("asof_cents") === 0L, "added").otherwise("updated")
+            .as("status"),
+          lit(mark).as("snapshot_seq"))
+        .orderBy(col("user_id"), col("slot_ns"))
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT user_id, epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               value, event_id, event_id % 2 AS odd
+        FROM events
+        WHERE event_type = 'purchase'
+          AND epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T0 + 3 * Day}),
+      snap AS (
+        SELECT CAST(user_id AS VARCHAR) AS user_id, slot_ns,
+               CAST(round(arg_max(value, event_id) * 100) AS BIGINT)
+                 AS asof_cents
+        FROM w WHERE odd = 0 GROUP BY 1, 2),
+      cur AS (
+        SELECT CAST(user_id AS VARCHAR) AS user_id, slot_ns,
+               CAST(round(arg_max(value, event_id +
+                 CASE WHEN odd = 1 THEN ${1L << 40} ELSE 0 END) * 100)
+                 AS BIGINT) AS now_cents
+        FROM w GROUP BY 1, 2),
+      mark AS (
+        SELECT CAST(max(event_id) AS BIGINT) AS snapshot_seq
+        FROM w WHERE odd = 0)
+      SELECT c.user_id, c.slot_ns,
+             coalesce(a.asof_cents, 0) AS asof_cents, c.now_cents,
+             c.now_cents - coalesce(a.asof_cents, 0) AS delta_cents,
+             CASE WHEN coalesce(a.asof_cents, 0) = 0 THEN 'added'
+                  ELSE 'updated' END AS status,
+             snapshot_seq
+      FROM cur c
+      LEFT JOIN snap a ON a.user_id = c.user_id AND a.slot_ns = c.slot_ns
+      CROSS JOIN mark
+      WHERE c.now_cents <> coalesce(a.asof_cents, 0)
+      ORDER BY c.user_id, c.slot_ns"""))
+
   /** One-way ANOVA F across all event types' payload distributions —
     * the parametric complement of kdb_kruskal_wallis (same question,
     * normality assumed, power gained): F = MSB/MSW from per-group
@@ -5581,7 +5675,7 @@ object KdbQueries extends QueryModule {
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
     locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest,
     theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing,
-    timeTravelTwin, anovaF, maintenanceTwin, backupTwin,
+    timeTravelTwin, snapshotDiffTwin, anovaF, maintenanceTwin, backupTwin,
     incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf,
     eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,
     anomalyEnsemble, drawdown, changepoint, rateLimitAudit, burstiness,

@@ -219,10 +219,10 @@ class QueriesSpec extends SparkTestBase {
       // kdb_pacf / kdb_periodogram: distinct types × hourly-grid
       // broadcast densification — the kdb_acf grid shape
       "kdb_pacf", "kdb_periodogram",
-      // kdb_time_travel_twin: both engine reads ride find's
-      // series × broadcast(slot-grid) densification (the
-      // kdb_find_wildcard shape, twice)
-      "kdb_time_travel_twin",
+      // kdb_time_travel_twin / kdb_snapshot_diff_twin: both engine
+      // reads ride find's series × broadcast(slot-grid) densification
+      // (the kdb_find_wildcard shape, twice)
+      "kdb_time_travel_twin", "kdb_snapshot_diff_twin",
       // llm_skipgram_cooc: the 1-row pair-total scalar rides a
       // broadcast cross join over the aggregate-sized pair table —
       // the llm_lm_score scalar shape
@@ -1240,6 +1240,25 @@ class QueriesSpec extends SparkTestBase {
     // cannot all coincide
     assert(rows.filter(_.getInt(1) == 1).map(_.getString(2)).distinct.length >= 2,
       "EM step collapsed: all topics share one top word")
+  }
+
+  test("kdb_snapshot_diff_twin: diff rows are exactly the changed flags of time travel") {
+    val diff = SparkEntry.queries("kdb_snapshot_diff_twin")(spark, sf).collect()
+    assert(diff.nonEmpty, "batch 2 must change SOMETHING")
+    diff.foreach { r =>
+      val (asof, now, delta) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(now - asof === delta)
+      assert(now !== asof, "unchanged cells must be filtered")
+      assert(r.getString(5) === (if (asof == 0L) "added" else "updated"))
+    }
+    // cross-check against kdb_time_travel_twin: a changed user TOTAL
+    // implies at least one changed cell here (the reverse need not
+    // hold — compensating cell deltas can cancel in the total)
+    val changedUsers = SparkEntry.queries("kdb_time_travel_twin")(spark, sf)
+      .collect().filter(_.getInt(3) == 1).map(_.getString(0)).toSet
+    val diffUsers = diff.map(_.getString(0)).toSet
+    assert(changedUsers.subsetOf(diffUsers),
+      "every changed user total must trace to a diffed cell")
   }
 
   test("q_formats_roundtrip: every format reproduces the identical aggregate") {

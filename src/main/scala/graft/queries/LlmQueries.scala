@@ -28,6 +28,12 @@ object LlmQueries extends QueryModule {
   private def dkHashP(x: String, mod: Long = P): String =
     s"(('0x' || substr(md5($x), 1, 15))::BIGINT % $mod)"
 
+  /** CMS geometry + per-row hash constants — ONE definition spliced
+    * into both the Spark plan and the DuckDB oracle (llm_cms_sketch). */
+  private val CmsW = 512
+  private val CmsRows: Seq[(Long, Long)] =
+    Seq((31L, 7L), (37L, 11L), (41L, 13L), (43L, 17L))
+
   /** DuckDB left fold with explicit init (matches Spark `aggregate`). */
   private def dkFold(init: String, list: String, lambda: String): String =
     s"list_reduce([$init] || $list, $lambda)"
@@ -5010,7 +5016,278 @@ object LlmQueries extends QueryModule {
                AS contrib_micro
       FROM pq ORDER BY feature, bin"""))
 
+  /** Distributed suffix-array construction by prefix doubling — the
+    * index behind exact-substring dedup of training corpora (Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better") — plus the longest-repeated-substring report read off
+    * sort-adjacent LCPs. Token-level suffixes (one per token
+    * position), ranked by their first 8 tokens in 3 Manber–Myers
+    * doubling rounds: base rank = global dense rank of the single
+    * token, then rank_{2k}(p) = dense rank of (rank_k(p),
+    * rank_k(p+k)), past-end rank 0 so shorter suffixes sort first —
+    * exactly array-lexicographic order, which is what the oracle
+    * sorts directly. Output: top 20 distinct prefixes by repeat
+    * length, where repeat = max(full prefix length if it occurs
+    * twice, LCP with the sort-previous prefix, LCP with the
+    * sort-next prefix) — the classic LRS-from-adjacent-LCP identity.
+    *
+    * Scale shape (the whole point — the oracle's direct sort of
+    * materialized prefixes does NOT scale, the doubling does): only
+    * (doc_id, pos, int64-rank) triples shuffle per round — never
+    * substrings — for ⌈log₂ L⌉ rounds; global dense ranks come from
+    * DistributedRank (range-partition + offsets, no single-partition
+    * window); per-round localCheckpoint truncates the iterative
+    * lineage (the Dedup.connectedComponents discipline); prefix
+    * STRINGS materialize once, only for the R distinct ranks, via
+    * one doc_id equi-join; sort-neighbors come from rank±1
+    * equi-joins, not a global window. Uncapped construction is the
+    * same loop run to rank saturation (rounds = log₂ max-repeat). */
+  private val suffixArray = QueryDef(
+    "llm_suffix_array",
+    (s, d) => {
+      import graft.operators.DistributedRank
+      val L = 8
+      val tok = documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+      val vocabRank = DistributedRank.withGlobalRank(
+        tok.select(col("tok")).distinct(), "r", Seq(col("tok")))
+      var suf = tok.join(vocabRank, "tok")
+        .select(col("doc_id"), col("p"), col("r"))
+        .localCheckpoint(true)
+      var k = 1
+      while (k < L) {
+        val nxt = suf.select(col("doc_id"), (col("p") - k).as("p"), col("r").as("rn"))
+        val paired = suf.join(nxt, Seq("doc_id", "p"), "left_outer")
+          .select(col("doc_id"), col("p"), col("r"),
+            coalesce(col("rn"), lit(0L)).as("rn"))
+        val pairRank = DistributedRank.withGlobalRank(
+          paired.select(col("r"), col("rn")).distinct(), "r2",
+          Seq(col("r"), col("rn")))
+        suf = paired.join(pairRank, Seq("r", "rn"))
+          .select(col("doc_id"), col("p"), col("r2").as("r"))
+          .localCheckpoint(true)
+        k *= 2
+      }
+      val reps = suf.groupBy(col("r"))
+        .agg(count(lit(1)).as("n_occ"),
+          min(struct(col("doc_id"), col("p"))).as("w"))
+        .select(col("r"), col("n_occ"),
+          col("w.doc_id").as("doc_id"), col("w.p").as("p"))
+      val withPre = reps
+        .join(documents(s, d).select(col("doc_id"), tokens(col("text")).as("toks")),
+          "doc_id")
+        .select(col("r"), col("n_occ"),
+          slice(col("toks"), col("p"), lit(L)).as("pre"))
+      // LCP of two ≤L-token prefixes: prefix-equality is monotone in
+      // i, so the indicator sum over slice lengths IS the LCP.
+      def lcp(a: Column, b: Column): Column =
+        (1 to L).map(i =>
+          when(b.isNotNull && slice(a, 1, i) === slice(b, 1, i), 1).otherwise(0))
+          .reduce(_ + _)
+      val nxt = withPre.select((col("r") - 1).as("r"), col("pre").as("nxt"))
+      val prv = withPre.select((col("r") + 1).as("r"), col("pre").as("prv"))
+      withPre
+        .join(nxt, Seq("r"), "left_outer")
+        .join(prv, Seq("r"), "left_outer")
+        .select(
+          concat_ws(" ", col("pre")).as("prefix"),
+          col("n_occ"),
+          greatest(
+            when(col("n_occ") > 1, size(col("pre"))).otherwise(0),
+            lcp(col("pre"), col("nxt")),
+            lcp(col("pre"), col("prv"))).as("rep_len"))
+        .orderBy(col("rep_len").desc, col("prefix"))
+        .limit(20)
+    },
+    Some {
+      val dkLcp = (other: String) =>
+        s"""CAST(list_sum(list_transform(range(1, 9), i ->
+             CASE WHEN $other IS NOT NULL
+                   AND list_slice(pre, 1, i) = list_slice($other, 1, i)
+                  THEN 1 ELSE 0 END)) AS INTEGER)"""
+      s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      suf AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks)),
+                                     i -> list_slice(toks, i, i + 7))) AS pre
+        FROM toks),
+      dp AS (SELECT pre, count(*) AS n_occ FROM suf GROUP BY pre),
+      ord AS MATERIALIZED (
+        -- MATERIALIZED: read 3× (self + both neighbor joins)
+        SELECT pre, n_occ, row_number() OVER (ORDER BY pre) AS r FROM dp),
+      nb AS (
+        SELECT a.pre AS pre, a.n_occ, b.pre AS nxt, c.pre AS prv
+        FROM ord a
+        LEFT JOIN ord b ON b.r = a.r + 1
+        LEFT JOIN ord c ON c.r = a.r - 1)
+      SELECT array_to_string(pre, ' ') AS prefix, n_occ,
+             greatest(
+               CASE WHEN n_occ > 1 THEN CAST(len(pre) AS INTEGER) ELSE 0 END,
+               ${dkLcp("nxt")},
+               ${dkLcp("prv")}) AS rep_len
+      FROM nb
+      ORDER BY rep_len DESC, prefix
+      LIMIT 20"""
+    })
+
+  /** Count-min sketch (Cormode–Muthukrishnan) — the mergeable
+    * fixed-size frequency summary that completes the sketch family
+    * (SpaceSaving heavy hitters / KMV distinct / Bloom membership /
+    * log₂-bucket quantiles): d=4 independent hash rows × w=512
+    * counters, est(x) = min_i cell[i, h_i(x)], guaranteed ≥ exact.
+    * The audit reports exact vs CMS estimate (and the ε-bound
+    * overcount) for the top-10 tokens. Scale shape: ONE map-side-
+    * combinable corpus pass builds the word-frequency table; cells
+    * fold that vocabulary-sized table into exactly d·w counters
+    * (2048 rows — the sketch is corpus-size-INDEPENDENT, mergeable
+    * across shards by cell-wise add, the reason it beats exact
+    * counting at 100 TB); probes and cells are both broadcast-sized
+    * for the estimate join. Row hashes are (a_i·hashP + b_i) mod P
+    * mod w with the (a_i, b_i) constants spliced into BOTH engines
+    * from one Scala list (SharedExprs doctrine). */
+  private val cmsSketch = QueryDef(
+    "llm_cms_sketch",
+    (s, d) => {
+      val wf = documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .withColumn("hp", hashP(col("tok")))
+        .localCheckpoint(true)
+      val cellCols = CmsRows.zipWithIndex.map { case ((a, b), i) =>
+        struct(lit(i).as("r"), ((lit(a) * col("hp") + lit(b)) % P % CmsW).as("c"))
+      }
+      val cells = wf.select(col("n"), explode(array(cellCols: _*)).as("rc"))
+        .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+        .agg(sum(col("n")).as("cn"))
+      val probes = wf.orderBy(col("n").desc, col("tok")).limit(10)
+      probes.select(col("tok"), col("n"), explode(array(cellCols: _*)).as("rc"))
+        .join(broadcast(cells),
+          col("rc.r") === col("r") && col("rc.c") === col("c"))
+        .groupBy(col("tok"), col("n"))
+        .agg(min(col("cn")).as("est_n"))
+        .select(col("tok"), col("n").as("exact_n"), col("est_n"),
+          (col("est_n") - col("n")).as("overcount"))
+        .orderBy(col("exact_n").desc, col("tok"))
+    },
+    Some {
+      val rows = CmsRows.zipWithIndex.map { case ((a, b), i) =>
+        s"SELECT tok, n, $i AS r, ($a * hp + $b) % $P % $CmsW AS c FROM wfh"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH wf AS (
+        SELECT tok, count(*) AS n FROM (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok),
+      wfh AS (SELECT tok, n, ${dkHashP("tok")} AS hp FROM wf),
+      rc AS (
+        $rows),
+      cells AS (
+        SELECT r, c, CAST(sum(n) AS BIGINT) AS cn FROM rc GROUP BY r, c),
+      probes AS (SELECT tok, n FROM wf ORDER BY n DESC, tok LIMIT 10)
+      SELECT p.tok, p.n AS exact_n, min(cl.cn) AS est_n,
+             min(cl.cn) - p.n AS overcount
+      FROM probes p
+      JOIN rc h ON h.tok = p.tok
+      JOIN cells cl ON cl.r = h.r AND cl.c = h.c
+      GROUP BY p.tok, p.n
+      ORDER BY exact_n DESC, p.tok"""
+    })
+
+  /** HITS hubs/authorities (Kleinberg) over the DIRECTED derived-from
+    * graph: each LSH near-dup pair contributes later-doc → earlier-doc
+    * ("copies from"), so authorities are the originals a corpus keeps
+    * duplicating and hubs are the aggregators stitched from many
+    * originals — the provenance complement to llm_pagerank_centrality
+    * (undirected influence on the same candidate graph; one lshPairs
+    * definition feeds both). 3 mutual-reinforcement rounds, each side
+    * max-normalized and rounded to 10dp per round (the pagerank
+    * float-iteration discipline); sourceless nodes keep score 0 via
+    * the left-join coalesce in BOTH engines. Scale shape: the graph
+    * is candidate-bounded (LSH buckets, never all-pairs), each round
+    * is two degree-bounded equi-joins + map-side-combinable sums, the
+    * normalizing max is a broadcast scalar, and per-round
+    * localCheckpoint truncates the iterative lineage. */
+  private val hitsScores = QueryDef(
+    "llm_hits_scores",
+    (s, d) => {
+      val pairs = lshPairs(s, d)
+      val edges = pairs.select(col("d2").as("u"), col("d1").as("v"))
+        .localCheckpoint(true)
+      val nodes = edges.select(col("u").as("node"))
+        .union(edges.select(col("v").as("node"))).distinct()
+        .localCheckpoint(true)
+      var hub = nodes.withColumn("h", lit(1.0))
+      var auth: DataFrame = null
+      for (_ <- 1 to 3) {
+        val aN = nodes.join(
+            edges.join(hub.select(col("node").as("u"), col("h")), Seq("u"))
+              .groupBy(col("v").as("node")).agg(sum(col("h")).as("raw")),
+            Seq("node"), "left_outer")
+          .select(col("node"), coalesce(col("raw"), lit(0.0)).as("raw"))
+        auth = aN.crossJoin(broadcast(aN.agg(max(col("raw")).as("m"))))
+          .select(col("node"), round(col("raw") / col("m"), 10).as("a"))
+          .localCheckpoint(true)
+        val hN = nodes.join(
+            edges.join(auth.select(col("node").as("v"), col("a")), Seq("v"))
+              .groupBy(col("u").as("node")).agg(sum(col("a")).as("raw")),
+            Seq("node"), "left_outer")
+          .select(col("node"), coalesce(col("raw"), lit(0.0)).as("raw"))
+        hub = hN.crossJoin(broadcast(hN.agg(max(col("raw")).as("m"))))
+          .select(col("node"), round(col("raw") / col("m"), 10).as("h"))
+          .localCheckpoint(true)
+      }
+      auth.join(hub, Seq("node"))
+        .select(col("node"), (round(col("a"), 6) + lit(0.0)).as("authority"),
+          (round(col("h"), 6) + lit(0.0)).as("hub"))
+        .orderBy(col("authority").desc, col("node"))
+        .limit(30)
+    },
+    Some {
+      val iters = (1 to 3).map { k =>
+        s"""ar$k AS MATERIALIZED (
+        -- MATERIALIZED: each score CTE is read twice (projection +
+        -- max subquery) and feeds the next round — without pinning,
+        -- DuckDB re-inlines the whole minhash/LSH pipeline per
+        -- reference, exponentially in the round count
+        SELECT n.node, coalesce(t.v, 0) AS raw
+        FROM nodes n LEFT JOIN (
+          SELECT e.v AS node, sum(h.h) AS v
+          FROM edges e JOIN h${k - 1} h ON h.node = e.u GROUP BY e.v) t
+          USING (node)),
+      a$k AS MATERIALIZED (
+        SELECT node, round(raw / (SELECT max(raw) FROM ar$k), 10) AS a
+        FROM ar$k),
+      hr$k AS MATERIALIZED (
+        SELECT n.node, coalesce(t.v, 0) AS raw
+        FROM nodes n LEFT JOIN (
+          SELECT e.u AS node, sum(a.a) AS v
+          FROM edges e JOIN a$k a ON a.node = e.v GROUP BY e.u) t
+          USING (node)),
+      h$k AS MATERIALIZED (
+        SELECT node, round(raw / (SELECT max(raw) FROM hr$k), 10) AS h
+        FROM hr$k)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH ${dkMinhashCte},
+      ${dkLshPairsCtes},
+      edges AS MATERIALIZED (SELECT d2 AS u, d1 AS v FROM lsh_pairs),
+      nodes AS MATERIALIZED (
+        SELECT DISTINCT u AS node FROM edges
+        UNION SELECT DISTINCT v FROM edges),
+      h0 AS (SELECT node, CAST(1 AS DOUBLE) AS h FROM nodes),
+      $iters
+      SELECT a.node, round(a.a, 6) + 0.0 AS authority,
+             round(h.h, 6) + 0.0 AS hub
+      FROM a3 a JOIN h3 h USING (node)
+      ORDER BY authority DESC, a.node
+      LIMIT 30"""
+    })
+
   val defs: Seq[QueryDef] = Seq(
+    suffixArray, cmsSketch, hitsScores,
     weightedSample, bpeMergeStep, bpeTrain, bpeEncodeStats, skipgramCooc, instructionDetect,
     clusterQuality, pmiCollocations,
     matryoshkaEval, curriculumOrder,

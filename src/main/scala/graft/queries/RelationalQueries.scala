@@ -1996,7 +1996,69 @@ object RelationalQueries extends QueryModule {
       FROM agg a CROSS JOIN (VALUES ('orc'), ('csv'), ('json')) f(fmt)
       ORDER BY f.fmt, a.l_returnflag"""))
 
+  /** Multi-hop graph reachability — the recursive-CTE surface Spark
+    * SQL lacks, re-expressed as level-synchronous BFS (the Pregel
+    * discipline): the co-purchase graph (parts sharing an order; pair
+    * generation is per-order-local and TPC-H orders are ≤7 lines, so
+    * the self-join on l_orderkey never goes quadratic in the table),
+    * seeds = p_partkey % 997 = 0, min-hop per node to depth 4.
+    * Each round is frontier ⋈ edges (shuffle on the node key) then
+    * LEFT ANTI against the visited set — a node is expanded exactly
+    * once, so total work is O(edges · 1) regardless of path count,
+    * while the oracle's WITH RECURSIVE enumerates (node, hop) pairs
+    * and dedups per level (UNION recursion). Frontier and visited
+    * localCheckpoint per round (iterative-lineage discipline).
+    * Output: per-hop node census — rows only for reached hops. */
+  private val qGraphReachability = QueryDef(
+    "q_graph_reachability",
+    (s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      val edges = pairs
+        .union(pairs.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint(true)
+      var dist = part(s, d).filter(col("p_partkey") % 997 === 0)
+        .select(col("p_partkey").as("node")).withColumn("hop", lit(0))
+        .localCheckpoint(true)
+      var frontier = dist
+      for (h <- 1 to 4) {
+        val fresh = frontier.join(edges, col("node") === col("u"))
+          .select(col("v").as("node")).distinct()
+          .join(dist.select(col("node")), Seq("node"), "left_anti")
+          .withColumn("hop", lit(h))
+          .localCheckpoint(true)
+        dist = dist.union(fresh).localCheckpoint(true)
+        frontier = fresh
+      }
+      dist.groupBy(col("hop"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+        .orderBy(col("hop"))
+    },
+    Some("""
+      WITH RECURSIVE pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      edges AS MATERIALIZED (
+        -- MATERIALIZED: the recursive term scans edges every round
+        SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+      bfs(node, hop) AS (
+        SELECT p_partkey, 0 FROM part WHERE p_partkey % 997 = 0
+        UNION
+        SELECT e.v, b.hop + 1
+        FROM bfs b JOIN edges e ON e.u = b.node WHERE b.hop < 4),
+      mh AS (SELECT node, min(hop) AS hop FROM bfs GROUP BY node)
+      SELECT hop, count(*) AS n_nodes,
+             min(node) AS min_node, max(node) AS max_node
+      FROM mh GROUP BY hop ORDER BY hop"""))
+
   val defs: Seq[QueryDef] = Seq(
+    qGraphReachability,
     qFormatsRoundtrip,
     qPriorityWait, qLateByStatus, qTopSupplier, qSmallQtyRevenue,
     qWaitingSuppliers, qSegmentDormant,

@@ -1260,8 +1260,131 @@ object TrainingQueries extends QueryModule {
       FROM top WHERE rnk <= 5
       ORDER BY topic, rnk"""))
 
+  /** Bradley–Terry strength fitting (Hunter 2004 MM iterations) —
+    * the reward-model step that turns pairwise preference outcomes
+    * into per-source strengths (RLHF reward modeling's statistical
+    * core, and the model behind chat-arena leaderboards). Pairwise
+    * outcomes are built deterministically: within each (lang,
+    * n_chars-div-100) cohort, the quality-score champion's source
+    * beats every other source present — |sources|-bounded matches
+    * per cohort, never doc-pairs. The MM update
+    * s_i' = W_i / Σ_j n_ij/(s_i+s_j) is run 3 rounds ENTIRELY in
+    * scaled integers: strengths live in micros, each denominator
+    * term is n_ij·10¹² div (s_i+s_j) (exact BIGINT, magnitudes
+    * proven < 2⁶³ given the ≤10⁶ normalized strength invariant),
+    * wins are Laplace-smoothed (+1) so strengths stay positive, and
+    * each round renormalizes by the max with a floor of 1 — zero
+    * IEEE ops anywhere, so Spark `div` ≡ DuckDB `//` bit-exactly.
+    * Scale shape: one corpus pass scores docs; cohort champions are
+    * one map-side-combinable max(struct); every MM table (games,
+    * strengths) is |sources|²-bounded — aggregate-sized joins, the
+    * corpus is never touched again. */
+  private val bradleyTerry = QueryDef(
+    "llm_bradley_terry",
+    (s, d) => {
+      val score = expr(SharedExprs.qualityScoreSpark)
+      val scored = documents(s, d)
+        .select(col("lang"), col("source"), col("doc_id"),
+          score.cast("long").as("score"), expr("n_chars div 100").as("bin"))
+      val champ = scored.groupBy(col("lang"), col("bin"))
+        .agg(max(struct(col("score"), col("doc_id"), col("source"))).as("c"))
+        .select(col("lang"), col("bin"), col("c.source").as("winner"))
+      val members = scored.select(col("lang"), col("bin"), col("source")).distinct()
+      val wins = members.join(champ, Seq("lang", "bin"))
+        .filter(col("source") =!= col("winner"))
+        .groupBy(col("winner"), col("source").as("loser"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val games = wins.select(col("winner").as("i"), col("loser").as("j"), col("n"))
+        .union(wins.select(col("loser").as("i"), col("winner").as("j"), col("n")))
+        .groupBy(col("i"), col("j")).agg(sum(col("n")).as("n"))
+      val winTot = games.select(col("i")).distinct()
+        .join(wins.groupBy(col("winner").as("i"))
+          .agg(sum(col("n")).as("w0")), Seq("i"), "left_outer")
+        .select(col("i"), coalesce(col("w0"), lit(0L)).as("wins"),
+          (coalesce(col("w0"), lit(0L)) + 1L).as("w"))
+        .localCheckpoint(true)
+      val gamesTot = games.groupBy(col("i")).agg(sum(col("n")).as("games_played"))
+      var str = winTot.select(col("i").as("source"), lit(1000000L).as("s"))
+      for (_ <- 1 to 3) {
+        val den = games
+          .join(str.select(col("source").as("i"), col("s").as("si")), Seq("i"))
+          .join(str.select(col("source").as("j"), col("s").as("sj")), Seq("j"))
+          .groupBy(col("i"))
+          .agg(sum(expr("n * 1000000000000L div (si + sj)")).as("den"))
+        val sRaw = winTot.join(den, Seq("i"))
+          .select(col("i").as("source"), expr("w * 1000000000000L div den").as("sr"))
+        val sMax = sRaw.agg(max(col("sr")).as("m"))
+        str = sRaw.crossJoin(broadcast(sMax))
+          .select(col("source"), greatest(expr("sr * 1000000L div m"), lit(1L)).as("s"))
+          .localCheckpoint(true)
+      }
+      str.join(winTot.select(col("i").as("source"), col("wins")), Seq("source"))
+        .join(gamesTot.select(col("i").as("source"), col("games_played")), Seq("source"))
+        .select(col("source"), col("wins"), col("games_played"),
+          col("s").as("strength_micro"))
+        .orderBy(col("strength_micro").desc, col("source"))
+    },
+    Some {
+      val iter = (1 to 3).map { k =>
+        s"""den$k AS (
+        SELECT g.i, sum((g.n * 1000000000000) // (si.s + sj.s)) AS den
+        FROM games g
+        JOIN s${k - 1} si ON si.source = g.i
+        JOIN s${k - 1} sj ON sj.source = g.j
+        GROUP BY g.i),
+      sraw$k AS MATERIALIZED (
+        -- MATERIALIZED: read twice (projection + max subquery), and
+        -- each round reads the previous one twice (si, sj) — pinning
+        -- stops DuckDB re-inlining the corpus pipeline 2^k times
+        SELECT w.i AS source, (w.w * 1000000000000) // t.den AS sr
+        FROM wintot w JOIN den$k t ON t.i = w.i),
+      s$k AS MATERIALIZED (
+        SELECT source, greatest((sr * 1000000) // (SELECT max(sr) FROM sraw$k), 1) AS s
+        FROM sraw$k)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH scored AS (
+        SELECT lang, source, doc_id,
+               ${SharedExprs.qualityScoreDuck} AS score,
+               n_chars // 100 AS bin
+        FROM documents),
+      champ AS (
+        SELECT lang, bin, source AS winner FROM (
+          SELECT lang, bin, source,
+                 row_number() OVER (PARTITION BY lang, bin
+                   ORDER BY score DESC, doc_id DESC) AS rk
+          FROM scored) WHERE rk = 1),
+      members AS (SELECT DISTINCT lang, bin, source FROM scored),
+      wins AS (
+        SELECT c.winner, m.source AS loser, count(*) AS n
+        FROM members m JOIN champ c USING (lang, bin)
+        WHERE m.source <> c.winner
+        GROUP BY c.winner, m.source),
+      games AS (
+        SELECT i, j, CAST(sum(n) AS BIGINT) AS n FROM (
+          SELECT winner AS i, loser AS j, n FROM wins
+          UNION ALL SELECT loser AS i, winner AS j, n FROM wins)
+        GROUP BY i, j),
+      wintot AS (
+        SELECT p.i, CAST(coalesce(w.w0, 0) AS BIGINT) AS wins,
+               CAST(coalesce(w.w0, 0) + 1 AS BIGINT) AS w
+        FROM (SELECT DISTINCT i FROM games) p
+        LEFT JOIN (SELECT winner AS i, sum(n) AS w0 FROM wins GROUP BY winner) w
+          USING (i)),
+      gamestot AS (
+        SELECT i, CAST(sum(n) AS BIGINT) AS games_played FROM games GROUP BY i),
+      s0 AS (SELECT i AS source, 1000000 AS s FROM wintot),
+      $iter
+      SELECT s.source, w.wins, g.games_played, CAST(s.s AS BIGINT) AS strength_micro
+      FROM s3 s
+      JOIN wintot w ON w.i = s.source
+      JOIN gamestot g ON g.i = s.source
+      ORDER BY strength_micro DESC, s.source"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(hardNegatives, centroidClassify, diversifiedTopk, pcaPower,
       stumpTrain, logregTrain, kmeansTrain, nbTrain, grpoAdvantage,
-      gbdtTrain, labelNoise, marginCalibration, plsaEm)
+      gbdtTrain, labelNoise, marginCalibration, plsaEm, bradleyTerry)
 }

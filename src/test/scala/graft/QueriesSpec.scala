@@ -241,7 +241,15 @@ class QueriesSpec extends SparkTestBase {
       // verbatim), so it inherits bm25's allowlisted 1-row
       // corpus-stats broadcast cross join; stage 2 adds only equi
       // joins on the broadcast 20-row candidate set
-      "llm_rerank_stage")
+      "llm_rerank_stage",
+      // llm_hits_scores: each round's 1-row normalizing max rides a
+      // broadcast cross join over the node-score table — the
+      // llm_lm_score scalar shape, once per HITS side per round
+      "llm_hits_scores",
+      // llm_bradley_terry: the 1-row max-strength renormalizer rides
+      // a broadcast cross join over the |sources|-row strength table
+      // each MM round — the llm_lm_score scalar shape
+      "llm_bradley_terry")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
@@ -1259,6 +1267,77 @@ class QueriesSpec extends SparkTestBase {
     val diffUsers = diff.map(_.getString(0)).toSet
     assert(changedUsers.subsetOf(diffUsers),
       "every changed user total must trace to a diffed cell")
+  }
+
+  test("llm_suffix_array: prefix-doubling ranks reproduce the direct materialized-prefix sort") {
+    // The operator's whole claim is that 3 doubling rounds over
+    // (doc, pos, rank) triples induce EXACTLY array-lexicographic
+    // order on the 8-token prefixes without ever sorting strings.
+    // Cross-check the full top-20 report against a direct Spark
+    // reimplementation that materializes every prefix and sorts it —
+    // the thing the distributed algorithm exists to avoid.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = SparkEntry.queries("llm_suffix_array")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(posexplode_outer(col("toks")).as(Seq("i", "_t")), col("toks"))
+      .select(slice(col("toks"), col("i") + 1, lit(8)).as("pre"))
+    val dp = toks.groupBy(col("pre")).agg(count(lit(1)).as("n_occ"))
+      .withColumn("r", row_number().over(Window.orderBy(col("pre"))))
+    def lcp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      (1 to 8).map(i =>
+        when(b.isNotNull && slice(a, 1, i) === slice(b, 1, i), 1).otherwise(0))
+        .reduce(_ + _)
+    val nxt = dp.select((col("r") - 1).as("r"), col("pre").as("nxt"))
+    val prv = dp.select((col("r") + 1).as("r"), col("pre").as("prv"))
+    val want = dp.join(nxt, Seq("r"), "left_outer").join(prv, Seq("r"), "left_outer")
+      .select(concat_ws(" ", col("pre")).as("prefix"), col("n_occ"),
+        greatest(when(col("n_occ") > 1, size(col("pre"))).otherwise(0),
+          lcp(col("pre"), col("nxt")), lcp(col("pre"), col("prv"))).as("rep_len"))
+      .orderBy(col("rep_len").desc, col("prefix")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === want.toSeq,
+      "doubling-derived sort order diverged from the direct prefix sort")
+  }
+
+  test("llm_cms_sketch: every estimate dominates its exact count (the CMS guarantee)") {
+    val rows = SparkEntry.queries("llm_cms_sketch")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"CMS underestimated ${r.getString(0)}")
+      assert(over === est - exact)
+    }
+  }
+
+  test("q_graph_reachability: hop 0 is exactly the seed set and depth caps at 4") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_graph_reachability")(spark, sf).collect()
+    val seedCount = graft.sources.Tables.part(spark, sf)
+      .filter(col("p_partkey") % 997 === 0).count()
+    val hop0 = rows.find(_.getInt(0) == 0).map(_.getLong(1)).getOrElse(0L)
+    assert(hop0 === seedCount, "hop 0 must be the seed census")
+    assert(rows.map(_.getInt(0)).forall(h => h >= 0 && h <= 4))
+    // hop census counts DISJOINT node sets (min-hop): strictly
+    // positive everywhere a hop row exists
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+
+  test("llm_bradley_terry / llm_hits_scores: normalization invariants hold") {
+    val bt = SparkEntry.queries("llm_bradley_terry")(spark, sf).collect()
+    assert(bt.nonEmpty)
+    assert(bt.map(_.getLong(3)).max === 1000000L,
+      "max strength must renormalize to exactly 1e6 micros")
+    assert(bt.forall(_.getLong(3) >= 1L), "the positivity floor failed")
+    val hits = SparkEntry.queries("llm_hits_scores")(spark, sf).collect()
+    assert(hits.nonEmpty)
+    hits.foreach { r =>
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+    assert(hits.map(_.getDouble(1)).max === 1.0, "authorities must max-normalize to 1")
   }
 
   test("q_formats_roundtrip: every format reproduces the identical aggregate") {

@@ -819,6 +819,76 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     (rewritten, rollupRemoved)
   }
 
+  /** Roll the store BACK to an MVCC watermark — time travel promoted
+    * from a read view ([[findAsOf]]/[[getAsOf]]) to a write
+    * operation, the lakehouse RESTORE verb: every accepted write with
+    * seq > asOfSeq is physically removed, so afterwards find()/get()
+    * answer exactly what findAsOf(asOfSeq)/getAsOf(asOfSeq) answered
+    * before. The undo for a bad ingest batch.
+    *
+    * Mechanics mirror [[erase]]'s rewrite (row-level filter, never
+    * whole-file drops — compaction may have merged rows across the
+    * watermark into one file): candidate buckets come from a
+    * pushed-down `seq > asOfSeq` scan (immutable batch files carry
+    * tight seq ranges, so row-group stats skip every fully-old
+    * batch), survivors republish as ONE atomic batch, then the old
+    * bucket dirs drop. Crash contract: between publish and source
+    * delete, survivors exist twice as LWW-invisible identical copies
+    * and the doomed rows still exist — re-running rollbackTo
+    * completes the job; it is idempotent.
+    *
+    * Rollup cascade: every delta whose folded seq range reaches past
+    * the watermark is dropped — by construction that is a SUFFIX of
+    * the delta chain, so [[rollupCover]] stays valid and the next
+    * [[refreshRollup]] re-folds the surviving rows from the cut
+    * point. (Contrast erase, which filters deltas in place: here the
+    * folded ranges themselves are wrong, not just one series.)
+    *
+    * Seq discipline: this INSTANCE keeps allocating above the old
+    * maximum (no in-process reuse, so a held asOfSeq stays
+    * unambiguous); an engine reopened later re-seeds from max(seq)
+    * on disk and reuses the rolled-back range — rewriting history is
+    * the point.
+    *
+    * Returns per-bucket (rowsBefore, rowsAfter) for rewritten
+    * buckets; empty map when nothing is newer than the watermark
+    * (idempotent). */
+  def rollbackTo(asOfSeq: Long): Map[Long, (Long, Long)] = writeLock.synchronized {
+    ensureManifest(adopt = false)
+    if (asOfSeq < 0)
+      throw new IllegalArgumentException("rollbackTo: asOfSeq must be >= 0")
+    val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
+    sweepStaleStaging(fs)
+    val hit = table().filter(col("seq") > asOfSeq)
+      .groupBy(col("bucket_ts")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rewritten: Map[Long, (Long, Long)] =
+      if (hit.isEmpty) Map.empty
+      else {
+        val sources = hit.keys.toSeq.sorted.flatMap(b => bucketDirs(fs, b))
+        val scan = spark.read.schema(tableSchema.add("batch", StringType))
+          .option("basePath", opts.tablePath)
+          .parquet(sources.map(_.toString): _*)
+          .drop("batch")
+        val before = scan.groupBy(col("bucket_ts")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        if (hit.exists { case (b, n) => before(b) > n })
+          publishBatch(scan.filter(col("seq") <= asOfSeq))
+        sources.foreach { p =>
+          fs.delete(p, true)
+          val parent = p.getParent
+          if (fs.exists(parent) &&
+            fs.listStatus(parent).forall(!_.getPath.getName.startsWith("bucket_ts=")))
+            fs.delete(parent, true)
+        }
+        hit.map { case (b, n) => b -> (before(b), before(b) - n) }
+      }
+    rollupDeltas(fs).foreach { case (dir, _, hi) =>
+      if (hi > asOfSeq) fs.delete(dir, true)
+    }
+    rewritten
+  }
+
   /** Bucket-duration migration — the layout evolution the options
     * manifest makes safe to even attempt. Re-routes every committed
     * row (LWW history intact: raw rows carry their seq, nothing is

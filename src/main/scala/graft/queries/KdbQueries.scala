@@ -4862,6 +4862,91 @@ object KdbQueries extends QueryModule {
       WHERE c.now_cents <> coalesce(a.asof_cents, 0)
       ORDER BY c.user_id, c.slot_ns"""))
 
+  /** MVCC ROLLBACK, oracle-gated end to end — time travel promoted
+    * from a read view to the RESTORE write verb (Engine.rollbackTo):
+    * ingest the even-event_id batch, take the currentSeq() watermark,
+    * ingest the odd batch above it, physically roll the store back to
+    * the watermark, then RE-INGEST only the event_id % 4 = 1 subset
+    * on top — so the final world is evens LWW-overlaid by exactly
+    * that subset, which the oracle reconstructs directly. What this
+    * pins that kdb_time_travel_twin (read-only as-of) cannot: the
+    * rolled-back rows are GONE from the serving path (any surviving
+    * odd row with id % 4 = 3 would shift a user total), the store
+    * accepts writes after the rewrite, and the reported removed-row
+    * count equals the odd batch exactly. Cents discipline on cells,
+    * exact-integer user rollups. Scale shape: rollback's candidate
+    * scan carries a pushed-down seq predicate (immutable batches
+    * have tight seq ranges → row-group skip), survivors republish as
+    * one atomic batch, and the final read is one pushed-down find. */
+  private val rollbackTwin = QueryDef(
+    "kdb_rollback_twin",
+    (s, d) => {
+      import s.implicits._
+      val SeqShift = 1L << 40
+      val ReShift = 1L << 41
+      val dir = graft.core.Scratch.dir("graft-rbtwin")
+      val engine = new graft.core.Engine(s,
+        graft.core.EngineOptions("rbtwin", dir, indexDepth = 2, payloadSize = 8,
+          bucketDuration = Day, resolution = Hour, maxHotBuckets = 40),
+        new graft.core.TestClock(T1))
+      val base = ev(s, d)
+        .filter(col("event_type") === "purchase" &&
+          col("ts_ns") >= T0 && col("ts_ns") < T0 + 3 * Day)
+        .select(col("ts_ns"), col("user_id").cast("string").as("uid"),
+          col("value"), col("event_id"))
+      def pts(df: DataFrame, shift: Long) = df
+        .as[(Long, String, Double, Long)]
+        .map { case (ts, uid, v, id) =>
+          graft.core.Point(ts, Seq("purchase", uid),
+            graft.plans.DoubleFromPayload.encode(v), id + shift)
+        }.toDF()
+      engine.put(pts(base.filter(col("event_id") % 2 === 0), 0L))
+      val mark = engine.currentSeq()
+      engine.put(pts(base.filter(col("event_id") % 2 === 1), SeqShift))
+      val removed = engine.rollbackTo(mark)
+        .values.map { case (b, a) => b - a }.sum
+      engine.put(pts(base.filter(col("event_id") % 4 === 1), ReShift))
+      engine.find(T0, T0 + 3 * Day, Seq("purchase", ""))
+        .withColumn("cents",
+          round(call_function("double_from_payload", col("payload")) * 100, 0)
+            .cast("long"))
+        .groupBy(col("tag1").as("user_id"))
+        .agg(count(when(col("cents") =!= 0L, 1)).as("nz_slots"),
+          sum(col("cents")).as("total_cents"))
+        .select(col("user_id"), col("nz_slots"), col("total_cents"),
+          lit(removed).as("rolled_back"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT user_id, epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               value, event_id, event_id % 2 AS odd
+        FROM events
+        WHERE event_type = 'purchase'
+          AND epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T0 + 3 * Day}),
+      world AS (
+        SELECT user_id, slot_ns, arg_max(value, seq) AS v FROM (
+          SELECT user_id, slot_ns, value, event_id AS seq
+          FROM w WHERE odd = 0
+          UNION ALL
+          SELECT user_id, slot_ns, value, event_id + ${1L << 41}
+          FROM w WHERE event_id % 4 = 1)
+        GROUP BY 1, 2),
+      cells AS (
+        SELECT CAST(user_id AS VARCHAR) AS user_id, slot_ns,
+               CAST(round(v * 100) AS BIGINT) AS cents
+        FROM world),
+      agg AS (
+        SELECT user_id,
+               count(CASE WHEN cents <> 0 THEN 1 END) AS nz_slots,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM cells GROUP BY 1),
+      rb AS (
+        SELECT CAST(count(*) AS BIGINT) AS rolled_back FROM w WHERE odd = 1)
+      SELECT user_id, nz_slots, total_cents, rolled_back
+      FROM agg CROSS JOIN rb
+      ORDER BY user_id"""))
+
   /** One-way ANOVA F across all event types' payload distributions —
     * the parametric complement of kdb_kruskal_wallis (same question,
     * normality assumed, power gained): F = MSB/MSW from per-group
@@ -5675,7 +5760,7 @@ object KdbQueries extends QueryModule {
     funnel, retentionCohorts, twap, gapDetect, rollingWau,
     locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest,
     theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing,
-    timeTravelTwin, snapshotDiffTwin, anovaF, maintenanceTwin, backupTwin,
+    timeTravelTwin, snapshotDiffTwin, rollbackTwin, anovaF, maintenanceTwin, backupTwin,
     incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf,
     eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,
     anomalyEnsemble, drawdown, changepoint, rateLimitAudit, burstiness,

@@ -219,10 +219,11 @@ class QueriesSpec extends SparkTestBase {
       // kdb_pacf / kdb_periodogram: distinct types × hourly-grid
       // broadcast densification — the kdb_acf grid shape
       "kdb_pacf", "kdb_periodogram",
-      // kdb_time_travel_twin / kdb_snapshot_diff_twin: both engine
-      // reads ride find's series × broadcast(slot-grid) densification
-      // (the kdb_find_wildcard shape, twice)
-      "kdb_time_travel_twin", "kdb_snapshot_diff_twin",
+      // kdb_time_travel_twin / kdb_snapshot_diff_twin /
+      // kdb_rollback_twin: the engine reads ride find's series ×
+      // broadcast(slot-grid) densification (the kdb_find_wildcard
+      // shape)
+      "kdb_time_travel_twin", "kdb_snapshot_diff_twin", "kdb_rollback_twin",
       // llm_skipgram_cooc: the 1-row pair-total scalar rides a
       // broadcast cross join over the aggregate-sized pair table —
       // the llm_lm_score scalar shape

@@ -101,23 +101,59 @@ private[graft] object MediaFixtures {
     s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
       Array.tabulate(w * h * 3)(i => ((i * 31) % 251).toByte)
 
+  private def riffChunk(id: String, payload: Array[Byte]): Array[Byte] =
+    id.getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload ++
+      (if (payload.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+  private def riffList(typ: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", typ.getBytes("US-ASCII") ++ body)
+
+  private def aviContainer(w: Int, h: Int, frameChunks: Array[Byte],
+      nFrames: Int): Array[Byte] = {
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(nFrames.toLong), 0, avih, 16, 4) // dwTotalFrames
+    System.arraycopy(le32(w.toLong), 0, avih, 32, 4)       // dwWidth
+    System.arraycopy(le32(h.toLong), 0, avih, 36, 4)       // dwHeight
+    val body = "AVI ".getBytes("US-ASCII") ++
+      riffList("hdrl", riffChunk("avih", avih)) ++
+      riffList("movi", frameChunks)
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+  }
+
   /** MJPEG AVI: `frames` JPEG frames of w×h in a spec-faithful
     * RIFF('AVI '){ LIST(hdrl){avih}, LIST(movi){##dc…} } container. */
   def aviMjpeg(w: Int, h: Int, frames: Int): Array[Byte] = {
-    def chunk(id: String, payload: Array[Byte]): Array[Byte] =
-      id.getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload ++
-        (if (payload.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
-    def list(typ: String, body: Array[Byte]): Array[Byte] =
-      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
     val frame = jpeg(w, h)
-    val avih = new Array[Byte](56)
-    System.arraycopy(le32(frames.toLong), 0, avih, 16, 4) // dwTotalFrames
-    System.arraycopy(le32(w.toLong), 0, avih, 32, 4)      // dwWidth
-    System.arraycopy(le32(h.toLong), 0, avih, 36, 4)      // dwHeight
-    val movi = list("movi",
-      Array.fill(frames)(chunk("00dc", frame)).flatten)
-    val body = "AVI ".getBytes("US-ASCII") ++
-      list("hdrl", chunk("avih", avih)) ++ movi
-    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+    aviContainer(w, h,
+      Array.fill(frames)(riffChunk("00dc", frame)).flatten, frames)
+  }
+
+  /** Uncompressed (BI_RGB) AVI: one '00db' raw DIB frame per entry of
+    * `shifts` — bottom-up BGR rows, stride padded to 4 bytes, the
+    * standard uncompressed-video AVI layout. Frame f's pixels are the
+    * exact integer formula gray(x, y) = (x·7 + y·11 + shifts(f)) % 256
+    * on all three channels, so a DuckDB oracle reproduces every
+    * decoded luma (ITU-601 weights sum to 1000 → luma of gray g IS g)
+    * as pure arithmetic — the codec-twin discipline at pixel level
+    * for VIDEO, which lossy MJPEG can never offer. */
+  def aviDib(w: Int, h: Int, shifts: Seq[Int]): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    def frame(s: Int): Array[Byte] = {
+      val buf = new Array[Byte](stride * h)
+      var fy = 0
+      while (fy < h) {
+        val y = h - 1 - fy // bottom-up row order
+        var x = 0
+        while (x < w) {
+          val g = ((x * 7 + y * 11 + s) % 256).toByte
+          val o = fy * stride + x * 3
+          buf(o) = g; buf(o + 1) = g; buf(o + 2) = g // B, G, R
+          x += 1
+        }
+        fy += 1
+      }
+      buf
+    }
+    aviContainer(w, h,
+      shifts.toArray.flatMap(s => riffChunk("00db", frame(s))), shifts.size)
   }
 }

@@ -498,13 +498,67 @@ object Multimodal {
     * (MJPEG frames are plain JPEGs). None for non-AVI payloads or
     * non-image frame codecs. */
   private[graft] def frameImage(content: Array[Byte], frameNo: Int): Option[java.awt.image.BufferedImage] =
-    parseAvi(content).flatMap { case (_, _, frames) =>
+    parseAvi(content).flatMap { case (w, h, frames) =>
       if (frameNo < 0 || frameNo >= frames.size) None
       else {
         val (off, len) = frames(frameNo)
-        decodeImage(java.util.Arrays.copyOfRange(
-          content, off.toInt, (off + len).toInt))
+        val slice = java.util.Arrays.copyOfRange(
+          content, off.toInt, (off + len).toInt)
+        decodeImage(slice).orElse(dibImage(slice, w, h))
       }
+    }
+
+  /** Uncompressed BI_RGB frame decode (AVI '##db' chunks): raw
+    * bottom-up BGR rows with 4-byte-padded stride — the layout an
+    * uncompressed-video AVI stores per frame. Accepted only when the
+    * chunk size matches stride·h EXACTLY (a compressed frame can't
+    * collide with that by accident); pixels come out bit-exact, which
+    * is what lets a video query sit under the driver's hash gate
+    * (lossy MJPEG pixels are codec-dependent; raw DIB pixels are
+    * arithmetic). */
+  private[graft] def dibImage(b: Array[Byte], w: Int, h: Int): Option[java.awt.image.BufferedImage] = {
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+    val stride = (w * 3 + 3) & ~3
+    if (b.length.toLong != stride.toLong * h) return None
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var fy = 0
+    while (fy < h) {
+      val y = h - 1 - fy // bottom-up
+      var x = 0
+      while (x < w) {
+        val o = fy * stride + x * 3
+        val bl = b(o) & 0xff; val g = b(o + 1) & 0xff; val r = b(o + 2) & 0xff
+        im.setRGB(x, y, (r << 16) | (g << 8) | bl)
+        x += 1
+      }
+      fy += 1
+    }
+    Some(im)
+  }
+
+  /** Integer ITU-601 luma SUM over one decoded video frame — the
+    * scene-cut statistic: adjacent-frame |Δ| of this sum spikes at a
+    * scene boundary and is 0 for a static shot. Same luma expression
+    * as [[dhash56]] (299r + 587g + 114b div 1000 — weights sum to
+    * 1000, so gray pixels pass through exactly). None when the frame
+    * doesn't decode. */
+  def frameLumaSum(content: Array[Byte], frameNo: Int): Option[Long] =
+    frameImage(content, frameNo).map { im =>
+      val w = im.getWidth; val h = im.getHeight
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = im.getRGB(x, y)
+          sum += (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+            (p & 0xff) * 114) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      sum
     }
 
   /** Codec probe: real header parse for the formats the JVM can read

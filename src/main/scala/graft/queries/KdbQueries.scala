@@ -962,6 +962,82 @@ object KdbQueries extends QueryModule {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** Irregular-interval EWMA — gap-aware exponential smoothing over
+    * event streams that do NOT arrive on a slot grid (the per-user
+    * purchase stream): e_t = w_t·x_t + (1−w_t)·e_{t−1} with the decay
+    * weight a function of the ACTUAL gap, w_t = Δ/(Δ + τ) (Δ = gap
+    * in minutes, τ = 30). The rational kernel is deliberate: the
+    * classical exp(−Δ/τ) weight would put libm exp() inside a
+    * sequential fold where 1-ulp engine differences compound, while
+    * Δ/(Δ+τ) is pure IEEE arithmetic from exact integer gaps —
+    * bit-identical in both engines per step (the kdb_holt_trend
+    * determinism rule, extended to a time-varying α). Fold state is
+    * a struct (e, prev_minute, n), so the oracle steps the identical
+    * recurrence in a recursive CTE (DuckDB list_reduce cannot hold
+    * struct state). Scale shape: raw events pre-aggregate to sparse
+    * observed minutes (max-LWW per minute, order-insensitive); the
+    * per-series fold input is observation-bounded, and the 20-series
+    * grouping keeps every list small while staying genuinely
+    * irregular. */
+  private val ewmaIrregular = QueryDef(
+    "kdb_ewma_irregular",
+    (s, d) => {
+      val acc0 = struct(lit(0.0).as("e"), lit(0L).as("pm"), lit(0).as("n"))
+      ev(s, d)
+        .filter(col("event_type") === "purchase")
+        .withColumn("series", col("user_id") % 20)
+        .withColumn("m", expr("ts_ns div 60000000000L"))
+        .groupBy(col("series"), col("m"))
+        .agg(max(col("value")).as("v"))
+        .groupBy(col("series"))
+        .agg(count(lit(1)).as("n_obs"),
+          (max(col("m")) - min(col("m"))).as("span_minutes"),
+          aggregate(
+            sort_array(collect_list(struct(col("m"), col("v")))),
+            acc0,
+            (acc, r) => {
+              val m = r.getField("m"); val x = r.getField("v")
+              val e = acc.getField("e"); val pm = acc.getField("pm")
+              val n = acc.getField("n")
+              val gap = (m - pm).cast("double")
+              val w = gap / (gap + lit(30.0))
+              when(n === 0, struct(x.as("e"), m.as("pm"), lit(1).as("n")))
+                .otherwise(struct(
+                  (w * x + (lit(1.0) - w) * e).as("e"),
+                  m.as("pm"), (n + 1).as("n")))
+            }).as("acc"))
+        .select(col("series"), col("n_obs"), col("span_minutes"),
+          round(col("acc.e"), 4).as("ewma"))
+        .orderBy(col("series"))
+    },
+    Some(s"""
+      WITH RECURSIVE p AS (
+        SELECT user_id % 20 AS series, epoch_ns(ts) // 60000000000 AS m,
+               max(value) AS v
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2),
+      idx AS (
+        SELECT series, row_number() OVER (PARTITION BY series ORDER BY m) AS i,
+               m, v
+        FROM p),
+      nn AS (
+        SELECT series, max(i) AS n, max(m) - min(m) AS span
+        FROM idx GROUP BY 1),
+      rec AS (
+        SELECT series, CAST(1 AS BIGINT) AS i, v AS e, m AS pm
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT r.series, r.i + 1,
+               (CAST(x.m - r.pm AS DOUBLE) / (CAST(x.m - r.pm AS DOUBLE) + 30.0)) * x.v
+                 + (1.0 - (CAST(x.m - r.pm AS DOUBLE) / (CAST(x.m - r.pm AS DOUBLE) + 30.0))) * r.e,
+               x.m
+        FROM rec r JOIN idx x ON x.series = r.series AND x.i = r.i + 1)
+      SELECT r.series, CAST(nn.n AS BIGINT) AS n_obs,
+             CAST(nn.span AS BIGINT) AS span_minutes,
+             round(r.e, 4) AS ewma
+      FROM rec r JOIN nn ON nn.series = r.series AND r.i = nn.n
+      ORDER BY r.series"""))
+
   /** OHLC bars: open/high/low/close per (type, 6h window) — the
     * canonical TSDB downsample for anything priced. Open/close are
     * defined by ingest order (min/max event_id), kdb's own notion of
@@ -5754,7 +5830,7 @@ object KdbQueries extends QueryModule {
     bollinger, fbyFilter, spearman, survivalKm, pacf, periodogram,
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
-    sessionize, downsample, interpFill, ewma, ohlc, counterRate, latest,
+    sessionize, downsample, interpFill, ewma, ewmaIrregular, ohlc, counterRate, latest,
     heavyHitters, zscore, madAnomaly, seriesCorr, corrMatrix, seasonality,
     seriesRatio, topMovers, latencyBands, calendarHeatmap, orderAudit, rollingMedian, audienceOverlap,
     funnel, retentionCohorts, twap, gapDetect, rollingWau,

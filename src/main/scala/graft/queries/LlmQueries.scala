@@ -3316,6 +3316,71 @@ object LlmQueries extends QueryModule {
         UNION ALL SELECT doc_id, 'avi', 2, 2, g % 4 + 2 FROM ids)
       ORDER BY doc_id, fmt"""))
 
+  /** Video scene-cut detection over REALLY-DECODED frames — the
+    * temporal member of the multimodal tier (codec metadata → pixels
+    * → now frame DYNAMICS): per video, the integer ITU-601 luma sum
+    * of every frame, adjacent-frame |Δ|, and a cut flag where the
+    * delta clears the threshold — the shot-boundary pass a video
+    * training pipeline runs before sampling clips. Fixtures are
+    * uncompressed BI_RGB AVIs (MediaFixtures.aviDib): real RIFF
+    * container, real bottom-up-BGR stride-padded frame decode
+    * (Multimodal.dibImage), pixels from an exact integer formula —
+    * so the oracle recomputes every luma sum as PURE ARITHMETIC and
+    * any container/stride/row-order/luma defect flips the gate
+    * (lossy MJPEG could never offer this; that's why the DIB path
+    * exists). Each video has one true cut at frame (doc_id % 4 + 1):
+    * within-scene deltas are exactly 0, the cross-scene delta is
+    * ≥ w·h·120 ≫ the threshold. Scale shape: fixture build + decode
+    * is partition-local flatMap work (1 row → 6 frame rows); the
+    * only shuffle is the per-video lag window on a 6-row frame. */
+  private val videoSceneCut = QueryDef(
+    "llm_video_scene_cut",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.{MediaFixtures, Multimodal}
+      val ids = documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 40).as[Long]
+      val frames = ids.flatMap { id =>
+        val b = (id % 4 + 1).toInt
+        val shifts = (0 until 6).map(f =>
+          ((id * 3) % 97 + (if (f >= b) 120 else 0)).toInt)
+        val avi = MediaFixtures.aviDib(16, 12, shifts)
+        (0 until 6).map(f =>
+          (id, f, Multimodal.frameLumaSum(avi, f).getOrElse(-1L)))
+      }.toDF("doc_id", "frame_no", "luma_sum")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+      frames
+        .withColumn("delta",
+          coalesce(abs(col("luma_sum") - lag(col("luma_sum"), 1).over(w)), lit(0L)))
+        .select(col("doc_id"), col("frame_no"), col("luma_sum"), col("delta"),
+          when(col("delta") > 9600L, 1).otherwise(0).as("is_cut"))
+        .orderBy(col("doc_id"), col("frame_no"))
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, doc_id % 4 + 1 AS b, (doc_id * 3) % 97 AS base
+        FROM documents WHERE doc_id < 40),
+      fr AS (
+        SELECT doc_id, f,
+               base + CASE WHEN f >= b THEN 120 ELSE 0 END AS s
+        FROM ids, generate_series(0, 5) AS g(f)),
+      ls AS (
+        SELECT doc_id, f,
+               CAST(sum((x * 7 + y * 11 + s) % 256) AS BIGINT) AS luma_sum
+        FROM fr,
+             generate_series(0, 15) AS gx(x),
+             generate_series(0, 11) AS gy(y)
+        GROUP BY 1, 2),
+      dl AS (
+        SELECT doc_id, CAST(f AS INT) AS frame_no, luma_sum,
+               coalesce(abs(luma_sum - lag(luma_sum)
+                 OVER (PARTITION BY doc_id ORDER BY f)), 0) AS delta
+        FROM ls)
+      SELECT doc_id, frame_no, luma_sum, CAST(delta AS BIGINT) AS delta,
+             CASE WHEN delta > 9600 THEN 1 ELSE 0 END AS is_cut
+      FROM dl
+      ORDER BY doc_id, frame_no"""))
+
   /** Preference-pair construction for DPO/RLHF-style training — the
     * step that turns a scored corpus into (chosen, rejected) pairs:
     * within each (lang, source) "prompt group", the best- and
@@ -5286,8 +5351,116 @@ object LlmQueries extends QueryModule {
       LIMIT 30"""
     })
 
+  /** ROUGE-1 / ROUGE-2 overlap scoring between candidate near-dup
+    * pairs — the n-gram eval metric (summarization/paraphrase
+    * scoring) run at corpus scale over the LSH candidate graph (one
+    * lshPairs definition with pagerank/HITS — never all-pairs).
+    * Clipped-count overlap (Σ min(c₁, c₂) per gram, the ROUGE
+    * definition) and the EXACT-integer F1: with P = ov/t₂ and
+    * R = ov/t₁, harmonic F1 collapses to 2·ov/(t₁+t₂), so the score
+    * is one integer division in micros — no float P/R intermediates
+    * to wobble. Every doc in a pair has ≥3 tokens (LSH requires
+    * shingles), so unigram AND bigram totals are nonzero by
+    * construction — no zero-division branch. Scale shape: per-doc
+    * gram count tables build once (one tokenize, bigrams via the
+    * lead()-window idiom — no array-lambda re-splits), pairs join
+    * grams d1-side then equi-join d2-side on (doc, gram), zero-
+    * overlap pairs restored by left join; gram tables localCheckpoint
+    * since both pair sides consume them. */
+  private val rougePairs = QueryDef(
+    "llm_rouge_pairs",
+    (s, d) => {
+      val pairs = lshPairs(s, d).localCheckpoint(true)
+      val toksDf = documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tok")))
+      val uni = toksDf.groupBy(col("doc_id"), col("tok").as("g"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val bi = toksDf
+        .select(col("doc_id"),
+          concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w)).as("g"),
+          lead(col("tok"), 1).over(w).isNotNull.as("full"))
+        .filter(col("full"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      def tot(g: DataFrame, name: String) =
+        g.groupBy(col("doc_id")).agg(sum(col("c")).as(name))
+      def overlap(g: DataFrame, name: String) = pairs
+        .join(g.select(col("doc_id").as("d1"), col("g"), col("c").as("c1")),
+          Seq("d1"))
+        .join(g.select(col("doc_id").as("d2"), col("g"), col("c").as("c2")),
+          Seq("d2", "g"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(sum(least(col("c1"), col("c2"))).as(name))
+      val uniTot = tot(uni, "ut").localCheckpoint(true)
+      val biTot = tot(bi, "bt").localCheckpoint(true)
+      pairs
+        .join(overlap(uni, "uov"), Seq("d1", "d2"), "left_outer")
+        .join(overlap(bi, "bov"), Seq("d1", "d2"), "left_outer")
+        .join(uniTot.select(col("doc_id").as("d1"), col("ut").as("ut1")), Seq("d1"))
+        .join(uniTot.select(col("doc_id").as("d2"), col("ut").as("ut2")), Seq("d2"))
+        .join(biTot.select(col("doc_id").as("d1"), col("bt").as("bt1")), Seq("d1"))
+        .join(biTot.select(col("doc_id").as("d2"), col("bt").as("bt2")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          coalesce(col("uov"), lit(0L)).as("uni_overlap"),
+          coalesce(col("bov"), lit(0L)).as("bi_overlap"),
+          col("ut1"), col("ut2"), col("bt1"), col("bt2"))
+        .select(col("d1"), col("d2"), col("uni_overlap"), col("bi_overlap"),
+          expr("(2L * uni_overlap * 1000000L) div (ut1 + ut2)").as("rouge1_f_micro"),
+          expr("(2L * bi_overlap * 1000000L) div (bt1 + bt2)").as("rouge2_f_micro"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some(s"""
+      WITH ${dkMinhashCte},
+      ${dkLshPairsCtes},
+      lp AS MATERIALIZED (SELECT d1, d2 FROM lsh_pairs),
+      tk2 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      uni AS MATERIALIZED (
+        SELECT doc_id, g, count(*) AS c FROM (
+          SELECT doc_id, unnest(tk) AS g FROM tk2)
+        GROUP BY 1, 2),
+      bi AS MATERIALIZED (
+        SELECT doc_id, g, count(*) AS c FROM (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(tk) - 1),
+                                       i -> tk[i] || ' ' || tk[i + 1])) AS g
+          FROM tk2)
+        GROUP BY 1, 2),
+      ut AS MATERIALIZED (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS t FROM uni GROUP BY 1),
+      bt AS MATERIALIZED (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS t FROM bi GROUP BY 1),
+      uov AS (
+        SELECT p.d1, p.d2, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+        FROM lp p
+        JOIN uni a ON a.doc_id = p.d1
+        JOIN uni b ON b.doc_id = p.d2 AND b.g = a.g
+        GROUP BY 1, 2),
+      bov AS (
+        SELECT p.d1, p.d2, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+        FROM lp p
+        JOIN bi a ON a.doc_id = p.d1
+        JOIN bi b ON b.doc_id = p.d2 AND b.g = a.g
+        GROUP BY 1, 2)
+      SELECT p.d1, p.d2,
+             coalesce(u.ov, 0) AS uni_overlap,
+             coalesce(v.ov, 0) AS bi_overlap,
+             (2 * coalesce(u.ov, 0) * 1000000) // (ut1.t + ut2.t)
+               AS rouge1_f_micro,
+             (2 * coalesce(v.ov, 0) * 1000000) // (bt1.t + bt2.t)
+               AS rouge2_f_micro
+      FROM lp p
+      LEFT JOIN uov u ON u.d1 = p.d1 AND u.d2 = p.d2
+      LEFT JOIN bov v ON v.d1 = p.d1 AND v.d2 = p.d2
+      JOIN ut ut1 ON ut1.doc_id = p.d1
+      JOIN ut ut2 ON ut2.doc_id = p.d2
+      JOIN bt bt1 ON bt1.doc_id = p.d1
+      JOIN bt bt2 ON bt2.doc_id = p.d2
+      ORDER BY p.d1, p.d2"""))
+
   val defs: Seq[QueryDef] = Seq(
-    suffixArray, cmsSketch, hitsScores,
+    suffixArray, cmsSketch, hitsScores, rougePairs, videoSceneCut,
     weightedSample, bpeMergeStep, bpeTrain, bpeEncodeStats, skipgramCooc, instructionDetect,
     clusterQuality, pmiCollocations,
     matryoshkaEval, curriculumOrder,

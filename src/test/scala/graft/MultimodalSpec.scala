@@ -486,6 +486,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.frameImage("not-a-video".getBytes, 0) === None)
   }
 
+  test("AVI/DIB: uncompressed frames decode to formula-exact pixels; luma sums match arithmetic") {
+    val w = 5; val h = 3 // stride 16 > w*3 = 15: padding exercised
+    val shifts = Seq(10, 10, 200)
+    val avi = graft.multimodal.MediaFixtures.aviDib(w, h, shifts)
+    val (pw, ph, frames) = Multimodal.parseAvi(avi).get
+    assert((pw, ph, frames.size) === (w, h, 3))
+    // every pixel of every frame equals the fixture formula exactly
+    for (f <- shifts.indices; y <- 0 until h; x <- 0 until w) {
+      val g = (x * 7 + y * 11 + shifts(f)) % 256
+      val img = Multimodal.frameImage(avi, f).get
+      assert((img.getRGB(x, y) & 0xffffff) === ((g << 16) | (g << 8) | g),
+        s"frame $f pixel ($x,$y)")
+    }
+    // luma of gray is identity → the sum is the closed-form double sum
+    val want = (0 until h).flatMap(y => (0 until w).map(x =>
+      ((x * 7 + y * 11 + 200) % 256).toLong)).sum
+    assert(Multimodal.frameLumaSum(avi, 2) === Some(want))
+    // identical shifts → delta 0; scene boundary → delta > 0
+    assert(Multimodal.frameLumaSum(avi, 0) === Multimodal.frameLumaSum(avi, 1))
+    assert(Multimodal.frameLumaSum(avi, 1) !== Multimodal.frameLumaSum(avi, 2))
+    // a size-mismatched chunk must NOT decode as DIB
+    assert(Multimodal.dibImage(new Array[Byte](17), w, h) === None)
+  }
+
   test("audioStats decodes REAL G.711 mu-law/A-law samples (ITU reference points)") {
     import spark.implicits._
     // ITU G.711 extremes pin the expansion: ulaw 0x00 = -32124,

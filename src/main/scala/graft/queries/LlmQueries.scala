@@ -729,6 +729,124 @@ object LlmQueries extends QueryModule {
       FROM rk WHERE rk <= 3
       ORDER BY doc_id, rk"""))
 
+  /** Topic coherence (NPMI, Bouma 2009 / Röder 2015 C_v family) —
+    * "are a topic's top terms actually about one thing?", the
+    * standard automatic quality score for topic models, run with
+    * topic = source: top-5 source-distinctive terms by source-level
+    * tf·idf (idf over SOURCES, so shared stopwords score 0), then
+    * for each of the ≤C(5,2) term pairs per source the normalized
+    * PMI from document co-occurrence: npmi = ln(c12·D/(c1·c2)) /
+    * ln(D/c12), quantized to micros (the lm_score ln() discipline;
+    * ORDER never touches the float). Degenerate pairs pin to the
+    * limits: never-co-occurring → −1e6, co-occurring-everywhere →
+    * +1e6. Scale shape: one corpus pass builds (source, term)
+    * counts; top-5 windows run per source on the aggregate-sized
+    * count table; doc-term incidence is semi-joined down to the
+    * broadcast probe-term set BEFORE any pair work, so the c12
+    * self-join is probe-bounded — never a corpus self-join; D rides
+    * a 1-row broadcast cross join (the llm_lm_score scalar shape). */
+  private val topicCoherence = QueryDef(
+    "llm_topic_coherence",
+    (s, d) => {
+      val docs = documents(s, d)
+      val toks = docs.select(col("source"), col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+      val stf = toks.groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val sdf = stf.groupBy(col("term")).agg(count(lit(1)).as("sdf"))
+      val nS = stf.select(col("source")).distinct()
+        .agg(count(lit(1)).cast("double").as("n_sources"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("term"))
+      val topT = stf.join(broadcast(sdf), "term")
+        .crossJoin(broadcast(nS))
+        .withColumn("score",
+          round(col("cnt") * log(col("n_sources") / col("sdf")), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("term"))
+        .localCheckpoint(true)
+      val probe = topT.select(col("term")).distinct()
+      val inc = toks.select(col("doc_id"), col("term")).distinct()
+        .join(broadcast(probe), Seq("term"), "left_semi")
+        .localCheckpoint(true)
+      val df = inc.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val nD = docs.agg(count(lit(1)).as("n_docs"))
+      val pairs = topT.as("a")
+        .join(topT.as("b"),
+          col("a.source") === col("b.source") && col("a.term") < col("b.term"))
+        .select(col("a.source").as("source"),
+          col("a.term").as("t1"), col("b.term").as("t2"))
+      val codf = pairs
+        .join(inc.select(col("term").as("t1"), col("doc_id")), Seq("t1"))
+        .join(inc.select(col("term").as("t2"), col("doc_id")), Seq("t2", "doc_id"))
+        .groupBy(col("source"), col("t1"), col("t2"))
+        .agg(count(lit(1)).as("c12"))
+      val npmi = log((col("c12").cast("double") * col("n_docs")) /
+          (col("c1").cast("double") * col("c2"))) /
+        log(col("n_docs").cast("double") / col("c12"))
+      pairs
+        .join(df.select(col("term").as("t1"), col("c").as("c1")), Seq("t1"))
+        .join(df.select(col("term").as("t2"), col("c").as("c2")), Seq("t2"))
+        .join(codf, Seq("source", "t1", "t2"), "left_outer")
+        .withColumn("c12", coalesce(col("c12"), lit(0L)))
+        .crossJoin(broadcast(nD))
+        .select(col("source"), col("t1"), col("t2"),
+          col("c1"), col("c2"), col("c12"),
+          when(col("c12") === 0L, lit(-1000000L))
+            .when(col("c12") === col("n_docs"), lit(1000000L))
+            .otherwise(round(npmi * 1000000, 0).cast("long"))
+            .as("npmi_micro"))
+        .orderBy(col("source"), col("t1"), col("t2"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source, doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      stf AS MATERIALIZED (
+        SELECT source, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+      sdf AS (SELECT term, count(*) AS sdf FROM stf GROUP BY 1),
+      ns AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n_sources FROM stf),
+      topt AS MATERIALIZED (
+        SELECT source, term FROM (
+          SELECT s.source, s.term,
+                 row_number() OVER (PARTITION BY s.source
+                   ORDER BY round(s.cnt * ln(ns.n_sources / d.sdf), 4) DESC,
+                            s.term) AS rk
+          FROM stf s JOIN sdf d USING (term) CROSS JOIN ns)
+        WHERE rk <= 5),
+      inc AS MATERIALIZED (
+        SELECT DISTINCT doc_id, term
+        FROM toks WHERE term IN (SELECT term FROM topt)),
+      df AS (SELECT term, count(*) AS c FROM inc GROUP BY 1),
+      nd AS (SELECT count(*) AS n_docs FROM documents),
+      pairs AS MATERIALIZED (
+        SELECT a.source, a.term AS t1, b.term AS t2
+        FROM topt a JOIN topt b
+          ON a.source = b.source AND a.term < b.term),
+      codf AS (
+        SELECT p.source, p.t1, p.t2, count(*) AS c12
+        FROM pairs p
+        JOIN inc i1 ON i1.term = p.t1
+        JOIN inc i2 ON i2.term = p.t2 AND i2.doc_id = i1.doc_id
+        GROUP BY 1, 2, 3)
+      SELECT p.source, p.t1, p.t2,
+             d1.c AS c1, d2.c AS c2, coalesce(cd.c12, 0) AS c12,
+             CASE WHEN coalesce(cd.c12, 0) = 0 THEN -1000000
+                  WHEN cd.c12 = nd.n_docs THEN 1000000
+                  ELSE CAST(round(
+                    ln((CAST(cd.c12 AS DOUBLE) * nd.n_docs) /
+                       (CAST(d1.c AS DOUBLE) * d2.c)) /
+                    ln(CAST(nd.n_docs AS DOUBLE) / cd.c12) * 1000000, 0)
+                    AS BIGINT) END AS npmi_micro
+      FROM pairs p
+      JOIN df d1 ON d1.term = p.t1
+      JOIN df d2 ON d2.term = p.t2
+      LEFT JOIN codf cd ON cd.source = p.source AND cd.t1 = p.t1 AND cd.t2 = p.t2
+      CROSS JOIN nd
+      ORDER BY p.source, p.t1, p.t2"""))
+
   // ---------------------------------------------------------------
   // Text analysis
   // ---------------------------------------------------------------
@@ -5460,7 +5578,7 @@ object LlmQueries extends QueryModule {
       ORDER BY p.d1, p.d2"""))
 
   val defs: Seq[QueryDef] = Seq(
-    suffixArray, cmsSketch, hitsScores, rougePairs, videoSceneCut,
+    suffixArray, cmsSketch, hitsScores, rougePairs, videoSceneCut, topicCoherence,
     weightedSample, bpeMergeStep, bpeTrain, bpeEncodeStats, skipgramCooc, instructionDetect,
     clusterQuality, pmiCollocations,
     matryoshkaEval, curriculumOrder,

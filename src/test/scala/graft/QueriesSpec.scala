@@ -250,7 +250,10 @@ class QueriesSpec extends SparkTestBase {
       // llm_bradley_terry: the 1-row max-strength renormalizer rides
       // a broadcast cross join over the |sources|-row strength table
       // each MM round — the llm_lm_score scalar shape
-      "llm_bradley_terry")
+      "llm_bradley_terry",
+      // llm_topic_coherence: the two 1-row corpus totals (|sources|,
+      // |docs|) ride broadcast cross joins, same as llm_lm_score's
+      "llm_topic_coherence")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -1706,9 +1706,216 @@ object StatsQueries extends QueryModule {
                AS r_xy_given_z
       FROM rr"""))
 
+  /** Sample skewness g1 = m3/m2^1.5 and excess kurtosis g2 = m4/m2²−3
+    * per event type — the distribution-shape moments beside
+    * kdb_welch_ttest's mean/variance and kdb_tail_index's tail
+    * exponent (is the payload distribution symmetric? heavier-tailed
+    * than normal?). Exactness: raw power sums over integer cents are
+    * order-independent; Σc³/Σc⁴ would wrap int64 (a single c⁴ at the
+    * observed max cents ≈ 5.6e4 is ~9.8e18 > 2⁶³−1), so they
+    * accumulate in Spark decimal(38,0) ≡ DuckDB HUGEINT — exact
+    * 128-bit integers, the llm_grpo_advantage Σr² discipline — and
+    * convert to double ONCE (same value → same nearest double in
+    * both engines). Central moments are fixed-order IEEE algebra on
+    * those exact-int doubles, so the 4dp rounds agree bit-for-bit.
+    * Shape: ONE map-side-combinable aggregation, |types| output rows,
+    * closed form — the cheapest possible plan at any scale. */
+  private val skewKurtosis = QueryDef(
+    "kdb_skew_kurtosis",
+    (s, d) => {
+      val c = round(col("value") * 100, 0).cast("long")
+      val g = ev(s, d)
+        .withColumn("cents", c)
+        .withColumn("c2", col("cents") * col("cents"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("s1"),
+          sum(col("c2")).as("s2"),
+          sum(col("c2").cast("decimal(38,0)") * col("cents")).as("s3"),
+          sum(col("c2").cast("decimal(19,0)") * col("c2")).as("s4"))
+      val n = col("n").cast("double")
+      val m = col("s1").cast("double") / n
+      val r2 = col("s2").cast("double") / n
+      val r3 = col("s3").cast("double") / n
+      val r4 = col("s4").cast("double") / n
+      val m2 = r2 - m * m
+      val m3 = r3 - lit(3.0) * m * r2 + lit(2.0) * m * m * m
+      val m4 = r4 - lit(4.0) * m * r3 + lit(6.0) * m * m * r2 -
+        lit(3.0) * m * m * m * m
+      g.select(col("event_type"), col("n"), col("s1").as("sum_cents"),
+          (round(m3 / (m2 * sqrt(m2)), 4) + lit(0.0)).as("skewness"),
+          (round(m4 / (m2 * m2) - lit(3.0), 4) + lit(0.0)).as("kurtosis_ex"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(c) AS BIGINT) AS s1,
+               CAST(sum(c * c) AS BIGINT) AS s2,
+               sum(CAST(c * c AS HUGEINT) * c) AS s3,
+               sum(CAST(c * c AS HUGEINT) * (c * c)) AS s4
+        FROM (SELECT event_type,
+                     CAST(round(value * 100, 0) AS BIGINT) AS c
+              FROM events)
+        GROUP BY 1),
+      r AS (
+        SELECT event_type, n, s1,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+               CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+               CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+        FROM g),
+      cm AS (
+        SELECT event_type, n, s1,
+               r2 - m * m AS m2,
+               r3 - 3.0 * m * r2 + 2.0 * m * m * m AS m3,
+               r4 - 4.0 * m * r3 + 6.0 * m * m * r2 - 3.0 * m * m * m * m
+                 AS m4
+        FROM r)
+      SELECT event_type, n, s1 AS sum_cents,
+             round(m3 / (m2 * sqrt(m2)), 4) + 0.0 AS skewness,
+             round(m4 / (m2 * m2) - 3.0, 4) + 0.0 AS kurtosis_ex
+      FROM cm ORDER BY event_type"""))
+
+  /** Transfer entropy (Schreiber 2000), lag-1 binary-state — the
+    * model-free directional-coupling measure beside kdb_granger's
+    * linear F-test: TE(X→Y) = Σ p(y',y,x)·ln[p(y'|y,x)/p(y'|y)]
+    * asks "does knowing X's state reduce uncertainty about Y's next
+    * state beyond Y's own past?" without assuming linearity. Both
+    * directions reported; TE(X→Y) > TE(Y→X) reads as net information
+    * flow X→Y. States are above-average activity flags per hourly
+    * slot decided by EXACT integer comparison (cents·720 > Σcents —
+    * no float threshold), so state sequences are identical in both
+    * engines. All probabilities reduce to ratios of exact transition
+    * counts; each of the ≤8 state cells contributes
+    * (c/N)·ln((c·c_y)/(c_xy·c_yy)) — one fixed-order double
+    * expression on exact ints quantized to micros (the llm_psi_drift
+    * ln() discipline), summed AFTER quantization so the total is an
+    * order-independent BIGINT sum. Shape: one rollup shuffle to the
+    * 720-slot grid, lead() on the bounded grid, then counts and
+    * marginals on the ≤8-row state table; the 1-row activity-total
+    * scalar rides a broadcast cross join (the llm_lm_score shape). */
+  private val transferEntropy = QueryDef(
+    "kdb_transfer_entropy",
+    (s, d) => {
+      val e = ev(s, d).filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      val nSlots = (T1 - T0) / Hour
+      val nTrans = nSlots - 1
+      val grid = s.range(nSlots).select((lit(T0) + col("id") * Hour).as("slot_ns"))
+      val sums = e.groupBy(col("slot_ns")).agg(
+        sum(when(col("event_type") === "click", col("cents")).otherwise(0L)).as("xc"),
+        sum(when(col("event_type") === "purchase", col("cents")).otherwise(0L)).as("yc"))
+      val dense = grid.join(sums, Seq("slot_ns"), "left_outer")
+        .select(col("slot_ns"),
+          coalesce(col("xc"), lit(0L)).as("xc"),
+          coalesce(col("yc"), lit(0L)).as("yc"))
+      val tot = dense.agg(sum(col("xc")).as("tx"), sum(col("yc")).as("ty"))
+      val st = dense.crossJoin(broadcast(tot))
+        .select(col("slot_ns"),
+          (col("xc") * nSlots > col("tx")).cast("int").as("x"),
+          (col("yc") * nSlots > col("ty")).cast("int").as("y"))
+      // lead() on the constant 720-row grid — bounded, the granger shape
+      val w = Window.orderBy(col("slot_ns"))
+      val tr = st
+        .withColumn("xn", lead(col("x"), 1).over(w))
+        .withColumn("yn", lead(col("y"), 1).over(w))
+        .filter(col("xn").isNotNull)
+      val triples = tr.select(lit("x->y").as("direction"),
+          col("x").as("src"), col("y").as("dst"), col("yn").as("nxt"))
+        .unionAll(tr.select(lit("y->x").as("direction"),
+          col("y").as("src"), col("x").as("dst"), col("xn").as("nxt")))
+      val c3 = triples
+        .groupBy(col("direction"), col("src"), col("dst"), col("nxt"))
+        .agg(count(lit(1)).as("c3"))
+      val cSD = c3.groupBy(col("direction"), col("src"), col("dst"))
+        .agg(sum(col("c3")).as("c_sd"))
+      val cDN = c3.groupBy(col("direction"), col("dst"), col("nxt"))
+        .agg(sum(col("c3")).as("c_dn"))
+      val cD = c3.groupBy(col("direction"), col("dst"))
+        .agg(sum(col("c3")).as("c_d"))
+      c3.join(cSD, Seq("direction", "src", "dst"))
+        .join(cDN, Seq("direction", "dst", "nxt"))
+        .join(cD, Seq("direction", "dst"))
+        .select(col("direction"),
+          round((col("c3").cast("double") / lit(nTrans.toDouble)) *
+            log((col("c3").cast("double") * col("c_d")) /
+                (col("c_sd").cast("double") * col("c_dn"))) * 1000000, 0)
+            .cast("long").as("contrib"))
+        .groupBy(col("direction"))
+        .agg(count(lit(1)).as("n_states"), sum(col("contrib")).as("te_micro"))
+        .select(col("direction"), lit(nTrans).as("n_trans"),
+          col("n_states"), col("te_micro"))
+        .orderBy(col("direction"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns, event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+          AND event_type IN ('click', 'purchase')),
+      sums AS (
+        SELECT slot_ns,
+               CAST(sum(CASE WHEN event_type = 'click' THEN cents ELSE 0 END)
+                 AS BIGINT) AS xc,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+                 AS BIGINT) AS yc
+        FROM e GROUP BY 1),
+      dense AS (
+        SELECT g.slot_ns, coalesce(s.xc, 0) AS xc, coalesce(s.yc, 0) AS yc
+        FROM range(${T0}, ${T1}, ${Hour}) g(slot_ns)
+        LEFT JOIN sums s USING (slot_ns)),
+      tot AS (
+        SELECT CAST(sum(xc) AS BIGINT) AS tx, CAST(sum(yc) AS BIGINT) AS ty
+        FROM dense),
+      st AS (
+        SELECT slot_ns,
+               CASE WHEN xc * 720 > tx THEN 1 ELSE 0 END AS x,
+               CASE WHEN yc * 720 > ty THEN 1 ELSE 0 END AS y
+        FROM dense CROSS JOIN tot),
+      tr AS (
+        SELECT x, y, lead(x) OVER (ORDER BY slot_ns) AS xn,
+               lead(y) OVER (ORDER BY slot_ns) AS yn
+        FROM st QUALIFY xn IS NOT NULL),
+      triples AS (
+        SELECT 'x->y' AS direction, x AS src, y AS dst, yn AS nxt FROM tr
+        UNION ALL SELECT 'y->x', y, x, xn FROM tr),
+      c3 AS (
+        SELECT direction, src, dst, nxt, count(*) AS c3
+        FROM triples GROUP BY 1, 2, 3, 4),
+      csd AS (
+        SELECT direction, src, dst, CAST(sum(c3) AS BIGINT) AS c_sd
+        FROM c3 GROUP BY 1, 2, 3),
+      cdn AS (
+        SELECT direction, dst, nxt, CAST(sum(c3) AS BIGINT) AS c_dn
+        FROM c3 GROUP BY 1, 2, 3),
+      cd AS (
+        SELECT direction, dst, CAST(sum(c3) AS BIGINT) AS c_d
+        FROM c3 GROUP BY 1, 2),
+      contrib AS (
+        SELECT c.direction,
+               CAST(round((CAST(c.c3 AS DOUBLE) / 719.0) *
+                 ln((CAST(c.c3 AS DOUBLE) * d.c_d) /
+                    (CAST(s.c_sd AS DOUBLE) * n.c_dn)) * 1000000, 0)
+                 AS BIGINT) AS contrib
+        FROM c3 c
+        JOIN csd s ON s.direction = c.direction AND s.src = c.src
+          AND s.dst = c.dst
+        JOIN cdn n ON n.direction = c.direction AND n.dst = c.dst
+          AND n.nxt = c.nxt
+        JOIN cd d ON d.direction = c.direction AND d.dst = c.dst)
+      SELECT direction, CAST(719 AS BIGINT) AS n_trans,
+             count(*) AS n_states,
+             CAST(sum(contrib) AS BIGINT) AS te_micro
+      FROM contrib GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] = Seq(
     welch, mannWhitney, gini, pareto, winsorize, quantileNorm, hurst,
     bootstrap, mannKendall, dickeyFuller, cointegration, granger,
     ljungBox, conformal, sprt, entropyRate,
-    ksTest, kruskal, esd, circular, tailIndex, partialCorr)
+    ksTest, kruskal, esd, circular, tailIndex, partialCorr,
+    skewKurtosis, transferEntropy)
 }

@@ -253,7 +253,11 @@ class QueriesSpec extends SparkTestBase {
       "llm_bradley_terry",
       // llm_topic_coherence: the two 1-row corpus totals (|sources|,
       // |docs|) ride broadcast cross joins, same as llm_lm_score's
-      "llm_topic_coherence")
+      "llm_topic_coherence",
+      // kdb_transfer_entropy: the 1-row activity-total scalar rides a
+      // broadcast cross join over the 720-slot grid — the
+      // kdb_cointegration scalar-on-grid shape
+      "kdb_transfer_entropy")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

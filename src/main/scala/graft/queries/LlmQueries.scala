@@ -1090,6 +1090,95 @@ object LlmQueries extends QueryModule {
       FROM best WHERE vrk = 1
       ORDER BY qid"""))
 
+  /** Filtered vector search — the production ANN shape every vector
+    * store must answer ("top-k neighbors WHERE label = X") and the
+    * classic pre-vs-post-filter tradeoff: PRE-filtering restricts the
+    * scan to predicate survivors and always returns k exact results;
+    * POST-filtering takes the global (unfiltered) top-20 and keeps
+    * matches, which at 10% selectivity usually returns FEWER than k —
+    * the recall hole this query measures (`in_post20` = would
+    * post-filtering have found this true neighbor?). Each of the 8
+    * probes searches its own label's partition (qid excluded).
+    * Determinism: ordering is raw cosine from the strict-fold kernel
+    * (bit-identical across engines — embTopk precedent) with id
+    * tiebreaks. Scale shape: the PRE side is a broadcast-probes HASH
+    * join on label (the predicate reaches the scan as an equi key —
+    * no nested loop over non-matching labels); both sides select via
+    * the k-bounded TopKAgg (map-side combine, ≤k rows per partition
+    * per qid — the llm_knn_classify discipline), never a window over
+    * the cross product. */
+  private val filteredAnn = QueryDef(
+    "llm_filtered_ann",
+    (s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        col("label").as("nlabel"))
+      def top(pairs: DataFrame, k: Int): DataFrame = pairs
+        .withColumn("cos", cosine(col("qv"), col("nv")))
+        .select(col("qid"), col("nid"), col("cos"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues { case (_, nid, cos) => graft.functions.TopK.Scored(nid, cos) }
+        .agg(graft.functions.TopK.topK(k))
+        .toDF("qid", "top")
+      val pre = top(broadcast(q).join(c,
+          col("qlabel") === col("nlabel") && col("qid") =!= col("nid")), 5)
+        .select(col("qid"), posexplode(col("top")).as(Seq("p", "sc")))
+        .select(col("qid"), (col("p") + 1).as("rk"),
+          col("sc.id").as("nid"), col("sc.score").as("cos"))
+      val post20 = top(broadcast(q).join(c, col("qid") =!= col("nid")), 20)
+        .select(col("qid"), explode(col("top.id")).as("nid"))
+        .join(broadcast(q.select(col("qid"), col("qlabel"))), "qid")
+        .join(c.select(col("nid"), col("nlabel")), "nid")
+        .filter(col("qlabel") === col("nlabel"))
+        .select(col("qid"), col("nid"), lit(1).as("in_post20"))
+      pre.join(post20, Seq("qid", "nid"), "left_outer")
+        .select(col("qid"), col("rk"), col("nid"),
+          round(col("cos"), 4).as("cos"),
+          coalesce(col("in_post20"), lit(0)).as("in_post20"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+        FROM embeddings WHERE vec_id < 8),
+      c AS (
+        SELECT vec_id AS nid, embedding AS nv, label AS nlabel
+        FROM embeddings),
+      pre AS (
+        SELECT qid, nid, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+                 AS rk
+        FROM (
+          SELECT qid, nid,
+                 ${dkDot("qv", "nv")} /
+                 (sqrt(${dkDot("qv", "qv")}) * sqrt(${dkDot("nv", "nv")}))
+                   AS cos
+          FROM q JOIN c ON qlabel = nlabel AND qid <> nid)),
+      post20 AS (
+        SELECT qid, nid, nlabel,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+                 AS rk
+        FROM (
+          SELECT qid, nid, nlabel, qlabel,
+                 ${dkDot("qv", "nv")} /
+                 (sqrt(${dkDot("qv", "qv")}) * sqrt(${dkDot("nv", "nv")}))
+                   AS cos
+          FROM q JOIN c ON qid <> nid)),
+      postok AS (
+        SELECT p.qid, p.nid
+        FROM post20 p JOIN q ON q.qid = p.qid
+        WHERE p.rk <= 20 AND p.nlabel = q.qlabel)
+      SELECT pre.qid, pre.rk, pre.nid, round(pre.cos, 4) AS cos,
+             CASE WHEN po.nid IS NOT NULL THEN 1 ELSE 0 END AS in_post20
+      FROM pre LEFT JOIN postok po ON po.qid = pre.qid AND po.nid = pre.nid
+      WHERE pre.rk <= 5
+      ORDER BY pre.qid, pre.rk"""))
+
   /** Sign-LSH bucketing — the ANN scale path: 8 axis-aligned
     * hyperplane bits shard the corpus; pairwise work then happens only
     * within buckets. Output: bucket histogram. */
@@ -4603,6 +4692,99 @@ object LlmQueries extends QueryModule {
       ORDER BY c_ab DESC, a, b
       LIMIT 30"""))
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — unsupervised
+    * corpus keywords as PageRank over the word co-occurrence graph:
+    * terms ≥ 4 chars (the stopword screen standing in for the paper's
+    * POS filter), edges between terms within a ±2 window of the
+    * FILTERED sequence, weighted by co-occurrence count; 3 damped
+    * (d = 0.85) weighted-PageRank rounds; top-10 terms by final score.
+    * Determinism is the llm_bradley_terry integer-MM discipline: scores
+    * live in micros (seed 10⁶), each neighbor contribution is
+    * (w·score) div out-strength — one integer division — summed as
+    * order-independent BIGINTs, the update 150000 + (85·S) div 100,
+    * so zero IEEE ops and Spark div ≡ DuckDB //. Scale shape: one
+    * doc-partitioned window pass builds edges (the llm_skipgram_cooc
+    * two-lead idiom — no token self-join); the graph, strengths, and
+    * every iteration are vocabulary-sized, never corpus-sized;
+    * per-round localCheckpoint truncates the iterative lineage
+    * (Dedup.connectedComponents discipline); the final top-10 is a
+    * k-bounded TakeOrdered on exact ints. */
+  private val textrankKeywords = QueryDef(
+    "llm_textrank_keywords",
+    (s, d) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val tok = documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+        .filter(length(col("term")) >= 4)
+      val rawp = tok
+        .withColumn("t1", lead(col("term"), 1).over(w))
+        .withColumn("t2", lead(col("term"), 2).over(w))
+        .select(col("term").as("a"), explode(array(col("t1"), col("t2"))).as("b"))
+        .filter(col("b").isNotNull && col("a") =!= col("b"))
+      val edges = rawp.unionAll(rawp.select(col("b").as("a"), col("a").as("b")))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+        .localCheckpoint(true)
+      val strength = edges.groupBy(col("a")).agg(sum(col("w")).as("wsum"))
+      val ew = edges.join(strength, "a")
+      val nodes = edges.select(col("a").as("term")).distinct()
+        .localCheckpoint(true)
+      var r = nodes.withColumn("score", lit(1000000L))
+      for (_ <- 1 to 3) {
+        val sums = ew
+          .join(r.select(col("term").as("a"), col("score")), "a")
+          .select(col("b"), expr("(w * score) div wsum").as("contrib"))
+          .groupBy(col("b")).agg(sum(col("contrib")).as("insum"))
+        r = nodes
+          .join(sums.select(col("b").as("term"), col("insum")), Seq("term"), "left_outer")
+          .select(col("term"),
+            expr("150000L + (85 * coalesce(insum, 0L)) div 100").as("score"))
+          .localCheckpoint(true)
+      }
+      r.orderBy(col("score").desc, col("term")).limit(10)
+        .select(col("term"), col("score").as("score_micro"))
+        .orderBy(col("score_micro").desc, col("term"))
+    },
+    Some {
+      val iter = (1 to 3).map { i =>
+        s"""c$i AS (
+        SELECT e.b AS term, CAST(sum((e.w * r.score) // s.wsum) AS BIGINT)
+          AS insum
+        FROM edges e JOIN strength s USING (a)
+        JOIN r${i - 1} r ON r.term = e.a
+        GROUP BY 1),
+      r$i AS (
+        SELECT n.term,
+               150000 + (85 * coalesce(c.insum, 0)) // 100 AS score
+        FROM nodes n LEFT JOIN c$i c USING (term))"""
+      }.mkString(",\n      ")
+      s"""
+      WITH tok AS (
+        SELECT doc_id, g AS pos, ws[g] AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             unnest(generate_series(1, len(ws))) t(g)
+        WHERE length(ws[g]) >= 4),
+      seqd AS (
+        SELECT term,
+               lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+               lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        FROM tok),
+      rawp AS (
+        SELECT a, b FROM (
+          SELECT term AS a, t1 AS b FROM seqd
+          UNION ALL SELECT term, t2 FROM seqd)
+        WHERE b IS NOT NULL AND a <> b),
+      edges AS (
+        SELECT a, b, count(*) AS w FROM (
+          SELECT a, b FROM rawp UNION ALL SELECT b, a FROM rawp)
+        GROUP BY 1, 2),
+      strength AS (SELECT a, CAST(sum(w) AS BIGINT) AS wsum FROM edges GROUP BY 1),
+      nodes AS (SELECT DISTINCT a AS term FROM edges),
+      r0 AS (SELECT term, CAST(1000000 AS BIGINT) AS score FROM nodes),
+      $iter
+      SELECT term, score AS score_micro
+      FROM r3 ORDER BY score DESC, term LIMIT 10"""
+    })
+
   /** Weighted sampling WITHOUT replacement via the Efraimidis–
     * Spirakis exponential-sort trick: each doc draws key =
     * ln(u)/w (u = deterministic unit uniform from the shared 60-bit
@@ -5579,6 +5761,7 @@ object LlmQueries extends QueryModule {
 
   val defs: Seq[QueryDef] = Seq(
     suffixArray, cmsSketch, hitsScores, rougePairs, videoSceneCut, topicCoherence,
+    filteredAnn, textrankKeywords,
     weightedSample, bpeMergeStep, bpeTrain, bpeEncodeStats, skipgramCooc, instructionDetect,
     clusterQuality, pmiCollocations,
     matryoshkaEval, curriculumOrder,

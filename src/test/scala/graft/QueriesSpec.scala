@@ -257,7 +257,11 @@ class QueriesSpec extends SparkTestBase {
       // kdb_transfer_entropy: the 1-row activity-total scalar rides a
       // broadcast cross join over the 720-slot grid — the
       // kdb_cointegration scalar-on-grid shape
-      "kdb_transfer_entropy")
+      "kdb_transfer_entropy",
+      // llm_filtered_ann: the POST-filter baseline scans broadcast
+      // probes × corpus (non-equi qid<>nid) — the llm_similarity_topk
+      // shape; the PRE-filter side is a hash join on label
+      "llm_filtered_ann")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -960,10 +960,36 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * table). One LWW shuffle + one bucket-keyed write, same fan-out
     * discipline as ingest. Returns the exported row count (from
     * parquet footers, no second scan). */
-  def exportSnapshot(asOfSeq: Long, outDir: String): Long = {
+  def exportSnapshot(asOfSeq: Long, outDir: String): Long =
+    exportDelta(Long.MinValue, asOfSeq, outDir)
+
+  /** Export the LWW-resolved DELTA between two MVCC watermarks —
+    * every (series, slot) written with `fromSeqExclusive < seq ≤
+    * toSeqInclusive`, each carrying its in-range winning payload and
+    * seq — as the same bucket-partitioned parquet layout
+    * [[exportSnapshot]] produces. This is incremental replication
+    * (primary → replica sync, the feature the reference's
+    * single-node design never needs): a replica that has applied
+    * every delta chain `(w₀,w₁], (w₁,w₂], …` via [[importSnapshot]]
+    * holds exactly the primary's LWW world at the last watermark —
+    * rows keep their seq, so cross-delta overwrites of the same
+    * (series, slot) resolve at the replica by the same LWW rule the
+    * primary uses, and the replica's [[currentSeq]] advances to the
+    * primary's watermark. Shipping the range-resolved delta (not raw
+    * history) is the bandwidth-optimal choice: superseded
+    * intermediate versions inside one sync interval never cross the
+    * wire, while every delta-boundary watermark stays a consistent
+    * [[findAsOf]] cut on the replica. The seq filter is a pushed-down
+    * parquet predicate, so row-group stats prune cold files whose seq
+    * range predates the delta; otherwise one LWW shuffle + one
+    * bucket-keyed write, the ingest fan-out discipline. Returns the
+    * exported row count (from parquet footers, no second scan). */
+  def exportDelta(fromSeqExclusive: Long, toSeqInclusive: Long, outDir: String): Long = {
+    require(fromSeqExclusive < toSeqInclusive,
+      s"exportDelta: empty seq range ($fromSeqExclusive, $toSeqInclusive]")
     ensureManifest(adopt = false)
     val resolvedRows = table()
-      .filter(col("seq") <= asOfSeq)
+      .filter(col("seq") > fromSeqExclusive && col("seq") <= toSeqInclusive)
       .groupBy((tagCols.map(col) :+ col("slot_ns")): _*)
       .agg(max_by(col("payload"), col("seq")).as("payload"), max(col("seq")).as("seq"))
       .withColumn("bucket_ts", floorBucket(col("slot_ns")))

@@ -5283,6 +5283,100 @@ object KdbQueries extends QueryModule {
       GROUP BY 1, 2, 5, 6, 7
       ORDER BY event_type, user_id"""))
 
+  /** Incremental replication, oracle-gated end to end — the
+    * primary → replica sync story a multi-site deployment needs (and
+    * the single-node reference never grows, `dbase/dbase.go:24-38`):
+    * a primary ingests the week's evens, DELTA-syncs a fresh replica
+    * (exportDelta(−∞, w₁] → importSnapshot), then ingests the odds at
+    * strictly higher seq and ships ONLY the second delta (w₁, w₂].
+    * The replica's LWW world is hash-gated against DuckDB resolving
+    * ALL the week's rows by effective seq (odd rows carry
+    * seq = id + 2⁴⁰, so an odd write beats every even at its slot) —
+    * which pins exactly the replication contract: cross-delta
+    * overwrites of a (series, slot) already shipped in delta 1
+    * resolve at the replica by the same LWW rule the primary uses,
+    * in-range superseded versions never cross the wire (delta 2 rows
+    * = distinct odd slots, an oracle receipt), and the replica's
+    * currentSeq advances to the primary's watermark w₂ (receipt
+    * three). Each delta export is one pushed-down seq-range scan +
+    * LWW shuffle; each apply is one atomic batch publish. */
+  private val replicationTwin = QueryDef(
+    "kdb_replication_twin",
+    (s, d) => {
+      import s.implicits._
+      val SeqShift = 1L << 40
+      val dir = graft.core.Scratch.dir("graft-repltwin")
+      val clock = new graft.core.TestClock(T1)
+      def mkEngine(sub: String) = new graft.core.Engine(s,
+        graft.core.EngineOptions(s"repl$sub", s"$dir/$sub", indexDepth = 2,
+          payloadSize = 8, bucketDuration = Day, resolution = Hour,
+          maxHotBuckets = 40), clock)
+      val primary = mkEngine("p")
+      val replica = mkEngine("r")
+      val base = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T0 + 7 * Day)
+        .select(col("ts_ns"), col("event_type"),
+          col("user_id").cast("string").as("uid"),
+          col("value"), col("event_id"))
+      def pts(df: DataFrame, shift: Long) = df
+        .as[(Long, String, String, Double, Long)]
+        .map { case (ts, et, uid, v, id) =>
+          graft.core.Point(ts, Seq(et, uid),
+            graft.plans.DoubleFromPayload.encode(v), id + shift)
+        }.toDF()
+      primary.put(pts(base.filter(col("event_id") % 2 === 0), 0L))
+      val w1 = primary.currentSeq()
+      val d1 = primary.exportDelta(Long.MinValue, w1, s"$dir/delta1")
+      val a1 = replica.importSnapshot(s"$dir/delta1")
+      primary.put(pts(base.filter(col("event_id") % 2 === 1), SeqShift))
+      val w2 = primary.currentSeq()
+      val d2 = primary.exportDelta(w1, w2, s"$dir/delta2")
+      val a2 = replica.importSnapshot(s"$dir/delta2")
+      val replicaSeq = replica.currentSeq()
+      replica.sqlView("graft_replication_twin")
+      s.sql("""
+        SELECT tag0 AS event_type, tag1 AS user_id,
+               count(*) AS n_slots,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM graft_replication_twin
+        GROUP BY tag0, tag1""")
+        .withColumn("delta1_rows", lit(d1))
+        .withColumn("delta2_rows", lit(d2))
+        .withColumn("applied_rows", lit(a1 + a2))
+        .withColumn("replica_seq", lit(replicaSeq))
+        .orderBy(col("event_type"), col("user_id"))
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               value, event_id
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T0 + 7 * Day}),
+      world AS (
+        SELECT event_type, user_id, slot_ns,
+               arg_max(value,
+                 event_id % 2 * ${1L << 40} + event_id) AS value
+        FROM w GROUP BY 1, 2, 3),
+      receipts AS (
+        SELECT
+          (SELECT count(*) FROM (
+             SELECT DISTINCT event_type, user_id, slot_ns
+             FROM w WHERE event_id % 2 = 0)) AS delta1_rows,
+          (SELECT count(*) FROM (
+             SELECT DISTINCT event_type, user_id, slot_ns
+             FROM w WHERE event_id % 2 = 1)) AS delta2_rows,
+          (SELECT CAST(max(event_id % 2 * ${1L << 40} + event_id) AS BIGINT)
+           FROM w WHERE event_id % 2 = 1) AS replica_seq)
+      SELECT event_type, user_id,
+             count(*) AS n_slots,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             delta1_rows, delta2_rows,
+             delta1_rows + delta2_rows AS applied_rows, replica_seq
+      FROM world CROSS JOIN receipts
+      GROUP BY 1, 2, 5, 6, 7, 8
+      ORDER BY event_type, user_id"""))
+
   /** Bollinger bands (24-hour, k=2) per event_type over the hourly
     * integer-cent sums: mean ± 2σ of the trailing 24 present hours,
     * with band-breakout flags — the volatility-envelope monitor
@@ -5837,6 +5931,7 @@ object KdbQueries extends QueryModule {
     locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest,
     theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing,
     timeTravelTwin, snapshotDiffTwin, rollbackTwin, anovaF, maintenanceTwin, backupTwin,
+    replicationTwin,
     incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf,
     eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,
     anomalyEnsemble, drawdown, changepoint, rateLimitAudit, burstiness,

@@ -5377,6 +5377,88 @@ object KdbQueries extends QueryModule {
       GROUP BY 1, 2, 5, 6, 7, 8
       ORDER BY event_type, user_id"""))
 
+  /** Haar wavelet multi-resolution energy — at WHICH timescale does
+    * the purchase series vary? (2 h pair noise vs daily cycle vs
+    * multi-day regime shifts — the multi-scale complement of
+    * kdb_periodogram's fixed candidate periods and kdb_seasonality's
+    * single daily profile.) 512 hourly slots, unnormalized Haar
+    * detail d_ℓ(i) = block-sum difference at level ℓ ∈ 1..9; the
+    * orthonormal-basis energy E_ℓ = Σd²/2^ℓ enters the cross-level
+    * comparison as the EXACT integer Σd²·2^(9−ℓ), so the total, the
+    * shares' numerators/denominator, and the dominant-level argmax
+    * are all integer arithmetic (the one IEEE op is the final share
+    * division of two exact ints, 4dp-rounded identically). The
+    * classic pyramid is a ⌈log₂ n⌉-step loop; here ALL levels fold in
+    * ONE aggregation — each slot carries a ±1 sign per level
+    * ((t div 2^(ℓ−1)) mod 2) and blocks are t div 2^ℓ — because
+    * zero slots contribute nothing, which also kills the dense-grid
+    * join: absent hours ARE zeros. Shape: one data-sized hourly
+    * rollup (≤512 rows), a ×9 level explode on that bounded table,
+    * one (level, block) aggregation, and a 1-row total broadcast
+    * (at int64 scale limits: Σd² wraps only past ~10⁹ cents/hour —
+    * widen to decimal(38,0)/HUGEINT at that volume). */
+  private val haarEnergy = QueryDef(
+    "kdb_haar_energy",
+    (s, d) => {
+      val e = ev(s, d)
+        .filter(col("event_type") === "purchase" &&
+          col("ts_ns") >= T0 && col("ts_ns") < T0 + 512 * Hour)
+        .withColumn("t", expr(s"(ts_ns - ${T0}L) div ${Hour}L"))
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      val slots = e.groupBy(col("t")).agg(sum(col("cents")).as("v"))
+      val dd = slots
+        .select(col("t"), col("v"),
+          explode(array((1 to 9).map(lit): _*)).as("level"))
+        .withColumn("block", expr("t div shiftleft(1L, level)"))
+        .withColumn("sgn",
+          when(expr("(t div shiftleft(1L, level - 1)) % 2") === 0, 1L)
+            .otherwise(-1L))
+        .groupBy(col("level"), col("block"))
+        .agg(sum(col("v") * col("sgn")).as("dcoef"))
+      val en = dd.groupBy(col("level"))
+        .agg(sum(col("dcoef") * col("dcoef")).as("sumsq"))
+        .withColumn("scaled", expr("sumsq * shiftleft(1L, 9 - level)"))
+      val tot = en.agg(sum(col("scaled")).as("total"), max(col("scaled")).as("mx"))
+      en.crossJoin(broadcast(tot))
+        .select(col("level").cast("long").as("level"),
+          expr("512 div shiftleft(1L, level)").cast("long").as("n_coeffs"),
+          col("sumsq"),
+          (round(col("scaled").cast("double") / col("total").cast("double"), 4)
+            + lit(0.0)).as("energy_share"),
+          (col("scaled") === col("mx")).cast("int").as("dominant"))
+        .orderBy(col("level"))
+    },
+    Some(s"""
+      WITH slots AS (
+        SELECT (epoch_ns(ts) - ${T0}) // ${Hour} AS t,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+        FROM events
+        WHERE event_type = 'purchase'
+          AND epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T0 + 512 * Hour}
+        GROUP BY 1),
+      lv AS (SELECT unnest(generate_series(1, 9)) AS level),
+      dd AS (
+        SELECT level, t // (CAST(1 AS BIGINT) << level) AS block,
+               CAST(sum(v * CASE WHEN (t // (CAST(1 AS BIGINT) << (level - 1))) % 2 = 0
+                 THEN 1 ELSE -1 END) AS BIGINT) AS dcoef
+        FROM slots CROSS JOIN lv
+        GROUP BY 1, 2),
+      en AS (
+        SELECT level, CAST(sum(dcoef * dcoef) AS BIGINT) AS sumsq,
+               CAST(sum(dcoef * dcoef) AS BIGINT) *
+                 (CAST(1 AS BIGINT) << (9 - level)) AS scaled
+        FROM dd GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(scaled) AS BIGINT) AS total, max(scaled) AS mx
+        FROM en)
+      SELECT CAST(level AS BIGINT) AS level,
+             CAST(512 // (CAST(1 AS BIGINT) << level) AS BIGINT) AS n_coeffs,
+             sumsq,
+             round(CAST(scaled AS DOUBLE) / CAST(total AS DOUBLE), 4) + 0.0
+               AS energy_share,
+             CASE WHEN scaled = mx THEN 1 ELSE 0 END AS dominant
+      FROM en CROSS JOIN tot ORDER BY level"""))
+
   /** Bollinger bands (24-hour, k=2) per event_type over the hourly
     * integer-cent sums: mean ± 2σ of the trailing 24 present hours,
     * with band-breakout flags — the volatility-envelope monitor
@@ -5931,7 +6013,7 @@ object KdbQueries extends QueryModule {
     locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest,
     theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing,
     timeTravelTwin, snapshotDiffTwin, rollbackTwin, anovaF, maintenanceTwin, backupTwin,
-    replicationTwin,
+    replicationTwin, haarEnergy,
     incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf,
     eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,
     anomalyEnsemble, drawdown, changepoint, rateLimitAudit, burstiness,

@@ -261,7 +261,11 @@ class QueriesSpec extends SparkTestBase {
       // llm_filtered_ann: the POST-filter baseline scans broadcast
       // probes × corpus (non-equi qid<>nid) — the llm_similarity_topk
       // shape; the PRE-filter side is a hash join on label
-      "llm_filtered_ann")
+      "llm_filtered_ann",
+      // kdb_haar_energy: the 1-row total-energy scalar rides a
+      // broadcast cross join over the 9-level table — the
+      // llm_lm_score scalar shape
+      "kdb_haar_energy")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -3568,6 +3568,88 @@ object KdbQueries extends QueryModule {
       FROM c
       ORDER BY from_type, to_type"""))
 
+  /** Markov-chain stationary distribution — where does the user
+    * behavior chain SETTLE? π = πP solved by 10 power-iteration
+    * rounds over kdb_event_transitions' count matrix (the long-run
+    * occupancy forecast that the raw transition table only implies),
+    * reported beside the empirical occupancy (share of observed
+    * transition sources) so the gap exposes how far the chain is
+    * from mixed. The llm_bradley_terry / llm_textrank_keywords
+    * integer-iteration discipline: π lives in micros (seed
+    * 10⁶ div |states|), each update term is (π_i·c_ij) div r_i — one
+    * integer division per matrix cell — summed as order-independent
+    * BIGINTs, zero IEEE ops so Spark div ≡ DuckDB // and 10 rounds
+    * cannot drift (the ≤|states| micros of div-floor mass leak per
+    * round is deterministic and identical in both engines). Scale
+    * shape: ONE user-partitioned lead() pass builds the |states|²
+    * count matrix; every iteration runs on that constant-size table
+    * (localCheckpoint per round); output is |states| rows. */
+  private val markovStationary = QueryDef(
+    "kdb_markov_stationary",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val seqW = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val c = ev(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(seqW))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val rowTot = c.groupBy(col("src")).agg(sum(col("cnt")).as("rtot"))
+      val cm = c.join(rowTot, "src").localCheckpoint(true)
+      val states = c.select(col("src").as("state")).distinct()
+        .localCheckpoint(true)
+      val nStates = 5L // event_type cardinality; seed below floors 1e6/|S|
+      var pi = states.withColumn("pi", lit(1000000L / nStates))
+      for (_ <- 1 to 10) {
+        pi = cm.join(pi.select(col("state").as("src"), col("pi")), "src")
+          .select(col("dst"), expr("(pi * cnt) div rtot").as("term"))
+          .groupBy(col("dst")).agg(sum(col("term")).as("pi"))
+          .select(col("dst").as("state"), col("pi"))
+          .localCheckpoint(true)
+      }
+      val emp = c.groupBy(col("src").as("state")).agg(sum(col("cnt")).as("n_from"))
+      val tot = emp.agg(sum(col("n_from")).as("n_tot"))
+      pi.join(emp, "state").crossJoin(broadcast(tot))
+        .select(col("state"), col("pi").as("pi_micro"),
+          expr("(n_from * 1000000L) div n_tot").as("empirical_micro"))
+        .orderBy(col("state"))
+    },
+    Some {
+      val iter = (1 to 10).map { i =>
+        s"""p$i AS (
+        SELECT m.dst AS state, CAST(sum((p.pi * m.cnt) // m.rtot) AS BIGINT)
+          AS pi
+        FROM cm m JOIN p${i - 1} p ON p.state = m.src
+        GROUP BY 1)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events),
+      c AS (
+        SELECT event_type AS src, next_type AS dst, count(*) AS cnt
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2),
+      rt AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS rtot FROM c GROUP BY 1),
+      cm AS (SELECT c.src, c.dst, c.cnt, rt.rtot FROM c JOIN rt USING (src)),
+      p0 AS (SELECT DISTINCT src AS state, CAST(200000 AS BIGINT) AS pi FROM c),
+      $iter,
+      emp AS (SELECT src AS state, CAST(sum(cnt) AS BIGINT) AS n_from
+              FROM c GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_from) AS BIGINT) AS n_tot FROM emp)
+      SELECT p10.state, p10.pi AS pi_micro,
+             (e.n_from * 1000000) // t.n_tot AS empirical_micro
+      FROM p10 JOIN emp e ON e.state = p10.state
+      CROSS JOIN tot t
+      ORDER BY p10.state"""
+    })
+
   /** Max drawdown per series (event_type, user_id): running equity =
     * cumulative value, running peak, drawdown = peak − equity; report
     * each series' deepest drawdown, its trough time, and the peak
@@ -4182,6 +4264,103 @@ object KdbQueries extends QueryModule {
       JOIN singles sb ON sb.event_type = type_b
       CROSS JOIN nb
       ORDER BY type_a, type_b"""))
+
+  /** Association-rule mining on kdb_frequent_pairs' (user, hour)
+    * baskets — the DIRECTED step the symmetric pair table stops short
+    * of: each co-occurring pair yields both rules a→b and b→a, scored
+    * by confidence (how often does a basket with a also hold b),
+    * lift, and leverage, with the conf ≥ 1% screen and the lift > 1
+    * positive-association test reported as decision flags. Every
+    * score and BOTH decisions are exact integer arithmetic: conf_ppm
+    * = (c_ab·10⁶) div c_a, lift_ppm = (c_ab·N·10⁶) div (c_a·c_b) —
+    * magnitudes bounded by N²·10⁶, inside int64 up to ~3·10⁶
+    * baskets, widen to decimal/HUGEINT past that — and the lift test
+    * is the cross-multiplied c_ab·N > c_a·c_b (never a float
+    * threshold), so the flagged rule set cannot differ between
+    * engines. Shape: the basket distinct + pair self-join is
+    * frequentPairs' (hour-blocked, |types|-bounded fan-out); rules
+    * double the |types|²-bounded pair table, marginals broadcast; the
+    * ORDER BY rides integer ppm values with a rule tiebreak. */
+  private val associationRules = QueryDef(
+    "kdb_association_rules",
+    (s, d) => {
+      val b = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .select(col("user_id"), col("slot_ns"), col("event_type"))
+        .distinct()
+      val pairs = b.as("x")
+        .join(b.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.slot_ns") === col("y.slot_ns") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      val singles = b.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_t"))
+      val nBaskets = b.select(col("user_id"), col("slot_ns")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val rules = pairs.select(col("type_a").as("lhs"), col("type_b").as("rhs"),
+          col("n_ab"))
+        .unionAll(pairs.select(col("type_b").as("lhs"), col("type_a").as("rhs"),
+          col("n_ab")))
+      rules
+        .join(broadcast(singles.select(col("event_type").as("lhs"),
+          col("n_t").as("n_lhs"))), "lhs")
+        .join(broadcast(singles.select(col("event_type").as("rhs"),
+          col("n_t").as("n_rhs"))), "rhs")
+        .crossJoin(broadcast(nBaskets))
+        .withColumn("conf_ppm", expr("(n_ab * 1000000L) div n_lhs"))
+        .withColumn("lift_ppm",
+          expr("(n_ab * n_baskets * 1000000L) div (n_lhs * n_rhs)"))
+        .select(col("lhs"), col("rhs"), col("n_ab"), col("n_lhs"), col("n_rhs"),
+          col("conf_ppm"), col("lift_ppm"),
+          expr("n_ab * n_baskets - n_lhs * n_rhs").as("leverage_nsq"),
+          (col("conf_ppm") >= 10000L).cast("int").as("is_confident"),
+          expr("n_ab * n_baskets > n_lhs * n_rhs").cast("int").as("is_positive"))
+        .orderBy(col("lift_ppm").desc, col("lhs"), col("rhs"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT DISTINCT user_id,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               event_type
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}),
+      pairs AS (
+        SELECT x.event_type AS type_a, y.event_type AS type_b, count(*) AS n_ab
+        FROM b x JOIN b y
+          ON x.user_id = y.user_id AND x.slot_ns = y.slot_ns
+         AND x.event_type < y.event_type
+        GROUP BY 1, 2),
+      singles AS (
+        SELECT event_type, count(*) AS n_t FROM b GROUP BY 1),
+      nb AS (
+        SELECT count(*) AS n_baskets
+        FROM (SELECT DISTINCT user_id, slot_ns FROM b)),
+      rules AS (
+        SELECT type_a AS lhs, type_b AS rhs, n_ab FROM pairs
+        UNION ALL SELECT type_b, type_a, n_ab FROM pairs),
+      scored AS (
+        SELECT r.lhs, r.rhs, r.n_ab, sa.n_t AS n_lhs, sb.n_t AS n_rhs,
+               (r.n_ab * 1000000) // sa.n_t AS conf_ppm,
+               (r.n_ab * n_baskets * 1000000) // (sa.n_t * sb.n_t) AS lift_ppm,
+               r.n_ab * n_baskets - sa.n_t * sb.n_t AS leverage_nsq,
+               CASE WHEN (r.n_ab * 1000000) // sa.n_t >= 10000
+                    THEN 1 ELSE 0 END AS is_confident,
+               CASE WHEN r.n_ab * n_baskets > sa.n_t * sb.n_t
+                    THEN 1 ELSE 0 END AS is_positive
+        FROM rules r
+        JOIN singles sa ON sa.event_type = r.lhs
+        JOIN singles sb ON sb.event_type = r.rhs
+        CROSS JOIN nb)
+      SELECT lhs, rhs, n_ab, n_lhs, n_rhs,
+             CAST(conf_ppm AS BIGINT) AS conf_ppm,
+             CAST(lift_ppm AS BIGINT) AS lift_ppm,
+             CAST(leverage_nsq AS BIGINT) AS leverage_nsq,
+             is_confident, is_positive
+      FROM scored
+      ORDER BY lift_ppm DESC, lhs, rhs"""))
 
   /** RFM customer segmentation: per-user Recency (days since last
     * purchase at T1), Frequency (purchase count), Monetary (integer
@@ -6013,7 +6192,7 @@ object KdbQueries extends QueryModule {
     locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest,
     theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing,
     timeTravelTwin, snapshotDiffTwin, rollbackTwin, anovaF, maintenanceTwin, backupTwin,
-    replicationTwin, haarEnergy,
+    replicationTwin, haarEnergy, markovStationary, associationRules,
     incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf,
     eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,
     anomalyEnsemble, drawdown, changepoint, rateLimitAudit, burstiness,

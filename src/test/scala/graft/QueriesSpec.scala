@@ -265,7 +265,11 @@ class QueriesSpec extends SparkTestBase {
       // kdb_haar_energy: the 1-row total-energy scalar rides a
       // broadcast cross join over the 9-level table — the
       // llm_lm_score scalar shape
-      "kdb_haar_energy")
+      "kdb_haar_energy",
+      // kdb_markov_stationary / kdb_association_rules: 1-row totals
+      // (transition count, basket count) ride broadcast cross joins
+      // over |states|- / |types|²-bounded tables — the same scalar shape
+      "kdb_markov_stationary", "kdb_association_rules")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

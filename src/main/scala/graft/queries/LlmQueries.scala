@@ -1955,6 +1955,85 @@ object LlmQueries extends QueryModule {
       ORDER BY n DESC, shingle
       LIMIT 20"""))
 
+  /** Greedy LM decoding — text GENERATION as a relational program,
+    * completing the LM triangle (llm_lm_score scores, llm_lm_score_kn
+    * smooths, this one decodes): from each of the 3 most frequent
+    * corpus tokens, walk 8 greedy steps of next = argmax_b
+    * count(cur, b) over the corpus bigram table (ties → lexicographic
+    * min, the total order both engines share), emitting the decoded
+    * path. Greedy argmax needs no randomness and no float — every
+    * decision is an integer-count comparison — so the generated text
+    * is bit-reproducible, which is exactly what a data-pipeline
+    * consumer wants from LM-based synthetic augmentation smoke tests.
+    * Scale shape: ONE doc-partitioned lead() pass builds the
+    * aggregate-sized bigram table (checkpointed once, read by all 8
+    * steps); each step broadcasts the 3-row decoder state against it
+    * (hash join on the current token) and takes rank-1 per seed over
+    * the out-degree-bounded candidates; the unioned path is 27 rows.
+    * Dead ends (a token with no successor) simply end their path —
+    * identical inner-join semantics in both engines. */
+  private val ngramGenerate = QueryDef(
+    "llm_ngram_generate",
+    (s, d) => {
+      val w1 = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      val big = toks.withColumn("b", lead(col("w"), 1).over(w1))
+        .filter(col("b").isNotNull)
+        .groupBy(col("w").as("a"), col("b")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val seeds = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(3)
+        .select(col("w").as("seed"))
+        .localCheckpoint(true)
+      var cur = seeds.select(col("seed"), col("seed").as("token"),
+        lit(0).as("step"))
+      var path = cur
+      for (i <- 1 to 8) {
+        val rkW = Window.partitionBy(col("seed"))
+          .orderBy(col("cnt").desc, col("b"))
+        cur = big.join(broadcast(cur), col("a") === col("token"))
+          .withColumn("rk", row_number().over(rkW))
+          .filter(col("rk") === 1)
+          .select(col("seed"), col("b").as("token"), lit(i).as("step"))
+          .localCheckpoint(true)
+        path = path.unionAll(cur)
+      }
+      path.orderBy(col("seed"), col("step"))
+    },
+    Some {
+      val steps = (1 to 8).map { i =>
+        s"""s$i AS (
+        SELECT seed, token, $i AS step FROM (
+          SELECT s.seed, g.b AS token,
+                 row_number() OVER (PARTITION BY s.seed
+                   ORDER BY g.cnt DESC, g.b) AS rk
+          FROM s${i - 1} s JOIN big g ON g.a = s.token)
+        WHERE rk = 1)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, g AS pos, ws[g] AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             unnest(generate_series(1, len(ws))) t(g)),
+      big AS (
+        SELECT a, b, count(*) AS cnt FROM (
+          SELECT w AS a,
+                 lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+          FROM toks)
+        WHERE b IS NOT NULL GROUP BY 1, 2),
+      seeds AS (
+        SELECT w AS seed FROM (
+          SELECT w, count(*) AS c FROM toks GROUP BY 1)
+        ORDER BY c DESC, w LIMIT 3),
+      s0 AS (SELECT seed, seed AS token, 0 AS step FROM seeds),
+      $steps
+      SELECT seed, token, step FROM (
+        SELECT * FROM s0
+        ${(1 to 8).map(i => s"UNION ALL SELECT * FROM s$i").mkString("\n        ")})
+      ORDER BY seed, step"""
+    })
+
   /** Train/eval contamination check (decontamination): flag training
     * docs sharing ≥3 rare word-3-gram shingles with any eval doc
     * (eval set = every 97th doc, a deterministic benchmark stand-in).
@@ -5761,7 +5840,7 @@ object LlmQueries extends QueryModule {
 
   val defs: Seq[QueryDef] = Seq(
     suffixArray, cmsSketch, hitsScores, rougePairs, videoSceneCut, topicCoherence,
-    filteredAnn, textrankKeywords,
+    filteredAnn, textrankKeywords, ngramGenerate,
     weightedSample, bpeMergeStep, bpeTrain, bpeEncodeStats, skipgramCooc, instructionDetect,
     clusterQuality, pmiCollocations,
     matryoshkaEval, curriculumOrder,

@@ -985,8 +985,11 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * bucket-keyed write, the ingest fan-out discipline. Returns the
     * exported row count (from parquet footers, no second scan). */
   def exportDelta(fromSeqExclusive: Long, toSeqInclusive: Long, outDir: String): Long = {
-    require(fromSeqExclusive < toSeqInclusive,
-      s"exportDelta: empty seq range ($fromSeqExclusive, $toSeqInclusive]")
+    // from == to is a routine no-op sync cycle (no new writes since
+    // the last watermark) and produces a valid empty delta; only an
+    // inverted range is a caller bug.
+    require(fromSeqExclusive <= toSeqInclusive,
+      s"exportDelta: inverted seq range ($fromSeqExclusive, $toSeqInclusive]")
     ensureManifest(adopt = false)
     val resolvedRows = table()
       .filter(col("seq") > fromSeqExclusive && col("seq") <= toSeqInclusive)
@@ -996,7 +999,10 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     resolvedRows.repartition(col("bucket_ts"))
       .sortWithinPartitions((col("bucket_ts") +: tagCols.map(col)) :+ col("slot_ns"): _*)
       .write.mode(SaveMode.ErrorIfExists).partitionBy("bucket_ts").parquet(outDir)
-    spark.read.parquet(outDir).count()
+    // explicit schema: a row-empty delta writes only _SUCCESS, and a
+    // schema-less parquet read of it would fail instead of counting 0
+    // (importSnapshot reads the same way for the same reason)
+    spark.read.schema(tableSchema).parquet(outDir).count()
   }
 
   /** Restore a snapshot produced by [[exportSnapshot]] into THIS

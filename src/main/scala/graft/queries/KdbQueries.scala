@@ -3602,7 +3602,9 @@ object KdbQueries extends QueryModule {
       val cm = c.join(rowTot, "src").localCheckpoint(true)
       val states = c.select(col("src").as("state")).distinct()
         .localCheckpoint(true)
-      val nStates = 5L // event_type cardinality; seed below floors 1e6/|S|
+      // |states| is one bounded driver read (the Ivf k-row collect
+      // discipline) so the micro seed tracks the data's cardinality
+      val nStates = states.count()
       var pi = states.withColumn("pi", lit(1000000L / nStates))
       for (_ <- 1 to 10) {
         pi = cm.join(pi.select(col("state").as("src"), col("pi")), "src")
@@ -3638,7 +3640,9 @@ object KdbQueries extends QueryModule {
         GROUP BY 1, 2),
       rt AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS rtot FROM c GROUP BY 1),
       cm AS (SELECT c.src, c.dst, c.cnt, rt.rtot FROM c JOIN rt USING (src)),
-      p0 AS (SELECT DISTINCT src AS state, CAST(200000 AS BIGINT) AS pi FROM c),
+      p0 AS (SELECT DISTINCT src AS state,
+                    CAST(1000000 // (SELECT count(DISTINCT src) FROM c)
+                      AS BIGINT) AS pi FROM c),
       $iter,
       emp AS (SELECT src AS state, CAST(sum(cnt) AS BIGINT) AS n_from
               FROM c GROUP BY 1),

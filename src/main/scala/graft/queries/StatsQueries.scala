@@ -1732,7 +1732,7 @@ object StatsQueries extends QueryModule {
           sum(col("cents")).as("s1"),
           sum(col("c2")).as("s2"),
           sum(col("c2").cast("decimal(38,0)") * col("cents")).as("s3"),
-          sum(col("c2").cast("decimal(19,0)") * col("c2")).as("s4"))
+          sum(col("c2").cast("decimal(38,0)") * col("c2")).as("s4"))
       val n = col("n").cast("double")
       val m = col("s1").cast("double") / n
       val r2 = col("s2").cast("double") / n
@@ -1873,8 +1873,8 @@ object StatsQueries extends QueryModule {
         FROM dense),
       st AS (
         SELECT slot_ns,
-               CASE WHEN xc * 720 > tx THEN 1 ELSE 0 END AS x,
-               CASE WHEN yc * 720 > ty THEN 1 ELSE 0 END AS y
+               CASE WHEN xc * ${(T1 - T0) / Hour} > tx THEN 1 ELSE 0 END AS x,
+               CASE WHEN yc * ${(T1 - T0) / Hour} > ty THEN 1 ELSE 0 END AS y
         FROM dense CROSS JOIN tot),
       tr AS (
         SELECT x, y, lead(x) OVER (ORDER BY slot_ns) AS xn,
@@ -1897,7 +1897,7 @@ object StatsQueries extends QueryModule {
         FROM c3 GROUP BY 1, 2),
       contrib AS (
         SELECT c.direction,
-               CAST(round((CAST(c.c3 AS DOUBLE) / 719.0) *
+               CAST(round((CAST(c.c3 AS DOUBLE) / ${(T1 - T0) / Hour - 1}.0) *
                  ln((CAST(c.c3 AS DOUBLE) * d.c_d) /
                     (CAST(s.c_sd AS DOUBLE) * n.c_dn)) * 1000000, 0)
                  AS BIGINT) AS contrib
@@ -1907,7 +1907,7 @@ object StatsQueries extends QueryModule {
         JOIN cdn n ON n.direction = c.direction AND n.dst = c.dst
           AND n.nxt = c.nxt
         JOIN cd d ON d.direction = c.direction AND d.dst = c.dst)
-      SELECT direction, CAST(719 AS BIGINT) AS n_trans,
+      SELECT direction, CAST(${(T1 - T0) / Hour - 1} AS BIGINT) AS n_trans,
              count(*) AS n_states,
              CAST(sum(contrib) AS BIGINT) AS te_micro
       FROM contrib GROUP BY 1 ORDER BY 1"""))

@@ -2034,6 +2034,66 @@ object LlmQueries extends QueryModule {
       ORDER BY seed, step"""
     })
 
+  /** LLM-watermark detection (Kirchenbauer et al. 2023) — the
+    * synthetic-text screen a training pipeline runs before ingesting
+    * scraped corpora: a watermarking decoder biases generation toward
+    * a "green list" (half the vocabulary, re-seeded from the previous
+    * token's hash), so watermarked text shows a green-token excess a
+    * one-proportion z-test exposes. Per doc: T scored positions,
+    * G green (token w after p is green iff the shared 60-bit
+    * md5 hash of "p:w" is even — bit-identical in both engines, the
+    * llm_weighted_sample hash idiom), z = (2G−T)/√T for γ = ½. The
+    * DETECTION decision is never a float compare: z > 4 ⇔
+    * 2G−T > 0 ∧ (2G−T)² > 16T, exact integer cross-multiplication
+    * (the kdb_association_rules discipline); only the REPORTED z is
+    * a 4dp-rounded double of exact ints. Natural text scores |z| ~ 1,
+    * so flags on this corpus are honest negatives. Shape: one
+    * doc-partitioned lag() pass + one per-doc aggregation — two
+    * narrow shuffles at any scale. */
+  private val watermarkDetect = QueryDef(
+    "llm_watermark_detect",
+    (s, d) => {
+      val w1 = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val scored = documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+        .withColumn("p", lag(col("w"), 1).over(w1))
+        .filter(col("p").isNotNull)
+        .withColumn("green",
+          (hash60(concat(col("p"), lit(":"), col("w"))) % 2 === 0).cast("long"))
+      scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("t"), sum(col("green")).as("g"))
+        .select(col("doc_id"), col("t"), col("g"),
+          (round((lit(2) * col("g") - col("t")).cast("double") /
+            sqrt(col("t").cast("double")), 4) + lit(0.0)).as("z"),
+          (lit(2) * col("g") - col("t") > 0 &&
+            (lit(2) * col("g") - col("t")) * (lit(2) * col("g") - col("t")) >
+              lit(16) * col("t")).cast("int").as("watermarked"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, g AS pos, ws[g] AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             unnest(generate_series(1, len(ws))) t(g)),
+      scored AS (
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5(p || ':' || w), 1, 15))::BIGINT
+                 % 2 = 0 THEN 1 ELSE 0 END AS green
+        FROM (SELECT doc_id, w,
+                     lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS p
+              FROM toks)
+        WHERE p IS NOT NULL),
+      agg AS (
+        SELECT doc_id, count(*) AS t, CAST(sum(green) AS BIGINT) AS g
+        FROM scored GROUP BY 1)
+      SELECT doc_id, t, g,
+             round(CAST(2 * g - t AS DOUBLE) / sqrt(CAST(t AS DOUBLE)), 4)
+               + 0.0 AS z,
+             CASE WHEN 2 * g - t > 0
+                   AND (2 * g - t) * (2 * g - t) > 16 * t
+                  THEN 1 ELSE 0 END AS watermarked
+      FROM agg ORDER BY doc_id"""))
+
   /** Train/eval contamination check (decontamination): flag training
     * docs sharing ≥3 rare word-3-gram shingles with any eval doc
     * (eval set = every 97th doc, a deterministic benchmark stand-in).
@@ -5840,7 +5900,7 @@ object LlmQueries extends QueryModule {
 
   val defs: Seq[QueryDef] = Seq(
     suffixArray, cmsSketch, hitsScores, rougePairs, videoSceneCut, topicCoherence,
-    filteredAnn, textrankKeywords, ngramGenerate,
+    filteredAnn, textrankKeywords, ngramGenerate, watermarkDetect,
     weightedSample, bpeMergeStep, bpeTrain, bpeEncodeStats, skipgramCooc, instructionDetect,
     clusterQuality, pmiCollocations,
     matryoshkaEval, curriculumOrder,

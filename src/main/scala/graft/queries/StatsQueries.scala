@@ -1777,6 +1777,68 @@ object StatsQueries extends QueryModule {
              round(m4 / (m2 * m2) - 3.0, 4) + 0.0 AS kurtosis_ex
       FROM cm ORDER BY event_type"""))
 
+  /** Historical VaR / Expected Shortfall at 95% per event type — the
+    * tail-risk pair every risk desk reads off a metrics store
+    * (kdb_percentile_bands draws the distribution body; this is the
+    * regulatory tail): VaR = the exact k-th order statistic with
+    * k = ⌈0.95·n⌉ computed as the integer (95n+99) div 100, ES = the
+    * mean of the n−k+1 ranked-at-or-above-k values. Rank-based tail
+    * membership (not value-based) makes boundary ties harmless: tied
+    * cents at the cut contribute the same sum whichever side of the
+    * total (cents, event_id) order they land. Scale shape: ONE global
+    * DistributedRank range shuffle over (type, cents, id) — never a
+    * per-type single-partition window — with per-type offsets
+    * broadcast back (the kdb_weighted_median decomposition); VaR and
+    * the tail sum fold in the same aggregation; ES's one IEEE op is
+    * the final division of exact ints, 4dp-rounded. */
+  private val varEs = QueryDef(
+    "kdb_var_es",
+    (s, d) => {
+      val e = ev(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          col("event_id"))
+      val ranked = DistributedRank.withGlobalRank(e, "r",
+        Seq(col("event_type"), col("cents"), col("event_id")))
+      val offs = ranked.groupBy(col("event_type"))
+        .agg(min(col("r")).as("r0"), count(lit(1)).as("n"))
+      ranked.join(broadcast(offs), "event_type")
+        .withColumn("rk", col("r") - col("r0") + 1)
+        .withColumn("k", expr("(95 * n + 99) div 100"))
+        .filter(col("rk") >= col("k"))
+        .groupBy(col("event_type"), col("n"), col("k"))
+        .agg(max(when(col("rk") === col("k"), col("cents"))).as("var_cents"),
+          sum(col("cents")).as("tail_sum"), count(lit(1)).as("tail_n"))
+        .select(col("event_type"), col("n"), col("k"), col("var_cents"),
+          col("tail_n"),
+          (round(col("tail_sum").cast("double") / col("tail_n") / 100.0, 4)
+            + lit(0.0)).as("es_dollars"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+               event_id
+        FROM events),
+      ranked AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY cents, event_id) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM e),
+      cut AS (
+        SELECT event_type, cents, rk, n, (95 * n + 99) // 100 AS k
+        FROM ranked)
+      SELECT event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+             CAST(max(CASE WHEN rk = k THEN cents END) AS BIGINT)
+               AS var_cents,
+             count(*) AS tail_n,
+             round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 4) + 0.0
+               AS es_dollars
+      FROM cut WHERE rk >= k
+      GROUP BY event_type, n, k
+      ORDER BY event_type"""))
+
   /** Transfer entropy (Schreiber 2000), lag-1 binary-state — the
     * model-free directional-coupling measure beside kdb_granger's
     * linear F-test: TE(X→Y) = Σ p(y',y,x)·ln[p(y'|y,x)/p(y'|y)]
@@ -1917,5 +1979,5 @@ object StatsQueries extends QueryModule {
     bootstrap, mannKendall, dickeyFuller, cointegration, granger,
     ljungBox, conformal, sprt, entropyRate,
     ksTest, kruskal, esd, circular, tailIndex, partialCorr,
-    skewKurtosis, transferEntropy)
+    skewKurtosis, transferEntropy, varEs)
 }

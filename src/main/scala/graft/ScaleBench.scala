@@ -128,7 +128,19 @@ object ScaleBench {
     // is the (source, chunk-hash) table), the nb-shaped label audit
     // (token-join growth like nb_train), and the bin-bounded PSI
     // monitor (must be flat-bounded output, scan-linear input)
-    "llm_boilerplate_scrub", "llm_label_noise", "llm_psi_drift")
+    "llm_boilerplate_scrub", "llm_label_noise", "llm_psi_drift",
+    // r9 wave 10 (this session's additions): the probe-bounded NPMI
+    // pair joins (growth must be the incidence build, never the pair
+    // space), the vocab-sized PageRank iterations over a corpus-
+    // growing edge build, the scan-linear lag()-pass watermark
+    // z-test, the raw-events DistributedRank order statistic (the
+    // VaR range-shuffle growth probe beside weighted_median), the
+    // rollup-dominated Haar pyramid (flat after the hourly rollup),
+    // and the delta-sync engine lifecycle (two exports + two imports
+    // — partition-parallel rewrites like the other twins)
+    "llm_topic_coherence", "llm_textrank_keywords",
+    "llm_watermark_detect", "kdb_var_es", "kdb_haar_energy",
+    "kdb_replication_twin")
 
   private val Tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

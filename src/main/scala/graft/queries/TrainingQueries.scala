@@ -1383,8 +1383,143 @@ object TrainingQueries extends QueryModule {
       ORDER BY strength_micro DESC, s.source"""
     })
 
+  /** Greedy k-Center coreset selection (Sener & Savarese 2018) — the
+    * data-pruning step BEYOND near-dup removal: pick the 8 vectors
+    * that best COVER the embedding space (each round adds the point
+    * farthest from the current set, the classic 2-approximation of
+    * the k-center objective), with the final covering radius as the
+    * quality receipt. SemDeDup removes redundancy; this selects for
+    * coverage — the two ends of the coreset literature. Determinism:
+    * distances ride the strict-fold L2Sq kernel (bit-identical across
+    * engines — kmeans/IVF precedent), the per-round argmax orders on
+    * (raw min-distance DESC, vec_id) — a total order — and each round
+    * collects exactly ONE driver row (the Ivf.train k-row-collect
+    * discipline; 8 rounds, 8 rows). Scale shape: every round is one
+    * corpus scan × the ≤8-row broadcast selected set folded to a
+    * per-vector min, then a 1-row TakeOrdered — no window over the
+    * cross product, no corpus self-join; the checkpointed source is
+    * scanned 9× total (8 rounds + the radius audit), the price of an
+    * inherently sequential greedy loop. */
+  private val coresetKcenter = QueryDef(
+    "llm_coreset_kcenter",
+    (s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      def selDf(sel: Seq[Long]) = broadcast(
+        e.filter(col("vec_id").isin(sel: _*))
+          .select(col("vec_id").as("sid"), col("embedding").as("sv")))
+      var sel = Seq(0L)
+      val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]()
+      picked += ((1, 0L, 0.0))
+      for (r <- 2 to 8) {
+        val row = e.filter(!col("vec_id").isin(sel: _*))
+          .crossJoin(selDf(sel))
+          .withColumn("dsq", l2sq(col("embedding"), col("sv")))
+          .groupBy(col("vec_id")).agg(min(col("dsq")).as("mind"))
+          .orderBy(col("mind").desc, col("vec_id")).limit(1)
+          .head() // ONE bounded driver row per greedy round
+        picked += ((r, row.getLong(0), row.getDouble(1)))
+        sel = sel :+ row.getLong(0)
+      }
+      val radius = e.crossJoin(selDf(sel))
+        .withColumn("dsq", l2sq(col("embedding"), col("sv")))
+        .groupBy(col("vec_id")).agg(min(col("dsq")).as("mind"))
+        .agg(max(col("mind")).as("rad")).head().getDouble(0)
+      picked.toSeq.toDF("sel_order", "vec_id", "dsq")
+        .select(col("sel_order"), col("vec_id"),
+          (round(col("dsq"), 4) + lit(0.0)).as("dist_sq"),
+          (round(lit(radius), 4) + lit(0.0)).as("final_radius_sq"))
+        .orderBy(col("sel_order"))
+    },
+    Some {
+      def dkL2(a: String, b: String): String =
+        s"""list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(generate_series(1, len($a)),
+           i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))),
+           (x, y) -> x + y)"""
+      def step(r: Int): String = s"""
+      m$r AS (
+        SELECT c.vec_id, min(${dkL2("c.embedding", "s.embedding")}) AS mind
+        FROM e c CROSS JOIN (
+          SELECT e2.embedding FROM e e2
+          JOIN sel${r - 1} t ON t.vec_id = e2.vec_id) s
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+        GROUP BY 1),
+      p$r AS (SELECT vec_id, mind FROM m$r ORDER BY mind DESC, vec_id LIMIT 1),
+      sel$r AS (SELECT vec_id FROM sel${r - 1}
+                UNION ALL SELECT vec_id FROM p$r)"""
+      val rows = (2 to 8).map(r =>
+        s"SELECT $r AS sel_order, vec_id, mind AS dsq FROM p$r")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      sel1 AS (SELECT CAST(0 AS BIGINT) AS vec_id),
+      ${(2 to 8).map(step).mkString(",")},
+      rad AS (
+        SELECT max(mind) AS rad FROM (
+          SELECT c.vec_id, min(${dkL2("c.embedding", "s.embedding")}) AS mind
+          FROM e c CROSS JOIN (
+            SELECT e2.embedding FROM e e2
+            JOIN sel8 t ON t.vec_id = e2.vec_id) s
+          GROUP BY 1))
+      SELECT sel_order, vec_id,
+             round(dsq, 4) + 0.0 AS dist_sq,
+             round(rad, 4) + 0.0 AS final_radius_sq
+      FROM (SELECT 1 AS sel_order, CAST(0 AS BIGINT) AS vec_id,
+                   CAST(0.0 AS DOUBLE) AS dsq
+            UNION ALL $rows)
+      CROSS JOIN rad
+      ORDER BY sel_order"""
+    })
+
+  /** Uncertainty sampling (active learning) — the annotation-triage
+    * step after training: rank held-out docs by the naive-Bayes
+    * top-1 − top-2 margin and surface the 20 MOST UNCERTAIN as the
+    * next labeling batch (the margin-based query strategy; the
+    * smallest-margin docs are where a label buys the most model).
+    * Fourth consumer of [[nbClassScores]] — train, audit, calibrate,
+    * and now SELECT all score through the one definition, so the
+    * annotation queue cannot drift from the model it serves. The
+    * margin is a difference of order-independent BIGINT micro scores
+    * (llm_margin_calibration's exact-integer confidence), so the
+    * bottom-20 cut is a TakeOrdered on exact ints with a doc_id
+    * tiebreak — no float compare anywhere. Shape: the |langs|-bounded
+    * per-doc window + one k-bounded TakeOrdered. */
+  private val uncertaintySample = QueryDef(
+    "llm_uncertainty_sample",
+    (s, d) => {
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("c").desc)
+      nbClassScores(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .groupBy(col("doc_id"), col("true_lang"))
+        .agg(max(when(col("rk") === 1, struct(col("score"), col("c")))).as("t1"),
+          max(when(col("rk") === 2, col("score"))).as("s2"))
+        .select(col("doc_id"), col("true_lang"), col("t1.c").as("pred_lang"),
+          (col("t1.score") - col("s2")).as("margin_micro"))
+        .orderBy(col("margin_micro").asc, col("doc_id")).limit(20)
+        .orderBy(col("margin_micro").asc, col("doc_id"))
+    },
+    Some(s"""$nbSqlPrefix,
+      rk AS (
+        SELECT doc_id, true_lang, c, score,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, c DESC) AS rk
+        FROM sc),
+      agg AS (
+        SELECT doc_id, true_lang,
+               max(CASE WHEN rk = 1 THEN c END) AS pred_lang,
+               max(CASE WHEN rk = 1 THEN score END) -
+                 max(CASE WHEN rk = 2 THEN score END) AS margin_micro
+        FROM rk WHERE rk <= 2 GROUP BY 1, 2)
+      SELECT doc_id, true_lang, pred_lang,
+             CAST(margin_micro AS BIGINT) AS margin_micro
+      FROM agg ORDER BY margin_micro, doc_id LIMIT 20"""))
+
   val defs: Seq[QueryDef] =
     Seq(hardNegatives, centroidClassify, diversifiedTopk, pcaPower,
       stumpTrain, logregTrain, kmeansTrain, nbTrain, grpoAdvantage,
-      gbdtTrain, labelNoise, marginCalibration, plsaEm, bradleyTerry)
+      gbdtTrain, labelNoise, marginCalibration, plsaEm, bradleyTerry,
+      coresetKcenter, uncertaintySample)
 }

@@ -238,6 +238,9 @@ class QueriesSpec extends SparkTestBase {
       // join over the vocab×3 factor table — the same scalar shape
       "llm_nb_train", "llm_label_noise", "llm_margin_calibration",
       "llm_plsa_em",
+      // llm_uncertainty_sample: the fourth nbClassScores consumer —
+      // the identical broadcast class-header plan
+      "llm_uncertainty_sample",
       // llm_rerank_stage: stage 1 IS llm_bm25_search's plan (consumed
       // verbatim), so it inherits bm25's allowlisted 1-row
       // corpus-stats broadcast cross join; stage 2 adds only equi
@@ -269,7 +272,11 @@ class QueriesSpec extends SparkTestBase {
       // kdb_markov_stationary / kdb_association_rules: 1-row totals
       // (transition count, basket count) ride broadcast cross joins
       // over |states|- / |types|²-bounded tables — the same scalar shape
-      "kdb_markov_stationary", "kdb_association_rules")
+      "kdb_markov_stationary", "kdb_association_rules",
+      // llm_coreset_kcenter: each greedy round scans the corpus ×
+      // the ≤8-row broadcast selected set — the llm_hard_negatives
+      // anchor-broadcast shape
+      "llm_coreset_kcenter")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

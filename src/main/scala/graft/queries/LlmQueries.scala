@@ -4522,6 +4522,119 @@ object LlmQueries extends QueryModule {
     * distinct words only, exactly how production BPE trainers batch
     * it. Counts are exact ints; ordering is (count DESC, pair) so the
     * chosen merge is branch-safe. */
+  /** Unigram-LM segmentation (the SentencePiece/Kudo 2018 Viterbi
+    * core) — the THIRD tokenizer algorithm beside the BPE family
+    * (llm_bpe_train learns merges; this scores optimal segmentations
+    * under a piece-probability model): inventory = every corpus
+    * character + the top-24 character bigrams by corpus-weighted
+    * frequency, piece cost = −ln(f/T) in micros (one ln per piece on
+    * an exact-integer ratio, micro-quantized — the psi_drift
+    * discipline), and each vocabulary word's minimal segmentation
+    * cost solved by the Viterbi DP best[i] = min(best[i−1]+c₁(i),
+    * best[i−2]+c₂(i−1,i)) run as ONE integer left fold: the
+    * accumulator packs (best[i−1], best[i]) as prev·2³² + cur and
+    * each position packs (char cost, bigram cost | 2³⁰ sentinel) the
+    * same way, so the whole DP is BIGINT shift/mod arithmetic —
+    * bit-identical between Spark `aggregate` and DuckDB natural-seed
+    * `list_reduce` (scalar accumulator, dodging the struct-fold bug;
+    * the stream_cdc_twin encoding trick). Costs ≤ ~2·10⁷ micros and
+    * words ≤ ~20 chars keep every packed value < 2⁶³ by orders of
+    * magnitude. Scale shape: the DP runs on the aggregate-sized
+    * word-frequency table, NEVER the corpus (the llm_bpe_train
+    * doctrine); position rows explode that table ×|word| chars, cost
+    * lookups are two broadcast joins, the fold is per-row; output is
+    * the top-20 words by frequency with cost receipts. */
+  private val unigramSegment = QueryDef(
+    "llm_unigram_segment",
+    (s, d) => {
+      val B = 4294967296L // 2^32 packing base
+      val vocab = documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val wpos = vocab
+        .select(col("w"), col("cnt"),
+          explode(sequence(lit(1), length(col("w")))).as("i"))
+        .withColumn("ch", col("w").substr(col("i"), lit(1)))
+        .withColumn("bg",
+          when(col("i") >= 2, col("w").substr(col("i") - 1, lit(2))))
+        .localCheckpoint(true)
+      val charFreq = wpos.groupBy(col("ch")).agg(sum(col("cnt")).as("f"))
+      val top24 = wpos.filter(col("i") >= 2)
+        .groupBy(col("bg")).agg(sum(col("cnt")).as("f"))
+        .orderBy(col("f").desc, col("bg")).limit(24)
+        .localCheckpoint(true)
+      val tot = charFreq.select(col("f"))
+        .unionAll(top24.select(col("f")))
+        .agg(sum(col("f")).as("t"))
+      def cost(fcol: Column) =
+        round(log(col("t").cast("double") / fcol) * 1000000, 0).cast("long")
+      val charCost = charFreq.crossJoin(broadcast(tot))
+        .select(col("ch"), cost(col("f")).as("c1cost"))
+      val bigCost = top24.crossJoin(broadcast(tot))
+        .select(col("bg"), cost(col("f")).as("c2cost"))
+      val folded = wpos
+        .join(broadcast(charCost), "ch")
+        .join(broadcast(bigCost), Seq("bg"), "left_outer")
+        .withColumn("enc", col("c1cost") * lit(B) +
+          coalesce(col("c2cost"), lit(1073741824L)))
+        .groupBy(col("w"), col("cnt"))
+        .agg(sort_array(collect_list(struct(col("i"), col("enc")))).as("pe"))
+        .withColumn("encs", expr("transform(pe, x -> x.enc)"))
+        .withColumn("cost_micro", expr(
+          """aggregate(encs, 1073741824L * 4294967296L,
+             (acc, e) -> (acc % 4294967296L) * 4294967296L +
+               least((acc % 4294967296L) + (e div 4294967296L),
+                     (acc div 4294967296L) + (e % 4294967296L)),
+             acc -> acc % 4294967296L)"""))
+      folded
+        .orderBy(col("cnt").desc, col("w")).limit(20)
+        .select(col("w"), col("cnt"), length(col("w")).cast("long").as("len"),
+          col("cost_micro"),
+          expr("cost_micro div length(w)").as("cost_per_char"))
+        .orderBy(col("cnt").desc, col("w"))
+    },
+    Some("""
+      WITH vocab AS (
+        SELECT w, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY 1),
+      wpos AS (
+        SELECT w, cnt, i, substr(w, i, 1) AS ch,
+               CASE WHEN i >= 2 THEN substr(w, i - 1, 2) END AS bg
+        FROM (SELECT w, cnt, unnest(generate_series(1, length(w))) AS i
+              FROM vocab)),
+      cf AS (SELECT ch, CAST(sum(cnt) AS BIGINT) AS f FROM wpos GROUP BY 1),
+      bf AS (SELECT bg, CAST(sum(cnt) AS BIGINT) AS f
+             FROM wpos WHERE i >= 2 GROUP BY 1
+             ORDER BY f DESC, bg LIMIT 24),
+      tot AS (SELECT CAST(sum(f) AS BIGINT) AS t FROM
+              (SELECT f FROM cf UNION ALL SELECT f FROM bf)),
+      cc AS (SELECT ch, CAST(round(ln(CAST(t AS DOUBLE) / f) * 1000000, 0)
+               AS BIGINT) AS c1cost
+             FROM cf CROSS JOIN tot),
+      bc AS (SELECT bg, CAST(round(ln(CAST(t AS DOUBLE) / f) * 1000000, 0)
+               AS BIGINT) AS c2cost
+             FROM bf CROSS JOIN tot),
+      enc AS (
+        SELECT p.w, p.cnt, p.i,
+               cc.c1cost * 4294967296 +
+                 coalesce(bc.c2cost, 1073741824) AS enc
+        FROM wpos p
+        JOIN cc ON cc.ch = p.ch
+        LEFT JOIN bc ON bc.bg = p.bg),
+      folded AS (
+        SELECT w, cnt,
+               list_reduce([1073741824 * 4294967296] || list(enc ORDER BY i),
+                 (acc, e) -> (acc % 4294967296) * 4294967296 +
+                   least((acc % 4294967296) + (e // 4294967296),
+                         (acc // 4294967296) + (e % 4294967296)))
+                 % 4294967296 AS cost_micro
+        FROM enc GROUP BY 1, 2)
+      SELECT w, cnt, length(w) AS len, cost_micro,
+             cost_micro // length(w) AS cost_per_char
+      FROM folded
+      ORDER BY cnt DESC, w LIMIT 20"""))
+
   private val bpeMergeStep = QueryDef(
     "llm_bpe_merge_step",
     (s, d) => {
@@ -5901,6 +6014,7 @@ object LlmQueries extends QueryModule {
   val defs: Seq[QueryDef] = Seq(
     suffixArray, cmsSketch, hitsScores, rougePairs, videoSceneCut, topicCoherence,
     filteredAnn, textrankKeywords, ngramGenerate, watermarkDetect,
+    unigramSegment,
     weightedSample, bpeMergeStep, bpeTrain, bpeEncodeStats, skipgramCooc, instructionDetect,
     clusterQuality, pmiCollocations,
     matryoshkaEval, curriculumOrder,

@@ -276,7 +276,11 @@ class QueriesSpec extends SparkTestBase {
       // llm_coreset_kcenter: each greedy round scans the corpus ×
       // the ≤8-row broadcast selected set — the llm_hard_negatives
       // anchor-broadcast shape
-      "llm_coreset_kcenter")
+      "llm_coreset_kcenter",
+      // llm_unigram_segment: the 1-row inventory-mass scalar rides
+      // broadcast cross joins over the char/bigram cost tables —
+      // the llm_lm_score scalar shape
+      "llm_unigram_segment")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

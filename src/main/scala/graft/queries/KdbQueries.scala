@@ -5560,6 +5560,77 @@ object KdbQueries extends QueryModule {
       GROUP BY 1, 2, 5, 6, 7, 8
       ORDER BY event_type, user_id"""))
 
+  /** Business-calendar rollup with the settlement-date convention —
+    * the trading-calendar operator a finance consumer expects from a
+    * kdb-style store (daily marks exist only on business days;
+    * weekend activity SETTLES on the next Monday, it doesn't
+    * disappear and doesn't form phantom weekend rows): purchase cents
+    * roll up to EFFECTIVE business days (Sat → +2, Sun → +1), each
+    * row carries how many calendar days folded in (3 on a Monday)
+    * and the business-day-over-business-day return. Every piece is
+    * integer arithmetic on epoch days — dow = (day+3) mod 7 with
+    * Monday = 0 (1970-01-01 was a Thursday), so NO date/timezone
+    * functions exist on either side to disagree, and return_ppm =
+    * ((cur−prev)·10⁶) div prev is an exact integer. Shape: one
+    * data-sized rollup to ≤22 business days, then a bounded lag
+    * window — the kdb_downsample cost with calendar semantics. */
+  private val businessRollup = QueryDef(
+    "kdb_business_rollup",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = ev(s, d)
+        .filter(col("event_type") === "purchase" &&
+          col("ts_ns") >= T0 && col("ts_ns") < T0 + 28 * Day)
+        .withColumn("day", expr(s"ts_ns div ${Day}L"))
+        .withColumn("dow", expr("(day + 3) % 7"))
+        .withColumn("eff_day", expr(
+          "day + CASE WHEN (day + 3) % 7 = 5 THEN 2 " +
+            "WHEN (day + 3) % 7 = 6 THEN 1 ELSE 0 END"))
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      val w = Window.orderBy(col("eff_day")) // ≤22-row business-day frame
+      e.groupBy(col("eff_day"))
+        .agg(countDistinct(col("day")).as("n_days_folded"),
+          count(lit(1)).as("n_events"),
+          sum(col("cents")).as("cents_sum"))
+        .withColumn("prev", lag(col("cents_sum"), 1).over(w))
+        .select(col("eff_day"), expr("(eff_day + 3) % 7").as("dow"),
+          col("n_days_folded"), col("n_events"), col("cents_sum"),
+          when(col("prev").isNotNull && col("prev") > 0,
+            expr("((cents_sum - prev) * 1000000L) div prev"))
+            .as("return_ppm"))
+        .orderBy(col("eff_day"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT epoch_ns(ts) // ${Day} AS day,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type = 'purchase'
+          AND epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T0 + 28 * Day}),
+      eff AS (
+        SELECT day,
+               day + CASE WHEN (day + 3) % 7 = 5 THEN 2
+                          WHEN (day + 3) % 7 = 6 THEN 1 ELSE 0 END
+                 AS eff_day,
+               cents
+        FROM e),
+      roll AS (
+        SELECT eff_day,
+               count(DISTINCT day) AS n_days_folded,
+               count(*) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS cents_sum
+        FROM eff GROUP BY 1),
+      lagd AS (
+        SELECT eff_day, n_days_folded, n_events, cents_sum,
+               lag(cents_sum) OVER (ORDER BY eff_day) AS prev
+        FROM roll)
+      SELECT eff_day, (eff_day + 3) % 7 AS dow,
+             n_days_folded, n_events, cents_sum,
+             CASE WHEN prev IS NOT NULL AND prev > 0
+                  THEN ((cents_sum - prev) * 1000000) // prev END
+               AS return_ppm
+      FROM lagd ORDER BY eff_day"""))
+
   /** Haar wavelet multi-resolution energy — at WHICH timescale does
     * the purchase series vary? (2 h pair noise vs daily cycle vs
     * multi-day regime shifts — the multi-scale complement of
@@ -6197,6 +6268,7 @@ object KdbQueries extends QueryModule {
     theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing,
     timeTravelTwin, snapshotDiffTwin, rollbackTwin, anovaF, maintenanceTwin, backupTwin,
     replicationTwin, haarEnergy, markovStationary, associationRules,
+    businessRollup,
     incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf,
     eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,
     anomalyEnsemble, drawdown, changepoint, rateLimitAudit, burstiness,

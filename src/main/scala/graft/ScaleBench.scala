@@ -140,7 +140,12 @@ object ScaleBench {
     // — partition-parallel rewrites like the other twins)
     "llm_topic_coherence", "llm_textrank_keywords",
     "llm_watermark_detect", "kdb_var_es", "kdb_haar_energy",
-    "kdb_replication_twin")
+    "kdb_replication_twin",
+    // r9 wave 11: the three heaviest non-twin queries by warmed
+    // sf0.1 median — the doubling suffix ranks (log-round range
+    // shuffles; the oracle's direct sort is what does NOT scale),
+    // 4-round BFS frontier joins, and the blocked ROUGE pair scorer
+    "llm_suffix_array", "q_graph_reachability", "llm_rouge_pairs")
 
   private val Tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

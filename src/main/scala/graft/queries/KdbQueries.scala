@@ -5560,6 +5560,103 @@ object KdbQueries extends QueryModule {
       GROUP BY 1, 2, 5, 6, 7, 8
       ORDER BY event_type, user_id"""))
 
+  /** Statistical process control with Western Electric runs rules —
+    * the SPC chart a monitoring consumer layers on kdb_zscore_anomaly's
+    * single-point view (runs rules catch small sustained shifts a 3σ
+    * test misses): per event type over its present hourly cents,
+    * rule 1 = point beyond 3σ, rule 2 = 2 of 3 consecutive beyond 2σ
+    * on the SAME side, rule 8 = 8 consecutive on one side of center.
+    * EVERY limit decision is exact integer cross-multiplication — with
+    * S = Σx, Q = Σx², n per type: |x−μ| > kσ ⇔ (xn−S)² > k²(nQ−S²),
+    * magnitudes ≤ ~5·10¹⁷ at sf0.1 (widen to decimal past ~10⁹
+    * cents·slots) — so no float ever enters a branch and the flagged
+    * set cannot drift between engines; reported sigma bands are
+    * display-only 4dp doubles of the same exact ints. Shape: one
+    * hourly rollup, the (S, Q, n) moments broadcast back EQUI on type,
+    * one type-partitioned window pass for the lagged/rolling run
+    * counts, output only the firing slots. */
+  private val controlRules = QueryDef(
+    "kdb_control_rules",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(sum(col("cents")).as("x"))
+      val m = h.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("q"))
+      val dev = col("x") * col("n") - col("sx")       // n·(x−μ), exact
+      val varn = col("n") * col("q") - col("sx") * col("sx") // n²σ², exact
+      val w = Window.partitionBy(col("event_type")).orderBy(col("slot_ns"))
+      val w3 = w.rowsBetween(-2, 0)
+      val w8 = w.rowsBetween(-7, 0)
+      h.join(m, "event_type")
+        .withColumn("r1", (dev * dev > lit(9L) * varn).cast("int"))
+        .withColumn("hi2", (dev > 0 && dev * dev > lit(4L) * varn).cast("int"))
+        .withColumn("lo2", (dev < 0 && dev * dev > lit(4L) * varn).cast("int"))
+        .withColumn("side_hi", (dev > 0).cast("int"))
+        .withColumn("side_lo", (dev < 0).cast("int"))
+        .withColumn("r2",
+          (sum(col("hi2")).over(w3) >= 2 || sum(col("lo2")).over(w3) >= 2)
+            .cast("int"))
+        .withColumn("r8",
+          (sum(col("side_hi")).over(w8) === 8 || sum(col("side_lo")).over(w8) === 8)
+            .cast("int"))
+        .filter(col("r1") === 1 || col("r2") === 1 || col("r8") === 1)
+        .select(col("event_type"), col("slot_ns"), col("x").as("cents"),
+          col("r1"), col("r2"), col("r8"),
+          (round(col("sx").cast("double") / col("n"), 4) + lit(0.0)).as("center"),
+          (round(sqrt(varn.cast("double")) / col("n"), 4) + lit(0.0)).as("sigma"))
+        .orderBy(col("event_type"), col("slot_ns"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT event_type, epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1, 2),
+      m AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS q
+        FROM h GROUP BY 1),
+      f AS (
+        SELECT h.event_type, h.slot_ns, h.x, m.n, m.sx, m.q,
+               h.x * m.n - m.sx AS dev,
+               m.n * m.q - m.sx * m.sx AS varn
+        FROM h JOIN m USING (event_type)),
+      flags AS (
+        SELECT event_type, slot_ns, x, n, sx, varn,
+               CASE WHEN dev * dev > 9 * varn THEN 1 ELSE 0 END AS r1,
+               CASE WHEN dev > 0 AND dev * dev > 4 * varn
+                    THEN 1 ELSE 0 END AS hi2,
+               CASE WHEN dev < 0 AND dev * dev > 4 * varn
+                    THEN 1 ELSE 0 END AS lo2,
+               CASE WHEN dev > 0 THEN 1 ELSE 0 END AS side_hi,
+               CASE WHEN dev < 0 THEN 1 ELSE 0 END AS side_lo
+        FROM f),
+      runs AS (
+        SELECT event_type, slot_ns, x, n, sx, varn, r1,
+               CASE WHEN sum(hi2) OVER w3 >= 2 OR sum(lo2) OVER w3 >= 2
+                    THEN 1 ELSE 0 END AS r2,
+               CASE WHEN sum(side_hi) OVER w8 = 8 OR sum(side_lo) OVER w8 = 8
+                    THEN 1 ELSE 0 END AS r8
+        FROM flags
+        WINDOW w3 AS (PARTITION BY event_type ORDER BY slot_ns
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+               w8 AS (PARTITION BY event_type ORDER BY slot_ns
+                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+      SELECT event_type, slot_ns, x AS cents, r1, r2, r8,
+             round(CAST(sx AS DOUBLE) / n, 4) + 0.0 AS center,
+             round(sqrt(CAST(varn AS DOUBLE)) / n, 4) + 0.0 AS sigma
+      FROM runs
+      WHERE r1 = 1 OR r2 = 1 OR r8 = 1
+      ORDER BY event_type, slot_ns"""))
+
   /** Business-calendar rollup with the settlement-date convention —
     * the trading-calendar operator a finance consumer expects from a
     * kdb-style store (daily marks exist only on business days;
@@ -6268,7 +6365,7 @@ object KdbQueries extends QueryModule {
     theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing,
     timeTravelTwin, snapshotDiffTwin, rollbackTwin, anovaF, maintenanceTwin, backupTwin,
     replicationTwin, haarEnergy, markovStationary, associationRules,
-    businessRollup,
+    businessRollup, controlRules,
     incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf,
     eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,
     anomalyEnsemble, drawdown, changepoint, rateLimitAudit, burstiness,

@@ -5560,6 +5560,75 @@ object KdbQueries extends QueryModule {
       GROUP BY 1, 2, 5, 6, 7, 8
       ORDER BY event_type, user_id"""))
 
+  /** Garman–Klass + Parkinson range-based volatility — the realized-
+    * volatility estimators a finance desk computes FROM kdb_ohlc's
+    * bars (range-based σ² uses intraday high/low information the
+    * close-to-close estimator throws away — ~7× more efficient per
+    * Garman–Klass 1980): per (type, day) over the hourly cents
+    * series, GK = ½ln(H/L)² − (2ln2−1)ln(C/O)², Parkinson =
+    * ln(H/L)²/(4ln2). O/H/L/C are exact integers (arg-min/max and
+    * min/max of hourly sums — LWW-style slot selection, no float
+    * anywhere in bar construction); each estimator is ONE fixed-order
+    * double chain on ratios of those exact ints with binary-identical
+    * literal constants, micro-quantized (the psi ln discipline).
+    * Degenerate days (a zero open/low, H = L flat bars) are kept out
+    * by exact integer predicates, so both engines drop the same rows.
+    * Shape: one hourly rollup, one (type, day) bar aggregation,
+    * per-row estimator math — two map-side-combinable shuffles. */
+  private val garmanKlass = QueryDef(
+    "kdb_garman_klass",
+    (s, d) => {
+      val h = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .groupBy(col("event_type"),
+          expr(s"ts_ns div ${Day}L").as("day"), col("slot_ns"))
+        .agg(sum(col("cents")).as("x"))
+      val bars = h.groupBy(col("event_type"), col("day"))
+        .agg(min_by(col("x"), col("slot_ns")).as("o"),
+          max(col("x")).as("hi"), min(col("x")).as("lo"),
+          max_by(col("x"), col("slot_ns")).as("c"),
+          count(lit(1)).as("n_hours"))
+        .filter(col("lo") > 0 && col("o") > 0 && col("hi") > col("lo"))
+      val lnHL = log(col("hi").cast("double") / col("lo"))
+      val lnCO = log(col("c").cast("double") / col("o"))
+      bars.select(col("event_type"), col("day"), col("o"), col("hi"),
+          col("lo"), col("c"), col("n_hours"),
+          round((lit(0.5) * lnHL * lnHL -
+            lit(0.3862943611198906) * lnCO * lnCO) * 1000000, 0)
+            .cast("long").as("gk_micro"),
+          round(lnHL * lnHL / lit(2.772588722239781) * 1000000, 0)
+            .cast("long").as("park_micro"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT event_type, epoch_ns(ts) // ${Day} AS day,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1, 2, 3),
+      bars AS (
+        SELECT event_type, day,
+               arg_min(x, slot_ns) AS o, max(x) AS hi,
+               min(x) AS lo, arg_max(x, slot_ns) AS c,
+               count(*) AS n_hours
+        FROM h GROUP BY 1, 2),
+      kept AS (SELECT * FROM bars WHERE lo > 0 AND o > 0 AND hi > lo)
+      SELECT event_type, day, o, hi, lo, c, n_hours,
+             CAST(round((0.5 * ln(CAST(hi AS DOUBLE) / lo) *
+                         ln(CAST(hi AS DOUBLE) / lo) -
+               0.3862943611198906 * ln(CAST(c AS DOUBLE) / o) *
+                 ln(CAST(c AS DOUBLE) / o)) * 1000000, 0) AS BIGINT)
+               AS gk_micro,
+             CAST(round(ln(CAST(hi AS DOUBLE) / lo) *
+                 ln(CAST(hi AS DOUBLE) / lo) / 2.772588722239781
+                 * 1000000, 0) AS BIGINT) AS park_micro
+      FROM kept
+      ORDER BY event_type, day"""))
+
   /** Statistical process control with Western Electric runs rules —
     * the SPC chart a monitoring consumer layers on kdb_zscore_anomaly's
     * single-point view (runs rules catch small sustained shifts a 3σ
@@ -6365,7 +6434,7 @@ object KdbQueries extends QueryModule {
     theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing,
     timeTravelTwin, snapshotDiffTwin, rollbackTwin, anovaF, maintenanceTwin, backupTwin,
     replicationTwin, haarEnergy, markovStationary, associationRules,
-    businessRollup, controlRules,
+    businessRollup, controlRules, garmanKlass,
     incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf,
     eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,
     anomalyEnsemble, drawdown, changepoint, rateLimitAudit, burstiness,

@@ -2094,6 +2094,80 @@ object LlmQueries extends QueryModule {
                   THEN 1 ELSE 0 END AS watermarked
       FROM agg ORDER BY doc_id"""))
 
+  /** Top-p (nucleus) cutoff audit — the LM-serving sampling op
+    * (Holtzman 2020) computed exactly from corpus bigram statistics:
+    * for each of the 20 most frequent context tokens, the NUCLEUS is
+    * the smallest successor set (by descending probability) whose
+    * mass reaches p = 0.9; report its size, its exact mass, and the
+    * vocabulary fraction it discards — the "how peaked is the
+    * next-token distribution here" audit that decides sampling
+    * hyperparameters. Everything is exact integers: successors order
+    * by (count DESC, token), the cutoff test is cross-multiplied
+    * 10·cumsum ≥ 9·total (never a float threshold), the member
+    * selection keeps rows up to the FIRST crossing (cumsum − own
+    * count ≤ threshold-crossing point), and mass_ppm is an integer
+    * division. Shape: one lead() pass builds the bigram table, the
+    * top-20 contexts are a k-bounded TakeOrdered, successor windows
+    * partition per context over out-degree-bounded rows. */
+  private val nucleusSets = QueryDef(
+    "llm_nucleus_sets",
+    (s, d) => {
+      val w1 = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      val big = toks.withColumn("b", lead(col("w"), 1).over(w1))
+        .filter(col("b").isNotNull)
+        .groupBy(col("w").as("ctx"), col("b")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val top20 = big.groupBy(col("ctx")).agg(sum(col("cnt")).as("tot"),
+          count(lit(1)).as("n_succ"))
+        .orderBy(col("tot").desc, col("ctx")).limit(20)
+      val wS = Window.partitionBy(col("ctx"))
+        .orderBy(col("cnt").desc, col("b"))
+      big.join(broadcast(top20), "ctx")
+        .withColumn("csum", sum(col("cnt")).over(
+          wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // keep every successor up to and including the first row where
+        // 10·cumsum ≥ 9·total: rows BEFORE it have 10·(csum−cnt) < 9·tot
+        .filter(lit(10L) * (col("csum") - col("cnt")) < lit(9L) * col("tot"))
+        .groupBy(col("ctx"), col("tot"), col("n_succ"))
+        .agg(count(lit(1)).as("nucleus_k"), sum(col("cnt")).as("nucleus_mass"))
+        .select(col("ctx"), col("tot"), col("n_succ"), col("nucleus_k"),
+          expr("(nucleus_mass * 1000000L) div tot").as("mass_ppm"),
+          expr("((n_succ - nucleus_k) * 1000000L) div n_succ").as("discard_ppm"))
+        .orderBy(col("tot").desc, col("ctx"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, g AS pos, ws[g] AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             unnest(generate_series(1, len(ws))) t(g)),
+      big AS (
+        SELECT ctx, b, count(*) AS cnt FROM (
+          SELECT w AS ctx,
+                 lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+          FROM toks)
+        WHERE b IS NOT NULL GROUP BY 1, 2),
+      top20 AS (
+        SELECT ctx, CAST(sum(cnt) AS BIGINT) AS tot, count(*) AS n_succ
+        FROM big GROUP BY 1
+        ORDER BY tot DESC, ctx LIMIT 20),
+      cum AS (
+        SELECT g.ctx, t.tot, t.n_succ, g.cnt,
+               CAST(sum(g.cnt) OVER (PARTITION BY g.ctx
+                 ORDER BY g.cnt DESC, g.b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS csum
+        FROM big g JOIN top20 t USING (ctx)),
+      kept AS (
+        SELECT * FROM cum WHERE 10 * (csum - cnt) < 9 * tot)
+      SELECT ctx, tot, n_succ,
+             count(*) AS nucleus_k,
+             (CAST(sum(cnt) AS BIGINT) * 1000000) // tot AS mass_ppm,
+             ((n_succ - count(*)) * 1000000) // n_succ AS discard_ppm
+      FROM kept GROUP BY ctx, tot, n_succ
+      ORDER BY tot DESC, ctx"""))
+
   /** Train/eval contamination check (decontamination): flag training
     * docs sharing ≥3 rare word-3-gram shingles with any eval doc
     * (eval set = every 97th doc, a deterministic benchmark stand-in).
@@ -6014,7 +6088,7 @@ object LlmQueries extends QueryModule {
   val defs: Seq[QueryDef] = Seq(
     suffixArray, cmsSketch, hitsScores, rougePairs, videoSceneCut, topicCoherence,
     filteredAnn, textrankKeywords, ngramGenerate, watermarkDetect,
-    unigramSegment,
+    unigramSegment, nucleusSets,
     weightedSample, bpeMergeStep, bpeTrain, bpeEncodeStats, skipgramCooc, instructionDetect,
     clusterQuality, pmiCollocations,
     matryoshkaEval, curriculumOrder,

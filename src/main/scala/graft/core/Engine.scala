@@ -842,7 +842,11 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * the delta chain, so [[rollupCover]] stays valid and the next
     * [[refreshRollup]] re-folds the surviving rows from the cut
     * point. (Contrast erase, which filters deltas in place: here the
-    * folded ranges themselves are wrong, not just one series.)
+    * folded ranges themselves are wrong, not just one series.) The
+    * deltas are dropped BEFORE the raw buckets are rewritten, so a
+    * crash between the steps leaves rollup() missing-but-honest
+    * (under-covered, re-foldable) rather than serving aggregates
+    * that include rows find() already excludes.
     *
     * Seq discipline: this INSTANCE keeps allocating above the old
     * maximum (no in-process reuse, so a held asOfSeq stays
@@ -862,6 +866,14 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     val hit = table().filter(col("seq") > asOfSeq)
       .groupBy(col("bucket_ts")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Drop affected rollup deltas BEFORE the raw rewrite: a crash
+    // between the two steps then leaves MISSING aggregates (the next
+    // refreshRollup re-folds survivors) rather than a window where
+    // rollup() serves sums that still include rolled-back rows that
+    // find() already excludes.
+    rollupDeltas(fs).foreach { case (dir, _, hi) =>
+      if (hi > asOfSeq) fs.delete(dir, true)
+    }
     val rewritten: Map[Long, (Long, Long)] =
       if (hit.isEmpty) Map.empty
       else {
@@ -883,9 +895,6 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         }
         hit.map { case (b, n) => b -> (before(b), before(b) - n) }
       }
-    rollupDeltas(fs).foreach { case (dir, _, hi) =>
-      if (hi > asOfSeq) fs.delete(dir, true)
-    }
     rewritten
   }
 
@@ -975,7 +984,18 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * rows keep their seq, so cross-delta overwrites of the same
     * (series, slot) resolve at the replica by the same LWW rule the
     * primary uses, and the replica's [[currentSeq]] advances to the
-    * primary's watermark. Shipping the range-resolved delta (not raw
+    * primary's watermark. LIMITATION — deltas are state-based and
+    * cannot represent physical REMOVALS: an [[erase]],
+    * [[removeBefore]] or [[rollbackTo]] on the primary between
+    * watermarks leaves the replica holding rows the primary deleted,
+    * and no later delta repairs that. Every export therefore embeds a
+    * consistency receipt (`_graft_receipt`: the primary's LWW
+    * row-count + order-independent xxhash64-XOR checksum at the
+    * watermark, via [[lwwChecksum]]); the replica calls
+    * [[verifyReceipt]] after each import and MUST full re-sync
+    * ([[exportSnapshot]] → fresh import) when it fails — which is
+    * exactly what any destructive maintenance verb on the primary
+    * makes it do, loudly instead of silently diverging. Shipping the range-resolved delta (not raw
     * history) is the bandwidth-optimal choice: superseded
     * intermediate versions inside one sync interval never cross the
     * wire, while every delta-boundary watermark stays a consistent
@@ -999,10 +1019,73 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     resolvedRows.repartition(col("bucket_ts"))
       .sortWithinPartitions((col("bucket_ts") +: tagCols.map(col)) :+ col("slot_ns"): _*)
       .write.mode(SaveMode.ErrorIfExists).partitionBy("bucket_ts").parquet(outDir)
+    // consistency receipt: primary's LWW world (count, checksum) at
+    // the watermark — `_`-prefixed so parquet readers skip it
+    val (rcRows, rcHash) = lwwChecksum(toSeqInclusive)
+    val fs = FileSystem.get(new java.net.URI(opts.dataDir),
+      spark.sparkContext.hadoopConfiguration)
+    val rf = fs.create(new Path(s"$outDir/_graft_receipt"), true)
+    try rf.write(
+      s"watermark=$toSeqInclusive\nrows=$rcRows\nhash=$rcHash\n".getBytes("UTF-8"))
+    finally rf.close()
     // explicit schema: a row-empty delta writes only _SUCCESS, and a
     // schema-less parquet read of it would fail instead of counting 0
     // (importSnapshot reads the same way for the same reason)
     spark.read.schema(tableSchema).parquet(outDir).count()
+  }
+
+  /** Order-independent checksum of the LWW-resolved world at
+    * `asOfSeq`: (row count, XOR of per-row xxhash64 over
+    * tags|slot|seq|winning payload). XOR is commutative and
+    * overflow-free, and post-LWW rows are unique per (series, slot),
+    * so no duplicate-cancellation hazard; one map-side-combinable
+    * shuffle, the [[find]] resolution cost. This is the primitive
+    * behind the replication receipt ([[exportDelta]] /
+    * [[verifyReceipt]]) and a cheap primary↔replica audit on its
+    * own. */
+  def lwwChecksum(asOfSeq: Long): (Long, Long) = {
+    ensureManifest(adopt = false)
+    val resolved = table()
+      .filter(col("seq") <= asOfSeq)
+      .groupBy((tagCols.map(col) :+ col("slot_ns")): _*)
+      .agg(max_by(col("payload"), col("seq")).as("payload"),
+        max(col("seq")).as("seq"))
+    val r = resolved
+      .select(xxhash64((tagCols.map(col) :+ col("slot_ns") :+ col("seq") :+
+        col("payload")): _*).as("h"))
+      .agg(count(lit(1)).as("n"), expr("coalesce(bit_xor(h), 0L)").as("x"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Replica-side divergence check against the `_graft_receipt` an
+    * [[exportDelta]]/[[exportSnapshot]] wrote: recomputes THIS
+    * engine's [[lwwChecksum]] at the receipt's watermark and throws
+    * [[IllegalStateException]] on any mismatch — the loud signal
+    * that the primary ran a destructive verb (erase / removeBefore /
+    * rollbackTo) since the last sync and the replica needs a full
+    * re-sync, state-based deltas being unable to carry removals.
+    * Returns the verified (rows, hash) on success. */
+  def verifyReceipt(srcDir: String): (Long, Long) = {
+    ensureManifest(adopt = false)
+    val fs = FileSystem.get(new java.net.URI(opts.dataDir),
+      spark.sparkContext.hadoopConfiguration)
+    val p = new Path(s"$srcDir/_graft_receipt")
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(s"verifyReceipt: no _graft_receipt in $srcDir")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val kv = text.linesIterator.filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim.toLong }.toMap
+    val (w, rows, hash) = (kv("watermark"), kv("rows"), kv("hash"))
+    val (n, h) = lwwChecksum(w)
+    if (n != rows || h != hash)
+      throw new IllegalStateException(
+        s"verifyReceipt: replica diverged from primary at watermark $w " +
+          s"(rows $n vs $rows, hash $h vs $hash) — a destructive verb on the " +
+          "primary cannot ride a delta; full re-sync required " +
+          "(exportSnapshot -> fresh importSnapshot)")
+    (n, h)
   }
 
   /** Restore a snapshot produced by [[exportSnapshot]] into THIS

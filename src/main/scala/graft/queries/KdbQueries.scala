@@ -4062,7 +4062,10 @@ object KdbQueries extends QueryModule {
     * statistic is Σ_observed[(obs−E)²/E − E] + rowtot. Each observed
     * cell's term is one double expression over exact integer counts
     * (products taken in double to dodge int64 overflow at corpus
-    * scale — exact while < 2⁵³), quantized to integer micro-units
+    * scale — exact while < 2⁵³, i.e. ≥100× the sf0.1 event volume:
+    * n·obs ≈ 8·10¹³ at 100× vs the 9·10¹⁵ exactness ceiling, and the
+    * count products n·obs / r·c stay exactly-representable integer
+    * doubles whose difference is again exact), quantized to integer micro-units
     * BEFORE the per-type sum so engine summation order can't move the
     * hash. One (type, hod) partial-agg pass; the row/col/grand totals
     * ride windows over the ≤ types×24-row cell table. */
@@ -5636,11 +5639,14 @@ object KdbQueries extends QueryModule {
     * rule 1 = point beyond 3σ, rule 2 = 2 of 3 consecutive beyond 2σ
     * on the SAME side, rule 8 = 8 consecutive on one side of center.
     * EVERY limit decision is exact integer cross-multiplication — with
-    * S = Σx, Q = Σx², n per type: |x−μ| > kσ ⇔ (xn−S)² > k²(nQ−S²),
-    * magnitudes ≤ ~5·10¹⁷ at sf0.1 (widen to decimal past ~10⁹
-    * cents·slots) — so no float ever enters a branch and the flagged
-    * set cannot drift between engines; reported sigma bands are
-    * display-only 4dp doubles of the same exact ints. Shape: one
+    * S = Σx, Q = Σx², n per type: |x−μ| > kσ ⇔ (xn−S)² > k²(nQ−S²).
+    * Q, S², dev² and varn accumulate in Spark decimal(38,0) ≡ DuckDB
+    * HUGEINT (the kdb_skew_kurtosis Σc⁴ discipline) so the decisions
+    * survive ≥100× the sf0.1 cents·slots volume without wrap
+    * (headroom: dev² ≈ (n·x)² ≈ 5·10²⁷ at 100× still fits 38 digits);
+    * no float ever enters a branch and the flagged set cannot drift
+    * between engines; reported sigma bands are display-only 4dp
+    * doubles of the same exact ints. Shape: one
     * hourly rollup, the (S, Q, n) moments broadcast back EQUI on type,
     * one type-partitioned window pass for the lagged/rolling run
     * counts, output only the firing slots. */
@@ -5656,16 +5662,18 @@ object KdbQueries extends QueryModule {
         .agg(sum(col("cents")).as("x"))
       val m = h.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("x") * col("x")).as("q"))
-      val dev = col("x") * col("n") - col("sx")       // n·(x−μ), exact
-      val varn = col("n") * col("q") - col("sx") * col("sx") // n²σ², exact
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("q"))
+      val dev = col("x") * col("n") - col("sx")       // n·(x−μ), exact int64
+      val dev2 = dev.cast("decimal(38,0)") * dev      // 128-bit, no wrap
+      val varn = col("n") * col("q") -
+        col("sx").cast("decimal(38,0)") * col("sx")   // n²σ², exact 128-bit
       val w = Window.partitionBy(col("event_type")).orderBy(col("slot_ns"))
       val w3 = w.rowsBetween(-2, 0)
       val w8 = w.rowsBetween(-7, 0)
       h.join(m, "event_type")
-        .withColumn("r1", (dev * dev > lit(9L) * varn).cast("int"))
-        .withColumn("hi2", (dev > 0 && dev * dev > lit(4L) * varn).cast("int"))
-        .withColumn("lo2", (dev < 0 && dev * dev > lit(4L) * varn).cast("int"))
+        .withColumn("r1", (dev2 > lit(9L) * varn).cast("int"))
+        .withColumn("hi2", (dev > 0 && dev2 > lit(4L) * varn).cast("int"))
+        .withColumn("lo2", (dev < 0 && dev2 > lit(4L) * varn).cast("int"))
         .withColumn("side_hi", (dev > 0).cast("int"))
         .withColumn("side_lo", (dev < 0).cast("int"))
         .withColumn("r2",
@@ -5691,19 +5699,21 @@ object KdbQueries extends QueryModule {
       m AS (
         SELECT event_type, count(*) AS n,
                CAST(sum(x) AS BIGINT) AS sx,
-               CAST(sum(x * x) AS BIGINT) AS q
+               sum(CAST(x AS HUGEINT) * x) AS q
         FROM h GROUP BY 1),
       f AS (
         SELECT h.event_type, h.slot_ns, h.x, m.n, m.sx, m.q,
                h.x * m.n - m.sx AS dev,
-               m.n * m.q - m.sx * m.sx AS varn
+               CAST(h.x * m.n - m.sx AS HUGEINT) *
+                 (h.x * m.n - m.sx) AS dev2,
+               m.n * m.q - CAST(m.sx AS HUGEINT) * m.sx AS varn
         FROM h JOIN m USING (event_type)),
       flags AS (
         SELECT event_type, slot_ns, x, n, sx, varn,
-               CASE WHEN dev * dev > 9 * varn THEN 1 ELSE 0 END AS r1,
-               CASE WHEN dev > 0 AND dev * dev > 4 * varn
+               CASE WHEN dev2 > 9 * varn THEN 1 ELSE 0 END AS r1,
+               CASE WHEN dev > 0 AND dev2 > 4 * varn
                     THEN 1 ELSE 0 END AS hi2,
-               CASE WHEN dev < 0 AND dev * dev > 4 * varn
+               CASE WHEN dev < 0 AND dev2 > 4 * varn
                     THEN 1 ELSE 0 END AS lo2,
                CASE WHEN dev > 0 THEN 1 ELSE 0 END AS side_hi,
                CASE WHEN dev < 0 THEN 1 ELSE 0 END AS side_lo
@@ -6197,9 +6207,10 @@ object KdbQueries extends QueryModule {
     * Exact-integer discipline one step further than acf: the centered
     * autocovariances are cleared of the rational mean by multiplying
     * through by n² — n²·S_k = n²·Σvₜvₜ₊ₖ − n·T·(Hₖ+Tₖ) + (n−k)·T²
-    * is exact BIGINT algebra in both engines (T = grid total; safe
-    * while hourly counts stay < ~2³¹ — beyond that this grid frame
-    * would move to DECIMAL(38,0)), so ρ₁..ρ₃ are bit-identical
+    * is exact integer algebra in both engines, with the product
+    * terms in decimal(38,0) ≡ HUGEINT (n²·Σv² grazes int64 max
+    * already at ~10⁵ events/hour; 128-bit gives ≥100× headroom past
+    * the sf0.1 volume), so ρ₁..ρ₃ are bit-identical
     * doubles and the Durbin–Levinson recursion (fixed closed-form
     * algebra, three levels) cannot diverge between engines. The
     * data-sized work is ONE hourly rollup; the lagged self-join runs
@@ -6234,7 +6245,7 @@ object KdbQueries extends QueryModule {
           col("event_type") === col("y_type") &&
             col("y_slot") === col("slot_ns") + col("lag") * Hour)
         .groupBy(col("event_type"), col("lag"))
-        .agg(sum(col("x") * col("y")).as("a"),
+        .agg(sum(col("x").cast("decimal(38,0)") * col("y")).as("a"),
           sum(col("x")).as("hx"), sum(col("y")).as("ty"))
       def pick(k: Int, c: String) = max(when(col("lag") === k, col(c)))
       val wide = moms.groupBy(col("event_type")).agg(
@@ -6243,7 +6254,8 @@ object KdbQueries extends QueryModule {
         pick(2, "a").as("a2"), pick(2, "hx").as("h2"), pick(2, "ty").as("t2"),
         pick(3, "a").as("a3"), pick(3, "hx").as("h3"), pick(3, "ty").as("t3"))
       def sK(a: Column, h: Column, t: Column, k: Int): Column =
-        lit(n * n) * a - lit(n) * col("t") * (h + t) + lit(n - k) * col("t") * col("t")
+        lit(n * n) * a - lit(n) * col("t").cast("decimal(38,0)") * (h + t) +
+          lit(n - k) * col("t").cast("decimal(38,0)") * col("t")
       val withS = wide
         .withColumn("s0", sK(col("a0"), col("t"), col("t"), 0))
         .withColumn("s1", sK(col("a1"), col("h1"), col("t1"), 1))
@@ -6284,7 +6296,7 @@ object KdbQueries extends QueryModule {
         LEFT JOIN counts c ON c.event_type = t.event_type AND c.slot_ns = g.slot_ns),
       moms AS (
         SELECT b.event_type, l.lag,
-               CAST(sum(b.v * p.v) AS BIGINT) AS a,
+               sum(CAST(b.v AS HUGEINT) * p.v) AS a,
                CAST(sum(b.v) AS BIGINT) AS hx,
                CAST(sum(p.v) AS BIGINT) AS ty
         FROM range(0, 4) l(lag)
@@ -6308,10 +6320,14 @@ object KdbQueries extends QueryModule {
         FROM moms GROUP BY 1),
       ss AS (
         SELECT event_type,
-               ${GridN * GridN} * a0 - ${GridN} * t * (t + t) + ${GridN} * t * t AS s0,
-               ${GridN * GridN} * a1 - ${GridN} * t * (h1 + t1) + ${GridN - 1} * t * t AS s1,
-               ${GridN * GridN} * a2 - ${GridN} * t * (h2 + t2) + ${GridN - 2} * t * t AS s2,
-               ${GridN * GridN} * a3 - ${GridN} * t * (h3 + t3) + ${GridN - 3} * t * t AS s3
+               ${GridN * GridN} * a0 - ${GridN} * CAST(t AS HUGEINT) * (t + t)
+                 + ${GridN} * CAST(t AS HUGEINT) * t AS s0,
+               ${GridN * GridN} * a1 - ${GridN} * CAST(t AS HUGEINT) * (h1 + t1)
+                 + ${GridN - 1} * CAST(t AS HUGEINT) * t AS s1,
+               ${GridN * GridN} * a2 - ${GridN} * CAST(t AS HUGEINT) * (h2 + t2)
+                 + ${GridN - 2} * CAST(t AS HUGEINT) * t AS s2,
+               ${GridN * GridN} * a3 - ${GridN} * CAST(t AS HUGEINT) * (h3 + t3)
+                 + ${GridN - 3} * CAST(t AS HUGEINT) * t AS s3
         FROM wide),
       rr AS (
         SELECT event_type,

@@ -733,7 +733,9 @@ object LlmQueries extends QueryModule {
     * "are a topic's top terms actually about one thing?", the
     * standard automatic quality score for topic models, run with
     * topic = source: top-5 source-distinctive terms by source-level
-    * tf·idf (idf over SOURCES, so shared stopwords score 0), then
+    * tf·idf (idf over SOURCES, so shared stopwords score 0; the rank
+    * key is cnt × micro-quantized-idf — an exact BIGINT, so the probe
+    * set cannot drift on 1-ulp ln() skew between engines), then
     * for each of the ≤C(5,2) term pairs per source the normalized
     * PMI from document co-occurrence: npmi = ln(c12·D/(c1·c2)) /
     * ln(D/c12), quantized to micros (the lm_score ln() discipline;
@@ -759,10 +761,15 @@ object LlmQueries extends QueryModule {
         .agg(count(lit(1)).cast("double").as("n_sources"))
       val w = Window.partitionBy(col("source"))
         .orderBy(col("score").desc, col("term"))
+      // tf·idf rank rides an exact integer: the per-term idf is
+      // micro-quantized ONCE (1-ulp ln() skew flips a micro only
+      // within ~1e-10 of a boundary) and multiplied by integer cnt,
+      // so ORDER never touches a float (psi/nb discipline)
       val topT = stf.join(broadcast(sdf), "term")
         .crossJoin(broadcast(nS))
-        .withColumn("score",
-          round(col("cnt") * log(col("n_sources") / col("sdf")), 4))
+        .withColumn("idf_micro",
+          round(log(col("n_sources") / col("sdf")) * 1000000, 0).cast("long"))
+        .withColumn("score", col("cnt") * col("idf_micro"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("source"), col("term"))
@@ -812,7 +819,8 @@ object LlmQueries extends QueryModule {
         SELECT source, term FROM (
           SELECT s.source, s.term,
                  row_number() OVER (PARTITION BY s.source
-                   ORDER BY round(s.cnt * ln(ns.n_sources / d.sdf), 4) DESC,
+                   ORDER BY s.cnt * CAST(round(ln(ns.n_sources / d.sdf)
+                                               * 1000000, 0) AS BIGINT) DESC,
                             s.term) AS rk
           FROM stf s JOIN sdf d USING (term) CROSS JOIN ns)
         WHERE rk <= 5),

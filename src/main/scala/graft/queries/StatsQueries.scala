@@ -553,7 +553,11 @@ object StatsQueries extends QueryModule {
     * continuity-corrected z — the nonparametric "is there ANY
     * monotone trend?" complement to kdb_ols_trend's linear fit and
     * kdb_theilsen_slope's robust slope. Everything is exact int64
-    * until z. The pair space is the 720-slot GRID self-joined with
+    * until z — and stays so at ANY data scale: cents magnitudes only
+    * ever enter through sign(x_j − x_i) (no products), S is bounded
+    * by the constant pair count (±259k) and the tie sum by
+    * 720·719·1445 ≈ 7.5·10⁸, so there is no overflow horizon to
+    * widen for (contrast the Σx² family — kdb_cointegration's note). The pair space is the 720-slot GRID self-joined with
     * itself (≤ 259k pairs, constant in data size — broadcast one
     * side, the kdb_acf grid-join shape); the data-sized work is one
     * hourly rollup. */
@@ -711,11 +715,12 @@ object StatsQueries extends QueryModule {
       FROM df"""))
 
   /** Engle–Granger cointegration test between the click and purchase
-    * hourly cent series: step 1 fits y on x by OLS from exact int64
-    * moments; step 2 runs the Dickey–Fuller regression on the
-    * residuals, which are QUANTIZED to integer dollars first (coarse
-    * enough that squared-sum moments can't overflow int64 at any SF;
-    * the verdict is insensitive to sub-dollar residual detail)
+    * hourly cent series: step 1 fits y on x by OLS from exact
+    * integer moments (product sums in decimal(38,0) ≡ HUGEINT —
+    * ≥100× headroom; linear sums stay int64); step 2 runs the
+    * Dickey–Fuller regression on the residuals, which are QUANTIZED
+    * to integer dollars first (the verdict is insensitive to
+    * sub-dollar residual detail), with the same 128-bit product sums
     * — so the second regression's moments are again exact integers
     * and both engines agree bit-for-bit all the way to the
     * cointegrated DECISION (df < −3.34, the 5% Engle–Granger
@@ -742,8 +747,12 @@ object StatsQueries extends QueryModule {
         count(lit(1)).cast("double").as("n"),
         sum(col("x")).cast("double").as("sx"),
         sum(col("y")).cast("double").as("sy"),
-        sum(col("x") * col("x")).cast("double").as("sxx"),
-        sum(col("x") * col("y")).cast("double").as("sxy"))
+        // product sums ride decimal(38,0) ≡ HUGEINT: a single x² at
+        // 100× the sf0.1 hourly cents volume (~2.6e9 cents) is ~7e18,
+        // a hair under int64 max, and the 720-term sum wraps — the
+        // kdb_control_rules widening applied at the source
+        sum(col("x").cast("decimal(38,0)") * col("x")).cast("double").as("sxx"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).cast("double").as("sxy"))
         .withColumn("beta", (col("n") * col("sxy") - col("sx") * col("sy")) /
           (col("n") * col("sxx") - col("sx") * col("sx")))
         .withColumn("alpha", (col("sy") - col("beta") * col("sx")) / col("n"))
@@ -762,9 +771,9 @@ object StatsQueries extends QueryModule {
         count(lit(1)).cast("double").as("n"),
         sum(col("rx")).cast("double").as("sx"),
         sum(col("ry")).cast("double").as("sy"),
-        sum(col("rx") * col("rx")).cast("double").as("sxx"),
-        sum(col("rx") * col("ry")).cast("double").as("sxy"),
-        sum(col("ry") * col("ry")).cast("double").as("syy"))
+        sum(col("rx").cast("decimal(38,0)") * col("rx")).cast("double").as("sxx"),
+        sum(col("rx").cast("decimal(38,0)") * col("ry")).cast("double").as("sxy"),
+        sum(col("ry").cast("decimal(38,0)") * col("ry")).cast("double").as("syy"))
       val b2 = (col("n") * col("sxy") - col("sx") * col("sy")) /
         (col("n") * col("sxx") - col("sx") * col("sx"))
       val a2 = (col("sy") - b2 * col("sx")) / col("n")
@@ -799,8 +808,8 @@ object StatsQueries extends QueryModule {
       m1 AS (
         SELECT CAST(count(*) AS DOUBLE) AS n,
                CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-               CAST(sum(x * x) AS DOUBLE) AS sxx,
-               CAST(sum(x * y) AS DOUBLE) AS sxy
+               CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
         FROM dense),
       fit AS (
         SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
@@ -822,9 +831,9 @@ object StatsQueries extends QueryModule {
         SELECT beta, alpha,
                CAST(count(*) AS DOUBLE) AS n,
                CAST(sum(rx) AS DOUBLE) AS sx, CAST(sum(ry) AS DOUBLE) AS sy,
-               CAST(sum(rx * rx) AS DOUBLE) AS sxx,
-               CAST(sum(rx * ry) AS DOUBLE) AS sxy,
-               CAST(sum(ry * ry) AS DOUBLE) AS syy
+               CAST(sum(CAST(rx AS HUGEINT) * rx) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(rx AS HUGEINT) * ry) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(ry AS HUGEINT) * ry) AS DOUBLE) AS syy
         FROM pairs GROUP BY 1, 2),
       f2 AS (
         SELECT beta, alpha, n, sx, sxx, sxy, sy, syy,
@@ -849,8 +858,9 @@ object StatsQueries extends QueryModule {
     * the purchase series beyond purchase's own past? Unrestricted
     * y_t ~ a + b·y_{t−1} + c·x_{t−1} vs restricted y_t ~ a + b·y_{t−1},
     * F = (SSE_r − SSE_u)/(SSE_u/(n−3)). Both regressions solve in
-    * closed form from the exact int64 moment sums of the
-    * (y, y_lag, x_lag) grid triples — centered normal equations via
+    * closed form from the exact integer moment sums of the
+    * (y, y_lag, x_lag) grid triples (product sums in
+    * decimal(38,0) ≡ HUGEINT for ≥100× headroom) — centered normal equations via
     * Cramer's rule, every input integer-derived, identical doubles in
     * both engines; the CAUSES decision (F > 3.85, the 5% F(1,∞)
     * critical value) is therefore branch-safe. One rollup shuffle;
@@ -883,12 +893,15 @@ object StatsQueries extends QueryModule {
         sum(col("y")).cast("double").as("sy"),
         sum(col("yl")).cast("double").as("s1"),
         sum(col("xl")).cast("double").as("s2"),
-        sum(col("yl") * col("yl")).cast("double").as("s11"),
-        sum(col("xl") * col("xl")).cast("double").as("s22"),
-        sum(col("yl") * col("xl")).cast("double").as("s12"),
-        sum(col("y") * col("yl")).cast("double").as("sy1"),
-        sum(col("y") * col("xl")).cast("double").as("sy2"),
-        sum(col("y") * col("y")).cast("double").as("syy"))
+        // decimal(38,0) ≡ HUGEINT product sums (≥100× headroom; a
+        // single yl² at 100× volume grazes int64 max — see
+        // kdb_cointegration's widening note)
+        sum(col("yl").cast("decimal(38,0)") * col("yl")).cast("double").as("s11"),
+        sum(col("xl").cast("decimal(38,0)") * col("xl")).cast("double").as("s22"),
+        sum(col("yl").cast("decimal(38,0)") * col("xl")).cast("double").as("s12"),
+        sum(col("y").cast("decimal(38,0)") * col("yl")).cast("double").as("sy1"),
+        sum(col("y").cast("decimal(38,0)") * col("xl")).cast("double").as("sy2"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).cast("double").as("syy"))
       // centered co-moments (all one-op combinations of exact sums)
       val c11 = col("s11") - col("s1") * col("s1") / col("n")
       val c22 = col("s22") - col("s2") * col("s2") / col("n")
@@ -935,12 +948,12 @@ object StatsQueries extends QueryModule {
         SELECT CAST(count(*) AS DOUBLE) AS n,
                CAST(sum(y) AS DOUBLE) AS sy,
                CAST(sum(yl) AS DOUBLE) AS s1, CAST(sum(xl) AS DOUBLE) AS s2,
-               CAST(sum(yl * yl) AS DOUBLE) AS s11,
-               CAST(sum(xl * xl) AS DOUBLE) AS s22,
-               CAST(sum(yl * xl) AS DOUBLE) AS s12,
-               CAST(sum(y * yl) AS DOUBLE) AS sy1,
-               CAST(sum(y * xl) AS DOUBLE) AS sy2,
-               CAST(sum(y * y) AS DOUBLE) AS syy
+               CAST(sum(CAST(yl AS HUGEINT) * yl) AS DOUBLE) AS s11,
+               CAST(sum(CAST(xl AS HUGEINT) * xl) AS DOUBLE) AS s22,
+               CAST(sum(CAST(yl AS HUGEINT) * xl) AS DOUBLE) AS s12,
+               CAST(sum(CAST(y AS HUGEINT) * yl) AS DOUBLE) AS sy1,
+               CAST(sum(CAST(y AS HUGEINT) * xl) AS DOUBLE) AS sy2,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
         FROM trip),
       cm AS (
         SELECT n,
@@ -970,8 +983,8 @@ object StatsQueries extends QueryModule {
     * Q = n(n+2)·Σ_{k=1..6} ρ̂²_k/(n−k), the "is anything left in the
     * autocorrelations?" white-noise audit that closes the ACF family
     * (kdb_acf reports the ρ̂s; this one makes the joint decision).
-    * Each ρ̂_k comes from exact int64 lagged moments over the dense
-    * grid (6 lead() columns in one bounded window pass), expanded
+    * Each ρ̂_k comes from exact integer lagged moments over the dense
+    * grid (product sums in decimal(38,0) ≡ HUGEINT, ≥100× headroom) (6 lead() columns in one bounded window pass), expanded
     * around the full-series mean with the identical association
     * order in both engines; the six ρ² terms fold in EXPLICIT k
     * order (a sum() over rows would be order-nondeterministic even
@@ -996,9 +1009,11 @@ object StatsQueries extends QueryModule {
       val aggs = Seq(
         count(lit(1)).cast("double").as("n"),
         sum(col("x")).cast("double").as("sx"),
-        sum(col("x") * col("x")).cast("double").as("sxx")) ++
+        // decimal(38,0) ≡ HUGEINT product sums — ≥100× headroom
+        // (see kdb_cointegration's widening note)
+        sum(col("x").cast("decimal(38,0)") * col("x")).cast("double").as("sxx")) ++
         (1 to 6).flatMap { k => Seq(
-          sum(col("x") * col(s"x$k")).cast("double").as(s"sxy$k"),
+          sum(col("x").cast("decimal(38,0)") * col(s"x$k")).cast("double").as(s"sxy$k"),
           sum(when(col(s"x$k").isNotNull, col("x"))).cast("double").as(s"sa$k"),
           sum(col(s"x$k")).cast("double").as(s"sb$k"))
         }
@@ -1022,7 +1037,7 @@ object StatsQueries extends QueryModule {
       val leads = (1 to 6).map(k =>
         s"lead(x, $k) OVER (ORDER BY slot_ns) AS x$k").mkString(", ")
       val moments = (1 to 6).map(k => s"""
-        CAST(sum(x * x$k) AS DOUBLE) AS sxy$k,
+        CAST(sum(CAST(x AS HUGEINT) * x$k) AS DOUBLE) AS sxy$k,
         CAST(sum(CASE WHEN x$k IS NOT NULL THEN x END) AS DOUBLE) AS sa$k,
         CAST(sum(x$k) AS DOUBLE) AS sb$k""").mkString(",")
       def rho(k: Int) =
@@ -1046,7 +1061,7 @@ object StatsQueries extends QueryModule {
       m AS (
         SELECT CAST(count(*) AS DOUBLE) AS n,
                CAST(sum(x) AS DOUBLE) AS sx,
-               CAST(sum(x * x) AS DOUBLE) AS sxx, $moments
+               CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx, $moments
         FROM lagged)
       SELECT CAST(n AS BIGINT) AS n_slots, $rhos,
              round(n * (n + 2) * ($qSum), 4) + 0.0 AS q_stat,

@@ -712,7 +712,10 @@ object StreamingTwinQueries extends QueryModule {
     * accumulator (nIgnored·2⁴⁰ + cents·2 + exists — DuckDB 1.0
     * list_reduce miscomputes struct accumulators, scalar folds are
     * exact; all ops are integer arithmetic, so the fold is
-    * bit-deterministic in both engines). */
+    * bit-deterministic in both engines). Negative cents would borrow
+    * from the opc field in the packing, so BOTH sides assert
+    * cents ≥ 0 loudly (raise_error / error()) instead of silently
+    * hash-diverging on a future fixture. */
   private val cdcTwin = QueryDef(
     "stream_cdc_twin",
     (s, d) => {
@@ -724,7 +727,14 @@ object StreamingTwinQueries extends QueryModule {
           when(col("event_id") % 10 === 0, "D")
             .when(col("event_id") % 3 === 0, "I")
             .otherwise("U").as("op"),
-          round(col("value") * 100.0, 0).cast("long").as("cents"))
+          // the oracle's scalar packing (opc·2⁴⁰ + cents) borrows from
+          // the opc field if cents < 0 — fail LOUDLY on both sides
+          // rather than hash-diverge if a future fixture goes negative
+          when(round(col("value") * 100.0, 0) >= 0,
+            round(col("value") * 100.0, 0).cast("long"))
+            .otherwise(raise_error(lit(
+              "stream_cdc_twin: negative cents breaks the oracle packing")))
+            .as("cents"))
         StreamingIngest.cdcApply(ops).toDF()
       }
       // defensive final-state pick (n_ops is monotone per batch); a
@@ -743,7 +753,10 @@ object StreamingTwinQueries extends QueryModule {
                CASE WHEN event_id % 10 = 0 THEN 3
                     WHEN event_id % 3 = 0 THEN 1
                     ELSE 2 END AS opc,
-               CAST(round(value * 100) AS BIGINT) AS cents
+               CASE WHEN round(value * 100) >= 0
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE error('stream_cdc_twin: negative cents breaks packing')
+               END AS cents
         FROM events),
       enc AS (
         SELECT user_id,

@@ -574,6 +574,34 @@ class EngineSpec extends SparkTestBase {
     assert(e3.currentSeq() === -1L)
   }
 
+  test("replication receipt: verifyReceipt passes on a faithful replica, detects primary erase") {
+    val (e, clock) = mkEngine()
+    e.put(Seq(Point(11000L, tag4, pld(1)), Point(11010L, tag4, pld(2))))
+    val w1 = e.currentSeq()
+    val d1 = Files.createTempDirectory("graft-rcpt").toString + "/d1"
+    assert(e.exportDelta(Long.MinValue, w1, d1) === 2L)
+
+    val dir2 = Files.createTempDirectory("graft-rcpt-replica").toString
+    val e2 = new Engine(spark, EngineOptions("rep", dir2, 4, 4, 1000L, 10L), clock)
+    e2.importSnapshot(d1)
+    // faithful replica: receipt verifies and equals a direct checksum
+    assert(e2.verifyReceipt(d1) === e.lwwChecksum(w1))
+
+    // primary runs a destructive verb, then ships the next delta:
+    // the removal cannot ride the delta — receipt must fail loudly
+    e.erase(tag4)
+    assert(e.put(Seq(Point(11500L, tag4, pld(3)))) === Map("ok" -> 1L))
+    val w2 = e.currentSeq()
+    val d2 = Files.createTempDirectory("graft-rcpt").toString + "/d2"
+    e.exportDelta(w1, w2, d2)
+    e2.importSnapshot(d2)
+    val ex = intercept[IllegalStateException](e2.verifyReceipt(d2))
+    assert(ex.getMessage.contains("full re-sync"))
+    // a missing receipt is an argument error, not a silent pass
+    intercept[IllegalArgumentException](
+      e2.verifyReceipt(Files.createTempDirectory("graft-norcpt").toString))
+  }
+
   test("auditTable: healthy table is all zeros; a misfiled row is counted") {
     val dir = Files.createTempDirectory("graft-audit").toString
     val clock = new TestClock(11999L)

@@ -1948,6 +1948,279 @@ object RelationalQueries extends QueryModule {
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""))
 
+  /** TPC-H Q2 shape: minimum-cost supplier per part over a 4-dim
+    * join (part × supply catalog × supplier × nation × region) with
+    * the correlated-min subquery. No partsupp table exists in this
+    * star schema, so the supply catalog derives from lineitem — one
+    * (partkey, suppkey) rollup taking min(price_cents) as the
+    * supplier's offer, which keeps every cost an exact integer (the
+    * TPC-H ps_supplycost column re-expressed from observed data).
+    * Spark replaces the literal correlated scan with ONE window min
+    * over the candidate set (already shuffled by p_partkey, so no
+    * extra exchange); the oracle keeps the textbook correlated
+    * subquery — same rows either way. All dims broadcast (part
+    * filter ~44 rows, region suppliers ~20); the only data-sized
+    * work is the catalog rollup, shuffle-keyed on (part, supp).
+    * Output ordered by exact bal_cents (never the raw double). */
+  private val q2MinCostSupplier = QueryDef(
+    "q2_min_cost_supplier",
+    (s, d) => {
+      val eur = supplier(s, d)
+        .join(broadcast(nation(s, d)
+          .join(region(s, d).filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          round(col("s_acctbal") * 100, 0).cast("long").as("bal_cents"))
+      val p = part(s, d)
+        .filter(col("p_type") === "LARGE" && col("p_size") <= 5)
+        .select(col("p_partkey"), col("p_name"))
+      val catalog = lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("price_cents"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("price_cents")).as("cost_cents"))
+      val w = Window.partitionBy(col("p_partkey"))
+      catalog
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("min_cost", min(col("cost_cents")).over(w))
+        .filter(col("cost_cents") === col("min_cost"))
+        .select(col("bal_cents"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("cost_cents"))
+        .orderBy(col("bal_cents").desc, col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+    Some("""
+      WITH cat AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(min(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                 AS BIGINT) AS cost_cents
+        FROM lineitem GROUP BY 1, 2),
+      eur AS (
+        SELECT s_suppkey, s_name, n_name,
+               CAST(round(s_acctbal * 100, 0) AS BIGINT) AS bal_cents
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+      cand AS (
+        SELECT p_partkey, p_name, s_name, bal_cents, n_name, cost_cents
+        FROM cat
+        JOIN part ON l_partkey = p_partkey
+        JOIN eur ON l_suppkey = s_suppkey
+        WHERE p_type = 'LARGE' AND p_size <= 5)
+      SELECT bal_cents, s_name, n_name, p_partkey, p_name, cost_cents
+      FROM cand c
+      WHERE cost_cents = (SELECT min(cost_cents) FROM cand c2
+                          WHERE c2.p_partkey = c.p_partkey)
+      ORDER BY bal_cents DESC, s_name, p_partkey
+      LIMIT 100"""))
+
+  /** TPC-H Q9 shape: profit by supplier nation × order year over the
+    * part-name LIKE filter — the 5-table star (lineitem × part ×
+    * supplier × nation × orders). Profit per line rides ONE exact
+    * integer in cents·percent units: price_cents·(100 − disc_pct) −
+    * retail_cents·qty·10 (supply cost proxied at 10% of the part's
+    * retail price — no partsupp table; discounts are exact integer
+    * percents in this corpus, quantities integral doubles). Sums
+    * stay < ~10¹⁴ at sf0.1 → ≥100× int64 headroom. Plan: part +
+    * supplier⋈nation broadcast into the lineitem scan; the one real
+    * exchange is the lineitem⋈orders shuffle on orderkey (both
+    * data-sized, the canonical Q9 cost), then a ≤25·7-group rollup. */
+  private val q9NationProfit = QueryDef(
+    "q9_nation_profit",
+    (s, d) => {
+      val p = part(s, d).filter(col("p_name").contains("red"))
+        .select(col("p_partkey"),
+          round(col("p_retailprice") * 100, 0).cast("long").as("retail_cents"))
+      val sn = supplier(s, d)
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val o = orders(s, d).select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"))
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("price_cents"),
+          round(col("l_discount") * 100, 0).cast("long").as("disc_pct"),
+          col("l_quantity").cast("long").as("qty"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("amount_cp",
+          col("price_cents") * (lit(100L) - col("disc_pct")) -
+            col("retail_cents") * col("qty") * lit(10L))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(sum(col("amount_cp")).as("sum_profit_cp"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    },
+    Some("""
+      SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+                      - CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                        * CAST(l_quantity AS BIGINT) * 10) AS BIGINT)
+               AS sum_profit_cp,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE p_name LIKE '%red%'
+      GROUP BY 1, 2
+      ORDER BY n_name, o_year DESC"""))
+
+  /** TPC-H Q11 shape: parts whose supply value from one region's
+    * suppliers exceeds a fixed share of the regional total — the
+    * scalar-subquery threshold. Value per part = Σ price_cents over
+    * lines shipped by ASIA suppliers (exact integer; the partsupp
+    * value ps_supplycost·ps_availqty re-expressed from observed
+    * flow). The share test is the exact cross-multiplication
+    * value·1000 > total (never a float fraction), with the 1-row
+    * total riding a broadcast nested-loop join by construction
+    * (allowlisted, the q_segment_dormant precedent). One supplier
+    * semi-broadcast into the lineitem scan, one partkey rollup, one
+    * 1-row broadcast — no data-sized exchange beyond the rollup. */
+  private val q11ValueShare = QueryDef(
+    "q11_value_share",
+    (s, d) => {
+      val asiaSupp = supplier(s, d)
+        .join(broadcast(nation(s, d)
+          .join(region(s, d).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val v = lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("price_cents"))
+        .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("price_cents")).as("value_cents"))
+      val tot = v.agg(sum(col("value_cents")).as("total_cents"))
+      v.crossJoin(broadcast(tot))
+        .filter(col("value_cents") * 1000L > col("total_cents"))
+        .select(col("l_partkey").as("p_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("p_partkey"))
+    },
+    Some("""
+      WITH asia AS (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'),
+      v AS (
+        SELECT l_partkey AS p_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                 AS BIGINT) AS value_cents
+        FROM lineitem JOIN asia ON l_suppkey = s_suppkey
+        GROUP BY 1)
+      SELECT p_partkey, value_cents
+      FROM v
+      WHERE value_cents * 1000 > (SELECT CAST(sum(value_cents) AS BIGINT) FROM v)
+      ORDER BY value_cents DESC, p_partkey"""))
+
+  /** TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    * size) bucket with the NOT-IN supplier exclusion. The
+    * part-supplier relation derives from lineitem (distinct pairs —
+    * no partsupp table); "customer complaints" is proxied by
+    * negative account balance. Spark expresses NOT IN as a LEFT ANTI
+    * hash join (null-free key, so the semantics coincide) — the
+    * exclusion set (~6 rows) broadcasts, as does the filtered part
+    * dim; the data-sized work is the pair distinct (one shuffle) and
+    * the count-distinct rollup (Spark's two-phase distinct
+    * aggregate). Deterministic all-integer output. */
+  private val q16SupplierCount = QueryDef(
+    "q16_supplier_count",
+    (s, d) => {
+      val excl = supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      val p = part(s, d)
+        .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      lineitem(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+    Some("""
+      SELECT p_brand, p_type, p_size,
+             count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+        AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
+
+  /** TPC-H Q20 shape: the nested semi-join chain — suppliers (in one
+    * nation) who dominated 1997 shipments of red parts. The literal
+    * query's availqty > ½·demand test becomes share-of-part-volume:
+    * a supplier qualifies on a part when 4·(their 1997 quantity) >
+    * the part's total 1997 quantity (>25% share) — exact integer
+    * cross-multiplication on integral quantities, no partsupp
+    * needed. Spark runs the chain as rollup → self-equi-join on
+    * partkey → LEFT SEMI into supplier; the oracle keeps the nested
+    * IN subqueries (the Q20 literal). The per-(part,supp) and
+    * per-part rollups share the l_partkey shuffle key, so the join
+    * between them is co-partitioned; supplier/nation broadcast. */
+  private val q20ExcessSuppliers = QueryDef(
+    "q20_excess_suppliers",
+    (s, d) => {
+      val redParts = part(s, d).filter(col("p_name").startsWith("red"))
+        .select(col("p_partkey"))
+      val l97 = lineitem(s, d)
+        .filter(year(col("l_shipdate")) === 1997)
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"))
+      val perSupp = l97.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("qty")).as("supp_qty"))
+      val perPart = l97.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("qty")).as("part_qty"))
+      val qualifying = perSupp
+        .join(perPart, col("l_partkey") === col("pk"))
+        .filter(col("supp_qty") * 4L > col("part_qty"))
+        .select(col("l_suppkey")).distinct()
+      supplier(s, d)
+        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"),
+          round(col("s_acctbal") * 100, 0).cast("long").as("bal_cents"))
+        .orderBy(col("s_name"))
+    },
+    Some("""
+      SELECT s_name, CAST(round(s_acctbal * 100, 0) AS BIGINT) AS bal_cents
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+        AND s_suppkey IN (
+          SELECT ps.l_suppkey
+          FROM (SELECT l_partkey, l_suppkey,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+                FROM lineitem
+                WHERE year(l_shipdate) = 1997
+                  AND l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE 'red%')
+                GROUP BY 1, 2) ps
+          JOIN (SELECT l_partkey,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS part_qty
+                FROM lineitem
+                WHERE year(l_shipdate) = 1997
+                  AND l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE 'red%')
+                GROUP BY 1) pt
+            ON ps.l_partkey = pt.l_partkey
+          WHERE ps.supp_qty * 4 > pt.part_qty)
+      ORDER BY s_name"""))
+
   /** Sink/source round-trip fidelity across the three non-parquet
     * batch formats Spark ships (ORC columnar, CSV text, JSON lines):
     * one lineitem projection is WRITTEN to each format and READ BACK,
@@ -2062,6 +2335,8 @@ object RelationalQueries extends QueryModule {
     qFormatsRoundtrip,
     qPriorityWait, qLateByStatus, qTopSupplier, qSmallQtyRevenue,
     qWaitingSuppliers, qSegmentDormant,
+    q2MinCostSupplier, q9NationProfit, q11ValueShare,
+    q16SupplierCount, q20ExcessSuppliers,
     qNationTrade, qBrandDisjunct,
     qTradeVolume, qReturnedRevenue, qHeavyOrders,
     qCustDist, qIdleRich, qPromoShare, qBracketRevenue, qMarketShare,

@@ -163,6 +163,9 @@ class QueriesSpec extends SparkTestBase {
       // q_idle_rich: the 1-row balance-threshold broadcast rides a
       // BroadcastNestedLoopJoin (non-equi bal > avg comparison)
       "q_idle_rich",
+      // q11_value_share: the 1-row regional-total broadcast cross
+      // join (scalar-subquery threshold, q_segment_dormant shape)
+      "q11_value_share",
       // llm_matryoshka_eval: the 5-query probe set broadcasts over the
       // corpus (qid =!= nid non-equi), same shape as llm_similarity_topk
       "llm_matryoshka_eval",

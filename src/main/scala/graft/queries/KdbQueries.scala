@@ -6438,7 +6438,168 @@ object KdbQueries extends QueryModule {
       FROM trig t JOIN mom m ON m.event_type = t.event_type
       ORDER BY t.event_type, period_h DESC"""))
 
+  /** Matrix profile (Yeh et al. 2016) under the SAD metric — the
+    * all-pairs nearest-neighbor window distance that powers motif
+    * (recurring shape) and discord (anomalous shape) mining, run
+    * over the hourly total-cents series with window m = 24 h and the
+    * standard trivial-match exclusion zone |i−j| ≥ m. Using SAD
+    * (Σ|xᵢ₊ₖ − xⱼ₊ₖ|) instead of z-normalized Euclidean keeps EVERY
+    * distance an exact int64 (≤ 24·|Δcents|, ~2.4·10¹² even at 100×
+    * volume), so the profile (min distance + argmin index, ties to
+    * the smallest j via one lexicographic struct-min) is
+    * bit-identical in both engines with no float anywhere. Scale
+    * shape: ONE data-sized hourly rollup; the window table and the
+    * 697² pair space are GRID-bounded (constant in data size — the
+    * kdb_mann_kendall broadcast non-equi-join shape), each pair
+    * folding a 24-element zip. The discord = the profile row with
+    * the LARGEST nn distance; motifs = the smallest. */
+  private val matrixProfile = QueryDef(
+    "kdb_matrix_profile",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = 24
+      val grid = s.range((T1 - T0) / Hour).select(col("id").as("t"))
+      val sums = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("t", expr(s"(ts_ns - ${T0}L) div ${Hour}L"))
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .groupBy(col("t")).agg(sum(col("cents")).as("x"))
+      val dense = grid.join(sums, Seq("t"), "left_outer")
+        .withColumn("x", coalesce(col("x"), lit(0L)))
+      val w = Window.orderBy(col("t")).rowsBetween(0, m - 1)
+      val wins = dense
+        .withColumn("win", collect_list(col("x")).over(w))
+        .filter(size(col("win")) === m)
+        .select(col("t").as("i"), col("win"))
+      val b = wins.select(col("i").as("j"), col("win").as("wb"))
+      wins.join(broadcast(b), abs(col("i") - col("j")) >= m)
+        .withColumn("sad", aggregate(
+          zip_with(col("win"), col("wb"), (x, y) => abs(x - y)),
+          lit(0L), (acc, v) => acc + v))
+        .groupBy(col("i"))
+        .agg(min(struct(col("sad"), col("j"))).as("nn"))
+        .select(col("i"), col("nn.sad").as("nn_sad"), col("nn.j").as("nn_j"))
+        .orderBy(col("i"))
+    },
+    Some(s"""
+      WITH sums AS (
+        SELECT (epoch_ns(ts) - ${T0}) // ${Hour} AS t,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1),
+      dense AS (
+        SELECT g.t, coalesce(s.x, 0) AS x
+        FROM range(0, ${(T1 - T0) / Hour}) g(t) LEFT JOIN sums s USING (t)),
+      wins AS (
+        SELECT t AS i,
+               list(x) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                             AND 23 FOLLOWING) AS win
+        FROM dense
+        QUALIFY len(win) = 24),
+      sad AS (
+        SELECT a.i, b.i AS j,
+               CAST(list_sum(list_transform(list_zip(a.win, b.win),
+                    p -> abs(p[1] - p[2]))) AS BIGINT) AS sad
+        FROM wins a JOIN wins b ON abs(a.i - b.i) >= 24),
+      prof AS (SELECT i, min(sad) AS nn_sad FROM sad GROUP BY 1)
+      SELECT s.i, p.nn_sad, min(s.j) AS nn_j
+      FROM sad s JOIN prof p ON s.i = p.i AND s.sad = p.nn_sad
+      GROUP BY 1, 2
+      ORDER BY s.i"""))
+
+  /** Renko bar construction per event type — the price-threshold
+    * (not time-threshold) bar family a charting consumer expects
+    * beside kdb_ohlc's time bars: a brick prints only when the
+    * hourly cents series moves a full brick size B from the last
+    * printed level, B adapted per type as (max − min) div 16
+    * (floored at 1). The fold is inherently path-dependent state —
+    * Spark runs it as ONE strict left-fold over the type's sorted
+    * slot array (the kdb_holt_trend discipline, struct accumulator
+    * carrying ref level + emitted bricks); the oracle steps the
+    * identical recurrence in a recursive CTE (DuckDB list_reduce
+    * cannot hold struct state). Every quantity is exact int64: the
+    * brick count per step is a floor division of positive operands
+    * computed as (p − p mod B)/p-exact-double (integral quotient
+    * ≪ 2⁵³, so the IEEE division is exact), the level advances by
+    * n·B. Fold input is slot-bounded (≤720 values/series); raw
+    * events never reach the fold. */
+  private val renkoBars = QueryDef(
+    "kdb_renko_bars",
+    (s, d) => {
+      val h = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(sum(col("cents")).as("x"))
+      val acc0 = struct(lit(0L).as("ref"), lit(0).as("n"),
+        expr("CAST(array() AS array<struct<slot_ns:bigint,n_bricks:bigint,level_cents:bigint>>)")
+          .as("bricks"))
+      def divPos(p: Column, b: Column): Column =
+        ((p - pmod(p, b)) / b).cast("long") // exact: integral quotient ≪ 2⁵³
+      h.groupBy(col("event_type"))
+        .agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
+          sort_array(collect_list(struct(col("slot_ns"), col("x")))).as("arr"))
+        .withColumn("b", greatest(expr("(hi - lo) div 16"), lit(1L)))
+        .withColumn("folded", aggregate(col("arr"), acc0, (acc, e) => {
+          val x = e.getField("x"); val slot = e.getField("slot_ns")
+          val ref = acc.getField("ref"); val n = acc.getField("n")
+          val nb = when(x >= ref + col("b"), divPos(x - ref, col("b")))
+            .when(x <= ref - col("b"), -divPos(ref - x, col("b")))
+            .otherwise(lit(0L))
+          val newRef = when(n === 0, x).otherwise(ref + nb * col("b"))
+          struct(
+            newRef.as("ref"), (n + 1).as("n"),
+            when(n === 0 || nb === 0L, acc.getField("bricks"))
+              .otherwise(concat(acc.getField("bricks"),
+                array(struct(slot.as("slot_ns"), nb.as("n_bricks"),
+                  newRef.as("level_cents"))))).as("bricks"))
+        }))
+        .select(col("event_type"), explode(col("folded.bricks")).as("br"))
+        .select(col("event_type"), col("br.slot_ns"), col("br.n_bricks"),
+          col("br.level_cents"))
+        .orderBy(col("event_type"), col("slot_ns"))
+    },
+    Some(s"""
+      WITH RECURSIVE h AS (
+        SELECT event_type, epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1, 2),
+      idx AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY event_type ORDER BY slot_ns) AS i,
+               slot_ns, x
+        FROM h),
+      bs AS (
+        SELECT event_type, greatest((max(x) - min(x)) // 16, 1) AS b
+        FROM h GROUP BY 1),
+      rec AS (
+        SELECT i.event_type, CAST(1 AS BIGINT) AS i, i.x AS ref,
+               CAST(0 AS BIGINT) AS nb, i.slot_ns
+        FROM idx i WHERE i.i = 1
+        UNION ALL
+        SELECT r.event_type, r.i + 1,
+               CASE WHEN x.x >= r.ref + bs.b
+                      THEN r.ref + ((x.x - r.ref) // bs.b) * bs.b
+                    WHEN x.x <= r.ref - bs.b
+                      THEN r.ref - ((r.ref - x.x) // bs.b) * bs.b
+                    ELSE r.ref END,
+               CASE WHEN x.x >= r.ref + bs.b THEN (x.x - r.ref) // bs.b
+                    WHEN x.x <= r.ref - bs.b THEN -((r.ref - x.x) // bs.b)
+                    ELSE CAST(0 AS BIGINT) END,
+               x.slot_ns
+        FROM rec r
+        JOIN idx x ON x.event_type = r.event_type AND x.i = r.i + 1
+        JOIN bs ON bs.event_type = r.event_type)
+      SELECT event_type, slot_ns, nb AS n_bricks, ref AS level_cents
+      FROM rec WHERE nb <> 0
+      ORDER BY event_type, slot_ns"""))
+
   val defs: Seq[QueryDef] = Seq(
+    matrixProfile, renkoBars,
     bollinger, fbyFilter, spearman, survivalKm, pacf, periodogram,
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,

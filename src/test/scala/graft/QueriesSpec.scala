@@ -198,6 +198,10 @@ class QueriesSpec extends SparkTestBase {
       // (≤259k pairs, constant in data size) + a 1-row tie-sum cross
       // join — the kdb_acf grid shape
       "kdb_mann_kendall",
+      // kdb_matrix_profile: the 697-window grid self-joined under the
+      // |i−j| ≥ m exclusion zone (≤486k pairs, constant in data
+      // size) — the kdb_mann_kendall broadcast non-equi shape
+      "kdb_matrix_profile",
       // llm_lm_score_kn: the two 1-row corpus totals (B bigram types,
       // V continuation vocab) ride broadcast cross joins, same as
       // llm_lm_score's vocab scalar

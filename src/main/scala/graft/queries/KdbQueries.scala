@@ -6598,8 +6598,164 @@ object KdbQueries extends QueryModule {
       FROM rec WHERE nb <> 0
       ORDER BY event_type, slot_ns"""))
 
+  /** Volume-clock bars (López de Prado's information-driven sampling,
+    * "Advances in Financial Machine Learning" ch. 2) — bars close
+    * after a fixed amount of VOLUME rather than a fixed amount of
+    * time, so bursty regimes get more bars and quiet ones fewer. Per
+    * event type: events in (ts, event_id) total order, exclusive
+    * prefix volume `cum − cents` floor-divided by the per-type target
+    * V = total div 64 assigns the bar; each bar reports OHLC (open/
+    * close via lexicographic struct min/max over the unique order
+    * key — no second window pass, partial-agg friendly), extremes,
+    * volume and time span. Everything is exact int64 (cents, ns,
+    * counts) — no float anywhere. Scale shape: one series-partitioned
+    * window pass (parallelism = |series|; a single giant series would
+    * take the DistributedRank two-phase prefix-sum instead), then one
+    * aggregation on (series, bar). Headroom: the running cents sum is
+    * ≤ rows·5·10⁴ ≈ 5·10¹³ at 100× — int64-safe. Reference analog:
+    * none (extended surface beside kdb_ohlc's time bars /
+    * kdb_renko_bars' price bars). */
+  private val volumeBars = QueryDef(
+    "kdb_volume_bars",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wc = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_ns"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("event_type"))
+      ev(s, d)
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .withColumn("cum", sum(col("cents")).over(wc))
+        .withColumn("tot", sum(col("cents")).over(wt))
+        .withColumn("v", greatest(expr("tot div 64"), lit(1L)))
+        .withColumn("bar", expr("(cum - cents) div v"))
+        .groupBy(col("event_type"), col("bar"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("vol_cents"),
+          min(struct(col("ts_ns"), col("event_id"), col("cents"))).as("o"),
+          max(struct(col("ts_ns"), col("event_id"), col("cents"))).as("c"),
+          max(col("cents")).as("hi_cents"), min(col("cents")).as("lo_cents"),
+          min(col("ts_ns")).as("t_open_ns"), max(col("ts_ns")).as("t_close_ns"))
+        .select(col("event_type"), col("bar"), col("n_events"),
+          col("vol_cents"), col("o.cents").as("open_cents"),
+          col("c.cents").as("close_cents"), col("hi_cents"), col("lo_cents"),
+          col("t_open_ns"), col("t_close_ns"))
+        .orderBy(col("event_type"), col("bar"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT event_type, epoch_ns(ts) AS tns, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events),
+      c AS (
+        SELECT *,
+               sum(cents) OVER (PARTITION BY event_type
+                 ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS cum,
+               greatest(sum(cents) OVER (PARTITION BY event_type) // 64,
+                        1) AS v
+        FROM b),
+      a AS (SELECT *, CAST((cum - cents) // v AS BIGINT) AS bar FROM c),
+      r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, bar
+                 ORDER BY tns, event_id) AS ra,
+               row_number() OVER (PARTITION BY event_type, bar
+                 ORDER BY tns DESC, event_id DESC) AS rd
+        FROM a)
+      SELECT event_type, bar, count(*) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS vol_cents,
+             CAST(max(CASE WHEN ra = 1 THEN cents END) AS BIGINT)
+               AS open_cents,
+             CAST(max(CASE WHEN rd = 1 THEN cents END) AS BIGINT)
+               AS close_cents,
+             max(cents) AS hi_cents, min(cents) AS lo_cents,
+             min(tns) AS t_open_ns, max(tns) AS t_close_ns
+      FROM r GROUP BY 1, 2
+      ORDER BY event_type, bar"""))
+
+  /** VPIN — volume-synchronized probability of informed trading
+    * (Easley, López de Prado, O'Hara 2012): order-flow toxicity as
+    * the trailing-10-bucket mean of |buy − sell| volume imbalance
+    * over volume-clock buckets (V = total div 50). Trade direction
+    * comes from the tick rule: sign of the cents change vs the
+    * previous event in the series, zero-changes CARRYING the last
+    * non-zero sign — path-dependent state expressed as
+    * last(non-null, ignoreNulls) over a running frame (identical
+    * IGNORE NULLS semantics in DuckDB), first trade defaulting to
+    * buy. The toxicity ratio is the ONLY float: one IEEE division of
+    * two exact int64 rolling sums, identical in both engines,
+    * rounded to 4dp and never ordered on. Scale shape: two
+    * series-partitioned window passes (direction + volume clock) and
+    * a bucket rollup; the bucket table is ~50/series, so the rolling
+    * frame is grid-bounded. Reference analog: none (extended
+    * surface; composes with kdb_volume_bars' sampling). */
+  private val vpin = QueryDef(
+    "kdb_vpin",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ws = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      val wr = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("event_type"))
+      val wb = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(-9, Window.currentRow)
+      ev(s, d)
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .withColumn("d", col("cents") - lag(col("cents"), 1).over(ws))
+        .withColumn("sgn", when(col("d") > 0, 1L).when(col("d") < 0, -1L))
+        .withColumn("dir", coalesce(
+          last(col("sgn"), ignoreNulls = true).over(wr), lit(1L)))
+        .withColumn("cum", sum(col("cents")).over(wr))
+        .withColumn("v", greatest(
+          expr("sum(cents) over (partition by event_type) div 50"), lit(1L)))
+        .withColumn("bucket", expr("(cum - cents) div v"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(sum(col("cents")).as("vol_cents"),
+          abs(sum(col("cents") * col("dir"))).as("imb_cents"))
+        .withColumn("vpin", round(
+          sum(col("imb_cents")).over(wb) / sum(col("vol_cents")).over(wb), 4))
+        .select(col("event_type"), col("bucket"), col("vol_cents"),
+          col("imb_cents"), col("vpin"))
+        .orderBy(col("event_type"), col("bucket"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT event_type, epoch_ns(ts) AS tns, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events),
+      s AS (
+        SELECT *,
+               cents - lag(cents) OVER (PARTITION BY event_type
+                 ORDER BY tns, event_id) AS d
+        FROM b),
+      dir AS (
+        SELECT *,
+               coalesce(last_value(CASE WHEN d > 0 THEN CAST(1 AS BIGINT)
+                                        WHEN d < 0 THEN CAST(-1 AS BIGINT)
+                                   END IGNORE NULLS)
+                 OVER (PARTITION BY event_type ORDER BY tns, event_id
+                       ROWS UNBOUNDED PRECEDING),
+                 CAST(1 AS BIGINT)) AS dir,
+               sum(cents) OVER (PARTITION BY event_type
+                 ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS cum,
+               greatest(sum(cents) OVER (PARTITION BY event_type) // 50,
+                        1) AS v
+        FROM s),
+      bk AS (
+        SELECT event_type, CAST((cum - cents) // v AS BIGINT) AS bucket,
+               CAST(sum(cents) AS BIGINT) AS vol_cents,
+               CAST(abs(sum(cents * dir)) AS BIGINT) AS imb_cents
+        FROM dir GROUP BY 1, 2)
+      SELECT event_type, bucket, vol_cents, imb_cents,
+             round(CAST(sum(imb_cents) OVER w AS BIGINT)
+                   / CAST(sum(vol_cents) OVER w AS BIGINT), 4) AS vpin
+      FROM bk
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+      ORDER BY event_type, bucket"""))
+
   val defs: Seq[QueryDef] = Seq(
-    matrixProfile, renkoBars,
+    matrixProfile, renkoBars, volumeBars, vpin,
     bollinger, fbyFilter, spearman, survivalKm, pacf, periodogram,
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,

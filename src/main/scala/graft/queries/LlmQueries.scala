@@ -2042,6 +2042,113 @@ object LlmQueries extends QueryModule {
       ORDER BY seed, step"""
     })
 
+  /** Beam-search LM decoding — the width-B companion of
+    * llm_ngram_generate's greedy walk (greedy IS beam with B = 1):
+    * from each of the 3 most frequent corpus tokens, 6 steps of
+    * width-3 beam search over the corpus bigram LM, scoring
+    * hypotheses by Σ log P(b|a) with P = cnt(a,b)/outdeg(a). Because
+    * a bigram LM's future depends only on the LAST token, hypothesis
+    * recombination is exact (Viterbi beam): states collapse to
+    * (seed, last token) keeping the max score, so the beam table —
+    * (seed, step, rank, token, score) — is the complete decode
+    * state. The score is the established micro-quantized integer
+    * (round(ln(cnt/outdeg)·1e6) per edge, summed as BIGINT — the
+    * llm_topic_coherence/psi discipline), so ranking and ORDER never
+    * touch a float. Scale shape: the bigram+outdeg table is
+    * aggregate-sized and checkpointed once; each step broadcasts the
+    * ≤9-row beam against it (hash join on the current token),
+    * recombines on (seed, token) and ranks per seed — all
+    * k-bounded. Dead ends shrink the beam in both engines alike.
+    * Reference analog: none (extended LLM-serving surface). */
+  private val beamDecode = QueryDef(
+    "llm_beam_decode",
+    (s, d) => {
+      val w1 = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      val big = toks.withColumn("b", lead(col("w"), 1).over(w1))
+        .filter(col("b").isNotNull)
+        .groupBy(col("w").as("a"), col("b")).agg(count(lit(1)).as("cnt"))
+      val deg = big.groupBy(col("a")).agg(sum(col("cnt")).as("outdeg"))
+      val lp = big.join(deg, "a")
+        .withColumn("lp",
+          round(log(col("cnt").cast("double") / col("outdeg")) * 1e6, 0)
+            .cast("long"))
+        .select(col("a"), col("b"), col("lp"))
+        .localCheckpoint(true)
+      val seeds = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(3)
+        .select(col("w").as("seed"))
+        .localCheckpoint(true)
+      var beam = seeds.select(col("seed"), lit(0).as("step"),
+        lit(1).as("rank"), col("seed").as("token"), lit(0L).as("score_micro"))
+      var out = beam
+      for (i <- 1 to 6) {
+        val rkW = Window.partitionBy(col("seed"))
+          .orderBy(col("score_micro").desc, col("token"))
+        beam = lp.join(broadcast(beam.select(col("seed"), col("token"),
+            col("score_micro"))), col("a") === col("token"))
+          .select(col("seed"), col("b").as("tok2"),
+            (col("score_micro") + col("lp")).as("sc"))
+          .groupBy(col("seed"), col("tok2"))
+          .agg(max(col("sc")).as("score_micro"))
+          .withColumnRenamed("tok2", "token")
+          .withColumn("rank", row_number().over(rkW))
+          .filter(col("rank") <= 3)
+          .select(col("seed"), lit(i).as("step"), col("rank"), col("token"),
+            col("score_micro"))
+          .localCheckpoint(true)
+        out = out.unionAll(beam)
+      }
+      out.orderBy(col("seed"), col("step"), col("rank"))
+    },
+    Some {
+      val steps = (1 to 6).map { i =>
+        s"""b$i AS (
+        SELECT seed, $i AS step, CAST(rank AS INT) AS rank, token,
+               score_micro
+        FROM (
+          SELECT seed, token, score_micro,
+                 row_number() OVER (PARTITION BY seed
+                   ORDER BY score_micro DESC, token) AS rank
+          FROM (
+            SELECT s.seed, g.b AS token,
+                   max(s.score_micro + g.lp) AS score_micro
+            FROM b${i - 1} s JOIN lp g ON g.a = s.token
+            GROUP BY 1, 2))
+        WHERE rank <= 3)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, g AS pos, ws[g] AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             unnest(generate_series(1, len(ws))) t(g)),
+      big AS (
+        SELECT a, b, count(*) AS cnt FROM (
+          SELECT w AS a,
+                 lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+          FROM toks)
+        WHERE b IS NOT NULL GROUP BY 1, 2),
+      deg AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS outdeg
+              FROM big GROUP BY 1),
+      lp AS (
+        SELECT big.a, big.b,
+               CAST(round(ln(CAST(cnt AS DOUBLE) / outdeg) * 1e6, 0)
+                    AS BIGINT) AS lp
+        FROM big JOIN deg ON deg.a = big.a),
+      seeds AS (
+        SELECT w AS seed FROM (
+          SELECT w, count(*) AS c FROM toks GROUP BY 1)
+        ORDER BY c DESC, w LIMIT 3),
+      b0 AS (SELECT seed, 0 AS step, 1 AS rank, seed AS token,
+                    CAST(0 AS BIGINT) AS score_micro FROM seeds),
+      $steps
+      SELECT seed, step, rank, token, score_micro FROM (
+        SELECT * FROM b0
+        ${(1 to 6).map(i => s"UNION ALL SELECT * FROM b$i").mkString("\n        ")})
+      ORDER BY seed, step, rank"""
+    })
+
   /** LLM-watermark detection (Kirchenbauer et al. 2023) — the
     * synthetic-text screen a training pipeline runs before ingesting
     * scraped corpora: a watermarking decoder biases generation toward
@@ -6095,7 +6202,7 @@ object LlmQueries extends QueryModule {
 
   val defs: Seq[QueryDef] = Seq(
     suffixArray, cmsSketch, hitsScores, rougePairs, videoSceneCut, topicCoherence,
-    filteredAnn, textrankKeywords, ngramGenerate, watermarkDetect,
+    filteredAnn, textrankKeywords, ngramGenerate, beamDecode, watermarkDetect,
     unigramSegment, nucleusSets,
     weightedSample, bpeMergeStep, bpeTrain, bpeEncodeStats, skipgramCooc, instructionDetect,
     clusterQuality, pmiCollocations,

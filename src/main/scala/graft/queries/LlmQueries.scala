@@ -4157,6 +4157,95 @@ object LlmQueries extends QueryModule {
       ORDER BY pr DESC, node"""
     })
 
+  /** k-core decomposition of the near-dup similarity graph (coreness
+    * capped at 3) — the density complement of the component/centrality
+    * views: a doc's coreness separates "attached to one near-dup"
+    * (coreness 1) from "inside a dense mirror cluster" (coreness ≥ 3),
+    * which is how a curation pipeline picks WHICH member of a template
+    * farm to keep and how aggressively to downweight it. Classic
+    * iterative peeling (Matula–Beck): for k ∈ {2,3}, repeatedly drop
+    * nodes whose surviving degree < k; coreness = 1 + [in 2-core] +
+    * [in 3-core] (3-core ⊆ 2-core). Scale shape: the graph is the
+    * candidate-bounded LSH pair set, never the corpus; each peel round
+    * is one degree groupBy + two semi joins, lineage truncated per
+    * round (the Dedup.scala lesson). Rounds are FIXED at 6 to mirror
+    * the oracle's unrolled CTEs (recursive SQL can't aggregate over
+    * the recursive relation), and non-convergence is LOUD: if any
+    * surviving node still has degree < k after round 6, the query
+    * throws (one bounded driver-side count per k — the connected-
+    * components discipline) rather than emitting a silently-shallow
+    * core. Everything emitted is exact integers. */
+  private val kcore = QueryDef(
+    "llm_kcore",
+    (s, d) => {
+      val pairs = lshPairs(s, d)
+      val edges0 = pairs.select(col("d1").as("u"), col("d2").as("v"))
+        .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
+        .distinct().localCheckpoint(true)
+      def coreNodes(k: Int): DataFrame = {
+        var e = edges0
+        for (_ <- 1 to 6) {
+          val keep = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= k).select(col("u").as("n"))
+            .localCheckpoint(true)
+          e = e.join(keep, col("u") === col("n"), "left_semi")
+            .join(keep, col("v") === col("n"), "left_semi")
+            .localCheckpoint(true)
+        }
+        val stragglers = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") < k).count() // bounded: candidate-graph nodes
+        require(stragglers == 0,
+          s"llm_kcore: $k-core peel did not converge in 6 rounds " +
+            s"($stragglers under-degree nodes remain) — raise the round cap")
+        e.select(col("u").as("n")).distinct()
+      }
+      val deg0 = edges0.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val in2 = coreNodes(2).withColumn("c2", lit(1))
+      val in3 = coreNodes(3).withColumn("c3", lit(1))
+      deg0.join(in2, col("u") === in2("n"), "left_outer").drop("n")
+        .join(in3, col("u") === in3("n"), "left_outer").drop("n")
+        .select(col("u").as("doc_id"), col("deg"),
+          (lit(1) + coalesce(col("c2"), lit(0)) +
+            coalesce(col("c3"), lit(0))).as("coreness"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      // AS MATERIALIZED: DuckDB inlines CTEs by default, and each peel
+      // round references its predecessor 3×, so an inlined unroll
+      // re-scans the base 3⁶ times (it ran out of file handles).
+      def rounds(k: Int): String = (1 to 6).map { r =>
+        s"""e${k}_$r AS MATERIALIZED (
+        SELECT e.u, e.v FROM e${k}_${r - 1} e
+        JOIN (SELECT u FROM e${k}_${r - 1} GROUP BY u
+              HAVING count(*) >= $k) ku ON ku.u = e.u
+        JOIN (SELECT u FROM e${k}_${r - 1} GROUP BY u
+              HAVING count(*) >= $k) kv ON kv.u = e.v)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH ${dkMinhashCte},
+      ${dkLshPairsCtes},
+      edges AS MATERIALIZED (
+        SELECT DISTINCT u, v FROM (
+          SELECT d1 AS u, d2 AS v FROM lsh_pairs
+          UNION ALL
+          SELECT d2 AS u, d1 AS v FROM lsh_pairs)),
+      e2_0 AS (SELECT u, v FROM edges),
+      ${rounds(2)},
+      e3_0 AS (SELECT u, v FROM edges),
+      ${rounds(3)},
+      n2 AS (SELECT DISTINCT u FROM e2_6),
+      n3 AS (SELECT DISTINCT u FROM e3_6),
+      deg0 AS (SELECT u, count(*) AS deg FROM edges GROUP BY 1)
+      SELECT d.u AS doc_id, d.deg,
+             CAST(1 + (CASE WHEN n2.u IS NOT NULL THEN 1 ELSE 0 END)
+                    + (CASE WHEN n3.u IS NOT NULL THEN 1 ELSE 0 END)
+                  AS INT) AS coreness
+      FROM deg0 d
+      LEFT JOIN n2 ON n2.u = d.u
+      LEFT JOIN n3 ON n3.u = d.u
+      ORDER BY doc_id"""
+    })
+
   /** N-gram novelty per source: the share of each doc's distinct
     * word-3-gram shingles whose corpus-wide FIRST occurrence (min
     * doc_id) is that doc — the freshness/memorization profile used to
@@ -6205,7 +6294,7 @@ object LlmQueries extends QueryModule {
     filteredAnn, textrankKeywords, ngramGenerate, beamDecode, watermarkDetect,
     unigramSegment, nucleusSets,
     weightedSample, bpeMergeStep, bpeTrain, bpeEncodeStats, skipgramCooc, instructionDetect,
-    clusterQuality, pmiCollocations,
+    clusterQuality, pmiCollocations, kcore,
     matryoshkaEval, curriculumOrder,
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,

@@ -6754,8 +6754,81 @@ object KdbQueries extends QueryModule {
                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
       ORDER BY event_type, bucket"""))
 
+  /** Isotonic (monotone non-decreasing) regression of the daily
+    * total-cents series — the shape-constrained trend fit (Barlow/
+    * Robertson PAVA solution) a capacity planner runs to extract the
+    * best monotone envelope from noisy growth data. Rather than the
+    * sequential pool-adjacent-violators fold (whose struct-state
+    * recursion DuckDB's list_reduce miscomputes), both engines
+    * evaluate the CLOSED-FORM minimax characterization of the same
+    * unique LSQ solution: ŷᵢ = max_{j≤i} min_{k≥i} avg(y[j..k]) —
+    * fully relational, no recursion. Every pool average is ONE IEEE
+    * division of exact int64 prefix-sum differences (division is
+    * correctly rounded, not libm, so the doubles — and hence every
+    * min/max selection — are bit-identical across engines); only the
+    * REPORTED fit is rounded. Scale shape: one data-sized daily
+    * rollup; the pool lattice (465 intervals × 30 days) is
+    * grid-bounded broadcast non-equi joins, constant in data size. */
+  private val isotonicTrend = QueryDef(
+    "kdb_isotonic_trend",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nDays = ((T1 - T0) / Day).toInt
+      val grid = s.range(nDays).select(col("id").as("day"))
+      val daily = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("day", expr(s"(ts_ns - ${T0}L) div ${Day}L"))
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("y"))
+      val dense = grid.join(daily, Seq("day"), "left_outer")
+        .withColumn("y", coalesce(col("y"), lit(0L)))
+      val sw = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = dense.withColumn("s", sum(col("y")).over(sw))
+      val a = pre.select(col("day").as("j"), (col("s") - col("y")).as("sjm1"))
+      val b = pre.select(col("day").as("k"), col("s").as("sk"))
+      val pools = a.join(broadcast(b), col("j") <= col("k"))
+        .select(col("j"), col("k"),
+          ((col("sk") - col("sjm1")) / (col("k") - col("j") + 1)).as("avg"))
+      val fit = pools
+        .join(broadcast(grid.select(col("day").as("i"))),
+          col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy(col("i"), col("j")).agg(min(col("avg")).as("mn"))
+        .groupBy(col("i")).agg(max(col("mn")).as("f"))
+      dense.join(fit, col("day") === col("i"))
+        .select(col("day"), col("y").as("y_cents"),
+          round(col("f"), 4).as("fit_4dp"))
+        .orderBy(col("day"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT (epoch_ns(ts) - ${T0}) // ${Day} AS day,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}
+        GROUP BY 1),
+      dense AS (
+        SELECT g.day, coalesce(d.y, 0) AS y
+        FROM range(0, ${(T1 - T0) / Day}) g(day) LEFT JOIN daily d USING (day)),
+      pre AS (
+        SELECT day, y,
+               sum(y) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s
+        FROM dense),
+      pools AS (
+        SELECT a.day AS j, b.day AS k,
+               CAST(b.s - a.s + a.y AS DOUBLE) / (b.day - a.day + 1) AS avg
+        FROM pre a JOIN pre b ON a.day <= b.day),
+      mns AS (
+        SELECT i.day AS i, p.j, min(p.avg) AS mn
+        FROM dense i JOIN pools p ON p.j <= i.day AND p.k >= i.day
+        GROUP BY 1, 2),
+      fit AS (SELECT i AS day, max(mn) AS f FROM mns GROUP BY 1)
+      SELECT d.day, d.y AS y_cents, round(f.f, 4) AS fit_4dp
+      FROM dense d JOIN fit f USING (day)
+      ORDER BY d.day"""))
+
   val defs: Seq[QueryDef] = Seq(
-    matrixProfile, renkoBars, volumeBars, vpin,
+    matrixProfile, renkoBars, volumeBars, vpin, isotonicTrend,
     bollinger, fbyFilter, spearman, survivalKm, pacf, periodogram,
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,

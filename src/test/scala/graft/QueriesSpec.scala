@@ -198,6 +198,10 @@ class QueriesSpec extends SparkTestBase {
       // (≤259k pairs, constant in data size) + a 1-row tie-sum cross
       // join — the kdb_acf grid shape
       "kdb_mann_kendall",
+      // kdb_isotonic_trend: the 30-day grid and its 465-interval pool
+      // lattice ride broadcast non-equi joins (constant in data size)
+      // — the minimax isotonic-fit shape
+      "kdb_isotonic_trend",
       // kdb_matrix_profile: the 697-window grid self-joined under the
       // |i−j| ≥ m exclusion zone (≤486k pairs, constant in data
       // size) — the kdb_mann_kendall broadcast non-equi shape

@@ -2149,6 +2149,93 @@ object LlmQueries extends QueryModule {
       ORDER BY seed, step, rank"""
     })
 
+  /** Speculative-decoding acceptance audit (Leviathan et al. 2023) —
+    * the capacity-planning question behind draft-model serving: if a
+    * cheap DRAFT model (here the corpus unigram LM) proposes tokens
+    * and the TARGET model (the corpus bigram LM) verifies them, what
+    * share gets accepted? Per in-context position (p, w):
+    * accept = min(1, p_target/p_draft) with p_t = cnt(p,w)/outdeg(p)
+    * and p_d = cnt(w)/total. The ratio chain is libm-free — three
+    * correctly-rounded IEEE divisions of exact int64 counts, then a
+    * micro-quantization to int (the summation-order-proof
+    * discipline) — so the per-source acceptance statistics are
+    * bit-identical across engines. Reported per source: positions,
+    * the full-acceptance share (ratio capped at 1, i.e. the target
+    * is at least as confident as the draft) and the mean acceptance.
+    * Scale shape: one doc-partitioned lag() pass; positions join the
+    * aggregate-sized bigram/outdeg/unigram tables on their keys; the
+    * corpus-total scalar rides a 1-row broadcast cross join. */
+  private val speculativeAccept = QueryDef(
+    "llm_speculative_accept",
+    (s, d) => {
+      val w1 = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      val pos = toks.withColumn("p", lag(col("w"), 1).over(w1))
+        .filter(col("p").isNotNull)
+      val big = pos.groupBy(col("p").as("a"), col("w").as("b"))
+        .agg(count(lit(1)).as("cnt_big"))
+      val deg = big.groupBy(col("a")).agg(sum(col("cnt_big")).as("outdeg"))
+      val uni = toks.groupBy(col("w").as("t")).agg(count(lit(1)).as("cnt_uni"))
+      val tot = toks.agg(count(lit(1)).as("total"))
+      val accepted = pos
+        .join(big, col("p") === col("a") && col("w") === col("b"))
+        .join(deg, "a")
+        .join(uni, col("w") === col("t"))
+        .crossJoin(broadcast(tot))
+        .withColumn("r",
+          (col("cnt_big").cast("double") / col("outdeg")) /
+            (col("cnt_uni").cast("double") / col("total")))
+        .withColumn("accept_micro",
+          least(lit(1000000L), round(col("r") * 1e6, 0).cast("long")))
+      documents(s, d).select(col("doc_id"), col("source"))
+        .join(accepted, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pos"),
+          sum(col("accept_micro")).as("sum_micro"),
+          count(when(col("accept_micro") === 1000000L, 1)).as("n_full"))
+        .select(col("source"), col("n_pos"),
+          round(col("n_full") / col("n_pos"), 4).as("full_share"),
+          round(col("sum_micro") / (col("n_pos") * lit(1e6)), 4)
+            .as("mean_accept"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, g AS pos, ws[g] AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             unnest(generate_series(1, len(ws))) t(g)),
+      pos AS (
+        SELECT doc_id, w,
+               lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS p
+        FROM toks
+        QUALIFY p IS NOT NULL),
+      big AS (SELECT p AS a, w AS b, count(*) AS cnt_big
+              FROM pos GROUP BY 1, 2),
+      deg AS (SELECT a, CAST(sum(cnt_big) AS BIGINT) AS outdeg
+              FROM big GROUP BY 1),
+      uni AS (SELECT w AS t, count(*) AS cnt_uni FROM toks GROUP BY 1),
+      tot AS (SELECT count(*) AS total FROM toks),
+      acc AS (
+        SELECT pos.doc_id,
+               least(1000000,
+                 CAST(round(((CAST(cnt_big AS DOUBLE) / outdeg) /
+                             (CAST(cnt_uni AS DOUBLE) / total)) * 1e6, 0)
+                      AS BIGINT)) AS accept_micro
+        FROM pos
+        JOIN big ON big.a = pos.p AND big.b = pos.w
+        JOIN deg ON deg.a = pos.p
+        JOIN uni ON uni.t = pos.w
+        CROSS JOIN tot)
+      SELECT d.source, count(*) AS n_pos,
+             round(count(CASE WHEN accept_micro = 1000000 THEN 1 END)
+                   / count(*), 4) AS full_share,
+             round(CAST(sum(accept_micro) AS BIGINT)
+                   / (count(*) * 1e6), 4) AS mean_accept
+      FROM documents d JOIN acc USING (doc_id)
+      GROUP BY d.source
+      ORDER BY d.source"""))
+
   /** LLM-watermark detection (Kirchenbauer et al. 2023) — the
     * synthetic-text screen a training pipeline runs before ingesting
     * scraped corpora: a watermarking decoder biases generation toward
@@ -6291,7 +6378,8 @@ object LlmQueries extends QueryModule {
 
   val defs: Seq[QueryDef] = Seq(
     suffixArray, cmsSketch, hitsScores, rougePairs, videoSceneCut, topicCoherence,
-    filteredAnn, textrankKeywords, ngramGenerate, beamDecode, watermarkDetect,
+    filteredAnn, textrankKeywords, ngramGenerate, beamDecode, speculativeAccept,
+    watermarkDetect,
     unigramSegment, nucleusSets,
     weightedSample, bpeMergeStep, bpeTrain, bpeEncodeStats, skipgramCooc, instructionDetect,
     clusterQuality, pmiCollocations, kcore,

@@ -206,6 +206,9 @@ class QueriesSpec extends SparkTestBase {
       // |i−j| ≥ m exclusion zone (≤486k pairs, constant in data
       // size) — the kdb_mann_kendall broadcast non-equi shape
       "kdb_matrix_profile",
+      // llm_speculative_accept: the 1-row corpus-token total rides a
+      // broadcast cross join, same as llm_lm_score's vocab scalar
+      "llm_speculative_accept",
       // llm_lm_score_kn: the two 1-row corpus totals (B bigram types,
       // V continuation vocab) ride broadcast cross joins, same as
       // llm_lm_score's vocab scalar

@@ -6827,8 +6827,107 @@ object KdbQueries extends QueryModule {
       FROM dense d JOIN fit f USING (day)
       ORDER BY d.day"""))
 
+  /** q's `pj` (plus join) — additive merge of two keyed tables: left
+    * keys are KEPT, matching right rows ADD their numeric cells,
+    * unmatched rights are dropped (q reference semantics for pj).
+    * Fixture: the (event_type, day-of-week) activity profile of the
+    * month's first half plus-joined with the second half's — the
+    * "accumulate a keyed aggregate across refresh batches" verb a q
+    * user reaches for daily. One aggregation per half (map-side
+    * combinable), one co-keyed left join; all int64 cents/counts. A
+    * `matched` flag pins the kept-left/dropped-right asymmetry. */
+  private val plusJoin = QueryDef(
+    "kdb_plus_join",
+    (s, d) => {
+      def half(lo: Long, hi: Long) = ev(s, d)
+        .filter(col("ts_ns") >= lo && col("ts_ns") < hi)
+        .withColumn("dow", expr(s"((ts_ns - ${T0}L) div ${Day}L) % 7"))
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      val l = half(T0, T0 + 15 * Day)
+      val r = half(T0 + 15 * Day, T1)
+        .withColumnRenamed("n", "n2").withColumnRenamed("cents", "cents2")
+      l.join(r, Seq("event_type", "dow"), "left_outer")
+        .select(col("event_type"), col("dow"),
+          (col("n") + coalesce(col("n2"), lit(0L))).as("n"),
+          (col("cents") + coalesce(col("cents2"), lit(0L))).as("cents"),
+          when(col("n2").isNotNull, 1).otherwise(0).as("matched"))
+        .orderBy(col("event_type"), col("dow"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT event_type, ((epoch_ns(ts) - ${T0}) // ${Day}) % 7 AS dow,
+               CAST(epoch_ns(ts) >= ${T0 + 15 * Day} AS INT) AS half,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}),
+      agg AS (
+        SELECT event_type, dow, half, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM h GROUP BY 1, 2, 3),
+      l AS (SELECT * FROM agg WHERE half = 0),
+      r AS (SELECT * FROM agg WHERE half = 1)
+      SELECT l.event_type, l.dow,
+             l.n + coalesce(r.n, 0) AS n,
+             l.cents + coalesce(r.cents, 0) AS cents,
+             CASE WHEN r.n IS NOT NULL THEN 1 ELSE 0 END AS matched
+      FROM l LEFT JOIN r ON r.event_type = l.event_type AND r.dow = l.dow
+      ORDER BY l.event_type, l.dow"""))
+
+  /** q's `uj` (union join) — vertical union of tables with DIFFERENT
+    * schemas, aligning columns by NAME and null-filling the gaps (q
+    * reference semantics; Spark's unionByName(allowMissingColumns),
+    * DuckDB's UNION ALL BY NAME — both engines' native verb).
+    * Fixture: a per-type weekly rollup (no user dimension) uj'd with
+    * a per-(type, user-parity) rollup that adds a `users` column —
+    * the "append a richer refresh onto a leaner history" shape.
+    * Null-filled cells stay NULL (pinned by the gate's hash); the
+    * src tag keeps provenance. */
+  private val unionJoin = QueryDef(
+    "kdb_union_join",
+    (s, d) => {
+      val base = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      val lean = base.filter(col("ts_ns") < T0 + 7 * Day)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("src", lit("week1"))
+      val rich = base.filter(col("ts_ns") >= T0 + 7 * Day &&
+          col("ts_ns") < T0 + 14 * Day)
+        .withColumn("parity", col("user_id") % 2)
+        .groupBy(col("event_type"), col("parity"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          countDistinct(col("user_id")).as("users"))
+        .withColumn("src", lit("week2"))
+      lean.unionByName(rich, allowMissingColumns = true)
+        .orderBy(col("src"), col("event_type"), col("parity"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT event_type, user_id, epoch_ns(ts) AS tns,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T1}),
+      lean AS (
+        SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+               'week1' AS src
+        FROM base WHERE tns < ${T0 + 7 * Day}
+        GROUP BY 1),
+      rich AS (
+        SELECT event_type, user_id % 2 AS parity, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS cents,
+               count(DISTINCT user_id) AS users, 'week2' AS src
+        FROM base WHERE tns >= ${T0 + 7 * Day} AND tns < ${T0 + 14 * Day}
+        GROUP BY 1, 2)
+      SELECT * FROM (
+        SELECT * FROM lean UNION ALL BY NAME SELECT * FROM rich)
+      ORDER BY src, event_type, parity NULLS FIRST"""))
+
   val defs: Seq[QueryDef] = Seq(
     matrixProfile, renkoBars, volumeBars, vpin, isotonicTrend,
+    plusJoin, unionJoin,
     bollinger, fbyFilter, spearman, survivalKm, pacf, periodogram,
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,

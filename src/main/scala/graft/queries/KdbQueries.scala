@@ -5030,6 +5030,90 @@ object KdbQueries extends QueryModule {
       FROM cur c LEFT JOIN snap a USING (user_id) CROSS JOIN mark
       ORDER BY c.user_id"""))
 
+  /** Bitemporal matrix, oracle-gated end to end — the two-time-axis
+    * read a kdb+ shop calls "what did we believe about event time V
+    * as of transaction time T": the purchase stream lands in THREE
+    * batches (event_id mod 3, each at a higher seq block), marks are
+    * captured between them, and the SAME 2-day event-time window is
+    * read at all three transaction snapshots (findAsOf(mark1),
+    * findAsOf(mark2), find()) — a snap × series × slot matrix showing
+    * the record of the past being revised batch by batch. What this
+    * pins beyond kdb_time_travel_twin's two-world per-user totals:
+    * the snapshot predicate composing with LWW resolve at SLOT
+    * granularity across MULTIPLE marks, series discovery varying per
+    * snapshot (a user first seen in batch 2 must be absent from s1,
+    * dense-zero-filled in s2/s3), and the gap-fill grid being
+    * identical in every world. DuckDB reconstructs all three LWW
+    * worlds from the raw ledger with the same seq shifts. Scale
+    * shape: each snapshot read is one pushed-down seq predicate on
+    * the same parquet scan — time travel never replays a log. */
+  private val bitemporalTwin = QueryDef(
+    "kdb_bitemporal_twin",
+    (s, d) => {
+      import s.implicits._
+      val Shift1 = 1L << 40
+      val Shift2 = 1L << 41
+      val dir = graft.core.Scratch.dir("graft-btwin")
+      val engine = new graft.core.Engine(s,
+        graft.core.EngineOptions("btwin", dir, indexDepth = 2, payloadSize = 8,
+          bucketDuration = Day, resolution = Hour, maxHotBuckets = 40),
+        new graft.core.TestClock(T1))
+      val base = ev(s, d)
+        .filter(col("event_type") === "purchase" &&
+          col("ts_ns") >= T0 && col("ts_ns") < T0 + 2 * Day)
+        .select(col("ts_ns"), col("user_id").cast("string").as("uid"),
+          col("value"), col("event_id"))
+      def pts(m: Long, shift: Long) = base
+        .filter(col("event_id") % 3 === m)
+        .as[(Long, String, Double, Long)]
+        .map { case (ts, uid, v, id) =>
+          graft.core.Point(ts, Seq("purchase", uid),
+            graft.plans.DoubleFromPayload.encode(v), id + shift)
+        }.toDF()
+      engine.put(pts(0, 0L))
+      val mark1 = engine.currentSeq()
+      engine.put(pts(1, Shift1))
+      val mark2 = engine.currentSeq()
+      engine.put(pts(2, Shift2))
+      def world(label: String, dfr: DataFrame) = dfr
+        .select(lit(label).as("snap"), col("tag1").as("user_id"),
+          col("slot_ns"),
+          round(call_function("double_from_payload", col("payload")) * 100, 0)
+            .cast("long").as("cents"))
+      world("s1", engine.findAsOf(T0, T0 + 2 * Day, Seq("purchase", ""), mark1))
+        .unionAll(world("s2",
+          engine.findAsOf(T0, T0 + 2 * Day, Seq("purchase", ""), mark2)))
+        .unionAll(world("s3", engine.find(T0, T0 + 2 * Day, Seq("purchase", ""))))
+        .orderBy(col("snap"), col("user_id"), col("slot_ns"))
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT CAST(user_id AS VARCHAR) AS uid,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               value, event_id % 3 AS b,
+               event_id + CASE event_id % 3
+                 WHEN 1 THEN ${1L << 40}
+                 WHEN 2 THEN ${1L << 41}
+                 ELSE 0 END AS seq
+        FROM events
+        WHERE event_type = 'purchase'
+          AND epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T0 + 2 * Day}),
+      worlds AS (
+        SELECT * FROM (VALUES ('s1', 0), ('s2', 1), ('s3', 2)) v(snap, maxb)),
+      lww AS (
+        SELECT wd.snap, s.uid, s.slot_ns, arg_max(s.value, s.seq) AS v
+        FROM worlds wd JOIN w s ON s.b <= wd.maxb
+        GROUP BY 1, 2, 3),
+      series AS (SELECT DISTINCT snap, uid FROM lww),
+      grid AS (SELECT ${T0} + g.i * ${Hour} AS slot_ns FROM range(0, 48) g(i))
+      SELECT se.snap, se.uid AS user_id, gr.slot_ns,
+             coalesce(CAST(round(l.v * 100, 0) AS BIGINT), 0) AS cents
+      FROM series se
+      CROSS JOIN grid gr
+      LEFT JOIN lww l ON l.snap = se.snap AND l.uid = se.uid
+                     AND l.slot_ns = gr.slot_ns
+      ORDER BY se.snap, user_id, gr.slot_ns"""))
+
   /** MVCC snapshot DIFF, oracle-gated end to end — the data-versioning
     * audit on top of kdb_time_travel_twin's two-world read: which
     * (series, slot) cells changed between the watermark version and
@@ -6927,7 +7011,7 @@ object KdbQueries extends QueryModule {
 
   val defs: Seq[QueryDef] = Seq(
     matrixProfile, renkoBars, volumeBars, vpin, isotonicTrend,
-    plusJoin, unionJoin,
+    plusJoin, unionJoin, bitemporalTwin,
     bollinger, fbyFilter, spearman, survivalKm, pacf, periodogram,
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
     hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,

@@ -198,6 +198,10 @@ class QueriesSpec extends SparkTestBase {
       // (≤259k pairs, constant in data size) + a 1-row tie-sum cross
       // join — the kdb_acf grid shape
       "kdb_mann_kendall",
+      // kdb_bitemporal_twin: each snapshot read rides find()'s
+      // series × slot-grid broadcast densification, same as
+      // kdb_find_wildcard's grid
+      "kdb_bitemporal_twin",
       // kdb_isotonic_trend: the 30-day grid and its 465-interval pool
       // lattice ride broadcast non-equi joins (constant in data size)
       // — the minimax isotonic-fit shape

@@ -194,6 +194,15 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (ledger.getOrElse(Ok, 0L) > 0L) {
       val accepted = classified.filter(col("reason") === Ok)
+      // A write whose seq lands AT or BELOW the receipt chain's
+      // watermark changes what that watermark resolves to (explicit
+      // seqs are a supported ingest path) — break the chain so the
+      // next exportDelta recomputes in full. One agg on the already-
+      // persisted batch; only runs while a chain state exists.
+      readReceiptState().foreach { case (w, _, _) =>
+        val mn = accepted.agg(min(col("seq"))).head()
+        if (!mn.isNullAt(0) && mn.getLong(0) <= w) invalidateReceiptState()
+      }
       val projected = accepted.select(
         col("slot_ns") +:
           tagCols.zipWithIndex.map { case (n, i) => element_at(col("tags"), i + 1).as(n) } :+
@@ -483,6 +492,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     val minHot = nowBucket - opts.bucketDuration * (opts.maxHotBuckets - 1)
     if (ts > minHot)
       throw new IllegalArgumentException("err_remove_hot_bucket")
+    invalidateReceiptState() // dropped buckets change what past watermarks resolve to
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
     val root = new Path(opts.tablePath)
     if (!fs.exists(root)) return
@@ -643,6 +653,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     // destructive rewrite: a mismatched tableSchema would silently drop
     // tag columns and collapse distinct series before deleting sources
     ensureManifest(adopt = false)
+    invalidateReceiptState() // compaction drops superseded versions past watermarks still resolve
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
     sweepStaleStaging(fs)
     val sources = bucketDirs(fs, baseTs)
@@ -732,6 +743,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     if (tags.forall(_.isEmpty))
       throw new IllegalArgumentException(
         "erase requires at least one concrete tag (full-table wipe is removeBefore's job)")
+    invalidateReceiptState() // physical removal cannot ride the receipt chain
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
     sweepStaleStaging(fs)
     val preds = tagCols.zip(tags).collect { case (c, v) if v.nonEmpty => col(c) === v }
@@ -861,6 +873,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     ensureManifest(adopt = false)
     if (asOfSeq < 0)
       throw new IllegalArgumentException("rollbackTo: asOfSeq must be >= 0")
+    invalidateReceiptState() // history rewrite breaks the receipt chain
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
     sweepStaleStaging(fs)
     val hit = table().filter(col("seq") > asOfSeq)
@@ -927,6 +940,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       "newBucketDuration must be a positive multiple of resolution")
     val newOpts = opts.copy(bucketDuration = newBucketDuration)
     if (newBucketDuration == opts.bucketDuration) return newOpts
+    invalidateReceiptState() // layout rewrite: conservative chain break
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
     val root = new Path(opts.tablePath)
     if (!fs.exists(root)) return newOpts // nothing to migrate
@@ -991,7 +1005,10 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * and no later delta repairs that. Every export therefore embeds a
     * consistency receipt (`_graft_receipt`: the primary's LWW
     * row-count + order-independent xxhash64-XOR checksum at the
-    * watermark, via [[lwwChecksum]]); the replica calls
+    * watermark); the receipt is maintained incrementally along a sync
+    * chain — O(delta), not O(table), per cycle; see
+    * [[incrementalChecksum]] — and recomputed in full whenever the
+    * chain breaks. The replica calls
     * [[verifyReceipt]] after each import and MUST full re-sync
     * ([[exportSnapshot]] → fresh import) when it fails — which is
     * exactly what any destructive maintenance verb on the primary
@@ -1019,19 +1036,130 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     resolvedRows.repartition(col("bucket_ts"))
       .sortWithinPartitions((col("bucket_ts") +: tagCols.map(col)) :+ col("slot_ns"): _*)
       .write.mode(SaveMode.ErrorIfExists).partitionBy("bucket_ts").parquet(outDir)
-    // consistency receipt: primary's LWW world (count, checksum) at
-    // the watermark — `_`-prefixed so parquet readers skip it
-    val (rcRows, rcHash) = lwwChecksum(toSeqInclusive)
-    val fs = FileSystem.get(new java.net.URI(opts.dataDir),
-      spark.sparkContext.hadoopConfiguration)
-    val rf = fs.create(new Path(s"$outDir/_graft_receipt"), true)
-    try rf.write(
-      s"watermark=$toSeqInclusive\nrows=$rcRows\nhash=$rcHash\n".getBytes("UTF-8"))
-    finally rf.close()
     // explicit schema: a row-empty delta writes only _SUCCESS, and a
     // schema-less parquet read of it would fail instead of counting 0
     // (importSnapshot reads the same way for the same reason)
-    spark.read.schema(tableSchema).parquet(outDir).count()
+    val deltaBack = spark.read.schema(tableSchema).parquet(outDir)
+    // Consistency receipt: primary's LWW world (count, checksum) at
+    // the watermark — `_`-prefixed so parquet readers skip it. A sync
+    // LOOP must not pay a full-table checksum per cycle, so the
+    // receipt is maintained INCREMENTALLY when the chain state at
+    // `fromSeqExclusive` is on disk (O(delta) + a slot-pruned prior
+    // lookup); any break in the chain — first export, destructive
+    // verb, retro-seq put, out-of-order watermark — falls back to one
+    // full [[lwwChecksum]] and re-seeds the chain.
+    val (rcRows, rcHash) = readReceiptState() match {
+      case Some((w, pr, ph)) if w == fromSeqExclusive =>
+        incrementalChecksum(fromSeqExclusive, deltaBack, pr, ph)
+      case _ => lwwChecksum(toSeqInclusive)
+    }
+    writeReceiptState(toSeqInclusive, rcRows, rcHash)
+    // temp + rename (the manifest discipline): a replica listing the
+    // delta dir mid-create must see either no receipt (argument
+    // error) or a complete one — never a truncated parse
+    val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rtmp = new Path(
+      s"$outDir/._graft_receipt_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val rf = fs.create(rtmp, true)
+    try rf.write(
+      s"watermark=$toSeqInclusive\nrows=$rcRows\nhash=$rcHash\n".getBytes("UTF-8"))
+    finally rf.close()
+    val rdst = new Path(s"$outDir/_graft_receipt")
+    if (!fs.rename(rtmp, rdst)) {
+      fs.delete(rdst, false)
+      if (!fs.rename(rtmp, rdst))
+        throw new IllegalStateException(s"exportDelta: could not publish receipt $rdst")
+    }
+    deltaBack.count()
+  }
+
+  // ------------------------------------------------------------------
+  // Replication receipt chain state: (watermark, rows, hash) of the
+  // last receipt, persisted in the table dir so a sync loop's next
+  // exportDelta can roll the checksum forward from the delta instead
+  // of re-scanning the whole table. Any operation that rewrites
+  // history out from under the chain (destructive verbs, compaction
+  // dropping superseded versions a past watermark still needs,
+  // imports/retro-seq puts landing below the watermark) DELETES the
+  // state — the next export recomputes in full and re-seeds.
+  // ------------------------------------------------------------------
+
+  private def receiptStatePath = new Path(s"${opts.tablePath}/_graft_receipt_state")
+
+  private def tableFs: FileSystem =
+    new Path(opts.tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (watermark, rows, hash) of the last receipt, or None when absent
+    * or unparseable — a corrupt state file is treated as a broken
+    * chain (full recompute), never an error. */
+  private def readReceiptState(): Option[(Long, Long, Long)] = {
+    val fs = tableFs
+    if (!fs.exists(receiptStatePath)) None
+    else scala.util.Try {
+      val in = fs.open(receiptStatePath)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val kv = text.linesIterator.filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim.toLong }.toMap
+      (kv("watermark"), kv("rows"), kv("hash"))
+    }.toOption
+  }
+
+  private def writeReceiptState(w: Long, rows: Long, hash: Long): Unit = {
+    val fs = tableFs
+    val tmp = new Path(
+      s"${opts.tablePath}/._graft_receipt_state_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val out = fs.create(tmp, true)
+    try out.write(s"watermark=$w\nrows=$rows\nhash=$hash\n".getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, receiptStatePath)) {
+      fs.delete(receiptStatePath, false)
+      if (!fs.rename(tmp, receiptStatePath)) fs.delete(tmp, false)
+    }
+  }
+
+  /** Break the receipt chain: the next exportDelta recomputes the
+    * checksum in full. Called by every verb that changes what a PAST
+    * watermark resolves to. */
+  private def invalidateReceiptState(): Unit = {
+    val fs = tableFs
+    if (fs.exists(receiptStatePath)) fs.delete(receiptStatePath, false)
+  }
+
+  /** Roll the LWW checksum forward across one delta: the world at the
+    * new watermark differs from the chained one ONLY at the delta's
+    * (series, slot) keys, so
+    * `hash' = hash ⊕ XOR(prior winners of touched keys) ⊕ XOR(new
+    * winners)` and `rows' = rows + |new keys|`. The prior-winner
+    * lookup is the only table read, pruned to the delta's slot/bucket
+    * range and semi-joined to its keys — O(buckets the delta touches),
+    * not O(table). XOR cancellation is safe for the same reason
+    * [[lwwChecksum]]'s is: winners are unique per key on each side. */
+  private def incrementalChecksum(fromSeq: Long, deltaDf: DataFrame,
+      prevRows: Long, prevHash: Long): (Long, Long) = {
+    val hcols = (tagCols.map(col) :+ col("slot_ns") :+ col("seq") :+ col("payload"))
+    val nw = deltaDf
+      .select(xxhash64(hcols: _*).as("h"), col("slot_ns"))
+      .agg(count(lit(1)).as("n"), expr("coalesce(bit_xor(h), 0L)").as("x"),
+        min(col("slot_ns")).as("lo"), max(col("slot_ns")).as("hi"))
+      .head() // 4 scalars — bounded driver read
+    val (nNew, xNew) = (nw.getLong(0), nw.getLong(1))
+    if (nNew == 0L) return (prevRows, prevHash)
+    val (lo, hi) = (nw.getLong(2), nw.getLong(3))
+    val keyNames = tagCols :+ "slot_ns"
+    val prior = table()
+      .filter(col("seq") <= fromSeq &&
+        col("slot_ns") >= lo && col("slot_ns") <= hi &&
+        col("bucket_ts") >= (lo - lo % opts.bucketDuration) &&
+        col("bucket_ts") <= (hi - hi % opts.bucketDuration))
+      .join(deltaDf.select(keyNames.map(col): _*).distinct(), keyNames, "left_semi")
+      .groupBy(keyNames.map(col): _*)
+      .agg(max_by(col("payload"), col("seq")).as("payload"), max(col("seq")).as("seq"))
+    val pr = prior
+      .select(xxhash64(hcols: _*).as("h"))
+      .agg(count(lit(1)).as("n"), expr("coalesce(bit_xor(h), 0L)").as("x"))
+      .head()
+    val (nPrior, xPrior) = (pr.getLong(0), pr.getLong(1))
+    (prevRows + nNew - nPrior, prevHash ^ xPrior ^ xNew)
   }
 
   /** Order-independent checksum of the LWW-resolved world at
@@ -1068,16 +1196,22 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * Returns the verified (rows, hash) on success. */
   def verifyReceipt(srcDir: String): (Long, Long) = {
     ensureManifest(adopt = false)
-    val fs = FileSystem.get(new java.net.URI(opts.dataDir),
-      spark.sparkContext.hadoopConfiguration)
+    // the receipt lives in the CALLER-SUPPLIED delta dir, which may be
+    // on a different filesystem than this engine's data dir
+    val fs = new Path(srcDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = new Path(s"$srcDir/_graft_receipt")
     if (!fs.exists(p))
       throw new IllegalArgumentException(s"verifyReceipt: no _graft_receipt in $srcDir")
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val kv = text.linesIterator.filter(_.contains("="))
-      .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim.toLong }.toMap
-    val (w, rows, hash) = (kv("watermark"), kv("rows"), kv("hash"))
+    // a truncated/garbled receipt is an argument error (re-fetch the
+    // delta), not a NumberFormat/NoSuchElement leak
+    val (w, rows, hash) = scala.util.Try {
+      val kv = text.linesIterator.filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim.toLong }.toMap
+      (kv("watermark"), kv("rows"), kv("hash"))
+    }.getOrElse(throw new IllegalArgumentException(
+      s"verifyReceipt: corrupt _graft_receipt in $srcDir"))
     val (n, h) = lwwChecksum(w)
     if (n != rows || h != hash)
       throw new IllegalStateException(
@@ -1125,7 +1259,12 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     if (bad.nonEmpty)
       throw new IllegalArgumentException(
         s"importSnapshot: snapshot violates this engine's layout (${bad.mkString(", ")})")
-    if (n > 0) publishBatch(snap.select(tableSchema.fieldNames.map(col): _*))
+    if (n > 0) {
+      // imported rows keep their original (possibly past-watermark)
+      // seqs: they can change what a chained watermark resolves to
+      invalidateReceiptState()
+      publishBatch(snap.select(tableSchema.fieldNames.map(col): _*))
+    }
     n
   }
 

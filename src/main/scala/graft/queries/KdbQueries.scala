@@ -5770,7 +5770,8 @@ object KdbQueries extends QueryModule {
         .select(col("event_type"), col("slot_ns"), col("x").as("cents"),
           col("r1"), col("r2"), col("r8"),
           (round(col("sx").cast("double") / col("n"), 4) + lit(0.0)).as("center"),
-          (round(sqrt(varn.cast("double")) / col("n"), 4) + lit(0.0)).as("sigma"))
+          (round(sqrt(SharedExprs.hugeToDouble(varn)) / col("n"), 4) +
+            lit(0.0)).as("sigma"))
         .orderBy(col("event_type"), col("slot_ns"))
     },
     Some(s"""
@@ -5815,7 +5816,8 @@ object KdbQueries extends QueryModule {
                       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
       SELECT event_type, slot_ns, x AS cents, r1, r2, r8,
              round(CAST(sx AS DOUBLE) / n, 4) + 0.0 AS center,
-             round(sqrt(CAST(varn AS DOUBLE)) / n, 4) + 0.0 AS sigma
+             round(sqrt(${SharedExprs.hugeToDoubleDuck("varn")}) / n, 4)
+               + 0.0 AS sigma
       FROM runs
       WHERE r1 = 1 OR r2 = 1 OR r8 = 1
       ORDER BY event_type, slot_ns"""))
@@ -6345,9 +6347,10 @@ object KdbQueries extends QueryModule {
         .withColumn("s1", sK(col("a1"), col("h1"), col("t1"), 1))
         .withColumn("s2", sK(col("a2"), col("h2"), col("t2"), 2))
         .withColumn("s3", sK(col("a3"), col("h3"), col("t3"), 3))
-        .withColumn("r1", col("s1").cast("double") / col("s0"))
-        .withColumn("r2", col("s2").cast("double") / col("s0"))
-        .withColumn("r3", col("s3").cast("double") / col("s0"))
+        .withColumn("s0d", SharedExprs.hugeToDouble(col("s0")))
+        .withColumn("r1", SharedExprs.hugeToDouble(col("s1")) / col("s0d"))
+        .withColumn("r2", SharedExprs.hugeToDouble(col("s2")) / col("s0d"))
+        .withColumn("r3", SharedExprs.hugeToDouble(col("s3")) / col("s0d"))
         // Durbin–Levinson, levels 1..3
         .withColumn("p11", col("r1"))
         .withColumn("p22",
@@ -6415,9 +6418,12 @@ object KdbQueries extends QueryModule {
         FROM wide),
       rr AS (
         SELECT event_type,
-               CAST(s1 AS DOUBLE) / s0 AS r1,
-               CAST(s2 AS DOUBLE) / s0 AS r2,
-               CAST(s3 AS DOUBLE) / s0 AS r3
+               ${SharedExprs.hugeToDoubleDuck("s1")}
+                 / ${SharedExprs.hugeToDoubleDuck("s0")} AS r1,
+               ${SharedExprs.hugeToDoubleDuck("s2")}
+                 / ${SharedExprs.hugeToDoubleDuck("s0")} AS r2,
+               ${SharedExprs.hugeToDoubleDuck("s3")}
+                 / ${SharedExprs.hugeToDoubleDuck("s0")} AS r3
         FROM ss),
       dl2 AS (
         SELECT event_type, r1, r2, r3,

@@ -4269,8 +4269,10 @@ object LlmQueries extends QueryModule {
       val edges0 = pairs.select(col("d1").as("u"), col("d2").as("v"))
         .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
         .distinct().localCheckpoint(true)
-      def coreNodes(k: Int): DataFrame = {
-        var e = edges0
+      // peel k=3 from the 2-core's surviving edges (3-core ⊆ 2-core),
+      // not from scratch — halves the checkpointed peel stages
+      def coreNodes(k: Int, start: DataFrame): (DataFrame, DataFrame) = {
+        var e = start
         for (_ <- 1 to 6) {
           val keep = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
             .filter(col("deg") >= k).select(col("u").as("n"))
@@ -4284,11 +4286,13 @@ object LlmQueries extends QueryModule {
         require(stragglers == 0,
           s"llm_kcore: $k-core peel did not converge in 6 rounds " +
             s"($stragglers under-degree nodes remain) — raise the round cap")
-        e.select(col("u").as("n")).distinct()
+        (e.select(col("u").as("n")).distinct(), e)
       }
       val deg0 = edges0.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      val in2 = coreNodes(2).withColumn("c2", lit(1))
-      val in3 = coreNodes(3).withColumn("c3", lit(1))
+      val (n2, core2Edges) = coreNodes(2, edges0)
+      val (n3, _) = coreNodes(3, core2Edges)
+      val in2 = n2.withColumn("c2", lit(1))
+      val in3 = n3.withColumn("c3", lit(1))
       deg0.join(in2, col("u") === in2("n"), "left_outer").drop("n")
         .join(in3, col("u") === in3("n"), "left_outer").drop("n")
         .select(col("u").as("doc_id"), col("deg"),
@@ -4318,7 +4322,7 @@ object LlmQueries extends QueryModule {
           SELECT d2 AS u, d1 AS v FROM lsh_pairs)),
       e2_0 AS (SELECT u, v FROM edges),
       ${rounds(2)},
-      e3_0 AS (SELECT u, v FROM edges),
+      e3_0 AS (SELECT u, v FROM e2_6),
       ${rounds(3)},
       n2 AS (SELECT DISTINCT u FROM e2_6),
       n3 AS (SELECT DISTINCT u FROM e3_6),
@@ -5492,8 +5496,8 @@ object LlmQueries extends QueryModule {
           col("s_chance").cast("long").as("s_chance"),
           when(nn === col("s_chance"), lit(1.0))
             .otherwise(round(
-              (hn - col("s_chance")).cast("double") /
-                (nn - col("s_chance")).cast("double"), 6) +
+              SharedExprs.hugeToDouble(hn - col("s_chance")) /
+                SharedExprs.hugeToDouble(nn - col("s_chance")), 6) +
               lit(0.0)).as("kappa"))
         .orderBy(col("source"))
     },
@@ -5529,10 +5533,18 @@ object LlmQueries extends QueryModule {
              CASE WHEN CAST(n AS HUGEINT) * n = coalesce(s_chance, 0)
                   THEN CAST(1.0 AS DOUBLE)
                   ELSE round(
-                    CAST(CAST(hits AS HUGEINT) * n
-                         - coalesce(s_chance, 0) AS DOUBLE) /
-                    CAST(CAST(n AS HUGEINT) * n
-                         - coalesce(s_chance, 0) AS DOUBLE), 6) + 0.0
+                    (CAST(((CAST(hits AS HUGEINT) * n - coalesce(s_chance, 0))
+                           - (CAST(hits AS HUGEINT) * n - coalesce(s_chance, 0))
+                             % 4294967296) // 4294967296 AS DOUBLE)
+                     * CAST(4294967296 AS DOUBLE)
+                     + CAST((CAST(hits AS HUGEINT) * n - coalesce(s_chance, 0))
+                            % 4294967296 AS DOUBLE)) /
+                    (CAST(((CAST(n AS HUGEINT) * n - coalesce(s_chance, 0))
+                           - (CAST(n AS HUGEINT) * n - coalesce(s_chance, 0))
+                             % 4294967296) // 4294967296 AS DOUBLE)
+                     * CAST(4294967296 AS DOUBLE)
+                     + CAST((CAST(n AS HUGEINT) * n - coalesce(s_chance, 0))
+                            % 4294967296 AS DOUBLE)), 6) + 0.0
              END AS kappa
       FROM tot LEFT JOIN ch ON ch.source = tot.source
       ORDER BY tot.source"""))

@@ -22,7 +22,7 @@ final case class QueryDef(
 /** Expressions shared verbatim across operators so they cannot
   * de-synchronize: a tweak to one consumer's copy would silently split
   * semantics between the operator family and its oracles. */
-private[queries] object SharedExprs {
+private[graft] object SharedExprs {
   /** Exact-integer document quality score (distinct-token-percentage
     * · 1000, length tie-break capped at 999): lexical diversity
     * dominates, every term is integer arithmetic so argmax/argmin and
@@ -38,6 +38,33 @@ private[queries] object SharedExprs {
   val qualityScoreDuck: String =
     "(len(list_distinct(string_split(text, ' '))) * 100) " +
       "// len(string_split(text, ' ')) * 1000 + least(n_chars, 999)"
+
+  /** Deterministic 128-bit → double conversion, bit-identical across
+    * engines at ANY magnitude. A plain cast diverges past 2⁶⁴: DuckDB
+    * converts HUGEINT as `(double)upper·2⁶⁴ + (double)lower` (two
+    * roundings) while Spark's Decimal→double is a single correctly-
+    * rounded conversion — a 1-ulp split exactly in the regime the
+    * 128-bit widening exists for. The fix is to take the conversion
+    * OUT of engine cast code: split the integer at 2³² (both halves
+    * < 2⁵³ ⇒ each converts exactly) and reconstruct with the SAME two
+    * IEEE ops (one multiply-round, one add-round) on both sides. Not
+    * correctly rounded past 2⁸⁵ — deterministic, which is what the
+    * cross-engine gate needs. `%` follows the dividend's sign in both
+    * engines, so the split is exact for negative cross-moments too. */
+  def hugeToDouble(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    val m = c % lit(4294967296L)
+    ((c - m) / lit(4294967296L)).cast("decimal(38,0)").cast("double") *
+      lit(4294967296.0) + m.cast("double")
+  }
+
+  /** DuckDB rendering of [[hugeToDouble]] — same split, same two IEEE
+    * ops. `//` is DuckDB's integer division (exact on HUGEINT); the
+    * operand expression is referenced three times, so pass a COLUMN
+    * NAME (or cheap expression), not an aggregate. */
+  def hugeToDoubleDuck(e: String): String =
+    s"(CAST((($e) - ($e) % 4294967296) // 4294967296 AS DOUBLE) " +
+      s"* CAST(4294967296 AS DOUBLE) + CAST(($e) % 4294967296 AS DOUBLE))"
 }
 
 trait QueryModule {

@@ -751,8 +751,10 @@ object StatsQueries extends QueryModule {
         // 100× the sf0.1 hourly cents volume (~2.6e9 cents) is ~7e18,
         // a hair under int64 max, and the 720-term sum wraps — the
         // kdb_control_rules widening applied at the source
-        sum(col("x").cast("decimal(38,0)") * col("x")).cast("double").as("sxx"),
-        sum(col("x").cast("decimal(38,0)") * col("y")).cast("double").as("sxy"))
+        SharedExprs.hugeToDouble(
+          sum(col("x").cast("decimal(38,0)") * col("x"))).as("sxx"),
+        SharedExprs.hugeToDouble(
+          sum(col("x").cast("decimal(38,0)") * col("y"))).as("sxy"))
         .withColumn("beta", (col("n") * col("sxy") - col("sx") * col("sy")) /
           (col("n") * col("sxx") - col("sx") * col("sx")))
         .withColumn("alpha", (col("sy") - col("beta") * col("sx")) / col("n"))
@@ -771,9 +773,12 @@ object StatsQueries extends QueryModule {
         count(lit(1)).cast("double").as("n"),
         sum(col("rx")).cast("double").as("sx"),
         sum(col("ry")).cast("double").as("sy"),
-        sum(col("rx").cast("decimal(38,0)") * col("rx")).cast("double").as("sxx"),
-        sum(col("rx").cast("decimal(38,0)") * col("ry")).cast("double").as("sxy"),
-        sum(col("ry").cast("decimal(38,0)") * col("ry")).cast("double").as("syy"))
+        SharedExprs.hugeToDouble(
+          sum(col("rx").cast("decimal(38,0)") * col("rx"))).as("sxx"),
+        SharedExprs.hugeToDouble(
+          sum(col("rx").cast("decimal(38,0)") * col("ry"))).as("sxy"),
+        SharedExprs.hugeToDouble(
+          sum(col("ry").cast("decimal(38,0)") * col("ry"))).as("syy"))
       val b2 = (col("n") * col("sxy") - col("sx") * col("sy")) /
         (col("n") * col("sxx") - col("sx") * col("sx"))
       val a2 = (col("sy") - b2 * col("sx")) / col("n")
@@ -805,12 +810,17 @@ object StatsQueries extends QueryModule {
         SELECT g.slot_ns, coalesce(s.x, 0) AS x, coalesce(s.y, 0) AS y
         FROM range(${T0}, ${T1}, ${Hour}) g(slot_ns)
         LEFT JOIN sums s USING (slot_ns)),
-      m1 AS (
-        SELECT CAST(count(*) AS DOUBLE) AS n,
-               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-               CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
-               CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      m1h AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxxh,
+               sum(CAST(x AS HUGEINT) * y) AS sxyh
         FROM dense),
+      m1 AS (
+        SELECT CAST(n AS DOUBLE) AS n,
+               CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+               ${SharedExprs.hugeToDoubleDuck("sxxh")} AS sxx,
+               ${SharedExprs.hugeToDoubleDuck("sxyh")} AS sxy
+        FROM m1h),
       fit AS (
         SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
                (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
@@ -827,14 +837,20 @@ object StatsQueries extends QueryModule {
                ri - lag(ri) OVER (ORDER BY slot_ns) AS ry,
                beta, alpha
         FROM resid QUALIFY rx IS NOT NULL),
-      m AS (
-        SELECT beta, alpha,
-               CAST(count(*) AS DOUBLE) AS n,
-               CAST(sum(rx) AS DOUBLE) AS sx, CAST(sum(ry) AS DOUBLE) AS sy,
-               CAST(sum(CAST(rx AS HUGEINT) * rx) AS DOUBLE) AS sxx,
-               CAST(sum(CAST(rx AS HUGEINT) * ry) AS DOUBLE) AS sxy,
-               CAST(sum(CAST(ry AS HUGEINT) * ry) AS DOUBLE) AS syy
+      mh AS (
+        SELECT beta, alpha, count(*) AS n,
+               sum(rx) AS sx, sum(ry) AS sy,
+               sum(CAST(rx AS HUGEINT) * rx) AS sxxh,
+               sum(CAST(rx AS HUGEINT) * ry) AS sxyh,
+               sum(CAST(ry AS HUGEINT) * ry) AS syyh
         FROM pairs GROUP BY 1, 2),
+      m AS (
+        SELECT beta, alpha, CAST(n AS DOUBLE) AS n,
+               CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+               ${SharedExprs.hugeToDoubleDuck("sxxh")} AS sxx,
+               ${SharedExprs.hugeToDoubleDuck("sxyh")} AS sxy,
+               ${SharedExprs.hugeToDoubleDuck("syyh")} AS syy
+        FROM mh),
       f2 AS (
         SELECT beta, alpha, n, sx, sxx, sxy, sy, syy,
                (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b2
@@ -896,12 +912,18 @@ object StatsQueries extends QueryModule {
         // decimal(38,0) ≡ HUGEINT product sums (≥100× headroom; a
         // single yl² at 100× volume grazes int64 max — see
         // kdb_cointegration's widening note)
-        sum(col("yl").cast("decimal(38,0)") * col("yl")).cast("double").as("s11"),
-        sum(col("xl").cast("decimal(38,0)") * col("xl")).cast("double").as("s22"),
-        sum(col("yl").cast("decimal(38,0)") * col("xl")).cast("double").as("s12"),
-        sum(col("y").cast("decimal(38,0)") * col("yl")).cast("double").as("sy1"),
-        sum(col("y").cast("decimal(38,0)") * col("xl")).cast("double").as("sy2"),
-        sum(col("y").cast("decimal(38,0)") * col("y")).cast("double").as("syy"))
+        SharedExprs.hugeToDouble(
+          sum(col("yl").cast("decimal(38,0)") * col("yl"))).as("s11"),
+        SharedExprs.hugeToDouble(
+          sum(col("xl").cast("decimal(38,0)") * col("xl"))).as("s22"),
+        SharedExprs.hugeToDouble(
+          sum(col("yl").cast("decimal(38,0)") * col("xl"))).as("s12"),
+        SharedExprs.hugeToDouble(
+          sum(col("y").cast("decimal(38,0)") * col("yl"))).as("sy1"),
+        SharedExprs.hugeToDouble(
+          sum(col("y").cast("decimal(38,0)") * col("xl"))).as("sy2"),
+        SharedExprs.hugeToDouble(
+          sum(col("y").cast("decimal(38,0)") * col("y"))).as("syy"))
       // centered co-moments (all one-op combinations of exact sums)
       val c11 = col("s11") - col("s1") * col("s1") / col("n")
       val c22 = col("s22") - col("s2") * col("s2") / col("n")
@@ -944,17 +966,25 @@ object StatsQueries extends QueryModule {
         SELECT y, lag(y) OVER (ORDER BY slot_ns) AS yl,
                lag(x) OVER (ORDER BY slot_ns) AS xl
         FROM dense QUALIFY yl IS NOT NULL),
-      m AS (
-        SELECT CAST(count(*) AS DOUBLE) AS n,
-               CAST(sum(y) AS DOUBLE) AS sy,
-               CAST(sum(yl) AS DOUBLE) AS s1, CAST(sum(xl) AS DOUBLE) AS s2,
-               CAST(sum(CAST(yl AS HUGEINT) * yl) AS DOUBLE) AS s11,
-               CAST(sum(CAST(xl AS HUGEINT) * xl) AS DOUBLE) AS s22,
-               CAST(sum(CAST(yl AS HUGEINT) * xl) AS DOUBLE) AS s12,
-               CAST(sum(CAST(y AS HUGEINT) * yl) AS DOUBLE) AS sy1,
-               CAST(sum(CAST(y AS HUGEINT) * xl) AS DOUBLE) AS sy2,
-               CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      mqh AS (
+        SELECT count(*) AS n, sum(y) AS sy, sum(yl) AS s1, sum(xl) AS s2,
+               sum(CAST(yl AS HUGEINT) * yl) AS s11h,
+               sum(CAST(xl AS HUGEINT) * xl) AS s22h,
+               sum(CAST(yl AS HUGEINT) * xl) AS s12h,
+               sum(CAST(y AS HUGEINT) * yl) AS sy1h,
+               sum(CAST(y AS HUGEINT) * xl) AS sy2h,
+               sum(CAST(y AS HUGEINT) * y) AS syyh
         FROM trip),
+      m AS (
+        SELECT CAST(n AS DOUBLE) AS n, CAST(sy AS DOUBLE) AS sy,
+               CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+               ${SharedExprs.hugeToDoubleDuck("s11h")} AS s11,
+               ${SharedExprs.hugeToDoubleDuck("s22h")} AS s22,
+               ${SharedExprs.hugeToDoubleDuck("s12h")} AS s12,
+               ${SharedExprs.hugeToDoubleDuck("sy1h")} AS sy1,
+               ${SharedExprs.hugeToDoubleDuck("sy2h")} AS sy2,
+               ${SharedExprs.hugeToDoubleDuck("syyh")} AS syy
+        FROM mqh),
       cm AS (
         SELECT n,
                s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
@@ -1011,9 +1041,11 @@ object StatsQueries extends QueryModule {
         sum(col("x")).cast("double").as("sx"),
         // decimal(38,0) ≡ HUGEINT product sums — ≥100× headroom
         // (see kdb_cointegration's widening note)
-        sum(col("x").cast("decimal(38,0)") * col("x")).cast("double").as("sxx")) ++
+        SharedExprs.hugeToDouble(
+          sum(col("x").cast("decimal(38,0)") * col("x"))).as("sxx")) ++
         (1 to 6).flatMap { k => Seq(
-          sum(col("x").cast("decimal(38,0)") * col(s"x$k")).cast("double").as(s"sxy$k"),
+          SharedExprs.hugeToDouble(
+            sum(col("x").cast("decimal(38,0)") * col(s"x$k"))).as(s"sxy$k"),
           sum(when(col(s"x$k").isNotNull, col("x"))).cast("double").as(s"sa$k"),
           sum(col(s"x$k")).cast("double").as(s"sb$k"))
         }
@@ -1036,10 +1068,14 @@ object StatsQueries extends QueryModule {
     Some {
       val leads = (1 to 6).map(k =>
         s"lead(x, $k) OVER (ORDER BY slot_ns) AS x$k").mkString(", ")
+      val momentsH = (1 to 6).map(k => s"""
+        sum(CAST(x AS HUGEINT) * x$k) AS sxy${k}h,
+        sum(CASE WHEN x$k IS NOT NULL THEN x END) AS sa${k}h,
+        sum(x$k) AS sb${k}h""").mkString(",")
       val moments = (1 to 6).map(k => s"""
-        CAST(sum(CAST(x AS HUGEINT) * x$k) AS DOUBLE) AS sxy$k,
-        CAST(sum(CASE WHEN x$k IS NOT NULL THEN x END) AS DOUBLE) AS sa$k,
-        CAST(sum(x$k) AS DOUBLE) AS sb$k""").mkString(",")
+        ${SharedExprs.hugeToDoubleDuck(s"sxy${k}h")} AS sxy$k,
+        CAST(sa${k}h AS DOUBLE) AS sa$k,
+        CAST(sb${k}h AS DOUBLE) AS sb$k""").mkString(",")
       def rho(k: Int) =
         s"(sxy$k - (sx / n) * (sa$k + sb$k) + (n - $k) * (sx / n) * (sx / n)) / (sxx - sx * sx / n)"
       val qSum = (1 to 6).map(k => s"(${rho(k)}) * (${rho(k)}) / (n - $k)")
@@ -1058,11 +1094,14 @@ object StatsQueries extends QueryModule {
         FROM range(${T0}, ${T1}, ${Hour}) g(slot_ns)
         LEFT JOIN sums s USING (slot_ns)),
       lagged AS (SELECT x, $leads FROM dense),
+      mlh AS (
+        SELECT count(*) AS nh, sum(x) AS sxh,
+               sum(CAST(x AS HUGEINT) * x) AS sxxh, $momentsH
+        FROM lagged),
       m AS (
-        SELECT CAST(count(*) AS DOUBLE) AS n,
-               CAST(sum(x) AS DOUBLE) AS sx,
-               CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx, $moments
-        FROM lagged)
+        SELECT CAST(nh AS DOUBLE) AS n, CAST(sxh AS DOUBLE) AS sx,
+               ${SharedExprs.hugeToDoubleDuck("sxxh")} AS sxx, $moments
+        FROM mlh)
       SELECT CAST(n AS BIGINT) AS n_slots, $rhos,
              round(n * (n + 2) * ($qSum), 4) + 0.0 AS q_stat,
              CASE WHEN n * (n + 2) * ($qSum) <= 12.59 THEN 1 ELSE 0 END
@@ -1751,8 +1790,8 @@ object StatsQueries extends QueryModule {
       val n = col("n").cast("double")
       val m = col("s1").cast("double") / n
       val r2 = col("s2").cast("double") / n
-      val r3 = col("s3").cast("double") / n
-      val r4 = col("s4").cast("double") / n
+      val r3 = SharedExprs.hugeToDouble(col("s3")) / n
+      val r4 = SharedExprs.hugeToDouble(col("s4")) / n
       val m2 = r2 - m * m
       val m3 = r3 - lit(3.0) * m * r2 + lit(2.0) * m * m * m
       val m4 = r4 - lit(4.0) * m * r3 + lit(6.0) * m * m * r2 -
@@ -1777,8 +1816,14 @@ object StatsQueries extends QueryModule {
         SELECT event_type, n, s1,
                CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
                CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
-               CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
-               CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+               (CAST((s3 - s3 % 4294967296) // 4294967296 AS DOUBLE)
+                  * CAST(4294967296 AS DOUBLE)
+                  + CAST(s3 % 4294967296 AS DOUBLE))
+                 / CAST(n AS DOUBLE) AS r3,
+               (CAST((s4 - s4 % 4294967296) // 4294967296 AS DOUBLE)
+                  * CAST(4294967296 AS DOUBLE)
+                  + CAST(s4 % 4294967296 AS DOUBLE))
+                 / CAST(n AS DOUBLE) AS r4
         FROM g),
       cm AS (
         SELECT event_type, n, s1,

@@ -901,7 +901,7 @@ object TrainingQueries extends QueryModule {
           min(col("reward")).as("mn"), max(col("reward")).as("mx"))
         .filter(col("n") >= 2 && col("mn") < col("mx"))
       val mean = col("sr").cast("double") / col("n")
-      val varPop = col("srq").cast("double") / col("n") - mean * mean
+      val varPop = SharedExprs.hugeToDouble(col("srq")) / col("n") - mean * mean
       scored.join(broadcast(stats), Seq("lang", "source"))
         .select(col("lang"), col("source"), col("doc_id"), col("reward"),
           (round((col("reward").cast("double") - mean) / sqrt(varPop), 4)
@@ -922,7 +922,7 @@ object TrainingQueries extends QueryModule {
       g AS (SELECT * FROM st WHERE n >= 2 AND mn < mx)
       SELECT s.lang, s.source, s.doc_id, CAST(s.reward AS BIGINT) AS reward,
              round((CAST(s.reward AS DOUBLE) - CAST(sr AS DOUBLE) / n)
-               / sqrt(CAST(srq AS DOUBLE) / n
+               / sqrt(${SharedExprs.hugeToDoubleDuck("srq")} / n
                       - (CAST(sr AS DOUBLE) / n) * (CAST(sr AS DOUBLE) / n)),
                4) + 0.0 AS advantage
       FROM scored s JOIN g USING (lang, source)

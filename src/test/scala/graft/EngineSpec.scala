@@ -602,6 +602,56 @@ class EngineSpec extends SparkTestBase {
       e2.verifyReceipt(Files.createTempDirectory("graft-norcpt").toString))
   }
 
+  test("incremental receipt chain equals a full recompute across deltas; breaks on retro-seq put") {
+    val (e, clock) = mkEngine()
+    // d1 seeds the chain (full compute path)
+    e.put(Seq(Point(11000L, tag4, pld(1)), Point(11010L, tag4, pld(2))))
+    val w1 = e.currentSeq()
+    val base = Files.createTempDirectory("graft-chain").toString
+    e.exportDelta(Long.MinValue, w1, s"$base/d1")
+    // d2: one overwrite (same slot) + one new key → incremental path
+    e.put(Seq(Point(11000L, tag4, pld(7)), Point(11020L, tag4, pld(3))))
+    val w2 = e.currentSeq()
+    e.exportDelta(w1, w2, s"$base/d2")
+    // d3: pure overwrite → incremental again
+    e.put(Seq(Point(11020L, tag4, pld(9))))
+    val w3 = e.currentSeq()
+    e.exportDelta(w2, w3, s"$base/d3")
+    // every chained receipt must equal the full recompute on a replica
+    // that applied the whole chain
+    val dir2 = Files.createTempDirectory("graft-chain-replica").toString
+    val e2 = new Engine(spark, EngineOptions("crep", dir2, 4, 4, 1000L, 10L), clock)
+    e2.importSnapshot(s"$base/d1")
+    assert(e2.verifyReceipt(s"$base/d1") === e.lwwChecksum(w1))
+    e2.importSnapshot(s"$base/d2")
+    assert(e2.verifyReceipt(s"$base/d2") === e.lwwChecksum(w2))
+    e2.importSnapshot(s"$base/d3")
+    assert(e2.verifyReceipt(s"$base/d3") === e.lwwChecksum(w3))
+
+    // retro-seq put: an explicit seq AT the chained watermark changes
+    // what w3 resolves to — the chain must break, the next receipt
+    // (an EMPTY delta, which a chained shortcut would pass through
+    // untouched) must be a full recompute reflecting the retro write
+    {
+      import spark.implicits._
+      assert(e.put(Seq(Point(11010L, tag4, pld(8), seq = w3)).toDS().toDF())
+        === Map("ok" -> 1L))
+    }
+    e.exportDelta(w3, w3, s"$base/d4") // routine no-op sync cycle
+    // primary's own recompute agrees with the shipped receipt…
+    assert(e.verifyReceipt(s"$base/d4") === e.lwwChecksum(w3))
+    // …and the replica (which never saw the retro write) fails loudly
+    e2.importSnapshot(s"$base/d4")
+    val ex = intercept[IllegalStateException](e2.verifyReceipt(s"$base/d4"))
+    assert(ex.getMessage.contains("full re-sync"))
+
+    // corrupt receipt parses as an argument error, not an exception leak
+    val cdir = Files.createTempDirectory("graft-corrupt").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(cdir, "_graft_receipt"),
+      "watermark=abc\nrows=\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException](e2.verifyReceipt(cdir))
+  }
+
   test("auditTable: healthy table is all zeros; a misfiled row is counted") {
     val dir = Files.createTempDirectory("graft-audit").toString
     val clock = new TestClock(11999L)

@@ -659,9 +659,15 @@ object StatsQueries extends QueryModule {
         count(lit(1)).cast("double").as("n"),
         sum(col("x")).cast("double").as("sx"),
         sum(col("y")).cast("double").as("sy"),
-        sum(col("x") * col("x")).cast("double").as("sxx"),
-        sum(col("x") * col("y")).cast("double").as("sxy"),
-        sum(col("y") * col("y")).cast("double").as("syy"))
+        // 128-bit product sums + engine-neutral conversion: x is the
+        // hourly LEVEL (kdb_cointegration magnitudes — a single x^2 at
+        // 100x volume grazes int64 max and the 719-term sum wraps)
+        SharedExprs.hugeToDouble(
+          sum(col("x").cast("decimal(38,0)") * col("x"))).as("sxx"),
+        SharedExprs.hugeToDouble(
+          sum(col("x").cast("decimal(38,0)") * col("y"))).as("sxy"),
+        SharedExprs.hugeToDouble(
+          sum(col("y").cast("decimal(38,0)") * col("y"))).as("syy"))
       val beta = (col("n") * col("sxy") - col("sx") * col("sy")) /
         (col("n") * col("sxx") - col("sx") * col("sx"))
       val alpha = (col("sy") - beta * col("sx")) / col("n")
@@ -689,13 +695,19 @@ object StatsQueries extends QueryModule {
         SELECT lag(v) OVER (ORDER BY idx) AS x,
                v - lag(v) OVER (ORDER BY idx) AS y
         FROM dense QUALIFY x IS NOT NULL),
-      m AS (
-        SELECT CAST(count(*) AS DOUBLE) AS n,
-               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-               CAST(sum(x * x) AS DOUBLE) AS sxx,
-               CAST(sum(x * y) AS DOUBLE) AS sxy,
-               CAST(sum(y * y) AS DOUBLE) AS syy
+      mdh AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxxh,
+               sum(CAST(x AS HUGEINT) * y) AS sxyh,
+               sum(CAST(y AS HUGEINT) * y) AS syyh
         FROM pairs),
+      m AS (
+        SELECT CAST(n AS DOUBLE) AS n,
+               CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+               ${SharedExprs.hugeToDoubleDuck("sxxh")} AS sxx,
+               ${SharedExprs.hugeToDoubleDuck("sxyh")} AS sxy,
+               ${SharedExprs.hugeToDoubleDuck("syyh")} AS syy
+        FROM mdh),
       fit AS (
         SELECT n, sx, sy, sxy, syy, sxx,
                (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta
@@ -1699,15 +1711,21 @@ object StatsQueries extends QueryModule {
           sum(when(col("event_type") === "view", cents).otherwise(0L)).as("z"))
       val m = byHour.groupBy().agg(
         sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("z")).as("sxz"),
-        sum(col("y") * col("z")).as("syz"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"),
-        sum(col("z") * col("z")).as("szz"))
+        // 128-bit product sums (hourly-LEVEL magnitudes — the
+        // kdb_cointegration wrap class) + engine-neutral conversion
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("z")).as("sxz"),
+        sum(col("y").cast("decimal(38,0)") * col("z")).as("syz"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+        sum(col("z").cast("decimal(38,0)") * col("z")).as("szz"))
+      // centered moments stay EXACT int128 (720·Σab − Σa·Σb), then one
+      // deterministic conversion each — n is the integer 720 here,
+      // never a double in the exact part
+      def cm(sab: Column, sa: Column, sb: Column) = SharedExprs.hugeToDouble(
+        lit(720L) * sab - sa.cast("decimal(38,0)") * sb)
       def r(sab: Column, sa: Column, sb: Column, saa: Column, sbb: Column) =
-        (n * sab - sa * sb) /
-          sqrt((n * saa - sa * sa).cast("double") * (n * sbb - sb * sb).cast("double"))
+        cm(sab, sa, sb) / sqrt(cm(saa, sa, sa) * cm(sbb, sb, sb))
       val rxy = r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
       val rxz = r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
       val ryz = r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
@@ -1735,22 +1753,33 @@ object StatsQueries extends QueryModule {
       m AS (
         SELECT CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
                CAST(sum(z) AS BIGINT) AS sz,
-               CAST(sum(x * y) AS BIGINT) AS sxy,
-               CAST(sum(x * z) AS BIGINT) AS sxz,
-               CAST(sum(y * z) AS BIGINT) AS syz,
-               CAST(sum(x * x) AS BIGINT) AS sxx,
-               CAST(sum(y * y) AS BIGINT) AS syy,
-               CAST(sum(z * z) AS BIGINT) AS szz
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(x AS HUGEINT) * z) AS sxz,
+               sum(CAST(y AS HUGEINT) * z) AS syz,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy,
+               sum(CAST(z AS HUGEINT) * z) AS szz
         FROM byhour),
+      nd AS (
+        SELECT 720 * sxy - CAST(sx AS HUGEINT) * sy AS nxy,
+               720 * sxz - CAST(sx AS HUGEINT) * sz AS nxz,
+               720 * syz - CAST(sy AS HUGEINT) * sz AS nyz,
+               720 * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+               720 * syy - CAST(sy AS HUGEINT) * sy AS dy,
+               720 * szz - CAST(sz AS HUGEINT) * sz AS dz
+        FROM m),
       rr AS (
         SELECT
-          (720.0 * sxy - sx * sy) /
-            sqrt((720.0 * sxx - sx * sx) * (720.0 * syy - sy * sy)) AS rxy,
-          (720.0 * sxz - sx * sz) /
-            sqrt((720.0 * sxx - sx * sx) * (720.0 * szz - sz * sz)) AS rxz,
-          (720.0 * syz - sy * sz) /
-            sqrt((720.0 * syy - sy * sy) * (720.0 * szz - sz * sz)) AS ryz
-        FROM m)
+          ${SharedExprs.hugeToDoubleDuck("nxy")} /
+            sqrt(${SharedExprs.hugeToDoubleDuck("dx")}
+                 * ${SharedExprs.hugeToDoubleDuck("dy")}) AS rxy,
+          ${SharedExprs.hugeToDoubleDuck("nxz")} /
+            sqrt(${SharedExprs.hugeToDoubleDuck("dx")}
+                 * ${SharedExprs.hugeToDoubleDuck("dz")}) AS rxz,
+          ${SharedExprs.hugeToDoubleDuck("nyz")} /
+            sqrt(${SharedExprs.hugeToDoubleDuck("dy")}
+                 * ${SharedExprs.hugeToDoubleDuck("dz")}) AS ryz
+        FROM nd)
       SELECT CAST(720 AS BIGINT) AS n_hours,
              round(rxy, 4) + 0.0 AS r_xy,
              round(rxz, 4) + 0.0 AS r_xz,

@@ -2189,18 +2189,24 @@ object RelationalQueries extends QueryModule {
         .join(perPart, col("l_partkey") === col("pk"))
         .filter(col("supp_qty") * 4L > col("part_qty"))
         .select(col("l_suppkey")).distinct()
+      // a 4-nation band instead of TPC-H's single nation: the shape
+      // (broadcast nation dim -> semi join) is identical, but one
+      // nation's supplier slice is EMPTY at sf0.001 (the smoke gate
+      // requires rows at every SF)
       supplier(s, d)
-        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_7")),
+        .join(broadcast(nation(s, d).filter(col("n_name").isin(
+          "NATION_7", "NATION_8", "NATION_12", "NATION_15"))),
           col("s_nationkey") === col("n_nationkey"))
         .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
-        .select(col("s_name"),
+        .select(col("n_name"), col("s_name"),
           round(col("s_acctbal") * 100, 0).cast("long").as("bal_cents"))
-        .orderBy(col("s_name"))
+        .orderBy(col("n_name"), col("s_name"))
     },
     Some("""
-      SELECT s_name, CAST(round(s_acctbal * 100, 0) AS BIGINT) AS bal_cents
+      SELECT n_name, s_name,
+             CAST(round(s_acctbal * 100, 0) AS BIGINT) AS bal_cents
       FROM supplier JOIN nation ON s_nationkey = n_nationkey
-      WHERE n_name = 'NATION_7'
+      WHERE n_name IN ('NATION_7', 'NATION_8', 'NATION_12', 'NATION_15')
         AND s_suppkey IN (
           SELECT ps.l_suppkey
           FROM (SELECT l_partkey, l_suppkey,
@@ -2219,7 +2225,7 @@ object RelationalQueries extends QueryModule {
                 GROUP BY 1) pt
             ON ps.l_partkey = pt.l_partkey
           WHERE ps.supp_qty * 4 > pt.part_qty)
-      ORDER BY s_name"""))
+      ORDER BY n_name, s_name"""))
 
   /** Sink/source round-trip fidelity across the three non-parquet
     * batch formats Spark ships (ORC columnar, CSV text, JSON lines):

@@ -6557,10 +6557,14 @@ object KdbQueries extends QueryModule {
       val dense = grid.join(sums, Seq("t"), "left_outer")
         .withColumn("x", coalesce(col("x"), lit(0L)))
       val w = Window.orderBy(col("t")).rowsBetween(0, m - 1)
+      // materialize the 697-row window table once: both legs of the
+      // pair join read it, and without the checkpoint each leg re-runs
+      // the data-sized hourly rollup (a 2x events scan at scale)
       val wins = dense
         .withColumn("win", collect_list(col("x")).over(w))
         .filter(size(col("win")) === m)
         .select(col("t").as("i"), col("win"))
+        .localCheckpoint(true)
       val b = wins.select(col("i").as("j"), col("win").as("wb"))
       wins.join(broadcast(b), abs(col("i") - col("j")) >= m)
         .withColumn("sad", aggregate(
@@ -6870,8 +6874,12 @@ object KdbQueries extends QueryModule {
         .withColumn("day", expr(s"(ts_ns - ${T0}L) div ${Day}L"))
         .withColumn("cents", round(col("value") * 100, 0).cast("long"))
         .groupBy(col("day")).agg(sum(col("cents")).as("y"))
+      // 30-row dense table read by both pool legs, the lattice join and
+      // the final join: checkpoint so the daily rollup scans events
+      // once, not four times
       val dense = grid.join(daily, Seq("day"), "left_outer")
         .withColumn("y", coalesce(col("y"), lit(0L)))
+        .localCheckpoint(true)
       val sw = Window.orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val pre = dense.withColumn("s", sum(col("y")).over(sw))

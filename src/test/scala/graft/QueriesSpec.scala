@@ -335,6 +335,57 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("kdb_volume_bars / kdb_renko_bars: one scan, bounded shuffles, map-side combine") {
+    // volume bars: the series window exchange + the (series, bar)
+    // rollup exchange — and the OHLC struct min must combine map-side
+    val vb = SparkEntry.queries("kdb_volume_bars")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(vb.linesIterator.count(_.contains("Scan parquet")) === 1,
+      "volume bars should scan events once")
+    // ONE shuffle: hashpartitioning(event_type) from the window
+    // satisfies the (event_type, bar) rollup's clustering (subset key)
+    assert(vb.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      "the bar rollup must reuse the series window exchange")
+    assert(vb.contains("partial_min"), "open/close struct min must combine map-side")
+    // renko: slot rollup + per-type fold-input rollup
+    val rb = SparkEntry.queries("kdb_renko_bars")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(rb.linesIterator.count(_.contains("Scan parquet")) === 1,
+      "renko should scan events once")
+    assert(rb.linesIterator.count(_.contains("Exchange hashpartitioning")) === 2,
+      "slot rollup + per-type fold assembly should be the only two shuffles")
+  }
+
+  test("kdb_matrix_profile: the window lattice self-join broadcasts (grid-bounded side)") {
+    val plan = SparkEntry.queries("kdb_matrix_profile")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the |i-j| >= m exclusion-zone pair join must ride the broadcast grid")
+    // the 697-row window table is checkpointed, so the final plan reads
+    // NO parquet — without the checkpoint each join leg re-ran the
+    // data-sized hourly rollup (a 2x events scan at scale)
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 0,
+      "both pair-join legs must read the checkpointed window table")
+  }
+
+  test("kdb_vpin: direction + volume-clock windows share the series exchange") {
+    val plan = SparkEntry.queries("kdb_vpin")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      "vpin should scan events once")
+    val hash = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // series windows (1) + bucket rollup (1) + trailing-bucket window (1)
+    assert(hash <= 3, s"expected at most 3 hash exchanges, saw $hash")
+  }
+
+  test("kdb_plus_join: the two half aggregations co-key with the join (no extra shuffle)") {
+    val plan = SparkEntry.queries("kdb_plus_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hash = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hash === 2,
+      s"each half shuffles once onto (event_type, dow) and the pj join reuses it, saw $hash")
+  }
+
   test("q_decimal_money carries pinned decimal128 types (exact money arithmetic)") {
     import org.apache.spark.sql.types.{DecimalType, StringType}
     // library-facing form is exact DECIMAL end-to-end …

@@ -1959,10 +1959,13 @@ object StatsQueries extends QueryModule {
       val sums = e.groupBy(col("slot_ns")).agg(
         sum(when(col("event_type") === "click", col("cents")).otherwise(0L)).as("xc"),
         sum(when(col("event_type") === "purchase", col("cents")).otherwise(0L)).as("yc"))
+      // 720-row dense table read by the totals branch AND the state
+      // projection: checkpoint so the data-sized rollup runs once
       val dense = grid.join(sums, Seq("slot_ns"), "left_outer")
         .select(col("slot_ns"),
           coalesce(col("xc"), lit(0L)).as("xc"),
           coalesce(col("yc"), lit(0L)).as("yc"))
+        .localCheckpoint(true)
       val tot = dense.agg(sum(col("xc")).as("tx"), sum(col("yc")).as("ty"))
       val st = dense.crossJoin(broadcast(tot))
         .select(col("slot_ns"),
@@ -1978,9 +1981,13 @@ object StatsQueries extends QueryModule {
           col("x").as("src"), col("y").as("dst"), col("yn").as("nxt"))
         .unionAll(tr.select(lit("y->x").as("direction"),
           col("y").as("src"), col("x").as("dst"), col("xn").as("nxt")))
+      // ≤2·2³-row joint-distribution table consumed by FOUR branches
+      // (three marginals + the final join): without the checkpoint each
+      // branch re-ran the whole pipeline — 16 static events scans
       val c3 = triples
         .groupBy(col("direction"), col("src"), col("dst"), col("nxt"))
         .agg(count(lit(1)).as("c3"))
+        .localCheckpoint(true)
       val cSD = c3.groupBy(col("direction"), col("src"), col("dst"))
         .agg(sum(col("c3")).as("c_sd"))
       val cDN = c3.groupBy(col("direction"), col("dst"), col("nxt"))

@@ -4217,11 +4217,17 @@ object KdbQueries extends QueryModule {
   private val frequentPairs = QueryDef(
     "kdb_frequent_pairs",
     (s, d) => {
+      // the basket table feeds FOUR consumers (two self-join legs,
+      // singles, basket count) and runtime exchange reuse does not
+      // collapse them (probed) — materialize once. It is the DISTINCT
+      // of (user, slot, type), far smaller than events, so one
+      // materialization beats four scan+shuffle passes at any scale.
       val b = ev(s, d)
         .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
         .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
         .select(col("user_id"), col("slot_ns"), col("event_type"))
         .distinct()
+        .localCheckpoint(true)
       val pairs = b.as("x")
         .join(b.as("y"),
           col("x.user_id") === col("y.user_id") &&
@@ -4296,6 +4302,12 @@ object KdbQueries extends QueryModule {
         .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
         .select(col("user_id"), col("slot_ns"), col("event_type"))
         .distinct()
+        // four consumers (two self-join legs, singles, basket count) and
+        // runtime exchange reuse does not collapse them (probed) —
+        // materialize the distinct basket table once; it is far smaller
+        // than events, so one materialization beats four scan+shuffle
+        // passes at any scale
+        .localCheckpoint(true)
       val pairs = b.as("x")
         .join(b.as("y"),
           col("x.user_id") === col("y.user_id") &&

@@ -1324,12 +1324,17 @@ object StatsQueries extends QueryModule {
       val L = 0.6931471805599453 // ln 2
       val seqW = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_us"), col("event_id"))
+      // |types|²-bounded transition table consumed by FOUR branches
+      // (row/next/grand totals + the conditional term): checkpoint so
+      // the data-sized sequence pass runs once, not per branch (probed:
+      // exchange reuse does NOT collapse these at runtime)
       val c = ev(s, d)
         .withColumn("ts_us", expr("ts_ns div 1000"))
         .withColumn("nxt", lead(col("event_type"), 1).over(seqW))
         .filter(col("nxt").isNotNull)
         .groupBy(col("event_type").as("cur"), col("nxt"))
         .agg(count(lit(1)).as("nij"))
+        .localCheckpoint(true)
       val rowTot = c.groupBy(col("cur")).agg(sum(col("nij")).as("ni"))
       val nTot = c.groupBy().agg(sum(col("nij")).as("nn"))
       val sc = c.join(broadcast(rowTot), Seq("cur"))

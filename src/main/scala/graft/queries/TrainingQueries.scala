@@ -749,12 +749,20 @@ object TrainingQueries extends QueryModule {
     val train = docs.filter(col("doc_id") % 5 =!= 0)
     val test = docs.filter(col("doc_id") % 5 === 0)
     val trTok = train.select(col("lang").as("c"), explode(col("toks")).as("w"))
+    // vocab-sized count table read by tot, vv AND the scoring join:
+    // checkpoint so the training-token pass runs once (probed: runtime
+    // exchange reuse does not collapse the branches)
     val wc = trTok.groupBy(col("c"), col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val tot = wc.groupBy(col("c")).agg(sum(col("cnt")).as("tot"))
     val vv = wc.select(col("w")).distinct().agg(count(lit(1)).as("v"))
-    val nTr = train.agg(count(lit(1)).as("n_train"))
-    val pri = train.groupBy(col("lang").as("c"))
+    // |classes|-row doc-count table: priors AND the train total derive
+    // from it, replacing two further train scans
+    val clsCounts = train.groupBy(col("lang").as("c"))
       .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true)
+    val nTr = clsCounts.agg(sum(col("n_docs")).as("n_train"))
+    val pri = clsCounts
       .crossJoin(broadcast(nTr))
       .select(col("c"),
         round(log(col("n_docs").cast("double") / col("n_train")) * 1000000, 0)
@@ -770,6 +778,12 @@ object TrainingQueries extends QueryModule {
       .agg(sum(lp).as("lpsum"))
       .select(col("doc_id"), col("true_lang"), col("c"),
         (col("prior") + col("lpsum")).as("score"))
+      // every consumer (nb_train eval, label_noise best+gold,
+      // margin_calibration, uncertainty_sample) reads this table at
+      // least once and several read it twice — one materialization of
+      // the narrow (doc, class, score) table beats re-running the
+      // corpus-token scoring join per branch at any scale
+      .localCheckpoint(true)
   }
 
   /** DuckDB rendering of [[nbClassScores]] — the CTE prefix both NB

@@ -427,8 +427,15 @@ object LlmQueries extends QueryModule {
       }
       val train = documents(s, d).filter(col("doc_id") >= 100 && col("doc_id") < 400)
       val eval_ = documents(s, d).filter(col("doc_id") < 100)
+      // bigram-TYPE table consumed by pref/cont/tot and the scoring
+      // join: checkpoint so the training-bigram pass runs once (probed:
+      // runtime exchange reuse does not collapse the branches)
       val c2 = bigrams(train).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        .localCheckpoint(true)
+      // vocab-sized unigram table read by the V scalar AND the scoring
+      // join — one training-token pass, not two
       val c1 = toks(train).groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        .localCheckpoint(true)
       // vocab size = |c1|: one row-count over the already-reduced
       // unigram table, not a second distinct pass over train tokens.
       val v = c1.agg(count(lit(1)).as("v"))
@@ -492,7 +499,11 @@ object LlmQueries extends QueryModule {
       }
       val train = documents(s, d).filter(col("doc_id") >= 100 && col("doc_id") < 400)
       val eval_ = documents(s, d).filter(col("doc_id") < 100)
+      // bigram-TYPE table consumed by pref/cont/tot and the scoring
+      // join: checkpoint so the training-bigram pass runs once (probed:
+      // runtime exchange reuse does not collapse the branches)
       val c2 = bigrams(train).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        .localCheckpoint(true)
       val pref = c2.groupBy(col("w1")).agg(
         sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
       val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
@@ -2896,7 +2907,10 @@ object LlmQueries extends QueryModule {
       val all = documents(s, d)
       val train = all.filter(col("doc_id") >= 100 && col("doc_id") < 400)
       val c2 = bigrams(train).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      // vocab-sized unigram table read by the V scalar AND the scoring
+      // join — one training-token pass, not two
       val c1 = toks(train).groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        .localCheckpoint(true)
       val v = c1.agg(count(lit(1)).as("v"))
       val scored = bigrams(all)
         .join(c2, Seq("w1", "w2"), "left_outer")
@@ -2907,6 +2921,10 @@ object LlmQueries extends QueryModule {
             (coalesce(col("c1"), lit(0L)) + col("v"))).as("logp"))
         .groupBy(col("doc_id"), col("lang"))
         .agg(round(avg(col("logp")), 4).as("score"))
+        // narrow (doc, lang, score) table read by the tercile pass AND
+        // the bucket join: materialize once instead of re-running the
+        // whole corpus scoring per consumer (probed: no runtime reuse)
+        .localCheckpoint(true)
       val th = scored.groupBy(col("lang"))
         .agg(round(percentile(col("score"), lit(1.0 / 3.0)), 6).as("t1"),
           round(percentile(col("score"), lit(2.0 / 3.0)), 6).as("t2"))
@@ -4116,7 +4134,9 @@ object LlmQueries extends QueryModule {
     "llm_dedup_eval",
     (s, d) => {
       val pred = col("doc_id") < 400
-      val ex = shingleRows(s, d, pred).distinct()
+      // the bounded (doc_id < 400 by design) exploded shingle table
+      // feeds sizes + both truth self-join legs: materialize once
+      val ex = shingleRows(s, d, pred).distinct().localCheckpoint(true)
       val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
       val truth = ex.as("a").join(ex.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

@@ -2824,8 +2824,15 @@ object LlmQueries extends QueryModule {
       val docs = documents(s, d)
       val target = bucketed(docs.filter(col("lang") === "en"))
       val cand = bucketed(docs.filter(col("lang") =!= "en"))
+      // one pass per corpus side: the per-doc bucket rollup is the
+      // single candidate-side scan (bucket marginals derive from it),
+      // and the 1024-row bucket tables feed totals + ratio without
+      // re-running their token pipelines (probed: no runtime reuse)
+      val perDoc = cand.groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("n")).localCheckpoint(true)
       val tc = target.groupBy(col("b")).agg(count(lit(1)).as("tc"))
-      val rc = cand.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+        .localCheckpoint(true)
+      val rc = perDoc.groupBy(col("b")).agg(sum(col("n")).as("rc"))
       val tTot = tc.agg(sum(col("tc")).as("tt"))
       val rTot = rc.agg(sum(col("rc")).as("tr"))
       val ratio = rc.join(tc, Seq("b"), "left_outer")
@@ -2833,7 +2840,7 @@ object LlmQueries extends QueryModule {
         .select(col("b"),
           (log((coalesce(col("tc"), lit(0L)) + lit(1.0)) / (col("tt") + lit(1024.0))) -
             log((col("rc") + lit(1.0)) / (col("tr") + lit(1024.0)))).as("w"))
-      cand.groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("n"))
+      perDoc
         .join(broadcast(ratio), Seq("b"))
         .groupBy(col("doc_id"), col("lang"))
         .agg(sum(col("n")).as("n_tokens"),
@@ -4794,8 +4801,12 @@ object LlmQueries extends QueryModule {
     "llm_pmi_collocations",
     (s, d) => {
       val toks = documents(s, d).select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // vocab-sized unigram table read by the corpus total and BOTH
+      // marginal joins; bigram-type table by its total and the filter
+      // leg — materialize each once (probed: no runtime exchange reuse)
       val uc = toks.select(explode(col("ws")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+        .localCheckpoint(true)
       val tot = uc.agg(sum(col("cw")).as("n_tok"))
       val bc = toks.filter(size(col("ws")) >= 2)
         .select(explode(expr(
@@ -4803,6 +4814,7 @@ object LlmQueries extends QueryModule {
           .as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+        .localCheckpoint(true)
       val btot = bc.agg(sum(col("c_ab")).as("b_tot"))
       bc.filter(col("c_ab") >= 10)
         .join(broadcast(uc.select(col("w").as("wa"), col("cw").as("ca"))),

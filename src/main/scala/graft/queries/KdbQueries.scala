@@ -6714,27 +6714,30 @@ object KdbQueries extends QueryModule {
     * close via lexicographic struct min/max over the unique order
     * key — no second window pass, partial-agg friendly), extremes,
     * volume and time span. Everything is exact int64 (cents, ns,
-    * counts) — no float anywhere. Scale shape: one series-partitioned
-    * window pass (parallelism = |series|; a single giant series would
-    * take the DistributedRank two-phase prefix-sum instead), then one
-    * aggregation on (series, bar). Headroom: the running cents sum is
+    * counts) — no float anywhere. Scale shape: the per-type exclusive
+    * prefix volume comes from [[graft.operators.SeriesScan]] — range-
+    * partition the (type, ts, id) order, scan each physical partition
+    * locally, add back driver-folded per-(partition, type) offsets —
+    * so parallelism is #partitions, never #series (a per-type window
+    * over raw events would funnel each type's whole history through
+    * ONE task at 100×); then one aggregation on (series, bar). Bar
+    * assignment uses FLOOR division ((x − pmod(x, v)) div v), matching
+    * DuckDB's `//` even when negative cents dip the prefix below zero
+    * (Spark's bare `div` truncates toward zero and would split bars
+    * cross-engine). Headroom: the running cents sum is
     * ≤ rows·5·10⁴ ≈ 5·10¹³ at 100× — int64-safe. Reference analog:
     * none (extended surface beside kdb_ohlc's time bars /
     * kdb_renko_bars' price bars). */
   private val volumeBars = QueryDef(
     "kdb_volume_bars",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val wc = Window.partitionBy(col("event_type"))
-        .orderBy(col("ts_ns"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wt = Window.partitionBy(col("event_type"))
-      ev(s, d)
+      val base = ev(s, d)
         .withColumn("cents", round(col("value") * 100, 0).cast("long"))
-        .withColumn("cum", sum(col("cents")).over(wc))
-        .withColumn("tot", sum(col("cents")).over(wt))
-        .withColumn("v", greatest(expr("tot div 64"), lit(1L)))
-        .withColumn("bar", expr("(cum - cents) div v"))
+      graft.operators.SeriesScan.scan(base, "event_type",
+          Seq(col("ts_ns"), col("event_id")), col("cents"),
+          exclName = "excl", totName = Some("tot"))
+        .withColumn("v", greatest(expr("(tot - pmod(tot, 64)) div 64"), lit(1L)))
+        .withColumn("bar", expr("(excl - pmod(excl, v)) div v"))
         .groupBy(col("event_type"), col("bar"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("cents")).as("vol_cents"),
@@ -6790,31 +6793,33 @@ object KdbQueries extends QueryModule {
     * IGNORE NULLS semantics in DuckDB), first trade defaulting to
     * buy. The toxicity ratio is the ONLY float: one IEEE division of
     * two exact int64 rolling sums, identical in both engines,
-    * rounded to 4dp and never ordered on. Scale shape: two
-    * series-partitioned window passes (direction + volume clock) and
-    * a bucket rollup; the bucket table is ~50/series, so the rolling
-    * frame is grid-bounded. Reference analog: none (extended
-    * surface; composes with kdb_volume_bars' sampling). */
+    * rounded to 4dp and never ordered on. Scale shape: the direction
+    * carry AND the volume clock both come from ONE
+    * [[graft.operators.SeriesScan]] pass — range-partition the
+    * (type, ts, id) order, scan locally, driver-fold the tiny
+    * per-(partition, type) boundary state (incoming last cents → the
+    * partition-head delta sign; incoming carry; prefix offset) — so
+    * parallelism is #partitions, never #series (the previous per-type
+    * raw-event windows funneled each type through one task at 100×).
+    * Bucket assignment is FLOOR division (pmod-adjusted div) to match
+    * DuckDB `//` on negative prefixes. The trailing rollup window runs
+    * on the ~50-buckets/series table — grid-bounded. Reference
+    * analog: none (extended surface; composes with kdb_volume_bars'
+    * sampling). */
   private val vpin = QueryDef(
     "kdb_vpin",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val ws = Window.partitionBy(col("event_type"))
-        .orderBy(col("ts_ns"), col("event_id"))
-      val wr = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wt = Window.partitionBy(col("event_type"))
       val wb = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
         .rowsBetween(-9, Window.currentRow)
-      ev(s, d)
+      val base = ev(s, d)
         .withColumn("cents", round(col("value") * 100, 0).cast("long"))
-        .withColumn("d", col("cents") - lag(col("cents"), 1).over(ws))
-        .withColumn("sgn", when(col("d") > 0, 1L).when(col("d") < 0, -1L))
-        .withColumn("dir", coalesce(
-          last(col("sgn"), ignoreNulls = true).over(wr), lit(1L)))
-        .withColumn("cum", sum(col("cents")).over(wr))
-        .withColumn("v", greatest(
-          expr("sum(cents) over (partition by event_type) div 50"), lit(1L)))
-        .withColumn("bucket", expr("(cum - cents) div v"))
+      graft.operators.SeriesScan.scan(base, "event_type",
+          Seq(col("ts_ns"), col("event_id")), col("cents"),
+          exclName = "excl", totName = Some("tot"), dirName = Some("dir0"))
+        .withColumn("dir", coalesce(col("dir0"), lit(1L)))
+        .withColumn("v", greatest(expr("(tot - pmod(tot, 50)) div 50"), lit(1L)))
+        .withColumn("bucket", expr("(excl - pmod(excl, v)) div v"))
         .groupBy(col("event_type"), col("bucket"))
         .agg(sum(col("cents")).as("vol_cents"),
           abs(sum(col("cents") * col("dir"))).as("imb_cents"))

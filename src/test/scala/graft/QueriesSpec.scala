@@ -335,17 +335,19 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
-  test("kdb_volume_bars / kdb_renko_bars: one scan, bounded shuffles, map-side combine") {
-    // volume bars: the series window exchange + the (series, bar)
-    // rollup exchange — and the OHLC struct min must combine map-side
+  test("kdb_volume_bars / kdb_renko_bars: SeriesScan de-funnel / map-side combine") {
+    // volume bars: the per-type scan now comes from SeriesScan — the
+    // final plan derives from its checkpoint (no raw-event re-scan)
+    // and plans NO window at all (the funnel-shaped per-type raw-event
+    // window is gone); OHLC struct min still combines map-side
     val vb = SparkEntry.queries("kdb_volume_bars")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(vb.linesIterator.count(_.contains("Scan parquet")) === 1,
-      "volume bars should scan events once")
-    // ONE shuffle: hashpartitioning(event_type) from the window
-    // satisfies the (event_type, bar) rollup's clustering (subset key)
-    assert(vb.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
-      "the bar rollup must reuse the series window exchange")
+    assert(vb.contains("ExistingRDD"),
+      "volume bars must derive from the SeriesScan checkpoint boundary")
+    assert(vb.linesIterator.count(_.contains("Scan parquet")) === 0,
+      "final plan must not re-scan events (SeriesScan already paid the pass)")
+    assert(!vb.contains("Window"),
+      "no window after the scan: a per-type raw-event window is the 100x funnel")
     assert(vb.contains("partial_min"), "open/close struct min must combine map-side")
     // renko: slot rollup + per-type fold-input rollup
     val rb = SparkEntry.queries("kdb_renko_bars")(spark, sf)
@@ -368,14 +370,28 @@ class QueriesSpec extends SparkTestBase {
       "both pair-join legs must read the checkpointed window table")
   }
 
-  test("kdb_vpin: direction + volume-clock windows share the series exchange") {
-    val plan = SparkEntry.queries("kdb_vpin")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
-      "vpin should scan events once")
-    val hash = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    // series windows (1) + bucket rollup (1) + trailing-bucket window (1)
-    assert(hash <= 3, s"expected at most 3 hash exchanges, saw $hash")
+  test("kdb_vpin: no per-series raw-event window (SeriesScan carries direction + clock)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val qe = SparkEntry.queries("kdb_vpin")(spark, sf).queryExecution
+    val exec = qe.sparkPlan // pre-AQE: collect() must see the whole tree
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("ExistingRDD"),
+      "vpin must derive from the SeriesScan checkpoint boundary")
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 0,
+      "final plan must not re-scan events (SeriesScan already paid the pass)")
+    // the only window left is the trailing-10-bucket VPIN frame: it
+    // must sit ABOVE the (series, bucket) aggregate — i.e. over the
+    // ~50-buckets/series table, never the raw event stream
+    def aggBounded(n: SparkPlan): Boolean = n match {
+      case _: BaseAggregateExec => true
+      case other => other.children.exists(aggBounded)
+    }
+    val wins = exec.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the trailing-bucket VPIN window")
+    wins.foreach(w => assert(w.children.forall(aggBounded),
+      "a window reached below the bucket rollup — that's the raw-event funnel"))
   }
 
   test("kdb_plus_join: the two half aggregations co-key with the join (no extra shuffle)") {

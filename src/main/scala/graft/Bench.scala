@@ -121,7 +121,18 @@ object Bench {
     }
     while (done < passes && (done == 0 || elapsed + lastPassSec <= budgetSec)) {
       val passStart = elapsed
-      sorted.foreach { case (name, fn) =>
+      // per-pass DETERMINISTIC shuffle (seeded by pass index): with a
+      // fixed alphabetical order, one host-contention window hits the
+      // SAME contiguous query block in every pass, so even the median
+      // of 3 is poisoned (r10 driver artifact: the llm_te*-llm_u*
+      // block at 2.8-7.1x its close-run times while the suite median
+      // ratio was 1.06). Shuffling each pass decorrelates wall-clock
+      // neighborhoods from query identity — a stall now taxes 3
+      // unrelated query sets and the median rejects it. Seeded, so
+      // reruns are reproducible.
+      val order = new scala.util.Random(0x9E3779B9L + done)
+        .shuffle(sorted)
+      order.foreach { case (name, fn) =>
         val s =
           try runOnce(fn)
           catch { case e: Throwable =>

@@ -1020,18 +1020,34 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * parquet predicate, so row-group stats prune cold files whose seq
     * range predates the delta; otherwise one LWW shuffle + one
     * bucket-keyed write, the ingest fan-out discipline. Returns the
-    * exported row count (from parquet footers, no second scan). */
-  def exportDelta(fromSeqExclusive: Long, toSeqInclusive: Long, outDir: String): Long = {
+    * exported row count (from parquet footers, no second scan).
+    *
+    * Runs under the engine writeLock: the read-chain-state → compute →
+    * write-chain-state sequence below must not interleave with a
+    * retro-seq put's invalidateReceiptState() — an unlocked export
+    * could re-seed a chain that never folds in the retro write, and
+    * since deltas only ship seq > fromSeq the divergence would never
+    * surface in any later receipt (TOCTOU). */
+  def exportDelta(fromSeqExclusive: Long, toSeqInclusive: Long, outDir: String): Long = writeLock.synchronized {
     // from == to is a routine no-op sync cycle (no new writes since
     // the last watermark) and produces a valid empty delta; only an
     // inverted range is a caller bug.
     require(fromSeqExclusive <= toSeqInclusive,
       s"exportDelta: inverted seq range ($fromSeqExclusive, $toSeqInclusive]")
     ensureManifest(adopt = false)
+    // deterministic LWW tie-break: max over (seq, payload) — explicit
+    // -seq ingest can create duplicate (series, slot, seq) rows with
+    // DIFFERENT payloads, and max_by(payload, seq) would then pick a
+    // nondeterministic winner, making primary and replica receipts
+    // disagree spuriously (a loud but false 'diverged' alarm). The
+    // struct max orders by seq first, then payload bytes — the same
+    // rule lwwChecksum/incrementalChecksum apply.
     val resolvedRows = table()
       .filter(col("seq") > fromSeqExclusive && col("seq") <= toSeqInclusive)
       .groupBy((tagCols.map(col) :+ col("slot_ns")): _*)
-      .agg(max_by(col("payload"), col("seq")).as("payload"), max(col("seq")).as("seq"))
+      .agg(max(struct(col("seq"), col("payload"))).as("w"))
+      .select((tagCols.map(col) :+ col("slot_ns") :+
+        col("w.payload").as("payload") :+ col("w.seq").as("seq")): _*)
       .withColumn("bucket_ts", floorBucket(col("slot_ns")))
     resolvedRows.repartition(col("bucket_ts"))
       .sortWithinPartitions((col("bucket_ts") +: tagCols.map(col)) :+ col("slot_ns"): _*)
@@ -1153,7 +1169,9 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         col("bucket_ts") <= (hi - hi % opts.bucketDuration))
       .join(deltaDf.select(keyNames.map(col): _*).distinct(), keyNames, "left_semi")
       .groupBy(keyNames.map(col): _*)
-      .agg(max_by(col("payload"), col("seq")).as("payload"), max(col("seq")).as("seq"))
+      .agg(max(struct(col("seq"), col("payload"))).as("w")) // seq-then-payload tie-break
+      .select((keyNames.map(col) :+ col("w.payload").as("payload") :+
+        col("w.seq").as("seq")): _*)
     val pr = prior
       .select(xxhash64(hcols: _*).as("h"))
       .agg(count(lit(1)).as("n"), expr("coalesce(bit_xor(h), 0L)").as("x"))
@@ -1170,14 +1188,17 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * shuffle, the [[find]] resolution cost. This is the primitive
     * behind the replication receipt ([[exportDelta]] /
     * [[verifyReceipt]]) and a cheap primary↔replica audit on its
-    * own. */
+    * own. The winner is the max over (seq, payload) — deterministic
+    * even for duplicate-seq ingests, so a receipt can never flag a
+    * spurious divergence over a tie both sides hold. */
   def lwwChecksum(asOfSeq: Long): (Long, Long) = {
     ensureManifest(adopt = false)
     val resolved = table()
       .filter(col("seq") <= asOfSeq)
       .groupBy((tagCols.map(col) :+ col("slot_ns")): _*)
-      .agg(max_by(col("payload"), col("seq")).as("payload"),
-        max(col("seq")).as("seq"))
+      .agg(max(struct(col("seq"), col("payload"))).as("w"))
+      .select((tagCols.map(col) :+ col("slot_ns") :+
+        col("w.payload").as("payload") :+ col("w.seq").as("seq")): _*)
     val r = resolved
       .select(xxhash64((tagCols.map(col) :+ col("slot_ns") :+ col("seq") :+
         col("payload")): _*).as("h"))
@@ -1266,6 +1287,25 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       publishBatch(snap.select(tableSchema.fieldNames.map(col): _*))
     }
     n
+  }
+
+  /** Replica-side APPLY: [[importSnapshot]] + [[verifyReceipt]] as one
+    * verb, so a sync loop cannot apply a delta and forget the check —
+    * the gap the receipt machinery left open (export wrote receipts;
+    * nothing on the apply path consumed them). Imports the delta,
+    * then recomputes this replica's LWW checksum at the receipt's
+    * watermark and throws [[IllegalStateException]] on divergence —
+    * the post-erase case: a destructive verb on the primary cannot
+    * ride a state-based delta, so the replica MUST full re-sync
+    * ([[exportSnapshot]] → fresh [[importSnapshot]]); the import
+    * before the throw is intentional (the replica was already
+    * divergent; the verb's contract is detect-loudly, not
+    * rollback). Returns (applied rows, verified rows, verified
+    * hash). */
+  def applyDelta(srcDir: String): (Long, Long, Long) = writeLock.synchronized {
+    val applied = importSnapshot(srcDir)
+    val (rows, hash) = verifyReceipt(srcDir)
+    (applied, rows, hash)
   }
 
   /** Full-table physical audit — the ops-path complement of the

@@ -5659,6 +5659,130 @@ object KdbQueries extends QueryModule {
       GROUP BY 1, 2, 5, 6, 7, 8
       ORDER BY event_type, user_id"""))
 
+  /** Divergence-detect → full-resync, oracle-gated end to end — the
+    * receipt chain's CONSUMER side ([[graft.core.Engine.applyDelta]]:
+    * import + verifyReceipt as one verb, so a sync loop cannot apply
+    * a delta and skip the check). Cycle 1 behaves like
+    * kdb_replication_twin (evens → delta → apply, receipt verifies
+    * clean). Then the primary ingests the odds AND ERASES the busiest
+    * series — a physical removal no state-based delta can carry — and
+    * ships cycle 2. The replica's applyDelta MUST throw (its world
+    * still holds the erased series' evens while the primary's receipt
+    * was computed post-erase); the twin requires that loudly, records
+    * `diverged = 1`, and runs the mandated recovery: full re-sync
+    * (exportSnapshot at w₂ → fresh replica → applyDelta verifies
+    * clean). The resynced replica's LWW world is hash-gated against
+    * DuckDB resolving all week rows MINUS the victim series by
+    * effective seq; receipts pin the delta-1 row count, the
+    * divergence flag, the resync row count (= post-erase distinct
+    * (series, slot)), the verified row count (receipt ⇒ equal), and
+    * the resynced currentSeq. Victim selection (max row count, ties
+    * by (type, uid) asc) is computed identically by both engines.
+    * Scale shape: each export is one pushed-down seq-range scan + LWW
+    * shuffle; each apply is one atomic publish + one checksum
+    * aggregate — no per-row driver work anywhere. */
+  private val resyncTwin = QueryDef(
+    "kdb_resync_twin",
+    (s, d) => {
+      import s.implicits._
+      val SeqShift = 1L << 40
+      val dir = graft.core.Scratch.dir("graft-resynctwin")
+      val clock = new graft.core.TestClock(T1)
+      def mkEngine(sub: String) = new graft.core.Engine(s,
+        graft.core.EngineOptions(s"rsy$sub", s"$dir/$sub", indexDepth = 2,
+          payloadSize = 8, bucketDuration = Day, resolution = Hour,
+          maxHotBuckets = 40), clock)
+      val primary = mkEngine("p")
+      val replica = mkEngine("r")
+      val base = ev(s, d)
+        .filter(col("ts_ns") >= T0 && col("ts_ns") < T0 + 7 * Day)
+        .select(col("ts_ns"), col("event_type"),
+          col("user_id").cast("string").as("uid"),
+          col("value"), col("event_id"))
+      def pts(df: DataFrame, shift: Long) = df
+        .as[(Long, String, String, Double, Long)]
+        .map { case (ts, et, uid, v, id) =>
+          graft.core.Point(ts, Seq(et, uid),
+            graft.plans.DoubleFromPayload.encode(v), id + shift)
+        }.toDF()
+      primary.put(pts(base.filter(col("event_id") % 2 === 0), 0L))
+      val w1 = primary.currentSeq()
+      val d1 = primary.exportDelta(Long.MinValue, w1, s"$dir/delta1")
+      replica.applyDelta(s"$dir/delta1") // cycle 1: receipt verifies clean
+      primary.put(pts(base.filter(col("event_id") % 2 === 1), SeqShift))
+      // destructive verb between sync cycles: erase the busiest series
+      // (bounded driver read: one row)
+      val victim = base.groupBy(col("event_type"), col("uid"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type"), col("uid"))
+        .head()
+      val (vType, vUid) = (victim.getString(0), victim.getString(1))
+      primary.erase(Seq(vType, vUid))
+      val w2 = primary.currentSeq()
+      primary.exportDelta(w1, w2, s"$dir/delta2")
+      val diverged =
+        try { replica.applyDelta(s"$dir/delta2"); 0L }
+        catch { case _: IllegalStateException => 1L }
+      require(diverged == 1L,
+        "kdb_resync_twin: post-erase divergence was NOT detected by applyDelta")
+      // mandated recovery: full re-sync into a fresh replica
+      val resyncRows = primary.exportSnapshot(w2, s"$dir/snap")
+      val replica2 = mkEngine("r2")
+      val (applied2, verified2, _) = replica2.applyDelta(s"$dir/snap")
+      require(applied2 == resyncRows, "resync applied != exported")
+      val replicaSeq = replica2.currentSeq()
+      replica2.sqlView("graft_resync_twin")
+      s.sql("""
+        SELECT tag0 AS event_type, tag1 AS user_id,
+               count(*) AS n_slots,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM graft_resync_twin
+        GROUP BY tag0, tag1""")
+        .withColumn("delta1_rows", lit(d1))
+        .withColumn("diverged", lit(diverged))
+        .withColumn("resync_rows", lit(resyncRows))
+        .withColumn("verified_rows", lit(verified2))
+        .withColumn("replica_seq", lit(replicaSeq))
+        .orderBy(col("event_type"), col("user_id"))
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               value, event_id
+        FROM events
+        WHERE epoch_ns(ts) >= ${T0} AND epoch_ns(ts) < ${T0 + 7 * Day}),
+      victim AS (
+        SELECT event_type, user_id
+        FROM w GROUP BY 1, 2
+        ORDER BY count(*) DESC, event_type, user_id
+        LIMIT 1),
+      surv AS (
+        SELECT * FROM w
+        WHERE NOT EXISTS (SELECT 1 FROM victim v
+          WHERE v.event_type = w.event_type AND v.user_id = w.user_id)),
+      world AS (
+        SELECT event_type, user_id, slot_ns,
+               arg_max(value, event_id % 2 * ${1L << 40} + event_id) AS value
+        FROM surv GROUP BY 1, 2, 3),
+      receipts AS (
+        SELECT
+          (SELECT count(*) FROM (
+             SELECT DISTINCT event_type, user_id, slot_ns
+             FROM w WHERE event_id % 2 = 0)) AS delta1_rows,
+          CAST(1 AS BIGINT) AS diverged,
+          (SELECT count(*) FROM world) AS resync_rows,
+          (SELECT count(*) FROM world) AS verified_rows,
+          (SELECT CAST(max(event_id % 2 * ${1L << 40} + event_id) AS BIGINT)
+           FROM surv) AS replica_seq)
+      SELECT event_type, user_id,
+             count(*) AS n_slots,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             delta1_rows, diverged, resync_rows, verified_rows, replica_seq
+      FROM world CROSS JOIN receipts
+      GROUP BY 1, 2, 5, 6, 7, 8, 9
+      ORDER BY event_type, user_id"""))
+
   /** Garman–Klass + Parkinson range-based volatility — the realized-
     * volatility estimators a finance desk computes FROM kdb_ohlc's
     * bars (range-based σ² uses intraday high/low information the
@@ -7053,7 +7177,7 @@ object KdbQueries extends QueryModule {
     locfFill, histogramQuantile, holtTrend, cusumAlarm, leadLagCorr, asofNearest,
     theilSen, burnRate, forecastBacktest, stlDecompose, watermarkSizing,
     timeTravelTwin, snapshotDiffTwin, rollbackTwin, anovaF, maintenanceTwin, backupTwin,
-    replicationTwin, haarEnergy, markovStationary, associationRules,
+    replicationTwin, resyncTwin, haarEnergy, markovStationary, associationRules,
     businessRollup, controlRules, garmanKlass,
     incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf,
     eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,

@@ -652,6 +652,44 @@ class EngineSpec extends SparkTestBase {
     intercept[IllegalArgumentException](e2.verifyReceipt(cdir))
   }
 
+  test("applyDelta verifies in one verb; duplicate-seq ties stay receipt-stable") {
+    val (e, clock) = mkEngine()
+    e.put(Seq(Point(11000L, tag4, pld(1)), Point(11010L, tag4, pld(2))))
+    // duplicate (series, slot, seq) with DIFFERENT payloads: explicit
+    // -seq ingest is allowed to do this, and the LWW winner must be
+    // deterministic (max over (seq, payload)) or primary and replica
+    // receipts disagree spuriously
+    locally {
+      import spark.implicits._
+      // both AT the current watermark: two rows, same (series, slot,
+      // seq), different payloads
+      val w = e.currentSeq()
+      e.put(Seq(Point(11020L, tag4, pld(3), seq = w)).toDS().toDF())
+      e.put(Seq(Point(11020L, tag4, pld(4), seq = w)).toDS().toDF())
+    }
+    val w1 = e.currentSeq()
+    val d1 = Files.createTempDirectory("graft-apply").toString + "/d1"
+    e.exportDelta(Long.MinValue, w1, d1)
+    val dir2 = Files.createTempDirectory("graft-apply-replica").toString
+    val e2 = new Engine(spark, EngineOptions("arep", dir2, 4, 4, 1000L, 10L), clock)
+    val (applied, rows, hash) = e2.applyDelta(d1)
+    assert(applied === 3L)
+    assert((rows, hash) === e.lwwChecksum(w1))
+    // and re-verifying a second time is stable (no nondeterministic
+    // winner re-pick across recomputes)
+    assert(e2.verifyReceipt(d1) === ((rows, hash)))
+
+    // post-erase divergence throws from the ONE verb — a sync loop
+    // using applyDelta cannot apply-and-forget
+    e.erase(tag4)
+    e.put(Seq(Point(11500L, tag4, pld(5))))
+    val w2 = e.currentSeq()
+    val d2 = Files.createTempDirectory("graft-apply").toString + "/d2"
+    e.exportDelta(w1, w2, d2)
+    val ex = intercept[IllegalStateException](e2.applyDelta(d2))
+    assert(ex.getMessage.contains("full re-sync"))
+  }
+
   test("auditTable: healthy table is all zeros; a misfiled row is counted") {
     val dir = Files.createTempDirectory("graft-audit").toString
     val clock = new TestClock(11999L)

@@ -6159,6 +6159,122 @@ object LlmQueries extends QueryModule {
       LIMIT 20"""
     })
 
+  /** ExactSubstr span SCRUB (Lee et al. 2022 §4.1, the step real
+    * pretraining pipelines run): excise from every document the token
+    * spans ≥ k = 8 tokens whose exact text occurs in ≥ 2 distinct
+    * docs, and re-emit the rewritten corpus with an md5 gate proving
+    * byte-exact reassembly — the composition of llm_suffix_array's
+    * INDEX with llm_boilerplate_scrub's REWRITE discipline. Proof of
+    * duplication comes from the suffix machinery, not window-text
+    * hashing: the same 3 Manber–Myers prefix-doubling rounds give
+    * every full k-token window a dense rank with rank-equality ⇔
+    * identical k tokens (exact — no hash-collision probability at
+    * 10¹² windows, where 64-bit window hashes WOULD collide), so a
+    * duplicated window is just a rank group spanning ≥ 2 docs — the
+    * sort-adjacency/LCP criterion expressed as its equivalence
+    * classes. A token is excised iff some duplicated window covers it
+    * (any cross-doc duplicated span of length ≥ k is exactly the
+    * union of its duplicated k-windows, so the cover rule removes
+    * precisely the ≥k-token duplicated spans). Scale shape: the
+    * detection side shuffles ONLY (doc, pos, int64-rank) triples —
+    * window text never materializes anywhere; coverage is one
+    * per-DOC ordered window (doc_id is data-sized cardinality — no
+    * funnel: covered(q) ⇔ last duplicated start ≤ q is ≥ q−k+1);
+    * token text crosses the wire once, into the doc_id-keyed rewrite
+    * aggregation (unavoidable — the output IS the rewritten corpus).
+    * Reassembly sorts collected (pos, token) structs; the md5 of the
+    * rejoined survivors is the hash gate. */
+  private val exactSubstrScrub = QueryDef(
+    "llm_exactsubstr_scrub",
+    (s, d) => {
+      import graft.operators.DistributedRank
+      import org.apache.spark.sql.expressions.Window
+      val K = 8
+      val tok = documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+      val vocabRank = DistributedRank.withGlobalRank(
+        tok.select(col("tok")).distinct(), "r", Seq(col("tok")))
+      var suf = tok.join(vocabRank, "tok")
+        .select(col("doc_id"), col("p"), col("r"))
+        .localCheckpoint(true)
+      var k = 1
+      while (k < K) {
+        val nxt = suf.select(col("doc_id"), (col("p") - k).as("p"), col("r").as("rn"))
+        val paired = suf.join(nxt, Seq("doc_id", "p"), "left_outer")
+          .select(col("doc_id"), col("p"), col("r"),
+            coalesce(col("rn"), lit(0L)).as("rn"))
+        val pairRank = DistributedRank.withGlobalRank(
+          paired.select(col("r"), col("rn")).distinct(), "r2",
+          Seq(col("r"), col("rn")))
+        suf = paired.join(pairRank, Seq("r", "rn"))
+          .select(col("doc_id"), col("p"), col("r2").as("r"))
+          .localCheckpoint(true)
+        k *= 2
+      }
+      // full k-token windows only (a shared short TAIL is < k tokens
+      // and must not trigger excision)
+      val nDoc = tok.groupBy(col("doc_id")).agg(max(col("p")).as("n"))
+      val wins = suf.join(nDoc, "doc_id").filter(col("p") <= col("n") - (K - 1))
+      val dupRanks = wins.groupBy(col("r"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2).select(col("r"))
+      val starts = wins.join(dupRanks, "r")
+        .select(col("doc_id"), col("p"), lit(1).as("isdup"))
+      val wd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val flagged = tok.join(starts, Seq("doc_id", "p"), "left_outer")
+        .withColumn("lastStart",
+          last(when(col("isdup") === 1, col("p")), ignoreNulls = true).over(wd))
+        .withColumn("covered",
+          col("lastStart").isNotNull && col("lastStart") >= col("p") - (K - 1))
+      flagged.groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(col("covered").cast("long")).as("n_removed"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(when(!col("covered"),
+                struct(col("p"), col("tok"))))),
+              x => x.getField("tok")),
+            " ")).as("clean_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      w AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS p
+        FROM t),
+      g AS (
+        SELECT doc_id, p,
+               md5(array_to_string(list_slice(toks, p, p + 7), ' ')) AS gh
+        FROM w),
+      dupg AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+      starts AS (SELECT doc_id, p FROM g WHERE gh IN (SELECT gh FROM dupg)),
+      tokpos AS (
+        SELECT doc_id, q, toks[q] AS tok
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks))) AS q
+              FROM t)),
+      cov AS (
+        SELECT tp.doc_id, tp.q, tp.tok,
+               count(s.p) > 0 AS covered
+        FROM tokpos tp LEFT JOIN starts s
+          ON s.doc_id = tp.doc_id AND s.p BETWEEN tp.q - 7 AND tp.q
+        GROUP BY 1, 2, 3),
+      reb AS (
+        SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY q)) AS clean_hash
+        FROM cov WHERE NOT covered GROUP BY 1)
+      SELECT c.doc_id,
+             count(*) AS n_tokens,
+             count(CASE WHEN covered THEN 1 END) AS n_removed,
+             coalesce(r.clean_hash, md5('')) AS clean_hash
+      FROM cov c LEFT JOIN reb r ON r.doc_id = c.doc_id
+      GROUP BY 1, 4
+      ORDER BY c.doc_id"""))
+
   /** Count-min sketch (Cormode–Muthukrishnan) — the mergeable
     * fixed-size frequency summary that completes the sketch family
     * (SpaceSaving heavy hitters / KMV distinct / Bloom membership /
@@ -6421,7 +6537,7 @@ object LlmQueries extends QueryModule {
       ORDER BY p.d1, p.d2"""))
 
   val defs: Seq[QueryDef] = Seq(
-    suffixArray, cmsSketch, hitsScores, rougePairs, videoSceneCut, topicCoherence,
+    suffixArray, exactSubstrScrub, cmsSketch, hitsScores, rougePairs, videoSceneCut, topicCoherence,
     filteredAnn, textrankKeywords, ngramGenerate, beamDecode, speculativeAccept,
     watermarkDetect,
     unigramSegment, nucleusSets,

@@ -96,6 +96,48 @@ private[graft] object MediaFixtures {
       "data".getBytes("US-ASCII") ++ le32(data.length.toLong)) ++ data
   }
 
+  /** Mono IMA ADPCM WAV (fmt 0x11, 8 kHz, one block) whose nibble
+    * stream, initial predictor, and initial step index are EXACT
+    * integer formulas of `g` — so an oracle can re-run the public
+    * IMA recurrence (diff = step/8 + bit-selected step/4 + step/2 +
+    * step, sign from bit 3, int16 clamp, index table walk) as pure
+    * arithmetic and state every decoded sample without seeing the
+    * bytes. Layout is spec-faithful: extended fmt chunk (cbSize = 2,
+    * wSamplesPerBlock), a `fact` chunk carrying the true frame count
+    * (header sample + one per nibble), and a 4-byte-aligned data
+    * block of `nibbleBytes` bytes, low nibble first.
+    *   predictor₀ = (g·997) mod 24001 − 12000
+    *   index₀     = g mod 89
+    *   nibble(i)  = (g·7 + i·5) mod 16
+    * `nibbleBytes` must be a multiple of 4 (the spec's per-channel
+    * group size). */
+  def wavImaAdpcm(g: Int, nibbleBytes: Int): Array[Byte] = {
+    require(nibbleBytes > 0 && nibbleBytes % 4 == 0, "nibble bytes must be 4-aligned")
+    val pred0 = (g * 997) % 24001 - 12000
+    val idx0 = g % 89
+    val nSamples = 1 + nibbleBytes * 2
+    val blockAlign = 4 + nibbleBytes
+    val data = new Array[Byte](blockAlign)
+    data(0) = (pred0 & 0xff).toByte
+    data(1) = ((pred0 >> 8) & 0xff).toByte
+    data(2) = idx0.toByte
+    data(3) = 0
+    var i = 0
+    while (i < nibbleBytes) {
+      val lo = (g * 7 + (2 * i) * 5) % 16
+      val hi = (g * 7 + (2 * i + 1) * 5) % 16
+      data(4 + i) = ((hi << 4) | lo).toByte
+      i += 1
+    }
+    ("RIFF".getBytes("US-ASCII") ++ le32(4L + 8 + 20 + 8 + 4 + 8 + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(20) ++ le16(0x11) ++ le16(1) ++
+      le32(8000L) ++ le32(4000L) /* nominal avg byte rate */ ++
+      le16(blockAlign) ++ le16(4) ++ le16(2) ++ le16(nSamples) ++
+      "fact".getBytes("US-ASCII") ++ le32(4) ++ le32(nSamples.toLong) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length.toLong)) ++ data
+  }
+
   /** PPM P6 of w×h with a deterministic byte pattern. */
   def ppm(w: Int, h: Int): Array[Byte] =
     s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++

@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * planes for every still-image format a real corpus contains. Video
   * and compressed audio decode as far as a bare JDK can go: MJPEG-AVI
   * frames extract at their REAL movi-chunk offsets and decode to true
-  * pixels ([[parseAvi]]/[[frameImage]]), and G.711 A-law/µ-law audio
-  * expands to true linear samples ([[audioStats]]). Only non-MJPEG
-  * video samples and non-G.711 compressed audio (MP4 H.26x, MP3
+  * pixels ([[parseAvi]]/[[frameImage]]), G.711 A-law/µ-law audio
+  * expands to true linear samples, and IMA/DVI ADPCM (WAV fmt 0x11)
+  * runs the real predictive decode — exact integer predictor/step-
+  * table math ([[imaAdpcmSamples]]/[[audioStats]]). Only non-MJPEG
+  * video samples and patent-era compressed audio (MP4 H.26x, MP3
   * granules — codecs the JDK does not ship) fall back to
   * [[decodeStub]], a deterministic content-hash stand-in behind their
   * real container-header parses.
@@ -170,8 +172,9 @@ object Multimodal {
   // are parseable from their public headers alone: BMP, WAV (RIFF
   // chunks), PPM, PNG/JPEG/GIF signatures, MP4 boxes, MP3 frame
   // headers, AVI movi chunks. probe() therefore returns TRUE metadata
-  // for all of them; only non-MJPEG video samples and non-G.711
-  // compressed audio payloads still hit the stub seam.
+  // for all of them; only non-MJPEG video samples and patent-era
+  // compressed audio (MP3 samples, H.26x — not G.711/IMA-ADPCM,
+  // which decode for real) still hit the stub seam.
 
   private def u16le(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
@@ -233,10 +236,21 @@ object Multimodal {
 
   /** WAV: RIFF/WAVE container via [[wavChunks]]. Mapped onto
     * MediaMeta dims: width = sample rate, height = channel count,
-    * n_frames = sample frames (data bytes / block align). */
+    * n_frames = sample frames. For PCM that is data bytes / block
+    * align; for compressed formats (where a "block" holds many sample
+    * frames) the spec-mandated `fact` chunk carries the true frame
+    * count and wins when present. */
   private[graft] def parseWav(b: Array[Byte]): Option[(Int, Int, Int)] =
-    wavChunks(b).flatMap { case (_, _, rate, channels, blockAlign, _, dataBytes) =>
-      val frames = if (blockAlign <= 0) -1L else dataBytes / blockAlign
+    wavChunks(b).flatMap { case (fmt, _, rate, channels, blockAlign, _, dataBytes) =>
+      val frames = wavFactSamples(b).getOrElse {
+        if (fmt == 0x11)
+          // ADPCM without a fact chunk: frames from the block math
+          wavImaAdpcm(b).map { case (_, ch, ba, _, db) =>
+            (db / ba).toLong * ((ba - 4 * ch) * 2 / ch + 1)
+          }.getOrElse(-1L)
+        else if (blockAlign <= 0) -1L
+        else dataBytes / blockAlign
+      }
       // declared u32 data size over a tiny block align can exceed Int —
       // reject to the stub instead of wrapping negative (or reporting
       // a 0-frame "valid" WAV, which would break decode()'s ≥1 contract)
@@ -827,6 +841,10 @@ object Multimodal {
             (rate, channels, n,
               if (fmt == 7) (j: Int) => ulawDecode(b(off + j))
               else (j: Int) => alawDecode(b(off + j)))
+          }).orElse(imaAdpcmSamples(b).map { case (rate, channels, arr) =>
+            // IMA ADPCM (fmt 0x11): real predictive decode — exact
+            // integer predictor/step-table math, no codec library
+            (rate, channels, arr.length / channels, (j: Int) => arr(j))
           })
         parsed match {
           case Some((rate, channels, nSamples, sample)) =>
@@ -879,6 +897,140 @@ object Multimodal {
     if (exp > 0) v = (v + 0x100) << (exp - 1)
     if (sign != 0) v else -v
   }
+
+  // ---- IMA/DVI ADPCM (WAV fmt 0x11) — the 4-bit predictive codec
+  // the JDK doesn't ship but whose decode is pure integer arithmetic
+  // (predictor + 89-entry step table), so a bare JVM can run it for
+  // real. Tables and update rule are the public IMA/DVI spec.
+
+  private val imaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  private val imaIndexTable: Array[Int] = Array(
+    -1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** The step table as a SQL list literal, spliced into oracles so
+    * both engines read the SAME constants (the SharedExprs doctrine —
+    * a drifted copy would silently split the decode between engines). */
+  private[graft] def imaStepTableSql: String =
+    imaStepTable.mkString("[", ", ", "]")
+
+  /** One IMA nibble step: (predictor, index) → (sample, index'). The
+    * canonical integer expansion — diff = step/8 (+step/4 if bit0)
+    * (+step/2 if bit1) (+step if bit2), sign from bit3, clamp to
+    * int16, index walks the step table clamped to [0, 88]. */
+  private[graft] def imaStep(pred: Int, index: Int, nib: Int): (Int, Int) = {
+    val step = imaStepTable(index)
+    var diff = step >> 3
+    if ((nib & 1) != 0) diff += step >> 2
+    if ((nib & 2) != 0) diff += step >> 1
+    if ((nib & 4) != 0) diff += step
+    val p0 = if ((nib & 8) != 0) pred - diff else pred + diff
+    val p = math.max(-32768, math.min(32767, p0))
+    val i = math.max(0, math.min(88, index + imaIndexTable(nib)))
+    (p, i)
+  }
+
+  /** Optional `fact` chunk: total SAMPLE FRAMES of a compressed WAV —
+    * the spec-mandated way players learn the decoded length (block
+    * math alone can't see a short final block). */
+  private[graft] def wavFactSamples(b: Array[Byte]): Option[Long] = {
+    def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var o = 12L
+    while (o + 8 <= b.length) {
+      val size = u32le(b, o.toInt + 4)
+      if (tag(o.toInt) == "fact" && size >= 4 && o + 12 <= b.length)
+        return Some(u32le(b, o.toInt + 8))
+      o += 8L + size + (size & 1L)
+    }
+    None
+  }
+
+  /** WAV with IMA ADPCM samples (fmt 0x11, 4 bits/sample): (rate,
+    * channels, blockAlign, dataOffset, dataBytes). Block layout is
+    * validated (a block must at least hold its per-channel 4-byte
+    * headers, and channel data interleaves in 4-byte groups). */
+  private[graft] def wavImaAdpcm(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] =
+    wavChunks(b).flatMap { case (fmt, bits, rate, channels, blockAlign, dataOff, dataBytes) =>
+      if (fmt != 0x11 || bits != 4 || blockAlign <= 4 * channels ||
+        (blockAlign - 4 * channels) % (4 * channels) != 0) None
+      else {
+        val avail = math.min(dataBytes, b.length - dataOff)
+        if (avail < 4 * channels || dataOff > Int.MaxValue) None
+        else Some((rate, channels, blockAlign, dataOff.toInt, avail.toInt))
+      }
+    }
+
+  /** Full IMA ADPCM decode to interleaved linear samples: per block
+    * and channel, a 4-byte header seeds (predictor = the block's
+    * first output sample, step index), then channel nibbles arrive in
+    * 4-byte groups (8 samples) interleaved across channels, low
+    * nibble first — the spec layout. A `fact` chunk, when present,
+    * caps the total frames (short final block); otherwise every
+    * complete 4-byte group decodes. Returns (rate, channels,
+    * interleaved samples frame-major) — the [[audioStats]] reader
+    * contract. */
+  private[graft] def imaAdpcmSamples(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    wavImaAdpcm(b).map { case (rate, channels, blockAlign, dataOff, dataBytes) =>
+      val framesPerBlock = (blockAlign - 4 * channels) * 2 / channels + 1
+      val nBlocks = dataBytes / blockAlign
+      val factCap = wavFactSamples(b).filter(f => f >= 0 && f <= Int.MaxValue)
+        .map(_.toInt).getOrElse(Int.MaxValue)
+      val total = math.min(factCap.toLong, nBlocks.toLong * framesPerBlock).toInt
+      val out = new Array[Int](total * channels)
+      var blk = 0
+      while (blk < nBlocks) {
+        val base = dataOff + blk * blockAlign
+        val pred = new Array[Int](channels)
+        val idx = new Array[Int](channels)
+        var ch = 0
+        while (ch < channels) {
+          val h = base + ch * 4
+          pred(ch) = ((b(h) & 0xff) | (b(h + 1) << 8)).toShort.toInt
+          idx(ch) = math.max(0, math.min(88, b(h + 2) & 0xff))
+          // frame 0 of the block IS the header predictor
+          val f0 = blk * framesPerBlock
+          if (f0 < total) out(f0 * channels + ch) = pred(ch)
+          ch += 1
+        }
+        // nibble data: 4-byte groups per channel, round-robin
+        val dataStart = base + 4 * channels
+        val groups = (blockAlign - 4 * channels) / (4 * channels)
+        var g = 0
+        while (g < groups) {
+          ch = 0
+          while (ch < channels) {
+            val go = dataStart + (g * channels + ch) * 4
+            var byte = 0
+            while (byte < 4) {
+              val v = b(go + byte) & 0xff
+              var half = 0
+              while (half < 2) {
+                val nib = if (half == 0) v & 0x0f else v >> 4
+                val (p, i2) = imaStep(pred(ch), idx(ch), nib)
+                pred(ch) = p; idx(ch) = i2
+                val f = blk * framesPerBlock + 1 + g * 8 + byte * 2 + half
+                if (f < (blk + 1) * framesPerBlock && f < total)
+                  out(f * channels + ch) = p
+                half += 1
+              }
+              byte += 1
+            }
+            ch += 1
+          }
+          g += 1
+        }
+        blk += 1
+      }
+      (rate, channels, out)
+    }
 
   /** WAV with G.711 companded samples (fmt 6 = A-law, 7 = µ-law,
     * 8 bits/sample): (rate, channels, nSamples, dataOffset, fmt).

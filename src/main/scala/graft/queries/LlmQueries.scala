@@ -3941,7 +3941,10 @@ object LlmQueries extends QueryModule {
             ("gif", Multimodal.decode(MediaFixtures.gif(bw, bh, g % 3 + 1))),
             ("ppm", Multimodal.decode(MediaFixtures.ppm(pw, bh))),
             ("wav", Multimodal.decode(MediaFixtures.wavPcm(g % 50 + 1))),
-            ("avi", Multimodal.decode(MediaFixtures.aviMjpeg(2, 2, g % 4 + 2)))
+            ("avi", Multimodal.decode(MediaFixtures.aviMjpeg(2, 2, g % 4 + 2))),
+            // IMA ADPCM: frame count rides the spec's fact chunk
+            // (1 header sample + 2 per nibble byte)
+            ("adpcm", Multimodal.decode(MediaFixtures.wavImaAdpcm(g, (g % 5 + 2) * 4)))
           ).map { case (fmt, (w, h, nf, _)) => (id, fmt, w, h, nf) }
         }
       }.toDF("doc_id", "fmt", "width", "height", "n_frames")
@@ -3960,8 +3963,93 @@ object LlmQueries extends QueryModule {
         UNION ALL SELECT doc_id, 'gif', g % 7 + 1, g % 5 + 1, g % 3 + 1 FROM ids
         UNION ALL SELECT doc_id, 'ppm', g % 9 + 1, g % 5 + 1, 1 FROM ids
         UNION ALL SELECT doc_id, 'wav', 8000, 1, g % 50 + 1 FROM ids
-        UNION ALL SELECT doc_id, 'avi', 2, 2, g % 4 + 2 FROM ids)
+        UNION ALL SELECT doc_id, 'avi', 2, 2, g % 4 + 2 FROM ids
+        UNION ALL SELECT doc_id, 'adpcm', 8000, 1, (g % 5 + 2) * 8 + 1 FROM ids)
       ORDER BY doc_id, fmt"""))
+
+  /** IMA ADPCM decode gate at SAMPLE level — the codec-twin
+    * discipline pushed from metadata into the predictive decode
+    * itself: spec-faithful one-block mono ADPCM WAVs whose nibble
+    * stream / initial predictor / initial step index are exact
+    * integer formulas of doc_id, decoded through the production
+    * [[graft.multimodal.Multimodal.audioStats]] path (the REAL
+    * predictor + 89-entry step-table recurrence), while the oracle
+    * re-runs the public IMA recurrence in a recursive CTE with the
+    * tables as list literals — every decoded sample is pure integer
+    * arithmetic, so peak, zero-crossings, and the sample count are
+    * exact matches and RMS is bit-identical (integer Σs², one exact
+    * division, correctly-rounded sqrt in both engines, 4dp round).
+    * Any drift in the step tables, the clamp, the nibble order, or
+    * the block header flips the gate. Scale shape: fixture build +
+    * decode is partition-local flatMap work; the output is one row
+    * per doc. */
+  private val adpcmAudioTwin = QueryDef(
+    "llm_adpcm_audio_twin",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.{MediaFixtures, Multimodal}
+      import graft.multimodal.Multimodal.MediaRow
+      val media = documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 40).as[Long]
+        .map(id => MediaRow(id, "audio",
+          MediaFixtures.wavImaAdpcm((id % 32).toInt, ((id % 32 % 5) + 2).toInt * 4)))
+      Multimodal.audioStats(media).toDF()
+        .select(col("media_id").as("doc_id"), col("sample_rate"),
+          col("n_samples"), (round(col("rms"), 4) + lit(0.0)).as("rms"),
+          col("peak"), col("zero_crossings"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val steps = graft.multimodal.Multimodal.imaStepTableSql
+      val idxTab = "[-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]"
+      s"""
+      WITH RECURSIVE par AS (
+        SELECT doc_id, doc_id % 32 AS g,
+               ((doc_id % 32) % 5 + 2) * 8 AS nnib,
+               (doc_id % 32) * 997 % 24001 - 12000 AS p0,
+               doc_id % 32 % 89 AS idx0
+        FROM documents WHERE doc_id < 40),
+      rec AS (
+        SELECT doc_id, g, nnib, CAST(0 AS BIGINT) AS i,
+               CAST(p0 AS BIGINT) AS pred, CAST(idx0 AS BIGINT) AS idx
+        FROM par
+        UNION ALL
+        SELECT doc_id, g, nnib, i + 1,
+               CAST(greatest(-32768, least(32767,
+                 CASE WHEN nib >= 8 THEN pred - diff ELSE pred + diff END))
+                 AS BIGINT),
+               CAST(greatest(0, least(88, idx + ($idxTab)[CAST(nib AS INTEGER) + 1]))
+                 AS BIGINT)
+        FROM (
+          SELECT doc_id, g, nnib, i, pred, idx, nib,
+                 st // 8
+                 + CASE WHEN nib % 2 = 1 THEN st // 4 ELSE 0 END
+                 + CASE WHEN (nib // 2) % 2 = 1 THEN st // 2 ELSE 0 END
+                 + CASE WHEN (nib // 4) % 2 = 1 THEN st ELSE 0 END AS diff
+          FROM (
+            SELECT r.*, (g * 7 + i * 5) % 16 AS nib,
+                   ($steps)[CAST(idx AS INTEGER) + 1] AS st
+            FROM rec r WHERE i < nnib) q) q2),
+      stats AS (
+        SELECT doc_id, count(*) AS n, max(abs(pred)) AS peak,
+               CAST(sum(pred * pred) AS BIGINT) AS ss
+        FROM rec GROUP BY 1),
+      zc AS (
+        SELECT doc_id,
+               count(CASE WHEN neg <> lag_neg THEN 1 END) AS zc
+        FROM (
+          SELECT doc_id, (pred < 0) AS neg,
+                 lag(pred < 0) OVER (PARTITION BY doc_id ORDER BY i) AS lag_neg
+          FROM rec) t
+        WHERE lag_neg IS NOT NULL
+        GROUP BY 1)
+      SELECT s.doc_id, 8000 AS sample_rate, CAST(n AS INT) AS n_samples,
+             round(sqrt(CAST(ss AS DOUBLE) / n), 4) + 0.0 AS rms,
+             CAST(peak AS INT) AS peak,
+             CAST(coalesce(zc.zc, 0) AS BIGINT) AS zero_crossings
+      FROM stats s LEFT JOIN zc ON zc.doc_id = s.doc_id
+      ORDER BY s.doc_id"""
+    })
 
   /** Video scene-cut detection over REALLY-DECODED frames — the
     * temporal member of the multimodal tier (codec metadata → pixels
@@ -6554,7 +6642,7 @@ object LlmQueries extends QueryModule {
     tokenEntropy, dsirSample, perplexityBuckets, winnowingFp, containment,
     int8Quantize, datasetCard, tokenizerFertility, codeDetect,
     softDedupWeights, spanCorruption, bloomScreen, sourceOverlap,
-    bm25Search, randomProjection, kanonAudit, dpRelease, preferencePairs, multimodalCodecTwin, dedupEval, pagerank,
+    bm25Search, randomProjection, kanonAudit, dpRelease, preferencePairs, multimodalCodecTwin, adpcmAudioTwin, dedupEval, pagerank,
     multimodalFeatures, similarityPq, hybridSearch, qualityClassifier,
     retrievalEval, ngramNovelty, prefixDedup, zipfFit, dedupTriangles,
     agreementKappa, boilerplateScrub, imageDhashDedup, rerankStage, psiDrift,

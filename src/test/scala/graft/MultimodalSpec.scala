@@ -547,6 +547,78 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(alStats.rms - math.sqrt((8.0 * 8 + 8 * 8 + 32256.0 * 32256) / 3)) < 1e-9)
   }
 
+  test("IMA ADPCM decodes for real: recurrence, fixture round-trip, stereo interleave") {
+    import spark.implicits._
+    // the recurrence at known points, stepped by hand from the public
+    // IMA spec: pred=0, index=0 (step 7), nibble 4 -> diff = 7/8 + 7
+    // = 7, sign bit set -> -7; index += 2
+    assert(Multimodal.imaStep(0, 0, 0x4 | 0x8) === ((-7, 2)))
+    // nibble 7 (all magnitude bits): diff = 7/8 + 7/4 + 7/2 + 7 = 11;
+    // index += indexTable(7) = 8
+    assert(Multimodal.imaStep(0, 0, 0x7) === ((11, 8)))
+    // clamp both ways, index floor at 0
+    assert(Multimodal.imaStep(32760, 88, 0x7)._1 === 32767)
+    assert(Multimodal.imaStep(-32760, 88, 0xf)._1 === -32768)
+    assert(Multimodal.imaStep(0, 0, 0x0) === ((0, 0))) // index -1 clamps to 0
+
+    // fixture round trip: metadata rides the fact chunk, samples ride
+    // the real block decode; recompute the recurrence independently
+    val g = 13
+    val nb = 8
+    val wavB = graft.multimodal.MediaFixtures.wavImaAdpcm(g, nb)
+    assert(Multimodal.parseWav(wavB) === Some((8000, 1, nb * 2 + 1)))
+    val Some((rate, ch, got)) = Multimodal.imaAdpcmSamples(wavB)
+    assert(rate === 8000 && ch === 1 && got.length === nb * 2 + 1)
+    var pred = (g * 997) % 24001 - 12000
+    var idx = g % 89
+    val want = Array.newBuilder[Int]
+    want += pred
+    for (i <- 0 until nb * 2) {
+      val (p, ix) = Multimodal.imaStep(pred, idx, (g * 7 + i * 5) % 16)
+      pred = p; idx = ix; want += p
+    }
+    assert(got.toSeq === want.result().toSeq)
+
+    // audioStats rides the same decode (peak = max |sample|)
+    val st = Multimodal.audioStats(
+      Seq(Multimodal.MediaRow(5L, "audio", wavB)).toDS()).collect()(0)
+    assert(st.n_samples === nb * 2 + 1)
+    assert(st.peak === got.map(math.abs).max)
+
+    // stereo: hand-assemble a 2-channel single-group block and check
+    // the 4-byte-per-channel round-robin interleave — ch0's first
+    // data byte decodes frames 1-2 of channel 0, ch1's decodes
+    // frames 1-2 of channel 1
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val blockAlign = 2 * 4 + 2 * 4 // 2 headers + one 4-byte group each
+    val block = new Array[Byte](blockAlign)
+    // ch0: pred 100, idx 0; ch1: pred -200, idx 10
+    block(0) = 100; block(1) = 0; block(2) = 0
+    block(4) = (-200 & 0xff).toByte; block(5) = ((-200 >> 8) & 0xff).toByte
+    block(6) = 10
+    block(8) = 0x21 // ch0 nibbles 1, 2
+    block(12) = 0x43 // ch1 nibbles 3, 4
+    val stereo = ("RIFF".getBytes("US-ASCII") ++ le32(4L + 28 + 12 + 8 + blockAlign) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(20) ++ le16(0x11) ++ le16(2) ++
+      le32(8000L) ++ le32(8000L) ++ le16(blockAlign) ++ le16(4) ++
+      le16(2) ++ le16(9) ++
+      "fact".getBytes("US-ASCII") ++ le32(4) ++ le32(9L) ++
+      "data".getBytes("US-ASCII") ++ le32(blockAlign.toLong)) ++ block
+    val Some((_, ch2, inter)) = Multimodal.imaAdpcmSamples(stereo)
+    assert(ch2 === 2)
+    assert(inter.length === 18) // 9 frames x 2 channels
+    assert(inter(0) === 100 && inter(1) === -200) // header frame
+    val (c0f1, i01) = Multimodal.imaStep(100, 0, 1)
+    val (c0f2, _) = Multimodal.imaStep(c0f1, i01, 2)
+    val (c1f1, i11) = Multimodal.imaStep(-200, 10, 3)
+    val (c1f2, _) = Multimodal.imaStep(c1f1, i11, 4)
+    assert(inter(2) === c0f1 && inter(4) === c0f2)
+    assert(inter(3) === c1f1 && inter(5) === c1f2)
+  }
+
   test("probe counts REAL animated-GIF frames via the frame walk") {
     // two-frame animated GIF via the JDK's own sequence writer
     val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")

@@ -5363,6 +5363,139 @@ object LlmQueries extends QueryModule {
       ORDER BY lang"""
     })
 
+  /** WordPiece trainer (Schuster & Nakajima 2012 — the BERT tokenizer
+    * learner), completing the tokenizer-training triangle beside BPE
+    * (llm_bpe_train: merge by raw pair count) and unigram
+    * (llm_unigram_segment: Viterbi under a fixed vocab): WordPiece
+    * merges the adjacent pair with the highest LIKELIHOOD GAIN
+    * score(l, r) = c(l,r) / (c(l)·c(r)) — the pair whose fusion most
+    * increases corpus likelihood under a unigram LM, which prefers
+    * cohesive rare pieces over merely frequent ones. Word-initial vs
+    * continuation symbols carry the ## convention, so a merge is
+    * l ++ strip##(r) (the right element of an adjacent pair is never
+    * word-initial). Determinism: the score is ONE double division of
+    * exact integer operands (c(l)·c(r) ≤ 10¹² — exact in double), so
+    * both engines compute the identical bit pattern and the argmax
+    * (score desc, then l, r) cannot split; the reported score is
+    * floor(score·10⁹) — no round-half ambiguity. Scale shape: the
+    * same aggregate-sized-iteration discipline as bpeLearn — training
+    * runs on the word-frequency table, NEVER the corpus; each step is
+    * one pair rollup + one symbol rollup sharing a checkpointed
+    * symbol table, and exactly one argmax row reaches the driver per
+    * merge. The oracle replays all 8 decisions in a materialized CTE
+    * chain (inlined, the 3-consumer chain would expand 3⁸ base
+    * scans — the llm_kcore lesson). */
+  private val wordpieceTrainMerges = 8
+  private val wordpieceTrain = QueryDef(
+    "llm_wordpiece_train",
+    (s, d) => {
+      import s.implicits._
+      val vocab = documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      var words = vocab
+        .select(col("cnt"),
+          when(length(col("w")) === 1, concat(lit(" "), col("w"), lit(" ")))
+            .otherwise(concat(lit(" "), substring(col("w"), 1, 1), lit(" "),
+              array_join(transform(split(expr("substring(w, 2)"), ""),
+                c => concat(lit("##"), c)), " "), lit(" "))).as("s"))
+        .coalesce(8)
+        .localCheckpoint()
+      val out = Seq.newBuilder[(Int, String, String, String, Long, Long)]
+      for (step <- 1 to wordpieceTrainMerges) {
+        val syms = words
+          .select(col("cnt"), split(trim(col("s")), " ").as("syms"))
+          .localCheckpoint() // pair rollup + symbol marginals share it
+        val pairs = syms
+          .filter(size(col("syms")) >= 2)
+          .select(col("cnt"),
+            explode(sequence(lit(1), size(col("syms")) - 1)).as("g"),
+            col("syms"))
+          .select(element_at(col("syms"), col("g")).as("l"),
+            element_at(col("syms"), col("g") + 1).as("r"), col("cnt"))
+          .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("pair_count"))
+        val symCounts = syms
+          .select(col("cnt"), explode(col("syms")).as("sym"))
+          .groupBy(col("sym")).agg(sum(col("cnt")).as("c"))
+        val bestRows = pairs
+          .join(symCounts.select(col("sym").as("l"), col("c").as("cl")), "l")
+          .join(symCounts.select(col("sym").as("r"), col("c").as("cr")), "r")
+          .withColumn("score",
+            col("pair_count").cast("double") /
+              (col("cl").cast("double") * col("cr")))
+          .orderBy(col("score").desc, col("l"), col("r"))
+          .limit(1).collect() // bounded: exactly one merge decision
+        require(bestRows.nonEmpty,
+          s"llm_wordpiece_train: corpus exhausted after ${step - 1} merges")
+        val b = bestRows(0)
+        val l = b.getAs[String]("l"); val r = b.getAs[String]("r")
+        val pc = b.getAs[Long]("pair_count")
+        val scoreNano = math.floor(b.getAs[Double]("score") * 1e9).toLong
+        val merged = l + r.stripPrefix("##")
+        out += ((step, l, r, merged, pc, scoreNano))
+        val pat = lit(s" $l $r "); val rep = lit(s" $merged ")
+        words = words
+          .withColumn("s", replace(replace(col("s"), pat, rep), pat, rep))
+          .localCheckpoint()
+      }
+      out.result()
+        .toDF("step", "lhs", "rhs", "merged", "pair_count", "score_nano")
+        .orderBy(col("step"))
+    },
+    Some {
+      val n = wordpieceTrainMerges
+      val steps = (1 to n).map { k =>
+        s"""sy$k AS MATERIALIZED (
+        SELECT cnt, string_split(trim(s), ' ') AS syms FROM w${k - 1}),
+      p$k AS MATERIALIZED (
+        SELECT syms[g] AS l, syms[g + 1] AS r,
+               CAST(sum(cnt) AS BIGINT) AS pair_count
+        FROM (SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS g
+              FROM sy$k WHERE len(syms) >= 2)
+        GROUP BY 1, 2),
+      sc$k AS MATERIALIZED (
+        SELECT sym, CAST(sum(cnt) AS BIGINT) AS c
+        FROM (SELECT cnt, unnest(syms) AS sym FROM sy$k)
+        GROUP BY 1),
+      b$k AS MATERIALIZED (
+        SELECT l, r, pair_count,
+               CAST(pair_count AS DOUBLE) / (CAST(sl.c AS DOUBLE) * sr.c)
+                 AS score,
+               l || substr(r, 3) AS merged
+        FROM p$k JOIN sc$k sl ON sl.sym = p$k.l
+                 JOIN sc$k sr ON sr.sym = p$k.r
+        ORDER BY score DESC, l, r LIMIT 1),
+      w$k AS MATERIALIZED (
+        SELECT cnt,
+               replace(replace(s, ' ' || l || ' ' || r || ' ',
+                               ' ' || merged || ' '),
+                       ' ' || l || ' ' || r || ' ', ' ' || merged || ' ') AS s
+        FROM w${k - 1} CROSS JOIN b$k)"""
+      }.mkString(",\n      ")
+      val rows = (1 to n).map(k =>
+        s"""SELECT $k AS step, l AS lhs, r AS rhs, merged, pair_count,
+               CAST(floor(score * 1000000000) AS BIGINT) AS score_nano
+        FROM b$k""").mkString("\n        UNION ALL ")
+      s"""
+      WITH vocab AS MATERIALIZED (
+        SELECT w, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) > 0
+        GROUP BY 1),
+      w0 AS MATERIALIZED (
+        SELECT cnt,
+               CASE WHEN length(w) = 1 THEN ' ' || w || ' '
+                    ELSE ' ' || substr(w, 1, 1) || ' ' ||
+                         array_to_string(list_transform(
+                           string_split(substr(w, 2), ''), c -> '##' || c),
+                           ' ') || ' ' END AS s
+        FROM vocab),
+      $steps
+      SELECT * FROM ($rows)
+      ORDER BY step"""
+    })
+
   /** Skip-gram co-occurrence with PMI over a ±2 token window — the
     * word2vec/GloVe co-occurrence pass, generalizing
     * llm_pmi_collocations' adjacent bigrams to the window the
@@ -6629,7 +6762,7 @@ object LlmQueries extends QueryModule {
     filteredAnn, textrankKeywords, ngramGenerate, beamDecode, speculativeAccept,
     watermarkDetect,
     unigramSegment, nucleusSets,
-    weightedSample, bpeMergeStep, bpeTrain, bpeEncodeStats, skipgramCooc, instructionDetect,
+    weightedSample, bpeMergeStep, bpeTrain, bpeEncodeStats, wordpieceTrain, skipgramCooc, instructionDetect,
     clusterQuality, pmiCollocations, kcore,
     matryoshkaEval, curriculumOrder,
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,

@@ -40,7 +40,7 @@ private[graft] object SharedExprs {
       "// len(string_split(text, ' ')) * 1000 + least(n_chars, 999)"
 
   /** Deterministic 128-bit → double conversion, bit-identical across
-    * engines at ANY magnitude. A plain cast diverges past 2⁶⁴: DuckDB
+    * engines up to |x| < 2⁹⁵. A plain cast diverges past 2⁶⁴: DuckDB
     * converts HUGEINT as `(double)upper·2⁶⁴ + (double)lower` (two
     * roundings) while Spark's Decimal→double is a single correctly-
     * rounded conversion — a 1-ulp split exactly in the regime the
@@ -49,8 +49,19 @@ private[graft] object SharedExprs {
     * < 2⁵³ ⇒ each converts exactly) and reconstruct with the SAME two
     * IEEE ops (one multiply-round, one add-round) on both sides. Not
     * correctly rounded past 2⁸⁵ — deterministic, which is what the
-    * cross-engine gate needs. `%` follows the dividend's sign in both
-    * engines, so the split is exact for negative cross-moments too. */
+    * cross-engine gate needs.
+    *
+    * DETERMINISM CEILING — |x| < 2⁹⁵ (~4·10²⁸), NOT any magnitude:
+    * the high half h = x div 2³² must itself convert identically in
+    * both engines, which holds while |h| < 2⁶³ (DuckDB then converts
+    * a plain BIGINT — one rounding, same as Spark). Past 2⁹⁵, h is
+    * again a HUGEINT and DuckDB's own two-rounding hugeint→double
+    * cast of h can re-diverge from Spark's correctly-rounded decimal
+    * cast. Every consumer's documented headroom (≤ ~10²⁸ at 100×) is
+    * safely inside the ceiling; a value beyond it needs a second
+    * split level, not this helper. `%` follows the dividend's sign in
+    * both engines, so the split is exact for negative cross-moments
+    * too. */
   def hugeToDouble(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.lit
     val m = c % lit(4294967296L)

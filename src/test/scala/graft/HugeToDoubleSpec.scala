@@ -38,4 +38,24 @@ class HugeToDoubleSpec extends SparkTestBase {
         java.lang.Double.doubleToLongBits(w), s"value $v")
     }
   }
+
+  test("determinism ceiling: the high half stays a one-rounding BIGINT below 2^95") {
+    // the helper's cross-engine guarantee needs |x div 2^32| < 2^63
+    // (DuckDB converts a BIGINT high half with ONE rounding, like
+    // Spark); verify the documented consumer headroom (~1e28) and the
+    // stated ceiling boundary both satisfy it, and that the model
+    // still matches Spark right up to the ceiling
+    val ceiling = BigInt(1) << 95
+    val headroom = BigInt(10).pow(28)
+    assert(headroom < ceiling)
+    for (v <- Seq(ceiling - 1, -(ceiling - 1), headroom, -headroom)) {
+      assert(((v - v % BigInt(4294967296L)) / BigInt(4294967296L)).abs
+        < (BigInt(1) << 63), s"high half of $v must fit a BIGINT")
+      val df = spark.sql(s"SELECT CAST('$v' AS DECIMAL(38,0)) AS v")
+      val got = df.select(SharedExprs.hugeToDouble(col("v")).as("d"))
+        .collect()(0).getDouble(0)
+      assert(java.lang.Double.doubleToLongBits(got) ===
+        java.lang.Double.doubleToLongBits(model(v)), s"value $v")
+    }
+  }
 }

@@ -31,7 +31,10 @@ import org.apache.spark.sql.types._
   *
   * Last-writer-wins at (series, slot) — positional overwrite in the
   * reference (dblock/dblock.go:198-205) — is carried explicitly via
-  * the `seq` ingest sequence and resolved with max_by on read.
+  * the `seq` ingest sequence and resolved with the ONE shared
+  * deterministic winner rule ([[Engine.lwwAgg]]: max over
+  * (seq, payload)) on every path — read, view, compaction, export,
+  * checksum.
   */
 final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = SystemClock) {
   import EngineErrors._
@@ -80,8 +83,9 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
           .when(exists(col("tags"), t => t === "" || t.isNull), InvalidIndexValues)
           .when(col("payload").isNull || octet_length(col("payload")) =!= opts.payloadSize,
             InvalidPayload)
-          // a NULL seq would be accepted, then skipped by max_by on
-          // read — an acknowledged write reading back as zeros
+          // a NULL seq would be accepted with an undefined LWW
+          // position (null orders first in the winner struct, so the
+          // acknowledged write loses to every real seq)
           .when(col("seq").isNull, InvalidSeq)
           .when(col("bucket_ts") <= minHotExclusive, WriteOnReadOnly)
           .otherwise(Ok))
@@ -361,12 +365,25 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     bad.result()
   }
 
-  /** Last-writer-wins resolution per (series, slot): max_by(payload,
-    * seq). Partial-agg friendly — max_by combines map-side, so the one
-    * shuffle moves a single row per (series, slot), not every write. */
+  /** THE last-writer-wins resolution, shared by every consumer (read
+    * path, SQL view, compaction, export, checksums) so they cannot
+    * de-synchronize: winner = max over (seq, payload). Partial-agg
+    * friendly — the struct max combines map-side, so the one shuffle
+    * moves a single row per key, not every write. The payload
+    * tie-break matters: explicit-seq ingest can create duplicate
+    * (series, slot, seq) rows with DIFFERENT payloads, and a
+    * nondeterministic winner (max_by) would let compaction physically
+    * keep a different row than the one a receipt checksummed or a
+    * replica imported — a spurious 'diverged' alarm. */
+  private[core] def lwwAgg(df: DataFrame, keys: Seq[Column]): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(max(struct(col("seq"), col("payload"))).as("__w"))
+      .select(keys :+ col("__w.payload").as("payload") :+
+        col("__w.seq").as("seq"): _*)
+
+  /** Read-path LWW per (series, slot) — [[lwwAgg]] minus the seq. */
   private def resolved(scan: DataFrame): DataFrame =
-    scan.groupBy((tagCols.map(col) :+ col("slot_ns")): _*)
-      .agg(max_by(col("payload"), col("seq")).as("payload"))
+    lwwAgg(scan, tagCols.map(col) :+ col("slot_ns")).drop("seq")
 
   private def gridDf(start: Long, end: Long): DataFrame = {
     val n = (end - start) / opts.resolution
@@ -557,9 +574,8 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * bucket, so footer min/max skip whole buckets. */
   def sqlView(name: String): Unit = {
     ensureManifest(adopt = false)
-    val base = table()
-      .groupBy((col("bucket_ts") +: tagCols.map(col)) :+ col("slot_ns"): _*)
-      .agg(max_by(col("payload"), col("seq")).as("payload"))
+    val base = lwwAgg(table(),
+      (col("bucket_ts") +: tagCols.map(col)) :+ col("slot_ns")).drop("seq")
     val typed =
       if (opts.payloadSize == 8)
         base.withColumn("value", call_function("double_from_payload", col("payload")))
@@ -668,9 +684,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     // one series reads ~one row group instead of scanning the bucket.
     // sortWithinPartitions (not orderBy): clustering needs no global
     // sort, and the agg's hash partitioning is left untouched.
-    val compacted = scan
-      .groupBy((tagCols.map(col) :+ col("slot_ns")): _*)
-      .agg(max_by(col("payload"), col("seq")).as("payload"), max(col("seq")).as("seq"))
+    val compacted = lwwAgg(scan, tagCols.map(col) :+ col("slot_ns"))
       .select(col("slot_ns") +: tagCols.map(col) :+ col("payload") :+ col("seq"): _*)
       .sortWithinPartitions((tagCols.map(col) :+ col("slot_ns")): _*)
       .withColumn("bucket_ts", lit(baseTs))
@@ -1035,19 +1049,9 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     require(fromSeqExclusive <= toSeqInclusive,
       s"exportDelta: inverted seq range ($fromSeqExclusive, $toSeqInclusive]")
     ensureManifest(adopt = false)
-    // deterministic LWW tie-break: max over (seq, payload) — explicit
-    // -seq ingest can create duplicate (series, slot, seq) rows with
-    // DIFFERENT payloads, and max_by(payload, seq) would then pick a
-    // nondeterministic winner, making primary and replica receipts
-    // disagree spuriously (a loud but false 'diverged' alarm). The
-    // struct max orders by seq first, then payload bytes — the same
-    // rule lwwChecksum/incrementalChecksum apply.
-    val resolvedRows = table()
-      .filter(col("seq") > fromSeqExclusive && col("seq") <= toSeqInclusive)
-      .groupBy((tagCols.map(col) :+ col("slot_ns")): _*)
-      .agg(max(struct(col("seq"), col("payload"))).as("w"))
-      .select((tagCols.map(col) :+ col("slot_ns") :+
-        col("w.payload").as("payload") :+ col("w.seq").as("seq")): _*)
+    val resolvedRows = lwwAgg(
+      table().filter(col("seq") > fromSeqExclusive && col("seq") <= toSeqInclusive),
+      tagCols.map(col) :+ col("slot_ns"))
       .withColumn("bucket_ts", floorBucket(col("slot_ns")))
     resolvedRows.repartition(col("bucket_ts"))
       .sortWithinPartitions((col("bucket_ts") +: tagCols.map(col)) :+ col("slot_ns"): _*)
@@ -1168,11 +1172,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         col("bucket_ts") >= (lo - lo % opts.bucketDuration) &&
         col("bucket_ts") <= (hi - hi % opts.bucketDuration))
       .join(deltaDf.select(keyNames.map(col): _*).distinct(), keyNames, "left_semi")
-      .groupBy(keyNames.map(col): _*)
-      .agg(max(struct(col("seq"), col("payload"))).as("w")) // seq-then-payload tie-break
-      .select((keyNames.map(col) :+ col("w.payload").as("payload") :+
-        col("w.seq").as("seq")): _*)
-    val pr = prior
+    val pr = lwwAgg(prior, keyNames.map(col))
       .select(xxhash64(hcols: _*).as("h"))
       .agg(count(lit(1)).as("n"), expr("coalesce(bit_xor(h), 0L)").as("x"))
       .head()
@@ -1193,12 +1193,8 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * spurious divergence over a tie both sides hold. */
   def lwwChecksum(asOfSeq: Long): (Long, Long) = {
     ensureManifest(adopt = false)
-    val resolved = table()
-      .filter(col("seq") <= asOfSeq)
-      .groupBy((tagCols.map(col) :+ col("slot_ns")): _*)
-      .agg(max(struct(col("seq"), col("payload"))).as("w"))
-      .select((tagCols.map(col) :+ col("slot_ns") :+
-        col("w.payload").as("payload") :+ col("w.seq").as("seq")): _*)
+    val resolved = lwwAgg(table().filter(col("seq") <= asOfSeq),
+      tagCols.map(col) :+ col("slot_ns"))
     val r = resolved
       .select(xxhash64((tagCols.map(col) :+ col("slot_ns") :+ col("seq") :+
         col("payload")): _*).as("h"))
@@ -1518,10 +1514,13 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         sum(col("value")).as("vsum"),
         min(col("value")).as("vmin"),
         max(col("value")).as("vmax"),
-        max(col("seq")).as("last_seq"),
-        max_by(col("value"), col("seq")).as("last_val"))
+        // (seq, value) struct max: the lwwAgg tie-break rule, so a
+        // duplicate-seq ingest can't make the rollup's last_val
+        // disagree with the raw path's winner
+        max(struct(col("seq"), col("value"))).as("__lw"))
       .select(col("rslot_ns") +: tagCols.map(col) :+ col("cnt") :+ col("vsum") :+
-        col("vmin") :+ col("vmax") :+ col("last_seq") :+ col("last_val") :+
+        col("vmin") :+ col("vmax") :+ col("__lw.seq").as("last_seq") :+
+        col("__lw.value").as("last_val") :+
         col("bucket_ts"): _*)
     val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
     val staging = new Path(s"$rollupPath/.rstaging_$uuid")

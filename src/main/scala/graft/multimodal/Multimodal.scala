@@ -978,12 +978,24 @@ object Multimodal {
     * interleaved samples frame-major) — the [[audioStats]] reader
     * contract. */
   private[graft] def imaAdpcmSamples(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
-    wavImaAdpcm(b).map { case (rate, channels, blockAlign, dataOff, dataBytes) =>
+    wavImaAdpcm(b).flatMap { case (rate, channels, blockAlign, dataOff, dataBytes) =>
       val framesPerBlock = (blockAlign - 4 * channels) * 2 / channels + 1
       val nBlocks = dataBytes / blockAlign
       val factCap = wavFactSamples(b).filter(f => f >= 0 && f <= Int.MaxValue)
         .map(_.toInt).getOrElse(Int.MaxValue)
       val total = math.min(factCap.toLong, nBlocks.toLong * framesPerBlock).toInt
+      // total * channels must fit an Int array (the parseWav
+      // total-parser discipline: a declared-huge header rejects to
+      // None, never a NegativeArraySizeException/OOM); real payloads
+      // here are bounded by b.length anyway
+      if (total.toLong * channels > Int.MaxValue) None
+      else Some(decodeImaBlocks(b, rate, channels, blockAlign, dataOff,
+        nBlocks, framesPerBlock, total))
+    }
+
+  private def decodeImaBlocks(b: Array[Byte], rate: Int, channels: Int,
+      blockAlign: Int, dataOff: Int, nBlocks: Int, framesPerBlock: Int,
+      total: Int): (Int, Int, Array[Int]) = {
       val out = new Array[Int](total * channels)
       var blk = 0
       while (blk < nBlocks) {

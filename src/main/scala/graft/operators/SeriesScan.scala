@@ -134,9 +134,12 @@ object SeriesScan {
     val corr = spark.createDataFrame(
       spark.sparkContext.parallelize(corrections, 1), corrSchema)
 
+    // null-safe key equality: a window PARTITION BY treats NULL as its
+    // own group and keeps the rows; a plain === here would silently
+    // DROP every null-series row (null === null is null)
     val joined = local.join(broadcast(corr),
       local("__pid") === corr("__pid") &&
-        local(seriesCol) === corr("__key"))
+        local(seriesCol) <=> corr("__key"))
       .drop(corr("__pid")).drop("__key")
       .withColumn(exclName, col("__off") + coalesce(col("__ps"), lit(0L)))
     val withTot = totName.fold(joined)(n => joined.withColumn(n, col("__tot")))

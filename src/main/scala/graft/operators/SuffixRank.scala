@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Manber–Myers prefix-doubling over token positions — THE shared
+  * suffix-machinery core (one definition, so llm_suffix_array and
+  * llm_exactsubstr_scrub cannot de-synchronize on the sentinel or
+  * checkpoint discipline): rank every (doc, position) by its first
+  * `L` tokens in ⌈log₂ L⌉ rounds. Base rank = global dense rank of
+  * the single token; rank_{2k}(p) = dense rank of (rank_k(p),
+  * rank_k(p+k)), past-end rank 0 so shorter suffixes sort first —
+  * exactly array-lexicographic order, and rank-EQUALITY ⇔ identical
+  * first-min(L, remaining) tokens (the duplication proof the scrub
+  * consumes; exact where window hashes would collide).
+  *
+  * Scale shape: only (doc_id, pos, int64-rank) triples shuffle per
+  * round — never substrings; dense ranks come from
+  * [[DistributedRank]] (range-partition + offsets, no
+  * single-partition window); per-round localCheckpoint truncates the
+  * iterative lineage. */
+object SuffixRank {
+
+  /** tok = (doc_id, p, tok) with 1-based positions → (doc_id, p, r).
+    * `L` must be a power of two. */
+  def prefixDoublingRanks(tok: DataFrame, L: Int): DataFrame = {
+    require(L >= 1 && (L & (L - 1)) == 0, s"L must be a power of two, got $L")
+    val vocabRank = DistributedRank.withGlobalRank(
+      tok.select(col("tok")).distinct(), "r", Seq(col("tok")))
+    var suf = tok.join(vocabRank, "tok")
+      .select(col("doc_id"), col("p"), col("r"))
+      .localCheckpoint(true)
+    var k = 1
+    while (k < L) {
+      val nxt = suf.select(col("doc_id"), (col("p") - k).as("p"), col("r").as("rn"))
+      val paired = suf.join(nxt, Seq("doc_id", "p"), "left_outer")
+        .select(col("doc_id"), col("p"), col("r"),
+          coalesce(col("rn"), lit(0L)).as("rn"))
+      val pairRank = DistributedRank.withGlobalRank(
+        paired.select(col("r"), col("rn")).distinct(), "r2",
+        Seq(col("r"), col("rn")))
+      suf = paired.join(pairRank, Seq("r", "rn"))
+        .select(col("doc_id"), col("p"), col("r2").as("r"))
+        .localCheckpoint(true)
+      k *= 2
+    }
+    suf
+  }
+}

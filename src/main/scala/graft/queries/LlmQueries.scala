@@ -6292,30 +6292,13 @@ object LlmQueries extends QueryModule {
   private val suffixArray = QueryDef(
     "llm_suffix_array",
     (s, d) => {
-      import graft.operators.DistributedRank
       val L = 8
+      // checkpointed: the rank seed and the vocab distinct both read it
       val tok = documents(s, d)
         .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p0", "tok")))
         .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
-      val vocabRank = DistributedRank.withGlobalRank(
-        tok.select(col("tok")).distinct(), "r", Seq(col("tok")))
-      var suf = tok.join(vocabRank, "tok")
-        .select(col("doc_id"), col("p"), col("r"))
         .localCheckpoint(true)
-      var k = 1
-      while (k < L) {
-        val nxt = suf.select(col("doc_id"), (col("p") - k).as("p"), col("r").as("rn"))
-        val paired = suf.join(nxt, Seq("doc_id", "p"), "left_outer")
-          .select(col("doc_id"), col("p"), col("r"),
-            coalesce(col("rn"), lit(0L)).as("rn"))
-        val pairRank = DistributedRank.withGlobalRank(
-          paired.select(col("r"), col("rn")).distinct(), "r2",
-          Seq(col("r"), col("rn")))
-        suf = paired.join(pairRank, Seq("r", "rn"))
-          .select(col("doc_id"), col("p"), col("r2").as("r"))
-          .localCheckpoint(true)
-        k *= 2
-      }
+      val suf = graft.operators.SuffixRank.prefixDoublingRanks(tok, L)
       val reps = suf.groupBy(col("r"))
         .agg(count(lit(1)).as("n_occ"),
           min(struct(col("doc_id"), col("p"))).as("w"))
@@ -6408,31 +6391,16 @@ object LlmQueries extends QueryModule {
   private val exactSubstrScrub = QueryDef(
     "llm_exactsubstr_scrub",
     (s, d) => {
-      import graft.operators.DistributedRank
       import org.apache.spark.sql.expressions.Window
       val K = 8
+      // checkpointed: FOUR consumers read it (the rank seed + vocab
+      // distinct inside prefixDoublingRanks, nDoc, the coverage join)
+      // — uncheckpointed, each re-pays the corpus tokenize+posexplode
       val tok = documents(s, d)
         .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p0", "tok")))
         .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
-      val vocabRank = DistributedRank.withGlobalRank(
-        tok.select(col("tok")).distinct(), "r", Seq(col("tok")))
-      var suf = tok.join(vocabRank, "tok")
-        .select(col("doc_id"), col("p"), col("r"))
         .localCheckpoint(true)
-      var k = 1
-      while (k < K) {
-        val nxt = suf.select(col("doc_id"), (col("p") - k).as("p"), col("r").as("rn"))
-        val paired = suf.join(nxt, Seq("doc_id", "p"), "left_outer")
-          .select(col("doc_id"), col("p"), col("r"),
-            coalesce(col("rn"), lit(0L)).as("rn"))
-        val pairRank = DistributedRank.withGlobalRank(
-          paired.select(col("r"), col("rn")).distinct(), "r2",
-          Seq(col("r"), col("rn")))
-        suf = paired.join(pairRank, Seq("r", "rn"))
-          .select(col("doc_id"), col("p"), col("r2").as("r"))
-          .localCheckpoint(true)
-        k *= 2
-      }
+      val suf = graft.operators.SuffixRank.prefixDoublingRanks(tok, K)
       // full k-token windows only (a shared short TAIL is < k tokens
       // and must not trigger excision)
       val nDoc = tok.groupBy(col("doc_id")).agg(max(col("p")).as("n"))

@@ -48,6 +48,25 @@ class SeriesScanSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("a NULL series key is its own group, not silently dropped") {
+    // window PARTITION BY keeps null-key rows as one group; the scan's
+    // correction join must be null-safe or they vanish from the output
+    val df = spark.range(20)
+      .selectExpr("id",
+        "CASE WHEN id % 4 = 0 THEN CAST(NULL AS STRING) ELSE concat('s', id % 2) END AS series",
+        "CAST(id - 7 AS LONG) AS v")
+    val got = SeriesScan.scan(df, "series", Seq(col("id")), col("v"), "excl")
+    assert(got.count() === 20L, "null-series rows must survive the scan")
+    val nulls = got.filter(col("series").isNull)
+      .select("id", "excl").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // exclusive prefix over the null group in id order
+    val wantMap = Seq(0L, 4L, 8L, 12L, 16L)
+      .foldLeft((Map.empty[Long, Long], 0L)) { case ((m, acc), id) =>
+        (m + (id -> acc), acc + (id - 7))
+      }._1
+    assert(nulls === wantMap)
+  }
+
   test("scan across sizes incl. empty and sub-partition-count inputs") {
     for (n <- Seq(0, 1, 2, 5, 32, 33)) {
       val df = spark.range(n.toLong)

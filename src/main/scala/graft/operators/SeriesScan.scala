@@ -148,4 +148,145 @@ object SeriesScan {
     withDir.drop("__pid", "__v", "__ps", "__off", "__tot", "__sf", "__ci")
       .drop("__d", "__s", "__c")
   }
+
+  /** Per-series LAG columns (depth 1 or 2) without the per-series
+    * window funnel — `lag(x, d) OVER (PARTITION BY series ORDER BY …)`
+    * done as the same range-partition + local-window + boundary-fold
+    * decomposition as [[scan]]: rows at local positions ≤ d take their
+    * lag from the previous partition's tail (the last two values per
+    * lag source, threaded through the driver fold). LEADs are lags
+    * under a DESCENDING order. Each lag source is cast to long (the
+    * integer-scan contract shared with [[scan]]).
+    *
+    * @param lags (source column, output name, depth ∈ {1, 2}) */
+  def withLags(df: DataFrame, seriesCol: String, order: Seq[Column],
+      lags: Seq[(Column, String, Int)]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(l => l._3 == 1 || l._3 == 2),
+      "withLags supports depths 1 and 2")
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val wloc = Window.partitionBy(col("__pid"), col(seriesCol)).orderBy(order: _*)
+    val wcnt = Window.partitionBy(col("__pid"), col(seriesCol))
+    val staged0 = df.repartitionByRange(parts, (col(seriesCol) +: order): _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rn", row_number().over(wloc))
+      .withColumn("__cnt", count(lit(1)).over(wcnt))
+    val staged = lags.zipWithIndex.foldLeft(staged0) {
+      case (acc, ((c, _, depth), i)) =>
+        acc.withColumn(s"__v$i", c.cast("long"))
+          .withColumn(s"__lag$i", lag(col(s"__v$i"), depth).over(wloc))
+          // group-tail values, flagged per row so ONE agg finds them
+          .withColumn(s"__last$i",
+            when(col("__rn") === col("__cnt"), col(s"__v$i")))
+          .withColumn(s"__slast$i",
+            when(col("__rn") === col("__cnt") - 1, col(s"__v$i")))
+    }
+    val local = staged.localCheckpoint()
+    val aggs = lags.indices.flatMap(i =>
+      Seq(max(col(s"__last$i")).as(s"l$i"), max(col(s"__slast$i")).as(s"s$i"))) :+
+      count(lit(1)).as("n")
+    val bdf = local.groupBy(col("__pid"), col(seriesCol))
+      .agg(aggs.head, aggs.tail: _*)
+    val boundaries = bdf.collect()
+    val pidIdx = bdf.schema.fieldIndex("__pid")
+    val keyIdx = bdf.schema.fieldIndex(seriesCol)
+    def optLong(r: Row, name: String): Option[Long] = {
+      val i = bdf.schema.fieldIndex(name)
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    }
+    val corrections = boundaries.groupBy(_.get(keyIdx)).toSeq.flatMap {
+      case (key, rows) =>
+        // tail per lag source: (most recent, second most recent)
+        val t1 = Array.fill[Option[Long]](lags.size)(None)
+        val t2 = Array.fill[Option[Long]](lags.size)(None)
+        rows.sortBy(_.getInt(pidIdx)).map { r =>
+          val row = Row.fromSeq(
+            r.getInt(pidIdx) +: key +:
+              lags.indices.flatMap(i => Seq(
+                t1(i).map(Long.box).orNull, t2(i).map(Long.box).orNull)))
+          val n = r.getLong(bdf.schema.fieldIndex("n"))
+          lags.indices.foreach { i =>
+            val last = optLong(r, s"l$i")
+            val slast = optLong(r, s"s$i")
+            if (n >= 2) { t2(i) = slast; t1(i) = last }
+            else { t2(i) = t1(i); t1(i) = last }
+          }
+          row
+        }
+    }
+    val corrSchema = StructType(
+      StructField("__pid", bdf.schema(pidIdx).dataType, nullable = false) +:
+        bdf.schema(keyIdx).copy(name = "__key") +:
+        lags.indices.flatMap(i => Seq(
+          StructField(s"__p1_$i", LongType, nullable = true),
+          StructField(s"__p2_$i", LongType, nullable = true))))
+    val corr = spark.createDataFrame(
+      spark.sparkContext.parallelize(corrections, 1), corrSchema)
+    val joined = local.join(broadcast(corr),
+      local("__pid") === corr("__pid") &&
+        local(seriesCol) <=> corr("__key"))
+      .drop(corr("__pid")).drop("__key")
+    val out = lags.zipWithIndex.foldLeft(joined) {
+      case (acc, ((_, name, depth), i)) =>
+        acc.withColumn(name,
+          if (depth == 1)
+            when(col("__rn") === 1, col(s"__p1_$i")).otherwise(col(s"__lag$i"))
+          else
+            when(col("__rn") === 1, col(s"__p2_$i"))
+              .when(col("__rn") === 2, col(s"__p1_$i"))
+              .otherwise(col(s"__lag$i")))
+    }
+    lags.indices.foldLeft(out.drop("__pid", "__rn", "__cnt")) { (acc, i) =>
+      acc.drop(s"__v$i", s"__lag$i", s"__last$i", s"__slast$i",
+        s"__p1_$i", s"__p2_$i")
+    }
+  }
+
+  /** Per-series EXCLUSIVE running MAX (max over strictly-preceding
+    * rows; null until the second row of a series) — the watermark
+    * shape (`max(event_time) OVER (… ROWS … AND 1 PRECEDING)`), same
+    * decomposition: local exclusive running max + one boundary max
+    * per (partition, series), carries folded on the driver. */
+  def withPrefixMax(df: DataFrame, seriesCol: String, order: Seq[Column],
+      valueCol: Column, outName: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val wloc = Window.partitionBy(col("__pid"), col(seriesCol)).orderBy(order: _*)
+    val local = df.repartitionByRange(parts, (col(seriesCol) +: order): _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", valueCol.cast("long"))
+      .withColumn("__pm", max(col("__v")).over(
+        wloc.rowsBetween(Window.unboundedPreceding, -1)))
+      .localCheckpoint()
+    val bdf = local.groupBy(col("__pid"), col(seriesCol))
+      .agg(max(col("__v")).as("m"))
+    val boundaries = bdf.collect()
+    val pidIdx = bdf.schema.fieldIndex("__pid")
+    val keyIdx = bdf.schema.fieldIndex(seriesCol)
+    val mIdx = bdf.schema.fieldIndex("m")
+    val corrections = boundaries.groupBy(_.get(keyIdx)).toSeq.flatMap {
+      case (key, rows) =>
+        var carry: Option[Long] = None
+        rows.sortBy(_.getInt(pidIdx)).map { r =>
+          val row = Row(r.getInt(pidIdx), key, carry.map(Long.box).orNull)
+          val m = if (r.isNullAt(mIdx)) None else Some(r.getLong(mIdx))
+          carry = (carry ++ m).reduceOption(_ max _)
+          row
+        }
+    }
+    val corrSchema = StructType(Seq(
+      StructField("__pid", bdf.schema(pidIdx).dataType, nullable = false),
+      bdf.schema(keyIdx).copy(name = "__key"),
+      StructField("__ci", LongType, nullable = true)))
+    val corr = spark.createDataFrame(
+      spark.sparkContext.parallelize(corrections, 1), corrSchema)
+    local.join(broadcast(corr),
+      local("__pid") === corr("__pid") &&
+        local(seriesCol) <=> corr("__key"))
+      .drop(corr("__pid")).drop("__key")
+      // Spark's greatest skips nulls: null only when BOTH are (the
+      // very first row of a series) — exactly exclusive-max semantics
+      .withColumn(outName, greatest(col("__pm"), col("__ci")))
+      .drop("__pid", "__v", "__pm", "__ci")
+  }
 }

@@ -1356,15 +1356,17 @@ object KdbQueries extends QueryModule {
     * (the reference hard-rejects writes outside its hot window; this
     * query tells you what that policy would drop). event_id is the
     * arrival proxy; timestamps compare at µs so both engines see the
-    * same inversions. One lag window per type, counts only. */
+    * same inversions. The arrival lag is a
+    * [[graft.operators.SeriesScan.withLags]] pass — range-partitioned
+    * local windows + a driver-folded boundary tail, parallelism =
+    * #partitions, never #series. */
   private val orderAudit = QueryDef(
     "kdb_order_audit",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
-      ev(s, d)
+      val base = ev(s, d)
         .select(col("event_type"), col("event_id"), expr("ts_ns div 1000").as("ts_us"))
-        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      graft.operators.SeriesScan.withLags(base, "event_type",
+          Seq(col("event_id")), Seq((col("ts_us"), "prev_us", 1)))
         .filter(col("prev_us").isNotNull)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -1757,25 +1759,26 @@ object KdbQueries extends QueryModule {
     * observation holds until the next one, so its weight is that
     * holding duration (the last one is clamped to the range end) —
     * the correct mean for unevenly-sampled gauges, where the
-    * arithmetic mean over-weights chatty periods. One lead() window
-    * per series and a per-series rollup that REUSES the window's
-    * partitioning: one shuffle total, and per-series output is a
-    * single row — the shape is flat in series count at 100 TB. */
+    * arithmetic mean over-weights chatty periods. The next-sample
+    * lookup is a [[graft.operators.SeriesScan.withLags]] pass (lead =
+    * lag under the DESCENDING order): range-partitioned local windows
+    * plus a driver-folded per-(partition, series) tail — parallelism
+    * is #partitions, never #series (a per-type raw-event window would
+    * funnel each type's whole history through one task at 100×);
+    * per-series output is a single row. event_id tiebreak: under
+    * equal timestamps, plain ORDER BY ts_ns would assign the holding
+    * interval to an arbitrary tied row. */
   private val twap = QueryDef(
     "kdb_twap",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      // event_id tiebreak: under equal timestamps, plain ORDER BY
-      // ts_ns would assign the holding interval to an arbitrary tied
-      // row (shuffle-order-dependent weights). Deterministic in both
-      // engines with the same tiebreak.
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("ts_ns"), col("event_id"))
-      ev(s, d)
+      val base = ev(s, d)
         .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
         .select(col("event_type"), col("event_id"), col("ts_ns"), col("value"))
+      graft.operators.SeriesScan.withLags(base, "event_type",
+          Seq(col("ts_ns").desc, col("event_id").desc),
+          Seq((col("ts_ns"), "next_ts", 1)))
         .withColumn("hold_ns",
-          coalesce(lead(col("ts_ns"), 1).over(w), lit(T1)) - col("ts_ns"))
+          coalesce(col("next_ts"), lit(T1)) - col("ts_ns"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_obs"),
           round(sum(col("value") * col("hold_ns")) / sum(col("hold_ns")), 4).as("twap"),
@@ -1806,16 +1809,22 @@ object KdbQueries extends QueryModule {
   private val gapDetect = QueryDef(
     "kdb_gap_detect",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"))
       // µs precision throughout: DuckDB truncates parquet ns
       // timestamps to µs, so emitting/comparing at ns can never
       // hash-match — floor-div by 1000 equals that truncation.
+      // lead(ts) = SeriesScan lag under the DESC order (de-funneled:
+      // a per-type raw-event window is one task per type at 100×);
+      // the event_id tiebreak totalizes the order — gap rows are
+      // unchanged (consecutive diffs depend only on the sorted
+      // timestamp multiset).
       val thresholdUs = 30L * 60 * 1000 * 1000
-      ev(s, d)
+      val base = ev(s, d)
         .filter(col("ts_ns") >= T0 && col("ts_ns") < T1)
-        .select(col("event_type"), expr("ts_ns div 1000").as("ts_us"))
-        .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+        .select(col("event_type"), expr("ts_ns div 1000").as("ts_us"),
+          col("event_id"))
+      graft.operators.SeriesScan.withLags(base, "event_type",
+          Seq(col("ts_us").desc, col("event_id").desc),
+          Seq((col("ts_us"), "next_us", 1)))
         .filter(col("next_us") - col("ts_us") > thresholdUs)
         .select(col("event_type"), col("ts_us").as("gap_start_us"),
           col("next_us").as("gap_end_us"),
@@ -2351,18 +2360,19 @@ object KdbQueries extends QueryModule {
     * bits come from length(bin(x)), a STRING length, not float log2
     * (identical in both engines; floor(log2) drifts at power-of-two
     * boundaries) — so the per-series sums are exact and the only
-    * doubles are final ratios. One window pass per series, one
-    * rollup; both ride the same (event_type) partitioning. */
+    * doubles are final ratios. All three lags come from ONE
+    * [[graft.operators.SeriesScan.withLags]] pass (depth-2 boundary
+    * tail threaded through the driver fold) — parallelism =
+    * #partitions, never #series — then one rollup. */
   private val compressionPlan = QueryDef(
     "kdb_compression_plan",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("event_type")).orderBy(col("ts_ns"), col("event_id"))
-      val rows = ev(s, d)
+      val base = ev(s, d)
         .withColumn("cv", round(col("value") * 100).cast("long"))
-        .withColumn("prev_ts", lag(col("ts_ns"), 1).over(w))
-        .withColumn("prev2_ts", lag(col("ts_ns"), 2).over(w))
-        .withColumn("prev_cv", lag(col("cv"), 1).over(w))
+      val rows = graft.operators.SeriesScan.withLags(base, "event_type",
+          Seq(col("ts_ns"), col("event_id")),
+          Seq((col("ts_ns"), "prev_ts", 1), (col("ts_ns"), "prev2_ts", 2),
+            (col("cv"), "prev_cv", 1)))
         .withColumn("dod",
           (col("ts_ns") - col("prev_ts")) -
             coalesce(col("prev_ts") - col("prev2_ts"), lit(0L)))
@@ -2977,19 +2987,22 @@ object KdbQueries extends QueryModule {
     * ingest sequence event_id) — then p50/p95/p99/max lateness per
     * type IS the watermark decision table ("allow 99% of late data" →
     * set the delay to p99). Complements kdb_order_audit (which counts
-    * inversions; this one sizes them). One shuffle on event_type
-    * shared by the arrival-order window and the quantile rollup;
-    * integer µs lateness, exact interpolated quantiles rounded. */
+    * inversions; this one sizes them). The running max comes from
+    * [[graft.operators.SeriesScan.withPrefixMax]] (no per-type
+    * raw-event window); integer µs lateness, exact interpolated
+    * quantiles rounded. */
   private val watermarkSizing = QueryDef(
     "kdb_watermark_sizing",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val wArr = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      ev(s, d)
-        .withColumn("ts_us", expr("ts_ns div 1000"))
+      // the running event-time max is a SeriesScan exclusive prefix
+      // MAX (range-partitioned local scan + driver-folded carry) —
+      // a per-type raw-event window would funnel each type's whole
+      // arrival history through one task at 100×
+      val base = ev(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      graft.operators.SeriesScan.withPrefixMax(base, "event_type",
+          Seq(col("event_id")), col("ts_us"), "runmax_us")
         .withColumn("late_us",
-          greatest(lit(0L), coalesce(max(col("ts_us")).over(wArr) - col("ts_us"), lit(0L))))
+          greatest(lit(0L), coalesce(col("runmax_us") - col("ts_us"), lit(0L))))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           count(when(col("late_us") > 0, 1)).as("n_late"),

@@ -314,7 +314,10 @@ class QueriesSpec extends SparkTestBase {
     // (kdb_locf_fill/kdb_rolling_median derive their type list from the
     // aggregated slot table, which branches the plan — the static plan
     // prints two scans but runtime exchange reuse executes one.)
-    val onePass = Seq("kdb_funnel", "kdb_twap", "kdb_gap_detect",
+    // (kdb_twap / kdb_gap_detect moved to the SeriesScan de-funnel
+    // pin below: their final plans read the scan checkpoint, not
+    // parquet)
+    val onePass = Seq("kdb_funnel",
       "kdb_mad_anomaly", "kdb_seasonality", "kdb_rolling_wau",
       "llm_mixture_weights", "llm_multimodal_frames",
       "kdb_calendar_heatmap", "llm_length_percentiles")
@@ -325,9 +328,8 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
-  test("funnel/twap/gap/mixture: window or rollup reuses the single hash exchange") {
-    val oneShuffle = Seq("kdb_funnel", "kdb_twap", "kdb_gap_detect",
-      "llm_mixture_weights")
+  test("funnel/mixture: window or rollup reuses the single hash exchange") {
+    val oneShuffle = Seq("kdb_funnel", "llm_mixture_weights")
     oneShuffle.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       val hash = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
@@ -763,13 +765,24 @@ class QueriesSpec extends SparkTestBase {
       "one user_id shuffle shared by the union's window")
   }
 
-  test("kdb_compression_plan: lag windows and the rollup share one series shuffle") {
-    val plan = SparkEntry.queries("kdb_compression_plan")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
-      "one pass over events")
-    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
-      "the lag window and the per-series rollup both partition by event_type")
+  test("sequential-scan family rides SeriesScan: no per-series raw-event window") {
+    // the five lag/lead/prefix-scan queries over RAW events (a
+    // handful of event types = a handful of tasks under a per-type
+    // window at 100x) must derive from the SeriesScan checkpoint:
+    // the range-partitioned scan already paid the one pass, and the
+    // final plan neither re-scans parquet nor plans a raw-event
+    // window
+    Seq("kdb_twap", "kdb_gap_detect", "kdb_order_audit",
+      "kdb_compression_plan", "kdb_watermark_sizing").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ExistingRDD"),
+        s"$name must derive from the SeriesScan checkpoint boundary")
+      assert(plan.linesIterator.count(_.contains("Scan parquet")) === 0,
+        s"$name: final plan must not re-scan events")
+      assert(!plan.contains("Window"),
+        s"$name: no window after the scan — the per-type raw-event window is the funnel")
+    }
   }
 
   test("kdb_event_transitions: matrix + row normalization share the sequence shuffles") {

@@ -86,6 +86,66 @@ class SeriesScanSpec extends SparkTestBase {
     }
   }
 
+  test("withLags equals per-series lag(1)/lag(2); leads via descending order") {
+    val ws = Window.partitionBy(col("series")).orderBy(col("id"))
+    val want = fixture
+      .withColumn("l1_w", lag(col("v"), 1).over(ws))
+      .withColumn("l2_w", lag(col("v"), 2).over(ws))
+      .withColumn("ld_w", lead(col("v"), 1).over(ws))
+      .collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4),
+        if (r.isNullAt(5)) null else r.getLong(5)))
+      .toMap
+    val lagged = SeriesScan.withLags(fixture, "series", Seq(col("id")),
+      Seq((col("v"), "l1", 1), (col("v"), "l2", 2)))
+    val led = SeriesScan.withLags(fixture, "series",
+      Seq(col("id").desc), Seq((col("v"), "ld", 1)))
+    val gotLag = lagged.select("id", "l1", "l2").collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toMap
+    val gotLead = led.select("id", "ld").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    want.foreach { case (id, (w1, w2, wd)) =>
+      assert(gotLag(id) === ((w1, w2)), s"lag mismatch at id $id")
+      assert(gotLead(id) === wd, s"lead mismatch at id $id")
+    }
+  }
+
+  test("withLags across sizes: single-row series and partition-boundary tails") {
+    for (n <- Seq(1, 2, 3, 33, 65)) {
+      val df = spark.range(n.toLong)
+        .selectExpr("id", "concat('t', id % 2) AS series",
+          "CAST(id * 3 - 11 AS LONG) AS v")
+      val ws = Window.partitionBy(col("series")).orderBy(col("id"))
+      val want = df
+        .withColumn("l2_w", lag(col("v"), 2).over(ws)).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) null else r.getLong(3))).toMap
+      val got = SeriesScan.withLags(df, "series", Seq(col("id")),
+        Seq((col("v"), "l2", 2))).select("id", "l2").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+      assert(got === want, s"n=$n")
+    }
+  }
+
+  test("withPrefixMax equals the exclusive running max (the watermark shape)") {
+    val ws = Window.partitionBy(col("series")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = fixture.withColumn("m_w", max(col("v")).over(ws)).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getLong(3))).toMap
+    val got = SeriesScan.withPrefixMax(fixture, "series", Seq(col("id")),
+      col("v"), "m").select("id", "m").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(got === want)
+  }
+
   test("no window partitioned by the series key alone (the funnel)") {
     import org.apache.spark.sql.execution.window.WindowExec
     // assert on the STAGED plan (pre-checkpoint): every window must

@@ -1848,18 +1848,20 @@ object LlmQueries extends QueryModule {
   /** Sequence packing for training: concatenate the token stream in
     * doc_id order and cut fixed 2048-token blocks; each doc occupies
     * [tok_offset, tok_offset + n_tokens) and may straddle a block
-    * boundary. One window sum gives every offset. At 100 TB the global
-    * ordered window becomes per-shard packing: compute per-shard token
-    * totals (tiny), prefix-sum them on the driver, and add the shard
-    * base to each shard-local cumulative sum — same math, no global
-    * sort. */
+    * boundary. The offsets come from
+    * [[graft.operators.DistributedRank.withPrefixSum]] — range-
+    * partition the doc_id order, partition-local cumulative sums, add
+    * back driver-folded per-partition bases — i.e. exactly the
+    * per-shard packing a 100 TB run needs, instead of the global
+    * ordered window (one task for the whole corpus) this query
+    * previously planned. */
   private val packSeq = QueryDef(
     "llm_pack_sequences",
     (s, d) => {
-      val w = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
-      documents(s, d)
+      val base = documents(s, d)
         .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      graft.operators.DistributedRank.withPrefixSum(
+          base, col("n_tokens"), "tok_offset", Seq(col("doc_id")))
         .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
           expr("tok_offset div 2048").as("first_block"),
           expr("(tok_offset + n_tokens - 1) div 2048").as("last_block"))

@@ -6404,9 +6404,12 @@ object LlmQueries extends QueryModule {
         .localCheckpoint(true)
       val suf = graft.operators.SuffixRank.prefixDoublingRanks(tok, K)
       // full k-token windows only (a shared short TAIL is < k tokens
-      // and must not trigger excision)
+      // and must not trigger excision); checkpointed — BOTH the
+      // dup-rank rollup and the start extraction read it, and without
+      // the pin each re-runs the corpus-token-sized suf⋈nDoc join
       val nDoc = tok.groupBy(col("doc_id")).agg(max(col("p")).as("n"))
       val wins = suf.join(nDoc, "doc_id").filter(col("p") <= col("n") - (K - 1))
+        .localCheckpoint(true)
       val dupRanks = wins.groupBy(col("r"))
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= 2).select(col("r"))

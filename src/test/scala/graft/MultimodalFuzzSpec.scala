@@ -88,4 +88,39 @@ class MultimodalFuzzSpec extends SparkTestBase {
       }
     }
   }
+
+  test("IMA ADPCM decode is total: garbage, lying headers, truncated fixtures") {
+    // WAVE-headed garbage must never throw from the ADPCM walkers
+    val waveHeaded: Gen[Array[Byte]] = for {
+      tail <- garbage
+    } yield "RIFF1234WAVE".getBytes("US-ASCII") ++ tail
+    sample(waveHeaded, seed = 47L, n = 600).foreach { b =>
+      Multimodal.wavImaAdpcm(b)
+      Multimodal.imaAdpcmSamples(b) // must not throw/loop/alloc-bomb
+      Multimodal.wavFactSamples(b)
+    }
+    // every prefix of a VALID ADPCM fixture parses or rejects cleanly
+    val full = graft.multimodal.MediaFixtures.wavImaAdpcm(9, 12)
+    (0 to full.length).foreach { cut =>
+      val b = full.take(cut)
+      Multimodal.imaAdpcmSamples(b)
+      Multimodal.decode(b)
+    }
+    // a fact chunk DECLARING more frames than blocks hold must cap at
+    // the block math, never over-allocate or read past the data
+    val lying = full.clone()
+    // fact PAYLOAD starts after RIFF(12) + fmt chunk(8+20) + fact
+    // tag+size(8): offset 48
+    lying(48) = 0xff.toByte; lying(49) = 0xff.toByte
+    lying(50) = 0x7f.toByte; lying(51) = 0x00.toByte
+    val Some((_, _, capped)) = Multimodal.imaAdpcmSamples(lying)
+    assert(capped.length === 12 * 2 + 1,
+      "a lying fact count must cap at what the blocks actually hold")
+    // and the recurrence state machine is total on every (pred, idx,
+    // nib) in range — clamps can never escape int16 / [0, 88]
+    for (idx <- 0 to 88; nib <- 0 to 15; pred <- Seq(-32768, -1, 0, 32767)) {
+      val (p, i) = Multimodal.imaStep(pred, idx, nib)
+      assert(p >= -32768 && p <= 32767 && i >= 0 && i <= 88)
+    }
+  }
 }

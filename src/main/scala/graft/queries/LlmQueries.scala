@@ -4454,6 +4454,235 @@ object LlmQueries extends QueryModule {
       ORDER BY doc_id"""
     })
 
+  /** Exact set-similarity join via df-ordered PREFIX FILTERING (the
+    * SSJoin/PPJoin family, Chaudhuri et al. ICDE'06 / Xiao et al.
+    * WWW'08) — all pairs with shingle-set Jaccard ≥ 0.8, EXACT (no
+    * LSH recall loss), without the full inverted-index join. Each
+    * doc's distinct word-3-gram shingles are totally ordered by
+    * (global df ASC, shingle ASC) — rarest first — and only the first
+    * p = n − ⌈0.8·n⌉ + 1 shingles (the prefix, ~20% of the set at
+    * t=0.8) enter the candidate join: the prefix-filter theorem says
+    * two sets with |x∩y| ≥ ⌈t·max(|x|,|y|)⌉ must collide inside those
+    * prefixes, so no qualifying pair is lost. A length filter
+    * (5·min(n1,n2) ≥ 4·max — Jaccard ≥ t forces min ≥ t·max) prunes
+    * candidates before verification, and verification fetches ONLY
+    * candidate pairs' full sets (array_intersect on two sorted
+    * arrays), with the threshold applied in exact integer
+    * cross-multiplication (5·|∩| ≥ 4·|∪|) so the t=0.8 boundary can't
+    * float-split between engines. Scale shape vs the inverted join
+    * (llm_dedup_ngram_jaccard's candidate step): that one shuffles
+    * EVERY shingle occurrence and emits a row per shared shingle per
+    * pair — quadratic in df on common shingles; here common shingles
+    * almost never make a prefix (they sort last), so the candidate
+    * join touches only rare tokens and the df² blowup term vanishes.
+    * The oracle is the INDEPENDENT full inverted join with the same
+    * integer threshold — if prefix filtering ever dropped a pair, the
+    * hash gate would catch it. */
+  private val ppjoinExact = QueryDef(
+    "llm_ppjoin_exact",
+    (s, d) => {
+      val sh = shingleRows(s, d, lit(true)).distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val ordered = sh.join(dfreq, "shingle")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+        .join(sizes, "doc_id")
+      val prefix = ordered
+        .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+        .select(col("doc_id"), col("shingle"), col("n"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            lit(5) * least(col("a.n"), col("b.n")) >=
+              lit(4) * greatest(col("a.n"), col("b.n")))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val sets = sh.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("shingle"))).as("set"),
+          count(lit(1)).as("n"))
+      cand
+        .join(sets.select(col("doc_id").as("d1"), col("set").as("s1"),
+          col("n").as("n1")), "d1")
+        .join(sets.select(col("doc_id").as("d2"), col("set").as("s2"),
+          col("n").as("n2")), "d2")
+        .withColumn("n_inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+        .filter(lit(5) * col("n_inter") >= lit(4) * (col("n1") + col("n2") - col("n_inter")))
+        .select(col("d1"), col("d2"), col("n1"), col("n2"), col("n_inter"),
+          round(col("n_inter").cast("double") /
+            (col("n1") + col("n2") - col("n_inter")), 4).as("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(0, len(string_split(text, ' ')) - 3),
+                 i -> string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2] || ' ' ||
+                      string_split(text, ' ')[i+3])) AS sh
+        FROM documents),
+      sizes AS (SELECT doc_id, len(sh) AS n FROM docs WHERE len(sh) > 0),
+      ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+      inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT d1, d2, s1.n AS n1, s2.n AS n2, ni AS n_inter,
+             round(CAST(ni AS DOUBLE) / (s1.n + s2.n - ni), 4) AS jaccard
+      FROM inter
+      JOIN sizes s1 ON s1.doc_id = d1
+      JOIN sizes s2 ON s2.doc_id = d2
+      WHERE 5 * ni >= 4 * (s1.n + s2.n - ni)
+      ORDER BY d1, d2"""))
+
+  /** Shared 4-round synchronous label propagation over the LSH
+    * candidate graph: every node starts labelled with its own id; each
+    * round it adopts the most frequent label among its NEIGHBOURS,
+    * ties broken by smallest label (a total order, so the update is
+    * deterministic — asynchronous LPA's order-dependence is exactly
+    * what a cross-engine gate can't tolerate). Rounds are FIXED at 4
+    * to mirror the oracle's unrolled CTEs; per-round localCheckpoint
+    * truncates lineage (the Dedup.scala / llm_kcore lesson). Returns
+    * (edges, labels). */
+  private def lpaLabels(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val pairs = lshPairs(s, d)
+    val edges = pairs.select(col("d1").as("u"), col("d2").as("v"))
+      .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to 4) {
+      val w = Window.partitionBy(col("v")).orderBy(col("cnt").desc, col("lbl"))
+      labels = edges.join(labels, col("u") === col("node"))
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("v").as("node"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    (edges, labels)
+  }
+
+  /** DuckDB CTEs mirroring [[lpaLabels]] — assumes `lsh_pairs` is in
+    * scope (dkLshPairsCtes). Final relation: lp4(node, lbl). Each
+    * round is one GROUP BY + a row_number argmax with the identical
+    * (count DESC, label ASC) tie order. AS MATERIALIZED: each round
+    * references its predecessor inside a grouped window — inlined
+    * unrolls re-scan the signature pipeline per round. */
+  private def dkLpaCtes: String = {
+    val rounds = (1 to 4).map { k =>
+      s"""lp$k AS MATERIALIZED (
+        SELECT node, lbl FROM (
+          SELECT e.v AS node, p.lbl,
+                 row_number() OVER (PARTITION BY e.v
+                   ORDER BY count(*) DESC, p.lbl) AS rn
+          FROM lpedges e JOIN lp${k - 1} p ON p.node = e.u
+          GROUP BY e.v, p.lbl)
+        WHERE rn = 1)"""
+    }.mkString(",\n      ")
+    s"""lpedges AS MATERIALIZED (
+        SELECT DISTINCT u, v FROM (
+          SELECT d1 AS u, d2 AS v FROM lsh_pairs
+          UNION ALL
+          SELECT d2 AS u, d1 AS v FROM lsh_pairs)),
+      lp0 AS (SELECT DISTINCT u AS node, u AS lbl FROM lpedges),
+      $rounds"""
+  }
+
+  /** Community detection by synchronous label propagation (Raghavan
+    * et al. 2007) over the near-dup similarity graph — the
+    * majority-vote complement to the min-id connected components in
+    * graft.operators.Dedup: CC merges everything reachable, LPA keeps
+    * densely-linked template farms apart even when a thin bridge
+    * connects them, which is what a curation pipeline wants when one
+    * boilerplate page links two otherwise-distinct mirror clusters.
+    * Scale shape: the graph is the candidate-bounded LSH pair set,
+    * never the corpus; each round is one edge-join + one (node, label)
+    * groupBy + a per-node window argmax — all key-partitioned, nothing
+    * driver-side; 4 fixed rounds, lineage truncated per round. */
+  private val labelPropagation = QueryDef(
+    "llm_label_propagation",
+    (s, d) => {
+      val (_, labels) = lpaLabels(s, d)
+      labels.select(col("node").as("doc_id"), col("lbl").as("community"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ${dkMinhashCte},
+      ${dkLshPairsCtes},
+      ${dkLpaCtes}
+      SELECT node AS doc_id, lbl AS community
+      FROM lp4
+      ORDER BY doc_id"""))
+
+  /** Newman modularity of the LPA partition, per community: Q_c =
+    * d_c/D − (deg_c/D)² over the doubled (directed) edge list, where
+    * d_c = internal directed edges, deg_c = total degree of c's
+    * nodes, D = total directed edges — the standard quality score a
+    * pipeline uses to decide whether the dedup graph's community
+    * structure is real (ΣQ_c near 0 ⇒ the LSH graph is hairball
+    * noise; large ⇒ genuine template farms worth group-level
+    * downweighting). All inputs are exact integers from three
+    * one-shuffle rollups (internal-edge count, per-community degree
+    * sum, a 1-row total that rides a broadcast cross join — the
+    * pagerank ncnt pattern, no driver collect); the only floats are
+    * two divisions and one multiply per community, identical IEEE ops
+    * in both engines, rounded to 6dp (+0.0 normalizes −0). */
+  private val graphModularity = QueryDef(
+    "llm_graph_modularity",
+    (s, d) => {
+      val (edges, labels) = lpaLabels(s, d)
+      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val tot = edges.agg(count(lit(1)).as("dd"))
+      val lu = labels.select(col("node").as("u"), col("lbl").as("cu"))
+      val lv = labels.select(col("node").as("v"), col("lbl").as("cv"))
+      val internal = edges.join(lu, "u").join(lv, "v")
+        .filter(col("cu") === col("cv"))
+        .groupBy(col("cu").as("community"))
+        .agg(count(lit(1)).as("internal_directed"))
+      val degc = deg.join(labels, col("u") === col("node"))
+        .groupBy(col("lbl").as("community"))
+        .agg(sum(col("deg")).as("degree_sum"), count(lit(1)).as("n_nodes"))
+      degc.join(internal, Seq("community"), "left_outer")
+        .crossJoin(broadcast(tot))
+        .select(col("community"), col("n_nodes"), col("degree_sum"),
+          coalesce(col("internal_directed"), lit(0L)).as("internal_directed"),
+          (round(
+            coalesce(col("internal_directed"), lit(0L)).cast("double") / col("dd") -
+              (col("degree_sum").cast("double") / col("dd")) *
+              (col("degree_sum").cast("double") / col("dd")), 6) + lit(0.0))
+            .as("q_contrib"))
+        .orderBy(col("community"))
+    },
+    Some(s"""
+      WITH ${dkMinhashCte},
+      ${dkLshPairsCtes},
+      ${dkLpaCtes},
+      deg AS (SELECT u, count(*) AS deg FROM lpedges GROUP BY 1),
+      tot AS (SELECT count(*) AS dd FROM lpedges),
+      internal AS (
+        SELECT a.lbl AS community, count(*) AS internal_directed
+        FROM lpedges e
+        JOIN lp4 a ON a.node = e.u
+        JOIN lp4 b ON b.node = e.v AND b.lbl = a.lbl
+        GROUP BY 1),
+      degc AS (
+        SELECT p.lbl AS community,
+               CAST(sum(d.deg) AS BIGINT) AS degree_sum,
+               count(*) AS n_nodes
+        FROM deg d JOIN lp4 p ON p.node = d.u
+        GROUP BY 1)
+      SELECT g.community, g.n_nodes, g.degree_sum,
+             coalesce(i.internal_directed, 0) AS internal_directed,
+             round(CAST(coalesce(i.internal_directed, 0) AS DOUBLE) / t.dd -
+               (CAST(g.degree_sum AS DOUBLE) / t.dd) *
+               (CAST(g.degree_sum AS DOUBLE) / t.dd), 6) + 0.0 AS q_contrib
+      FROM degc g
+      LEFT JOIN internal i ON i.community = g.community
+      CROSS JOIN tot t
+      ORDER BY g.community"""))
+
   /** N-gram novelty per source: the share of each doc's distinct
     * word-3-gram shingles whose corpus-wide FIRST occurrence (min
     * doc_id) is that doc — the freshness/memorization profile used to
@@ -6736,7 +6965,7 @@ object LlmQueries extends QueryModule {
     watermarkDetect,
     unigramSegment, nucleusSets,
     weightedSample, bpeMergeStep, bpeTrain, bpeEncodeStats, wordpieceTrain, skipgramCooc, instructionDetect,
-    clusterQuality, pmiCollocations, kcore,
+    clusterQuality, pmiCollocations, kcore, ppjoinExact, labelPropagation, graphModularity,
     matryoshkaEval, curriculumOrder,
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,

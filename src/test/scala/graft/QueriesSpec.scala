@@ -231,6 +231,9 @@ class QueriesSpec extends SparkTestBase {
       // kdb_esd_outliers: per-round 1-row (mean, sd) broadcasts over
       // the ≤30-row daily grid frame
       "kdb_esd_outliers",
+      // llm_graph_modularity: the 1-row directed-edge total rides a
+      // broadcast cross join, same as llm_lm_score's vocab scalar
+      "llm_graph_modularity",
       // kdb_tail_index: the 1-row threshold broadcast over the
       // 201-row TakeOrdered frame (non-equi value > xmin)
       "kdb_tail_index",
@@ -1026,6 +1029,31 @@ class QueriesSpec extends SparkTestBase {
     // work, never a global or per-type sort of raw points
     assert(plan.contains("windowspecdefinition(event_type"),
       "argmax must partition by (event_type, bucket)")
+  }
+
+  test("llm_ppjoin_exact: prefix filter sits below the candidate self-join") {
+    val plan = SparkEntry.queries("llm_ppjoin_exact")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // the prefix-length math (n − ⌈0.8n⌉ + 1 via the div-5 identity)
+    // must appear as a Filter feeding the shingle-equality join — if a
+    // refactor ever joins the FULL shingle sets, the div-5 filter
+    // vanishes and this pin catches the quadratic regression before
+    // the bench does
+    assert(plan.contains("div 5"),
+      "prefix-length filter (4n+4 div 5) missing — candidate join is full inverted")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin")
+      || plan.contains("ShuffledHashJoin"), "candidate join must be an equi-join")
+  }
+
+  test("llm_label_propagation: rounds ride checkpoints, final plan scans no parquet") {
+    val plan = SparkEntry.queries("llm_label_propagation")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"),
+      "expected the per-round localCheckpoint boundary")
+    assert(!plan.contains("Scan parquet"),
+      "final round must read the round-3 checkpoint, never re-derive from raw docs")
+    assert(!plan.contains("CartesianProduct"))
   }
 
   test("every registered query is named in SURVEY.md (the coverage ledger can't drift)") {

@@ -138,6 +138,112 @@ private[graft] object MediaFixtures {
       "data".getBytes("US-ASCII") ++ le32(data.length.toLong)) ++ data
   }
 
+  /** Big-endian bit packer for the FLAC frame layer (private[graft]:
+    * FlacSpec hand-assembles the subframe variants — constant,
+    * verbatim, LPC, stereo — the query fixtures don't emit). */
+  private[graft] final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nBits = 0
+    def writeBits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1L).toInt
+        nBits += 1
+        if (nBits == 8) { buf += cur.toByte; cur = 0; nBits = 0 }
+        i -= 1
+      }
+    }
+    def writeUnary(q: Int): Unit = { writeBits(0, q); writeBits(1, 1) }
+    def alignToByte(): Unit = if (nBits != 0) writeBits(0, 8 - nBits)
+    def bytes: Array[Byte] = { alignToByte(); buf.toArray }
+  }
+
+  /** The exact sample recurrence [[flacFixed]] encodes — shared with
+    * its oracle rendering so both sides read ONE definition:
+    *   s(0) = (g·31) mod 200 − 100
+    *   s(1) = s(0) + (g mod 40) − 20
+    *   s(i) = 2·s(i−1) − s(i−2) + e(i),  e(i) = (g·7 + i·5) mod 16 − 8
+    * Residuals stay in [−8, 7] and |s| < 20 000 for n ≤ 48, safely
+    * inside 16-bit range. */
+  private[graft] def flacSampleSeq(g: Int, n: Int): Array[Int] = {
+    val s = new Array[Int](n)
+    s(0) = (g * 31) % 200 - 100
+    s(1) = s(0) + g % 40 - 20
+    var i = 2
+    while (i < n) {
+      s(i) = 2 * s(i - 1) - s(i - 2) + ((g * 7 + i * 5) % 16 - 8)
+      i += 1
+    }
+    s
+  }
+
+  /** Mono 16-bit FLAC, 8 kHz, one frame of `n` samples encoded with a
+    * FIXED ORDER-2 predictor and one Rice(4) partition — a REAL
+    * spec-faithful FLAC stream (RFC 9639: STREAMINFO, frame sync +
+    * header CRC-8, UTF-8-coded frame number, zigzag-folded Rice
+    * residuals, whole-frame CRC-16) whose decoded samples are the
+    * exact integer recurrence [[flacSampleSeq]] — so an oracle can
+    * state every decoded sample as pure arithmetic without seeing a
+    * byte, while the decoder must genuinely bit-unpack, Rice-decode,
+    * reconstruct the order-2 polynomial predictor, and pass both
+    * CRCs to produce them. `n` must be in [16, 256] (streaminfo min
+    * block size floor per spec; 8-bit block-size-minus-1 field). */
+  def flacFixed(g: Int, n: Int): Array[Byte] = {
+    require(n >= 16 && n <= 256, "block size out of the fixture's field range")
+    val s = flacSampleSeq(g, n)
+    // ---- STREAMINFO (the mandatory first metadata block, last-flagged)
+    val si = new Array[Byte](34)
+    si(0) = (n >> 8).toByte; si(1) = (n & 0xff).toByte // min block
+    si(2) = si(0); si(3) = si(1)                       // max block
+    // bytes 4..9: min/max frame size unknown (0)
+    val rate = 8000
+    si(10) = (rate >> 12).toByte
+    si(11) = ((rate >> 4) & 0xff).toByte
+    si(12) = (((rate & 0xf) << 4) | (0 << 1) | (15 >> 4)).toByte // ch−1=0, bps−1=15
+    si(13) = (((15 & 0xf) << 4) | 0).toByte // total samples bits 35..32 = 0
+    si(14) = 0; si(15) = 0
+    si(16) = (n >> 8).toByte; si(17) = (n & 0xff).toByte
+    // bytes 18..33: MD5 unset (0 = unknown)
+    val head = "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ si
+    // ---- one frame
+    val w = new BitWriter
+    w.writeBits(0x3ffe, 14) // sync
+    w.writeBits(0, 1)       // reserved
+    w.writeBits(0, 1)       // fixed-blocksize stream
+    w.writeBits(6, 4)       // block size: 8-bit value−1 follows
+    w.writeBits(0, 4)       // sample rate: from STREAMINFO
+    w.writeBits(0, 4)       // channel assignment: mono
+    w.writeBits(4, 3)       // sample size: 16-bit
+    w.writeBits(0, 1)       // reserved
+    w.writeBits(0, 8)       // UTF-8 coded frame number 0
+    w.writeBits(n - 1L, 8)  // block size − 1
+    val headerBytes = w.bytes // 6 bytes, already aligned
+    val crc8v = Multimodal.crc8(headerBytes, 0, headerBytes.length)
+    val w2 = new BitWriter
+    w2.writeBits(0, 1)      // subframe zero padding
+    w2.writeBits(0x0a, 6)   // FIXED, order 2
+    w2.writeBits(0, 1)      // no wasted bits
+    w2.writeBits(s(0).toLong & 0xffff, 16) // warmup
+    w2.writeBits(s(1).toLong & 0xffff, 16)
+    w2.writeBits(0, 2)      // residual method: Rice 4-bit params
+    w2.writeBits(0, 4)      // partition order 0
+    w2.writeBits(4, 4)      // Rice parameter 4
+    var i = 2
+    while (i < n) {
+      val e = s(i) - 2 * s(i - 1) + s(i - 2)
+      val u = if (e >= 0) 2 * e else -2 * e - 1 // zigzag fold
+      w2.writeUnary(u >> 4)
+      w2.writeBits(u & 0xf, 4)
+      i += 1
+    }
+    val sub = w2.bytes
+    val frameNoCrc = headerBytes ++ Array(crc8v.toByte) ++ sub
+    val crc16v = Multimodal.crc16(frameNoCrc, 0, frameNoCrc.length)
+    head ++ frameNoCrc ++ Array((crc16v >> 8).toByte, (crc16v & 0xff).toByte)
+  }
+
   /** PPM P6 of w×h with a deterministic byte pattern. */
   def ppm(w: Int, h: Int): Array[Byte] =
     s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++

@@ -3946,7 +3946,9 @@ object LlmQueries extends QueryModule {
             ("avi", Multimodal.decode(MediaFixtures.aviMjpeg(2, 2, g % 4 + 2))),
             // IMA ADPCM: frame count rides the spec's fact chunk
             // (1 header sample + 2 per nibble byte)
-            ("adpcm", Multimodal.decode(MediaFixtures.wavImaAdpcm(g, (g % 5 + 2) * 4)))
+            ("adpcm", Multimodal.decode(MediaFixtures.wavImaAdpcm(g, (g % 5 + 2) * 4))),
+            // FLAC: rate/channels/total-samples ride STREAMINFO
+            ("flac", Multimodal.decode(MediaFixtures.flacFixed(g, (g % 5 + 2) * 8)))
           ).map { case (fmt, (w, h, nf, _)) => (id, fmt, w, h, nf) }
         }
       }.toDF("doc_id", "fmt", "width", "height", "n_frames")
@@ -3966,7 +3968,8 @@ object LlmQueries extends QueryModule {
         UNION ALL SELECT doc_id, 'ppm', g % 9 + 1, g % 5 + 1, 1 FROM ids
         UNION ALL SELECT doc_id, 'wav', 8000, 1, g % 50 + 1 FROM ids
         UNION ALL SELECT doc_id, 'avi', 2, 2, g % 4 + 2 FROM ids
-        UNION ALL SELECT doc_id, 'adpcm', 8000, 1, (g % 5 + 2) * 8 + 1 FROM ids)
+        UNION ALL SELECT doc_id, 'adpcm', 8000, 1, (g % 5 + 2) * 8 + 1 FROM ids
+        UNION ALL SELECT doc_id, 'flac', 8000, 1, (g % 5 + 2) * 8 FROM ids)
       ORDER BY doc_id, fmt"""))
 
   /** IMA ADPCM decode gate at SAMPLE level — the codec-twin
@@ -4052,6 +4055,82 @@ object LlmQueries extends QueryModule {
       FROM stats s LEFT JOIN zc ON zc.doc_id = s.doc_id
       ORDER BY s.doc_id"""
     })
+
+  /** FLAC decode gate at SAMPLE level — the lossless-codec sibling of
+    * llm_adpcm_audio_twin: spec-faithful single-frame FLAC streams
+    * (RFC 9639 — STREAMINFO, sync + CRC-8 header, Rice(4) residuals,
+    * FIXED order-2 predictor, whole-frame CRC-16) whose decoded
+    * samples are the exact integer recurrence s(i) = 2s(i−1) −
+    * s(i−2) + e(i) with formula-derived warmup and residuals
+    * (MediaFixtures.flacSampleSeq), decoded through the production
+    * [[graft.multimodal.Multimodal.audioStats]] path — real
+    * bit-unpacking, zigzag Rice decode, polynomial reconstruction,
+    * and CRC verification — while the oracle re-derives every sample
+    * as TWO WINDOW PREFIX SUMS (the residual stream double-integrated:
+    * d(i) = d(1) + Σe, s(i) = s(0) + Σd — no recursion needed because
+    * a fixed order-2 predictor IS a double integrator). Peak,
+    * zero-crossings, and sample count are exact; RMS is bit-identical
+    * (integer Σs², one division, one sqrt, 4dp). Any drift in the
+    * Rice fold, predictor coefficients, warmup order, CRC math, or
+    * the bit reader flips the gate. Fixture build + decode is
+    * partition-local flatMap work; one row per doc. */
+  private val flacAudioTwin = QueryDef(
+    "llm_flac_audio_twin",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.{MediaFixtures, Multimodal}
+      import graft.multimodal.Multimodal.MediaRow
+      val media = documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 40).as[Long]
+        .map(id => MediaRow(id, "audio",
+          MediaFixtures.flacFixed((id % 32).toInt, ((id % 32 % 5) + 2).toInt * 8)))
+      Multimodal.audioStats(media).toDF()
+        .select(col("media_id").as("doc_id"), col("sample_rate"),
+          col("n_samples"), (round(col("rms"), 4) + lit(0.0)).as("rms"),
+          col("peak"), col("zero_crossings"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH par AS (
+        SELECT doc_id, doc_id % 32 AS g, ((doc_id % 32) % 5 + 2) * 8 AS n
+        FROM documents WHERE doc_id < 40),
+      idx AS (
+        SELECT doc_id, g, n, i
+        FROM par, generate_series(0, 255) AS t(i) WHERE i < n),
+      es AS (
+        SELECT doc_id, g, n, i,
+               CASE WHEN i >= 2 THEN (g * 7 + i * 5) % 16 - 8 ELSE 0 END AS e
+        FROM idx),
+      ds AS (
+        SELECT doc_id, g, n, i,
+               CASE WHEN i >= 1 THEN g % 40 - 20 +
+                 CAST(sum(e) OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT)
+               ELSE 0 END AS dd
+        FROM es),
+      ss AS (
+        SELECT doc_id, n, i,
+               (g * 31) % 200 - 100 +
+                 CAST(sum(dd) OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS s
+        FROM ds),
+      stats AS (
+        SELECT doc_id, count(*) AS n, max(abs(s)) AS peak,
+               CAST(sum(s * s) AS BIGINT) AS sumsq
+        FROM ss GROUP BY 1),
+      zc AS (
+        SELECT doc_id,
+               count(CASE WHEN neg <> lag_neg THEN 1 END) AS zc
+        FROM (
+          SELECT doc_id, (s < 0) AS neg,
+                 lag(s < 0) OVER (PARTITION BY doc_id ORDER BY i) AS lag_neg
+          FROM ss) t
+        WHERE lag_neg IS NOT NULL
+        GROUP BY 1)
+      SELECT st.doc_id, 8000 AS sample_rate, CAST(st.n AS INT) AS n_samples,
+             round(sqrt(CAST(sumsq AS DOUBLE) / st.n), 4) + 0.0 AS rms,
+             CAST(peak AS INT) AS peak,
+             CAST(coalesce(zc.zc, 0) AS BIGINT) AS zero_crossings
+      FROM stats st LEFT JOIN zc ON zc.doc_id = st.doc_id
+      ORDER BY st.doc_id"""))
 
   /** Video scene-cut detection over REALLY-DECODED frames — the
     * temporal member of the multimodal tier (codec metadata → pixels
@@ -6977,7 +7056,7 @@ object LlmQueries extends QueryModule {
     tokenEntropy, dsirSample, perplexityBuckets, winnowingFp, containment,
     int8Quantize, datasetCard, tokenizerFertility, codeDetect,
     softDedupWeights, spanCorruption, bloomScreen, sourceOverlap,
-    bm25Search, randomProjection, kanonAudit, dpRelease, preferencePairs, multimodalCodecTwin, adpcmAudioTwin, dedupEval, pagerank,
+    bm25Search, randomProjection, kanonAudit, dpRelease, preferencePairs, multimodalCodecTwin, adpcmAudioTwin, flacAudioTwin, dedupEval, pagerank,
     multimodalFeatures, similarityPq, hybridSearch, qualityClassifier,
     retrievalEval, ngramNovelty, prefixDedup, zipfFit, dedupTriangles,
     agreementKappa, boilerplateScrub, imageDhashDedup, rerankStage, psiDrift,

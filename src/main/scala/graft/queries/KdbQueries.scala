@@ -2453,6 +2453,218 @@ object KdbQueries extends QueryModule {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** Z-ORDER (Morton-curve) clustering audit — the multi-dimensional
+    * data-skipping decision a 100 TB table layout turns on (the
+    * public Delta/Iceberg OPTIMIZE ZORDER concept; Morton 1966):
+    * row-major clustering gives file-level min/max pruning on the
+    * LEADING dimension only, so a 2-D box predicate still scans every
+    * file of the matching lead range; interleaving the dimensions'
+    * bits bounds BOTH per file, shrinking candidates toward
+    * O(√selectivity). This query runs the audit that justifies the
+    * rewrite BEFORE paying for it: quantize events onto a 32×32
+    * (day, user-cohort) grid, derive each row's 10-bit Morton code,
+    * simulate 64-bucket layouts under z-order and row-major
+    * clustering, compute every bucket's (min, max) footer stats, and
+    * report how many buckets (and rows) a fixed box query must scan
+    * under each layout. Everything is exact integer arithmetic — the
+    * interleave is generated from ONE Scala definition into both
+    * engines ([[mortonExpr]]) — and the real layout writer would be a
+    * repartitionByRange on the same z column. One events scan
+    * (stack() fans each row into its two layout rows), two key-
+    * partitioned aggregations, output bounded at 2 rows. */
+  private def mortonExpr(xE: String, yE: String, idiv: String): String =
+    (0 until 5).map { i =>
+      s"(($xE) $idiv ${1 << i}) % 2 * ${1L << (2 * i)} + " +
+        s"(($yE) $idiv ${1 << i}) % 2 * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  private val zorderPruning = QueryDef(
+    "kdb_zorder_pruning",
+    (s, d) => {
+      val cells = ev(s, d).selectExpr(
+        s"((ts_ns - ${T0}L) div $Day) % 32 AS x",
+        "user_id % 32 AS y")
+        .selectExpr("x", "y", s"${mortonExpr("x", "y", "div")} AS z")
+        .selectExpr("x", "y",
+          "stack(2, 'rowmajor', (x * 32 + y) div 16, 'zorder', z div 16) AS (layout, b)")
+      // box 'lead' constrains both dims; box 'trail' constrains ONLY
+      // the trailing dim — the case where row-major min/max stats are
+      // useless (every bucket spans the full y range of its lead
+      // slice) and z-order's per-tile bounds carry the whole win
+      val hitLead = col("x").between(10, 14) && col("y").between(3, 6)
+      val hitTrail = col("y").between(3, 6)
+      val bstats = cells.groupBy(col("layout"), col("b"))
+        .agg(count(lit(1)).as("rows"),
+          min(col("x")).as("minx"), max(col("x")).as("maxx"),
+          min(col("y")).as("miny"), max(col("y")).as("maxy"),
+          count(when(hitLead, 1)).as("match_lead"),
+          count(when(hitTrail, 1)).as("match_trail"))
+      val candLead = col("minx") <= 14 && col("maxx") >= 10 &&
+        col("miny") <= 6 && col("maxy") >= 3
+      val candTrail = col("miny") <= 6 && col("maxy") >= 3
+      bstats.groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_buckets"),
+          count(when(candLead, 1)).as("cb_lead"),
+          coalesce(sum(when(candLead, col("rows"))), lit(0L)).as("rs_lead"),
+          sum(col("match_lead")).as("rm_lead"),
+          count(when(candTrail, 1)).as("cb_trail"),
+          coalesce(sum(when(candTrail, col("rows"))), lit(0L)).as("rs_trail"),
+          sum(col("match_trail")).as("rm_trail"),
+          sum(col("rows")).as("total_rows"))
+        .selectExpr("layout", "n_buckets",
+          "stack(2, 'lead', cb_lead, rs_lead, rm_lead, " +
+            "round(CAST(rs_lead AS DOUBLE) / total_rows, 4) + 0.0, " +
+            "'trail', cb_trail, rs_trail, rm_trail, " +
+            "round(CAST(rs_trail AS DOUBLE) / total_rows, 4) + 0.0) " +
+            "AS (box, n_candidate_buckets, rows_scanned, rows_matching, scan_ratio)")
+        .orderBy(col("box"), col("layout"))
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT ((epoch_ns(ts) - ${T0}) // $Day) % 32 AS x,
+               user_id % 32 AS y
+        FROM events),
+      zc AS (SELECT x, y, ${mortonExpr("x", "y", "//")} AS z FROM cells),
+      tagged AS (
+        SELECT x, y, 'rowmajor' AS layout, (x * 32 + y) // 16 AS b FROM zc
+        UNION ALL
+        SELECT x, y, 'zorder', z // 16 FROM zc),
+      bstats AS (
+        SELECT layout, b, count(*) AS nrows,
+               min(x) AS minx, max(x) AS maxx,
+               min(y) AS miny, max(y) AS maxy,
+               count(CASE WHEN x BETWEEN 10 AND 14 AND y BETWEEN 3 AND 6
+                     THEN 1 END) AS match_lead,
+               count(CASE WHEN y BETWEEN 3 AND 6 THEN 1 END) AS match_trail
+        FROM tagged GROUP BY 1, 2),
+      agg AS (
+        SELECT layout, count(*) AS n_buckets,
+               count(CASE WHEN minx <= 14 AND maxx >= 10 AND miny <= 6 AND maxy >= 3
+                     THEN 1 END) AS cb_lead,
+               coalesce(CAST(sum(CASE WHEN minx <= 14 AND maxx >= 10
+                   AND miny <= 6 AND maxy >= 3 THEN nrows END) AS BIGINT), 0)
+                 AS rs_lead,
+               CAST(sum(match_lead) AS BIGINT) AS rm_lead,
+               count(CASE WHEN miny <= 6 AND maxy >= 3 THEN 1 END) AS cb_trail,
+               coalesce(CAST(sum(CASE WHEN miny <= 6 AND maxy >= 3
+                   THEN nrows END) AS BIGINT), 0) AS rs_trail,
+               CAST(sum(match_trail) AS BIGINT) AS rm_trail,
+               CAST(sum(nrows) AS BIGINT) AS total_rows
+        FROM bstats GROUP BY 1)
+      SELECT layout, n_buckets, 'lead' AS box,
+             cb_lead AS n_candidate_buckets, rs_lead AS rows_scanned,
+             rm_lead AS rows_matching,
+             round(CAST(rs_lead AS DOUBLE) / total_rows, 4) + 0.0 AS scan_ratio
+      FROM agg
+      UNION ALL
+      SELECT layout, n_buckets, 'trail',
+             cb_trail, rs_trail, rm_trail,
+             round(CAST(rs_trail AS DOUBLE) / total_rows, 4) + 0.0
+      FROM agg
+      ORDER BY box, layout"""))
+
+  /** Difference-in-differences estimator — the two-period causal
+    * read behind "did the change help?" when treatment wasn't
+    * randomized (Card–Krueger 1994, public econometrics): treated
+    * cohort (even user ids) vs control, pre (days 0–14) vs post
+    * (days 15–29), outcome = mean purchase cents; DiD = (T_post −
+    * T_pre) − (C_post − C_pre) cancels both the stable cohort gap
+    * and the common time trend. A PLACEBO estimate (fake cutover at
+    * day 7, pre-period only) is reported beside it — the standard
+    * no-effect-where-none-can-exist sanity check; a pipeline alarms
+    * when |placebo| rivals |did|. Determinism: cell sums are exact
+    * int64 cents, each mean is ONE double division, and the DiD
+    * combines four such quotients with the identical association
+    * order in both engines before the single 4dp round. One
+    * purchase-filtered scan, one 4-cell (8 with placebo) aggregation
+    * — aggregate-sized everything. */
+  private val did = QueryDef(
+    "kdb_did",
+    (s, d) => {
+      val cell = ev(s, d).filter(col("event_type") === "purchase")
+        .selectExpr("user_id % 2 = 0 AS treated",
+          s"(ts_ns - ${T0}L) div $Day AS day",
+          "CAST(round(value * 100) AS LONG) AS cents")
+        .groupBy(col("treated"))
+        .agg(
+          count(when(col("day") < 15, 1)).as("n_pre"),
+          sum(when(col("day") < 15, col("cents"))).as("s_pre"),
+          count(when(col("day") >= 15, 1)).as("n_post"),
+          sum(when(col("day") >= 15, col("cents"))).as("s_post"),
+          count(when(col("day") < 7, 1)).as("n_pl_pre"),
+          sum(when(col("day") < 7, col("cents"))).as("s_pl_pre"),
+          count(when(col("day") >= 7 && col("day") < 15, 1)).as("n_pl_post"),
+          sum(when(col("day") >= 7 && col("day") < 15, col("cents"))).as("s_pl_post"))
+      val m = Map(
+        "pre" -> (col("s_pre").cast("double") / col("n_pre")),
+        "post" -> (col("s_post").cast("double") / col("n_post")),
+        "pl_pre" -> (col("s_pl_pre").cast("double") / col("n_pl_pre")),
+        "pl_post" -> (col("s_pl_post").cast("double") / col("n_pl_post")))
+      val wide = cell.groupBy()
+        .agg(
+          max(when(col("treated"), col("n_pre"))).as("n_t_pre"),
+          max(when(col("treated"), col("n_post"))).as("n_t_post"),
+          max(when(!col("treated"), col("n_pre"))).as("n_c_pre"),
+          max(when(!col("treated"), col("n_post"))).as("n_c_post"),
+          max(when(col("treated"), m("pre"))).as("mt_pre"),
+          max(when(col("treated"), m("post"))).as("mt_post"),
+          max(when(!col("treated"), m("pre"))).as("mc_pre"),
+          max(when(!col("treated"), m("post"))).as("mc_post"),
+          max(when(col("treated"), m("pl_post") - m("pl_pre"))).as("dt_pl"),
+          max(when(!col("treated"), m("pl_post") - m("pl_pre"))).as("dc_pl"))
+      wide.select(
+        col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+        (round(col("mt_pre"), 4) + lit(0.0)).as("mean_t_pre"),
+        (round(col("mt_post"), 4) + lit(0.0)).as("mean_t_post"),
+        (round(col("mc_pre"), 4) + lit(0.0)).as("mean_c_pre"),
+        (round(col("mc_post"), 4) + lit(0.0)).as("mean_c_post"),
+        (round((col("mt_post") - col("mt_pre")) - (col("mc_post") - col("mc_pre")), 4)
+          + lit(0.0)).as("did_cents"),
+        (round(col("dt_pl") - col("dc_pl"), 4) + lit(0.0)).as("placebo_cents"))
+    },
+    Some(s"""
+      WITH cell AS (
+        SELECT user_id % 2 = 0 AS treated,
+               (epoch_ns(ts) - ${T0}) // $Day AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      agg AS (
+        SELECT treated,
+               count(CASE WHEN day < 15 THEN 1 END) AS n_pre,
+               CAST(sum(CASE WHEN day < 15 THEN cents END) AS BIGINT) AS s_pre,
+               count(CASE WHEN day >= 15 THEN 1 END) AS n_post,
+               CAST(sum(CASE WHEN day >= 15 THEN cents END) AS BIGINT) AS s_post,
+               count(CASE WHEN day < 7 THEN 1 END) AS n_pl_pre,
+               CAST(sum(CASE WHEN day < 7 THEN cents END) AS BIGINT) AS s_pl_pre,
+               count(CASE WHEN day >= 7 AND day < 15 THEN 1 END) AS n_pl_post,
+               CAST(sum(CASE WHEN day >= 7 AND day < 15 THEN cents END) AS BIGINT)
+                 AS s_pl_post
+        FROM cell GROUP BY 1)
+      SELECT
+        max(CASE WHEN treated THEN n_pre END) AS n_t_pre,
+        max(CASE WHEN treated THEN n_post END) AS n_t_post,
+        max(CASE WHEN NOT treated THEN n_pre END) AS n_c_pre,
+        max(CASE WHEN NOT treated THEN n_post END) AS n_c_post,
+        round(max(CASE WHEN treated THEN CAST(s_pre AS DOUBLE) / n_pre END), 4)
+          + 0.0 AS mean_t_pre,
+        round(max(CASE WHEN treated THEN CAST(s_post AS DOUBLE) / n_post END), 4)
+          + 0.0 AS mean_t_post,
+        round(max(CASE WHEN NOT treated THEN CAST(s_pre AS DOUBLE) / n_pre END), 4)
+          + 0.0 AS mean_c_pre,
+        round(max(CASE WHEN NOT treated THEN CAST(s_post AS DOUBLE) / n_post END), 4)
+          + 0.0 AS mean_c_post,
+        round((max(CASE WHEN treated THEN CAST(s_post AS DOUBLE) / n_post END)
+             - max(CASE WHEN treated THEN CAST(s_pre AS DOUBLE) / n_pre END))
+            - (max(CASE WHEN NOT treated THEN CAST(s_post AS DOUBLE) / n_post END)
+             - max(CASE WHEN NOT treated THEN CAST(s_pre AS DOUBLE) / n_pre END)), 4)
+          + 0.0 AS did_cents,
+        round(max(CASE WHEN treated THEN CAST(s_pl_post AS DOUBLE) / n_pl_post
+                 - CAST(s_pl_pre AS DOUBLE) / n_pl_pre END)
+            - max(CASE WHEN NOT treated THEN CAST(s_pl_post AS DOUBLE) / n_pl_post
+                 - CAST(s_pl_pre AS DOUBLE) / n_pl_pre END), 4)
+          + 0.0 AS placebo_cents
+      FROM agg"""))
+
   /** 1-D Kalman filter per series (constant-level model) over the
     * hourly max-LWW values — the optimal-under-noise smoother the
     * EWMA family approximates, with an explicitly tracked error
@@ -7194,6 +7406,7 @@ object KdbQueries extends QueryModule {
     businessRollup, controlRules, garmanKlass,
     incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf,
     eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,
+    zorderPruning, did,
     anomalyEnsemble, drawdown, changepoint, rateLimitAudit, burstiness,
     quantileSketch, debounce, chisqIndependence, abTest, frequentPairs,
     rfm, attribution, sessionPaths, interarrival, rsi, peakDetect, lttb, eraseTwin, sqlViewTwin, reliability, cardinalityGrowth)

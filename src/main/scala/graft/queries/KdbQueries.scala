@@ -699,6 +699,114 @@ object KdbQueries extends QueryModule {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** Sliding-window distinct users via MERGEABLE HLL registers — the
+    * sketch answer to kdb_rolling_wau's exact rolling distinct, and
+    * the reason sketches exist at 100 TB: exact sliding distinct must
+    * re-touch every (day, user) pair per window, while a mergeable
+    * sketch keeps m=128 register maxima per day and merges 7 days with
+    * a register-wise MAX (union of HLLs IS max — Flajolet et al.
+    * 2007). Unlike kdb_approx_distinct (whose engine-internal sketch
+    * can only be property-gated), every step here is explicit integer
+    * arithmetic — register index = h mod 128, rho = 54 − bitlen of the
+    * remaining 53 hash bits via length(bin(x)) STRING math, the
+    * harmonic denominator as the EXACT scaled integer Σ 2^(54−M_j)
+    * (≤ 128·2⁵⁴ < 2⁶²), the linear-counting small-range branch decided
+    * by the same double compare in both engines, and the α·m²·2⁵⁴
+    * constant spliced from ONE Scala double into both renderings — so
+    * the ESTIMATE ITSELF hash-gates, not just an accuracy flag. The
+    * exact count rides beside it (computed the explode-into-windows
+    * way; the expensive path the sketch replaces) plus a ≤25% error
+    * audit (m=128 → 9.2% standard error). Grid = observed days ×
+    * 128 registers; the merge is one RANGE window over calendar days;
+    * everything else is key-partitioned aggregation. */
+  private val HllC: Double = 0.7213 / (1 + 1.079 / 128) * 16384.0 * (1L << 54).toDouble
+  private val slidingHll = QueryDef(
+    "kdb_sliding_hll",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val du = ev(s, d)
+        .selectExpr(s"(ts_ns - ${T0}L) div $Day AS day", "user_id")
+        .distinct()
+      val days = du.select(col("day")).distinct()
+      val reg = du
+        .select(col("day"),
+          graft.functions.TextFunctions.hash60(col("user_id").cast("string")).as("h"))
+        .selectExpr("day", "h % 128 AS idx", "h div 128 AS v")
+        .selectExpr("day", "idx",
+          "CASE WHEN v = 0 THEN CAST(54 AS BIGINT) ELSE 54 - length(bin(v)) END AS rho")
+        .groupBy(col("day"), col("idx")).agg(max(col("rho")).as("m"))
+      val grid = days.select(col("day"), explode(sequence(lit(0), lit(127))).as("idx"))
+      val wspec = Window.partitionBy(col("idx")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      val merged = grid.join(reg, Seq("day", "idx"), "left_outer")
+        .withColumn("m0", coalesce(col("m"), lit(0L)))
+        .withColumn("mw", max(col("m0")).over(wspec))
+      val sket = merged.groupBy(col("day"))
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(54 - mw AS INT))")).as("sreg"),
+          count(when(col("mw") === 0, 1)).as("v_zero"))
+      val exact = du
+        .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .join(days, "day")
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("n_exact"))
+      sket.join(exact, "day")
+        .withColumn("est", expr(
+          s"CASE WHEN v_zero > 0 AND $HllC <= 320.0 * CAST(sreg AS DOUBLE) " +
+            s"THEN 128.0 * ln(128.0 / v_zero) " +
+            s"ELSE $HllC / CAST(sreg AS DOUBLE) END"))
+        .withColumn("est_wau", round(col("est"), 4) + lit(0.0))
+        .select(col("day"), col("n_exact"), col("v_zero"),
+          expr(s"CASE WHEN v_zero > 0 AND $HllC <= 320.0 * CAST(sreg AS DOUBLE) " +
+            "THEN 'linear' ELSE 'raw' END").as("regime"),
+          col("est_wau"),
+          (abs(col("est_wau") - col("n_exact")) <= col("n_exact") * lit(0.25))
+            .cast("int").as("err_ok"))
+        .orderBy(col("day"))
+    },
+    Some(s"""
+      WITH du AS (
+        SELECT DISTINCT (epoch_ns(ts) - ${T0}) // $Day AS day, user_id
+        FROM events),
+      days AS (SELECT DISTINCT day FROM du),
+      reg AS (
+        SELECT day, h % 128 AS idx,
+               max(CASE WHEN h // 128 = 0 THEN 54
+                   ELSE 54 - length(bin(h // 128)) END) AS m
+        FROM (
+          SELECT day,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM du)
+        GROUP BY 1, 2),
+      grid AS (
+        SELECT day, i.idx FROM days, generate_series(0, 127) AS i(idx)),
+      merged AS (
+        SELECT g.day, g.idx,
+               max(coalesce(r.m, 0)) OVER (PARTITION BY g.idx ORDER BY g.day
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS mw
+        FROM grid g LEFT JOIN reg r ON r.day = g.day AND r.idx = g.idx),
+      sket AS (
+        SELECT day,
+               CAST(sum(CAST(1 AS BIGINT) << CAST(54 - mw AS INTEGER)) AS BIGINT)
+                 AS sreg,
+               count(CASE WHEN mw = 0 THEN 1 END) AS v_zero
+        FROM merged GROUP BY 1),
+      ex AS (
+        SELECT w.day, count(DISTINCT du.user_id) AS n_exact
+        FROM days w JOIN du ON du.day BETWEEN w.day - 6 AND w.day
+        GROUP BY 1),
+      est AS (
+        SELECT s.day, e.n_exact, s.v_zero,
+               CASE WHEN s.v_zero > 0 AND $HllC <= 320.0 * CAST(s.sreg AS DOUBLE)
+                    THEN 'linear' ELSE 'raw' END AS regime,
+               round(CASE WHEN s.v_zero > 0 AND $HllC <= 320.0 * CAST(s.sreg AS DOUBLE)
+                     THEN 128.0 * ln(128.0 / s.v_zero)
+                     ELSE $HllC / CAST(s.sreg AS DOUBLE) END, 4) + 0.0 AS est_wau
+        FROM sket s JOIN ex e ON e.day = s.day)
+      SELECT day, n_exact, v_zero, regime, est_wau,
+             CASE WHEN abs(est_wau - n_exact) <= n_exact * 0.25 THEN 1 ELSE 0 END
+               AS err_ok
+      FROM est
+      ORDER BY day"""))
+
   /** Gap-based sessionization (batch twin of
     * StreamingIngest.sessionize): a >30-minute silence per user starts
     * a new session. One shuffle on user_id; the session-boundary lag,
@@ -7394,7 +7502,7 @@ object KdbQueries extends QueryModule {
     plusJoin, unionJoin, bitemporalTwin,
     bollinger, fbyFilter, spearman, survivalKm, pacf, periodogram,
     put, get, find, removeBefore, validate, tumbling, asof, asofWindowed,
-    hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct,
+    hopping, intervalJoin, saltedAgg, rollingAvg, pivotQ, approxDistinct, slidingHll,
     sessionize, downsample, interpFill, ewma, ewmaIrregular, ohlc, counterRate, latest,
     heavyHitters, zscore, madAnomaly, seriesCorr, corrMatrix, seasonality,
     seriesRatio, topMovers, latencyBands, calendarHeatmap, orderAudit, rollingMedian, audienceOverlap,

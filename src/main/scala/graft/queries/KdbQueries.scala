@@ -2852,6 +2852,120 @@ object KdbQueries extends QueryModule {
       FROM rec r JOIN nn ON nn.event_type = r.event_type AND r.i = nn.n
       ORDER BY r.event_type"""))
 
+  /** Rauch–Tung–Striebel smoother — the BACKWARD pass the Kalman
+    * filter (kdb_kalman_filter, same q=2⁻⁶/r=2⁻² constant-level
+    * model) can't do online: once the series is closed, every slot's
+    * estimate is revised using the FUTURE too (x_s(i) = x_f(i) +
+    * C·(x_s(i+1) − x_f(i)), C = p_f/(p_f+q)), which collapses the
+    * filter's early-sample transient — the definitive backfill read a
+    * TSDB serves for historical ranges while the filter serves the
+    * live edge. Implementation: the forward fold now carries the full
+    * per-slot (x_f, p_f) ARRAYS in the struct accumulator (the
+    * kdb_holtwinters array-in-accumulator precedent), the backward
+    * fold walks the reversed pairs appending smoothed levels, and
+    * every slot emits (filtered, smoothed) — the gate covers the
+    * whole trajectory, not a summary. Oracle: the filter's forward
+    * recursive CTE emitting ALL steps plus a second recursion walking
+    * i = n → 1; both passes are the identical IEEE ops in the
+    * identical order, so doubles are bit-exact pre-round. Slot tables
+    * are grid-bounded (≤720/series); the folds are per-series
+    * aggregate work after one slot shuffle. */
+  private val kalmanSmoother = QueryDef(
+    "kdb_kalman_smoother",
+    (s, d) => {
+      val q = lit(0.015625); val rr = lit(0.25)
+      val accF = struct(
+        array().cast("array<double>").as("xs"),
+        array().cast("array<double>").as("ps"))
+      val fwd = ev(s, d)
+        .withColumn("slot_ns", col("ts_ns") - col("ts_ns") % Hour)
+        .groupBy(col("event_type"), col("slot_ns"))
+        .agg(max(col("value")).as("v"))
+        .groupBy(col("event_type"))
+        .agg(aggregate(
+          transform(sort_array(collect_list(struct(col("slot_ns"), col("v")))),
+            r0 => r0.getField("v")),
+          accF,
+          (acc, z) => {
+            val xs = acc.getField("xs"); val ps = acc.getField("ps")
+            val x = element_at(xs, -1); val p = element_at(ps, -1)
+            val pPred = p + q
+            val k = pPred / (pPred + rr)
+            when(size(xs) === 0,
+              struct(array(z).as("xs"), array(lit(1.0)).as("ps")))
+              .otherwise(struct(
+                concat(xs, array(x + k * (z - x))).as("xs"),
+                concat(ps, array((lit(1.0) - k) * pPred)).as("ps")))
+          }).as("f"))
+      val pairs = reverse(slice(
+        arrays_zip(col("f.xs").as("fx"), col("f.ps").as("fp")),
+        lit(1), size(col("f.xs")) - 1))
+      val accB = struct(
+        slice(col("f.xs"), -1, 1).as("sx"),
+        element_at(col("f.xs"), -1).as("cx"),
+        element_at(col("f.ps"), -1).as("cp"))
+      fwd
+        .withColumn("b", aggregate(pairs, accB, (acc, e) => {
+          val xf = e.getField("fx"); val pf = e.getField("fp")
+          val pPred = pf + q
+          val c = pf / pPred
+          val nx = xf + c * (acc.getField("cx") - xf)
+          val np = pf + c * c * (acc.getField("cp") - pPred)
+          struct(concat(acc.getField("sx"), array(nx)).as("sx"),
+            nx.as("cx"), np.as("cp"))
+        }))
+        .select(col("event_type"),
+          posexplode(arrays_zip(col("f.xs").as("xf"),
+            reverse(col("b.sx")).as("xsm"))).as(Seq("i0", "pr")))
+        .select(col("event_type"), (col("i0") + 1).as("i"),
+          (round(col("pr.xf"), 4) + lit(0.0)).as("x_filt"),
+          (round(col("pr.xsm"), 4) + lit(0.0)).as("x_smooth"))
+        .orderBy(col("event_type"), col("i"))
+    },
+    Some(s"""
+      WITH RECURSIVE h AS (
+        SELECT event_type,
+               epoch_ns(ts) - epoch_ns(ts) % ${Hour} AS slot_ns,
+               max(value) AS v
+        FROM events
+        GROUP BY 1, 2),
+      idx AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY event_type ORDER BY slot_ns) AS i,
+               v
+        FROM h),
+      nn AS (SELECT event_type, max(i) AS n FROM idx GROUP BY 1),
+      fwd_rec AS (
+        SELECT event_type, CAST(1 AS BIGINT) AS i, v AS x,
+               CAST(1.0 AS DOUBLE) AS p
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT r.event_type, r.i + 1,
+               r.x + ((r.p + 0.015625) / ((r.p + 0.015625) + 0.25)) * (z.v - r.x),
+               (1.0 - ((r.p + 0.015625) / ((r.p + 0.015625) + 0.25)))
+                 * (r.p + 0.015625)
+        FROM fwd_rec r JOIN idx z ON z.event_type = r.event_type AND z.i = r.i + 1),
+      -- materialized: the backward recursion references the forward
+      -- result PER ITERATION; inlined, each of the ~720 backward steps
+      -- would re-run the whole forward recursion (the llm_kcore
+      -- AS MATERIALIZED lesson, squared)
+      fwd AS MATERIALIZED (SELECT * FROM fwd_rec),
+      bwd AS (
+        SELECT f.event_type, nn.n AS i, f.x AS sx, f.p AS sp
+        FROM fwd f JOIN nn ON nn.event_type = f.event_type AND f.i = nn.n
+        UNION ALL
+        SELECT b.event_type, b.i - 1,
+               f.x + (f.p / (f.p + 0.015625)) * (b.sx - f.x),
+               f.p + (f.p / (f.p + 0.015625)) * (f.p / (f.p + 0.015625))
+                 * (b.sp - (f.p + 0.015625))
+        FROM bwd b JOIN fwd f ON f.event_type = b.event_type AND f.i = b.i - 1
+        WHERE b.i > 1)
+      SELECT f.event_type, f.i,
+             round(f.x, 4) + 0.0 AS x_filt,
+             round(b.sx, 4) + 0.0 AS x_smooth
+      FROM fwd f JOIN bwd b ON b.event_type = f.event_type AND b.i = f.i
+      ORDER BY f.event_type, f.i"""))
+
   /** One-sided CUSUM drift detection per series: z-normalize the
     * hourly values against the series' own mean/stddev, then fold
     * s_t = max(0, s_{t−1} + z_t − k) with slack k=0.5, alarming while
@@ -7513,7 +7627,7 @@ object KdbQueries extends QueryModule {
     replicationTwin, resyncTwin, haarEnergy, markovStationary, associationRules,
     businessRollup, controlRules, garmanKlass,
     incidentIntervals, saxMotifs, olsTrend, m4Downsample, benford, acf,
-    eventTransitions, holtWinters, kalman, rollupMerge, compressionPlan,
+    eventTransitions, holtWinters, kalman, kalmanSmoother, rollupMerge, compressionPlan,
     zorderPruning, did,
     anomalyEnsemble, drawdown, changepoint, rateLimitAudit, burstiness,
     quantileSketch, debounce, chisqIndependence, abTest, frequentPairs,

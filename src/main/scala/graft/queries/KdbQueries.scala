@@ -719,7 +719,7 @@ object KdbQueries extends QueryModule {
     * audit (m=128 → 9.2% standard error). Grid = observed days ×
     * 128 registers; the merge is one RANGE window over calendar days;
     * everything else is key-partitioned aggregation. */
-  private val HllC: Double = 0.7213 / (1 + 1.079 / 128) * 16384.0 * (1L << 54).toDouble
+  private[queries] val HllC: Double = 0.7213 / (1 + 1.079 / 128) * 16384.0 * (1L << 54).toDouble
   private val slidingHll = QueryDef(
     "kdb_sliding_hll",
     (s, d) => {

@@ -518,6 +518,73 @@ object StreamingTwinQueries extends QueryModule {
         GROUP BY 1)
       SELECT * FROM sk ORDER BY event_type"""))
 
+  /** Streaming cardinality sketch: 128 HLL register maxima carried as
+    * mapGroupsWithState state per daily window
+    * (StreamingIngest.hllRegisters) — the mergeable-sketch member the
+    * quantile (bucket histogram) and frequency (Space-Saving) twins
+    * bracket: exact streaming distinct needs per-key state that grows
+    * with the universe; the register state is 128 longs per window
+    * forever. The emitted state is EXACT integers (scaled harmonic
+    * denominator Σ2^(54−M), zero-register count), the estimate is the
+    * same spliced α·m²·2⁵⁴ expression as the batch kdb_sliding_hll,
+    * and the oracle recomputes every register from md5 arithmetic —
+    * the full estimate hash-gates, no property flag. Update-mode
+    * replay; across batches the latest state per window wins (sreg is
+    * monotonically non-increasing as registers fold in, so a
+    * min-struct picks it deterministically). */
+  private val hllTwin = QueryDef(
+    "stream_hll_twin",
+    (s, d) => {
+      val Day = 24 * Hour
+      val out = replay(s, s"$d/events.parquet", "update") { stream =>
+        val pts = stream.select(
+          tsNs(stream).as("ts"),
+          col("user_id").cast("string").as("key"))
+        StreamingIngest.hllRegisters(pts, Day).toDF()
+      }
+      out.groupBy(col("w_start_us"))
+        .agg(min(struct(col("sreg"), col("v_zero"))).as("m"))
+        .select(col("w_start_us"), col("m.sreg").as("sreg"),
+          col("m.v_zero").as("v_zero"))
+        .withColumn("est_users", round(expr(
+          s"CASE WHEN v_zero > 0 AND ${KdbQueries.HllC} <= 320.0 * CAST(sreg AS DOUBLE) " +
+            s"THEN 128.0 * ln(128.0 / v_zero) " +
+            s"ELSE ${KdbQueries.HllC} / CAST(sreg AS DOUBLE) END"), 4) + lit(0.0))
+        .select(col("w_start_us"), col("sreg"),
+          col("v_zero").cast("int").as("v_zero"), col("est_users"))
+        .orderBy(col("w_start_us"))
+    },
+    Some(s"""
+      WITH du AS (
+        SELECT epoch_us(ts) - epoch_us(ts) % ${24 * Hour / 1000} AS w,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM events),
+      reg AS (
+        SELECT w, h % 128 AS idx,
+               max(CASE WHEN h // 128 = 0 THEN 54
+                   ELSE 54 - length(bin(h // 128)) END) AS m
+        FROM du GROUP BY 1, 2),
+      grid AS (
+        SELECT w, i.idx
+        FROM (SELECT DISTINCT w FROM du), generate_series(0, 127) AS i(idx)),
+      dense AS (
+        SELECT g.w, coalesce(r.m, 0) AS m
+        FROM grid g LEFT JOIN reg r ON r.w = g.w AND r.idx = g.idx),
+      sket AS (
+        SELECT w AS w_start_us,
+               CAST(sum(CAST(1 AS BIGINT) << CAST(54 - m AS INTEGER)) AS BIGINT)
+                 AS sreg,
+               count(CASE WHEN m = 0 THEN 1 END) AS v_zero
+        FROM dense GROUP BY 1)
+      SELECT w_start_us, sreg, CAST(v_zero AS INTEGER) AS v_zero,
+             round(CASE WHEN v_zero > 0
+                         AND ${KdbQueries.HllC} <= 320.0 * CAST(sreg AS DOUBLE)
+                   THEN 128.0 * ln(128.0 / v_zero)
+                   ELSE ${KdbQueries.HllC} / CAST(sreg AS DOUBLE) END, 4) + 0.0
+               AS est_users
+      FROM sket
+      ORDER BY w_start_us"""))
+
   /** Streaming heavy hitters: the Space-Saving summary
     * (graft.functions.HeavyHitters, kdb_heavy_hitters' sketch) carried
     * as STREAMING AGGREGATE STATE per event_type — bounded k=64
@@ -785,6 +852,6 @@ object StreamingTwinQueries extends QueryModule {
 
   override def defs: Seq[QueryDef] = Seq(
     tumblingTwin, dedupTwin, sessionizeTwin, hoppingTwin, latestTwin,
-    intervalJoinTwin, recoveryTwin, rollupTwin, quantileSketchTwin,
+    intervalJoinTwin, recoveryTwin, rollupTwin, quantileSketchTwin, hllTwin,
     heavyHittersTwin, staticJoinTwin, asofTwin, cdcTwin)
 }

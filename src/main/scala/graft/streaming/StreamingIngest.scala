@@ -174,6 +174,66 @@ object StreamingIngest {
       }
   }
 
+  /** Per-window HLL register state (128 registers). */
+  final case class HllState(regs: Array[Long])
+  final case class HllOut(w_start_us: Long, sreg: Long, v_zero: Int)
+
+  /** Streaming distinct-cardinality sketch: mapGroupsWithState keyed
+    * by tumbling window maintains 128 HLL register maxima — the
+    * MERGEABLE sketch state whose size is constant in stream length
+    * (the property that makes cardinality tractable in a stream at
+    * all; exact distinct state grows with the key universe). Each
+    * micro-batch folds its rows' (register, rho) pairs into the state
+    * with max (idempotent and commutative, so at-least-once upstream
+    * delivery and late replays cannot corrupt the sketch — the same
+    * argument as latestPerSeries' LWW fold) and emits the window's
+    * harmonic denominator Σ2^(54−M) as an EXACT scaled int64 plus
+    * the zero-register count; the estimate itself is left to the
+    * consumer so the emitted state is pure integers (the batch twin
+    * kdb_sliding_hll and the stream_hll_twin oracle apply the same
+    * spliced α·m²·2⁵⁴ constant). The hash/register math is
+    * bit-identical to the batch rendering: h = first 15 md5 hex
+    * chars, idx = h mod 128, rho = 54 − bitlen(h div 128). */
+  def hllRegisters(points: DataFrame, windowNs: Long): org.apache.spark.sql.Dataset[HllOut] = {
+    requireMicros("windowNs", windowNs)
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = points.sparkSession
+    import spark.implicits._
+    points // (ts ns, key string)
+      .select(expr(s"(ts - ts % $windowNs) div 1000").as("w_start_us"),
+        col("key"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (w: Long, rows: Iterator[(Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[HllState]) =>
+          val regs = state.getOption.map(_.regs).getOrElse(new Array[Long](128))
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+          rows.foreach { case (_, key) =>
+            md5.reset()
+            val hex = md5.digest(key.getBytes("UTF-8"))
+              .map(b => f"$b%02x").mkString.substring(0, 15)
+            val h = java.lang.Long.parseLong(hex, 16)
+            val idx = (h % 128).toInt
+            val v = h / 128
+            val rho =
+              if (v == 0) 54L
+              else 54L - (64 - java.lang.Long.numberOfLeadingZeros(v))
+            if (rho > regs(idx)) regs(idx) = rho
+          }
+          state.update(HllState(regs))
+          var sreg = 0L
+          var vz = 0
+          var i = 0
+          while (i < 128) {
+            sreg += 1L << (54 - regs(i))
+            if (regs(i) == 0L) vz += 1
+            i += 1
+          }
+          HllOut(w, sreg, vz)
+      }
+  }
+
   /** All streaming window/slide/watermark durations are rendered in µs
     * (event_time is a µs timestamp): a sub-µs or non-µs-aligned value
     * would silently truncate at /1000 and shift every window boundary

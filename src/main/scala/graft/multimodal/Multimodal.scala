@@ -1264,6 +1264,7 @@ object Multimodal {
         true
       } else if (typ >= 8 && typ <= 12) { // FIXED, order = typ − 8
         val order = typ - 8
+        if (order > blockSize) return None // warmup can't exceed the block
         var i = 0
         while (i < order) { out(i) = r.readSigned(effBps); i += 1 }
         if (!flacResiduals(r, blockSize, order, out)) false

@@ -2579,7 +2579,8 @@ object KdbQueries extends QueryModule {
     * engines ([[mortonExpr]]) — and the real layout writer would be a
     * repartitionByRange on the same z column. One events scan
     * (stack() fans each row into its two layout rows), two key-
-    * partitioned aggregations, output bounded at 2 rows. */
+    * partitioned aggregations, output bounded at 4 rows (2 layouts ×
+    * 2 boxes). */
   private def mortonExpr(xE: String, yE: String, idiv: String): String =
     (0 until 5).map { i =>
       s"(($xE) $idiv ${1 << i}) % 2 * ${1L << (2 * i)} + " +

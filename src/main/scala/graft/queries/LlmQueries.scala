@@ -4577,7 +4577,14 @@ object LlmQueries extends QueryModule {
               lit(4) * greatest(col("a.n"), col("b.n")))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
-      val sets = sh.groupBy(col("doc_id"))
+      // collect full sets ONLY for candidate docs: the semi-join cuts
+      // the heavy shingle-payload shuffle to the candidate universe
+      // before the groupBy (without it, every corpus doc's full set
+      // would shuffle just to be discarded by the join below)
+      val candDocs = cand.select(col("d1").as("doc_id"))
+        .union(cand.select(col("d2").as("doc_id"))).distinct()
+      val sets = sh.join(candDocs, Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("shingle"))).as("set"),
           count(lit(1)).as("n"))
       cand

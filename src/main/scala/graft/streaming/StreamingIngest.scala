@@ -211,9 +211,15 @@ object StreamingIngest {
           val md5 = java.security.MessageDigest.getInstance("MD5")
           rows.foreach { case (_, key) =>
             md5.reset()
-            val hex = md5.digest(key.getBytes("UTF-8"))
-              .map(b => f"$b%02x").mkString.substring(0, 15)
-            val h = java.lang.Long.parseLong(hex, 16)
+            val dg = md5.digest(key.getBytes("UTF-8"))
+            // first 15 hex chars of the digest = top 60 bits: pack the
+            // leading 8 bytes big-endian, drop the 16th hex nibble —
+            // bit-identical to the hash60/md5-substring rendering, no
+            // per-row string allocation on the streaming hot path
+            var packed = 0L
+            var bi = 0
+            while (bi < 8) { packed = (packed << 8) | (dg(bi) & 0xffL); bi += 1 }
+            val h = packed >>> 4
             val idx = (h % 128).toInt
             val v = h / 128
             val rho =

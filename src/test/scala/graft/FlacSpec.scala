@@ -147,6 +147,17 @@ class FlacSpec extends SparkTestBase {
     }
   }
 
+  test("FIXED subframe with order > blockSize rejects (no out-of-bounds warmup write)") {
+    // blockSize 1 with a FIXED order-2 subframe: the warmup alone
+    // would overrun the block — must reject cleanly, not AIOOBE
+    // (random fuzz can't reach this path: it needs a valid CRC-8)
+    val crafted = streamInfo(1, 1, 1) ++ frame(1, 0, { w =>
+      w.writeBits(0, 1); w.writeBits(8 | 2, 6); w.writeBits(0, 1)
+      w.writeBits(5, 16); w.writeBits(7, 16) // 2 warmup samples > block
+    })
+    assert(Multimodal.flacSamples(crafted).isEmpty)
+  }
+
   test("a lying STREAMINFO total cannot out-allocate the decoded frames") {
     // declare 2^16 total samples but supply one 16-sample frame: the
     // decoder must reject cheaply (frames ran dry), never pre-allocate

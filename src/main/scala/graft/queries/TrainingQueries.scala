@@ -1166,10 +1166,12 @@ object TrainingQueries extends QueryModule {
     * and A_d cancels in the normalization while multiplying through
     * by ΠD makes each term t_z = a_z·b_z·(ΠD/D_z) an exact BIGINT
     * (ΠD/D_z is exact — D_z divides ΠD); r_z = t_z·10⁶ div Σt is
-    * then one integer division (magnitudes proven for vocab V ≤ 300:
-    * t·10⁶ ≤ 10¹⁴·(V/100)² < 2⁶³; this corpus has V = 31 — a real
-    * 10⁵-word vocab would widen t to decimal(38,0)/HUGEINT, the
-    * llm_grpo_advantage pattern). M-step masses are Σ cnt·r — order-
+    * then one integer division, with t_z·10⁶ computed in
+    * decimal(38,0)/HUGEINT (the llm_grpo_advantage pattern — int64
+    * holds t itself but not the micro-scaling past V ≈ 300, which
+    * the ×20 scale replica actually hit; the widening holds to
+    * V ≈ 4·10⁴ where ΠD itself would need the same treatment).
+    * M-step masses are Σ cnt·r — order-
     * independent BIGINT sums. Spark shape: one (doc, word) count
     * shuffle, the vocab×3 factor table pivots to per-word columns
     * and broadcasts, the E-step is a NARROW map (three integer
@@ -1206,11 +1208,18 @@ object TrainingQueries extends QueryModule {
         .withColumn("t2", a(2) * col("f2"))
         .withColumn("t3", a(3) * col("f3"))
         .withColumn("ts", col("t1") + col("t2") + col("t3"))
+      // t·10⁶ through decimal(38,0)/HUGEINT: t ≤ 10¹³ fits int64 but
+      // the micro-scaling does not once vocab > ~300 (the x20 scale
+      // replica hit exactly this wall — ARITHMETIC_OVERFLOW). The
+      // widening holds to V ≈ 4·10⁴, where dp = ΠD itself outgrows
+      // int64 and would need the same treatment. r ≤ 10⁶ casts back.
+      def rMicro(t: String) =
+        expr(s"CAST(CAST($t AS DECIMAL(38,0)) * 1000000 div ts AS BIGINT)")
       val rz = e.select(col("w"), col("cnt"),
         explode(array(
-          struct(lit(1).as("z"), expr("t1 * 1000000 div ts").as("r")),
-          struct(lit(2).as("z"), expr("t2 * 1000000 div ts").as("r")),
-          struct(lit(3).as("z"), expr("t3 * 1000000 div ts").as("r")))).as("x"))
+          struct(lit(1).as("z"), rMicro("t1").as("r")),
+          struct(lit(2).as("z"), rMicro("t2").as("r")),
+          struct(lit(3).as("z"), rMicro("t3").as("r")))).as("x"))
         .select(col("w"), col("cnt"), col("x.z").as("topic"), col("x.r").as("r"))
       val nwz = rz.groupBy(col("topic"), col("w"))
         .agg(sum(col("cnt") * col("r")).as("weight"))
@@ -1257,11 +1266,17 @@ object TrainingQueries extends QueryModule {
                  1, 15))::BIGINT % 100 + 1) * f3 AS t3
         FROM cnts c JOIN fp USING (w)),
       rz AS (
-        SELECT w, cnt, 1 AS topic, t1 * 1000000 // (t1 + t2 + t3) AS r FROM e
+        SELECT w, cnt, 1 AS topic,
+               CAST(CAST(t1 AS HUGEINT) * 1000000 // (t1 + t2 + t3) AS BIGINT) AS r
+        FROM e
         UNION ALL
-        SELECT w, cnt, 2, t2 * 1000000 // (t1 + t2 + t3) FROM e
+        SELECT w, cnt, 2,
+               CAST(CAST(t2 AS HUGEINT) * 1000000 // (t1 + t2 + t3) AS BIGINT)
+        FROM e
         UNION ALL
-        SELECT w, cnt, 3, t3 * 1000000 // (t1 + t2 + t3) FROM e),
+        SELECT w, cnt, 3,
+               CAST(CAST(t3 AS HUGEINT) * 1000000 // (t1 + t2 + t3) AS BIGINT)
+        FROM e),
       nwz AS (
         SELECT topic, w, CAST(sum(cnt * r) AS BIGINT) AS weight
         FROM rz GROUP BY 1, 2),

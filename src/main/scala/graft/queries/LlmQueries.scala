@@ -4372,6 +4372,128 @@ object LlmQueries extends QueryModule {
                              count(CASE WHEN in_c THEN 1 END), 4) END AS prec
       FROM m"""))
 
+  /** LSH banding-geometry sweep — the tuning run a dedup pipeline
+    * executes BEFORE committing a band/row split: with 8 minhash
+    * perms, every factorization b×r (8×1, 4×2, 2×4, 1×8) trades
+    * recall for precision along the S-curve P(cand) = 1 − (1 − J^r)^b
+    * (Broder / MMDS ch.3), and the right choice depends on the
+    * corpus' actual similarity mass, which only a measured sweep
+    * shows. Each config's band key is hash60 of
+    * "rows:band:sig…sig" — ONE packing rendered identically in both
+    * engines (P-base positional packing overflows int64 at r = 4,
+    * which is why the production 4×2 key packs positionally but the
+    * sweep hashes). Truth = exact Jaccard ≥ 0.5 on the
+    * llm_dedup_eval subset (doc_id < 400, same bound, shared
+    * machinery); the signature table checkpoints once and all four
+    * configs band off it; candidates per config come from one
+    * grouped self-join. Everything emitted is exact counts + two
+    * single divisions. Expected shape (and the reason the prod
+    * config is 4×2): recall falls and precision rises monotonically
+    * from 8×1 to 1×8. */
+  private val lshBandSweep = QueryDef(
+    "llm_lsh_band_sweep",
+    (s, d) => {
+      val pred = col("doc_id") < 400
+      val ex = shingleRows(s, d, pred).distinct().localCheckpoint(true)
+      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val truth = ex.as("a").join(ex.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("nsh", "n1")), "d1")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("nsh", "n2")), "d2")
+        .filter(col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")) >= 0.5)
+        .select(col("d1"), col("d2"), lit(true).as("in_t"))
+        .localCheckpoint(true)
+      val sig = minhashSigCore(s, d, pred).localCheckpoint(true)
+      def bandsFor(rows: Int): DataFrame = {
+        val nb = 8 / rows
+        val keys = (0 until nb).map { b =>
+          hash60(concat_ws(":",
+            (lit(rows.toString) +: lit(b.toString) +:
+              (0 until rows).map(r => col(s"sig${b * rows + r}").cast("string"))): _*))
+        }
+        sig.select(lit(s"${nb}b x ${rows}r").as("cfg"), col("doc_id"),
+          posexplode(array(keys: _*)).as(Seq("band", "bkey")))
+      }
+      val bands = bandsFor(1).union(bandsFor(2)).union(bandsFor(4)).union(bandsFor(8))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.cfg") === col("b.cfg") && col("a.band") === col("b.band") &&
+            col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.cfg").as("cfg"), col("a.doc_id").as("d1"),
+          col("b.doc_id").as("d2"))
+        .distinct()
+      val truthN = truth.agg(count(lit(1)).as("n_truth"))
+      cand.join(truth, Seq("d1", "d2"), "left_outer")
+        .groupBy(col("cfg"))
+        .agg(count(lit(1)).as("n_cand"),
+          count(when(col("in_t"), 1)).as("n_hit"))
+        .crossJoin(broadcast(truthN))
+        .select(col("cfg"), col("n_truth"), col("n_cand"), col("n_hit"),
+          when(col("n_truth") > 0,
+            round(col("n_hit").cast("double") / col("n_truth"), 4) + lit(0.0))
+            .as("recall"),
+          (round(col("n_hit").cast("double") / col("n_cand"), 4) + lit(0.0))
+            .as("prec"))
+        .orderBy(col("cfg"))
+    },
+    Some {
+      val bandSelects = Seq(1, 2, 4, 8).flatMap { rows =>
+        val nb = 8 / rows
+        (0 until nb).map { b =>
+          val sigConcat = (0 until rows)
+            .map(r => s"sig${b * rows + r}").mkString(" || ':' || ")
+          s"""SELECT doc_id, '${nb}b x ${rows}r' AS cfg, $b AS band,
+               ('0x' || substr(md5('$rows' || ':' || '$b' || ':' ||
+                 $sigConcat), 1, 15))::BIGINT AS bkey
+             FROM sigf"""
+        }
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH ${dkMinhashCteWhere("WHERE doc_id < 400")},
+      sigf AS (SELECT * FROM sig WHERE sig0 IS NOT NULL),
+      bands AS MATERIALIZED (
+        $bandSelects),
+      cand AS (
+        SELECT DISTINCT a.cfg, a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.cfg = b.cfg AND a.band = b.band AND a.bkey = b.bkey
+         AND a.doc_id < b.doc_id),
+      jd AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(0, len(string_split(text, ' ')) - 3),
+                 i -> string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2] || ' ' ||
+                      string_split(text, ' ')[i+3])) AS sh
+        FROM documents WHERE doc_id < 400),
+      jsizes AS (SELECT doc_id, len(sh) AS nsh FROM jd),
+      jex AS (SELECT doc_id, unnest(sh) AS sstr FROM jd),
+      jinter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+        FROM jex a JOIN jex b ON a.sstr = b.sstr AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth AS MATERIALIZED (
+        SELECT d1, d2 FROM jinter
+        JOIN jsizes s1 ON s1.doc_id = d1
+        JOIN jsizes s2 ON s2.doc_id = d2
+        WHERE CAST(n_inter AS DOUBLE) / (s1.nsh + s2.nsh - n_inter) >= 0.5),
+      tn AS (SELECT count(*) AS n_truth FROM truth)
+      SELECT c.cfg, tn.n_truth,
+             count(*) AS n_cand,
+             count(t.d1) AS n_hit,
+             CASE WHEN tn.n_truth > 0 THEN
+               round(CAST(count(t.d1) AS DOUBLE) / tn.n_truth, 4) + 0.0 END
+               AS recall,
+             round(CAST(count(t.d1) AS DOUBLE) / count(*), 4) + 0.0 AS prec
+      FROM cand c
+      LEFT JOIN truth t ON t.d1 = c.d1 AND t.d2 = c.d2
+      CROSS JOIN tn
+      GROUP BY c.cfg, tn.n_truth
+      ORDER BY c.cfg"""
+    })
+
   /** PageRank centrality over the near-dup similarity graph (5 power
     * iterations, damping 0.85, undirected LSH-pair edges) — picks the
     * most-connected representative inside each duplicate
@@ -7077,7 +7199,7 @@ object LlmQueries extends QueryModule {
     tokenEntropy, dsirSample, perplexityBuckets, winnowingFp, containment,
     int8Quantize, datasetCard, tokenizerFertility, codeDetect,
     softDedupWeights, spanCorruption, bloomScreen, sourceOverlap,
-    bm25Search, randomProjection, kanonAudit, dpRelease, preferencePairs, multimodalCodecTwin, adpcmAudioTwin, flacAudioTwin, dedupEval, pagerank,
+    bm25Search, randomProjection, kanonAudit, dpRelease, preferencePairs, multimodalCodecTwin, adpcmAudioTwin, flacAudioTwin, dedupEval, lshBandSweep, pagerank,
     multimodalFeatures, similarityPq, hybridSearch, qualityClassifier,
     retrievalEval, ngramNovelty, prefixDedup, zipfFit, dedupTriangles,
     agreementKappa, boilerplateScrub, imageDhashDedup, rerankStage, psiDrift,

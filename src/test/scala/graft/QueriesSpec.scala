@@ -234,6 +234,9 @@ class QueriesSpec extends SparkTestBase {
       // llm_graph_modularity: the 1-row directed-edge total rides a
       // broadcast cross join, same as llm_lm_score's vocab scalar
       "llm_graph_modularity",
+      // llm_lsh_band_sweep: the 1-row exact-truth total rides a
+      // broadcast cross join, same as llm_lm_score's vocab scalar
+      "llm_lsh_band_sweep",
       // kdb_tail_index: the 1-row threshold broadcast over the
       // 201-row TakeOrdered frame (non-equi value > xmin)
       "kdb_tail_index",

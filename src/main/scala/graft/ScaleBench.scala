@@ -191,7 +191,12 @@ object ScaleBench {
     def timeOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // same discipline as graft.Bench.runOnce: per-query persist()
+      // blocks must neither accumulate across replicas nor let a
+      // second sample reuse the first's cache (untimed teardown)
+      spark.sharedState.cacheManager.clearCache()
+      dt
     }
 
     val results = factors.map { k =>

@@ -36,6 +36,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // per-query persist() blocks must not accumulate across the
+      // 350-query dump (CacheManager entries never expire on their own)
+      finally spark.sharedState.cacheManager.clearCache()
     }
     def q(s: String): String = jsonEscape(s)
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))

@@ -858,20 +858,36 @@ object Multimodal {
           case Some((rate, channels, nSamples, sample)) =>
             (0 until channels).map { ch =>
               var i = 0
-              var sumSq = 0.0
+              // exact 128-bit integer sum of squares (unsigned
+              // two-Long accumulate): the twin oracles sum an exact
+              // BIGINT, and a Double accumulator only matches them
+              // bit-exactly while every partial stays under 2^53
+              // (~8.4M 16-bit samples) — real-length audio drifts.
+              // Headroom: s² ≤ 2^62 (32-bit samples) × 2^26-sample
+              // cap = 2^88, far inside 128 bits. One conversion to
+              // Double at the END (integer-sum-then-divide, the
+              // oracle's order).
+              var sqLo = 0L
+              var sqHi = 0L
               var peak = 0
               var zc = 0L
               var prevNeg = false
               var first = true
               while (i < nSamples) {
                 val s = sample(i * channels + ch)
-                sumSq += s.toDouble * s
+                val sq = s.toLong * s.toLong
+                val nl = sqLo + sq
+                if (java.lang.Long.compareUnsigned(nl, sqLo) < 0) sqHi += 1
+                sqLo = nl
                 if (math.abs(s) > peak) peak = math.abs(s)
                 val neg = s < 0
                 if (!first && neg != prevNeg) zc += 1
                 prevNeg = neg; first = false
                 i += 1
               }
+              val sumSq =
+                ((BigInt(sqHi) << 64) +
+                  BigInt(java.lang.Long.toUnsignedString(sqLo))).toDouble
               val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
               AudioStats(r.media_id, ch, rate, nSamples, rms, peak, zc)
             }
@@ -1346,7 +1362,14 @@ object Multimodal {
     * never emits wrong samples). */
   private[graft] def flacSamples(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
     flacStreamInfo(b).flatMap { case (rate, channels, bps0, total, frameOff) =>
-      if (total <= 0 || total > (1 << 26) || channels > 8) return None
+      if (total < 0 || total > (1 << 26) || channels > 8) return None
+      // total == 0 is RFC 9639 "unknown length" (the metadata tier,
+      // parseFlac, accepts the same stream with n_frames=0): decode
+      // frames until the reader runs dry and return what accumulated,
+      // still under the 2^26 alloc cap — never reject a valid
+      // unknown-length stream the metadata tier admits
+      val unknown = total == 0L
+      val cap = if (unknown) (1L << 26) else total
       // chunk accumulation, NOT an up-front total-sized alloc: a lying
       // STREAMINFO must never allocate more than the frames actually
       // decode (the imaAdpcmSamples fact-cap discipline)
@@ -1354,7 +1377,7 @@ object Multimodal {
       var filled = 0L
       val r = new BitReader(b, frameOff)
       try {
-        while (filled < total && !r.atEnd) {
+        while (filled < cap && !r.atEnd) {
           val frameStart = r.bytePos
           if (r.readBits(14) != 0x3ffe) return None // sync
           r.readBit() // reserved
@@ -1437,14 +1460,14 @@ object Multimodal {
               i += 1
             }
           }
-          val take = math.min(blockSize.toLong, total - filled).toInt
+          val take = math.min(blockSize.toLong, cap - filled).toInt
           chunks += ((chans, take))
           filled += take
         }
       } catch { case BitEnd => return None }
-      if (filled < total) None
+      if (!unknown && filled < total) None
       else {
-        val out = new Array[Int]((total * channels).toInt)
+        val out = new Array[Int]((filled * channels).toInt)
         var pos = 0
         chunks.foreach { case (chans, take) =>
           var i = 0

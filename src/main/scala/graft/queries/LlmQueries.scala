@@ -4704,7 +4704,9 @@ object LlmQueries extends QueryModule {
         // boundary each re-derives the whole prefix pipeline —
         // shingles + df + window + self-join (measured 7.5 s vs 4.5).
         // persist, not localCheckpoint, keeps the prefix-filter
-        // lineage visible to the plan pin.
+        // lineage visible to the plan pin. Lifetime is bounded by the
+        // harnesses, not this fn: Bench/Verify/ScaleBench clearCache()
+        // after every query, so the blocks never outlive one run.
         .persist()
       // collect full sets ONLY for candidate docs: the BROADCAST
       // semi-join cuts the heavy shingle-payload shuffle to the

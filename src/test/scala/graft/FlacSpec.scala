@@ -158,6 +158,22 @@ class FlacSpec extends SparkTestBase {
     assert(Multimodal.flacSamples(crafted).isEmpty)
   }
 
+  test("unknown-length stream (STREAMINFO total=0, RFC 9639) decodes its frames") {
+    // total=0 means "length unknown": the sample tier must decode
+    // until the frames run dry and return what accumulated — the
+    // metadata tier (parseFlac) accepts the same stream, and the two
+    // tiers must not disagree on validity
+    val b = MediaFixtures.flacFixed(9, 32)
+    val want = Multimodal.flacSamples(b).get._3.toSeq
+    val unknown = b.clone()
+    // zero the 36-bit total field: low nibble of byte 13 + bytes 14-17
+    unknown(4 + 4 + 13) = (unknown(4 + 4 + 13) & 0xf0).toByte
+    (14 to 17).foreach(i => unknown(4 + 4 + i) = 0)
+    assert(Multimodal.flacSamples(unknown).map(_._3.toSeq) === Some(want),
+      "unknown-length FLAC must decode the same samples as the known-length twin")
+    assert(Multimodal.parseFlac(unknown).isDefined)
+  }
+
   test("a lying STREAMINFO total cannot out-allocate the decoded frames") {
     // declare 2^16 total samples but supply one 16-sample frame: the
     // decoder must reject cheaply (frames ran dry), never pre-allocate

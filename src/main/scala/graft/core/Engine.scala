@@ -266,6 +266,32 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     target
   }
 
+  /** Batch ingest with ENGINE-ALLOCATED seqs: `points` carries only
+    * (ts, tags, payload); every row gets a fresh seq from the same
+    * monotone block allocator the driver-side put uses. This is the
+    * ingest mode for callers WITHOUT their own total ingest order —
+    * above all streaming epochs: seq is the engine's MVCC/epoch axis,
+    * and every seq-watermark consumer (rollup refresh, receipt chain,
+    * vector-index refresh) folds strictly ABOVE its watermark — a
+    * caller supplying explicit seqs that are not monotone with
+    * arrival (e.g. id-derived seqs across micro-batches) would leave
+    * retro-seq rows permanently unfolded. Engine allocation makes
+    * arrival order and seq order coincide by construction. Costs one
+    * extra pass (count + zipWithIndex) over the batch — the price of
+    * a dense, gap-bounded block reservation. */
+  def putAllocated(points: DataFrame): Map[String, Long] = writeLock.synchronized {
+    val pts = points.select(col("ts"), col("tags"), col("payload")).persist()
+    try {
+      val n = pts.count()
+      if (n == 0L) return Map.empty
+      val base = nextSeqBlock(n)
+      val rdd = pts.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), base + i)
+      }
+      put(spark.createDataFrame(rdd, pointSchema))
+    } finally pts.unpersist()
+  }
+
   /** Driver-side convenience for tests / embedded use: seq is the
     * position in the call order, mirroring the reference's sequential
     * Put loop. */
@@ -510,6 +536,11 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     if (ts > minHot)
       throw new IllegalArgumentException("err_remove_hot_bucket")
     invalidateReceiptState() // dropped buckets change what past watermarks resolve to
+    // ANN-index cascade FIRST: a crash between the steps then leaves
+    // the index missing rows the caller had already declared doomed
+    // (under-serving, fixed by re-running the retention) rather than a
+    // window where annSearch serves vectors the table no longer has
+    filterVectorIndex(_ => col("slot_ns") < ts)
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
     val root = new Path(opts.tablePath)
     if (!fs.exists(root)) return
@@ -761,6 +792,10 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
     sweepStaleStaging(fs)
     val preds = tagCols.zip(tags).collect { case (c, v) if v.nonEmpty => col(c) === v }
+    // ANN-index cascade first (erasure law reaches derived data too);
+    // crash direction argument as in removeBefore — under-serve an
+    // already-doomed series, never serve an erased one
+    filterVectorIndex(_ => preds.reduce(_ && _))
     def matching(df: DataFrame) = preds.foldLeft(df)(_ filter _)
     def surviving(df: DataFrame) =
       df.filter(!preds.reduce(_ && _))
@@ -901,6 +936,9 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     rollupDeltas(fs).foreach { case (dir, _, hi) =>
       if (hi > asOfSeq) fs.delete(dir, true)
     }
+    // ANN-index cascade: drop the chain suffix past the watermark
+    // (same ordering argument as the rollup deltas above)
+    rollbackVectorIndex(asOfSeq)
     val rewritten: Map[Long, (Long, Long)] =
       if (hit.isEmpty) Map.empty
       else {
@@ -1439,20 +1477,29 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     ensureRollupOptions(res, adopt = false)
   }
 
-  /** Committed delta dirs as (path, loSeqExclusive, hiSeqInclusive). */
-  private def rollupDeltas(fs: FileSystem): Seq[(Path, Long, Long)] = {
-    val root = new Path(rollupPath)
+  /** Committed seq-range dirs `<prefix><lo>_<hi>` under `root` as
+    * (path, loSeqExclusive, hiSeqInclusive) — the naming discipline
+    * shared by the rollup deltas and the vector-index deltas /
+    * tombstones: the folded range IS the directory name, so there is
+    * no separate watermark file to corrupt and an atomic dir rename
+    * publishes range + data together. */
+  private def seqRangeDirs(fs: FileSystem, root: Path,
+      prefix: String): Seq[(Path, Long, Long)] = {
     if (!fs.exists(root)) return Seq.empty
     fs.listStatus(root).toSeq.flatMap { st =>
       val n = st.getPath.getName
-      if (!n.startsWith("delta=")) None
-      else n.stripPrefix("delta=").split("_", 2) match {
+      if (!n.startsWith(prefix)) None
+      else n.stripPrefix(prefix).split("_", 2) match {
         case Array(lo, hi) =>
           scala.util.Try((st.getPath, lo.toLong, hi.toLong)).toOption
         case _ => None
       }
     }
   }
+
+  /** Committed delta dirs as (path, loSeqExclusive, hiSeqInclusive). */
+  private def rollupDeltas(fs: FileSystem): Seq[(Path, Long, Long)] =
+    seqRangeDirs(fs, new Path(rollupPath), "delta=")
 
   /** Greedy interval cover of the seq axis: starting at the chain
     * origin (lo = −1), repeatedly take the widest delta continuing
@@ -1645,6 +1692,411 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       cover.foreach { case (p, _, _) => if (p != target) fs.delete(p, true) }
     }
     if (n > 1) n else 0
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted vector (ANN) index — beyond the reference: IVF index
+  // lifecycle over the engine's vector payloads (payloadSize = 4·dim
+  // big-endian float32s, the FloatsFromPayload typed view). A
+  // production 100 TB ANN deployment builds the index ONCE, stores it
+  // beside the table, and serves probes from it — per-query training
+  // (operators/Ivf) is the algorithm; this is the build/save/probe/
+  // refresh verb set around it.
+  //
+  // Layout (sibling table, the rollup discipline):
+  //   <table>_vecindex/
+  //     _vindex_options            k / dim / iters manifest (fail-closed)
+  //     centroids/                 parquet (cid, cv) — k tiny rows
+  //     delta=<lo>_<hi>/cid=<c>/   inverted file: LWW winners of seq
+  //                                range (lo, hi], PARTITIONED BY CELL
+  //     tomb=<lo>_<hi>/            keys in (lo, hi] that superseded an
+  //                                already-indexed version (see below)
+  //
+  // The cell partitioning is the entire point: a probe statically
+  // prunes to its nprobe cells' directories, so a search touches
+  // nprobe/k of the stored bytes — the property that survives 100 TB.
+  // The seq-range chain (same greedy cover as the rollup) makes
+  // refresh exactly-once: fold rows (wm, cur], publish atomically,
+  // crash anywhere and the surviving dirs define the same watermark.
+  //
+  // Correctness under overwrites (the LWW seam a secondary index must
+  // handle): each delta holds its range's per-key winners, but a key
+  // re-written in a later range leaves its stale version in an older
+  // delta — possibly in a DIFFERENT cell, so probe-time LWW grouping
+  // cannot see it. The tombstone table fixes this exactly: refresh
+  // looks up which incoming keys already exist at-or-below the old
+  // watermark (slot-pruned semi-join against the engine table — the
+  // incrementalChecksum pattern, O(delta), not O(table)) and records
+  // (key, new winning seq); annSearch drops any candidate older than
+  // its key's tombstone. Tombstones are bounded by overwritten keys
+  // (≈0 for metrics-shape ingest) and reset by a rebuild. A tomb dir
+  // applies only when the delta cover reaches its hi — so a crash
+  // between the tomb publish and the delta publish cannot hide the
+  // still-current older version.
+  //
+  // Destructive verbs cascade (derived data must never serve rows the
+  // table no longer has): erase/removeBefore FILTER deltas+tombstones
+  // in place (two-rename swap, self-healing — the erase rollup
+  // discipline); rollbackTo drops the suffix of the chain (by
+  // construction the affected deltas are a suffix, exactly the rollup
+  // cascade). The index is derived and rebuildable, so every heal
+  // path may fall back to fail-closed absence, never to stale serves.
+  // ------------------------------------------------------------------
+
+  private def vindexPath = s"${opts.tablePath}_vecindex"
+  private def vindexOptionsPath = new Path(s"$vindexPath/_vindex_options")
+
+  /** Inverted-file row schema: data cols in the files; delta/cid are
+    * discovered partition levels (explicit types — small cid values
+    * would otherwise discover as INT and break long comparisons). */
+  private def vindexSchema: StructType = StructType(
+    StructField("slot_ns", LongType) +:
+      tagCols.map(StructField(_, StringType)) :+
+      StructField("vec", ArrayType(FloatType, containsNull = false)) :+
+      StructField("seq", LongType) :+
+      StructField("delta", StringType) :+
+      StructField("cid", LongType))
+
+  private def vindexCentSchema: StructType = StructType(
+    StructField("cid", LongType) ::
+      StructField("cv", ArrayType(DoubleType, containsNull = false)) :: Nil)
+
+  private def vindexTombSchema: StructType = StructType(
+    tagCols.map(StructField(_, StringType)) :+
+      StructField("slot_ns", LongType) :+
+      StructField("win_seq", LongType))
+
+  private def vindexDeltas(fs: FileSystem): Seq[(Path, Long, Long)] =
+    seqRangeDirs(fs, new Path(vindexPath), "delta=")
+
+  private def vindexTombs(fs: FileSystem): Seq[(Path, Long, Long)] =
+    seqRangeDirs(fs, new Path(vindexPath), "tomb=")
+
+  /** Crash-heal + hygiene at every index entry point: restore a
+    * `.vtrash_<dirName>` whose target is missing (crashed mid-swap —
+    * one rename back), delete trash whose target is healthy, and
+    * sweep stale `.vstaging_` dirs. Same self-heal contract as the
+    * erase path's rollup trash handling. */
+  private def healVindex(fs: FileSystem): Unit = {
+    val root = new Path(vindexPath)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".vstaging_")) fs.delete(st.getPath, true)
+      else if (n.startsWith(".vtrash_")) {
+        val target = new Path(s"$vindexPath/${n.stripPrefix(".vtrash_")}")
+        if ((n.contains("delta=") || n.contains("tomb=")) && !fs.exists(target))
+          fs.rename(st.getPath, target)
+        else fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  /** Validate the stored index manifest against this engine (and
+    * return k): dim must equal payloadSize/4 — fail-closed like
+    * `_graft_options`. */
+  private def readVindexOptions(fs: FileSystem): Int = {
+    if (!fs.exists(vindexOptionsPath))
+      throw new IllegalStateException(
+        s"no vector index at $vindexPath — buildVectorIndex first")
+    val in = fs.open(vindexOptionsPath)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val kv = text.linesIterator.flatMap { l =>
+      l.split("=", 2) match {
+        case Array(k, v) => scala.util.Try(k.trim -> v.trim.toLong).toOption
+        case _ => None
+      }
+    }.toMap
+    val dim = kv.getOrElse("dim",
+      throw new IllegalStateException(s"corrupt _vindex_options at $vindexPath"))
+    if (dim != opts.payloadSize / 4)
+      throw new IllegalArgumentException(
+        s"${EngineErrors.OptionsMismatch}: vector index dim=$dim but engine " +
+          s"payloadSize=${opts.payloadSize} (dim ${opts.payloadSize / 4})")
+    kv.getOrElse("k",
+      throw new IllegalStateException(s"corrupt _vindex_options at $vindexPath")).toInt
+  }
+
+  /** LWW winners of seq range (lo, hi] with payloads decoded to
+    * float vectors: (slot_ns, tags…, vec, seq). */
+  private def vectorRows(loExclusive: Long, hiInclusive: Long): DataFrame =
+    lwwAgg(
+      table().filter(col("seq") > loExclusive && col("seq") <= hiInclusive),
+      tagCols.map(col) :+ col("slot_ns"))
+      .withColumn("vec",
+        graft.functions.VectorFunctions.floatsFromPayload(col("payload")))
+      .drop("payload")
+
+  /** Nearest stored cell per key — broadcast centroids, one narrow
+    * pass, ties break by cid (the operators/Ivf discipline). The
+    * window partitions by the REAL key columns, never a hash
+    * surrogate (a surrogate collision would silently drop a vector at
+    * billion-row scale). */
+  private def assignCells(rows: DataFrame, cent: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.l2sq
+    val w = Window.partitionBy((tagCols.map(col) :+ col("slot_ns")): _*)
+      .orderBy(col("__dist"), col("cid"))
+    rows.crossJoin(broadcast(cent))
+      .withColumn("__dist", l2sq(col("vec"), col("cv")))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select((col("slot_ns") +: tagCols.map(col)) :+ col("vec") :+
+        col("seq") :+ col("cid"): _*)
+  }
+
+  /** Build (or REBUILD — replacing any existing index and its
+    * tombstones) the persisted IVF index over every committed vector
+    * payload: deterministic k-means training (operators/Ivf), one
+    * broadcast assignment pass, one cell-partitioned write. The whole
+    * tree — centroids, inverted file, manifest — is assembled in an
+    * invisible staging root and published with ONE rename, so readers
+    * see the old index, no index, or the complete new index, never a
+    * half-built one. Returns the number of indexed vectors. */
+  def buildVectorIndex(k: Int, iters: Int): Long = writeLock.synchronized {
+    ensureManifest(adopt = false)
+    require(opts.payloadSize % 4 == 0 && opts.payloadSize >= 4,
+      s"vector index needs float32 payloads (payloadSize % 4 == 0; engine has ${opts.payloadSize})")
+    require(k > 0 && iters >= 0, s"buildVectorIndex: k=$k iters=$iters")
+    val fs = tableFs
+    val cur = currentSeq()
+    require(cur >= 0, "buildVectorIndex: table is empty — nothing to index")
+    val rows = vectorRows(Long.MinValue, cur)
+    // train on a hash surrogate id (deterministic init order; a rare
+    // collision only perturbs which vectors seed k-means — harmless,
+    // unlike assignment, which keys on the real columns)
+    val trainView = rows.select(
+      xxhash64((tagCols.map(col) :+ col("slot_ns")): _*).as("vec_id"),
+      col("vec").as("embedding"))
+    val cent = graft.operators.Ivf.train(trainView, k, iters)
+      .select(col("cid").cast("long").as("cid"), col("cv"))
+    val assigned = assignCells(rows, cent)
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val staging = new Path(s"${opts.tablePath}.vbuild_$uuid")
+    cent.coalesce(1).write.parquet(s"$staging/centroids")
+    assigned.write.partitionBy("cid").parquet(s"$staging/delta=-1_$cur")
+    val mf = fs.create(new Path(s"$staging/_vindex_options"), true)
+    try mf.write(s"k=$k\ndim=${opts.payloadSize / 4}\niters=$iters\n".getBytes("UTF-8"))
+    finally mf.close()
+    val root = new Path(vindexPath)
+    if (fs.exists(root)) fs.delete(root, true) // rebuild: fail-closed window, never stale
+    if (!fs.rename(staging, root)) {
+      fs.delete(staging, true)
+      throw new IllegalStateException(s"buildVectorIndex: could not publish $root")
+    }
+    spark.read.schema(vindexSchema).option("basePath", vindexPath)
+      .parquet(s"$vindexPath/delta=-1_$cur").count() // footer counts only
+  }
+
+  /** Highest ingest seq the stored index covers (−1 when absent):
+    * the staleness accounting — currentSeq() − watermark is the
+    * un-indexed backlog a monitoring loop alarms on. */
+  def vectorIndexWatermark(): Long = {
+    val fs = tableFs
+    if (!fs.exists(new Path(vindexPath))) return -1L
+    rollupCover(vindexDeltas(fs)).lastOption.map(_._3).getOrElse(-1L)
+  }
+
+  /** Incrementally fold writes above the index watermark into a new
+    * delta against the STORED centroids (no re-training — assignment
+    * is one broadcast pass over the new rows, the cheap path; a
+    * drifted corpus re-trains via buildVectorIndex). Tombstones for
+    * overwritten keys publish BEFORE the delta and only apply once
+    * the cover reaches them, so every crash window serves a
+    * consistent older watermark. Returns rows folded (0 when up to
+    * date). */
+  def refreshVectorIndex(): Long = writeLock.synchronized {
+    ensureManifest(adopt = false)
+    val fs = tableFs
+    healVindex(fs)
+    readVindexOptions(fs)
+    val wm = rollupCover(vindexDeltas(fs)).lastOption.map(_._3).getOrElse(
+      throw new IllegalStateException(s"vector index at $vindexPath has no deltas — rebuild"))
+    val cur = currentSeq()
+    if (cur <= wm) return 0L
+    val cent = spark.read.schema(vindexCentSchema).parquet(s"$vindexPath/centroids")
+    val fresh = vectorRows(wm, cur)
+    val assigned = assignCells(fresh, cent).persist()
+    try {
+      // tombstones: incoming keys already indexed at-or-below wm. The
+      // prior lookup prunes to the delta's slot/bucket range and
+      // semi-joins the (bounded) incoming key set — O(delta), never a
+      // full table scan (the incrementalChecksum discipline).
+      val keyNames = tagCols :+ "slot_ns"
+      val rng = assigned.agg(min(col("slot_ns")), max(col("slot_ns"))).head()
+      val tomb =
+        if (rng.isNullAt(0)) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vindexTombSchema)
+        else {
+          val (lo, hi) = (rng.getLong(0), rng.getLong(1))
+          table()
+            .filter(col("seq") <= wm &&
+              col("slot_ns") >= lo && col("slot_ns") <= hi &&
+              col("bucket_ts") >= (lo - lo % opts.bucketDuration) &&
+              col("bucket_ts") <= (hi - hi % opts.bucketDuration))
+            .join(assigned.select(keyNames.map(col): _*), keyNames, "left_semi")
+            .select(keyNames.map(col): _*).distinct()
+            .join(assigned.select((keyNames.map(col) :+ col("seq").as("win_seq")): _*),
+              keyNames)
+            .select((tagCols.map(col) :+ col("slot_ns") :+ col("win_seq")): _*)
+        }
+      def publish(df: DataFrame, name: String, partitioned: Boolean): Unit = {
+        val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+        val staging = new Path(s"$vindexPath/.vstaging_$uuid")
+        val w = df.write.mode(SaveMode.Overwrite)
+        (if (partitioned) w.partitionBy("cid") else w).parquet(staging.toString)
+        val target = new Path(s"$vindexPath/$name")
+        if (fs.exists(target)) fs.delete(target, true) // crash replay of same range
+        if (!fs.rename(staging, target)) {
+          fs.delete(staging, true)
+          throw new IllegalStateException(s"refreshVectorIndex: could not publish $target")
+        }
+      }
+      publish(tomb, s"tomb=${wm}_$cur", partitioned = false)
+      publish(assigned.select((col("slot_ns") +: tagCols.map(col)) :+ col("vec") :+
+        col("seq") :+ col("cid"): _*), s"delta=${wm}_$cur", partitioned = true)
+      spark.read.schema(vindexSchema).option("basePath", vindexPath)
+        .parquet(s"$vindexPath/delta=${wm}_$cur").count()
+    } finally assigned.unpersist()
+  }
+
+  /** The stored inverted file (cover of committed deltas) as
+    * (slot_ns, tags…, vec, seq, cid) — the operational read behind
+    * the streaming-assignment twin and cell-balance monitoring. */
+  def vectorIndexInverted(): DataFrame = {
+    val fs = tableFs
+    healVindex(fs)
+    readVindexOptions(fs)
+    val cover = rollupCover(vindexDeltas(fs))
+    if (cover.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(vindexSchema.filterNot(_.name == "delta")))
+    spark.read.schema(vindexSchema).option("basePath", vindexPath)
+      .parquet(cover.map(_._1.toString): _*).drop("delta")
+  }
+
+  /** The stored coarse centroids (cid, cv). */
+  def vectorIndexCentroids(): DataFrame = {
+    val fs = tableFs
+    readVindexOptions(fs)
+    spark.read.schema(vindexCentSchema).parquet(s"$vindexPath/centroids")
+  }
+
+  /** ANN search against the STORED index: for each query row (qid,
+    * qv ARRAY<FLOAT|DOUBLE>), cosine top-k over the nprobe nearest
+    * cells. The probed cell ids are collected (≤ |queries|·nprobe — a
+    * probe set, bounded by construction) and pushed as a STATIC
+    * partition filter, so the scan reads only those cells'
+    * directories across the delta cover — nprobe/k of the index, the
+    * number that holds at 100 TB. Candidates are tombstone-filtered
+    * (overwritten versions never serve) before scoring; ties break by
+    * (tags, slot) for a deterministic result set. Output: (qid, rk,
+    * tag0…, slot_ns, cos). */
+  def annSearch(queries: DataFrame, nprobe: Int, topk: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.{cosine, l2sq}
+    require(nprobe > 0 && topk > 0, s"annSearch: nprobe=$nprobe topk=$topk")
+    ensureManifest(adopt = false)
+    val fs = tableFs
+    healVindex(fs)
+    readVindexOptions(fs)
+    val cover = rollupCover(vindexDeltas(fs))
+    if (cover.isEmpty)
+      throw new IllegalStateException(s"vector index at $vindexPath has no deltas — rebuild")
+    val wmCover = cover.last._3
+    val cent = spark.read.schema(vindexCentSchema).parquet(s"$vindexPath/centroids")
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("__dist"), col("cid"))
+    val probed = queries.select(col("qid"), col("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("__dist", l2sq(col("qv"), col("cv")))
+      .withColumn("__rn", row_number().over(wProbe)).filter(col("__rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid"))
+      .persist()
+    try {
+      val cids = probed.select(col("cid")).distinct().collect().map(_.getLong(0))
+      val inv = spark.read.schema(vindexSchema).option("basePath", vindexPath)
+        .parquet(cover.map(_._1.toString): _*)
+        .filter(col("cid").isin(cids: _*)) // static partition prune
+        .drop("delta")
+      // tombstone filter: only tomb ranges the cover has reached apply
+      val tombDirs = vindexTombs(fs).filter(_._3 <= wmCover).map(_._1.toString)
+      val live =
+        if (tombDirs.isEmpty) inv
+        else {
+          val tomb = spark.read.schema(vindexTombSchema).parquet(tombDirs: _*)
+            .groupBy((tagCols.map(col) :+ col("slot_ns")): _*)
+            .agg(max(col("win_seq")).as("__win_seq"))
+          inv.join(broadcast(tomb), tagCols :+ "slot_ns", "left_outer")
+            .filter(col("__win_seq").isNull || col("seq") >= col("__win_seq"))
+            .drop("__win_seq")
+        }
+      val wTop = Window.partitionBy(col("qid"))
+        .orderBy((col("__cos").desc +: tagCols.map(col)) :+ col("slot_ns"): _*)
+      probed.join(live, Seq("cid"))
+        .withColumn("__cos", cosine(col("qv"), col("vec")))
+        .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= topk)
+        .select((col("qid") +: col("rk") +: tagCols.map(col)) :+
+          col("slot_ns") :+ col("__cos").as("cos"): _*)
+    } finally probed.unpersist(blocking = false)
+  }
+
+  /** Drop the index (and its tombstones) entirely — the explicit
+    * invalidation verb; annSearch fails loudly afterwards. */
+  def dropVectorIndex(): Unit = {
+    val fs = tableFs
+    val root = new Path(vindexPath)
+    if (fs.exists(root)) fs.delete(root, true)
+  }
+
+  /** Cascade for erase/removeBefore: rewrite every index delta and
+    * tombstone dir dropping rows where `doomed` holds — two-rename
+    * swap per dir, healVindex self-heals a crash between the renames.
+    * Seq-range NAMES are preserved: the folded ranges stay true (the
+    * erased rows simply no longer contribute), so the cover chain
+    * never breaks. No-op when no index exists. */
+  private def filterVectorIndex(doomed: DataFrame => Column): Unit = {
+    val fs = tableFs
+    if (!fs.exists(new Path(vindexPath))) return
+    healVindex(fs)
+    def rewrite(dir: Path, schema: StructType, partitioned: Boolean): Unit = {
+      val read =
+        if (partitioned)
+          spark.read.schema(StructType(schema.filterNot(_.name == "delta")))
+            .parquet(dir.toString)
+        else spark.read.schema(schema).parquet(dir.toString)
+      if (read.filter(doomed(read)).isEmpty) return // untouched dirs cost one scan, no rewrite
+      val survivors = read.filter(!doomed(read))
+      val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val staging = new Path(s"$vindexPath/.vstaging_$uuid")
+      val w = survivors.write.mode(SaveMode.Overwrite)
+      (if (partitioned) w.partitionBy("cid") else w).parquet(staging.toString)
+      val trash = new Path(s"$vindexPath/.vtrash_${dir.getName}")
+      if (!fs.rename(dir, trash))
+        throw new IllegalStateException(s"vector index cascade: could not stage out $dir")
+      if (!fs.rename(staging, dir)) {
+        fs.rename(trash, dir) // restore; staging is invisible garbage
+        throw new IllegalStateException(s"vector index cascade: could not publish $dir")
+      }
+      fs.delete(trash, true)
+    }
+    vindexDeltas(fs).foreach { case (dir, _, _) =>
+      rewrite(dir, vindexSchema, partitioned = true)
+    }
+    vindexTombs(fs).foreach { case (dir, _, _) =>
+      rewrite(dir, vindexTombSchema, partitioned = false)
+    }
+  }
+
+  /** Cascade for rollbackTo: drop every index delta and tombstone
+    * whose folded range reaches past the watermark — a SUFFIX of the
+    * chain by construction, so the cover stays valid and the next
+    * refresh re-folds the surviving rows from the cut point (the
+    * rollup-cascade argument verbatim). */
+  private def rollbackVectorIndex(asOfSeq: Long): Unit = {
+    val fs = tableFs
+    if (!fs.exists(new Path(vindexPath))) return
+    (vindexDeltas(fs) ++ vindexTombs(fs)).foreach { case (dir, _, hi) =>
+      if (hi > asOfSeq) fs.delete(dir, true)
+    }
   }
 
   /** Close (kdb.go:14; dbase/dbase.go:366-384): the reference flushes

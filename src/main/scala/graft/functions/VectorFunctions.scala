@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlShims}
 import org.apache.spark.sql.functions._
-import graft.plans.{CosineSim, DotProduct, L2Sq}
+import graft.plans.{CosineSim, DotProduct, FloatsFromPayload, L2Sq}
 
 /** Embedding-vector primitives for similarity search.
   *
@@ -30,6 +30,12 @@ object VectorFunctions {
   /** Squared L2 distance (native codegen). */
   def l2sq(a: Column, b: Column): Column =
     GraftSqlShims.column(L2Sq(ex(a), ex(b)))
+
+  /** Big-endian float32 payload bytes → ARRAY<FLOAT> (native codegen;
+    * the engine's vector-payload typed view — see
+    * [[graft.plans.FloatsFromPayload]]). */
+  def floatsFromPayload(c: Column): Column =
+    GraftSqlShims.column(FloatsFromPayload(ex(c)))
 
   /** Σ a[i]², double accumulation in index order. Cold path (used once
     * per row side in normalization prep, not in pairwise loops). */

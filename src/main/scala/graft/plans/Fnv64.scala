@@ -70,6 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DoubleFromPayload].getName, "double_from_payload"),
       (children: Seq[Expression]) => DoubleFromPayload(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("floats_from_payload"),
+      new ExpressionInfo(classOf[FloatsFromPayload].getName, "floats_from_payload"),
+      (children: Seq[Expression]) => FloatsFromPayload(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))

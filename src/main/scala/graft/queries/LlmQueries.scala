@@ -1497,6 +1497,84 @@ object LlmQueries extends QueryModule {
       FROM embeddings WHERE vec_id <= 4
       ORDER BY qid"""))
 
+  /** Persisted-index lifecycle twin (Engine.buildVectorIndex /
+    * annSearch — the verb set behind a build-once/probe-many 100 TB
+    * ANN deployment): ingest the embeddings table as vector payloads
+    * (64 float32s = 256-byte payloads through the ordinary Put path),
+    * BUILD the stored IVF index, REOPEN the engine from disk, and
+    * probe the STORED index — then prove the storage lifecycle is
+    * result-invariant by recomputing the same probe from the stored
+    * centroids with the in-memory operators (Ivf.assign + a probe
+    * with annSearch's exact tie rule: cos desc, key-string asc) and
+    * comparing (neighbor, cosine) pairs EXACTLY per rank. Parquet
+    * round-trips float32/float64 bit-exactly and every distance is a
+    * strict-fold kernel, so any mismatch is a real lifecycle bug
+    * (wrong cell directory read, stale delta, tombstone misapplied),
+    * never float noise. self_top1 pins the retrieval sanity property
+    * (a corpus member's nearest neighbor is itself). k-means centroid
+    * VALUES are order-of-summation floats and are deliberately not
+    * gated (the llm_similarity_ivf_trained property-oracle
+    * precedent) — both probe paths consume the SAME stored centroids,
+    * which is what makes this gate exact. */
+  private val annIndexTwin = QueryDef(
+    "llm_ann_index_twin",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.Ivf
+      val T0v = 1600000000L * 1000000000L
+      val dir = graft.core.Scratch.dir("graft-anntwin")
+      val opts = graft.core.EngineOptions("anntwin", dir, indexDepth = 1,
+        payloadSize = 256, bucketDuration = 86400L * 1000000000L,
+        resolution = 1000000000L, maxHotBuckets = 40)
+      val clock = new graft.core.TestClock(T0v + 86000L * 1000000000L)
+      val engine = new graft.core.Engine(s, opts, clock)
+      val pts = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])]
+        .map { case (id, v) =>
+          graft.core.Point(T0v + id * 1000000000L, Seq(id.toString),
+            graft.plans.FloatsFromPayload.encode(v), id)
+        }
+      engine.put(pts.toDF())
+      engine.buildVectorIndex(k = 4, iters = 2)
+      val reopened = new graft.core.Engine(s, opts, clock)
+      val q = embeddings(s, d).filter(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val stored = reopened.annSearch(q, nprobe = 2, topk = 5)
+        .select(col("qid"), col("rk"), col("tag0").as("s_nid"),
+          col("cos").as("s_cos"))
+      val cent = reopened.vectorIndexCentroids()
+      val corpus = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val inv = Ivf.assign(corpus, cent)
+        .select(col("vec_id").cast("string").as("f_nid"),
+          col("embedding").as("nv"), col("cid"))
+      val wProbe = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
+      val probed = q.crossJoin(broadcast(cent))
+        .withColumn("dist", l2sq(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= 2)
+        .select(col("qid"), col("qv"), col("cid"))
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("f_cos").desc, col("f_nid"))
+      val fresh = probed.join(inv, Seq("cid"))
+        .withColumn("f_cos", cosine(col("qv"), col("nv")))
+        .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("f_nid"), col("f_cos"))
+      stored.join(fresh, Seq("qid", "rk"))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_results"),
+          count(when(col("s_nid") === col("f_nid") &&
+            col("s_cos") === col("f_cos"), 1)).as("n_eq"),
+          count(when(col("rk") === 1 &&
+            col("s_nid") === col("qid").cast("string"), 1)).as("n_self"))
+        .select(col("qid"), col("n_results"),
+          when(col("n_eq") === col("n_results"), lit(1)).otherwise(lit(0)).as("eq_ok"),
+          when(col("n_self") === 1, lit(1)).otherwise(lit(0)).as("self_top1"))
+        .orderBy(col("qid"))
+    },
+    Some("""
+      SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_results,
+             1 AS eq_ok, 1 AS self_top1
+      FROM embeddings WHERE vec_id <= 4
+      ORDER BY qid"""))
+
   // ---------------------------------------------------------------
   // Multimodal binary plumbing
   // ---------------------------------------------------------------
@@ -7193,7 +7271,7 @@ object LlmQueries extends QueryModule {
     matryoshkaEval, curriculumOrder,
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
-    embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, embIvfTrained, semanticDedup, incrementalDedup, multimodalMeta,
+    embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, embIvfTrained, annIndexTwin, semanticDedup, incrementalDedup, multimodalMeta,
     filterChain, packSeq, stratSample, dedupClusters, decontaminate, piiScrub,
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
     dedupSubstring, encodeIds, editDistance, lmScore, lmScoreKn, filterOverlap, mixtureWeights,

@@ -850,8 +850,83 @@ object StreamingTwinQueries extends QueryModule {
       FROM folded
       ORDER BY user_id"""))
 
+  /** Streaming ANN ingestion twin: the persisted IVF index
+    * (Engine.buildVectorIndex) stays queryable UNDER ingest. Half the
+    * embeddings table builds the stored index; the other half arrives
+    * through the REAL StreamingIngest path split across 4 parquet
+    * files with maxFilesPerTrigger=1 — four genuine micro-batches,
+    * each folding one index delta against the stored centroids
+    * (vectorIndexRefresh hook). The gate: every streamed vector's
+    * post-stream cell assignment and stored float vector EXACTLY
+    * equal the batch assignment (operators/Ivf.assign) against the
+    * same stored centroids — assignment is a deterministic strict-
+    * fold distance + (dist, cid) tie rule, and payload encode/decode
+    * plus parquet round-trip float32s bit-exactly, so any mismatch is
+    * a real ingest-path bug (delta misfold, watermark skip, wrong
+    * cell), never float noise. Streamed epochs use ENGINE-ALLOCATED
+    * seqs (allocateSeqs — Engine.putAllocated): micro-batch arrival
+    * order is NOT vec_id order, and id-derived explicit seqs would
+    * land retro rows below the already-advanced fold watermark, where
+    * no refresh ever folds them — the exact hazard the allocation
+    * mode exists for, exercised here as deployed. */
+  private val annAssignTwin = QueryDef(
+    "stream_ann_assign_twin",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.Ivf
+      val T0v = 1600000000L * 1000000000L
+      val dir = graft.core.Scratch.dir("graft-sannt")
+      val opts = graft.core.EngineOptions("sann", dir, indexDepth = 1,
+        payloadSize = 256, bucketDuration = 86400L * 1000000000L,
+        resolution = 1000000000L, maxHotBuckets = 40)
+      val clock = new graft.core.TestClock(T0v + 86000L * 1000000000L)
+      val engine = new graft.core.Engine(s, opts, clock)
+      def toPoint(id: Long, v: Seq[Float], seq: Long) =
+        graft.core.Point(T0v + id * 1000000000L, Seq(id.toString),
+          graft.plans.FloatsFromPayload.encode(v), seq)
+      val emb = graft.sources.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      engine.put(emb.filter(col("vec_id") % 2 === 0)
+        .as[(Long, Seq[Float])]
+        .map { case (id, v) => toPoint(id, v, id) }.toDF())
+      engine.buildVectorIndex(k = 4, iters = 2)
+      val wm0 = engine.vectorIndexWatermark()
+      // streamed half: 4-file split → 4 micro-batches → 4 index deltas
+      val srcDir = graft.core.Scratch.dir("graft-sannt-src")
+      emb.filter(col("vec_id") % 2 === 1).repartition(4)
+        .write.mode("overwrite").parquet(srcDir)
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val pts = stream.as[(Long, Seq[Float])]
+        .map { case (id, v) => toPoint(id, v, 0L) }
+        .toDF().drop("seq")
+      val ingest = new StreamingIngest(engine)
+      val q = withReplayPartitions(s) {
+        ingest.start(pts,
+          graft.core.Scratch.dir("graft-sannt-ckpt"),
+          vectorIndexRefresh = true, allocateSeqs = true)
+      }
+      try { q.processAllAvailable() } finally q.stop()
+      val cent = engine.vectorIndexCentroids()
+      val streamed = engine.vectorIndexInverted()
+        .filter(col("seq") > wm0)
+        .select(col("tag0"), col("vec"), col("cid").as("s_cid"))
+      val batch = Ivf.assign(emb.filter(col("vec_id") % 2 === 1), cent)
+        .select(col("vec_id"), col("vec_id").cast("string").as("tag0"),
+          col("embedding").as("b_vec"), col("cid").as("b_cid"))
+      batch.join(streamed, Seq("tag0"), "left_outer")
+        .select(col("vec_id"),
+          when(col("s_cid") === col("b_cid"), lit(1)).otherwise(lit(0)).as("assign_ok"),
+          when(col("vec") === col("b_vec"), lit(1)).otherwise(lit(0)).as("vec_ok"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      SELECT vec_id, 1 AS assign_ok, 1 AS vec_ok
+      FROM embeddings WHERE vec_id % 2 = 1
+      ORDER BY vec_id"""))
+
   override def defs: Seq[QueryDef] = Seq(
     tumblingTwin, dedupTwin, sessionizeTwin, hoppingTwin, latestTwin,
     intervalJoinTwin, recoveryTwin, rollupTwin, quantileSketchTwin, hllTwin,
-    heavyHittersTwin, staticJoinTwin, asofTwin, cdcTwin)
+    heavyHittersTwin, staticJoinTwin, asofTwin, cdcTwin, annAssignTwin)
 }

@@ -71,18 +71,50 @@ final class StreamingIngest(engine: Engine) {
     * it folds them like any other new writes, and `last` still
     * resolves by max seq — dashboards served from the rollup converge
     * to exactly what get() serves, without the engine ever scanning
-    * history twice. */
+    * history twice.
+    *
+    * `vectorIndexRefresh = true` keeps the persisted ANN index
+    * queryable UNDER ingest: after each epoch's write,
+    * Engine.refreshVectorIndex assigns exactly that epoch's vectors
+    * to the STORED coarse cells (one narrow broadcast pass — the
+    * k-means assignment shape, no re-training) and appends one index
+    * delta, so annSearch between micro-batches serves everything up
+    * to the last committed epoch. Same exactly-once argument as the
+    * rollup: the delta's seq range is its name, replayed epochs
+    * re-fold under fresh seqs, and tombstones keep overwritten
+    * vectors from ever serving stale. Requires a built index
+    * (Engine.buildVectorIndex) — fails loudly otherwise.
+    *
+    * `allocateSeqs = true` drops the caller's seq column and lets the
+    * engine allocate arrival-monotone seqs per epoch
+    * (Engine.putAllocated). REQUIRED whenever a watermark consumer
+    * (rollupResolution / vectorIndexRefresh) is on and the stream's
+    * explicit seqs are not monotone with arrival: seq is the fold
+    * axis, and a retro-seq row (id-derived seqs across shuffled
+    * micro-batches) lands below the already-advanced watermark and is
+    * silently never folded — the incremental consumers would
+    * under-count forever. Replay caveat: engine-allocated seqs make a
+    * replayed epoch's rows FRESH writes (new seqs), so the rollup
+    * observation stream double-counts them — keep explicit idempotent
+    * seqs when upstream delivery is at-least-once and you need
+    * exactly-once counters; allocate when the consumer folds
+    * LWW-style state (vector index, latest-value) or upstream is
+    * exactly-once (checkpointed file source). */
   def start(points: DataFrame, checkpointDir: String,
       autoCompact: Boolean = false,
-      rollupResolution: Option[Long] = None): StreamingQuery = {
+      rollupResolution: Option[Long] = None,
+      vectorIndexRefresh: Boolean = false,
+      allocateSeqs: Boolean = false): StreamingQuery = {
     points.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        perBatch.put(batchId, engine.put(batch))
+        perBatch.put(batchId,
+          if (allocateSeqs) engine.putAllocated(batch) else engine.put(batch))
         if (autoCompact)
           engine.fragmentedColdBuckets().foreach(engine.compactBucket)
         rollupResolution.foreach(engine.refreshRollup)
+        if (vectorIndexRefresh) engine.refreshVectorIndex()
         ()
       }
       .start()

@@ -126,7 +126,7 @@ class QueriesSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator")
   }
 
-  test("no query plan contains a cartesian product; nested-loop joins only where broadcast-intended") {
+  test("plan hygiene sweep: no cartesian product, no unplanned nested-loop join, no unlisted global window") {
     // kdb_locf_fill / kdb_rolling_median / kdb_corr_matrix: dense-grid
     // construction (distinct types × range grid), the same
     // broadcast-intended cross join as kdb_find_wildcard's grid.
@@ -304,13 +304,61 @@ class QueriesSpec extends SparkTestBase {
       // llm_unigram_segment: the 1-row inventory-mass scalar rides
       // broadcast cross joins over the char/bigram cost tables —
       // the llm_lm_score scalar shape
-      "llm_unigram_segment")
+      "llm_unigram_segment",
+      // llm_ann_index_twin / stream_ann_assign_twin: the stored-index
+      // probes and the fresh comparator all ride broadcast(centroids)
+      // cross joins — the llm_similarity_ivf_trained shape (k tiny
+      // centroid rows broadcast; the corpus side never replicates)
+      "llm_ann_index_twin", "stream_ann_assign_twin")
+    // Partition-less Window allowlist (the PlanAudit sweep, made
+    // un-skippable): a `Window` with no PARTITION BY moves all rows to
+    // ONE task — a straggler bomb at 100 TB unless its input is
+    // provably bounded. Every name here carries that argument in its
+    // query scaladoc; an UNLISTED hit fails the suite, so a new query
+    // can no longer land a global window without writing the
+    // justification down. Bounded-input families:
+    //  - gap-filled slot/day grids (size = range/resolution, data-
+    //    independent): kdb_cointegration, kdb_dickey_fuller,
+    //    kdb_granger, kdb_incident_intervals, kdb_interp_fill,
+    //    kdb_ljung_box, kdb_reliability, kdb_rolling_beta,
+    //    kdb_sli_burn_rate, kdb_sprt, kdb_business_rollup,
+    //    kdb_cardinality_growth, kdb_survival_km
+    //  - aggregate-sized frames (|types| / deciles / vocab top-K /
+    //    feature×bucket lattices / candidate top-k): kdb_pareto,
+    //    kdb_weighted_median, llm_curriculum_order, llm_dsir_sample,
+    //    llm_encode_ids, llm_vocab_build, llm_zipf_fit,
+    //    llm_stump_train, llm_hybrid_search, llm_rerank_stage
+    val globalWindowOk = Set(
+      "kdb_business_rollup", "kdb_cardinality_growth", "kdb_cointegration",
+      "kdb_dickey_fuller", "kdb_granger", "kdb_incident_intervals",
+      "kdb_interp_fill", "kdb_ljung_box", "kdb_pareto", "kdb_reliability",
+      "kdb_rolling_beta", "kdb_sli_burn_rate", "kdb_sprt", "kdb_survival_km",
+      "kdb_weighted_median", "llm_curriculum_order", "llm_dsir_sample",
+      "llm_encode_ids", "llm_hybrid_search", "llm_rerank_stage",
+      "llm_stump_train", "llm_vocab_build", "llm_zipf_fit")
+    // partitioned windows list partition columns before the first
+    // ordering spec inside windowspecdefinition(...); a spec whose
+    // FIRST argument is an ordering (" ASC"/" DESC") has none
+    def globalWindows(plan: String): Seq[String] =
+      plan.linesIterator.filter(_.trim.startsWith("+- Window ")).filter { l =>
+        val spec = l.substring(
+          l.indexOf("windowspecdefinition(") + "windowspecdefinition(".length)
+        val firstArg = spec.takeWhile(c => c != ',' && c != ')')
+        firstArg.contains(" ASC") || firstArg.contains(" DESC")
+      }.toSeq
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
       if (!nestedLoopOk(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name has an unplanned nested-loop join")
+      if (!globalWindowOk(name)) {
+        val gw = globalWindows(plan)
+        assert(gw.isEmpty,
+          s"$name has an UNLISTED partition-less Window (all rows → one task " +
+            s"at scale; justify in scaladoc + allowlist, or rewrite): " +
+            gw.headOption.map(_.trim.take(140)).getOrElse(""))
+      }
     }
   }
 

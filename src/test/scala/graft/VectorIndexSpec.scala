@@ -1,0 +1,199 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import graft.core._
+import graft.plans.FloatsFromPayload
+
+/** Persisted ANN (IVF) index lifecycle over the engine's vector
+  * payloads: build → store → reopen → probe, incremental refresh with
+  * tombstoned overwrites, and the destructive-verb cascades
+  * (erase / removeBefore filter the index in place; rollbackTo drops
+  * the chain suffix). The oracle twin llm_ann_index_twin gates the
+  * stored-≡-fresh probe equality at sf scale; this spec pins the
+  * lifecycle corners DuckDB cannot express. */
+class VectorIndexSpec extends SparkTestBase {
+
+  private val Dim = 4
+  // big slots/buckets so slot math never interferes: resolution 10,
+  // bucket 1000, clock 11999 → hot window = buckets 11000/10000
+  private def mkEngine(now: Long = 11999L, hot: Int = 12): (Engine, TestClock) = {
+    val dir = Files.createTempDirectory("graft-vindex").toString
+    val clock = new TestClock(now)
+    val opts = EngineOptions(
+      databaseName = "vdb", dataDir = dir,
+      indexDepth = 1, payloadSize = 4 * Dim,
+      bucketDuration = 1000L, resolution = 10L,
+      maxHotBuckets = hot)
+    (new Engine(spark, opts, clock), clock)
+  }
+
+  private def vec(xs: Float*): Array[Byte] = FloatsFromPayload.encode(xs)
+
+  /** Two tight clusters far apart: ids a* near (1,0,0,0), b* near
+    * (0,1,0,0) — k=2 k-means separates them in one iteration. */
+  private def seed(e: Engine): Unit = {
+    assert(e.put(Seq(
+      Point(11000L, Seq("a0"), vec(1f, 0.1f, 0f, 0f)),
+      Point(11000L, Seq("a1"), vec(0.9f, 0f, 0.1f, 0f)),
+      Point(11000L, Seq("a2"), vec(1.1f, 0f, 0f, 0.1f)),
+      Point(11000L, Seq("b0"), vec(0.1f, 1f, 0f, 0f)),
+      Point(11000L, Seq("b1"), vec(0f, 0.9f, 0.1f, 0f)),
+      Point(11000L, Seq("b2"), vec(0f, 1.1f, 0f, 0.1f)))) === Map("ok" -> 6L))
+  }
+
+  private def queries(qs: (Long, Seq[Float])*): DataFrame = {
+    val rows = qs.map { case (id, v) => Row(id, v) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("qid", LongType),
+        StructField("qv", ArrayType(FloatType, containsNull = false)))))
+  }
+
+  private def topTags(df: DataFrame): Seq[String] =
+    df.orderBy(org.apache.spark.sql.functions.col("rk"))
+      .collect().map(_.getAs[String]("tag0")).toSeq
+
+  test("build → reopen-after-restart → annSearch serves from the stored index") {
+    val (e, clock) = mkEngine()
+    seed(e)
+    val n = e.buildVectorIndex(k = 2, iters = 2)
+    assert(n === 6L)
+    assert(e.vectorIndexWatermark() === e.currentSeq())
+    // REOPEN: a brand-new engine instance (fresh manifest check, no
+    // in-memory state) must serve probes from what is on disk
+    val reopened = new Engine(spark, e.opts, clock)
+    val res = reopened.annSearch(queries(1L -> Seq(1f, 0f, 0f, 0f)), nprobe = 1, topk = 3)
+    val tags = topTags(res)
+    assert(tags.size === 3)
+    assert(tags.toSet === Set("a0", "a1", "a2"),
+      s"nprobe=1 on the a-cluster query must return only a-cluster members, got $tags")
+    // centroids and inverted file are readable as operational views
+    assert(reopened.vectorIndexCentroids().count() === 2L)
+    assert(reopened.vectorIndexInverted().count() === 6L)
+  }
+
+  test("probing all cells ranks the exact cosine order across clusters") {
+    val (e, _) = mkEngine()
+    seed(e)
+    e.buildVectorIndex(k = 2, iters = 2)
+    val res = e.annSearch(queries(1L -> Seq(0f, 1f, 0f, 0f)), nprobe = 2, topk = 6)
+    val tags = topTags(res)
+    assert(tags.size === 6)
+    assert(tags.take(3).toSet === Set("b0", "b1", "b2"),
+      s"b-cluster must outrank a-cluster on a b query, got $tags")
+  }
+
+  test("staleness + refresh: new puts invisible until refreshVectorIndex folds them") {
+    val (e, _) = mkEngine()
+    seed(e)
+    e.buildVectorIndex(k = 2, iters = 2)
+    val wm0 = e.vectorIndexWatermark()
+    e.put(Seq(Point(11010L, Seq("a3"), vec(1f, 0f, 0f, 0f))))
+    assert(e.currentSeq() > wm0, "put must advance past the index watermark")
+    assert(e.vectorIndexWatermark() === wm0, "index watermark must not move on put")
+    val stale = topTags(e.annSearch(queries(1L -> Seq(1f, 0f, 0f, 0f)), 1, 6))
+    assert(!stale.contains("a3"), "unrefreshed index must not see the new vector")
+    assert(e.refreshVectorIndex() === 1L)
+    assert(e.vectorIndexWatermark() === e.currentSeq())
+    val fresh = topTags(e.annSearch(queries(1L -> Seq(1f, 0f, 0f, 0f)), 1, 6))
+    assert(fresh.contains("a3"), "refreshed index must serve the new vector")
+    assert(e.refreshVectorIndex() === 0L, "refresh is idempotent at the watermark")
+  }
+
+  test("tombstones: an overwritten vector's stale version never serves — even cross-cell") {
+    val (e, _) = mkEngine()
+    seed(e)
+    e.buildVectorIndex(k = 2, iters = 2)
+    // overwrite a0 (same series+slot) with a vector in the OTHER
+    // cluster: the new version lands in the b cell, the stale one
+    // stays in the a cell — exactly the cross-cell shadowing case
+    e.put(Seq(Point(11000L, Seq("a0"), vec(0f, 1f, 0f, 0f))))
+    assert(e.refreshVectorIndex() === 1L)
+    val aSide = topTags(e.annSearch(queries(1L -> Seq(1f, 0f, 0f, 0f)), 1, 6))
+    assert(!aSide.contains("a0"),
+      s"stale a-cell version of the overwritten key must be tombstoned, got $aSide")
+    val bSide = topTags(e.annSearch(queries(1L -> Seq(0f, 1f, 0f, 0f)), 1, 6))
+    assert(bSide.contains("a0"), s"the overwritten key must serve its NEW vector, got $bSide")
+  }
+
+  test("erase cascades: the erased series vanishes from the stored index") {
+    val (e, _) = mkEngine()
+    seed(e)
+    e.buildVectorIndex(k = 2, iters = 2)
+    e.erase(Seq("a1"))
+    val res = topTags(e.annSearch(queries(1L -> Seq(1f, 0f, 0f, 0f)), 2, 6))
+    assert(!res.contains("a1"), s"erased series must not serve from the index, got $res")
+    assert(res.size === 5)
+    assert(e.vectorIndexInverted()
+      .filter(org.apache.spark.sql.functions.col("tag0") === "a1").isEmpty)
+  }
+
+  test("rollbackTo cascades: suffix deltas drop, the watermark retreats, refresh re-folds") {
+    val (e, _) = mkEngine()
+    seed(e)
+    e.buildVectorIndex(k = 2, iters = 2)
+    val wm0 = e.vectorIndexWatermark()
+    e.put(Seq(Point(11010L, Seq("a3"), vec(1f, 0f, 0f, 0f))))
+    e.refreshVectorIndex()
+    e.rollbackTo(wm0)
+    assert(e.vectorIndexWatermark() === wm0,
+      "rollback must drop the refresh delta and retreat the index watermark")
+    val res = topTags(e.annSearch(queries(1L -> Seq(1f, 0f, 0f, 0f)), 1, 6))
+    assert(!res.contains("a3"), "rolled-back vector must not serve")
+    assert(e.refreshVectorIndex() === 0L, "nothing above the watermark after rollback")
+  }
+
+  test("removeBefore cascades: retention-dropped slots leave the index") {
+    val (e, clock) = mkEngine(now = 14999L, hot = 2)
+    // two buckets: olds at bucket 12000 (cold), news at 14000 (hot)
+    e.put(Seq(
+      Point(12000L, Seq("old0"), vec(1f, 0f, 0f, 0f)),
+      Point(12010L, Seq("old1"), vec(0.9f, 0.1f, 0f, 0f)),
+      Point(14000L, Seq("new0"), vec(0f, 1f, 0f, 0f)),
+      Point(14010L, Seq("new1"), vec(0.1f, 0.9f, 0f, 0f))))
+    e.buildVectorIndex(k = 2, iters = 2)
+    e.removeBefore(13000L)
+    val res = topTags(e.annSearch(queries(1L -> Seq(1f, 0f, 0f, 0f)), 2, 6))
+    assert(res.toSet === Set("new0", "new1"),
+      s"retention-dropped vectors must leave the index, got $res")
+  }
+
+  test("fail-closed corners: no index, empty table, wrong payload size, rebuild replaces") {
+    val (e, _) = mkEngine()
+    intercept[IllegalArgumentException](e.buildVectorIndex(2, 1)) // empty table
+    seed(e)
+    intercept[IllegalStateException](e.annSearch(queries(1L -> Seq(1f, 0f, 0f, 0f)), 1, 1))
+    intercept[IllegalStateException](e.refreshVectorIndex())
+    e.buildVectorIndex(k = 2, iters = 1)
+    // rebuild replaces wholesale (tombstones + deltas reset)
+    e.put(Seq(Point(11010L, Seq("c0"), vec(0f, 0f, 1f, 0f))))
+    val n = e.buildVectorIndex(k = 3, iters = 1)
+    assert(n === 7L)
+    assert(e.vectorIndexWatermark() === e.currentSeq())
+    // dropVectorIndex: loud absence afterwards
+    e.dropVectorIndex()
+    intercept[IllegalStateException](e.annSearch(queries(1L -> Seq(1f, 0f, 0f, 0f)), 1, 1))
+  }
+
+  test("floats_from_payload round-trips encode bit-exactly and rejects misaligned payloads") {
+    val xs = Seq(1.5f, -0.25f, Float.MinPositiveValue, 3.4e38f)
+    val decoded = FloatsFromPayload.decode(FloatsFromPayload.encode(xs))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray().toSeq
+    assert(decoded === xs)
+    assert(FloatsFromPayload.decode(Array[Byte](1, 2, 3)) === null)
+    assert(FloatsFromPayload.decode(Array.emptyByteArray) === null)
+    // codegen path (via the session extension) agrees with the
+    // interpreted twin, zero payload decodes to the zero vector
+    import spark.implicits._
+    val df = Seq(FloatsFromPayload.encode(xs), new Array[Byte](16), Array[Byte](9))
+      .toDF("p")
+      .selectExpr("floats_from_payload(p) AS v")
+    val got = df.collect().map(r =>
+      Option(r.getSeq[Float](0)).map(_.toSeq))
+    assert(got(0) === Some(xs))
+    assert(got(1) === Some(Seq(0f, 0f, 0f, 0f)))
+    assert(got(2) === None)
+  }
+}

@@ -1748,14 +1748,22 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
 
   /** Inverted-file row schema: data cols in the files; delta/cid are
     * discovered partition levels (explicit types — small cid values
-    * would otherwise discover as INT and break long comparisons). */
+    * would otherwise discover as INT and break long comparisons).
+    * `codes` is the optional PQ tier: NULL (absent from the files)
+    * when the index was built without [[PqParams]]. */
   private def vindexSchema: StructType = StructType(
     StructField("slot_ns", LongType) +:
       tagCols.map(StructField(_, StringType)) :+
       StructField("vec", ArrayType(FloatType, containsNull = false)) :+
+      StructField("codes", ArrayType(LongType, containsNull = false)) :+
       StructField("seq", LongType) :+
       StructField("delta", StringType) :+
       StructField("cid", LongType))
+
+  private def vindexBookSchema: StructType = StructType(
+    StructField("sub", IntegerType) ::
+      StructField("cid", LongType) ::
+      StructField("cv", ArrayType(DoubleType, containsNull = false)) :: Nil)
 
   private def vindexCentSchema: StructType = StructType(
     StructField("cid", LongType) ::
@@ -1792,10 +1800,14 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     }
   }
 
-  /** Validate the stored index manifest against this engine (and
-    * return k): dim must equal payloadSize/4 — fail-closed like
-    * `_graft_options`. */
-  private def readVindexOptions(fs: FileSystem): Int = {
+  /** Stored-index manifest: coarse k plus the optional PQ tier. */
+  private final case class VindexMeta(k: Int, pq: Option[PqParams])
+
+  /** Validate the stored index manifest against this engine: dim must
+    * equal payloadSize/4 — fail-closed like `_graft_options`. A
+    * manifest carrying any pq_* key must carry all three (a
+    * half-readable PQ tier must never validate by omission). */
+  private def readVindexOptions(fs: FileSystem): VindexMeta = {
     if (!fs.exists(vindexOptionsPath))
       throw new IllegalStateException(
         s"no vector index at $vindexPath — buildVectorIndex first")
@@ -1813,8 +1825,16 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       throw new IllegalArgumentException(
         s"${EngineErrors.OptionsMismatch}: vector index dim=$dim but engine " +
           s"payloadSize=${opts.payloadSize} (dim ${opts.payloadSize / 4})")
-    kv.getOrElse("k",
+    val k = kv.getOrElse("k",
       throw new IllegalStateException(s"corrupt _vindex_options at $vindexPath")).toInt
+    val pqKeys = Seq("pq_m", "pq_k", "pq_iters").map(kv.get)
+    val pq =
+      if (pqKeys.forall(_.isEmpty)) None
+      else if (pqKeys.forall(_.isDefined))
+        Some(PqParams(pqKeys(0).get.toInt, pqKeys(1).get.toInt, pqKeys(2).get.toInt))
+      else throw new IllegalStateException(
+        s"corrupt _vindex_options at $vindexPath: partial pq_* keys")
+    VindexMeta(k, pq)
   }
 
   /** LWW winners of seq range (lo, hi] with payloads decoded to
@@ -1844,23 +1864,65 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         col("seq") :+ col("cid"): _*)
   }
 
+  /** PQ-encode keyed rows against stored codebooks: (keys…, codes)
+    * with codes ordered by sub — graft.operators.Pq.encode's exact
+    * tie rule ((dist, cid) per (key, sub)), keyed on the REAL key
+    * columns (the assignCells surrogate-collision argument). */
+  private def encodePq(rows: DataFrame, books: DataFrame, pq: PqParams): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.l2sq
+    val dim = opts.payloadSize / 4
+    require(dim % pq.m == 0, s"pq m=${pq.m} must divide dim=$dim")
+    val sd = dim / pq.m
+    val subs = rows.select((tagCols.map(col) :+ col("slot_ns")) :+
+        explode(sequence(lit(0), lit(pq.m - 1))).as("sub") :+
+        col("vec").cast("array<double>").as("ev"): _*)
+      .select((tagCols.map(col) :+ col("slot_ns") :+ col("sub")) :+
+        slice(col("ev"), col("sub") * sd + 1, lit(sd)).as("sv"): _*)
+    val w = Window.partitionBy((tagCols.map(col) :+ col("slot_ns")) :+ col("sub"): _*)
+      .orderBy(col("__dist"), col("cid"))
+    subs.join(broadcast(books.select(col("sub"), col("cid"), col("cv"))), Seq("sub"))
+      .withColumn("__dist", l2sq(col("sv"), col("cv")))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .groupBy((tagCols.map(col) :+ col("slot_ns")): _*)
+      .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
+      .select((tagCols.map(col) :+ col("slot_ns")) :+
+        transform(col("sc"), s => s.getField("cid")).as("codes"): _*)
+  }
+
   /** Build (or REBUILD — replacing any existing index and its
     * tombstones) the persisted IVF index over every committed vector
     * payload: deterministic k-means training (operators/Ivf), one
     * broadcast assignment pass, one cell-partitioned write. The whole
-    * tree — centroids, inverted file, manifest — is assembled in an
-    * invisible staging root and published with ONE rename, so readers
-    * see the old index, no index, or the complete new index, never a
-    * half-built one. Returns the number of indexed vectors. */
-  def buildVectorIndex(k: Int, iters: Int): Long = writeLock.synchronized {
+    * tree — centroids, inverted file, optional PQ codebooks, manifest
+    * — is assembled in an invisible staging root and published with
+    * ONE rename, so readers see the old index, no index, or the
+    * complete new index, never a half-built one.
+    *
+    * `pq = Some(PqParams(m, k, iters))` adds the ADC tier: per-
+    * subspace codebooks (operators/Pq training discipline) plus an
+    * m-code column on every inverted-file row. [[annSearch]] keeps
+    * reading exact vectors; [[annSearchAdc]] reads ONLY the code
+    * column — parquet column pruning turns the probe scan from
+    * dim·4 bytes/row into m·~2 bytes/row, the 100 TB ADC trade.
+    * Returns the number of indexed vectors. */
+  def buildVectorIndex(k: Int, iters: Int,
+      pq: Option[PqParams] = None): Long = writeLock.synchronized {
     ensureManifest(adopt = false)
     require(opts.payloadSize % 4 == 0 && opts.payloadSize >= 4,
       s"vector index needs float32 payloads (payloadSize % 4 == 0; engine has ${opts.payloadSize})")
     require(k > 0 && iters >= 0, s"buildVectorIndex: k=$k iters=$iters")
+    pq.foreach(p => require((opts.payloadSize / 4) % p.m == 0,
+      s"pq m=${p.m} must divide dim=${opts.payloadSize / 4}"))
     val fs = tableFs
     val cur = currentSeq()
     require(cur >= 0, "buildVectorIndex: table is empty — nothing to index")
-    val rows = vectorRows(Long.MinValue, cur)
+    // persist: k-means training re-scans the vector view per Lloyd
+    // iteration (and per PQ subspace round), then assignment + PQ
+    // encode each scan it again — without the cache every consumer
+    // re-pays the table scan + LWW shuffle + payload decode
+    val rows = vectorRows(Long.MinValue, cur).persist()
+    try {
     // train on a hash surrogate id (deterministic init order; a rare
     // collision only perturbs which vectors seed k-means — harmless,
     // unlike assignment, which keys on the real columns)
@@ -1869,13 +1931,28 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       col("vec").as("embedding"))
     val cent = graft.operators.Ivf.train(trainView, k, iters)
       .select(col("cid").cast("long").as("cid"), col("cv"))
-    val assigned = assignCells(rows, cent)
+    val books = pq.map { p =>
+      graft.operators.Pq.train(trainView, p.m, opts.payloadSize / 4, p.k, p.iters)
+        .select(col("sub").cast("int").as("sub"), col("cid").cast("long").as("cid"),
+          col("cv"))
+    }
+    val assigned0 = assignCells(rows, cent)
+    val assigned = books match {
+      case None => assigned0
+      case Some(b) =>
+        assigned0.join(encodePq(rows, b, pq.get), tagCols :+ "slot_ns")
+          .select((col("slot_ns") +: tagCols.map(col)) :+ col("vec") :+
+            col("codes") :+ col("seq") :+ col("cid"): _*)
+    }
     val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
     val staging = new Path(s"${opts.tablePath}.vbuild_$uuid")
     cent.coalesce(1).write.parquet(s"$staging/centroids")
+    books.foreach(_.coalesce(1).write.parquet(s"$staging/pq_books"))
     assigned.write.partitionBy("cid").parquet(s"$staging/delta=-1_$cur")
+    val pqLines = pq.map(p => s"pq_m=${p.m}\npq_k=${p.k}\npq_iters=${p.iters}\n").getOrElse("")
     val mf = fs.create(new Path(s"$staging/_vindex_options"), true)
-    try mf.write(s"k=$k\ndim=${opts.payloadSize / 4}\niters=$iters\n".getBytes("UTF-8"))
+    try mf.write(
+      (s"k=$k\ndim=${opts.payloadSize / 4}\niters=$iters\n" + pqLines).getBytes("UTF-8"))
     finally mf.close()
     val root = new Path(vindexPath)
     if (fs.exists(root)) fs.delete(root, true) // rebuild: fail-closed window, never stale
@@ -1885,6 +1962,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     }
     spark.read.schema(vindexSchema).option("basePath", vindexPath)
       .parquet(s"$vindexPath/delta=-1_$cur").count() // footer counts only
+    } finally rows.unpersist()
   }
 
   /** Highest ingest seq the stored index covers (−1 when absent):
@@ -1908,14 +1986,25 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     ensureManifest(adopt = false)
     val fs = tableFs
     healVindex(fs)
-    readVindexOptions(fs)
+    val meta = readVindexOptions(fs)
     val wm = rollupCover(vindexDeltas(fs)).lastOption.map(_._3).getOrElse(
       throw new IllegalStateException(s"vector index at $vindexPath has no deltas — rebuild"))
     val cur = currentSeq()
     if (cur <= wm) return 0L
     val cent = spark.read.schema(vindexCentSchema).parquet(s"$vindexPath/centroids")
-    val fresh = vectorRows(wm, cur)
-    val assigned = assignCells(fresh, cent).persist()
+    val fresh = vectorRows(wm, cur).persist()
+    val assigned0 = assignCells(fresh, cent)
+    // PQ tier: encode the epoch's rows against the STORED codebooks —
+    // one broadcast pass, no re-training (the assignment discipline)
+    val assigned = meta.pq match {
+      case None => assigned0.persist()
+      case Some(p) =>
+        val books = spark.read.schema(vindexBookSchema).parquet(s"$vindexPath/pq_books")
+        assigned0.join(encodePq(fresh, books, p), tagCols :+ "slot_ns")
+          .select((col("slot_ns") +: tagCols.map(col)) :+ col("vec") :+
+            col("codes") :+ col("seq") :+ col("cid"): _*)
+          .persist()
+    }
     try {
       // tombstones: incoming keys already indexed at-or-below wm. The
       // prior lookup prunes to the delta's slot/bucket range and
@@ -1952,11 +2041,10 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         }
       }
       publish(tomb, s"tomb=${wm}_$cur", partitioned = false)
-      publish(assigned.select((col("slot_ns") +: tagCols.map(col)) :+ col("vec") :+
-        col("seq") :+ col("cid"): _*), s"delta=${wm}_$cur", partitioned = true)
+      publish(assigned, s"delta=${wm}_$cur", partitioned = true)
       spark.read.schema(vindexSchema).option("basePath", vindexPath)
         .parquet(s"$vindexPath/delta=${wm}_$cur").count()
-    } finally assigned.unpersist()
+    } finally { assigned.unpersist(); fresh.unpersist() }
   }
 
   /** The stored inverted file (cover of committed deltas) as
@@ -2016,19 +2104,8 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       val inv = spark.read.schema(vindexSchema).option("basePath", vindexPath)
         .parquet(cover.map(_._1.toString): _*)
         .filter(col("cid").isin(cids: _*)) // static partition prune
-        .drop("delta")
-      // tombstone filter: only tomb ranges the cover has reached apply
-      val tombDirs = vindexTombs(fs).filter(_._3 <= wmCover).map(_._1.toString)
-      val live =
-        if (tombDirs.isEmpty) inv
-        else {
-          val tomb = spark.read.schema(vindexTombSchema).parquet(tombDirs: _*)
-            .groupBy((tagCols.map(col) :+ col("slot_ns")): _*)
-            .agg(max(col("win_seq")).as("__win_seq"))
-          inv.join(broadcast(tomb), tagCols :+ "slot_ns", "left_outer")
-            .filter(col("__win_seq").isNull || col("seq") >= col("__win_seq"))
-            .drop("__win_seq")
-        }
+        .drop("delta", "codes")
+      val live = tombstoneFiltered(inv, fs, wmCover)
       val wTop = Window.partitionBy(col("qid"))
         .orderBy((col("__cos").desc +: tagCols.map(col)) :+ col("slot_ns"): _*)
       probed.join(live, Seq("cid"))
@@ -2036,6 +2113,97 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= topk)
         .select((col("qid") +: col("rk") +: tagCols.map(col)) :+
           col("slot_ns") :+ col("__cos").as("cos"): _*)
+    } finally probed.unpersist(blocking = false)
+  }
+
+  /** Drop candidates an applied tombstone supersedes — tomb ranges
+    * the cover has reached only (see the refresh crash contract). */
+  private def tombstoneFiltered(cand: DataFrame, fs: FileSystem,
+      wmCover: Long): DataFrame = {
+    val tombDirs = vindexTombs(fs).filter(_._3 <= wmCover).map(_._1.toString)
+    if (tombDirs.isEmpty) return cand
+    val tomb = spark.read.schema(vindexTombSchema).parquet(tombDirs: _*)
+      .groupBy((tagCols.map(col) :+ col("slot_ns")): _*)
+      .agg(max(col("win_seq")).as("__win_seq"))
+    cand.join(broadcast(tomb), tagCols :+ "slot_ns", "left_outer")
+      .filter(col("__win_seq").isNull || col("seq") >= col("__win_seq"))
+      .drop("__win_seq")
+  }
+
+  /** The stored PQ codebooks (sub, cid, cv); fails loudly when the
+    * index has no PQ tier. */
+  def vectorIndexPqBooks(): DataFrame = {
+    val fs = tableFs
+    val meta = readVindexOptions(fs)
+    if (meta.pq.isEmpty)
+      throw new IllegalStateException(
+        s"vector index at $vindexPath has no PQ tier — rebuild with PqParams")
+    spark.read.schema(vindexBookSchema).parquet(s"$vindexPath/pq_books")
+  }
+
+  /** ANN search over the PQ (ADC) tier: same probed-cell static
+    * pruning and tombstone filtering as [[annSearch]], but candidates
+    * are read as m-code rows — the `vec` column is never selected, so
+    * parquet column pruning keeps the exact vectors on disk and the
+    * probe scan reads m codes instead of dim floats per row (the
+    * asymmetric-distance trade that makes a 100 TB sweep read
+    * code-sized pages). Scoring: candidate codes decode IN FLIGHT to
+    * their codebook reconstruction (posexplode + broadcast book join
+    * + sub-ordered reassembly — storage stays code-sized) and rank by
+    * the strict-fold l2_sq(qv, reconstruction). That value equals the
+    * classic ADC table-sum bit-for-bit — per-subspace squared
+    * distances add in subspace order, the same IEEE adds in the same
+    * order as the concatenated fold — while staying deterministic
+    * where a groupBy-sum of table lookups is not (partial-agg order).
+    * Ties break by (tags, slot). Output: (qid, rk, tag0…, slot_ns,
+    * adc) — adc ascending is the approximate squared L2. */
+  def annSearchAdc(queries: DataFrame, nprobe: Int, topk: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.l2sq
+    require(nprobe > 0 && topk > 0, s"annSearchAdc: nprobe=$nprobe topk=$topk")
+    ensureManifest(adopt = false)
+    val fs = tableFs
+    healVindex(fs)
+    val meta = readVindexOptions(fs)
+    if (meta.pq.isEmpty)
+      throw new IllegalStateException(
+        s"vector index at $vindexPath has no PQ tier — rebuild with PqParams")
+    val cover = rollupCover(vindexDeltas(fs))
+    if (cover.isEmpty)
+      throw new IllegalStateException(s"vector index at $vindexPath has no deltas — rebuild")
+    val wmCover = cover.last._3
+    val cent = spark.read.schema(vindexCentSchema).parquet(s"$vindexPath/centroids")
+    val books = spark.read.schema(vindexBookSchema).parquet(s"$vindexPath/pq_books")
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("__dist"), col("cid"))
+    val probed = queries.select(col("qid"), col("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("__dist", l2sq(col("qv"), col("cv")))
+      .withColumn("__rn", row_number().over(wProbe)).filter(col("__rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid"))
+      .persist()
+    try {
+      val cids = probed.select(col("cid")).distinct().collect().map(_.getLong(0))
+      val inv = spark.read.schema(vindexSchema).option("basePath", vindexPath)
+        .parquet(cover.map(_._1.toString): _*)
+        .filter(col("cid").isin(cids: _*)) // static partition prune
+        .drop("delta", "vec") // codes only — the column-pruned scan
+      val live = tombstoneFiltered(inv, fs, wmCover)
+      val recon = live
+        .select((tagCols.map(col) :+ col("slot_ns") :+ col("cid")) :+
+          posexplode(col("codes")).as(Seq("sub", "code")): _*)
+        .join(broadcast(books.select(col("sub"), col("cid").as("code"), col("cv"))),
+          Seq("sub", "code"))
+        .groupBy((tagCols.map(col) :+ col("slot_ns") :+ col("cid")): _*)
+        .agg(array_sort(collect_list(struct(col("sub"), col("cv")))).as("parts"))
+        .select((tagCols.map(col) :+ col("slot_ns") :+ col("cid")) :+
+          flatten(transform(col("parts"), p => p.getField("cv"))).as("recon"): _*)
+      val wTop = Window.partitionBy(col("qid"))
+        .orderBy((col("__adc") +: tagCols.map(col)) :+ col("slot_ns"): _*)
+      probed.join(recon, Seq("cid"))
+        .withColumn("__adc", l2sq(col("qv"), col("recon")))
+        .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= topk)
+        .select((col("qid") +: col("rk") +: tagCols.map(col)) :+
+          col("slot_ns") :+ col("__adc").as("adc"): _*)
     } finally probed.unpersist(blocking = false)
   }
 

@@ -57,6 +57,17 @@ final case class EngineOptions(
   def tablePath: String = s"$dataDir/$databaseName"
 }
 
+/** Product-quantization parameters for the persisted vector index's
+  * optional ADC tier (Jégou et al., PAMI 2011): the vector space
+  * splits into `m` subspaces with a `k`-entry codebook each (trained
+  * `iters` Lloyd rounds, graft.operators.Pq discipline), so a stored
+  * row carries m small codes — at dim 64 / m 8 that is 8 codes in
+  * place of 64 floats, the 32× byte cut that makes a 100 TB ANN scan
+  * read code-sized pages instead of vectors. */
+final case class PqParams(m: Int, k: Int, iters: Int) {
+  require(m > 0 && k > 0 && iters >= 0, s"PqParams: m=$m k=$k iters=$iters")
+}
+
 /** Injectable time source (reference pattern: clock/clock.go:13-46 —
   * validation never reads the wall clock directly, so tests can pin
   * the timeline exactly like dbase_test.go:19-21 does). */

@@ -53,9 +53,14 @@ object Pq {
       val rows = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
       rows.toSeq.toDF("sub", "cid", "cv")
     }
-    // init: the first k vectors by id seed every subspace
+    // init: the first k vectors BY ID ORDER seed every subspace —
+    // order-based (not `vec_id < k`) so sparse or surrogate id spaces
+    // (the Engine's hashed keys) still seed exactly k entries; for
+    // dense 0..n ids (the embeddings table) the two selections are
+    // identical, so existing consumers' codebooks are unchanged
+    val initIds = vectors.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
     var books = materialize(subs
-      .filter(col("vec_id") < k)
+      .join(broadcast(initIds), Seq("vec_id"))
       .select(col("sub").cast("int").as("sub"), col("vec_id").as("cid"), col("sv").as("cv")))
     for (_ <- 1 to iters) {
       val assigned = assignSubs(subs, books)

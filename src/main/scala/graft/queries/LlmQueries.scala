@@ -1516,25 +1516,39 @@ object LlmQueries extends QueryModule {
     * gated (the llm_similarity_ivf_trained property-oracle
     * precedent) — both probe paths consume the SAME stored centroids,
     * which is what makes this gate exact. */
+  /** Shared ingest for the persisted-index twins: the embeddings
+    * table written into a scratch engine as 256-byte float32 payloads
+    * (dim 64) through the ordinary Put path — tag0 = vec_id string,
+    * seq = vec_id, slot = id mod 80000 s (series identity is the TAG;
+    * bounding the slot keeps arbitrarily large ids — scale-curve
+    * replicas shift them by ~10^12 — inside the hot window instead of
+    * silently rejecting as future writes). Returns (engine, opts,
+    * clock) so a twin can REOPEN from disk. */
+  private def vectorEngine(s: SparkSession, d: String, db: String)
+      : (graft.core.Engine, graft.core.EngineOptions, graft.core.TestClock) = {
+    import s.implicits._
+    val T0v = 1600000000L * 1000000000L
+    val dir = graft.core.Scratch.dir(s"graft-$db")
+    val opts = graft.core.EngineOptions(db, dir, indexDepth = 1,
+      payloadSize = 256, bucketDuration = 86400L * 1000000000L,
+      resolution = 1000000000L, maxHotBuckets = 40)
+    val clock = new graft.core.TestClock(T0v + 86000L * 1000000000L)
+    val engine = new graft.core.Engine(s, opts, clock)
+    val pts = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, v) =>
+        graft.core.Point(T0v + (id % 80000L) * 1000000000L, Seq(id.toString),
+          graft.plans.FloatsFromPayload.encode(v), id)
+      }
+    engine.put(pts.toDF())
+    (engine, opts, clock)
+  }
+
   private val annIndexTwin = QueryDef(
     "llm_ann_index_twin",
     (s, d) => {
-      import s.implicits._
       import graft.operators.Ivf
-      val T0v = 1600000000L * 1000000000L
-      val dir = graft.core.Scratch.dir("graft-anntwin")
-      val opts = graft.core.EngineOptions("anntwin", dir, indexDepth = 1,
-        payloadSize = 256, bucketDuration = 86400L * 1000000000L,
-        resolution = 1000000000L, maxHotBuckets = 40)
-      val clock = new graft.core.TestClock(T0v + 86000L * 1000000000L)
-      val engine = new graft.core.Engine(s, opts, clock)
-      val pts = embeddings(s, d).select(col("vec_id"), col("embedding"))
-        .as[(Long, Seq[Float])]
-        .map { case (id, v) =>
-          graft.core.Point(T0v + id * 1000000000L, Seq(id.toString),
-            graft.plans.FloatsFromPayload.encode(v), id)
-        }
-      engine.put(pts.toDF())
+      val (engine, opts, clock) = vectorEngine(s, d, "anntwin")
       engine.buildVectorIndex(k = 4, iters = 2)
       val reopened = new graft.core.Engine(s, opts, clock)
       val q = embeddings(s, d).filter(col("vec_id") <= 4)
@@ -1572,6 +1586,85 @@ object LlmQueries extends QueryModule {
     Some("""
       SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_results,
              1 AS eq_ok, 1 AS self_top1
+      FROM embeddings WHERE vec_id <= 4
+      ORDER BY qid"""))
+
+  /** PQ (ADC) tier of the persisted index, lifecycle-gated like
+    * [[annIndexTwin]]: build with PqParams(8, 16, 2) (dim 64 → 8
+    * subspaces of 8), REOPEN from disk, probe via annSearchAdc —
+    * which reads ONLY the stored m-code column — and prove the
+    * storage lifecycle is result-invariant against an in-memory
+    * comparator built from the SAME stored codebooks: (a) every
+    * stored code row equals an independent operators/Pq.encode of the
+    * raw embeddings (codes_ok), and (b) the per-rank (neighbor, adc)
+    * pairs match EXACTLY (eq_ok) — both paths decode codes to their
+    * codebook reconstruction and rank by the strict-fold
+    * l2_sq(query, reconstruction) with the same (adc, key-string)
+    * tie rule, so every float op happens in the same IEEE order on
+    * bit-identical inputs. Codebook VALUES are order-of-summation
+    * k-means floats and are not gated (ivf_trained precedent); both
+    * sides consume the stored ones, which makes the gate exact. */
+  private val annPqTwin = QueryDef(
+    "llm_ann_pq_twin",
+    (s, d) => {
+      import graft.operators.{Ivf, Pq}
+      val (engine, opts, clock) = vectorEngine(s, d, "annpqtwin")
+      engine.buildVectorIndex(k = 4, iters = 2,
+        pq = Some(graft.core.PqParams(m = 8, k = 16, iters = 1)))
+      val reopened = new graft.core.Engine(s, opts, clock)
+      val q = embeddings(s, d).filter(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val stored = reopened.annSearchAdc(q, nprobe = 2, topk = 5)
+        .select(col("qid"), col("rk"), col("tag0").as("s_nid"),
+          col("adc").as("s_adc"))
+      val cent = reopened.vectorIndexCentroids()
+      val books = reopened.vectorIndexPqBooks()
+      val corpus = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // independent re-encode from raw vectors + stored books
+      val freshCodes = Pq.encode(corpus, books, m = 8, dim = 64)
+      val storedCodes = reopened.vectorIndexInverted()
+        .select(col("tag0"), col("codes").as("s_codes"))
+      val codeMismatch = freshCodes
+        .select(col("vec_id").cast("string").as("tag0"), col("codes"))
+        .join(storedCodes, Seq("tag0"), "full_outer")
+        .agg(count(when(col("codes").isNull || col("s_codes").isNull ||
+          col("codes") =!= col("s_codes"), 1)).as("n_code_mismatch"))
+      // fresh probe: same stored centroids/books, annSearchAdc's exact
+      // decode + tie rule, over the fresh codes
+      val recon = freshCodes
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .join(broadcast(books.select(col("sub"), col("cid").as("code"), col("cv"))),
+          Seq("sub", "code"))
+        .groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("sub"), col("cv")))).as("parts"))
+        .select(col("vec_id"),
+          flatten(transform(col("parts"), p => p.getField("cv"))).as("recon"))
+      val cells = Ivf.assign(corpus, cent).select(col("vec_id"), col("cid"))
+      val wProbe = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
+      val probed = q.crossJoin(broadcast(cent))
+        .withColumn("dist", l2sq(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= 2)
+        .select(col("qid"), col("qv"), col("cid"))
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("f_adc"), col("f_nid"))
+      val fresh = probed.join(cells.join(recon, "vec_id"), Seq("cid"))
+        .withColumn("f_nid", col("vec_id").cast("string"))
+        .withColumn("f_adc", l2sq(col("qv"), col("recon")))
+        .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("f_nid"), col("f_adc"))
+      stored.join(fresh, Seq("qid", "rk"))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_results"),
+          count(when(col("s_nid") === col("f_nid") &&
+            col("s_adc") === col("f_adc"), 1)).as("n_eq"))
+        .crossJoin(broadcast(codeMismatch))
+        .select(col("qid"), col("n_results"),
+          when(col("n_eq") === col("n_results"), lit(1)).otherwise(lit(0)).as("eq_ok"),
+          when(col("n_code_mismatch") === 0, lit(1)).otherwise(lit(0)).as("codes_ok"))
+        .orderBy(col("qid"))
+    },
+    Some("""
+      SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_results,
+             1 AS eq_ok, 1 AS codes_ok
       FROM embeddings WHERE vec_id <= 4
       ORDER BY qid"""))
 
@@ -2470,9 +2563,12 @@ object LlmQueries extends QueryModule {
     * exactly as production decontamination does; join keys are 60-bit
     * shingle hashes, not strings (identical hash both engines, so any
     * collision affects both sides equally). */
-  private val decontaminate = QueryDef(
-    "llm_decontaminate",
-    (s, d) => {
+  /** The contamination pair set — (train_doc, eval_doc, n_shared ≥ 3)
+    * — extracted so llm_decontaminate and llm_pipeline_e2e consume
+    * the IDENTICAL definition (the llm_rerank_stage whole-query-reuse
+    * doctrine: a pipeline stage is the production query, never a
+    * re-definition that can drift). */
+  private def contaminationPairs(s: SparkSession, d: String): DataFrame = {
       val u = shingleRows(s, d, lit(true))
         .select(col("doc_id"), hash60(col("shingle")).as("h"))
         .distinct()
@@ -2503,8 +2599,11 @@ object LlmQueries extends QueryModule {
         .groupBy(col("train_doc"), col("eval_doc"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 3)
-        .orderBy(col("train_doc"), col("eval_doc"))
-    },
+  }
+
+  private val decontaminate = QueryDef(
+    "llm_decontaminate",
+    (s, d) => contaminationPairs(s, d).orderBy(col("train_doc"), col("eval_doc")),
     Some(s"""
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       sh AS (SELECT doc_id,
@@ -7261,6 +7360,179 @@ object LlmQueries extends QueryModule {
       JOIN bt bt2 ON bt2.doc_id = p.d2
       ORDER BY p.d1, p.d2"""))
 
+  /** End-to-end training-data pipeline, oracle-gated as ONE query:
+    * filter chain → exact dedup → MinHash-LSH near-dup (connected
+    * components, one keeper per cluster) → decontamination + eval
+    * holdout → temperature-smoothed mixture weights → sequence
+    * packing. Every stage consumes the production machinery VERBATIM
+    * — the filter-chain predicates, lshPairs (pred-parameterized),
+    * Dedup.connectedComponents, [[contaminationPairs]],
+    * the mixtureWeights α=0.5 formula, and
+    * DistributedRank.withPrefixSum — so the gate proves the operators
+    * COMPOSE without per-stage re-definitions drifting (the
+    * llm_rerank_stage doctrine, applied to the whole pipeline).
+    *
+    * Stage-composition soundness notes: (a) near-dup pairs are
+    * computed over the stage-1 survivors with endpoints restricted to
+    * the stage-2 exact-dedup keepers — identical to running LSH on
+    * the keeper set, because signatures are pure content functions
+    * (duplicate texts share every band key, so pairs-among-keepers is
+    * the same set either way) and the hybrid pair generation drops no
+    * pairs; (b) contamination rarity (df ≤ 50) is measured on the
+    * FULL corpus — the production reference-corpus semantics of
+    * llm_decontaminate, consumed unchanged.
+    *
+    * Output: one row per surviving source (mixture stats) plus the
+    * funnel receipts and packing stats as 1-row broadcast constants
+    * (n_raw → n_s1 → n_s2 → n_s3 → n_final; total_blocks,
+    * n_straddle). n_straddle depends on every doc's packed offset, so
+    * the prefix-sum machinery is value-gated, not just row-counted.
+    * Scale shape: stages hand each other only doc-id sets (semi/anti
+    * joins on 8-byte keys); text is scanned by the stage that needs
+    * it and never shuffled between stages; the 1-row receipt frames
+    * ride broadcast cross joins (the llm_lm_score scalar shape). */
+  private val pipelineE2e = QueryDef(
+    "llm_pipeline_e2e",
+    (s, d) => {
+      val t = tokens(col("text"))
+      val nTok = size(t)
+      val meanLen = (col("n_chars") - nTok + 1).cast("double") / nTok
+      val diversity = size(array_distinct(t)).cast("double") / nTok
+      // llm_filter_chain's first-failure-wins chain, expressed as its
+      // keep-branch predicate (same expressions, same order)
+      val keepPred = col("n_chars") >= 120 && col("n_chars") <= 450 &&
+        meanLen <= 5.0 && diversity >= 0.35
+      val docs = documents(s, d)
+      val s1 = docs.filter(keepPred)
+      // stage 2: exact dedup — min doc_id per content hash (llm_dedup_exact)
+      val s2 = s1.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")).localCheckpoint(true)
+      // stage 3: LSH pairs over stage-1 survivors, endpoints
+      // restricted to exact keepers, components, min-id keeper wins
+      val pairs = lshPairs(s, d, keepPred)
+        .join(s2.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
+        .join(s2.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
+      val comps = graft.operators.Dedup.connectedComponents(pairs)
+      val dropped3 = comps.filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"))
+      val s3 = s2.join(dropped3, Seq("doc_id"), "left_anti").localCheckpoint(true)
+      comps.unpersist()
+      // stage 4: eval holdout + decontamination (llm_decontaminate verbatim)
+      val contaminated = contaminationPairs(s, d)
+        .select(col("train_doc").as("doc_id")).distinct()
+      val s4 = s3.filter(col("doc_id") % 97 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti").localCheckpoint(true)
+      // stage 5 input: survivors with source + token counts (one text pass)
+      val surv = docs.join(s4, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .localCheckpoint(true)
+      val wAll = Window.partitionBy()
+      val mix = surv.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .withColumn("sh", sqrt(col("n_tokens").cast("double")))
+        .withColumn("tot", sum(col("sh")).over(wAll))
+      // stage 6: pack the survivors (llm_pack_sequences machinery)
+      val packed = graft.operators.DistributedRank.withPrefixSum(
+          surv.select(col("doc_id"), col("n_tokens")),
+          col("n_tokens"), "tok_offset", Seq(col("doc_id")))
+        .select(expr("tok_offset div 2048").as("first_block"),
+          expr("(tok_offset + n_tokens - 1) div 2048").as("last_block"))
+      val packStats = packed.agg(
+        (max(col("last_block")) + 1L).as("total_blocks"),
+        count(when(col("last_block") > col("first_block"), 1)).as("n_straddle"))
+      val counts = docs.agg(count(lit(1)).as("n_raw"))
+        .crossJoin(broadcast(s1.agg(count(lit(1)).as("n_s1"))))
+        .crossJoin(broadcast(s2.agg(count(lit(1)).as("n_s2"))))
+        .crossJoin(broadcast(s3.agg(count(lit(1)).as("n_s3"))))
+        .crossJoin(broadcast(s4.agg(count(lit(1)).as("n_final"))))
+        .crossJoin(broadcast(packStats))
+      mix.crossJoin(broadcast(counts))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("sh") / col("tot"), 6).as("weight"),
+          round(col("sh") / col("tot") * 1000000L).cast("long").as("exp_tokens"),
+          col("n_raw"), col("n_s1"), col("n_s2"), col("n_s3"), col("n_final"),
+          col("total_blocks"), col("n_straddle"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val keepWhere = "WHERE n_chars >= 120 AND n_chars <= 450" +
+        " AND CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)" +
+        " / len(string_split(text, ' ')) <= 5.0" +
+        " AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)" +
+        " / len(string_split(text, ' ')) >= 0.35"
+      s"""
+      WITH RECURSIVE ${dkMinhashCteWhere(keepWhere)},
+      ${dkLshPairsCtes},
+      s1 AS (SELECT doc_id, source, text FROM documents $keepWhere),
+      s2 AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
+      kp AS (SELECT d1, d2 FROM lsh_pairs
+             WHERE d1 IN (SELECT doc_id FROM s2)
+               AND d2 IN (SELECT doc_id FROM s2)),
+      edges AS (SELECT d1 AS src, d2 AS dst FROM kp
+                UNION ALL SELECT d2, d1 FROM kp),
+      reach(id, r) AS (
+        SELECT src AS id, src AS r FROM edges
+        UNION
+        SELECT e.src AS id, reach.r
+        FROM edges e JOIN reach ON e.dst = reach.id),
+      dropped3 AS (
+        SELECT id FROM reach GROUP BY id HAVING id <> min(r)),
+      s3 AS (SELECT doc_id FROM s2
+             WHERE doc_id NOT IN (SELECT id FROM dropped3)),
+      ctoks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      csh AS (SELECT doc_id,
+              list_transform(generate_series(0, len(toks) - 3),
+                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS sl
+              FROM ctoks),
+      cu AS (SELECT DISTINCT doc_id,
+              ('0x' || substr(md5(unnest(sl)), 1, 15))::BIGINT AS h
+             FROM csh),
+      crare AS (SELECT h FROM cu GROUP BY h HAVING count(*) <= 50),
+      cuf AS (SELECT cu.doc_id, cu.h FROM cu JOIN crare USING (h)),
+      contam AS (
+        SELECT DISTINCT train_doc FROM (
+          SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc
+          FROM cuf t JOIN cuf e ON t.h = e.h
+          WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+          GROUP BY 1, 2
+          HAVING count(*) >= 3)),
+      s4 AS (SELECT doc_id FROM s3
+             WHERE doc_id % 97 <> 0
+               AND doc_id NOT IN (SELECT train_doc FROM contam)),
+      surv AS (SELECT d.doc_id, d.source,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents d JOIN s4 USING (doc_id)),
+      mix AS (SELECT source, count(*) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+              FROM surv GROUP BY 1),
+      wtab AS (SELECT *, sqrt(CAST(n_tokens AS DOUBLE)) AS shr,
+               sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS tot
+               FROM mix),
+      o AS (SELECT doc_id, n_tokens,
+            CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS tok_offset
+            FROM surv),
+      pk AS (SELECT CAST(max((tok_offset + n_tokens - 1) // 2048) + 1 AS BIGINT)
+               AS total_blocks,
+             count(CASE WHEN (tok_offset + n_tokens - 1) // 2048
+               > tok_offset // 2048 THEN 1 END) AS n_straddle
+             FROM o),
+      cns AS (SELECT (SELECT count(*) FROM documents) AS n_raw,
+              (SELECT count(*) FROM s1) AS n_s1,
+              (SELECT count(*) FROM s2) AS n_s2,
+              (SELECT count(*) FROM s3) AS n_s3,
+              (SELECT count(*) FROM s4) AS n_final)
+      SELECT source, n_docs, n_tokens,
+             round(shr / tot, 6) AS weight,
+             CAST(round(shr / tot * 1000000) AS BIGINT) AS exp_tokens,
+             n_raw, n_s1, n_s2, n_s3, n_final, total_blocks, n_straddle
+      FROM wtab CROSS JOIN cns CROSS JOIN pk
+      ORDER BY source"""
+    })
+
   val defs: Seq[QueryDef] = Seq(
     suffixArray, exactSubstrScrub, cmsSketch, hitsScores, rougePairs, videoSceneCut, topicCoherence,
     filteredAnn, textrankKeywords, ngramGenerate, beamDecode, speculativeAccept,
@@ -7271,8 +7543,8 @@ object LlmQueries extends QueryModule {
     matryoshkaEval, curriculumOrder,
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
-    embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, embIvfTrained, annIndexTwin, semanticDedup, incrementalDedup, multimodalMeta,
-    filterChain, packSeq, stratSample, dedupClusters, decontaminate, piiScrub,
+    embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, embIvfTrained, annIndexTwin, annPqTwin, semanticDedup, incrementalDedup, multimodalMeta,
+    filterChain, packSeq, stratSample, dedupClusters, decontaminate, pipelineE2e, piiScrub,
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
     dedupSubstring, encodeIds, editDistance, lmScore, lmScoreKn, filterOverlap, mixtureWeights,
     multimodalFrames, embNormAudit, knnClassify, dedupReport, lengthBands,

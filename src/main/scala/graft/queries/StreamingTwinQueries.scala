@@ -882,7 +882,10 @@ object StreamingTwinQueries extends QueryModule {
       val clock = new graft.core.TestClock(T0v + 86000L * 1000000000L)
       val engine = new graft.core.Engine(s, opts, clock)
       def toPoint(id: Long, v: Seq[Float], seq: Long) =
-        graft.core.Point(T0v + id * 1000000000L, Seq(id.toString),
+        // slot = id mod 80000 s: series identity is the TAG; bounded
+        // slots keep scale-curve-replicated ids (shifted ~10^12) inside
+        // the hot window instead of silently rejecting as future writes
+        graft.core.Point(T0v + (id % 80000L) * 1000000000L, Seq(id.toString),
           graft.plans.FloatsFromPayload.encode(v), seq)
       val emb = graft.sources.Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))

@@ -309,7 +309,11 @@ class QueriesSpec extends SparkTestBase {
       // probes and the fresh comparator all ride broadcast(centroids)
       // cross joins — the llm_similarity_ivf_trained shape (k tiny
       // centroid rows broadcast; the corpus side never replicates)
-      "llm_ann_index_twin", "stream_ann_assign_twin")
+      "llm_ann_index_twin", "llm_ann_pq_twin", "stream_ann_assign_twin",
+      // llm_pipeline_e2e: the funnel receipts + packing stats are
+      // 1-row frames stitched by broadcast cross joins onto the
+      // |sources|-row mixture table — the llm_lm_score scalar shape
+      "llm_pipeline_e2e")
     // Partition-less Window allowlist (the PlanAudit sweep, made
     // un-skippable): a `Window` with no PARTITION BY moves all rows to
     // ONE task — a straggler bomb at 100 TB unless its input is
@@ -328,7 +332,10 @@ class QueriesSpec extends SparkTestBase {
     //    kdb_weighted_median, llm_curriculum_order, llm_dsir_sample,
     //    llm_encode_ids, llm_vocab_build, llm_zipf_fit,
     //    llm_stump_train, llm_hybrid_search, llm_rerank_stage
+    //  - llm_mixture_weights / llm_pipeline_e2e: the α-share window
+    //    runs over ONE row per source (aggregate-sized by definition)
     val globalWindowOk = Set(
+      "llm_mixture_weights", "llm_pipeline_e2e",
       "kdb_business_rollup", "kdb_cardinality_growth", "kdb_cointegration",
       "kdb_dickey_fuller", "kdb_granger", "kdb_incident_intervals",
       "kdb_interp_fill", "kdb_ljung_box", "kdb_pareto", "kdb_reliability",

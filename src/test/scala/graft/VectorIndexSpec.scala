@@ -177,6 +177,67 @@ class VectorIndexSpec extends SparkTestBase {
     intercept[IllegalStateException](e.annSearch(queries(1L -> Seq(1f, 0f, 0f, 0f)), 1, 1))
   }
 
+  test("PQ tier: build with codebooks → reopen → annSearchAdc ranks by reconstruction distance") {
+    val (e, clock) = mkEngine()
+    seed(e)
+    e.buildVectorIndex(k = 2, iters = 2, pq = Some(PqParams(m = 2, k = 4, iters = 1)))
+    val reopened = new Engine(spark, e.opts, clock)
+    assert(reopened.vectorIndexPqBooks().count() === 8L) // 2 subs × 4 codes
+    val res = reopened.annSearchAdc(queries(1L -> Seq(1f, 0f, 0f, 0f)), nprobe = 1, topk = 3)
+    val tags = topTags(res)
+    assert(tags.size === 3)
+    assert(tags.toSet === Set("a0", "a1", "a2"),
+      s"nprobe=1 ADC on the a-cluster query must return only a-cluster members, got $tags")
+  }
+
+  test("PQ tier: the ADC probe scan reads codes, never the exact vectors (column pruning)") {
+    val (e, _) = mkEngine()
+    seed(e)
+    e.buildVectorIndex(k = 2, iters = 2, pq = Some(PqParams(m = 2, k = 4, iters = 1)))
+    val plan = e.annSearchAdc(queries(1L -> Seq(1f, 0f, 0f, 0f)), 1, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("codes"), "ADC scan must read the code column")
+    // the inverted-file FileScan's ReadSchema must not materialize the
+    // float vectors — that pruning IS the 32× byte win of the PQ tier
+    val scanLines = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("codes")).toSeq
+    assert(scanLines.nonEmpty, "expected a parquet scan of the code column")
+    assert(!scanLines.exists(_.contains("vec:")),
+      s"ADC scan must prune the vec column:\n${scanLines.mkString("\n")}")
+  }
+
+  test("PQ tier: refresh encodes new vectors against the STORED books; tombstones apply to ADC") {
+    val (e, _) = mkEngine()
+    seed(e)
+    e.buildVectorIndex(k = 2, iters = 2, pq = Some(PqParams(m = 2, k = 4, iters = 1)))
+    e.put(Seq(Point(11010L, Seq("a3"), vec(1f, 0f, 0f, 0f))))
+    assert(e.refreshVectorIndex() === 1L)
+    import org.apache.spark.sql.functions.col
+    val newRow = e.vectorIndexInverted().filter(col("tag0") === "a3")
+    assert(newRow.count() === 1L)
+    assert(newRow.head().getAs[Seq[Long]]("codes").size === 2,
+      "refresh must attach m codes from the stored codebooks")
+    val adc = topTags(e.annSearchAdc(queries(1L -> Seq(1f, 0f, 0f, 0f)), 1, 7))
+    assert(adc.contains("a3"), "ADC must serve the refreshed vector")
+    // overwrite a0 into the other cluster: its stale a-cell codes must
+    // never serve from the ADC path either
+    e.put(Seq(Point(11000L, Seq("a0"), vec(0f, 1f, 0f, 0f))))
+    e.refreshVectorIndex()
+    val aSide = topTags(e.annSearchAdc(queries(1L -> Seq(1f, 0f, 0f, 0f)), 1, 7))
+    assert(!aSide.contains("a0"), s"tombstoned version must not serve via ADC, got $aSide")
+  }
+
+  test("PQ tier: absent tier fails loudly; manifest with partial pq keys is corrupt") {
+    val (e, _) = mkEngine()
+    seed(e)
+    e.buildVectorIndex(k = 2, iters = 1) // no PQ
+    intercept[IllegalStateException](
+      e.annSearchAdc(queries(1L -> Seq(1f, 0f, 0f, 0f)), 1, 1))
+    intercept[IllegalStateException](e.vectorIndexPqBooks())
+    // annSearch (exact tier) still works on a PQ-less index
+    assert(topTags(e.annSearch(queries(1L -> Seq(1f, 0f, 0f, 0f)), 2, 6)).size === 6)
+  }
+
   test("floats_from_payload round-trips encode bit-exactly and rejects misaligned payloads") {
     val xs = Seq(1.5f, -0.25f, Float.MinPositiveValue, 3.4e38f)
     val decoded = FloatsFromPayload.decode(FloatsFromPayload.encode(xs))

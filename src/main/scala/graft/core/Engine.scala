@@ -2040,11 +2040,73 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
           throw new IllegalStateException(s"refreshVectorIndex: could not publish $target")
         }
       }
-      publish(tomb, s"tomb=${wm}_$cur", partitioned = false)
+      // an epoch with no overwritten keys (the overwhelmingly common
+      // case) publishes NO tomb dir: under high-frequency streaming a
+      // dir per epoch would pile up listings every probe pays for,
+      // and an absent tomb applies nothing by definition
+      if (tomb.limit(1).count() > 0)
+        publish(tomb, s"tomb=${wm}_$cur", partitioned = false)
       publish(assigned, s"delta=${wm}_$cur", partitioned = true)
       spark.read.schema(vindexSchema).option("basePath", vindexPath)
         .parquet(s"$vindexPath/delta=${wm}_$cur").count()
     } finally { assigned.unpersist(); fresh.unpersist() }
+  }
+
+  /** Fold the vector-index delta chain into ONE delta and materialize
+    * every applied tombstone — the [[compactRollup]] discipline for
+    * the ANN store: per key, only the max-seq row survives (exactly
+    * what the tombstone filter computes at probe time), written as
+    * `delta=<chainLo>_<chainHi>`; superseded deltas and all tombstone
+    * dirs the merge absorbed are then deleted. Probe cost drops to
+    * one dir listing and zero tombstone joins. Crash contract: the
+    * merged delta publishes FIRST — the greedy cover then prefers it
+    * (widest at the chain origin) and ignores the old deltas; stale
+    * tombstones left by a crash re-apply harmlessly (every surviving
+    * row already carries its key's max seq, so `seq >= win_seq`
+    * keeps it). Returns the number of deltas folded (0 = chain
+    * already compact). */
+  def compactVectorIndex(): Int = writeLock.synchronized {
+    ensureManifest(adopt = false)
+    val fs = tableFs
+    healVindex(fs)
+    readVindexOptions(fs)
+    val cover = rollupCover(vindexDeltas(fs))
+    val tombs = vindexTombs(fs)
+    if (cover.size <= 1 && tombs.isEmpty) return 0
+    val hi = cover.last._3
+    val lo = cover.head._2
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy((tagCols.map(col) :+ col("slot_ns")): _*)
+      .orderBy(col("seq").desc)
+    val merged = spark.read.schema(vindexSchema).option("basePath", vindexPath)
+      .parquet(cover.map(_._1.toString): _*).drop("delta")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select((col("slot_ns") +: tagCols.map(col)) :+ col("vec") :+
+        col("codes") :+ col("seq") :+ col("cid"): _*)
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val staging = new Path(s"$vindexPath/.vstaging_$uuid")
+    merged.write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(staging.toString)
+    val target = new Path(s"$vindexPath/delta=${lo}_$hi")
+    if (fs.exists(target) && cover.size == 1) {
+      // only tombstones to fold into the single existing delta: the
+      // freshly-written merge REPLACES it via trash swap (heal-safe)
+      val trash = new Path(s"$vindexPath/.vtrash_${target.getName}")
+      if (!fs.rename(target, trash))
+        throw new IllegalStateException(s"compactVectorIndex: could not stage out $target")
+      if (!fs.rename(staging, target)) {
+        fs.rename(trash, target)
+        throw new IllegalStateException(s"compactVectorIndex: could not publish $target")
+      }
+      fs.delete(trash, true)
+    } else {
+      if (!fs.rename(staging, target)) {
+        fs.delete(staging, true)
+        throw new IllegalStateException(s"compactVectorIndex: could not publish $target")
+      }
+      cover.foreach { case (p, _, _) => if (p != target) fs.delete(p, true) }
+    }
+    tombs.foreach { case (p, _, thi) => if (thi <= hi) fs.delete(p, true) }
+    cover.size
   }
 
   /** The stored inverted file (cover of committed deltas) as

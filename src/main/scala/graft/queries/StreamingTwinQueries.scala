@@ -419,10 +419,15 @@ object StreamingTwinQueries extends QueryModule {
           graft.core.Point(ts, Seq(et, uid),
             graft.plans.DoubleFromPayload.encode(v), id)
         }
-      val q = ingest.start(pts.toDF(),
-        graft.core.Scratch.dir("graft-rolltwin-ckpt"),
-        rollupResolution = Some(Day))
-      try { q.processAllAvailable() } finally q.stop()
+      // the scope must cover processAllAvailable, not just start():
+      // foreachBatch's engine jobs read the conf at micro-batch
+      // planning time, which happens while we block here
+      withReplayPartitions(s) {
+        val q = ingest.start(pts.toDF(),
+          graft.core.Scratch.dir("graft-rolltwin-ckpt"),
+          rollupResolution = Some(Day))
+        try { q.processAllAvailable() } finally q.stop()
+      }
       engine.rollup(T0, T0 + 31 * Day, Seq("", ""), Day)
         .select(col("tag0").as("event_type"), col("tag1").as("user_id"),
           col("rslot_ns").as("day_ns"), col("cnt"),
@@ -904,12 +909,14 @@ object StreamingTwinQueries extends QueryModule {
         .map { case (id, v) => toPoint(id, v, 0L) }
         .toDF().drop("seq")
       val ingest = new StreamingIngest(engine)
-      val q = withReplayPartitions(s) {
-        ingest.start(pts,
+      // scope covers processAllAvailable: the per-epoch put/refresh
+      // jobs plan (and read the conf) while we block on it
+      withReplayPartitions(s) {
+        val q = ingest.start(pts,
           graft.core.Scratch.dir("graft-sannt-ckpt"),
           vectorIndexRefresh = true, allocateSeqs = true)
+        try { q.processAllAvailable() } finally q.stop()
       }
-      try { q.processAllAvailable() } finally q.stop()
       val cent = engine.vectorIndexCentroids()
       val streamed = engine.vectorIndexInverted()
         .filter(col("seq") > wm0)

@@ -238,6 +238,51 @@ class VectorIndexSpec extends SparkTestBase {
     assert(topTags(e.annSearch(queries(1L -> Seq(1f, 0f, 0f, 0f)), 2, 6)).size === 6)
   }
 
+  test("compactVectorIndex folds the chain + tombstones; probe results invariant") {
+    val (e, _) = mkEngine()
+    seed(e)
+    e.buildVectorIndex(k = 2, iters = 2, pq = Some(PqParams(m = 2, k = 4, iters = 1)))
+    e.put(Seq(Point(11010L, Seq("a3"), vec(1f, 0f, 0f, 0f))))
+    e.refreshVectorIndex()
+    // cross-cluster overwrite → a tombstone dir exists
+    e.put(Seq(Point(11000L, Seq("a0"), vec(0f, 1f, 0f, 0f))))
+    e.refreshVectorIndex()
+    def dirs(prefix: String): Seq[String] = {
+      val root = new java.io.File(s"${e.opts.tablePath}_vecindex")
+      root.listFiles().map(_.getName).filter(_.startsWith(prefix)).toSeq
+    }
+    assert(dirs("delta=").size === 3 && dirs("tomb=").size === 1)
+    val qs = queries(1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(0f, 1f, 0f, 0f))
+    def snap(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, String)] =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rk"),
+        r.getAs[String]("tag0"))).toSeq.sorted
+    val exactBefore = snap(e.annSearch(qs, 2, 7))
+    val adcBefore = snap(e.annSearchAdc(qs, 2, 7))
+    assert(e.compactVectorIndex() === 3)
+    assert(dirs("delta=").size === 1 && dirs("tomb=").isEmpty,
+      s"expected one folded delta and no tombstones, got ${dirs("delta=")} ${dirs("tomb=")}")
+    assert(snap(e.annSearch(qs, 2, 7)) === exactBefore,
+      "exact-tier results must be invariant under index compaction")
+    assert(snap(e.annSearchAdc(qs, 2, 7)) === adcBefore,
+      "ADC-tier results must be invariant under index compaction")
+    // still refreshable after compaction (chain origin preserved)
+    e.put(Seq(Point(11020L, Seq("b3"), vec(0f, 1f, 0f, 0f))))
+    assert(e.refreshVectorIndex() === 1L)
+    assert(topTags(e.annSearch(queries(1L -> Seq(0f, 1f, 0f, 0f)), 1, 7)).contains("b3"))
+    assert(e.compactVectorIndex() === 2)
+  }
+
+  test("refresh without overwrites publishes NO tombstone dir") {
+    val (e, _) = mkEngine()
+    seed(e)
+    e.buildVectorIndex(k = 2, iters = 1)
+    e.put(Seq(Point(11010L, Seq("a3"), vec(1f, 0f, 0f, 0f))))
+    e.refreshVectorIndex()
+    val root = new java.io.File(s"${e.opts.tablePath}_vecindex")
+    assert(!root.listFiles().map(_.getName).exists(_.startsWith("tomb=")),
+      "a clean epoch must not leave an empty tombstone dir behind")
+  }
+
   test("floats_from_payload round-trips encode bit-exactly and rejects misaligned payloads") {
     val xs = Seq(1.5f, -0.25f, Float.MinPositiveValue, 3.4e38f)
     val decoded = FloatsFromPayload.decode(FloatsFromPayload.encode(xs))

@@ -528,7 +528,10 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * dbase.go:326-331). A directory delete per bucket — the parquet
     * analog of the reference's rm -rf, and a metadata-only partition
     * drop under a table format. */
-  def removeBefore(ts: Long): Unit = {
+  // writeLock: the ANN-index cascade below stages/swaps index dirs and
+  // must not interleave with refresh/compact's own staging (the
+  // healVindex mutation discipline)
+  def removeBefore(ts: Long): Unit = writeLock.synchronized {
     ensureManifest(adopt = false) // destructive: a mismatched reopen must not compute the hot-window guard from wrong options
     val now = clock.nowNs
     val nowBucket = now - now % opts.bucketDuration
@@ -539,8 +542,13 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     // ANN-index cascade FIRST: a crash between the steps then leaves
     // the index missing rows the caller had already declared doomed
     // (under-serving, fixed by re-running the retention) rather than a
-    // window where annSearch serves vectors the table no longer has
-    filterVectorIndex(_ => col("slot_ns") < ts)
+    // window where annSearch serves vectors the table no longer has.
+    // The doom predicate matches the BUCKET-granular delete below —
+    // retention drops whole bucket dirs with baseTS < ts, including
+    // rows whose slot_ns is at-or-above ts inside the boundary bucket,
+    // and those must leave the index too (they sit below the index
+    // watermark, so no refresh would ever correct a miss here)
+    filterVectorIndex(_ => floorBucket(col("slot_ns")) < ts)
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
     val root = new Path(opts.tablePath)
     if (!fs.exists(root)) return
@@ -1780,11 +1788,20 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
   private def vindexTombs(fs: FileSystem): Seq[(Path, Long, Long)] =
     seqRangeDirs(fs, new Path(vindexPath), "tomb=")
 
-  /** Crash-heal + hygiene at every index entry point: restore a
-    * `.vtrash_<dirName>` whose target is missing (crashed mid-swap —
-    * one rename back), delete trash whose target is healthy, and
-    * sweep stale `.vstaging_` dirs. Same self-heal contract as the
-    * erase path's rollup trash handling. */
+  /** Crash-heal + hygiene: restore a `.vtrash_<dirName>` whose target
+    * is missing (crashed mid-swap — one rename back), delete trash
+    * whose target is healthy, and sweep stale `.vstaging_` dirs. Same
+    * self-heal contract as the erase path's rollup trash handling.
+    *
+    * MUTATES index state, so it runs ONLY from writeLock-serialized
+    * verbs (refresh / compact / filter cascades) — a lock-free read
+    * calling this would race a concurrent mutator's own staging/trash
+    * dirs (delete its in-flight staging between write and rename;
+    * restore a trash dir mid-swap). Pure reads (annSearch,
+    * vectorIndexInverted) never heal: a crashed swap makes them fail
+    * loudly on the broken chain until the next maintenance verb runs
+    * — the same reader posture as compactBucket's documented
+    * concurrent-reader race. */
   private def healVindex(fs: FileSystem): Unit = {
     val root = new Path(vindexPath)
     if (!fs.exists(root)) return
@@ -1915,6 +1932,18 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     pq.foreach(p => require((opts.payloadSize / 4) % p.m == 0,
       s"pq m=${p.m} must divide dim=${opts.payloadSize / 4}"))
     val fs = tableFs
+    // sweep crash-era build staging: a died build leaves a full
+    // index-sized `.vbuild_<uuid>` sibling tree that no other heal
+    // path covers; age-gated like sweepStaleStaging so a concurrent
+    // cross-JVM builder's in-flight staging is never deleted
+    val vbuildParent = new Path(opts.tablePath).getParent
+    val vbuildCutoff = System.currentTimeMillis() - 3600L * 1000
+    if (vbuildParent != null && fs.exists(vbuildParent))
+      fs.listStatus(vbuildParent).foreach { st =>
+        if (st.getPath.getName.startsWith(s"${opts.databaseName}.vbuild_") &&
+          st.getModificationTime < vbuildCutoff)
+          fs.delete(st.getPath, true)
+      }
     val cur = currentSeq()
     require(cur >= 0, "buildVectorIndex: table is empty — nothing to index")
     // persist: k-means training re-scans the vector view per Lloyd
@@ -1967,11 +1996,26 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
 
   /** Highest ingest seq the stored index covers (−1 when absent):
     * the staleness accounting — currentSeq() − watermark is the
-    * un-indexed backlog a monitoring loop alarms on. */
+    * un-indexed backlog a monitoring loop alarms on. Deliberately
+    * LENIENT where the query paths are loud: a crash mid-swap leaves
+    * a transient hole in the delta chain (healed by the next
+    * maintenance verb), and a monitoring poll must keep reporting
+    * through it — so this walks the longest valid chain PREFIX
+    * instead of throwing, under-reporting the watermark (staleness
+    * reads HIGHER — the alarm-safe direction) until the heal runs. */
   def vectorIndexWatermark(): Long = {
     val fs = tableFs
     if (!fs.exists(new Path(vindexPath))) return -1L
-    rollupCover(vindexDeltas(fs)).lastOption.map(_._3).getOrElse(-1L)
+    val sorted = vindexDeltas(fs).sortBy { case (_, lo, hi) => (lo, -hi) }
+    var covered = -1L
+    var broken = false
+    sorted.foreach { case (_, lo, hi) =>
+      if (!broken && hi > covered) {
+        if (lo != covered) broken = true // hole (crashed swap): stop at the prefix
+        else covered = hi
+      }
+    }
+    covered
   }
 
   /** Incrementally fold writes above the index watermark into a new
@@ -2070,7 +2114,14 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     val fs = tableFs
     healVindex(fs)
     readVindexOptions(fs)
-    val cover = rollupCover(vindexDeltas(fs))
+    val all = vindexDeltas(fs)
+    val cover = rollupCover(all)
+    // sweep deltas a crashed earlier compaction left fully behind the
+    // cover (publish succeeded, deletes didn't): the greedy cover
+    // already ignores them, but every cascade that iterates RAW dirs
+    // (erase/removeBefore rewrites, rollback deletes) would keep
+    // paying for the dead trees — the compactRollup discipline
+    all.filterNot(cover.contains).foreach { case (p, _, _) => fs.delete(p, true) }
     val tombs = vindexTombs(fs)
     if (cover.size <= 1 && tombs.isEmpty) return 0
     val hi = cover.last._3
@@ -2114,7 +2165,6 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * the streaming-assignment twin and cell-balance monitoring. */
   def vectorIndexInverted(): DataFrame = {
     val fs = tableFs
-    healVindex(fs)
     readVindexOptions(fs)
     val cover = rollupCover(vindexDeltas(fs))
     if (cover.isEmpty)
@@ -2147,7 +2197,6 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     require(nprobe > 0 && topk > 0, s"annSearch: nprobe=$nprobe topk=$topk")
     ensureManifest(adopt = false)
     val fs = tableFs
-    healVindex(fs)
     readVindexOptions(fs)
     val cover = rollupCover(vindexDeltas(fs))
     if (cover.isEmpty)
@@ -2225,7 +2274,6 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     require(nprobe > 0 && topk > 0, s"annSearchAdc: nprobe=$nprobe topk=$topk")
     ensureManifest(adopt = false)
     val fs = tableFs
-    healVindex(fs)
     val meta = readVindexOptions(fs)
     if (meta.pq.isEmpty)
       throw new IllegalStateException(

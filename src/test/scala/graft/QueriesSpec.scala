@@ -334,8 +334,12 @@ class QueriesSpec extends SparkTestBase {
     //    llm_stump_train, llm_hybrid_search, llm_rerank_stage
     //  - llm_mixture_weights / llm_pipeline_e2e: the α-share window
     //    runs over ONE row per source (aggregate-sized by definition)
+    //  - kdb_isotonic_trend: the cumulative sums feeding the minimax
+    //    pool lattice run over the 30-day grid (data-independent; the
+    //    r12 matcher widening surfaced it — it sits on a join branch
+    //    the old "+- Window" prefix match skipped)
     val globalWindowOk = Set(
-      "llm_mixture_weights", "llm_pipeline_e2e",
+      "llm_mixture_weights", "llm_pipeline_e2e", "kdb_isotonic_trend",
       "kdb_business_rollup", "kdb_cardinality_growth", "kdb_cointegration",
       "kdb_dickey_fuller", "kdb_granger", "kdb_incident_intervals",
       "kdb_interp_fill", "kdb_ljung_box", "kdb_pareto", "kdb_reliability",
@@ -345,28 +349,38 @@ class QueriesSpec extends SparkTestBase {
       "llm_stump_train", "llm_vocab_build", "llm_zipf_fit")
     // partitioned windows list partition columns before the first
     // ordering spec inside windowspecdefinition(...); a spec whose
-    // FIRST argument is an ordering (" ASC"/" DESC") has none
+    // FIRST argument is an ordering (" ASC"/" DESC") has none.
+    // Match "Window [" ANYWHERE in the line — a Window on a non-last
+    // join child renders with a ":-"/":  +-" prefix, which a
+    // "+- Window" prefix match silently skipped (the deleted
+    // PlanAudit's blind spot).
     def globalWindows(plan: String): Seq[String] =
-      plan.linesIterator.filter(_.trim.startsWith("+- Window ")).filter { l =>
-        val spec = l.substring(
-          l.indexOf("windowspecdefinition(") + "windowspecdefinition(".length)
-        val firstArg = spec.takeWhile(c => c != ',' && c != ')')
-        firstArg.contains(" ASC") || firstArg.contains(" DESC")
-      }.toSeq
-    SparkEntry.queries.foreach { case (name, fn) =>
+      plan.linesIterator
+        .filter(l => l.contains("Window [") && l.contains("windowspecdefinition("))
+        .filter { l =>
+          val spec = l.substring(
+            l.indexOf("windowspecdefinition(") + "windowspecdefinition(".length)
+          val firstArg = spec.takeWhile(c => c != ',' && c != ')')
+          firstArg.contains(" ASC") || firstArg.contains(" DESC")
+        }.toSeq
+    // collect every violation before failing: a sweep that stops at
+    // the first hit hides the rest behind Map iteration order
+    val violations = Seq.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
-      if (!nestedLoopOk(name))
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
-          s"$name has an unplanned nested-loop join")
+      if (plan.contains("CartesianProduct"))
+        violations += s"$name: cartesian product"
+      if (!nestedLoopOk(name) && plan.contains("BroadcastNestedLoopJoin"))
+        violations += s"$name: unplanned nested-loop join"
       if (!globalWindowOk(name)) {
-        val gw = globalWindows(plan)
-        assert(gw.isEmpty,
-          s"$name has an UNLISTED partition-less Window (all rows → one task " +
-            s"at scale; justify in scaladoc + allowlist, or rewrite): " +
-            gw.headOption.map(_.trim.take(140)).getOrElse(""))
+        globalWindows(plan).headOption.foreach { l =>
+          violations += s"$name: UNLISTED partition-less Window (all rows → " +
+            s"one task at scale; justify + allowlist, or rewrite): ${l.trim.take(120)}"
+        }
       }
     }
+    val bad = violations.result()
+    assert(bad.isEmpty, s"plan hygiene violations:\n${bad.mkString("\n")}")
   }
 
   test("r4 series queries: exactly one full-data parquet scan each") {

@@ -160,6 +160,26 @@ class VectorIndexSpec extends SparkTestBase {
       s"retention-dropped vectors must leave the index, got $res")
   }
 
+  test("removeBefore cascade is BUCKET-granular: boundary-bucket rows above ts leave too") {
+    // retention drops whole bucket dirs with baseTS < ts — a row at
+    // slot 12600 inside bucket 12000 is deleted by removeBefore(12500)
+    // even though 12600 >= 12500, and it must leave the index with its
+    // bucket (it sits below the index watermark, so no refresh would
+    // ever correct a stale serve here)
+    val (e, _) = mkEngine(now = 14999L, hot = 2)
+    e.put(Seq(
+      Point(12000L, Seq("doomed_lo"), vec(1f, 0f, 0f, 0f)),
+      Point(12600L, Seq("doomed_hi"), vec(0.9f, 0.1f, 0f, 0f)),
+      Point(14000L, Seq("kept"), vec(1.1f, 0f, 0f, 0f))))
+    e.buildVectorIndex(k = 1, iters = 1)
+    e.removeBefore(12500L)
+    // the table itself dropped the whole 12000 bucket
+    assert(e.find(12000L, 13000L, Seq("")).count() === 0L)
+    val res = topTags(e.annSearch(queries(1L -> Seq(1f, 0f, 0f, 0f)), 1, 6))
+    assert(res === Seq("kept"),
+      s"boundary-bucket rows at-or-above ts must leave the index with their bucket, got $res")
+  }
+
   test("fail-closed corners: no index, empty table, wrong payload size, rebuild replaces") {
     val (e, _) = mkEngine()
     intercept[IllegalArgumentException](e.buildVectorIndex(2, 1)) // empty table

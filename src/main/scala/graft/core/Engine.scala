@@ -102,6 +102,104 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
   // resources and the ledger/readback ordering stays intuitive.
   private val writeLock = new Object
 
+  // ------------------------------------------------------------------
+  // Cross-JVM single-writer lease (destructive verbs only)
+  // ------------------------------------------------------------------
+  // `put` stays lease-free: appends publish invisible uuid staging
+  // dirs with one rename each, so concurrent appenders — even
+  // cross-JVM — cannot corrupt each other (the comment above). The
+  // verbs that DELETE or SWAP existing dirs (removeBefore, compact*,
+  // erase, rollback, rebucket, import/applyDelta, the rollup and
+  // vector-index maintenance family) have no such immunity: two JVMs
+  // interleaving their staging sweeps can delete each other's
+  // in-flight work (the healVindex hazard). They run under a
+  // fail-closed lease file:
+  //
+  //   <tablePath>/_graft_writer_lease = "<holderUuid>\n<heartbeatMs>"
+  //
+  // Acquire = atomic create-if-absent; a holder heartbeats the file
+  // every ttl/4 from a daemon thread, so a live holder's lease never
+  // goes stale mid-verb no matter how long the verb runs. A second
+  // writer finding a FRESH lease throws err_writer_conflict; a STALE
+  // one (heartbeat older than writerLeaseTtlMs — a crashed writer)
+  // is stolen. With this in place the age-gated staging sweeps
+  // (sweepStaleStaging, the vbuild sweep) are belt-and-suspenders
+  // rather than the only cross-JVM guard.
+
+  private val writerUuid = java.util.UUID.randomUUID().toString
+  private def writerLeasePath = new Path(s"${opts.tablePath}/_graft_writer_lease")
+  private var leaseDepth = 0 // guarded by writeLock (verbs compose: erase → cascades)
+
+  private def writeLease(fs: FileSystem, overwrite: Boolean): Unit = {
+    val out = fs.create(writerLeasePath, overwrite)
+    try out.write(s"$writerUuid\n${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readLease(fs: FileSystem): Option[(String, Long)] =
+    try {
+      val in = fs.open(writerLeasePath)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      text.linesIterator.toList match {
+        case uuid :: ts :: _ => scala.util.Try((uuid.trim, ts.trim.toLong)).toOption
+        case _ => None
+      }
+    } catch { case _: java.io.IOException => None }
+
+  private def acquireLease(fs: FileSystem): Unit = {
+    def tryCreate(): Boolean =
+      try { writeLease(fs, overwrite = false); true }
+      catch { case _: java.io.IOException => false } // exists (or raced)
+    if (tryCreate()) return
+    readLease(fs) match {
+      case Some((uuid, ts))
+          if uuid != writerUuid &&
+            System.currentTimeMillis() - ts <= opts.writerLeaseTtlMs =>
+        throw new IllegalStateException(
+          s"$WriterConflict: ${opts.tablePath} is write-leased by $uuid " +
+            s"(heartbeat ${System.currentTimeMillis() - ts} ms ago, " +
+            s"ttl ${opts.writerLeaseTtlMs} ms)")
+      case _ => // stale / unreadable (crashed writer) or our own crash residue: steal
+        try fs.delete(writerLeasePath, false) catch { case _: java.io.IOException => () }
+        if (!tryCreate())
+          throw new IllegalStateException(
+            s"$WriterConflict: lost the lease race on ${opts.tablePath}")
+    }
+  }
+
+  /** Run `body` holding the writer lease (reentrant; heartbeats from
+    * a daemon thread while held; released — if still ours — after). */
+  private def withWriterLease[T](body: => T): T = {
+    if (leaseDepth > 0) { leaseDepth += 1; try body finally leaseDepth -= 1 }
+    else {
+      val fs = tableFs
+      acquireLease(fs)
+      leaseDepth = 1
+      val hb = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+        (r: Runnable) => { val t = new Thread(r, "graft-writer-lease-hb"); t.setDaemon(true); t })
+      val period = math.max(1L, opts.writerLeaseTtlMs / 4)
+      hb.scheduleAtFixedRate(
+        () => try writeLease(fs, overwrite = true)
+        catch { case _: java.io.IOException => () },
+        period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+      try body
+      finally {
+        hb.shutdownNow()
+        leaseDepth = 0
+        // release only a lease that is still ours — after a stall past
+        // ttl another writer may have legitimately stolen it
+        try {
+          if (readLease(fs).exists(_._1 == writerUuid))
+            fs.delete(writerLeasePath, false)
+        } catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
+  /** writeLock + writer lease — the destructive-verb entry gate. */
+  private def mutate[T](body: => T): T =
+    writeLock.synchronized(withWriterLease(body))
+
   def put(points: DataFrame): Map[String, Long] = writeLock.synchronized {
     ensureManifest(adopt = true)
     // One evaluation of the input for both the write and the ledger:
@@ -531,7 +629,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
   // writeLock: the ANN-index cascade below stages/swaps index dirs and
   // must not interleave with refresh/compact's own staging (the
   // healVindex mutation discipline)
-  def removeBefore(ts: Long): Unit = writeLock.synchronized {
+  def removeBefore(ts: Long): Unit = mutate {
     ensureManifest(adopt = false) // destructive: a mismatched reopen must not compute the hot-window guard from wrong options
     val now = clock.nowNs
     val nowBucket = now - now % opts.bucketDuration
@@ -704,7 +802,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * spark.sql.files.ignoreMissingFiles=true (safe here: a vanished
     * source file's rows are, by step 2, already present in the
     * published compacted batch). */
-  def compactBucket(baseTs: Long): (Long, Long) = writeLock.synchronized {
+  def compactBucket(baseTs: Long): (Long, Long) = mutate {
     // destructive rewrite: a mismatched tableSchema would silently drop
     // tag columns and collapse distinct series before deleting sources
     ensureManifest(adopt = false)
@@ -789,7 +887,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * Returns (per-bucket (rowsBefore, rowsAfter) for rewritten
     * buckets, rollup partial rows removed). Erasure of a tag tuple
     * with no data returns an empty map — idempotent by construction. */
-  def erase(tags: Seq[String]): (Map[Long, (Long, Long)], Long) = writeLock.synchronized {
+  def erase(tags: Seq[String]): (Map[Long, (Long, Long)], Long) = mutate {
     ensureManifest(adopt = false)
     if (tags.size != opts.indexDepth)
       throw new IllegalArgumentException(InvalidIndexValues)
@@ -926,7 +1024,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * Returns per-bucket (rowsBefore, rowsAfter) for rewritten
     * buckets; empty map when nothing is newer than the watermark
     * (idempotent). */
-  def rollbackTo(asOfSeq: Long): Map[Long, (Long, Long)] = writeLock.synchronized {
+  def rollbackTo(asOfSeq: Long): Map[Long, (Long, Long)] = mutate {
     ensureManifest(adopt = false)
     if (asOfSeq < 0)
       throw new IllegalArgumentException("rollbackTo: asOfSeq must be >= 0")
@@ -994,7 +1092,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * restore by renaming either back. Like compaction, concurrent
     * readers mid-swap can see FileNotFound and must re-run; there is
     * no data-loss window. */
-  def rebucket(newBucketDuration: Long): EngineOptions = writeLock.synchronized {
+  def rebucket(newBucketDuration: Long): EngineOptions = mutate {
     ensureManifest(adopt = false)
     require(newBucketDuration > 0 && newBucketDuration % opts.resolution == 0,
       "newBucketDuration must be a positive multiple of resolution")
@@ -1088,7 +1186,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * could re-seed a chain that never folds in the retro write, and
     * since deltas only ship seq > fromSeq the divergence would never
     * surface in any later receipt (TOCTOU). */
-  def exportDelta(fromSeqExclusive: Long, toSeqInclusive: Long, outDir: String): Long = writeLock.synchronized {
+  def exportDelta(fromSeqExclusive: Long, toSeqInclusive: Long, outDir: String): Long = mutate {
     // from == to is a routine no-op sync cycle (no new writes since
     // the last watermark) and produces a valid empty delta; only an
     // inverted range is a caller bug.
@@ -1302,7 +1400,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * validation scan + one bucket-partitioned publish; crash before
     * the rename leaves only an invisible staging dir. Returns the
     * imported row count. */
-  def importSnapshot(srcDir: String): Long = writeLock.synchronized {
+  def importSnapshot(srcDir: String): Long = mutate {
     ensureManifest(adopt = false)
     val snap = spark.read.schema(tableSchema).parquet(srcDir)
     val a = snap.agg(
@@ -1344,7 +1442,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * divergent; the verb's contract is detect-loudly, not
     * rollback). Returns (applied rows, verified rows, verified
     * hash). */
-  def applyDelta(srcDir: String): (Long, Long, Long) = writeLock.synchronized {
+  def applyDelta(srcDir: String): (Long, Long, Long) = mutate {
     val applied = importSnapshot(srcDir)
     val (rows, hash) = verifyReceipt(srcDir)
     (applied, rows, hash)
@@ -1549,7 +1647,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * so it always equals what get() would serve for that slot. For
     * metrics ingest (distinct slots per sample — the overwhelmingly
     * common TSDB shape) observation and LWW semantics coincide. */
-  def refreshRollup(rollupResolution: Long): Long = writeLock.synchronized {
+  def refreshRollup(rollupResolution: Long): Long = mutate {
     ensureManifest(adopt = false)
     require(opts.payloadSize == 8,
       s"rollup decodes double payloads (payloadSize=8; engine has ${opts.payloadSize})")
@@ -1638,7 +1736,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * bucket still receiving writes must not vanish mid-refresh. An
     * emptied delta keeps its dir (the seq-range chain must stay
     * unbroken for the cover); compaction folds empty links away. */
-  def rollupRemoveBefore(ts: Long): Unit = writeLock.synchronized {
+  def rollupRemoveBefore(ts: Long): Unit = mutate {
     ensureManifest(adopt = false)
     val now = clock.nowNs
     val nowBucket = now - now % opts.bucketDuration
@@ -1664,7 +1762,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * original is "fully covered" and ignored) — additive partials are
     * never double-counted, and the next compaction finishes the
     * deletes. Returns the number of deltas folded (0 = nothing to do). */
-  def compactRollup(): Int = writeLock.synchronized {
+  def compactRollup(): Int = mutate {
     ensureManifest(adopt = false)
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
     val all = rollupDeltas(fs)
@@ -1793,11 +1891,15 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * whose target is healthy, and sweep stale `.vstaging_` dirs. Same
     * self-heal contract as the erase path's rollup trash handling.
     *
-    * MUTATES index state, so it runs ONLY from writeLock-serialized
-    * verbs (refresh / compact / filter cascades) — a lock-free read
+    * MUTATES index state, so it runs ONLY from mutate()-gated verbs
+    * (refresh / compact / filter cascades) — a lock-free read
     * calling this would race a concurrent mutator's own staging/trash
     * dirs (delete its in-flight staging between write and rename;
-    * restore a trash dir mid-swap). Pure reads (annSearch,
+    * restore a trash dir mid-swap). Cross-JVM the same race is closed
+    * by the writer lease those verbs hold: no second JVM's
+    * maintenance verb runs concurrently, so the unconditional
+    * .vstaging_/.vtrash_ sweep here never touches live in-flight
+    * dirs. Pure reads (annSearch,
     * vectorIndexInverted) never heal: a crashed swap makes them fail
     * loudly on the broken chain until the next maintenance verb runs
     * — the same reader posture as compactBucket's documented
@@ -1924,7 +2026,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * dim·4 bytes/row into m·~2 bytes/row, the 100 TB ADC trade.
     * Returns the number of indexed vectors. */
   def buildVectorIndex(k: Int, iters: Int,
-      pq: Option[PqParams] = None): Long = writeLock.synchronized {
+      pq: Option[PqParams] = None): Long = mutate {
     ensureManifest(adopt = false)
     require(opts.payloadSize % 4 == 0 && opts.payloadSize >= 4,
       s"vector index needs float32 payloads (payloadSize % 4 == 0; engine has ${opts.payloadSize})")
@@ -2026,12 +2128,13 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * the cover reaches them, so every crash window serves a
     * consistent older watermark. Returns rows folded (0 when up to
     * date). */
-  def refreshVectorIndex(): Long = writeLock.synchronized {
+  def refreshVectorIndex(): Long = mutate {
     ensureManifest(adopt = false)
     val fs = tableFs
     healVindex(fs)
     val meta = readVindexOptions(fs)
-    val wm = rollupCover(vindexDeltas(fs)).lastOption.map(_._3).getOrElse(
+    val cover = rollupCover(vindexDeltas(fs))
+    val wm = cover.lastOption.map(_._3).getOrElse(
       throw new IllegalStateException(s"vector index at $vindexPath has no deltas — rebuild"))
     val cur = currentSeq()
     if (cur <= wm) return 0L
@@ -2051,9 +2154,16 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     }
     try {
       // tombstones: incoming keys already indexed at-or-below wm. The
-      // prior lookup prunes to the delta's slot/bucket range and
-      // semi-joins the (bounded) incoming key set — O(delta), never a
-      // full table scan (the incrementalChecksum discipline).
+      // prior-existence set comes from the STORED INDEX COVER, never
+      // the raw table — compactBucket LWW-drops superseded table rows,
+      // so a table-side lookup (seq <= wm) goes blind after put(v1) →
+      // build → put(v2) → compactBucket → refresh and the stale v1
+      // would serve from its old cell forever. The cover IS the
+      // indexed content ≤ wm by construction (every delta's rows have
+      // seq ≤ its dir hi ≤ wm), it prunes to the epoch's slot range by
+      // parquet stats, and only the key columns are read (vec/codes
+      // column-pruned) — O(index keys in slot range), never a vector
+      // scan.
       val keyNames = tagCols :+ "slot_ns"
       val rng = assigned.agg(min(col("slot_ns")), max(col("slot_ns"))).head()
       val tomb =
@@ -2061,13 +2171,12 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vindexTombSchema)
         else {
           val (lo, hi) = (rng.getLong(0), rng.getLong(1))
-          table()
-            .filter(col("seq") <= wm &&
-              col("slot_ns") >= lo && col("slot_ns") <= hi &&
-              col("bucket_ts") >= (lo - lo % opts.bucketDuration) &&
-              col("bucket_ts") <= (hi - hi % opts.bucketDuration))
+          spark.read.schema(vindexSchema).option("basePath", vindexPath)
+            .parquet(cover.map(_._1.toString): _*)
+            .filter(col("slot_ns") >= lo && col("slot_ns") <= hi)
+            .select(keyNames.map(col): _*)
             .join(assigned.select(keyNames.map(col): _*), keyNames, "left_semi")
-            .select(keyNames.map(col): _*).distinct()
+            .distinct()
             .join(assigned.select((keyNames.map(col) :+ col("seq").as("win_seq")): _*),
               keyNames)
             .select((tagCols.map(col) :+ col("slot_ns") :+ col("win_seq")): _*)
@@ -2109,13 +2218,21 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * row already carries its key's max seq, so `seq >= win_seq`
     * keeps it). Returns the number of deltas folded (0 = chain
     * already compact). */
-  def compactVectorIndex(): Int = writeLock.synchronized {
+  def compactVectorIndex(): Int = mutate {
     ensureManifest(adopt = false)
     val fs = tableFs
     healVindex(fs)
     readVindexOptions(fs)
     val all = vindexDeltas(fs)
     val cover = rollupCover(all)
+    // fail fast BEFORE the dead-delta sweep: an empty cover (lost or
+    // damaged origin delta) with stray tombstone dirs would otherwise
+    // fall through the `cover.size <= 1 && tombs.isEmpty` guard and
+    // die on `cover.last` AFTER sweeping — same loud contract as
+    // refreshVectorIndex's missing-delta error
+    if (cover.isEmpty)
+      throw new IllegalStateException(
+        s"vector index at $vindexPath has no deltas — rebuild")
     // sweep deltas a crashed earlier compaction left fully behind the
     // cover (publish succeeded, deletes didn't): the greedy cover
     // already ignores them, but every cascade that iterates RAW dirs
@@ -2162,7 +2279,12 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
 
   /** The stored inverted file (cover of committed deltas) as
     * (slot_ns, tags…, vec, seq, cid) — the operational read behind
-    * the streaming-assignment twin and cell-balance monitoring. */
+    * the streaming-assignment twin and cell-balance monitoring.
+    * Tombstone-filtered like the probe paths: after a cross-epoch
+    * overwrite the raw cover carries BOTH versions of a key (the
+    * stale one in its old cell plus the winner), and a consumer
+    * treating this as current index content would double-count
+    * cells — so overwritten versions never surface here either. */
   def vectorIndexInverted(): DataFrame = {
     val fs = tableFs
     readVindexOptions(fs)
@@ -2170,8 +2292,9 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     if (cover.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(vindexSchema.filterNot(_.name == "delta")))
-    spark.read.schema(vindexSchema).option("basePath", vindexPath)
+    val raw = spark.read.schema(vindexSchema).option("basePath", vindexPath)
       .parquet(cover.map(_._1.toString): _*).drop("delta")
+    tombstoneFiltered(raw, fs, cover.last._3)
   }
 
   /** The stored coarse centroids (cid, cv). */
@@ -2318,8 +2441,13 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
   }
 
   /** Drop the index (and its tombstones) entirely — the explicit
-    * invalidation verb; annSearch fails loudly afterwards. */
-  def dropVectorIndex(): Unit = {
+    * invalidation verb; annSearch fails loudly afterwards.
+    * writeLock'd like every other index mutator (the healVindex
+    * mutation discipline): an unlocked drop racing an in-flight
+    * refresh/compact could delete the root between their staging
+    * write and rename, surfacing as a confusing partial-publish
+    * failure instead of a clean drop-then-fail-loudly. */
+  def dropVectorIndex(): Unit = mutate {
     val fs = tableFs
     val root = new Path(vindexPath)
     if (fs.exists(root)) fs.delete(root, true)

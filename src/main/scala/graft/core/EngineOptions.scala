@@ -29,6 +29,13 @@ package graft.core
   *                      then spread over N series-hashed tasks per
   *                      bucket at the cost of N files per batch
   *                      (compaction re-merges them).
+  * @param writerLeaseTtlMs staleness horizon (wall-clock ms) for the
+  *                      cross-JVM destructive-writer lease: a lease
+  *                      whose heartbeat is older than this is treated
+  *                      as a crashed writer and stolen. Operational
+  *                      tuning (not a layout property); lower it in
+  *                      tests, raise it where clock skew between
+  *                      writers exceeds the default.
   */
 final case class EngineOptions(
     databaseName: String,
@@ -38,7 +45,8 @@ final case class EngineOptions(
     bucketDuration: Long,
     resolution: Long,
     maxHotBuckets: Int = 2,
-    filesPerBucket: Int = 1) {
+    filesPerBucket: Int = 1,
+    writerLeaseTtlMs: Long = 60000L) {
   require(bucketDuration > 0 && resolution > 0,
     "bucketDuration and resolution must be positive")
   // dbase/dbase.go:71-73 — bucket must hold a whole number of slots
@@ -50,6 +58,7 @@ final case class EngineOptions(
   // and reject EVERY write as err_write_on_read_only
   require(maxHotBuckets > 0, "maxHotBuckets must be positive")
   require(filesPerBucket > 0, "filesPerBucket must be positive")
+  require(writerLeaseTtlMs > 0, "writerLeaseTtlMs must be positive")
 
   /** Slots per bucket = payloadCount of one record (dblock/dblock.go:80). */
   def payloadCount: Long = bucketDuration / resolution
@@ -103,5 +112,9 @@ object EngineErrors {
     * manifest (indexDepth / payloadSize / bucketDuration / resolution
     * — the reference's New-validates-Options contract). */
   val OptionsMismatch = "err_options_mismatch"
+  /** A destructive verb found another live writer's lease on the
+    * table (cross-JVM single-writer guard) — fail loudly instead of
+    * interleaving staging sweeps with the holder. */
+  val WriterConflict = "err_writer_conflict"
   val Ok = "ok"
 }

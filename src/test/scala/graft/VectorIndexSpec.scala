@@ -303,6 +303,50 @@ class VectorIndexSpec extends SparkTestBase {
       "a clean epoch must not leave an empty tombstone dir behind")
   }
 
+  test("refresh tombstones survive compactBucket dropping the superseded table row") {
+    // the round-12 blind spot: prior-existence used to come from the
+    // raw table (seq <= wm), which compactBucket LWW-folds away —
+    // put v1 → build → put v2 → compactBucket → refresh then served
+    // the stale v1 from its old cell forever. The lookup now reads
+    // the stored cover, which compaction of the TABLE cannot touch.
+    val (e, _) = mkEngine()
+    seed(e)
+    e.buildVectorIndex(k = 2, iters = 2)
+    e.put(Seq(Point(11000L, Seq("a0"), vec(0f, 1f, 0f, 0f)))) // cross-cell overwrite
+    e.compactBucket(11000L) // LWW-drops the superseded v1 row from the table
+    assert(e.refreshVectorIndex() === 1L)
+    val aSide = topTags(e.annSearch(queries(1L -> Seq(1f, 0f, 0f, 0f)), 1, 6))
+    assert(!aSide.contains("a0"),
+      s"stale version must be tombstoned even after table compaction, got $aSide")
+    val bSide = topTags(e.annSearch(queries(1L -> Seq(0f, 1f, 0f, 0f)), 1, 6))
+    assert(bSide.contains("a0"), s"the new vector must serve, got $bSide")
+  }
+
+  test("vectorIndexInverted resolves cross-epoch overwrites — one row per live key") {
+    val (e, _) = mkEngine()
+    seed(e)
+    e.buildVectorIndex(k = 2, iters = 2)
+    e.put(Seq(Point(11000L, Seq("a0"), vec(0f, 1f, 0f, 0f))))
+    e.refreshVectorIndex()
+    val inv = e.vectorIndexInverted()
+    assert(inv.count() === 6L,
+      "raw cover holds 7 rows after the overwrite; the view must tombstone-resolve to 6")
+    assert(inv.filter(org.apache.spark.sql.functions.col("tag0") === "a0").count() === 1L)
+  }
+
+  test("compactVectorIndex on an empty delta cover fails loudly, before any sweep") {
+    val (e, _) = mkEngine()
+    seed(e)
+    e.buildVectorIndex(k = 2, iters = 1)
+    val root = new java.io.File(s"${e.opts.tablePath}_vecindex")
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+    }
+    root.listFiles().filter(_.getName.startsWith("delta=")).foreach(rmTree)
+    val ex = intercept[IllegalStateException](e.compactVectorIndex())
+    assert(ex.getMessage.contains("no deltas"), ex.getMessage)
+  }
+
   test("floats_from_payload round-trips encode bit-exactly and rejects misaligned payloads") {
     val xs = Seq(1.5f, -0.25f, Float.MinPositiveValue, 3.4e38f)
     val decoded = FloatsFromPayload.decode(FloatsFromPayload.encode(xs))

@@ -40,12 +40,23 @@ object Bench {
     * — a median-of-3 with such spread is host noise (GC/compaction
     * stall), and next-round regression triage should read the flag
     * instead of rediscovering it from the raw samples. */
+  /** max/min sample spread > 3× = host noise (GC/compaction stall),
+    * not a plan property. */
+  private def isOutlier(v: Seq[Double]): Boolean = {
+    val pos = v.filter(_ >= 0)
+    pos.size >= 2 && pos.min > 0 && pos.max / pos.min > 3.0
+  }
+
   private def qJson(v: Seq[Double]): String = {
     val pos = v.filter(_ >= 0)
-    val outlier = pos.size >= 2 && pos.min > 0 && pos.max / pos.min > 3.0
+    // min rides along beside the median: min-of-samples is the
+    // contention-robust lower bound next-round regression triage
+    // compares against (r12: unchanged code showed 0.69 → 14.49 s
+    // medians under host contention while min ratios sat at 1.05)
     "{\"median\":" + r3(median(pos)) +
+      (if (pos.nonEmpty) ",\"min\":" + r3(pos.min) else "") +
       ",\"samples\":" + v.map(r3).mkString("[", ",", "]") +
-      (if (outlier) ",\"outlier\":true" else "") + "}"
+      (if (isOutlier(v)) ",\"outlier\":true" else "") + "}"
   }
 
   def main(args: Array[String]): Unit = {
@@ -93,7 +104,12 @@ object Bench {
       dt
     }
 
+    // dev knob: SPARK_GRAFT_ONLY=q1,q2 times a subset with the exact
+    // harness methodology (warmup + clearCache + noop sink) — unset in
+    // driver runs, so the official artifact always covers every query
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // Time budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 1200 s):
     // never triggers at the expected sf0.1 scale (~10 min for warmup
     // + 3 passes), but bounds a pathological run — at a 10× SF each
@@ -165,6 +181,41 @@ object Bench {
       done += 1
       writeFull(done, stopped = false)
     }
+    // Outlier rescue: a query whose samples spread >3× got hit by a
+    // host-contention window — its median-of-3 is noise, not signal
+    // (r12: 72/356 flagged; kdb_renko_bars median 14.49 s from
+    // samples 14.7/14.5/1.0 on unchanged code). Two extra timed runs
+    // per flagged query turn it into a median-of-5, which rejects up
+    // to two poisoned samples. Budget-bounded like the main passes:
+    // skip the rescue when it can't fit, and say so in the JSON.
+    var rescued = 0
+    if (done == passes) {
+      val flagged = new scala.util.Random(0xC0FFEEL)
+        .shuffle(sorted.filter { case (name, _) => isOutlier(samplesByQuery(name)) })
+      val perQuerySec = flagged.map { case (name, _) =>
+        val pos = samplesByQuery(name).filter(_ >= 0)
+        if (pos.nonEmpty) pos.min * 2 else 0.0
+      }
+      flagged.zip(perQuerySec).foreach { case ((name, fn), est) =>
+        if (elapsed + est <= budgetSec) {
+          (1 to 2).foreach { _ =>
+            val sm =
+              try runOnce(fn)
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] $name rescue FAILED: ${e.getMessage}")
+                -1.0
+              }
+            samplesByQuery(name) = samplesByQuery(name) :+ sm
+          }
+          rescued += 1
+        }
+      }
+      if (flagged.nonEmpty) {
+        System.err.println(s"[bench] outlier rescue: $rescued/${flagged.size} " +
+          "flagged queries re-timed to median-of-5")
+        writeFull(done, stopped = false)
+      }
+    }
     // A budget stop must be self-describing IN THE JSON, not just on
     // stderr: r6's driver run stopped after 1/3 passes but reported
     // "passes":3, so consumers believed medians-of-3 that were single
@@ -183,14 +234,19 @@ object Bench {
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = r3(medians.collect { case (_, v) if v >= 0 => v }.sum)
+    // contention-robust companion total: the sum of per-query BEST
+    // samples — a regression shows up in both numbers, host noise
+    // only in the median one
+    val minTotal = r3(results.map { case (_, v) =>
+      val pos = v.filter(_ >= 0); if (pos.nonEmpty) pos.min else 0.0 }.sum)
     val line =
-      s"""{"metric":"total_median","value":$total,"unit":"sec",$passMeta,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_median","value":$total,"value_min":$minTotal,"unit":"sec",$passMeta,"queries":$qs,"sf":"$sfDir"}"""
     // full record (every sample, not just the median) → file: stdout
     // tails truncate, this is the adjudicable artifact
     val samplesJson = results.map { case (k, v) => s"\"" + k + "\":" + qJson(v) }
       .mkString("{", ",", "}")
     val fileJson =
-      s"""{"metric":"total_median","value":$total,"unit":"sec",$passMeta,"cpus":$cpus,"sf":"$sfDir","queries":$samplesJson}"""
+      s"""{"metric":"total_median","value":$total,"value_min":$minTotal,"unit":"sec",$passMeta,"cpus":$cpus,"sf":"$sfDir","queries":$samplesJson}"""
     try Files.writeString(Paths.get(outPath), fileJson)
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
@@ -200,7 +256,7 @@ object Bench {
     // line above can lose its head to truncation (r5: parsed=null),
     // so always end with a short line that survives any tail window
     // and points at the complete artifact
-    println(s"""{"metric":"total_median","value":$total,"unit":"sec",$passMeta,"n_queries":${medians.size},"queries_file":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total_median","value":$total,"value_min":$minTotal,"unit":"sec",$passMeta,"rescued":$rescued,"n_queries":${medians.size},"queries_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2297,6 +2297,18 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     tombstoneFiltered(raw, fs, cover.last._3)
   }
 
+  /** Committed delta-chain length — the growth number a monitoring
+    * loop alarms on beside [[vectorIndexWatermark]]: every annSearch
+    * lists and unions the whole cover, so a cover that keeps growing
+    * under streaming refresh means [[compactVectorIndex]] (or
+    * StreamingIngest's vectorIndexCompactEvery) is not being run.
+    * 0 when no index exists. */
+  def vectorIndexCoverSize(): Int = {
+    val fs = tableFs
+    if (!fs.exists(new Path(vindexPath))) 0
+    else rollupCover(vindexDeltas(fs)).size
+  }
+
   /** The stored coarse centroids (cid, cv). */
   def vectorIndexCentroids(): DataFrame = {
     val fs = tableFs

@@ -4859,13 +4859,25 @@ object LlmQueries extends QueryModule {
   private val ppjoinExact = QueryDef(
     "llm_ppjoin_exact",
     (s, d) => {
-      val sh = shingleRows(s, d, lit(true)).distinct()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      val ordered = sh.join(dfreq, "shingle")
+      // ONE materialization of the distinct-shingle table: doc sizes,
+      // global df, the prefix window, AND the verification set
+      // collection all read this cache — without it each consumer
+      // re-derives the tokenize→window→explode pipeline from raw text
+      // (4 derivations; r12's honest-cache cost was 2.4× the cached
+      // number). persist, not localCheckpoint: lineage stays visible
+      // to the plan pin, and the harnesses clearCache() after every
+      // query so the blocks never outlive one run.
+      val sh = shingleRows(s, d, lit(true)).distinct().persist()
+      // df and n as WINDOW counts, not groupBy+join chains: the old
+      // shape paid two aggregations plus two sort-merge joins back
+      // onto sh (four exchanges); this is exactly two exchanges of sh
+      // — one clustering by shingle for df, one by doc_id that the rk
+      // and n windows then share — with nothing joined back.
+      val ordered = sh
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
-        .join(sizes, "doc_id")
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       val prefix = ordered
         .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
         .select(col("doc_id"), col("shingle"), col("n"))
@@ -4878,29 +4890,26 @@ object LlmQueries extends QueryModule {
         .distinct()
         // persist: the candidate set has TWO consumers (the doc-id
         // semi-join and the verification join); without a cache
-        // boundary each re-derives the whole prefix pipeline —
-        // shingles + df + window + self-join (measured 7.5 s vs 4.5).
-        // persist, not localCheckpoint, keeps the prefix-filter
-        // lineage visible to the plan pin. Lifetime is bounded by the
-        // harnesses, not this fn: Bench/Verify/ScaleBench clearCache()
-        // after every query, so the blocks never outlive one run.
+        // boundary each re-derives the prefix window + self-join.
         .persist()
       // collect full sets ONLY for candidate docs: the BROADCAST
       // semi-join cuts the heavy shingle-payload shuffle to the
       // candidate universe before the groupBy — without it, every
       // corpus doc's full set would shuffle just to be discarded by
       // the join below (the defining anti-pattern at 100 TB, where
-      // candidates ≪ corpus). Local[32] honesty: the join breaks the
-      // shingle pipeline's exchange reuse with the prefix branch, so
-      // at sf0.1 this costs ~2× (4.5 s vs 2.1) — the kdb_order_audit
-      // de-funnel tradeoff, taken the same way: pay a bounded local
-      // cost to remove an unbounded scale one. broadcast() is
+      // candidates ≪ corpus). The semi-join reads the SAME sh cache
+      // as the prefix branch, so the exchange-reuse break that made
+      // this cost 2× locally in r12 is gone. broadcast() is
       // justified: candDocs is output-bounded (2·|pairs| ids).
       val candDocs = cand.select(col("d1").as("doc_id"))
         .union(cand.select(col("d2").as("doc_id"))).distinct()
       val sets = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
         .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("shingle"))).as("set"),
+        // no sort_array: only size(array_intersect(...)) is consumed,
+        // and the intersection CARDINALITY of two distinct-element
+        // arrays is order-independent — sorting pays n·log n per doc
+        // for nothing
+        .agg(collect_list(col("shingle")).as("set"),
           count(lit(1)).as("n"))
       cand
         .join(sets.select(col("doc_id").as("d1"), col("set").as("s1"),

@@ -99,12 +99,29 @@ final class StreamingIngest(engine: Engine) {
     * seqs when upstream delivery is at-least-once and you need
     * exactly-once counters; allocate when the consumer folds
     * LWW-style state (vector index, latest-value) or upstream is
-    * exactly-once (checkpointed file source). */
+    * exactly-once (checkpointed file source).
+    *
+    * `vectorIndexCompactEvery = N` (with vectorIndexRefresh on) folds
+    * the index delta chain every N epochs: refresh appends ONE
+    * `delta=` dir per micro-batch, so a week-long high-frequency
+    * stream would otherwise grow an unbounded cover that every
+    * annSearch lists and unions — probe latency degrading linearly
+    * with uptime. Compaction is probe-invariant (per-key max-seq fold,
+    * the compactVectorIndex contract), so wiring it into the lifecycle
+    * changes no query result, only bounds the cover at ≤ N dirs. Keyed
+    * to the checkpointed batchId, so replayed epochs compact at the
+    * same points and a restart never drifts the cadence. The
+    * bucket-autoCompact analog for the ANN store. */
   def start(points: DataFrame, checkpointDir: String,
       autoCompact: Boolean = false,
       rollupResolution: Option[Long] = None,
       vectorIndexRefresh: Boolean = false,
-      allocateSeqs: Boolean = false): StreamingQuery = {
+      allocateSeqs: Boolean = false,
+      vectorIndexCompactEvery: Int = 0): StreamingQuery = {
+    require(vectorIndexCompactEvery == 0 || vectorIndexRefresh,
+      "vectorIndexCompactEvery needs vectorIndexRefresh = true (no chain grows without it)")
+    require(vectorIndexCompactEvery >= 0,
+      s"vectorIndexCompactEvery must be non-negative (got $vectorIndexCompactEvery)")
     points.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -115,6 +132,9 @@ final class StreamingIngest(engine: Engine) {
           engine.fragmentedColdBuckets().foreach(engine.compactBucket)
         rollupResolution.foreach(engine.refreshRollup)
         if (vectorIndexRefresh) engine.refreshVectorIndex()
+        if (vectorIndexCompactEvery > 0 &&
+          (batchId + 1) % vectorIndexCompactEvery == 0)
+          engine.compactVectorIndex()
         ()
       }
       .start()

@@ -449,6 +449,53 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(engine.compactRollup() === 2)
   }
 
+  test("vectorIndexCompactEvery bounds the delta cover across a 12-epoch stream") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-vstream").toString
+    val clock = new TestClock(11999L)
+    val engine = new Engine(spark,
+      EngineOptions("vsdb", dir, 1, 16, 1000L, 10L, maxHotBuckets = 12), clock)
+    def fv(x: Float, y: Float) =
+      graft.plans.FloatsFromPayload.encode(Seq(x, y, 0f, 0f))
+    // seed two clusters and build the stored index
+    assert(engine.put(Seq(
+      Point(11000L, Seq("a0"), fv(1f, 0f), seq = 1),
+      Point(11000L, Seq("b0"), fv(0f, 1f), seq = 2))) === Map("ok" -> 2L))
+    engine.buildVectorIndex(k = 2, iters = 1)
+    val ingest = new StreamingIngest(engine)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Point]
+    val q = ingest.start(stream.toDF().drop("seq"),
+      Files.createTempDirectory("graft-vs-ckpt").toString,
+      vectorIndexRefresh = true, allocateSeqs = true,
+      vectorIndexCompactEvery = 4)
+    val covers = Seq.newBuilder[Int]
+    try {
+      (1 to 12).foreach { i =>
+        stream.addData(Point(11000L + 10L * i,
+          Seq(s"s$i"), fv(if (i % 2 == 0) 1f else 0f, if (i % 2 == 0) 0f else 1f)))
+        q.processAllAvailable()
+        covers += engine.vectorIndexCoverSize()
+      }
+    } finally q.stop()
+    // refresh appends one delta per epoch; compaction at epochs 4/8/12
+    // folds the chain, so the cover never exceeds the cadence and ends
+    // at ONE dir — the unbounded-listing scale hazard closed
+    assert(covers.result().max <= 4, s"cover exceeded the cadence: ${covers.result()}")
+    assert(engine.vectorIndexCoverSize() === 1,
+      "a compaction-terminated stream must end with a single folded delta")
+    // every streamed vector still serves after the folds
+    assert(engine.vectorIndexWatermark() === engine.currentSeq())
+    assert(engine.vectorIndexInverted().count() === 14L)
+    val qdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L, Seq(1f, 0f, 0f, 0f))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("qv",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false)))))
+    assert(engine.annSearch(qdf, nprobe = 2, topk = 14).count() === 14L)
+  }
+
   test("streaming as-of join: O(1) latest-right state persists across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -172,12 +172,60 @@ object ScaleBench {
     }
   }
 
+  /** Probe-only latency of the STORED vector index as the index grows:
+    * build once per factor over the replicated embeddings (untimed —
+    * the build twins already sit on the curve), then time ONLY
+    * annSearch / annSearchAdc against a FIXED 16-query set drawn from
+    * the base replica. This isolates the claim the probe plans make
+    * structurally (static cid partition pruning reads nprobe/k of the
+    * index; ADC reads only the code column): if pruning ever broke,
+    * probe time would grow with the FULL index and these exponents
+    * would shoot toward the build twins' instead of staying flat-ish
+    * (job overhead + k×-bigger probed cells only). */
+  private def annProbeTimes(spark: SparkSession, dir: String,
+      baseDir: String): Seq[(String, Double)] = {
+    import graft.core._
+    import spark.implicits._
+    val T0 = 1600000000L * 1000000000L
+    val opts = EngineOptions("scann", Scratch.dir("graft-scale-ann"),
+      indexDepth = 1, payloadSize = 256,
+      bucketDuration = 86400L * 1000000000L, resolution = 1000000000L,
+      maxHotBuckets = 40)
+    val engine = new Engine(spark, opts, new TestClock(T0 + 86000L * 1000000000L))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    engine.put(emb.as[(Long, Seq[Float])].map { case (id, v) =>
+      Point(T0 + (id % 80000L) * 1000000000L, Seq(id.toString),
+        graft.plans.FloatsFromPayload.encode(v), id)
+    }.toDF())
+    engine.buildVectorIndex(k = 16, iters = 2, pq = Some(PqParams(8, 16, 2)))
+    // fixed query set from the base replica — identical across factors
+    val qdf = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .persist()
+    qdf.count() // materialize outside the timed region
+    def probe(f: () => org.apache.spark.sql.DataFrame): Double = {
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        f().write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      samples.min
+    }
+    try Seq(
+      "ann_probe_exact" -> probe(() => engine.annSearch(qdf, nprobe = 2, topk = 10)),
+      "ann_probe_adc" -> probe(() => engine.annSearchAdc(qdf, nprobe = 2, topk = 10)))
+    finally { qdf.unpersist(); spark.sharedState.cacheManager.clearCache() }
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,5,20")
       .split(",").map(_.trim.toInt).toSeq
     val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
-      .map(_.split(",").map(_.trim).toSeq).getOrElse(DefaultQueries)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(DefaultQueries)
+    val annProbe = sys.env.getOrElse("SPARK_GRAFT_SCALE_ANN", "1") == "1"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_CURVE.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.core.EngineSession.local(cpus)
@@ -216,9 +264,17 @@ object ScaleBench {
           }
         }
         q -> (if (samples.forall(_ >= 0)) samples.min else -1.0)
-      }
+      } ++ (if (annProbe)
+        try annProbeTimes(spark, dir, baseDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[scale] ann probe x$k FAILED: ${e.getMessage}")
+          Seq("ann_probe_exact" -> -1.0, "ann_probe_adc" -> -1.0)
+        }
+      else Nil)
       k -> times
     }
+    val allNames = queries ++
+      (if (annProbe) Seq("ann_probe_exact", "ann_probe_adc") else Nil)
 
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
     val json = results.map { case (k, times) =>
@@ -229,7 +285,7 @@ object ScaleBench {
     val lo = results.head._2.toMap
     val hi = results.last._2.toMap
     val ratio = results.last._1.toDouble / results.head._1
-    val exps = queries.map { q =>
+    val exps = allNames.map { q =>
       val e =
         if (lo(q) > 0 && hi(q) > 0) math.log(hi(q) / lo(q)) / math.log(ratio)
         else Double.NaN

@@ -2403,7 +2403,13 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * where a groupBy-sum of table lookups is not (partial-agg order).
     * Ties break by (tags, slot). Output: (qid, rk, tag0…, slot_ns,
     * adc) — adc ascending is the approximate squared L2. */
-  def annSearchAdc(queries: DataFrame, nprobe: Int, topk: Int): DataFrame = {
+  def annSearchAdc(queries: DataFrame, nprobe: Int, topk: Int): DataFrame =
+    annSearchAdcCore(queries, nprobe, topk).drop("cid")
+
+  /** [[annSearchAdc]] plus the winning candidate's cell id — kept
+    * private so [[annSearchRerank]] can cid-prune its exact-vector
+    * fetch without re-probing the centroids. */
+  private def annSearchAdcCore(queries: DataFrame, nprobe: Int, topk: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions.l2sq
     require(nprobe > 0 && topk > 0, s"annSearchAdc: nprobe=$nprobe topk=$topk")
@@ -2448,8 +2454,85 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         .withColumn("__adc", l2sq(col("qv"), col("recon")))
         .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= topk)
         .select((col("qid") +: col("rk") +: tagCols.map(col)) :+
-          col("slot_ns") :+ col("__adc").as("adc"): _*)
+          col("slot_ns") :+ col("__adc").as("adc") :+ col("cid"): _*)
     } finally probed.unpersist(blocking = false)
+  }
+
+  /** Two-stage retrieval over the stored index — IVFADC with exact
+    * re-ranking (Jégou et al., PAMI 2011 §V), the production 100 TB
+    * shape: stage 1 is [[annSearchAdc]]'s code-only scan of the
+    * probed cells keeping a per-query SHORTLIST of `shortlist`
+    * candidates by ADC distance; stage 2 fetches EXACT vectors for
+    * shortlisted keys only and re-ranks by true cosine. The exact-
+    * vector fetch never rescans the probed cells blind: the shortlist
+    * key set is bounded by |queries|·shortlist by construction, so
+    * its slot values are collected and pushed as a static `slot_ns IN
+    * (…)` predicate under the same cid partition prune — parquet
+    * row-group stats + dictionary pages then skip everything but the
+    * shortlisted rows' neighborhoods, and only (keys, vec, seq)
+    * columns are read. Equivalences that make this gateable: with
+    * `shortlist` ≥ the probed cells' population the result is
+    * BIT-EXACTLY [[annSearch]] (same cosine kernel, same (cos desc,
+    * tags, slot) tie rule); with a small shortlist it trades recall
+    * for reading dim·4 bytes on shortlist rows instead of every
+    * probed row. Output: (qid, rk, tags…, slot_ns, cos). */
+  def annSearchRerank(queries: DataFrame, nprobe: Int, topk: Int,
+      shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.cosine
+    require(shortlist >= topk,
+      s"annSearchRerank: shortlist=$shortlist must be >= topk=$topk")
+    val fs = tableFs
+    val keyNames = tagCols :+ "slot_ns"
+    // stage 1: code-only ADC shortlist (tombstone-filtered, cid-pruned)
+    val short = annSearchAdcCore(queries, nprobe, topk = shortlist)
+      .select((col("qid") +: keyNames.map(col)) :+ col("cid"): _*)
+      .persist()
+    try {
+      // stage 2: exact vectors for shortlisted keys only — bounded
+      // collects by construction (≤ |queries|·shortlist rows)
+      val slots = short.select(col("slot_ns")).distinct()
+        .collect().map(_.getLong(0))
+      val cids = short.select(col("cid")).distinct().collect().map(_.getLong(0))
+      val cover = rollupCover(vindexDeltas(fs))
+      val wmCover = cover.last._3
+      val exact = tombstoneFiltered(
+        spark.read.schema(vindexSchema).option("basePath", vindexPath)
+          .parquet(cover.map(_._1.toString): _*)
+          .filter(col("cid").isin(cids: _*)) // static partition prune
+          .filter(col("slot_ns").isin(slots: _*)) // static row-group prune
+          .drop("delta", "codes"),
+        fs, wmCover)
+        .join(short.select(keyNames.map(col): _*).distinct(), keyNames, "left_semi")
+        .select((keyNames.map(col) :+ col("vec")): _*)
+      val wTop = Window.partitionBy(col("qid"))
+        .orderBy((col("__cos").desc +: tagCols.map(col)) :+ col("slot_ns"): _*)
+      short.drop("cid").join(exact, keyNames)
+        .join(queries.select(col("qid"), col("qv")), Seq("qid"))
+        .withColumn("__cos", cosine(col("qv"), col("vec")))
+        .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= topk)
+        .select((col("qid") +: col("rk") +: tagCols.map(col)) :+
+          col("slot_ns") :+ col("__cos").as("cos"): _*)
+    } finally short.unpersist(blocking = false)
+  }
+
+  /** SQL doorway for the stored ANN index — the [[sqlView]] analog:
+    * registers TWO temp views so the SQL surface covers the index
+    * without the DataFrame API.
+    *
+    *   `name`          — the probe result of [[annSearch]](queries,
+    *                     nprobe, topk): (qid, rk, tags…, slot_ns, cos)
+    *   `name_vectors`  — the tombstone-resolved index content
+    *                     ([[vectorIndexInverted]]): join/filter it
+    *                     freely in SQL.
+    *
+    * The probe view snapshots the probed CELL SET at registration
+    * (annSearch collects the bounded cid set to push the static
+    * partition filter) — re-register after a refresh/compact to
+    * re-probe, exactly as [[sqlView]] re-snapshots the LWW view. */
+  def annSqlView(name: String, queries: DataFrame, nprobe: Int, topk: Int): Unit = {
+    annSearch(queries, nprobe, topk).createOrReplaceTempView(name)
+    vectorIndexInverted().createOrReplaceTempView(s"${name}_vectors")
   }
 
   /** Drop the index (and its tombstones) entirely — the explicit

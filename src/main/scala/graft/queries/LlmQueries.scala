@@ -1668,6 +1668,90 @@ object LlmQueries extends QueryModule {
       FROM embeddings WHERE vec_id <= 4
       ORDER BY qid"""))
 
+  /** Two-stage retrieval (Engine.annSearchRerank — IVFADC with exact
+    * re-ranking): stage 1 reads ONLY the stored m-code column to
+    * shortlist candidates by ADC distance, stage 2 fetches exact
+    * vectors for shortlisted keys alone (static cid + slot_ns IN
+    * pruning) and re-ranks by true cosine. Gate: with a shortlist
+    * covering the probed cells the rerank must equal [[annIndexTwin]]'s
+    * exact probe BIT-FOR-BIT per rank (same stored floats, same
+    * cosine kernel, same tie rule), and a topk-sized shortlist must
+    * still return exactly topk rows per query. */
+  private val annRerankTwin = QueryDef(
+    "llm_ann_rerank_twin",
+    (s, d) => {
+      val (engine, opts, clock) = vectorEngine(s, d, "annrr")
+      engine.buildVectorIndex(k = 4, iters = 2,
+        pq = Some(graft.core.PqParams(m = 8, k = 16, iters = 1)))
+      val reopened = new graft.core.Engine(s, opts, clock)
+      val q = embeddings(s, d).filter(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val rr = reopened.annSearchRerank(q, nprobe = 2, topk = 5, shortlist = 1 << 20)
+        .select(col("qid"), col("rk"), col("tag0").as("r_nid"),
+          col("cos").as("r_cos"))
+      val ex = reopened.annSearch(q, nprobe = 2, topk = 5)
+        .select(col("qid"), col("rk"), col("tag0").as("e_nid"),
+          col("cos").as("e_cos"))
+      val small = reopened.annSearchRerank(q, nprobe = 2, topk = 5, shortlist = 5)
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_small"))
+      ex.join(rr, Seq("qid", "rk"))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_results"),
+          count(when(col("r_nid") === col("e_nid") &&
+            col("r_cos") === col("e_cos"), 1)).as("n_eq"))
+        .join(small, Seq("qid"))
+        .select(col("qid"), col("n_results"),
+          when(col("n_eq") === col("n_results"), lit(1)).otherwise(lit(0)).as("eq_ok"),
+          col("n_small"))
+        .orderBy(col("qid"))
+    },
+    Some("""
+      SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_results, 1 AS eq_ok,
+             CAST(5 AS BIGINT) AS n_small
+      FROM embeddings WHERE vec_id <= 4
+      ORDER BY qid"""))
+
+  /** SQL doorway of the stored index (Engine.annSqlView — the sqlView
+    * analog): probes registered as a temp view, index content as
+    * `<name>_vectors`, both reachable from plain spark.sql. Gated as
+    * stored-probe-via-SQL ≡ annSearch DataFrame: both paths run the
+    * identical probe plan on the identical stored bytes, so (neighbor,
+    * cos) pairs must match BIT-EXACTLY per rank (eq_ok), and the
+    * registered index view must expose exactly the corpus
+    * (n_indexed). */
+  private val annSqlTwin = QueryDef(
+    "llm_ann_sql_twin",
+    (s, d) => {
+      val (engine, opts, clock) = vectorEngine(s, d, "annsql")
+      engine.buildVectorIndex(k = 4, iters = 2)
+      val reopened = new graft.core.Engine(s, opts, clock)
+      val q = embeddings(s, d).filter(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      reopened.annSqlView("graft_ann_sql_twin", q, nprobe = 2, topk = 5)
+      val viaSql = s.sql(
+        "SELECT qid, rk, tag0 AS v_nid, cos AS v_cos FROM graft_ann_sql_twin")
+      val direct = reopened.annSearch(q, nprobe = 2, topk = 5)
+        .select(col("qid"), col("rk"), col("tag0").as("d_nid"),
+          col("cos").as("d_cos"))
+      val nIndexed = s.sql(
+        "SELECT count(*) AS n_indexed FROM graft_ann_sql_twin_vectors")
+      direct.join(viaSql, Seq("qid", "rk"))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_results"),
+          count(when(col("v_nid") === col("d_nid") &&
+            col("v_cos") === col("d_cos"), 1)).as("n_eq"))
+        .crossJoin(broadcast(nIndexed))
+        .select(col("qid"), col("n_results"),
+          when(col("n_eq") === col("n_results"), lit(1)).otherwise(lit(0)).as("eq_ok"),
+          col("n_indexed"))
+        .orderBy(col("qid"))
+    },
+    Some("""
+      SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_results, 1 AS eq_ok,
+             (SELECT count(*) FROM embeddings) AS n_indexed
+      FROM embeddings WHERE vec_id <= 4
+      ORDER BY qid"""))
+
   // ---------------------------------------------------------------
   // Multimodal binary plumbing
   // ---------------------------------------------------------------
@@ -7552,7 +7636,7 @@ object LlmQueries extends QueryModule {
     matryoshkaEval, curriculumOrder,
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
-    embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, embIvfTrained, annIndexTwin, annPqTwin, semanticDedup, incrementalDedup, multimodalMeta,
+    embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, embIvfTrained, annIndexTwin, annPqTwin, annSqlTwin, annRerankTwin, semanticDedup, incrementalDedup, multimodalMeta,
     filterChain, packSeq, stratSample, dedupClusters, decontaminate, pipelineE2e, piiScrub,
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
     dedupSubstring, encodeIds, editDistance, lmScore, lmScoreKn, filterOverlap, mixtureWeights,

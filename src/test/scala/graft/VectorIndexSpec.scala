@@ -303,6 +303,21 @@ class VectorIndexSpec extends SparkTestBase {
       "a clean epoch must not leave an empty tombstone dir behind")
   }
 
+  test("annSearchRerank: exhaustive shortlist equals annSearch bit-for-bit; small shortlist still fills topk") {
+    val (e, _) = mkEngine()
+    seed(e)
+    e.buildVectorIndex(k = 2, iters = 2, pq = Some(PqParams(m = 2, k = 4, iters = 1)))
+    val q = queries(1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(0f, 1f, 0f, 0f))
+    val rr = e.annSearchRerank(q, nprobe = 2, topk = 3, shortlist = 100)
+    val ex = e.annSearch(q, nprobe = 2, topk = 3)
+    assert(rr.exceptAll(ex).isEmpty && ex.exceptAll(rr).isEmpty,
+      "a shortlist covering the probed cells must reproduce annSearch exactly")
+    val small = e.annSearchRerank(q, nprobe = 2, topk = 2, shortlist = 2)
+    assert(small.groupBy("qid").count().collect().forall(_.getLong(1) === 2L),
+      "topk rows must come back even from a minimal shortlist")
+    intercept[IllegalArgumentException](e.annSearchRerank(q, 2, 5, 3))
+  }
+
   test("refresh tombstones survive compactBucket dropping the superseded table row") {
     // the round-12 blind spot: prior-existence used to come from the
     // raw table (seq <= wm), which compactBucket LWW-folds away —

@@ -912,14 +912,16 @@ object StreamingTwinQueries extends QueryModule {
       // scope covers processAllAvailable: the per-epoch put/refresh
       // jobs plan (and read the conf) while we block on it
       withReplayPartitions(s) {
-        // compactEvery=2: exercise the lifecycle compaction at gate
-        // scale — probe-invariant by the compactVectorIndex contract,
-        // so the oracle hash is unchanged while the delta chain stays
-        // bounded exactly as a production stream would run it
+        // compactEvery=4 (= one fold, at the final of the 4 epochs):
+        // exercise the lifecycle compaction at gate scale —
+        // probe-invariant by the compactVectorIndex contract, so the
+        // oracle hash is unchanged while the delta chain ends bounded
+        // exactly as a production stream would run it; the 12-epoch
+        // StreamingIngestSpec covers the repeated-fold cadence
         val q = ingest.start(pts,
           graft.core.Scratch.dir("graft-sannt-ckpt"),
           vectorIndexRefresh = true, allocateSeqs = true,
-          vectorIndexCompactEvery = 2)
+          vectorIndexCompactEvery = 4)
         try { q.processAllAvailable() } finally q.stop()
       }
       val cent = engine.vectorIndexCentroids()

@@ -2516,6 +2516,33 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     } finally short.unpersist(blocking = false)
   }
 
+  /** Index-health report — the number a production ANN deployment
+    * watches to decide WHEN to re-train (buildVectorIndex) rather
+    * than refresh: one row per cell with its LIVE population and its
+    * quantization error against the stored centroid. A drifted corpus
+    * shows up as rising qerr (vectors no longer near any centroid)
+    * and skewed n_rows (hot cells absorb everything, probes read ever
+    * larger fractions); both degrade gradually and invisibly to the
+    * correctness gates, which is why the report exists. Reads the
+    * tombstone-resolved cover with only (vec, cid) columns; the error
+    * total is emitted as an INTEGER micro-unit sum
+    * (Σ round(l2sq·1e6) as BIGINT) so it is order-of-aggregation
+    * deterministic — comparable across runs and engines, where a
+    * double sum is not. Chain metrics live beside this:
+    * [[vectorIndexCoverSize]] and [[vectorIndexWatermark]]. */
+  def vectorIndexStats(): DataFrame = {
+    import graft.functions.VectorFunctions.l2sq
+    val fs = tableFs
+    readVindexOptions(fs)
+    val cent = spark.read.schema(vindexCentSchema).parquet(s"$vindexPath/centroids")
+    vectorIndexInverted()
+      .select(col("cid"), col("vec"))
+      .join(broadcast(cent), "cid")
+      .withColumn("__qe", round(l2sq(col("vec"), col("cv")) * 1e6).cast("long"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__qe")).as("qerr_sum_1e6"))
+  }
+
   /** SQL doorway for the stored ANN index — the [[sqlView]] analog:
     * registers TWO temp views so the SQL surface covers the index
     * without the DataFrame API.

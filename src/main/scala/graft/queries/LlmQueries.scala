@@ -1668,6 +1668,44 @@ object LlmQueries extends QueryModule {
       FROM embeddings WHERE vec_id <= 4
       ORDER BY qid"""))
 
+  /** Index-health report (Engine.vectorIndexStats — per-cell live
+    * population + integer-microunit quantization error, the re-train
+    * monitor). Gate: the report computed from the STORED index equals
+    * an independent in-memory recomputation (Ivf.assign of the raw
+    * corpus against the stored centroids, the same strict-fold l2 and
+    * the same round-to-micro integerization) cell for cell — the
+    * stored (vec, cid) pairs and the integer error sums must both be
+    * exactly reproducible, or the report would drift from what the
+    * probes actually serve. */
+  private val annStatsTwin = QueryDef(
+    "llm_ann_stats_twin",
+    (s, d) => {
+      import graft.operators.Ivf
+      val (engine, opts, clock) = vectorEngine(s, d, "annstats")
+      engine.buildVectorIndex(k = 4, iters = 2)
+      val reopened = new graft.core.Engine(s, opts, clock)
+      val stored = reopened.vectorIndexStats()
+        .select(col("cid"), col("n_rows").as("s_n"), col("qerr_sum_1e6").as("s_qe"))
+      val cent = reopened.vectorIndexCentroids()
+      val corpus = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val fresh = Ivf.assign(corpus, cent)
+        .join(broadcast(cent), "cid") // re-attach cv (assign drops it)
+        .withColumn("__qe", round(l2sq(col("embedding"), col("cv")) * 1e6).cast("long"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("f_n"), sum(col("__qe")).as("f_qe"))
+      stored.join(fresh, Seq("cid"), "full_outer")
+        .agg(
+          count(lit(1)).as("n_cells"),
+          count(when(col("s_n") === col("f_n"), 1)).as("n_cells_match"),
+          coalesce(sum(col("s_n")), lit(0L)).as("total_rows"),
+          count(when(col("s_qe").isNull || col("f_qe").isNull ||
+            col("s_qe") =!= col("f_qe"), 1)).as("qerr_mismatch"))
+    },
+    Some("""
+      SELECT CAST(4 AS BIGINT) AS n_cells, CAST(4 AS BIGINT) AS n_cells_match,
+             (SELECT count(*) FROM embeddings) AS total_rows,
+             CAST(0 AS BIGINT) AS qerr_mismatch"""))
+
   /** Two-stage retrieval (Engine.annSearchRerank — IVFADC with exact
     * re-ranking): stage 1 reads ONLY the stored m-code column to
     * shortlist candidates by ADC distance, stage 2 fetches exact
@@ -7636,7 +7674,7 @@ object LlmQueries extends QueryModule {
     matryoshkaEval, curriculumOrder,
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
-    embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, embIvfTrained, annIndexTwin, annPqTwin, annSqlTwin, annRerankTwin, semanticDedup, incrementalDedup, multimodalMeta,
+    embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, embIvfTrained, annIndexTwin, annPqTwin, annSqlTwin, annRerankTwin, annStatsTwin, semanticDedup, incrementalDedup, multimodalMeta,
     filterChain, packSeq, stratSample, dedupClusters, decontaminate, pipelineE2e, piiScrub,
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
     dedupSubstring, encodeIds, editDistance, lmScore, lmScoreKn, filterOverlap, mixtureWeights,

@@ -349,6 +349,24 @@ class VectorIndexSpec extends SparkTestBase {
     assert(inv.filter(org.apache.spark.sql.functions.col("tag0") === "a0").count() === 1L)
   }
 
+  test("vectorIndexStats: live per-cell population + integer qerr; cascades reflected") {
+    val (e, _) = mkEngine()
+    seed(e)
+    e.buildVectorIndex(k = 2, iters = 2)
+    val st0 = e.vectorIndexStats().collect()
+    assert(st0.length === 2)
+    assert(st0.map(_.getAs[Long]("n_rows")).sum === 6L)
+    assert(st0.forall(_.getAs[Long]("qerr_sum_1e6") >= 0L))
+    // cross-cell overwrite: the report counts LIVE rows only
+    e.put(Seq(Point(11000L, Seq("a0"), vec(0f, 1f, 0f, 0f))))
+    e.refreshVectorIndex()
+    assert(e.vectorIndexStats().collect().map(_.getAs[Long]("n_rows")).sum === 6L,
+      "an overwritten key must not double-count in the health report")
+    e.erase(Seq("b0"))
+    assert(e.vectorIndexStats().collect().map(_.getAs[Long]("n_rows")).sum === 5L,
+      "destructive cascades must be visible to the health report")
+  }
+
   test("compactVectorIndex on an empty delta cover fails loudly, before any sweep") {
     val (e, _) = mkEngine()
     seed(e)

@@ -139,6 +139,27 @@ final class StreamingIngest(engine: Engine) {
       }
       .start()
   }
+  /** Streaming ANN serving — the PROBE face of the streaming story
+    * (ingest above keeps the index fresh; this serves it): every
+    * micro-batch of query rows (qid, qv) probes the stored index via
+    * Engine.annSearch and hands the epoch's result to `sink` with its
+    * batch id. Probes are pure reads of atomically-published state,
+    * so an epoch sees one consistent index watermark — a concurrent
+    * refresh/compact flips between epochs, never inside one. The
+    * probe cost per epoch is the batch probe cost: the collected cid
+    * set stays bounded by |epoch queries|·nprobe, and the static
+    * partition prune holds exactly as in batch (the 100 TB serving
+    * shape: a query stream reads nprobe/k of the index per epoch). */
+  def serveAnn(queries: DataFrame, checkpointDir: String,
+      nprobe: Int, topk: Int)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        sink(engine.annSearch(batch, nprobe, topk), epoch)
+        ()
+      }
+      .start()
 }
 
 object StreamingIngest {

@@ -315,6 +315,7 @@ class QueriesSpec extends SparkTestBase {
       // count frame (n_indexed / n_small receipts) stitched by a
       // broadcast cross join — the llm_lm_score scalar shape
       "llm_ann_sql_twin", "llm_ann_rerank_twin", "llm_ann_stats_twin",
+      "stream_ann_probe_twin",
       // llm_pipeline_e2e: the funnel receipts + packing stats are
       // 1-row frames stitched by broadcast cross joins onto the
       // |sources|-row mixture table — the llm_lm_score scalar shape

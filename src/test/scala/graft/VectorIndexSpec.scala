@@ -318,6 +318,29 @@ class VectorIndexSpec extends SparkTestBase {
     intercept[IllegalArgumentException](e.annSearchRerank(q, 2, 5, 3))
   }
 
+  test("annSearchRerank stage-2 fetch is pruned: slot_ns pushed, codes column never read") {
+    val (e, _) = mkEngine()
+    seed(e)
+    e.buildVectorIndex(k = 2, iters = 2, pq = Some(PqParams(m = 2, k = 4, iters = 1)))
+    val plan = e.annSearchRerank(queries(1L -> Seq(1f, 0f, 0f, 0f)),
+        nprobe = 1, topk = 2, shortlist = 3)
+      .queryExecution.executedPlan.toString
+    // the exact-vector fetch must be a parquet scan that (a) reads vec
+    // but NOT codes (the inverse pruning of the ADC stage) and
+    // (b) carries the bounded slot_ns IN set as a pushed filter — the
+    // "point read" that makes two-stage retrieval cheaper than
+    // re-scanning the probed cells blind
+    val fetch = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("vec#")).toSeq
+    assert(fetch.nonEmpty, s"expected an exact-vector parquet scan:\n$plan")
+    assert(!fetch.exists(_.contains("codes:")),
+      s"stage-2 fetch must prune the code column:\n${fetch.mkString("\n")}")
+    // a 1-element shortlist slot set folds In → EqualTo; either way the
+    // bounded set must reach the scan as a pushed data filter
+    assert(fetch.exists(l => l.contains("In(slot_ns") || l.contains("EqualTo(slot_ns")),
+      s"the shortlist slot set must reach the scan pushed:\n${fetch.mkString("\n")}")
+  }
+
   test("refresh tombstones survive compactBucket dropping the superseded table row") {
     // the round-12 blind spot: prior-existence used to come from the
     // raw table (seq <= wm), which compactBucket LWW-folds away —

@@ -4994,7 +4994,14 @@ object LlmQueries extends QueryModule {
       // shape paid two aggregations plus two sort-merge joins back
       // onto sh (four exchanges); this is exactly two exchanges of sh
       // — one clustering by shingle for df, one by doc_id that the rk
-      // and n windows then share — with nothing joined back.
+      // and n windows then share — with nothing joined back. Measured
+      // same-session against the r12 shape AND both hybrids (df as
+      // partial-agg join; windows without the persist) at ×1/×5/×20
+      // replicated data: this variant won at every factor
+      // (4.1/7.4/20.6 s vs the r12 shape's 7.8/10.7/26.2) — the
+      // partial-agg df join does NOT beat the window count here
+      // because the join side re-shuffles the full sh table anyway,
+      // paying the df aggregation on top.
       val ordered = sh
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
         .withColumn("rk", row_number().over(

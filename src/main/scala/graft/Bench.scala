@@ -205,7 +205,13 @@ object Bench {
                 System.err.println(s"[bench] $name rescue FAILED: ${e.getMessage}")
                 -1.0
               }
-            samplesByQuery(name) = samplesByQuery(name) :+ sm
+            // a failed RESCUE sample is dropped, never appended: the
+            // medians gate on v.forall(_ >= 0), so one dead extra pass
+            // (likely under the very contention that triggered the
+            // rescue) would flip a query that completed all its main
+            // passes to a reported -1.0 — the rescue must only ever
+            // improve a query's number, never destroy it
+            if (sm >= 0) samplesByQuery(name) = samplesByQuery(name) :+ sm
           }
           rescued += 1
         }

@@ -127,45 +127,162 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
   // rather than the only cross-JVM guard.
 
   private val writerUuid = java.util.UUID.randomUUID().toString
+  private[graft] def writerUuidForTest: String = writerUuid
   private def writerLeasePath = new Path(s"${opts.tablePath}/_graft_writer_lease")
+  private def writerLeaseTmpPath =
+    new Path(s"${opts.tablePath}/_graft_writer_lease.tmp.$writerUuid")
   private var leaseDepth = 0 // guarded by writeLock (verbs compose: erase → cascades)
+  // Fencing state for the CURRENT hold. `leaseLost` flips true when the
+  // heartbeat observes a foreign uuid (or a vanished file) — our hold
+  // was legitimately stolen after a stall past ttl. From then on the
+  // heartbeat must NOT rewrite the file (it would clobber the new
+  // holder's lease and re-open the split-brain the lease exists to
+  // close) and every fenced destructive publish refuses with
+  // err_writer_conflict instead of racing the new holder's sweeps.
+  @volatile private var leaseLost = false
+  private[graft] def leaseLostObserved: Boolean = leaseLost
+  // Monotonic fencing token: fresh claim = 1, every steal = victim's
+  // token + 1. Persisted as line 3 of the lease file so a downstream
+  // store that supports conditional writes could reject a zombie's
+  // stale-token publish; here it powers diagnostics + the steal test.
+  private var leaseToken = 0L // guarded by writeLock
+  private[graft] def leaseTokenForTest: Long = leaseToken
 
-  private def writeLease(fs: FileSystem, overwrite: Boolean): Unit = {
-    val out = fs.create(writerLeasePath, overwrite)
-    try out.write(s"$writerUuid\n${System.currentTimeMillis()}\n".getBytes("UTF-8"))
-    finally out.close()
+  private object Lease {
+    sealed trait State
+    case object Missing extends State
+    /** Exists but does not parse. With temp+rename publish this means
+      * external corruption/interference, NOT a normal mid-write — and
+      * it must be treated as FRESH (fail closed): the old behavior
+      * (steal on unparsable) let a reader that caught a truncated body
+      * steal from a LIVE holder. Manual recovery: delete the file. */
+    case object Unreadable extends State
+    final case class Held(uuid: String, ts: Long, token: Long) extends State
   }
 
-  private def readLease(fs: FileSystem): Option[(String, Long)] =
+  /** Publish lease content atomically: fully write + close a per-writer
+    * temp file, then rename onto the lease path. A concurrent readLease
+    * can never observe a truncated/empty body (the old create-truncate-
+    * write pattern left exactly that window, which parsed to None and
+    * took the steal path against a live holder — fail-open). On the
+    * local FS rename atomically replaces an existing file (heartbeat
+    * refresh); on HDFS rename-onto-existing fails, so `replaceExisting`
+    * falls back to delete+rename — readers catching that sub-ms
+    * missing-file window take the claim path and lose the claim race,
+    * never the steal path. Returns false if the rename lost. */
+  private def writeLease(fs: FileSystem, token: Long, replaceExisting: Boolean): Boolean = {
+    val tmp = writerLeaseTmpPath
+    val out = fs.create(tmp, true)
+    try out.write(s"$writerUuid\n${System.currentTimeMillis()}\n$token\n".getBytes("UTF-8"))
+    finally out.close()
+    var ok = fs.rename(tmp, writerLeasePath)
+    if (!ok && replaceExisting) {
+      try fs.delete(writerLeasePath, false) catch { case _: java.io.IOException => () }
+      ok = fs.rename(tmp, writerLeasePath)
+    }
+    if (!ok) try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+    ok
+  }
+
+  private def readLease(fs: FileSystem): Lease.State =
     try {
       val in = fs.open(writerLeasePath)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       text.linesIterator.toList match {
-        case uuid :: ts :: _ => scala.util.Try((uuid.trim, ts.trim.toLong)).toOption
-        case _ => None
+        case uuid :: ts :: rest if uuid.trim.nonEmpty =>
+          // token line absent in pre-r14 leases → 0 (steal bumps to 1)
+          val tok = rest.headOption.flatMap(t => scala.util.Try(t.trim.toLong).toOption)
+            .getOrElse(0L)
+          scala.util.Try(Lease.Held(uuid.trim, ts.trim.toLong, tok): Lease.State)
+            .getOrElse(Lease.Unreadable)
+        case _ => Lease.Unreadable
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      case _: java.io.FileNotFoundException => Lease.Missing
+      case _: java.io.IOException => Lease.Unreadable // fail closed on read errors
+    }
 
   private def acquireLease(fs: FileSystem): Unit = {
-    def tryCreate(): Boolean =
-      try { writeLease(fs, overwrite = false); true }
-      catch { case _: java.io.IOException => false } // exists (or raced)
-    if (tryCreate()) return
-    readLease(fs) match {
-      case Some((uuid, ts))
-          if uuid != writerUuid &&
-            System.currentTimeMillis() - ts <= opts.writerLeaseTtlMs =>
-        throw new IllegalStateException(
-          s"$WriterConflict: ${opts.tablePath} is write-leased by $uuid " +
-            s"(heartbeat ${System.currentTimeMillis() - ts} ms ago, " +
-            s"ttl ${opts.writerLeaseTtlMs} ms)")
-      case _ => // stale / unreadable (crashed writer) or our own crash residue: steal
-        try fs.delete(writerLeasePath, false) catch { case _: java.io.IOException => () }
-        if (!tryCreate())
+    // bounded retry: claim races and HDFS delete+rename windows resolve
+    // in ms; anything that still loops after 2 s is a genuine conflict
+    val deadline = System.currentTimeMillis() + 2000L
+    var claimToken = 1L
+    while (true) {
+      readLease(fs) match {
+        case Lease.Missing =>
+          // Claim = atomic publish + read-back confirm. The confirm is
+          // what makes this safe on filesystems where rename overwrites
+          // (local FS): two racers can both rename "successfully", but
+          // only the writer whose uuid survives the read-back holds it.
+          writeLease(fs, claimToken, replaceExisting = false)
+          readLease(fs) match {
+            case Lease.Held(u, _, tok) if u == writerUuid =>
+              leaseToken = tok; leaseLost = false; return
+            case _ => () // lost the claim race — loop re-reads the winner
+          }
+        case Lease.Held(uuid, _, tok) if uuid == writerUuid =>
+          // our own crash residue from an earlier hold in this instance
+          leaseToken = tok; leaseLost = false; return
+        case Lease.Held(uuid, ts, _)
+            if System.currentTimeMillis() - ts <= opts.writerLeaseTtlMs =>
           throw new IllegalStateException(
-            s"$WriterConflict: lost the lease race on ${opts.tablePath}")
+            s"$WriterConflict: ${opts.tablePath} is write-leased by $uuid " +
+              s"(heartbeat ${System.currentTimeMillis() - ts} ms ago, " +
+              s"ttl ${opts.writerLeaseTtlMs} ms)")
+        case Lease.Held(_, _, tok) => // stale heartbeat: crashed writer — steal
+          claimToken = math.max(claimToken, tok + 1)
+          try fs.delete(writerLeasePath, false) catch { case _: java.io.IOException => () }
+        // exists-but-unparsable is FRESH, not stealable (see Lease.Unreadable)
+        case Lease.Unreadable =>
+          throw new IllegalStateException(
+            s"$WriterConflict: unreadable lease file on ${opts.tablePath} " +
+              "treated as fresh (fail closed); delete it manually if the " +
+              "holder is known dead")
+      }
+      if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException(
+          s"$WriterConflict: lost the lease race on ${opts.tablePath}")
     }
   }
+
+  /** One heartbeat: refresh the lease ONLY if still ours. A holder that
+    * stalled past ttl (GC pause, FS hang) and was legitimately stolen
+    * from must not resume heartbeating over the new holder's lease —
+    * the old unconditional rewrite did exactly that, re-creating the
+    * split-brain. Package-visible so the spec can drive beats
+    * deterministically. */
+  private[graft] def leaseHeartbeatOnce(): Unit = {
+    if (leaseLost) return
+    val fs = tableFs
+    readLease(fs) match {
+      case Lease.Held(u, _, tok) if u == writerUuid =>
+        writeLease(fs, tok, replaceExisting = true)
+      case Lease.Held(u, _, _) => markLeaseLost(s"stolen by writer $u")
+      case Lease.Missing => markLeaseLost("lease file vanished")
+      case Lease.Unreadable => () // transient read glitch: retry next beat;
+      // if it persists, our ts goes stale, a stealer claims, and the
+      // next beat sees the foreign uuid → lost
+    }
+  }
+
+  private def markLeaseLost(why: String): Unit = {
+    leaseLost = true
+    System.err.println(
+      s"[graft] WARNING: writer lease on ${opts.tablePath} lost mid-verb ($why); " +
+        "heartbeat stopped, destructive publishes in this verb will refuse " +
+        s"with $WriterConflict")
+  }
+
+  /** Fencing check at destructive publish points (trash/swap renames,
+    * staging sweeps): refuses once the heartbeat observed this hold was
+    * lost. Cheap — a volatile read; the heartbeat thread is the lease
+    * reader, every ttl/4. */
+  private def assertLeaseHeld(): Unit =
+    if (leaseLost)
+      throw new IllegalStateException(
+        s"$WriterConflict: writer lease on ${opts.tablePath} was lost mid-verb " +
+          "(stolen after a stall past ttl); refusing destructive publish")
+  private[graft] def assertLeaseHeldForTest(): Unit = assertLeaseHeld()
 
   /** Run `body` holding the writer lease (reentrant; heartbeats from
     * a daemon thread while held; released — if still ours — after). */
@@ -179,19 +296,29 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         (r: Runnable) => { val t = new Thread(r, "graft-writer-lease-hb"); t.setDaemon(true); t })
       val period = math.max(1L, opts.writerLeaseTtlMs / 4)
       hb.scheduleAtFixedRate(
-        () => try writeLease(fs, overwrite = true)
+        () => try leaseHeartbeatOnce()
         catch { case _: java.io.IOException => () },
         period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
       try body
       finally {
         hb.shutdownNow()
+        // Wait for an in-flight beat to finish: local-FS writes are not
+        // interruptible, so an unawaited beat could re-publish the lease
+        // AFTER the delete below — leaking a fresh-timestamped orphan
+        // that blocks every writer for a full ttl.
+        try hb.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+        catch { case _: InterruptedException => Thread.currentThread().interrupt() }
         leaseDepth = 0
         // release only a lease that is still ours — after a stall past
         // ttl another writer may have legitimately stolen it
         try {
-          if (readLease(fs).exists(_._1 == writerUuid))
-            fs.delete(writerLeasePath, false)
+          readLease(fs) match {
+            case Lease.Held(u, _, _) if u == writerUuid && !leaseLost =>
+              fs.delete(writerLeasePath, false)
+            case _ => ()
+          }
         } catch { case _: java.io.IOException => () }
+        leaseLost = false
       }
     }
   }
@@ -650,6 +777,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
     val root = new Path(opts.tablePath)
     if (!fs.exists(root)) return
+    assertLeaseHeld() // fence: partition drops begin
     fs.listStatus(root).foreach { batch =>
       if (batch.getPath.getName.startsWith("batch=")) {
         fs.listStatus(batch.getPath).foreach { st =>
@@ -831,6 +959,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     // second time, while a count over the written parquet is served
     // from footer row counts.
     val afterRows = spark.read.parquet(published.toString).count()
+    assertLeaseHeld() // fence: irreversible from here (source deletes)
     sources.foreach { p =>
       fs.delete(p, true)
       val parent = p.getParent
@@ -931,6 +1060,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         val survivors = surviving(scan)
         if (hit.exists { case (b, n) => before(b) > n })
           publishBatch(survivors)
+        assertLeaseHeld() // fence: irreversible from here (source deletes)
         sources.foreach { p =>
           fs.delete(p, true)
           val parent = p.getParent
@@ -974,6 +1104,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         // trash name = the delta name, so the pre-cascade sweep can
         // restore a crashed swap with one rename
         val trash = new Path(s"$rollupPath/.erase_trash_${dir.getName}")
+        assertLeaseHeld() // fence: swap begins
         if (!fs.rename(dir, trash))
           throw new IllegalStateException(s"erase: could not stage out $dir")
         if (!fs.rename(staging, dir)) {
@@ -1039,6 +1170,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     // refreshRollup re-folds survivors) rather than a window where
     // rollup() serves sums that still include rolled-back rows that
     // find() already excludes.
+    assertLeaseHeld() // fence: cascade drops begin
     rollupDeltas(fs).foreach { case (dir, _, hi) =>
       if (hi > asOfSeq) fs.delete(dir, true)
     }
@@ -1120,6 +1252,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")).getBytes("UTF-8"))
     finally mf.close()
     val backup = new Path(s"${opts.tablePath}.pre_rebucket_$uuid")
+    assertLeaseHeld() // fence: whole-table swap begins
     if (!fs.rename(root, backup))
       throw new IllegalStateException(s"rebucket: could not back up $root")
     if (!fs.rename(stagingTable, root)) {
@@ -1508,6 +1641,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * hygiene). Only dirs older than an hour are touched so an
     * in-flight publish from a concurrent writer is never deleted. */
   private def sweepStaleStaging(fs: FileSystem): Unit = {
+    assertLeaseHeld()
     val root = new Path(opts.tablePath)
     if (!fs.exists(root)) return
     val cutoff = System.currentTimeMillis() - 3600L * 1000
@@ -1769,6 +1903,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     val cover = rollupCover(all)
     // sweep crashed-compaction leftovers even when the chain is short
     val redundant = all.filterNot(cover.contains)
+    assertLeaseHeld() // fence: chain deletes begin
     redundant.foreach { case (p, _, _) => fs.delete(p, true) }
     val n = cover.size
     if (n > 1) {
@@ -2086,6 +2221,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       (s"k=$k\ndim=${opts.payloadSize / 4}\niters=$iters\n" + pqLines).getBytes("UTF-8"))
     finally mf.close()
     val root = new Path(vindexPath)
+    assertLeaseHeld() // fence: rebuild drop begins
     if (fs.exists(root)) fs.delete(root, true) // rebuild: fail-closed window, never stale
     if (!fs.rename(staging, root)) {
       fs.delete(staging, true)
@@ -2187,6 +2323,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         val w = df.write.mode(SaveMode.Overwrite)
         (if (partitioned) w.partitionBy("cid") else w).parquet(staging.toString)
         val target = new Path(s"$vindexPath/$name")
+        assertLeaseHeld() // fence: publish swap begins
         if (fs.exists(target)) fs.delete(target, true) // crash replay of same range
         if (!fs.rename(staging, target)) {
           fs.delete(staging, true)
@@ -2255,6 +2392,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     val staging = new Path(s"$vindexPath/.vstaging_$uuid")
     merged.write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(staging.toString)
     val target = new Path(s"$vindexPath/delta=${lo}_$hi")
+    assertLeaseHeld() // fence: compaction swap begins
     if (fs.exists(target) && cover.size == 1) {
       // only tombstones to fold into the single existing delta: the
       // freshly-written merge REPLACES it via trash swap (heal-safe)
@@ -2572,6 +2710,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
   def dropVectorIndex(): Unit = mutate {
     val fs = tableFs
     val root = new Path(vindexPath)
+    assertLeaseHeld() // fence: index drop
     if (fs.exists(root)) fs.delete(root, true)
   }
 
@@ -2598,6 +2737,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       val w = survivors.write.mode(SaveMode.Overwrite)
       (if (partitioned) w.partitionBy("cid") else w).parquet(staging.toString)
       val trash = new Path(s"$vindexPath/.vtrash_${dir.getName}")
+      assertLeaseHeld() // fence: cascade swap begins
       if (!fs.rename(dir, trash))
         throw new IllegalStateException(s"vector index cascade: could not stage out $dir")
       if (!fs.rename(staging, dir)) {

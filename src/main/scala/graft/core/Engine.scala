@@ -2681,6 +2681,66 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       .agg(count(lit(1)).as("n_rows"), sum(col("__qe")).as("qerr_sum_1e6"))
   }
 
+  /** Recall@k measurement harness — the number a production ANN
+    * deployment tunes (nprobe, shortlist) WITH, at the approximation
+    * settings it will actually serve (the bit-exact twins pin
+    * exhaustive settings; recall under real approximation was
+    * previously unmeasured). For each (nprobe, shortlist) setting —
+    * shortlist <= 0 probes the exact-vector tier ([[annSearch]]),
+    * shortlist > 0 the two-stage ADC+rerank tier ([[annSearchRerank]])
+    * — it counts how many of the TRUE cosine top-k (brute force over
+    * the tombstone-resolved index content, same (cos desc, tags,
+    * slot) tie rule) the approximate probe returned. Output: one row
+    * per setting (tier, nprobe, shortlist, n_queries, topk, hits,
+    * possible, recall_pct).
+    *
+    * Scale shape: the brute-force ground truth is the EXPENSIVE side
+    * by design — run it on a SAMPLE of queries (the measurement is a
+    * statistic, not a serving path). The queries broadcast once and
+    * the corpus never replicates; each setting's probe then reads
+    * nprobe/k of the index exactly as serving does. Determinism: both
+    * sides are deterministic given the stored index (strict-fold
+    * cosine, total tie order), so hits is a stable integer —
+    * recall(nprobe) is monotone non-decreasing (a superset of probed
+    * cells can only add candidates that rank BELOW any true top-k
+    * member still present), and probing all cells gives hits ==
+    * possible exactly; both invariants are oracle-gated
+    * (llm_ann_recall_twin). */
+  def annRecallReport(queries: DataFrame, topk: Int,
+      settings: Seq[(Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.cosine
+    require(topk > 0, s"annRecallReport: topk=$topk")
+    require(settings.nonEmpty, "annRecallReport: no settings to measure")
+    ensureManifest(adopt = false)
+    val q = queries.select(col("qid"), col("qv")).persist()
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy((col("__cos").desc +: tagCols.map(col)) :+ col("slot_ns"): _*)
+    val exact = vectorIndexInverted().drop("codes", "cid", "seq")
+      .crossJoin(broadcast(q))
+      .withColumn("__cos", cosine(col("qv"), col("vec")))
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= topk)
+      .select((col("qid") +: tagCols.map(col)) :+ col("slot_ns"): _*)
+      .persist()
+    try {
+      val nQ = q.count()
+      val possible = exact.count() // < nQ·topk when the corpus is smaller than k
+      val keyCols = ("qid" +: tagCols) :+ "slot_ns"
+      val rows = settings.map { case (nprobe, shortlist) =>
+        val approx =
+          if (shortlist > 0) annSearchRerank(q, nprobe, topk, shortlist)
+          else annSearch(q, nprobe, topk)
+        val hits = approx.join(exact, keyCols, "left_semi").count()
+        (if (shortlist > 0) "rerank" else "ivf", nprobe, shortlist,
+          nQ, topk, hits, possible,
+          if (possible == 0L) 100.0
+          else math.rint(hits * 10000.0 / possible) / 100.0)
+      }
+      spark.createDataFrame(rows).toDF("tier", "nprobe", "shortlist",
+        "n_queries", "topk", "hits", "possible", "recall_pct")
+    } finally { q.unpersist(blocking = false); exact.unpersist(blocking = false) }
+  }
+
   /** SQL doorway for the stored ANN index — the [[sqlView]] analog:
     * registers TWO temp views so the SQL surface covers the index
     * without the DataFrame API.

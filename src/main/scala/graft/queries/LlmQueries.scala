@@ -1790,6 +1790,59 @@ object LlmQueries extends QueryModule {
       FROM embeddings WHERE vec_id <= 4
       ORDER BY qid"""))
 
+  /** Recall@k harness (Engine.annRecallReport) at PRODUCTION
+    * approximation settings — nprobe below the cell count, shortlist
+    * near topk — where the bit-exact twins above (which pin exhaustive
+    * settings) say nothing about retrieval quality. The recall values
+    * themselves are data-dependent statistics the user reads from the
+    * report; the GATE pins the harness's invariants, which are exact
+    * by construction: hits bounded by possible, recall monotone
+    * non-decreasing in nprobe (a superset of probed cells can only
+    * add candidates ranking below a surviving true top-k member), and
+    * an all-cells probe — exact-vector or full-shortlist rerank —
+    * recovering the brute-force top-k EXACTLY (hits == possible, the
+    * strong internal-consistency check that the harness's ground
+    * truth and the serving path rank with the identical cosine fold
+    * and tie rule). */
+  private val annRecallTwin = QueryDef(
+    "llm_ann_recall_twin",
+    (s, d) => {
+      val (engine, opts, clock) = vectorEngine(s, d, "annrec")
+      engine.buildVectorIndex(k = 4, iters = 2,
+        pq = Some(graft.core.PqParams(m = 8, k = 16, iters = 1)))
+      val reopened = new graft.core.Engine(s, opts, clock)
+      val q = embeddings(s, d).filter(col("vec_id") <= 7)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val settings = Seq((1, 0), (2, 0), (4, 0), (2, 12), (4, 1 << 20))
+      val rep = reopened.annRecallReport(q, topk = 5, settings = settings)
+        .collect()
+        .map(r => (r.getInt(1), r.getInt(2)) ->
+          (r.getString(0), r.getLong(3), r.getInt(4), r.getLong(5), r.getLong(6)))
+        .toMap
+      val ivfHits = Seq(1, 2, 4).map(np => rep((np, 0))._4)
+      val monoOk = if (ivfHits == ivfHits.sorted) 1 else 0
+      val out = settings.zipWithIndex.map { case ((np, sl), ix) =>
+        val (tier, nq, tk, hits, poss) = rep((np, sl))
+        val probesAll = np == 4 && (sl == 0 || sl >= poss)
+        (ix, tier, np, sl, nq, tk, poss,
+          if (hits >= 0L && hits <= poss) 1 else 0,
+          monoOk,
+          if (!probesAll || hits == poss) 1 else 0)
+      }
+      s.createDataFrame(out).toDF("setting_ix", "tier", "nprobe",
+        "shortlist", "n_queries", "topk", "possible", "bounds_ok",
+        "mono_ok", "full_ok").orderBy(col("setting_ix"))
+    },
+    Some("""
+      SELECT setting_ix, tier, nprobe, shortlist,
+             CAST(8 AS BIGINT) AS n_queries, 5 AS topk,
+             CAST(40 AS BIGINT) AS possible,
+             1 AS bounds_ok, 1 AS mono_ok, 1 AS full_ok
+      FROM (VALUES (0,'ivf',1,0), (1,'ivf',2,0), (2,'ivf',4,0),
+                   (3,'rerank',2,12), (4,'rerank',4,1048576))
+        AS t(setting_ix, tier, nprobe, shortlist)
+      ORDER BY setting_ix"""))
+
   // ---------------------------------------------------------------
   // Multimodal binary plumbing
   // ---------------------------------------------------------------
@@ -7681,7 +7734,7 @@ object LlmQueries extends QueryModule {
     matryoshkaEval, curriculumOrder,
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
-    embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, embIvfTrained, annIndexTwin, annPqTwin, annSqlTwin, annRerankTwin, annStatsTwin, semanticDedup, incrementalDedup, multimodalMeta,
+    embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, embIvfTrained, annIndexTwin, annPqTwin, annSqlTwin, annRerankTwin, annStatsTwin, annRecallTwin, semanticDedup, incrementalDedup, multimodalMeta,
     filterChain, packSeq, stratSample, dedupClusters, decontaminate, pipelineE2e, piiScrub,
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
     dedupSubstring, encodeIds, editDistance, lmScore, lmScoreKn, filterOverlap, mixtureWeights,

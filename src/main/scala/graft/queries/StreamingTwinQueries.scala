@@ -1018,9 +1018,87 @@ object StreamingTwinQueries extends QueryModule {
       FROM embeddings WHERE vec_id <= 7
       ORDER BY qid"""))
 
+  /** Streaming ANN serving at the PRODUCTION tier (serveAnn with
+    * AnnTier.Rerank — r13 served only the exact full-vector path; a
+    * production deployment serves the two-stage ADC-shortlist +
+    * exact-rerank tier, whose probe reads code-sized pages): the
+    * stored index is built WITH its PQ tier, then 8 query vectors
+    * arrive in 2 genuine micro-batches and each epoch serves through
+    * the real foreachBatch hook at a small production-shaped
+    * shortlist. Gate: the union of per-epoch served results EXACTLY
+    * equals the one-shot batch annSearchRerank at the same
+    * (nprobe, topk, shortlist) — pure reads of an unchanged index
+    * through the identical two-stage plan are bit-exact, and the
+    * epoch count pins that two real serving epochs ran. */
+  private val annServeRerankTwin = QueryDef(
+    "stream_ann_rerank_twin",
+    (s, d) => {
+      import s.implicits._
+      val T0v = 1600000000L * 1000000000L
+      val dir = graft.core.Scratch.dir("graft-sannr")
+      val opts = graft.core.EngineOptions("sannr", dir, indexDepth = 1,
+        payloadSize = 256, bucketDuration = 86400L * 1000000000L,
+        resolution = 1000000000L, maxHotBuckets = 40)
+      val clock = new graft.core.TestClock(T0v + 86000L * 1000000000L)
+      val engine = new graft.core.Engine(s, opts, clock)
+      def toPoint(id: Long, v: Seq[Float], seq: Long) =
+        graft.core.Point(T0v + (id % 80000L) * 1000000000L, Seq(id.toString),
+          graft.plans.FloatsFromPayload.encode(v), seq)
+      val emb = graft.sources.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      engine.put(emb.as[(Long, Seq[Float])]
+        .map { case (id, v) => toPoint(id, v, id) }.toDF())
+      engine.buildVectorIndex(k = 4, iters = 2,
+        pq = Some(graft.core.PqParams(m = 8, k = 16, iters = 1)))
+      val qAll = emb.filter(col("vec_id") <= 7)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val srcDir = graft.core.Scratch.dir("graft-sannr-src")
+      qAll.repartition(2).write.mode("overwrite").parquet(srcDir)
+      val qStream = s.readStream.schema(qAll.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val served = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+      val epochs = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      @volatile var servedSchema: org.apache.spark.sql.types.StructType = null
+      val ingest = new StreamingIngest(engine)
+      withReplayPartitions(s) {
+        val q = ingest.serveAnn(qStream,
+          graft.core.Scratch.dir("graft-sannr-ckpt"), nprobe = 2, topk = 5,
+          tier = StreamingIngest.AnnTier.Rerank(shortlist = 12)) {
+          (res, epoch) =>
+            servedSchema = res.schema
+            epochs.add(epoch)
+            res.collect().foreach(served.add) // bounded: |epoch queries|·topk
+        }
+        try { q.processAllAvailable() } finally q.stop()
+      }
+      import scala.jdk.CollectionConverters._
+      val servedDf = s.createDataFrame(
+        s.sparkContext.parallelize(served.asScala.toSeq, 1), servedSchema)
+        .select(col("qid"), col("rk"), col("tag0").as("s_nid"),
+          col("cos").as("s_cos"))
+      val batch = engine.annSearchRerank(qAll, nprobe = 2, topk = 5,
+        shortlist = 12)
+        .select(col("qid"), col("rk"), col("tag0").as("b_nid"),
+          col("cos").as("b_cos"))
+      batch.join(servedDf, Seq("qid", "rk"), "full_outer")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_results"),
+          count(when(col("s_nid") === col("b_nid") &&
+            col("s_cos") === col("b_cos"), 1)).as("n_eq"))
+        .select(col("qid"), col("n_results"),
+          when(col("n_eq") === col("n_results"), lit(1)).otherwise(lit(0)).as("eq_ok"),
+          lit(epochs.size).as("n_epochs"))
+        .orderBy(col("qid"))
+    },
+    Some("""
+      SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_results, 1 AS eq_ok,
+             2 AS n_epochs
+      FROM embeddings WHERE vec_id <= 7
+      ORDER BY qid"""))
+
   override def defs: Seq[QueryDef] = Seq(
     tumblingTwin, dedupTwin, sessionizeTwin, hoppingTwin, latestTwin,
     intervalJoinTwin, recoveryTwin, rollupTwin, quantileSketchTwin, hllTwin,
     heavyHittersTwin, staticJoinTwin, asofTwin, cdcTwin, annAssignTwin,
-    annProbeTwin)
+    annProbeTwin, annServeRerankTwin)
 }

@@ -151,18 +151,43 @@ final class StreamingIngest(engine: Engine) {
     * partition prune holds exactly as in batch (the 100 TB serving
     * shape: a query stream reads nprobe/k of the index per epoch). */
   def serveAnn(queries: DataFrame, checkpointDir: String,
-      nprobe: Int, topk: Int)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+      nprobe: Int, topk: Int,
+      tier: StreamingIngest.AnnTier = StreamingIngest.AnnTier.Exact)
+      (sink: (DataFrame, Long) => Unit): StreamingQuery =
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        sink(engine.annSearch(batch, nprobe, topk), epoch)
+        val res = tier match {
+          case StreamingIngest.AnnTier.Exact =>
+            engine.annSearch(batch, nprobe, topk)
+          case StreamingIngest.AnnTier.Adc =>
+            engine.annSearchAdc(batch, nprobe, topk)
+          case StreamingIngest.AnnTier.Rerank(shortlist) =>
+            engine.annSearchRerank(batch, nprobe, topk, shortlist)
+        }
+        sink(res, epoch)
         ()
       }
       .start()
 }
 
 object StreamingIngest {
+
+  /** Which retrieval tier [[StreamingIngest.serveAnn]] serves per
+    * epoch. Production deployments serve Adc or Rerank — the tiers
+    * whose probe reads code-sized pages instead of full vectors (the
+    * 100 TB serving shape); Exact is the small-index/debug path. */
+  sealed trait AnnTier
+  object AnnTier {
+    /** Full-vector cosine top-k (Engine.annSearch). */
+    case object Exact extends AnnTier
+    /** PQ code-only asymmetric-distance top-k (Engine.annSearchAdc). */
+    case object Adc extends AnnTier
+    /** Two-stage: ADC shortlist, exact-vector rerank of `shortlist`
+      * candidates per query (Engine.annSearchRerank). */
+    final case class Rerank(shortlist: Int) extends AnnTier
+  }
 
   /** Per-series session state carried across micro-batches. */
   final case class SessionState(startUs: Long, lastUs: Long, n: Long)

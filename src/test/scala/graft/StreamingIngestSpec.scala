@@ -496,6 +496,42 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(engine.annSearch(qdf, nprobe = 2, topk = 14).count() === 14L)
   }
 
+  test("serveAnn AnnTier.Adc serves the code-only tier: epoch result ≡ batch annSearchAdc") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sadc").toString
+    val clock = new TestClock(11999L)
+    val engine = new Engine(spark,
+      EngineOptions("sadc", dir, 1, 16, 1000L, 10L, maxHotBuckets = 12), clock)
+    def fv(x: Float, y: Float) =
+      graft.plans.FloatsFromPayload.encode(Seq(x, y, 0f, 0f))
+    assert(engine.put(Seq(
+      Point(11000L, Seq("a0"), fv(1f, 0f), seq = 1),
+      Point(11010L, Seq("a1"), fv(0.9f, 0.1f), seq = 2),
+      Point(11000L, Seq("b0"), fv(0f, 1f), seq = 3),
+      Point(11010L, Seq("b1"), fv(0.1f, 0.9f), seq = 4))) === Map("ok" -> 4L))
+    engine.buildVectorIndex(k = 2, iters = 1,
+      pq = Some(PqParams(m = 2, k = 4, iters = 1)))
+    val ingest = new StreamingIngest(engine)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val served = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = ingest.serveAnn(stream.toDF().toDF("qid", "qv"),
+      Files.createTempDirectory("graft-sadc-ckpt").toString,
+      nprobe = 2, topk = 3, tier = StreamingIngest.AnnTier.Adc) { (res, _) =>
+      served ++= res.collect().map(_.toSeq)
+    }
+    try {
+      stream.addData((1L, Seq(1f, 0f, 0f, 0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = engine.annSearchAdc(
+      Seq((1L, Seq(1f, 0f, 0f, 0f))).toDF("qid", "qv"), nprobe = 2, topk = 3)
+      .collect().map(_.toSeq)
+    assert(served.toSeq === batch.toSeq,
+      "the served ADC epoch must equal the batch code-only probe bit-for-bit")
+    assert(served.size === 3)
+  }
+
   test("streaming as-of join: O(1) latest-right state persists across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -85,6 +85,26 @@ class VectorIndexSpec extends SparkTestBase {
       s"b-cluster must outrank a-cluster on a b query, got $tags")
   }
 
+  test("annRecallReport: hand-computable recall at restricted nprobe, 100% when probing all") {
+    val (e, _) = mkEngine()
+    seed(e)
+    e.buildVectorIndex(k = 2, iters = 2,
+      pq = Some(PqParams(m = 2, k = 4, iters = 1)))
+    // query on the a-cluster axis, topk=4: exact top-4 = a0,a1,a2 plus
+    // b0 (the only b vector with positive cosine against (1,0,0,0)).
+    // nprobe=1 probes only the a-cell → 3 of 4 recoverable (75%);
+    // nprobe=2 probes both cells → brute-force set exactly (100%).
+    val rep = e.annRecallReport(queries(1L -> Seq(1f, 0f, 0f, 0f)), topk = 4,
+      settings = Seq((1, 0), (2, 0), (1, 10), (2, 10)))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(5), r.getLong(6), r.getDouble(7)))
+    assert(rep.toSeq === Seq(
+      ("ivf", 1, 0, 1L, 3L, 4L, 75.0),
+      ("ivf", 2, 0, 1L, 4L, 4L, 100.0),
+      ("rerank", 1, 10, 1L, 3L, 4L, 75.0),
+      ("rerank", 2, 10, 1L, 4L, 4L, 100.0)))
+  }
+
   test("staleness + refresh: new puts invisible until refreshVectorIndex folds them") {
     val (e, _) = mkEngine()
     seed(e)

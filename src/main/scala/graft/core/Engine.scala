@@ -2741,6 +2741,29 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     } finally { q.unpersist(blocking = false); exact.unpersist(blocking = false) }
   }
 
+  /** Pick the SMALLEST nprobe whose measured recall@k on the sample
+    * queries meets `targetRecallPct` — the operational face of
+    * [[annRecallReport]] (a deployment states a quality target; the
+    * tuner finds the cheapest probe width that meets it, and probe
+    * cost is proportional to nprobe by the static cid-prune design).
+    * Candidates double from 1 up to the cell count; recall is monotone
+    * non-decreasing in nprobe and the all-cells probe is exact
+    * (recall 100), so the search always terminates with a setting
+    * that meets any target <= 100. One [[annRecallReport]] call
+    * measures every candidate. `shortlist > 0` tunes the ADC+rerank
+    * tier at that shortlist instead of the exact-vector tier. */
+  def annTuneNprobe(queries: DataFrame, topk: Int,
+      targetRecallPct: Double, shortlist: Int = 0): Int = {
+    require(targetRecallPct >= 0 && targetRecallPct <= 100,
+      s"annTuneNprobe: targetRecallPct=$targetRecallPct")
+    val cells = vectorIndexCentroids().count().toInt
+    val cands = (Iterator.iterate(1)(_ * 2).takeWhile(_ < cells).toSeq :+ cells).distinct
+    val recall = annRecallReport(queries, topk, cands.map(np => (np, shortlist)))
+      .select(col("nprobe"), col("recall_pct")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    cands.find(np => recall(np) >= targetRecallPct).getOrElse(cells)
+  }
+
   /** SQL doorway for the stored ANN index — the [[sqlView]] analog:
     * registers TWO temp views so the SQL surface covers the index
     * without the DataFrame API.

@@ -1843,6 +1843,35 @@ object LlmQueries extends QueryModule {
         AS t(setting_ix, tier, nprobe, shortlist)
       ORDER BY setting_ix"""))
 
+  /** nprobe auto-tuner (Engine.annTuneNprobe — the operational face
+    * of the recall harness: state a recall target, get the cheapest
+    * probe width meeting it). The chosen widths are data-dependent;
+    * the GATE pins what is exact by construction: chosen widths lie
+    * in [1, cells], a lower target never needs a wider probe than a
+    * higher one, and the width chosen for a 100% target really
+    * recovers the brute-force top-k in full (hits == possible when
+    * re-measured at exactly that width). */
+  private val annTuneTwin = QueryDef(
+    "llm_ann_tune_twin",
+    (s, d) => {
+      val (engine, opts, clock) = vectorEngine(s, d, "anntune")
+      engine.buildVectorIndex(k = 4, iters = 2)
+      val reopened = new graft.core.Engine(s, opts, clock)
+      val q = embeddings(s, d).filter(col("vec_id") <= 7)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val lo = reopened.annTuneNprobe(q, topk = 5, targetRecallPct = 50.0)
+      val hi = reopened.annTuneNprobe(q, topk = 5, targetRecallPct = 100.0)
+      val at = reopened.annRecallReport(q, topk = 5, settings = Seq((hi, 0)))
+        .select(col("hits"), col("possible")).collect().head
+      s.createDataFrame(Seq((
+        if (lo >= 1 && lo <= 4) 1 else 0,
+        if (hi >= 1 && hi <= 4) 1 else 0,
+        if (lo <= hi) 1 else 0,
+        if (at.getLong(0) == at.getLong(1)) 1 else 0)))
+        .toDF("lo_in_range", "hi_in_range", "order_ok", "target_met")
+    },
+    Some("SELECT 1 AS lo_in_range, 1 AS hi_in_range, 1 AS order_ok, 1 AS target_met"))
+
   // ---------------------------------------------------------------
   // Multimodal binary plumbing
   // ---------------------------------------------------------------
@@ -7734,7 +7763,7 @@ object LlmQueries extends QueryModule {
     matryoshkaEval, curriculumOrder,
     dedupExact, minhashSignature, minhashLsh, simhashQ, simhashPairs, ngramJaccard, ngramCounts,
     tfidf, textTokens, bpeTokens, fingerprintQ, langId, quality,
-    embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, embIvfTrained, annIndexTwin, annPqTwin, annSqlTwin, annRerankTwin, annStatsTwin, annRecallTwin, semanticDedup, incrementalDedup, multimodalMeta,
+    embTopk, embLshBuckets, embNearDup, embAnnProbe, embIvf, embIvfTrained, annIndexTwin, annPqTwin, annSqlTwin, annRerankTwin, annStatsTwin, annRecallTwin, annTuneTwin, semanticDedup, incrementalDedup, multimodalMeta,
     filterChain, packSeq, stratSample, dedupClusters, decontaminate, pipelineE2e, piiScrub,
     repetitionFilter, chunkDocuments, vocabBuild, trainValSplit, shuffleShard,
     dedupSubstring, encodeIds, editDistance, lmScore, lmScoreKn, filterOverlap, mixtureWeights,

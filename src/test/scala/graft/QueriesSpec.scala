@@ -320,12 +320,12 @@ class QueriesSpec extends SparkTestBase {
       // the two-stage stored-index probe (broadcast(centroids) cross
       // joins) — the llm_ann_rerank_twin shape across 2 epochs
       "stream_ann_rerank_twin",
-      // llm_ann_recall_twin: the brute-force ground truth rides a
-      // broadcast(queries) cross join over the index content (the
-      // llm_filtered_ann baseline shape — 8 query rows broadcast,
-      // the corpus never replicates) plus the allowlisted stored-
-      // index probe shape per measured setting
-      "llm_ann_recall_twin",
+      // llm_ann_recall_twin / llm_ann_tune_twin: the brute-force
+      // ground truth rides a broadcast(queries) cross join over the
+      // index content (the llm_filtered_ann baseline shape — 8 query
+      // rows broadcast, the corpus never replicates) plus the
+      // allowlisted stored-index probe shape per measured setting
+      "llm_ann_recall_twin", "llm_ann_tune_twin",
       // llm_pipeline_e2e: the funnel receipts + packing stats are
       // 1-row frames stitched by broadcast cross joins onto the
       // |sources|-row mixture table — the llm_lm_score scalar shape

@@ -105,6 +105,20 @@ class VectorIndexSpec extends SparkTestBase {
       ("rerank", 2, 10, 1L, 4L, 4L, 100.0)))
   }
 
+  test("annTuneNprobe: smallest nprobe meeting the recall target, all-cells for 100%") {
+    val (e, _) = mkEngine()
+    seed(e)
+    e.buildVectorIndex(k = 2, iters = 2,
+      pq = Some(PqParams(m = 2, k = 4, iters = 1)))
+    val q = queries(1L -> Seq(1f, 0f, 0f, 0f))
+    // recall(nprobe=1) = 75% on this corpus (see annRecallReport test):
+    // a 70% target is met by the single-cell probe, 100% needs both
+    assert(e.annTuneNprobe(q, topk = 4, targetRecallPct = 70.0) === 1)
+    assert(e.annTuneNprobe(q, topk = 4, targetRecallPct = 100.0) === 2)
+    // rerank tier tunes the same way at a corpus-covering shortlist
+    assert(e.annTuneNprobe(q, topk = 4, targetRecallPct = 100.0, shortlist = 10) === 2)
+  }
+
   test("staleness + refresh: new puts invisible until refreshVectorIndex folds them") {
     val (e, _) = mkEngine()
     seed(e)

@@ -1524,7 +1524,8 @@ object LlmQueries extends QueryModule {
     * replicas shift them by ~10^12 — inside the hot window instead of
     * silently rejecting as future writes). Returns (engine, opts,
     * clock) so a twin can REOPEN from disk. */
-  private def vectorEngine(s: SparkSession, d: String, db: String)
+  private def vectorEngine(s: SparkSession, d: String, db: String,
+      corpusMod: Long = 1L)
       : (graft.core.Engine, graft.core.EngineOptions, graft.core.TestClock) = {
     import s.implicits._
     val T0v = 1600000000L * 1000000000L
@@ -1534,7 +1535,12 @@ object LlmQueries extends QueryModule {
       resolution = 1000000000L, maxHotBuckets = 40)
     val clock = new graft.core.TestClock(T0v + 86000L * 1000000000L)
     val engine = new graft.core.Engine(s, opts, clock)
+    // corpusMod > 1 ingests every corpusMod-th vector: gates whose
+    // strength is setting-structural (recall invariants, tuner order,
+    // serve≡batch) don't need the full corpus paying the k-means/PQ
+    // build per bench pass — the SUBSET is still thousands of rows
     val pts = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % corpusMod === 0)
       .as[(Long, Seq[Float])]
       .map { case (id, v) =>
         graft.core.Point(T0v + (id % 80000L) * 1000000000L, Seq(id.toString),
@@ -1807,7 +1813,7 @@ object LlmQueries extends QueryModule {
   private val annRecallTwin = QueryDef(
     "llm_ann_recall_twin",
     (s, d) => {
-      val (engine, opts, clock) = vectorEngine(s, d, "annrec")
+      val (engine, opts, clock) = vectorEngine(s, d, "annrec", corpusMod = 4)
       engine.buildVectorIndex(k = 4, iters = 2,
         pq = Some(graft.core.PqParams(m = 8, k = 16, iters = 1)))
       val reopened = new graft.core.Engine(s, opts, clock)
@@ -1854,7 +1860,7 @@ object LlmQueries extends QueryModule {
   private val annTuneTwin = QueryDef(
     "llm_ann_tune_twin",
     (s, d) => {
-      val (engine, opts, clock) = vectorEngine(s, d, "anntune")
+      val (engine, opts, clock) = vectorEngine(s, d, "anntune", corpusMod = 4)
       engine.buildVectorIndex(k = 4, iters = 2)
       val reopened = new graft.core.Engine(s, opts, clock)
       val q = embeddings(s, d).filter(col("vec_id") <= 7)

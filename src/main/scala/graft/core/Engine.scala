@@ -2101,47 +2101,42 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         graft.functions.VectorFunctions.floatsFromPayload(col("payload")))
       .drop("payload")
 
-  /** Nearest stored cell per key — broadcast centroids, one narrow
-    * pass, ties break by cid (the operators/Ivf discipline). The
-    * window partitions by the REAL key columns, never a hash
-    * surrogate (a surrogate collision would silently drop a vector at
-    * billion-row scale). */
-  private def assignCells(rows: DataFrame, cent: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.functions.VectorFunctions.l2sq
-    val w = Window.partitionBy((tagCols.map(col) :+ col("slot_ns")): _*)
-      .orderBy(col("__dist"), col("cid"))
-    rows.crossJoin(broadcast(cent))
-      .withColumn("__dist", l2sq(col("vec"), col("cv")))
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+  /** Nearest stored cell per key — ONE zero-shuffle argmin pass over
+    * a 1-row centroid-array broadcast (operators/Ivf kernel: same
+    * l2sq, same (dist, cid) tie rule as the old per-key window rank,
+    * so assignments are bit-identical). r14: the window version
+    * shuffled and sorted k copies of EVERY vector just to pick a
+    * per-row argmin (guide §2.4 — remove shuffles outright). */
+  private def assignCells(rows: DataFrame, cent: DataFrame): DataFrame =
+    rows.crossJoin(broadcast(graft.operators.Ivf.centArray(cent)))
       .select((col("slot_ns") +: tagCols.map(col)) :+ col("vec") :+
-        col("seq") :+ col("cid"): _*)
-  }
+        col("seq") :+
+        graft.operators.Ivf.nearestCid(col("vec"), col("__cents")).as("cid"): _*)
 
   /** PQ-encode keyed rows against stored codebooks: (keys…, codes)
     * with codes ordered by sub — graft.operators.Pq.encode's exact
-    * tie rule ((dist, cid) per (key, sub)), keyed on the REAL key
-    * columns (the assignCells surrogate-collision argument). */
+    * tie rule ((dist, cid) per (key, sub)) and its exact zero-shuffle
+    * shape: each row computes its m argmins against a 1-row codebook
+    * broadcast. r14: the old path exploded every key m× and paid a
+    * per-(key, sub) window shuffle+sort plus a re-assembly groupBy
+    * shuffle — two exchanges of n·m rows for a pure per-row
+    * computation (guide §2.4). The `transform(array(slice(…)), sv =>
+    * …)` wrapper binds the subvector once per (row, sub) so the
+    * O(sd) slice is not re-evaluated per codebook entry. */
   private def encodePq(rows: DataFrame, books: DataFrame, pq: PqParams): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.functions.VectorFunctions.l2sq
+    import graft.operators.Pq
     val dim = opts.payloadSize / 4
     require(dim % pq.m == 0, s"pq m=${pq.m} must divide dim=$dim")
     val sd = dim / pq.m
-    val subs = rows.select((tagCols.map(col) :+ col("slot_ns")) :+
-        explode(sequence(lit(0), lit(pq.m - 1))).as("sub") :+
-        col("vec").cast("array<double>").as("ev"): _*)
-      .select((tagCols.map(col) :+ col("slot_ns") :+ col("sub")) :+
-        slice(col("ev"), col("sub") * sd + 1, lit(sd)).as("sv"): _*)
-    val w = Window.partitionBy((tagCols.map(col) :+ col("slot_ns")) :+ col("sub"): _*)
-      .orderBy(col("__dist"), col("cid"))
-    subs.join(broadcast(books.select(col("sub"), col("cid"), col("cv"))), Seq("sub"))
-      .withColumn("__dist", l2sq(col("sv"), col("cv")))
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .groupBy((tagCols.map(col) :+ col("slot_ns")): _*)
-      .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
+    rows.crossJoin(broadcast(Pq.bookArray(books.select(col("sub"), col("cid"), col("cv")))))
       .select((tagCols.map(col) :+ col("slot_ns")) :+
-        transform(col("sc"), s => s.getField("cid")).as("codes"): _*)
+        transform(col("__books"), b =>
+          element_at(
+            transform(
+              array(slice(col("vec").cast("array<double>"),
+                b.getField("sub") * sd + 1, lit(sd))),
+              sv => Pq.argminCid(sv, b.getField("entries"))),
+            1)).as("codes"): _*)
   }
 
   /** Build (or REBUILD — replacing any existing index and its
@@ -2465,8 +2460,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * (tags, slot) for a deterministic result set. Output: (qid, rk,
     * tag0…, slot_ns, cos). */
   def annSearch(queries: DataFrame, nprobe: Int, topk: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.functions.VectorFunctions.{cosine, l2sq}
+    import graft.functions.VectorFunctions.cosine
     require(nprobe > 0 && topk > 0, s"annSearch: nprobe=$nprobe topk=$topk")
     ensureManifest(adopt = false)
     val fs = tableFs
@@ -2476,13 +2470,10 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       throw new IllegalStateException(s"vector index at $vindexPath has no deltas — rebuild")
     val wmCover = cover.last._3
     val cent = spark.read.schema(vindexCentSchema).parquet(s"$vindexPath/centroids")
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("__dist"), col("cid"))
-    val probed = queries.select(col("qid"), col("qv"))
-      .crossJoin(broadcast(cent))
-      .withColumn("__dist", l2sq(col("qv"), col("cv")))
-      .withColumn("__rn", row_number().over(wProbe)).filter(col("__rn") <= nprobe)
-      .select(col("qid"), col("qv"), col("cid"))
-      .persist()
+    // r14: nearest-nprobe cells per query via the zero-shuffle Ivf
+    // argmin kernel (bit-identical (dist, cid) order), not a per-qid
+    // window rank — guide §2.4
+    val probed = probeCells(queries, cent, nprobe).persist()
     try {
       val cids = probed.select(col("cid")).distinct().collect().map(_.getLong(0))
       val inv = spark.read.schema(vindexSchema).option("basePath", vindexPath)
@@ -2490,14 +2481,47 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         .filter(col("cid").isin(cids: _*)) // static partition prune
         .drop("delta", "codes")
       val live = tombstoneFiltered(inv, fs, wmCover)
-      val wTop = Window.partitionBy(col("qid"))
-        .orderBy((col("__cos").desc +: tagCols.map(col)) :+ col("slot_ns"): _*)
-      probed.join(live, Seq("cid"))
-        .withColumn("__cos", cosine(col("qv"), col("vec")))
-        .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= topk)
-        .select((col("qid") +: col("rk") +: tagCols.map(col)) :+
-          col("slot_ns") :+ col("__cos").as("cos"): _*)
+      // r14: per-query top-k via the k-bounded TopK aggregator (map-
+      // side combine, ≤ k rows per query per partition cross the
+      // shuffle) instead of a qid-partitioned window whose ONE task
+      // absorbed the query's whole probed-cell population. Ordering
+      // (cos desc, tags…, slot) is the window's exact total order.
+      topCands(
+        probed.join(live, Seq("cid"))
+          .withColumn("__score", cosine(col("qv"), col("vec"))),
+        topk, asc = false, scoreName = "cos").drop("cid")
     } finally probed.unpersist(blocking = false)
+  }
+
+  /** The nprobe nearest stored cells per query row — one zero-shuffle
+    * argmin pass over a 1-row centroid broadcast (operators/Ivf
+    * kernel; same l2sq and (dist, cid) tie rule as the old window).
+    * Output: (qid, qv, cid) — one row per probed cell, nearest first
+    * within a query. */
+  private def probeCells(queries: DataFrame, cent: DataFrame, nprobe: Int): DataFrame =
+    queries.select(col("qid"), col("qv"))
+      .crossJoin(broadcast(graft.operators.Ivf.centArray(cent)))
+      .select(col("qid"), col("qv"),
+        explode(graft.operators.Ivf.nearestCids(col("qv"), col("__cents"), nprobe))
+          .as("cid"))
+
+  /** Per-query top-k of `cand` (columns: qid, __score, tags…,
+    * slot_ns, cid) by (score asc|desc, tags…, slot_ns) — the probe
+    * paths' shared k-bounded rank-and-flatten. Output: (qid, rk,
+    * tags…, slot_ns, <scoreName>, cid); rk is 1-based like the old
+    * row_number. */
+  private def topCands(cand: DataFrame, topk: Int, asc: Boolean,
+      scoreName: String): DataFrame = {
+    val tk = udaf(graft.functions.TopK.TopTaggedAgg(topk, asc))
+    cand
+      .groupBy(col("qid"))
+      .agg(tk(col("__score"), array(tagCols.map(col): _*), col("slot_ns"), col("cid"))
+        .as("__top"))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__rk0", "__s")))
+      .select((col("qid") +: (col("__rk0") + 1).as("rk") +:
+        tagCols.zipWithIndex.map { case (t, i) => col("__s.tags").getItem(i).as(t) }) :+
+        col("__s.slot").as("slot_ns") :+ col("__s.score").as(scoreName) :+
+        col("__s.cid").as("cid"): _*)
   }
 
   /** Drop candidates an applied tombstone supersedes — tomb ranges
@@ -2548,7 +2572,6 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * private so [[annSearchRerank]] can cid-prune its exact-vector
     * fetch without re-probing the centroids. */
   private def annSearchAdcCore(queries: DataFrame, nprobe: Int, topk: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions.l2sq
     require(nprobe > 0 && topk > 0, s"annSearchAdc: nprobe=$nprobe topk=$topk")
     ensureManifest(adopt = false)
@@ -2563,13 +2586,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     val wmCover = cover.last._3
     val cent = spark.read.schema(vindexCentSchema).parquet(s"$vindexPath/centroids")
     val books = spark.read.schema(vindexBookSchema).parquet(s"$vindexPath/pq_books")
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("__dist"), col("cid"))
-    val probed = queries.select(col("qid"), col("qv"))
-      .crossJoin(broadcast(cent))
-      .withColumn("__dist", l2sq(col("qv"), col("cv")))
-      .withColumn("__rn", row_number().over(wProbe)).filter(col("__rn") <= nprobe)
-      .select(col("qid"), col("qv"), col("cid"))
-      .persist()
+    val probed = probeCells(queries, cent, nprobe).persist()
     try {
       val cids = probed.select(col("cid")).distinct().collect().map(_.getLong(0))
       val inv = spark.read.schema(vindexSchema).option("basePath", vindexPath)
@@ -2577,22 +2594,26 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         .filter(col("cid").isin(cids: _*)) // static partition prune
         .drop("delta", "vec") // codes only — the column-pruned scan
       val live = tombstoneFiltered(inv, fs, wmCover)
+      // r14: codes decode IN the candidate row against a 1-row
+      // codebook broadcast — zip_with pairs each code with its sub's
+      // entries (both arrays are sub-ascending), flatten concatenates
+      // the cv parts in sub order, exactly the old array_sort(
+      // collect_list(struct(sub, cv))) reassembly — while the old
+      // posexplode + book join + groupBy path paid TWO shuffles of
+      // every candidate row (guide §2.4). The reconstruction array is
+      // bit-identical, so the strict-fold l2sq below is too.
       val recon = live
+        .crossJoin(broadcast(graft.operators.Pq.bookArray(
+          books.select(col("sub"), col("cid"), col("cv")))))
         .select((tagCols.map(col) :+ col("slot_ns") :+ col("cid")) :+
-          posexplode(col("codes")).as(Seq("sub", "code")): _*)
-        .join(broadcast(books.select(col("sub"), col("cid").as("code"), col("cv"))),
-          Seq("sub", "code"))
-        .groupBy((tagCols.map(col) :+ col("slot_ns") :+ col("cid")): _*)
-        .agg(array_sort(collect_list(struct(col("sub"), col("cv")))).as("parts"))
-        .select((tagCols.map(col) :+ col("slot_ns") :+ col("cid")) :+
-          flatten(transform(col("parts"), p => p.getField("cv"))).as("recon"): _*)
-      val wTop = Window.partitionBy(col("qid"))
-        .orderBy((col("__adc") +: tagCols.map(col)) :+ col("slot_ns"): _*)
-      probed.join(recon, Seq("cid"))
-        .withColumn("__adc", l2sq(col("qv"), col("recon")))
-        .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= topk)
-        .select((col("qid") +: col("rk") +: tagCols.map(col)) :+
-          col("slot_ns") :+ col("__adc").as("adc") :+ col("cid"): _*)
+          flatten(zip_with(col("codes"), col("__books"), (code, b) =>
+            element_at(
+              filter(b.getField("entries"), e => e.getField("cid") === code),
+              1).getField("cv"))).as("recon"): _*)
+      topCands(
+        probed.join(recon, Seq("cid"))
+          .withColumn("__score", l2sq(col("qv"), col("recon"))),
+        topk, asc = true, scoreName = "adc")
     } finally probed.unpersist(blocking = false)
   }
 
@@ -2616,7 +2637,6 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * probed row. Output: (qid, rk, tags…, slot_ns, cos). */
   def annSearchRerank(queries: DataFrame, nprobe: Int, topk: Int,
       shortlist: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions.cosine
     require(shortlist >= topk,
       s"annSearchRerank: shortlist=$shortlist must be >= topk=$topk")
@@ -2627,30 +2647,39 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       .select((col("qid") +: keyNames.map(col)) :+ col("cid"): _*)
       .persist()
     try {
-      // stage 2: exact vectors for shortlisted keys only — bounded
-      // collects by construction (≤ |queries|·shortlist rows)
-      val slots = short.select(col("slot_ns")).distinct()
-        .collect().map(_.getLong(0))
+      // stage 2: exact vectors for shortlisted keys only. r14: the
+      // shortlist keys reach the scan as a BROADCAST left-semi join
+      // plus a 2-literal slot_ns range — the old per-slot `isin` push
+      // was a |q|·shortlist-literal predicate (50 k literals at a
+      // 1000-query serving batch: codegen/plan bloat and a brittle
+      // row-group prune). The static cid partition filter stays (it
+      // prunes DIRECTORIES); the min/max slot range keeps the
+      // row-group stats prune with exactly two literals; the semi
+      // join does the precise row selection executor-side.
+      // Bounded collects by construction (cid set ≤ |q|·nprobe; the
+      // range agg is one row).
       val cids = short.select(col("cid")).distinct().collect().map(_.getLong(0))
+      val rng = short.agg(min(col("slot_ns")), max(col("slot_ns"))).head()
       val cover = rollupCover(vindexDeltas(fs))
       val wmCover = cover.last._3
-      val exact = tombstoneFiltered(
-        spark.read.schema(vindexSchema).option("basePath", vindexPath)
-          .parquet(cover.map(_._1.toString): _*)
-          .filter(col("cid").isin(cids: _*)) // static partition prune
-          .filter(col("slot_ns").isin(slots: _*)) // static row-group prune
-          .drop("delta", "codes"),
-        fs, wmCover)
-        .join(short.select(keyNames.map(col): _*).distinct(), keyNames, "left_semi")
+      val scan0 = spark.read.schema(vindexSchema).option("basePath", vindexPath)
+        .parquet(cover.map(_._1.toString): _*)
+        .filter(col("cid").isin(cids: _*)) // static partition prune
+        .drop("delta", "codes")
+      val scan = // empty shortlist: no range to push, result is empty anyway
+        if (rng.isNullAt(0)) scan0.filter(lit(false))
+        else scan0.filter(col("slot_ns") >= rng.getLong(0) &&
+          col("slot_ns") <= rng.getLong(1)) // static row-group prune, 2 literals
+      val exact = tombstoneFiltered(scan, fs, wmCover)
+        .join(broadcast(short.select(keyNames.map(col): _*).distinct()),
+          keyNames, "left_semi")
         .select((keyNames.map(col) :+ col("vec")): _*)
-      val wTop = Window.partitionBy(col("qid"))
-        .orderBy((col("__cos").desc +: tagCols.map(col)) :+ col("slot_ns"): _*)
-      short.drop("cid").join(exact, keyNames)
-        .join(queries.select(col("qid"), col("qv")), Seq("qid"))
-        .withColumn("__cos", cosine(col("qv"), col("vec")))
-        .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= topk)
-        .select((col("qid") +: col("rk") +: tagCols.map(col)) :+
-          col("slot_ns") :+ col("__cos").as("cos"): _*)
+      topCands(
+        short.drop("cid").join(exact, keyNames)
+          .join(queries.select(col("qid"), col("qv")), Seq("qid"))
+          .withColumn("__score", cosine(col("qv"), col("vec")))
+          .withColumn("cid", lit(-1L)), // payload unused downstream
+        topk, asc = false, scoreName = "cos").drop("cid")
     } finally short.unpersist(blocking = false)
   }
 
@@ -2708,18 +2737,22 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * (llm_ann_recall_twin). */
   def annRecallReport(queries: DataFrame, topk: Int,
       settings: Seq[(Int, Int)]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions.cosine
     require(topk > 0, s"annRecallReport: topk=$topk")
     require(settings.nonEmpty, "annRecallReport: no settings to measure")
     ensureManifest(adopt = false)
     val q = queries.select(col("qid"), col("qv")).persist()
-    val wTop = Window.partitionBy(col("qid"))
-      .orderBy((col("__cos").desc +: tagCols.map(col)) :+ col("slot_ns"): _*)
-    val exact = vectorIndexInverted().drop("codes", "cid", "seq")
-      .crossJoin(broadcast(q))
-      .withColumn("__cos", cosine(col("qv"), col("vec")))
-      .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= topk)
+    // r14: ground truth keeps its per-query top-k with the k-bounded
+    // TopK aggregator (same (cos desc, tags, slot) total order as the
+    // old window) — the brute-force side is the expensive one by
+    // design, and the window funneled every (query × corpus) pair of
+    // a query through ONE task.
+    val exact = topCands(
+      vectorIndexInverted().drop("codes", "cid", "seq")
+        .crossJoin(broadcast(q))
+        .withColumn("__score", cosine(col("qv"), col("vec")))
+        .withColumn("cid", lit(-1L)), // payload unused here
+      topk, asc = false, scoreName = "cos")
       .select((col("qid") +: tagCols.map(col)) :+ col("slot_ns"): _*)
       .persist()
     try {

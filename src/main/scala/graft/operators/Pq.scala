@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
@@ -16,16 +15,28 @@ import graft.functions.VectorFunctions._
   * scores a corpus row by summing m table lookups — no corpus
   * vector is ever touched at search time.
   *
-  * Scale shape: training is iters × (one broadcast pass + one
-  * groupBy) over (vec_id, sub) subvector rows with only m·k tiny
-  * centroid rows ever collected (the same documented plan-reset
-  * contract as [[Ivf.train]]); encode is a broadcast join + one
-  * (vec_id)-group collect of m codes; search broadcasts the
-  * |q|·m·k distance table and partial-aggregates ADC sums map-side,
-  * so the only shuffle carries (qid × corpus) partial sums, never
-  * vectors. Determinism: init = subvectors of the first k vectors
-  * by vec_id, assignment ties break by code id — same discipline as
-  * Ivf.
+  * Scale shape: training is iters × (one zero-shuffle argmin pass +
+  * one partial-agg mean) over (vec_id, sub) subvector rows with only
+  * m·k tiny centroid rows ever collected (the same documented
+  * plan-reset contract as [[Ivf.train]]); encode is ONE narrow pass
+  * (codes computed per row against a 1-row codebook broadcast — no
+  * explode, no shuffle); search broadcasts the distance table and
+  * partial-aggregates ADC sums map-side, with the per-query top-k
+  * kept by the k-bounded [[graft.functions.TopK]] aggregator instead
+  * of a qid-partitioned window (whose single task would absorb a
+  * query's whole candidate set at 100 TB). Determinism: init =
+  * subvectors of the first k vectors by vec_id, assignment ties
+  * break by code id — same discipline as Ivf.
+  *
+  * r14 optimization (guide §2.4 — remove shuffles outright): nearest-
+  * code selection used to be a books broadcast-join (m·k rows touched
+  * per vector) + a per-(vec, sub) window rank — a full shuffle+sort of
+  * n·m rows per Lloyd iteration and per encode, just to pick an argmin
+  * that is a pure per-row computation. The codebooks ride along as ONE
+  * broadcast row holding the per-sub entries array; `array_sort(
+  * struct(dist, cid))` reproduces the window's exact (dist, cid) tie
+  * rule, so codes are bit-identical while the assign pass shuffles
+  * NOTHING.
   */
 object Pq {
 
@@ -41,6 +52,23 @@ object Pq {
       .select(col("vec_id"), col("sub"),
         slice(col("ev"), col("sub") * sd + 1, lit(sd)).as("sv"))
   }
+
+  /** Codebooks folded to ONE row carrying, per sub (ascending), that
+    * sub's (cid, cv) entries — the broadcast side of every argmin
+    * pass. Column: `__books` ARRAY<STRUCT<sub, entries ARRAY<STRUCT<
+    * cid, cv>>>> sorted by sub. */
+  def bookArray(books: DataFrame): DataFrame =
+    books.groupBy(col("sub"))
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("entries"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("entries")))).as("__books"))
+
+  /** Nearest entry (by the (dist, cid) tie rule) of `entries` to
+    * `sv`: the shared argmin kernel — same l2sq inputs and the same
+    * tie order as the old window rank, so the winner is bit-identical. */
+  def argminCid(sv: Column, entries: Column): Column =
+    element_at(array_sort(transform(entries, e =>
+      struct(l2sq(sv, e.getField("cv")).as("d"), e.getField("cid").as("cid")))), 1)
+      .getField("cid")
 
   /** Per-subspace deterministic k-means codebooks as (sub, cid, cv).
     * All m subspaces train in the SAME passes (grouped by (sub, cid)),
@@ -79,31 +107,48 @@ object Pq {
     books
   }
 
-  /** Nearest codebook entry per (vec_id, sub). */
-  private def assignSubs(subs: DataFrame, books: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("dist"), col("cid"))
-    subs.join(broadcast(books), Seq("sub"))
-      .withColumn("dist", l2sq(col("sv"), col("cv")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("cid"), col("sv"))
-  }
+  /** Nearest codebook entry per (vec_id, sub) — one zero-shuffle
+    * argmin pass over a 1-row codebook broadcast; the per-row `sub`
+    * selects its entries from the array (filter, not position: robust
+    * to any sub numbering). */
+  private def assignSubs(subs: DataFrame, books: DataFrame): DataFrame =
+    subs.crossJoin(broadcast(bookArray(books)))
+      .select(col("vec_id"), col("sub"),
+        argminCid(col("sv"),
+          element_at(filter(col("__books"), b => b.getField("sub") === col("sub")), 1)
+            .getField("entries")).as("cid"),
+        col("sv"))
 
   /** Encode every vector to its m codes: (vec_id, codes ARRAY<BIGINT>,
     * ordered by sub). This is the stored representation — m bytes per
-    * row at k ≤ 256. */
-  def encode(vectors: DataFrame, books: DataFrame, m: Int, dim: Int): DataFrame =
-    assignSubs(subRows(vectors, m, dim), books)
-      .groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
+    * row at k ≤ 256. ONE narrow pass: no explode, no shuffle — each
+    * row computes its m argmins against the broadcast codebook array.
+    * The `transform(array(slice(…)), sv => …)` wrapper binds the
+    * subvector to a lambda variable so the O(sd) slice is evaluated
+    * once per (row, sub), not once per codebook entry (CollapseProject
+    * would inline a plain alias into the inner lambda k times). */
+  def encode(vectors: DataFrame, books: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sd = dim / m
+    vectors.crossJoin(broadcast(bookArray(books)))
       .select(col("vec_id"),
-        transform(col("sc"), s => s.getField("cid")).as("codes"))
+        transform(col("__books"), b =>
+          element_at(
+            transform(
+              array(slice(col("embedding").cast("array<double>"),
+                b.getField("sub") * sd + 1, lit(sd))),
+              sv => argminCid(sv, b.getField("entries"))),
+            1)).as("codes"))
+  }
 
   /** ADC top-k: exact queries against the encoded corpus.
     * Output (qid, rk, nid, adc) — adc is the approximate squared L2.
     * The distance table (|q|·m·k rows) broadcasts; corpus codes
     * explode to (nid, sub, code) and partial-aggregate their m
-    * lookups map-side. */
+    * lookups map-side. Per-query top-k is the k-bounded TopK
+    * aggregator on NEGATED adc (negation is IEEE-exact, so desc by
+    * -adc IS asc by adc and the stored value round-trips bit-for-bit),
+    * ties by nid — the old window's exact (adc, nid) rule. */
   def search(encoded: DataFrame, books: DataFrame, queries: DataFrame,
              m: Int, dim: Int, topk: Int): DataFrame = {
     val table = subRows(queries.select(col("vec_id"), col("embedding")), m, dim)
@@ -113,12 +158,14 @@ object Pq {
     val codes = encoded.select(col("vec_id").as("nid"),
         posexplode(col("codes")).as(Seq("sub", "cid")))
       .select(col("nid"), col("sub").cast("int").as("sub"), col("cid"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+    val tk = udaf(graft.functions.TopK.TopKAgg(topk))
     codes.join(broadcast(table), Seq("sub", "cid"))
       .filter(col("qid") =!= col("nid"))
       .groupBy(col("qid"), col("nid"))
       .agg(sum(col("dsq")).as("adc"))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") <= topk)
-      .select(col("qid"), col("rk"), col("nid"), col("adc"))
+      .groupBy(col("qid")).agg(tk(col("nid"), -col("adc")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("rk0", "s")))
+      .select(col("qid"), (col("rk0") + 1).as("rk"),
+        col("s.id").as("nid"), (-col("s.score")).as("adc"))
   }
 }

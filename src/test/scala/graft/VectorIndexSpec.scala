@@ -352,7 +352,7 @@ class VectorIndexSpec extends SparkTestBase {
     intercept[IllegalArgumentException](e.annSearchRerank(q, 2, 5, 3))
   }
 
-  test("annSearchRerank stage-2 fetch is pruned: slot_ns pushed, codes column never read") {
+  test("annSearchRerank stage-2 fetch is pruned: slot range pushed, codes never read, no literal In list") {
     val (e, _) = mkEngine()
     seed(e)
     e.buildVectorIndex(k = 2, iters = 2, pq = Some(PqParams(m = 2, k = 4, iters = 1)))
@@ -360,19 +360,24 @@ class VectorIndexSpec extends SparkTestBase {
         nprobe = 1, topk = 2, shortlist = 3)
       .queryExecution.executedPlan.toString
     // the exact-vector fetch must be a parquet scan that (a) reads vec
-    // but NOT codes (the inverse pruning of the ADC stage) and
-    // (b) carries the bounded slot_ns IN set as a pushed filter — the
-    // "point read" that makes two-stage retrieval cheaper than
-    // re-scanning the probed cells blind
+    // but NOT codes (the inverse pruning of the ADC stage), (b) pushes
+    // the shortlist's [min, max] slot_ns RANGE (two literals — the r14
+    // replacement for the per-slot In list, whose |q|·shortlist
+    // literals bloat codegen at serving batch sizes), and (c) selects
+    // the precise shortlisted rows via a BROADCAST left-semi join, so
+    // the bounded key set does the selection executor-side
     val fetch = plan.linesIterator.filter(l =>
       l.contains("FileScan parquet") && l.contains("vec#")).toSeq
     assert(fetch.nonEmpty, s"expected an exact-vector parquet scan:\n$plan")
     assert(!fetch.exists(_.contains("codes:")),
       s"stage-2 fetch must prune the code column:\n${fetch.mkString("\n")}")
-    // a 1-element shortlist slot set folds In → EqualTo; either way the
-    // bounded set must reach the scan as a pushed data filter
-    assert(fetch.exists(l => l.contains("In(slot_ns") || l.contains("EqualTo(slot_ns")),
-      s"the shortlist slot set must reach the scan pushed:\n${fetch.mkString("\n")}")
+    assert(fetch.exists(l => l.contains("GreaterThanOrEqual(slot_ns") &&
+      l.contains("LessThanOrEqual(slot_ns")),
+      s"the shortlist slot RANGE must reach the scan pushed:\n${fetch.mkString("\n")}")
+    assert(!fetch.exists(_.contains("In(slot_ns")),
+      s"no per-slot literal In list may reach the scan (r14 contract):\n${fetch.mkString("\n")}")
+    assert(plan.contains("LeftSemi"),
+      s"the shortlist key set must select rows via a left-semi join:\n$plan")
   }
 
   test("refresh tombstones survive compactBucket dropping the superseded table row") {

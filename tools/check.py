@@ -19,6 +19,18 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Fail-loud guard (r13: an empty gate artifact closed the round
+    # blind): an empty oracles map or a dir with zero query outputs is
+    # a broken invocation, not a 0-query pass.
+    if not oracles:
+        print(f"REFUSED: {out_dir}/oracle_sql.json has an EMPTY oracles map",
+              file=sys.stderr)
+        return 1
+    if not any(glob.glob(f"{out_dir}/{n}/*.parquet") for n in oracles):
+        print(f"REFUSED: {out_dir} contains no query output dirs for any "
+              f"of the {len(oracles)} oracles - Verify did not run here",
+              file=sys.stderr)
+        return 1
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")

@@ -23,10 +23,31 @@ def norm(v):
 
 
 def main(sf_dir, out_dir, out_json):
+    # Fail-loud guards (r13 lesson: the driver's CORRECTNESS_r13.json
+    # landed as a literal "{}" and the round closed blind). An empty
+    # oracles map, a verify dir with no query dirs, or a _PARTIAL
+    # stamp (GRAFT_ONLY subset run) must never serialize as a
+    # plausible snapshot: exit non-zero and write NOTHING.
+    import os
+    if os.path.exists(f"{out_dir}/_PARTIAL"):
+        print(f"REFUSED: {out_dir} is a GRAFT_ONLY partial run "
+              f"(_PARTIAL stamp present) - not a gradable gate",
+              file=sys.stderr)
+        return 1
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if not oracles:
+        print(f"REFUSED: {out_dir}/oracle_sql.json has an EMPTY oracles "
+              f"map - refusing to write an empty snapshot", file=sys.stderr)
+        return 1
+    qdirs = [n for n in oracles if glob.glob(f"{out_dir}/{n}/*.parquet")]
+    if not qdirs:
+        print(f"REFUSED: {out_dir} contains no query output dirs for any "
+              f"of the {len(oracles)} oracles - Verify did not run here",
+              file=sys.stderr)
+        return 1
     result = {}
     for name, sql in sorted(oracles.items()):
         rec = {"rows_match": False, "schema_match": False,

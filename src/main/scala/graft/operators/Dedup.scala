@@ -46,13 +46,22 @@ object Dedup {
       .agg(least(col("src"), min(col("dst"))).as("comp"))
       .select(col("src").as("id"), col("comp"))
       .localCheckpoint(true)
+    // r14: label-state sides are node-sized and checkpointing erased
+    // their stats, so every round sort-merged the full edge list. The
+    // vertex count is constant across rounds — measure it ONCE and
+    // broadcast-hint the state sides only when they actually fit
+    // (guide §3.1; SizedBroadcast keeps the 100 TB case on the
+    // planner's shuffle join). Min-label math is integer, unchanged.
+    val nVerts = labels.count()
+    def bc(df: DataFrame): DataFrame = SizedBroadcast.hint(df, nVerts)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val neighborMin = sym.join(labels, sym("dst") === labels("id"))
+      val neighborMin = sym.join(bc(labels), sym("dst") === labels("id"))
         .groupBy(sym("src").as("nid"))
         .agg(min(col("comp")).as("ncomp"))
-      val updated = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left_outer")
+      val updated = labels.join(bc(neighborMin),
+          labels("id") === neighborMin("nid"), "left_outer")
         .select(labels("id"),
           least(labels("comp"), coalesce(col("ncomp"), labels("comp"))).as("newComp"),
           labels("comp").as("oldComp"))
@@ -71,7 +80,7 @@ object Dedup {
         // classic label-propagation accelerator.
         val next0 = updated.select(col("id"), col("newComp").as("comp"))
         val next = next0.as("a")
-          .join(next0.select(col("id").as("jid"), col("comp").as("jcomp")).as("b"),
+          .join(bc(next0.select(col("id").as("jid"), col("comp").as("jcomp")).as("b")),
             col("comp") === col("jid"), "left_outer")
           .select(col("id"), coalesce(col("jcomp"), col("comp")).as("comp"))
           .localCheckpoint(true)

@@ -4905,12 +4905,20 @@ object LlmQueries extends QueryModule {
         .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
         .localCheckpoint(true)
       val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      val adj = edges.join(deg, "u")
+      // r14: adj is loop-INVARIANT — materialize it once instead of
+      // re-paying the deg groupBy + join inside all 5 iterations; and
+      // broadcast-hint the rank vector under its MEASURED node count
+      // (SizedBroadcast: localCheckpoint erases size stats, so the
+      // planner was sort-merge-joining the edge list every round;
+      // a genuinely huge node set stays on the shuffle join —
+      // guide §3.1)
+      val adj = edges.join(deg, "u").localCheckpoint(true)
       val n = edges.select(col("u")).distinct().count()
       var rank = edges.select(col("u").as("node")).distinct()
         .withColumn("r", lit(1.0 / n))
       for (_ <- 1 to 5) {
-        rank = adj.join(rank, col("u") === col("node"))
+        rank = adj.join(graft.operators.SizedBroadcast.hint(rank, n),
+            col("u") === col("node"))
           .groupBy(col("v"))
           .agg(sum(col("r") / col("deg")).as("m"))
           .select(col("v").as("node"),
@@ -4974,6 +4982,13 @@ object LlmQueries extends QueryModule {
       val edges0 = pairs.select(col("d1").as("u"), col("d2").as("v"))
         .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
         .distinct().localCheckpoint(true)
+      // r14: keep is a node-id set whose checkpoint erased size stats —
+      // broadcast-hint it under the MEASURED node bound (SizedBroadcast;
+      // a huge node set stays on the shuffle join) so each peel's two
+      // semi joins are broadcast-hash instead of edge-list sort-merges
+      // (guide §3.1)
+      val nNodes = edges0.select(col("u")).distinct().count()
+      def bcN(df: DataFrame) = graft.operators.SizedBroadcast.hint(df, nNodes)
       // peel k=3 from the 2-core's surviving edges (3-core ⊆ 2-core),
       // not from scratch — halves the checkpointed peel stages
       def coreNodes(k: Int, start: DataFrame): (DataFrame, DataFrame) = {
@@ -4982,8 +4997,8 @@ object LlmQueries extends QueryModule {
           val keep = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
             .filter(col("deg") >= k).select(col("u").as("n"))
             .localCheckpoint(true)
-          e = e.join(keep, col("u") === col("n"), "left_semi")
-            .join(keep, col("v") === col("n"), "left_semi")
+          e = e.join(bcN(keep), col("u") === col("n"), "left_semi")
+            .join(bcN(keep), col("v") === col("n"), "left_semi")
             .localCheckpoint(true)
         }
         val stragglers = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
@@ -5179,9 +5194,16 @@ object LlmQueries extends QueryModule {
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
+    // r14: labels is node-sized but its checkpoint erased size stats —
+    // broadcast-hint it under the MEASURED node count (SizedBroadcast;
+    // a huge node set stays on the shuffle join) so each round's edge
+    // join is broadcast-hash instead of a full edge-list sort-merge
+    // (guide §3.1)
+    val nNodes = labels.count()
     for (_ <- 1 to 4) {
       val w = Window.partitionBy(col("v")).orderBy(col("cnt").desc, col("lbl"))
-      labels = edges.join(labels, col("u") === col("node"))
+      labels = edges.join(graft.operators.SizedBroadcast.hint(labels, nNodes),
+          col("u") === col("node"))
         .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -7413,18 +7435,28 @@ object LlmQueries extends QueryModule {
         .localCheckpoint(true)
       var hub = nodes.withColumn("h", lit(1.0))
       var auth: DataFrame = null
+      // r14: score vectors are node-sized but checkpoint-stat-less —
+      // broadcast-hint them under the MEASURED node count
+      // (SizedBroadcast; a huge node set stays on the shuffle join) so
+      // every per-round join is broadcast-hash instead of an edge-list
+      // sort-merge (guide §3.1); values are untouched (same sums, same
+      // 10dp per-round quantization)
+      val nNodes = nodes.count()
+      def bcN(df: DataFrame) = graft.operators.SizedBroadcast.hint(df, nNodes)
       for (_ <- 1 to 3) {
         val aN = nodes.join(
-            edges.join(hub.select(col("node").as("u"), col("h")), Seq("u"))
-              .groupBy(col("v").as("node")).agg(sum(col("h")).as("raw")),
+            bcN(edges
+              .join(bcN(hub.select(col("node").as("u"), col("h"))), Seq("u"))
+              .groupBy(col("v").as("node")).agg(sum(col("h")).as("raw"))),
             Seq("node"), "left_outer")
           .select(col("node"), coalesce(col("raw"), lit(0.0)).as("raw"))
         auth = aN.crossJoin(broadcast(aN.agg(max(col("raw")).as("m"))))
           .select(col("node"), round(col("raw") / col("m"), 10).as("a"))
           .localCheckpoint(true)
         val hN = nodes.join(
-            edges.join(auth.select(col("node").as("v"), col("a")), Seq("v"))
-              .groupBy(col("u").as("node")).agg(sum(col("a")).as("raw")),
+            bcN(edges
+              .join(bcN(auth.select(col("node").as("v"), col("a"))), Seq("v"))
+              .groupBy(col("u").as("node")).agg(sum(col("a")).as("raw"))),
             Seq("node"), "left_outer")
           .select(col("node"), coalesce(col("raw"), lit(0.0)).as("raw"))
         hub = hN.crossJoin(broadcast(hN.agg(max(col("raw")).as("m"))))
@@ -7498,7 +7530,20 @@ object LlmQueries extends QueryModule {
     "llm_rouge_pairs",
     (s, d) => {
       val pairs = lshPairs(s, d).localCheckpoint(true)
+      // r14 (guide §3.2 — reduce the big side first): gram tables are
+      // consumed ONLY joined to pair members, so tokenize and count
+      // grams for candidate docs alone — the semi join prunes the
+      // corpus before the tokenize+groupBy instead of after. pairDocs
+      // is candidate-bounded (≤ 2·|pairs|) and measured before the
+      // broadcast hint (SizedBroadcast: huge pair sets stay on the
+      // shuffle join). Results are identical by construction.
+      val pairDocs = pairs.select(col("d1").as("doc_id"))
+        .union(pairs.select(col("d2").as("doc_id"))).distinct()
+        .localCheckpoint(true)
+      val nPairDocs = pairDocs.count()
       val toksDf = documents(s, d)
+        .join(graft.operators.SizedBroadcast.hint(pairDocs, nPairDocs),
+          Seq("doc_id"), "left_semi")
         .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tok")))
       val uni = toksDf.groupBy(col("doc_id"), col("tok").as("g"))
         .agg(count(lit(1)).as("c"))
@@ -7513,13 +7558,18 @@ object LlmQueries extends QueryModule {
         .localCheckpoint(true)
       def tot(g: DataFrame, name: String) =
         g.groupBy(col("doc_id")).agg(sum(col("c")).as(name))
-      def overlap(g: DataFrame, name: String) = pairs
-        .join(g.select(col("doc_id").as("d1"), col("g"), col("c").as("c1")),
-          Seq("d1"))
-        .join(g.select(col("doc_id").as("d2"), col("g"), col("c").as("c2")),
-          Seq("d2", "g"))
-        .groupBy(col("d1"), col("d2"))
-        .agg(sum(least(col("c1"), col("c2"))).as(name))
+      // pairs rides a measured broadcast hint into the gram joins —
+      // checkpointing erased its stats, and an SMJ here re-shuffles
+      // the (now candidate-pruned) gram tables
+      val nPairs = pairs.count()
+      def overlap(g: DataFrame, name: String) =
+        graft.operators.SizedBroadcast.hint(pairs, nPairs)
+          .join(g.select(col("doc_id").as("d1"), col("g"), col("c").as("c1")),
+            Seq("d1"))
+          .join(g.select(col("doc_id").as("d2"), col("g"), col("c").as("c2")),
+            Seq("d2", "g"))
+          .groupBy(col("d1"), col("d2"))
+          .agg(sum(least(col("c1"), col("c2"))).as(name))
       val uniTot = tot(uni, "ut").localCheckpoint(true)
       val biTot = tot(bi, "bt").localCheckpoint(true)
       pairs

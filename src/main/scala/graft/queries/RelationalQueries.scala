@@ -2303,10 +2303,19 @@ object RelationalQueries extends QueryModule {
         .select(col("p_partkey").as("node")).withColumn("hop", lit(0))
         .localCheckpoint(true)
       var frontier = dist
+      // r14 (guide §3.1): frontier and visited-set are node-id sets
+      // bounded by |part|, but localCheckpoint erases size stats —
+      // defaultSizeInBytes made the planner sort-merge the FULL edge
+      // table every round. The measured |part| bound gates a
+      // broadcast hint (SizedBroadcast: a genuinely huge node set
+      // stays on the shuffle join), so the 4 rounds become
+      // broadcast-hash joins and edges are never shuffled.
+      val nParts = part(s, d).count()
+      def bc(df: DataFrame) = graft.operators.SizedBroadcast.hint(df, nParts)
       for (h <- 1 to 4) {
-        val fresh = frontier.join(edges, col("node") === col("u"))
+        val fresh = bc(frontier).join(edges, col("node") === col("u"))
           .select(col("v").as("node")).distinct()
-          .join(dist.select(col("node")), Seq("node"), "left_anti")
+          .join(bc(dist.select(col("node"))), Seq("node"), "left_anti")
           .withColumn("hop", lit(h))
           .localCheckpoint(true)
         dist = dist.union(fresh).localCheckpoint(true)

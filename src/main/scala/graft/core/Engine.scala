@@ -2740,6 +2740,8 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     import graft.functions.VectorFunctions.cosine
     require(topk > 0, s"annRecallReport: topk=$topk")
     require(settings.nonEmpty, "annRecallReport: no settings to measure")
+    require(settings.forall(_._1 > 0),
+      s"annRecallReport: nprobe must be positive in every setting ($settings)")
     ensureManifest(adopt = false)
     val q = queries.select(col("qid"), col("qv")).persist()
     // r14: ground truth keeps its per-query top-k with the k-bounded
@@ -2759,11 +2761,59 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       val nQ = q.count()
       val possible = exact.count() // < nQ·topk when the corpus is smaller than k
       val keyCols = ("qid" +: tagCols) :+ "slot_ns"
+      // r14: every IVF-tier setting (shortlist <= 0) shares ONE probe
+      // pass at the MAX requested nprobe. nearestCids is a sorted-
+      // array prefix, so the cells probed at nprobe = np are exactly
+      // the candidates whose probe RANK is <= np — one candidate scan
+      // + one cosine pass, then a k-bounded top-k per setting over the
+      // rank-filtered subset, instead of a full annSearch pipeline
+      // (centroid read, cid collect, index scan, persist) PER setting.
+      // Hits are identical by the prefix property; the rerank tier
+      // still probes per setting (different shortlists genuinely
+      // differ in what they scan).
+      val ivfNps = settings.collect { case (np, sl) if sl <= 0 => np }.distinct
+      val ivfHits: Map[Int, Long] =
+        if (ivfNps.isEmpty) Map.empty
+        else {
+          val fs = tableFs
+          readVindexOptions(fs)
+          val cover = rollupCover(vindexDeltas(fs))
+          if (cover.isEmpty)
+            throw new IllegalStateException(
+              s"vector index at $vindexPath has no deltas — rebuild")
+          val wmCover = cover.last._3
+          val cent = spark.read.schema(vindexCentSchema).parquet(s"$vindexPath/centroids")
+          val npMax = ivfNps.max
+          val probed = q
+            .crossJoin(broadcast(graft.operators.Ivf.centArray(cent)))
+            .select(col("qid"), col("qv"),
+              posexplode(graft.operators.Ivf.nearestCids(col("qv"), col("__cents"), npMax))
+                .as(Seq("__pr0", "cid")))
+            .persist()
+          try {
+            val cids = probed.select(col("cid")).distinct().collect().map(_.getLong(0))
+            val inv = spark.read.schema(vindexSchema).option("basePath", vindexPath)
+              .parquet(cover.map(_._1.toString): _*)
+              .filter(col("cid").isin(cids: _*)) // static partition prune
+              .drop("delta", "codes")
+            val cand = probed
+              .join(tombstoneFiltered(inv, fs, wmCover), Seq("cid"))
+              .withColumn("__score", cosine(col("qv"), col("vec")))
+              .persist()
+            try ivfNps.map { np =>
+              val approx = topCands(cand.filter(col("__pr0") < np),
+                topk, asc = false, scoreName = "cos")
+              np -> approx.join(exact, keyCols, "left_semi").count()
+            }.toMap
+            finally cand.unpersist(blocking = false)
+          } finally probed.unpersist(blocking = false)
+        }
       val rows = settings.map { case (nprobe, shortlist) =>
-        val approx =
-          if (shortlist > 0) annSearchRerank(q, nprobe, topk, shortlist)
-          else annSearch(q, nprobe, topk)
-        val hits = approx.join(exact, keyCols, "left_semi").count()
+        val hits =
+          if (shortlist > 0)
+            annSearchRerank(q, nprobe, topk, shortlist)
+              .join(exact, keyCols, "left_semi").count()
+          else ivfHits(nprobe)
         (if (shortlist > 0) "rerank" else "ivf", nprobe, shortlist,
           nQ, topk, hits, possible,
           if (possible == 0L) 100.0

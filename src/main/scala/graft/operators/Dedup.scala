@@ -49,11 +49,16 @@ object Dedup {
     // r14: label-state sides are node-sized and checkpointing erased
     // their stats, so every round sort-merged the full edge list. The
     // vertex count is constant across rounds — measure it ONCE and
-    // broadcast-hint the state sides only when they actually fit
-    // (guide §3.1; SizedBroadcast keeps the 100 TB case on the
-    // planner's shuffle join). Min-label math is integer, unchanged.
+    // broadcast-hint the state sides only when they fit AND the edge
+    // list is big enough for its shuffle to matter (guide §3.1;
+    // measured: on the tiny local graph the per-round broadcast
+    // builds cost more than the small sort-merges they replace, and
+    // at 100 TB the node side does not fit — both gates keep those
+    // cases on the planner's join). Min-label math is integer,
+    // unchanged.
     val nVerts = labels.count()
-    def bc(df: DataFrame): DataFrame = SizedBroadcast.hint(df, nVerts)
+    val nEdges = sym.count() // checkpointed: an RDD count, no recompute
+    def bc(df: DataFrame): DataFrame = SizedBroadcast.hintVs(df, nVerts, nEdges)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {

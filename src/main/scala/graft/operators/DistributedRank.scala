@@ -51,6 +51,43 @@ object DistributedRank {
     local.withColumn(rankName, offCol + col("__lr")).drop("__pid", "__lr")
   }
 
+  /** df + `rankName` = exact 1-based global DENSE rank by `order` —
+    * equal keys share a rank, ranks are consecutive over the distinct
+    * key set. Same decomposition as [[withGlobalRank]] but WITHOUT
+    * requiring (or building) a distinct input: range-partition by the
+    * order (equal keys land in one partition by the RangePartitioner
+    * contract), dense_rank within each partition, then add the
+    * cumulative count of DISTINCT keys in earlier partitions (= each
+    * partition's max local dense rank — one tiny row per partition).
+    *
+    * r14: this replaces the `distinct → withGlobalRank → join back`
+    * shape (3 exchanges + a join per call) the suffix machinery paid
+    * PER DOUBLING ROUND with ONE range exchange and no join — the
+    * rank attaches in place. Rank values are bit-identical: a dense
+    * rank over the same total order. */
+  def withGlobalDenseRank(df: DataFrame, rankName: String,
+      order: Seq[Column]): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val local = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__ldr", dense_rank().over(
+        Window.partitionBy(col("__pid")).orderBy(order: _*)))
+      .localCheckpoint()
+    val counts = local.groupBy(col("__pid"))
+      .agg(max(col("__ldr")).as("n")) // distinct keys in partition
+      .collect().map(r => r.getInt(0) -> r.getInt(1).toLong).toMap
+    val offsets = counts.keys.toSeq.sorted
+      .scanLeft((Int.MinValue, 0L)) { case ((_, acc), pid) =>
+        (pid, acc + counts(pid))
+      }
+      .sliding(2).collect { case Seq((_, acc), (pid, _)) => (pid, acc) }
+      .toMap
+    val offCol = offsets.foldLeft(lit(0L)) { case (c, (pid, off)) =>
+      when(col("__pid") === pid, lit(off)).otherwise(c)
+    }
+    local.withColumn(rankName, offCol + col("__ldr")).drop("__pid", "__ldr")
+  }
+
   /** df + `outName` = exact EXCLUSIVE running sum of `valueCol` in
     * `order` (sum over all STRICTLY-preceding rows; the first row
     * gets 0) — the same decomposition as [[withGlobalRank]] but for

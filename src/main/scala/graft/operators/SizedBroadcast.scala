@@ -29,4 +29,15 @@ object SizedBroadcast {
   def hint(df: DataFrame, measuredRows: Long,
       maxRows: Long = DefaultMaxRows): DataFrame =
     if (measuredRows >= 0 && measuredRows <= maxRows) broadcast(df) else df
+
+  /** Variant gated on BOTH sides: broadcast only pays when the other
+    * side's shuffle is actually expensive — on a tiny graph the
+    * per-round broadcast builds cost more than the small sort-merge
+    * they replace (measured r14: connected components on the local
+    * near-dup graph lost ~0.4 s to unconditional hinting while every
+    * bigger loop won). `minBigRows` is the stream-side size below
+    * which the planner's join is left alone. */
+  def hintVs(df: DataFrame, measuredRows: Long, bigSideRows: Long,
+      minBigRows: Long = 1000L * 1000, maxRows: Long = DefaultMaxRows): DataFrame =
+    if (bigSideRows >= minBigRows) hint(df, measuredRows, maxRows) else df
 }

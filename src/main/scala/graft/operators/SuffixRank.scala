@@ -22,12 +22,21 @@ import org.apache.spark.sql.functions._
 object SuffixRank {
 
   /** tok = (doc_id, p, tok) with 1-based positions → (doc_id, p, r).
-    * `L` must be a power of two. */
+    * `L` must be a power of two.
+    *
+    * r14 (guide §2.4): every ranking step now attaches its dense rank
+    * IN PLACE via [[DistributedRank.withGlobalDenseRank]] (one range
+    * exchange; equal keys share a partition, per-partition dense_rank
+    * + distinct-count offsets). The old shape — distinct → global
+    * row_number → join the ranks back — paid a distinct exchange plus
+    * a join-back per doubling round (and for the base rank, a
+    * corpus-sized string join). Rank VALUES are bit-identical: the
+    * same dense 1..R numbering of the same total order, so every
+    * downstream consumer (rank-group dedup, sort-adjacency LCP) is
+    * unchanged. */
   def prefixDoublingRanks(tok: DataFrame, L: Int): DataFrame = {
     require(L >= 1 && (L & (L - 1)) == 0, s"L must be a power of two, got $L")
-    val vocabRank = DistributedRank.withGlobalRank(
-      tok.select(col("tok")).distinct(), "r", Seq(col("tok")))
-    var suf = tok.join(vocabRank, "tok")
+    var suf = DistributedRank.withGlobalDenseRank(tok, "r", Seq(col("tok")))
       .select(col("doc_id"), col("p"), col("r"))
       .localCheckpoint(true)
     var k = 1
@@ -36,10 +45,8 @@ object SuffixRank {
       val paired = suf.join(nxt, Seq("doc_id", "p"), "left_outer")
         .select(col("doc_id"), col("p"), col("r"),
           coalesce(col("rn"), lit(0L)).as("rn"))
-      val pairRank = DistributedRank.withGlobalRank(
-        paired.select(col("r"), col("rn")).distinct(), "r2",
-        Seq(col("r"), col("rn")))
-      suf = paired.join(pairRank, Seq("r", "rn"))
+      suf = DistributedRank.withGlobalDenseRank(paired, "r2",
+          Seq(col("r"), col("rn")))
         .select(col("doc_id"), col("p"), col("r2").as("r"))
         .localCheckpoint(true)
       k *= 2

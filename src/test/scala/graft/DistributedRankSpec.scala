@@ -24,6 +24,28 @@ class DistributedRankSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("withGlobalDenseRank equals dense_rank over the same total order, duplicates included") {
+    // rank over the NON-distinct frame: duplicate (k) keys must share
+    // a rank and ranks must stay consecutive across partition cuts
+    val order = Seq(col("k"))
+    val got = DistributedRank.withGlobalDenseRank(fixture, "r", order)
+      .select("id", "r").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = fixture.withColumn("r", dense_rank().over(
+        Window.orderBy(col("k"))).cast("long"))
+      .select("id", "r").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === want)
+    // sizes across partition boundaries, including empty and 1-row
+    for (n <- Seq(0, 1, 2, 31, 32, 33, 100)) {
+      val df = spark.range(n.toLong).selectExpr("id", "id % 3 AS k")
+      val g = DistributedRank.withGlobalDenseRank(df, "r", Seq(col("k"), col("id")))
+        .select("id", "r").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val w = df.withColumn("r", dense_rank().over(
+          Window.orderBy(col("k"), col("id"))).cast("long"))
+        .select("id", "r").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(g === w, s"n=$n")
+    }
+  }
+
   test("withNtile equals literal ntile(5), remainder buckets included") {
     val order = Seq(col("k").desc, col("id"))
     val got = DistributedRank.withNtile(fixture, "t", 5, order)

@@ -260,6 +260,27 @@ class VectorIndexSpec extends SparkTestBase {
       s"ADC scan must prune the vec column:\n${scanLines.mkString("\n")}")
   }
 
+  test("probe plans carry no qid-partitioned Window (r14: k-bounded TopK aggregation)") {
+    // the VERDICT r13 #2 done-criterion: a query's probed-cell
+    // population must never funnel through one window task — the
+    // per-query top-k is a map-side-combining aggregate, and the
+    // nprobe cell selection a per-row argmin, in EVERY probe tier
+    val (e, _) = mkEngine()
+    seed(e)
+    e.buildVectorIndex(k = 2, iters = 2, pq = Some(PqParams(m = 2, k = 4, iters = 1)))
+    val q = queries(1L -> Seq(1f, 0f, 0f, 0f))
+    for ((name, df) <- Seq(
+      "annSearch" -> e.annSearch(q, 2, 3),
+      "annSearchAdc" -> e.annSearchAdc(q, 2, 3),
+      "annSearchRerank" -> e.annSearchRerank(q, 2, 3, 4))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name plan must contain no Window operator:\n$plan")
+      assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+        s"$name plan must rank via the typed TopK aggregate:\n$plan")
+    }
+  }
+
   test("PQ tier: refresh encodes new vectors against the STORED books; tombstones apply to ADC") {
     val (e, _) = mkEngine()
     seed(e)

@@ -36,9 +36,15 @@ object SuffixRank {
     * unchanged. */
   def prefixDoublingRanks(tok: DataFrame, L: Int): DataFrame = {
     require(L >= 1 && (L & (L - 1)) == 0, s"L must be a power of two, got $L")
+    // NO outer localCheckpoint here: withGlobalDenseRank already
+    // checkpoints internally (it must — the offsets map and the final
+    // pass must see one physical partitioning), so the per-round state
+    // is materialized exactly once and the select on top is a pure
+    // projection over the checkpointed RDD. A second eager checkpoint
+    // per round re-materialized every row — measured as the whole
+    // regression of llm_suffix_array at sf0.1.
     var suf = DistributedRank.withGlobalDenseRank(tok, "r", Seq(col("tok")))
       .select(col("doc_id"), col("p"), col("r"))
-      .localCheckpoint(true)
     var k = 1
     while (k < L) {
       val nxt = suf.select(col("doc_id"), (col("p") - k).as("p"), col("r").as("rn"))
@@ -48,7 +54,6 @@ object SuffixRank {
       suf = DistributedRank.withGlobalDenseRank(paired, "r2",
           Seq(col("r"), col("rn")))
         .select(col("doc_id"), col("p"), col("r2").as("r"))
-        .localCheckpoint(true)
       k *= 2
     }
     suf

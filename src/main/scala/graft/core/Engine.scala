@@ -329,13 +329,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
 
   def put(points: DataFrame): Map[String, Long] = writeLock.synchronized {
     ensureManifest(adopt = true)
-    // One evaluation of the input for both the write and the ledger:
-    // without the persist, a nondeterministic source could classify
-    // differently in the two jobs and the ledger would not match the
-    // rows on disk (and a deterministic batch would pay double scan).
-    val classified = classify(points).persist()
-    try putClassified(classified)
-    finally classified.unpersist()
+    putClassified(classify(points))
   }
 
   // ------------------------------------------------------------------
@@ -416,22 +410,30 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       throw new IllegalStateException(s"could not publish options manifest $manifestPath")
   }
 
+  /** The closed set of reasons [[classify]] can emit — the single-pass
+    * ledger below enumerates them up front instead of discovering them
+    * with a groupBy. */
+  private val putReasons = Seq(Ok, InvalidTimestamp, InvalidIndexValues,
+    InvalidPayload, InvalidSeq, WriteOnReadOnly)
+
   private def putClassified(classified: DataFrame): Map[String, Long] = {
-    // Ledger first (classified is persisted, so this is the only full
-    // pass): an all-rejected batch must not run the write job at all.
-    val ledger = classified.groupBy(col("reason")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (ledger.getOrElse(Ok, 0L) > 0L) {
-      val accepted = classified.filter(col("reason") === Ok)
-      // A write whose seq lands AT or BELOW the receipt chain's
-      // watermark changes what that watermark resolves to (explicit
-      // seqs are a supported ingest path) — break the chain so the
-      // next exportDelta recomputes in full. One agg on the already-
-      // persisted batch; only runs while a chain state exists.
-      readReceiptState().foreach { case (w, _, _) =>
-        val mn = accepted.agg(min(col("seq"))).head()
-        if (!mn.isNullAt(0) && mn.getLong(0) <= w) invalidateReceiptState()
-      }
+    // ONE pass for ledger AND write (r15, guide §1.2 step 1 / §1.4):
+    // the ledger used to be a driver collect over a persisted copy of
+    // the whole batch — a full extra materialization per put. Now the
+    // write job itself carries a CollectMetrics (observe) node BELOW
+    // the accept filter, so per-reason counts (a closed set) and the
+    // accepted rows' min seq ride the single scan. Single evaluation
+    // also closes the nondeterministic-source hazard the old persist
+    // existed for. The batch stages invisibly first and is only
+    // renamed into place when the metrics show accepted rows, so an
+    // all-rejected batch still publishes NOTHING.
+    val obs = new org.apache.spark.sql.Observation()
+    val ledgerMetrics = putReasons.map(r =>
+      count(when(col("reason") === r, 1)).as(s"n_$r")) :+
+      min(when(col("reason") === Ok, col("seq"))).as("min_ok_seq")
+    val observed = classified.observe(obs, ledgerMetrics.head, ledgerMetrics.tail: _*)
+    locally {
+      val accepted = observed.filter(col("reason") === Ok)
       val projected = accepted.select(
         col("slot_ns") +:
           tagCols.zipWithIndex.map { case (n, i) => element_at(col("tags"), i + 1).as(n) } :+
@@ -456,9 +458,40 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       // the writer won't re-sort and the secondary order survives.
       val clustered = keyed.sortWithinPartitions(
         (col("bucket_ts") +: tagCols.map(col)) :+ col("slot_ns"): _*)
-      publishBatch(clustered)
+      val staging = stageBatch(clustered)
+      val m = obs.get
+      // AQE's runtime empty-relation propagation replaces a subtree
+      // whose materialized stage produced 0 rows — taking the
+      // CollectMetrics node with it, so the observation resolves to
+      // an EMPTY map. That only happens when the accepted side was
+      // runtime-empty (all-rejected or empty batch, which published
+      // nothing), and the ledger still owes the caller its reject
+      // counts — recompute them with the classic pass; rare by
+      // construction, and nothing observable depends on the batch
+      // being evaluated twice because nothing was written.
+      val ledger =
+        if (m.contains(s"n_$Ok"))
+          putReasons.flatMap { r =>
+            val n = m(s"n_$r").asInstanceOf[Long]
+            if (n > 0L) Some(r -> n) else None
+          }.toMap
+        else classified.groupBy(col("reason")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (ledger.getOrElse(Ok, 0L) > 0L) {
+        // A write whose seq lands AT or BELOW the receipt chain's
+        // watermark changes what that watermark resolves to (explicit
+        // seqs are a supported ingest path) — break the chain so the
+        // next exportDelta recomputes in full. The min rode the write
+        // job's metrics; only consulted while a chain state exists.
+        readReceiptState().foreach { case (w, _, _) =>
+          m.get("min_ok_seq").flatMap(Option(_)).foreach { mn =>
+            if (mn.asInstanceOf[Long] <= w) invalidateReceiptState()
+          }
+        }
+        publishStaged(staging)
+      } else tableFs.delete(staging, true) // all rejected: publish nothing
+      ledger
     }
-    ledger
   }
 
   /** Crash-atomic batch publish — the engine's ACID story (the
@@ -477,12 +510,25 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * On object stores without atomic rename, swap this seam for a
     * manifest-based table format (Delta/Iceberg) — the rest of the
     * engine is unchanged. Returns the published batch dir. */
-  private def publishBatch(rows: DataFrame): Path = {
-    val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
+  private def publishBatch(rows: DataFrame): Path =
+    publishStaged(stageBatch(rows))
+
+  /** Write a bucket-partitioned batch into an INVISIBLE staging dir
+    * (readers skip dot files) — the first half of [[publishBatch]],
+    * split out so single-pass verbs can run the write job, inspect its
+    * observed metrics, and only then decide to publish or discard. */
+  private def stageBatch(rows: DataFrame): Path = {
     val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
     val staging = new Path(s"${opts.tablePath}/.staging_$uuid")
     rows.write.mode(SaveMode.Overwrite).partitionBy("bucket_ts").parquet(staging.toString)
+    staging
+  }
+
+  /** Publish a staged batch dir with ONE rename — the ACID seam. */
+  private def publishStaged(staging: Path): Path = {
+    val fs = FileSystem.get(new java.net.URI(opts.dataDir), spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(opts.tablePath))
+    val uuid = staging.getName.stripPrefix(".staging_")
     val target = new Path(s"${opts.tablePath}/batch=$uuid")
     if (!fs.rename(staging, target)) {
       fs.delete(staging, true)
@@ -507,11 +553,26 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
   def putAllocated(points: DataFrame): Map[String, Long] = writeLock.synchronized {
     val pts = points.select(col("ts"), col("tags"), col("payload")).persist()
     try {
-      val n = pts.count()
+      // r15: one per-partition sizing job over the cached batch (was
+      // count() PLUS zipWithIndex's internal per-partition count — two
+      // passes for one piece of information). The cache pins partition
+      // sizes/order between the sizing pass and the attach pass, the
+      // same guarantee zipWithIndex relied on.
+      val rdd0 = pts.rdd
+      val sizes = rdd0.mapPartitions(it => Iterator.single {
+        var c = 0L; while (it.hasNext) { it.next(); c += 1L }; c
+      }).collect()
+      val n = sizes.sum
       if (n == 0L) return Map.empty
       val base = nextSeqBlock(n)
-      val rdd = pts.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), base + i)
+      val offsets = sizes.scanLeft(0L)(_ + _)
+      val rdd = rdd0.mapPartitionsWithIndex { (pi, it) =>
+        var next = base + offsets(pi)
+        it.map { r =>
+          val out = org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), next)
+          next += 1L
+          out
+        }
       }
       put(spark.createDataFrame(rdd, pointSchema))
     } finally pts.unpersist()
@@ -939,11 +1000,18 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     sweepStaleStaging(fs)
     val sources = bucketDirs(fs, baseTs)
     if (sources.isEmpty) return (0L, 0L)
+    // r15 single-pass: the before/after row counts (the return value)
+    // ride the rewrite job as TWO observed metrics — one below the LWW
+    // aggregation, one above it — instead of a separate scan count and
+    // a post-publish footer count (3 jobs → 1 per bucket; compactCold
+    // pays this per cold bucket).
+    val obsBefore = new org.apache.spark.sql.Observation()
+    val obsAfter = new org.apache.spark.sql.Observation()
     val scan = spark.read.schema(tableSchema.add("batch", StringType))
       .option("basePath", opts.tablePath)
       .parquet(sources.map(_.toString): _*)
       .drop("batch", "bucket_ts")
-    val before = scan.count()
+      .observe(obsBefore, count(lit(1)).as("n"))
     // Cluster the rewritten bucket by (series, slot): parquet row-group
     // min/max stats on the tag columns then actually prune — a Get for
     // one series reads ~one row group instead of scanning the bucket.
@@ -951,14 +1019,14 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     // sort, and the agg's hash partitioning is left untouched.
     val compacted = lwwAgg(scan, tagCols.map(col) :+ col("slot_ns"))
       .select(col("slot_ns") +: tagCols.map(col) :+ col("payload") :+ col("seq"): _*)
+      .observe(obsAfter, count(lit(1)).as("n"))
       .sortWithinPartitions((tagCols.map(col) :+ col("slot_ns")): _*)
       .withColumn("bucket_ts", lit(baseTs))
-    val published = publishBatch(compacted)
-    // Count the just-published files, not the compacted plan: re-running
-    // the plan would execute the multi-batch scan + LWW aggregation a
-    // second time, while a count over the written parquet is served
-    // from footer row counts.
-    val afterRows = spark.read.parquet(published.toString).count()
+    publishBatch(compacted)
+    // 0-row buckets can lose metrics to AQE empty-relation
+    // propagation — which itself proves the count is 0
+    val before = obsBefore.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
+    val afterRows = obsAfter.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
     assertLeaseHeld() // fence: irreversible from here (source deletes)
     sources.foreach { p =>
       fs.delete(p, true)
@@ -1326,17 +1394,28 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     require(fromSeqExclusive <= toSeqInclusive,
       s"exportDelta: inverted seq range ($fromSeqExclusive, $toSeqInclusive]")
     ensureManifest(adopt = false)
+    // r15 single-pass: the delta's receipt inputs — row count, XOR
+    // checksum term, slot min/max for the prior lookup's prune — ride
+    // the WRITE job as observed metrics instead of a second read-back
+    // aggregation, and the returned row count comes from the same
+    // metrics instead of a footer-count job (guide §1.2 step 1).
+    val hNames = (tagCols :+ "slot_ns" :+ "seq" :+ "payload").mkString(", ")
+    val obs = new org.apache.spark.sql.Observation()
     val resolvedRows = lwwAgg(
       table().filter(col("seq") > fromSeqExclusive && col("seq") <= toSeqInclusive),
       tagCols.map(col) :+ col("slot_ns"))
       .withColumn("bucket_ts", floorBucket(col("slot_ns")))
+      .observe(obs,
+        count(lit(1)).as("n"),
+        expr(s"coalesce(bit_xor(xxhash64($hNames)), 0L)").as("x"),
+        min(col("slot_ns")).as("lo"), max(col("slot_ns")).as("hi"))
     resolvedRows.repartition(col("bucket_ts"))
       .sortWithinPartitions((col("bucket_ts") +: tagCols.map(col)) :+ col("slot_ns"): _*)
       .write.mode(SaveMode.ErrorIfExists).partitionBy("bucket_ts").parquet(outDir)
-    // explicit schema: a row-empty delta writes only _SUCCESS, and a
-    // schema-less parquet read of it would fail instead of counting 0
-    // (importSnapshot reads the same way for the same reason)
-    val deltaBack = spark.read.schema(tableSchema).parquet(outDir)
+    // an EMPTY delta (routine no-op sync cycle) can lose its metrics
+    // to AQE empty-relation propagation — which itself proves n = 0
+    val m = obs.get
+    val nDelta = m.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
     // Consistency receipt: primary's LWW world (count, checksum) at
     // the watermark — `_`-prefixed so parquet readers skip it. A sync
     // LOOP must not pay a full-table checksum per cycle, so the
@@ -1344,10 +1423,19 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     // `fromSeqExclusive` is on disk (O(delta) + a slot-pruned prior
     // lookup); any break in the chain — first export, destructive
     // verb, retro-seq put, out-of-order watermark — falls back to one
-    // full [[lwwChecksum]] and re-seeds the chain.
+    // full [[lwwChecksum]] and re-seeds the chain. The incremental
+    // path re-reads the just-written delta for its KEY columns only
+    // (the semi-join side); counts/hash/range come from the metrics.
     val (rcRows, rcHash) = readReceiptState() match {
       case Some((w, pr, ph)) if w == fromSeqExclusive =>
-        incrementalChecksum(fromSeqExclusive, deltaBack, pr, ph)
+        // explicit schema: a row-empty delta writes only _SUCCESS, and
+        // a schema-less parquet read of it would fail instead of
+        // reading 0 rows (importSnapshot reads the same way)
+        val deltaBack = spark.read.schema(tableSchema).parquet(outDir)
+        incrementalChecksum(fromSeqExclusive, deltaBack, pr, ph,
+          nDelta, m.get("x").map(_.asInstanceOf[Long]).getOrElse(0L),
+          m.get("lo").flatMap(Option(_)).map(_.asInstanceOf[Long]),
+          m.get("hi").flatMap(Option(_)).map(_.asInstanceOf[Long]))
       case _ => lwwChecksum(toSeqInclusive)
     }
     writeReceiptState(toSeqInclusive, rcRows, rcHash)
@@ -1367,7 +1455,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       if (!fs.rename(rtmp, rdst))
         throw new IllegalStateException(s"exportDelta: could not publish receipt $rdst")
     }
-    deltaBack.count()
+    nDelta
   }
 
   // ------------------------------------------------------------------
@@ -1432,16 +1520,14 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     * not O(table). XOR cancellation is safe for the same reason
     * [[lwwChecksum]]'s is: winners are unique per key on each side. */
   private def incrementalChecksum(fromSeq: Long, deltaDf: DataFrame,
-      prevRows: Long, prevHash: Long): (Long, Long) = {
+      prevRows: Long, prevHash: Long,
+      nNew: Long, xNew: Long, loOpt: Option[Long], hiOpt: Option[Long]): (Long, Long) = {
+    // r15: the delta's own (count, xor, slot range) arrive as the
+    // export write's observed metrics — the only job left here is the
+    // slot-pruned prior-winner lookup.
     val hcols = (tagCols.map(col) :+ col("slot_ns") :+ col("seq") :+ col("payload"))
-    val nw = deltaDf
-      .select(xxhash64(hcols: _*).as("h"), col("slot_ns"))
-      .agg(count(lit(1)).as("n"), expr("coalesce(bit_xor(h), 0L)").as("x"),
-        min(col("slot_ns")).as("lo"), max(col("slot_ns")).as("hi"))
-      .head() // 4 scalars — bounded driver read
-    val (nNew, xNew) = (nw.getLong(0), nw.getLong(1))
     if (nNew == 0L) return (prevRows, prevHash)
-    val (lo, hi) = (nw.getLong(2), nw.getLong(3))
+    val (lo, hi) = (loOpt.get, hiOpt.get) // nNew > 0 implies a real range
     val keyNames = tagCols :+ "slot_ns"
     val prior = table()
       .filter(col("seq") <= fromSeq &&
@@ -1536,7 +1622,13 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
   def importSnapshot(srcDir: String): Long = mutate {
     ensureManifest(adopt = false)
     val snap = spark.read.schema(tableSchema).parquet(srcDir)
-    val a = snap.agg(
+    // r15 single-pass: the layout-validation counts ride the STAGING
+    // write as observed metrics instead of a separate full scan. The
+    // all-or-nothing contract is intact — the staged dir is invisible
+    // to readers, and on any violation (or an empty snapshot) it is
+    // deleted, never renamed into the table.
+    val obs = new org.apache.spark.sql.Observation()
+    val checked = snap.observe(obs,
       count(lit(1)).as("n"),
       count(when(col("slot_ns") % opts.resolution =!= 0, 1)).as("misaligned"),
       count(when(floorBucket(col("slot_ns")) =!= col("bucket_ts"), 1)).as("misplaced"),
@@ -1544,21 +1636,27 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         col("payload").isNull, 1)).as("invalid_payload"),
       count(when(tagCols.map(c => col(c).isNull || col(c) === "").reduce(_ || _), 1))
         .as("invalid_tags"),
-      count(when(col("seq").isNull || col("seq") < 0, 1)).as("invalid_seq")).head()
-    val n = a.getLong(0)
+      count(when(col("seq").isNull || col("seq") < 0, 1)).as("invalid_seq"))
+    val staging = stageBatch(checked.select(tableSchema.fieldNames.map(col): _*))
+    // an empty snapshot can lose its metrics to AQE empty-relation
+    // propagation — which itself proves n = 0 (and zero violations)
+    val m = obs.get
+    val n = m.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
     val bad = Seq("misaligned", "misplaced", "invalid_payload",
       "invalid_tags", "invalid_seq")
-      .zipWithIndex.collect { case (name, i) if a.getLong(i + 1) > 0 =>
-        s"$name=${a.getLong(i + 1)}" }
-    if (bad.nonEmpty)
+      .collect { case name if m.get(name).exists(_.asInstanceOf[Long] > 0) =>
+        s"$name=${m(name)}" }
+    if (bad.nonEmpty) {
+      tableFs.delete(staging, true)
       throw new IllegalArgumentException(
         s"importSnapshot: snapshot violates this engine's layout (${bad.mkString(", ")})")
+    }
     if (n > 0) {
       // imported rows keep their original (possibly past-watermark)
       // seqs: they can change what a chained watermark resolves to
       invalidateReceiptState()
-      publishBatch(snap.select(tableSchema.fieldNames.map(col): _*))
-    }
+      publishStaged(staging)
+    } else tableFs.delete(staging, true)
     n
   }
 
@@ -1811,13 +1909,17 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         col("bucket_ts"): _*)
     val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
     val staging = new Path(s"$rollupPath/.rstaging_$uuid")
-    partials.write.mode(SaveMode.Overwrite).partitionBy("bucket_ts").parquet(staging.toString)
+    // r15: the published-row count (the return value) rides the write
+    // job as an observed metric — no footer-count job per refresh
+    val obs = new org.apache.spark.sql.Observation()
+    partials.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket_ts").parquet(staging.toString)
     val target = new Path(s"$rollupPath/delta=${wm}_$cur")
     if (!fs.rename(staging, target)) {
       fs.delete(staging, true)
       throw new IllegalStateException(s"rollup delta publish failed: $staging")
     }
-    spark.read.parquet(target.toString).count() // footer counts only
+    obs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
   }
 
   /** Merge-on-read rollup query: final (series, rollup-slot) rows over
@@ -2209,7 +2311,11 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     val staging = new Path(s"${opts.tablePath}.vbuild_$uuid")
     cent.coalesce(1).write.parquet(s"$staging/centroids")
     books.foreach(_.coalesce(1).write.parquet(s"$staging/pq_books"))
-    assigned.write.partitionBy("cid").parquet(s"$staging/delta=-1_$cur")
+    // r15: the indexed-vector count (the return value) rides the
+    // inverted-file write as an observed metric — no footer-count job
+    val obs = new org.apache.spark.sql.Observation()
+    assigned.observe(obs, count(lit(1)).as("n"))
+      .write.partitionBy("cid").parquet(s"$staging/delta=-1_$cur")
     val pqLines = pq.map(p => s"pq_m=${p.m}\npq_k=${p.k}\npq_iters=${p.iters}\n").getOrElse("")
     val mf = fs.create(new Path(s"$staging/_vindex_options"), true)
     try mf.write(
@@ -2222,8 +2328,7 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       fs.delete(staging, true)
       throw new IllegalStateException(s"buildVectorIndex: could not publish $root")
     }
-    spark.read.schema(vindexSchema).option("basePath", vindexPath)
-      .parquet(s"$vindexPath/delta=-1_$cur").count() // footer counts only
+    obs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
     } finally rows.unpersist()
   }
 
@@ -2270,71 +2375,96 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
     val cur = currentSeq()
     if (cur <= wm) return 0L
     val cent = spark.read.schema(vindexCentSchema).parquet(s"$vindexPath/centroids")
-    val fresh = vectorRows(wm, cur).persist()
+    val fresh = vectorRows(wm, cur)
     val assigned0 = assignCells(fresh, cent)
     // PQ tier: encode the epoch's rows against the STORED codebooks —
     // one broadcast pass, no re-training (the assignment discipline)
     val assigned = meta.pq match {
-      case None => assigned0.persist()
+      case None => assigned0
       case Some(p) =>
         val books = spark.read.schema(vindexBookSchema).parquet(s"$vindexPath/pq_books")
         assigned0.join(encodePq(fresh, books, p), tagCols :+ "slot_ns")
           .select((col("slot_ns") +: tagCols.map(col)) :+ col("vec") :+
             col("codes") :+ col("seq") :+ col("cid"): _*)
-          .persist()
     }
-    try {
-      // tombstones: incoming keys already indexed at-or-below wm. The
-      // prior-existence set comes from the STORED INDEX COVER, never
-      // the raw table — compactBucket LWW-drops superseded table rows,
-      // so a table-side lookup (seq <= wm) goes blind after put(v1) →
-      // build → put(v2) → compactBucket → refresh and the stale v1
-      // would serve from its old cell forever. The cover IS the
-      // indexed content ≤ wm by construction (every delta's rows have
-      // seq ≤ its dir hi ≤ wm), it prunes to the epoch's slot range by
-      // parquet stats, and only the key columns are read (vec/codes
-      // column-pruned) — O(index keys in slot range), never a vector
-      // scan.
-      val keyNames = tagCols :+ "slot_ns"
-      val rng = assigned.agg(min(col("slot_ns")), max(col("slot_ns"))).head()
-      val tomb =
-        if (rng.isNullAt(0)) spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vindexTombSchema)
-        else {
-          val (lo, hi) = (rng.getLong(0), rng.getLong(1))
-          spark.read.schema(vindexSchema).option("basePath", vindexPath)
-            .parquet(cover.map(_._1.toString): _*)
-            .filter(col("slot_ns") >= lo && col("slot_ns") <= hi)
-            .select(keyNames.map(col): _*)
-            .join(assigned.select(keyNames.map(col): _*), keyNames, "left_semi")
-            .distinct()
-            .join(assigned.select((keyNames.map(col) :+ col("seq").as("win_seq")): _*),
-              keyNames)
-            .select((tagCols.map(col) :+ col("slot_ns") :+ col("win_seq")): _*)
-        }
-      def publish(df: DataFrame, name: String, partitioned: Boolean): Unit = {
-        val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
-        val staging = new Path(s"$vindexPath/.vstaging_$uuid")
-        val w = df.write.mode(SaveMode.Overwrite)
-        (if (partitioned) w.partitionBy("cid") else w).parquet(staging.toString)
-        val target = new Path(s"$vindexPath/$name")
-        assertLeaseHeld() // fence: publish swap begins
-        if (fs.exists(target)) fs.delete(target, true) // crash replay of same range
-        if (!fs.rename(staging, target)) {
-          fs.delete(staging, true)
-          throw new IllegalStateException(s"refreshVectorIndex: could not publish $target")
-        }
+    // r15 job-count reduction (guide §1.2 step 1): the epoch's delta
+    // is STAGED first — one write job whose observed metrics carry the
+    // row count (the return value) and slot min/max (the tombstone
+    // lookup's prune range); the old shape paid a persist-
+    // materializing range agg, a delta write, and a footer-count job.
+    // The tombstone pipeline then reads the STAGED files' key columns
+    // (no caching of the epoch's vectors at all). Publish order keeps
+    // the crash contract: tomb dir first, then the delta rename —
+    // identical windows to the old publish()-helper sequence, with the
+    // staged write itself invisible until the final rename.
+    val keyNames = tagCols :+ "slot_ns"
+    def vstaging() =
+      new Path(s"$vindexPath/.vstaging_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    def swapIn(staging: Path, name: String): Unit = {
+      val target = new Path(s"$vindexPath/$name")
+      assertLeaseHeld() // fence: publish swap begins
+      if (fs.exists(target)) fs.delete(target, true) // crash replay of same range
+      if (!fs.rename(staging, target)) {
+        fs.delete(staging, true)
+        throw new IllegalStateException(s"refreshVectorIndex: could not publish $target")
       }
+    }
+    val obs = new org.apache.spark.sql.Observation()
+    val deltaStaging = vstaging()
+    assigned.observe(obs, count(lit(1)).as("n"),
+        min(col("slot_ns")).as("lo"), max(col("slot_ns")).as("hi"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(deltaStaging.toString)
+    // an empty epoch delta can lose its metrics to AQE empty-relation
+    // propagation — which itself proves n = 0 (no tombs either way)
+    val m = obs.get
+    val nFolded = m.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
+    // tombstones: incoming keys already indexed at-or-below wm. The
+    // prior-existence set comes from the STORED INDEX COVER, never
+    // the raw table — compactBucket LWW-drops superseded table rows,
+    // so a table-side lookup (seq <= wm) goes blind after put(v1) →
+    // build → put(v2) → compactBucket → refresh and the stale v1
+    // would serve from its old cell forever. The cover IS the
+    // indexed content ≤ wm by construction (every delta's rows have
+    // seq ≤ its dir hi ≤ wm), it prunes to the epoch's slot range by
+    // parquet stats, and only the key columns are read (vec/codes
+    // column-pruned) — O(index keys in slot range), never a vector
+    // scan. The epoch's own keys come from the staged files, key
+    // columns only.
+    if (nFolded > 0) {
+      val (lo, hi) = (m("lo").asInstanceOf[Long], m("hi").asInstanceOf[Long])
+      val stagedKeySchema = StructType(
+        StructField("slot_ns", LongType) +:
+          tagCols.map(StructField(_, StringType)) :+
+          StructField("seq", LongType) :+
+          StructField("cid", LongType))
+      val stagedKeys = spark.read.schema(stagedKeySchema)
+        .option("basePath", deltaStaging.toString)
+        .parquet(deltaStaging.toString).drop("cid")
+      val tomb = spark.read.schema(vindexSchema).option("basePath", vindexPath)
+        .parquet(cover.map(_._1.toString): _*)
+        .filter(col("slot_ns") >= lo && col("slot_ns") <= hi)
+        .select(keyNames.map(col): _*)
+        .join(stagedKeys.select(keyNames.map(col): _*), keyNames, "left_semi")
+        .distinct()
+        .join(stagedKeys.select((keyNames.map(col) :+ col("seq").as("win_seq")): _*),
+          keyNames)
+        .select((tagCols.map(col) :+ col("slot_ns") :+ col("win_seq")): _*)
       // an epoch with no overwritten keys (the overwhelmingly common
       // case) publishes NO tomb dir: under high-frequency streaming a
       // dir per epoch would pile up listings every probe pays for,
-      // and an absent tomb applies nothing by definition
-      if (tomb.limit(1).count() > 0)
-        publish(tomb, s"tomb=${wm}_$cur", partitioned = false)
-      publish(assigned, s"delta=${wm}_$cur", partitioned = true)
-      spark.read.schema(vindexSchema).option("basePath", vindexPath)
-        .parquet(s"$vindexPath/delta=${wm}_$cur").count()
-    } finally { assigned.unpersist(); fresh.unpersist() }
+      // and an absent tomb applies nothing by definition. One job:
+      // the tomb stages with an observed count and is renamed in (or
+      // discarded) by what the count says.
+      val tobs = new org.apache.spark.sql.Observation()
+      val tombStaging = vstaging()
+      tomb.observe(tobs, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite).parquet(tombStaging.toString)
+      if (tobs.get.get("n").exists(_.asInstanceOf[Long] > 0))
+        swapIn(tombStaging, s"tomb=${wm}_$cur")
+      else fs.delete(tombStaging, true)
+    }
+    swapIn(deltaStaging, s"delta=${wm}_$cur")
+    nFolded
   }
 
   /** Fold the vector-index delta chain into ONE delta and materialize

@@ -2787,9 +2787,11 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
       // row-group stats prune with exactly two literals; the semi
       // join does the precise row selection executor-side.
       // Bounded collects by construction (cid set ≤ |q|·nprobe; the
-      // range agg is one row).
-      val cids = short.select(col("cid")).distinct().collect().map(_.getLong(0))
-      val rng = short.agg(min(col("slot_ns")), max(col("slot_ns"))).head()
+      // range agg is one row). r15: ONE agg job carries the cid set
+      // AND the slot range (was two driver reads of the shortlist).
+      val rng = short.agg(collect_set(col("cid")),
+        min(col("slot_ns")), max(col("slot_ns"))).head()
+      val cids = rng.getSeq[Long](0).toArray
       val cover = rollupCover(vindexDeltas(fs))
       val wmCover = cover.last._3
       val scan0 = spark.read.schema(vindexSchema).option("basePath", vindexPath)
@@ -2797,9 +2799,9 @@ final class Engine(spark: SparkSession, val opts: EngineOptions, clock: Clock = 
         .filter(col("cid").isin(cids: _*)) // static partition prune
         .drop("delta", "codes")
       val scan = // empty shortlist: no range to push, result is empty anyway
-        if (rng.isNullAt(0)) scan0.filter(lit(false))
-        else scan0.filter(col("slot_ns") >= rng.getLong(0) &&
-          col("slot_ns") <= rng.getLong(1)) // static row-group prune, 2 literals
+        if (rng.isNullAt(1)) scan0.filter(lit(false))
+        else scan0.filter(col("slot_ns") >= rng.getLong(1) &&
+          col("slot_ns") <= rng.getLong(2)) // static row-group prune, 2 literals
       val exact = tombstoneFiltered(scan, fs, wmCover)
         .join(broadcast(short.select(keyNames.map(col): _*).distinct()),
           keyNames, "left_semi")

@@ -47,10 +47,19 @@ object SuffixRank {
       .select(col("doc_id"), col("p"), col("r"))
     var k = 1
     while (k < L) {
-      val nxt = suf.select(col("doc_id"), (col("p") - k).as("p"), col("r").as("rn"))
-      val paired = suf.join(nxt, Seq("doc_id", "p"), "left_outer")
-        .select(col("doc_id"), col("p"), col("r"),
-          coalesce(col("rn"), lit(0L)).as("rn"))
+      // r15 (guide §2.4): positions are CONTIGUOUS 1..len within a doc
+      // (both callers build them from posexplode), so "the rank at
+      // p + k" is exactly lead(r, k) over (doc ORDER BY p) — one hash
+      // exchange + per-doc sort instead of the old self-join's TWO
+      // exchanges of the whole triple set per doubling round. Null
+      // past the end → rank 0, the shorter-suffix-first rule. The
+      // window partitions by doc_id — per-task state is one document's
+      // positions, bounded by document length like every per-doc
+      // operator in the pipeline, never a global funnel.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("p"))
+      val paired = suf.select(col("doc_id"), col("p"), col("r"),
+        coalesce(lead(col("r"), k).over(w), lit(0L)).as("rn"))
       suf = DistributedRank.withGlobalDenseRank(paired, "r2",
           Seq(col("r"), col("rn")))
         .select(col("doc_id"), col("p"), col("r2").as("r"))
